@@ -1,0 +1,894 @@
+"""Query catalog: one entry per implemented operator (SURVEY.md §2), each a
+(Spark query, DuckDB oracle SQL) pair consumed by ``__spark_entry__.py``.
+
+Conventions that make the driver's order-insensitive value-hash compare
+stable:
+- every computed column is aliased identically on both sides;
+- floating aggregates are ``round()``-ed the same on both sides (double sums
+  agree to ~1e-9 relative; rounding removes accumulation-order noise);
+- ``count``-like outputs are BIGINT on both sides (Spark ints are cast);
+- ordered-limit queries carry explicit deterministic tiebreakers.
+
+Oracle-less entries (minhash/simhash/LSH/multimodal/streaming) return
+``None`` oracles → the driver records a rows-only check; their semantics are
+covered by pytest against crafted fixtures instead (tests/).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zio_analytics_spark.datastream import DataStream
+from zio_analytics_spark.operators import dedup, similarity, text
+from zio_analytics_spark.operators.asof import asof_join
+from zio_analytics_spark.operators.topk import top_k, top_k_per_group
+from zio_analytics_spark.sources.parquet import read_table
+from zio_analytics_spark.windows import session, sliding, tumbling
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None
+    bench: bool = False  # include in bench.py headline set
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, bench: bool = False):
+    def deco(fn: QueryFn) -> QueryFn:
+        CATALOG[name] = QuerySpec(fn, oracle, bench)
+        return fn
+
+    return deco
+
+
+def _ds(spark: SparkSession, sf_dir: str, table: str) -> DataStream:
+    return DataStream(read_table(spark, sf_dir, table))
+
+
+# =====================================================================
+# Reference core — SURVEY.md §2.1
+# =====================================================================
+
+# -- #1 Literals source + the reference's own word-count fixture
+# (/root/reference/src/test/scala/zio/analytics/WordCountSpec.scala:9-17):
+# tumbling 10ms windows over (ts_ms, word) literals.
+_WORDCOUNT_ROWS = [(12, "quick"), (15, "quick"), (30, "brown"), (40, "brown")]
+
+
+@register(
+    "from_literals_wordcount",
+    oracle="""
+    SELECT word,
+           CAST((ts_ms // 10) * 10 AS BIGINT) AS window_start_ms,
+           count(*) AS n
+    FROM (VALUES (12, 'quick'), (15, 'quick'), (30, 'brown'), (40, 'brown')) AS t(ts_ms, word)
+    GROUP BY word, window_start_ms
+    """,
+)
+def q_from_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = DataStream.from_literals(spark, _WORDCOUNT_ROWS, schema="ts_ms long, word string")
+    return (
+        ds.group_by("word", window_start_ms=(F.floor(F.col("ts_ms") / 10) * 10).cast("long"))
+        .fold(n=F.count("*"))
+        .to_df()
+    )
+
+
+# -- #2 Map: per-row projection
+@register(
+    "map_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem
+    """,
+    bench=True,
+)
+def q_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ds(spark, sf_dir, "lineitem")
+        .map(
+            "l_orderkey",
+            "l_linenumber",
+            disc_price=F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        )
+        .to_df()
+    )
+
+
+# -- #3 MapConcat: row → 0..n rows (explode)
+@register(
+    "map_concat_explode",
+    oracle="SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word FROM part",
+)
+def q_map_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ds(spark, sf_dir, "part")
+        .map_concat(F.split(F.col("p_type"), " "), "word", keep=["p_partkey"])
+        .to_df()
+    )
+
+
+# -- #4 Filter
+@register(
+    "filter_where",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-06-01' AND l_quantity > 30
+    """,
+)
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ds(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp")) & (F.col("l_quantity") > 30))
+        .map("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .to_df()
+    )
+
+
+# -- #5 MapAccumulate: stateful ordered scan (associative fast path —
+# running aggregates per key; see operators/accumulate.py for contract)
+@register(
+    "map_accumulate_running",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS running_n,
+           sum(value) OVER w AS running_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    bench=True,
+)
+def q_map_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ds(spark, sf_dir, "events")
+        .map_accumulate(
+            order_by=["ts", "event_id"],
+            running={"running_n": F.count(F.lit(1)), "running_sum": F.sum("value")},
+            partition_by=["user_id"],
+        )
+        .map("event_id", "user_id", "running_n", "running_sum")
+        .to_df()
+    )
+
+
+# -- #6+#7 GroupBy + Fold (native aggregates): TPC-H Q1 shape
+@register(
+    "group_by_fold",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    price, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return (
+        _ds(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .group_by("l_returnflag", "l_linestatus")
+        .fold(
+            sum_qty=F.round(F.sum("l_quantity"), 4),
+            sum_base_price=F.round(F.sum(price), 4),
+            sum_disc_price=F.round(F.sum(price * (1 - disc)), 4),
+            sum_charge=F.round(F.sum(price * (1 - disc) * (1 + tax)), 2),
+            avg_qty=F.round(F.avg("l_quantity"), 4),
+            avg_price=F.round(F.avg(price), 4),
+            avg_disc=F.round(F.avg(disc), 4),
+            count_order=F.count("*"),
+        )
+        .to_df()
+    )
+
+
+# -- #7 Fold, literal whole-group contract (Group[K, Chunk[V]] —
+# Expression.scala:6): collect the group, then reduce the list.
+@register(
+    "fold_group_collect",
+    oracle="""
+    SELECT event_type, count(value) AS n_values, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_fold_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grouped = (
+        _ds(spark, sf_dir, "events")
+        .group_by("event_type")
+        .fold(values=F.collect_list("value"))
+    )
+    return grouped.map(
+        "event_type",
+        n_values=F.size("values").cast("long"),
+        total=F.round(F.aggregate("values", F.lit(0.0), lambda acc, x: acc + x), 2),
+    ).to_df()
+
+
+# -- #8 MapValues: transform values, key untouched
+@register(
+    "map_values",
+    oracle="SELECT event_type, event_id, value * 2 AS score FROM events",
+)
+def q_map_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ds(spark, sf_dir, "events")
+        .group_by("event_type")
+        .map_values(event_id=F.col("event_id"), score=F.col("value") * 2)
+        .to_df()
+    )
+
+
+# -- #9 AssignTimestamps: event-time designation
+@register(
+    "assign_timestamps",
+    oracle="""
+    SELECT event_id, ts, date_trunc('hour', ts) AS hour_start FROM events
+    """,
+)
+def q_assign_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = _ds(spark, sf_dir, "events").assign_timestamps("ts")
+    return ds.map("event_id", "ts", hour_start=F.date_trunc("hour", F.col(ds.ts_col))).to_df()
+
+
+# -- #10 FoldWindow, tumbling (the flagship / reference word count analog)
+@register(
+    "fold_window_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+    FROM events GROUP BY 1, 2, 3
+    """,
+    bench=True,
+)
+def q_fold_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ds(spark, sf_dir, "events")
+        .assign_timestamps("ts")
+        .group_by("event_type")
+        .fold_window(tumbling("1 hour"), n=F.count("*"), value_sum=F.round(F.sum("value"), 2))
+        .to_df()
+    )
+
+
+# -- #10 FoldWindow, sliding (1h window every 30min → 2 windows/event).
+# Reference's sliding assigner has a step-alignment bug (Window.scala:13-14);
+# we follow Spark/Flink semantics (SURVEY.md §2.2).
+@register(
+    "fold_window_sliding",
+    oracle="""
+    SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end,
+           event_type, count(*) AS n
+    FROM (
+      SELECT event_type, ts,
+             time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' * k AS ws
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) g
+    )
+    WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_fold_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ds(spark, sf_dir, "events")
+        .assign_timestamps("ts")
+        .group_by("event_type")
+        .fold_window(sliding("1 hour", "30 minutes"), n=F.count("*"))
+        .to_df()
+    )
+
+
+# -- #10 FoldWindow, session (gap-based) — implements the reference's TODO
+# (Window.scala:23-26). Oracle: gaps-and-islands. New session when
+# ts - prev_ts >= gap (Spark merges only strictly-overlapping [ts, ts+gap)).
+@register(
+    "fold_window_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sids AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS window_start,
+           max(ts) + INTERVAL '30 minutes' AS window_end,
+           count(*) AS n
+    FROM sids GROUP BY user_id, sid
+    """,
+    bench=True,
+)
+def q_fold_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        _ds(spark, sf_dir, "events")
+        .assign_timestamps("ts")
+        .group_by("user_id")
+        .fold_window(session("30 minutes"), n=F.count("*"))
+        .to_df()
+    )
+    return out.select("user_id", "window_start", "window_end", "n")
+
+
+# =====================================================================
+# [EXT] Relational layer — SURVEY.md §2.4
+# =====================================================================
+
+
+@register(
+    "join_inner_3way",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    bench=True,
+)
+def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        DataStream(l)
+        .join(DataStream(o), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(DataStream(c), F.col("c_custkey") == F.col("o_custkey"))
+        .group_by("c_custkey", "c_name")
+        .fold(
+            n_orders=F.countDistinct("o_orderkey"),
+            revenue=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4),
+        )
+        .to_df()
+    )
+
+
+# Left join with the scale-correct shape: pre-aggregate the fact side to the
+# join key (10 nations → shuffling raw customers onto 10 keys would skew),
+# then outer-join the tiny aggregates.
+@register(
+    "join_left_agg",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name,
+           count(c.c_custkey) AS n_customers,
+           round(avg(c.c_acctbal), 4) AS avg_bal
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey, n.n_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation")
+    agg = (
+        DataStream(read_table(spark, sf_dir, "customer"))
+        .group_by("c_nationkey")
+        .fold(n_customers=F.count("*"), avg_bal=F.round(F.avg("c_acctbal"), 4))
+        .to_df()
+    )
+    joined = n.join(agg, n.n_nationkey == agg.c_nationkey, "left")
+    return joined.select(
+        "n_nationkey",
+        "n_name",
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        "avg_bal",
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    big = read_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        DataStream(c)
+        .join(DataStream(big), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .map("c_custkey", "c_name")
+        .to_df()
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    big = read_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        DataStream(c)
+        .join(DataStream(big), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .map("c_custkey", "c_name")
+        .to_df()
+    )
+
+
+# As-of join: latest order at-or-before each event, per user. Right side is
+# deduped to one row per (key, time) so the match is deterministic.
+@register(
+    "join_asof",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS last_orderkey,
+           o.o_totalprice AS last_totalprice
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    bench=True,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = top_k_per_group(
+        read_table(spark, sf_dir, "orders"),
+        group_by=["o_custkey", "o_orderdate"],
+        order_by=[F.col("o_orderkey").desc()],
+        k=1,
+    )
+    joined = asof_join(
+        e, o,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+@register(
+    "order_limit_topn",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    out = top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
+    return out.select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3
+    """,
+)
+def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    out = top_k_per_group(
+        li,
+        group_by=["l_returnflag"],
+        order_by=[F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        k=3,
+    )
+    return out.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@register(
+    "window_analytics",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           row_number() OVER w AS rn,
+           lag(l_shipdate) OVER w AS prev_shipdate,
+           sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+    bench=True,
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = read_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    wr = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).alias("rn"),
+        F.lag("l_shipdate").over(w).alias("prev_shipdate"),
+        F.sum("l_quantity").over(wr).alias("running_qty"),
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ds(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").map("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").map("user_id").distinct()
+    return clicks.intersect(buys).to_df()
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ds(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").map("user_id").distinct()
+    signups = ev.filter(F.col("event_type") == "signup").map("user_id").distinct()
+    return views.except_all(signups).to_df()
+
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type IN ('click', 'purchase')
+    """,
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ds(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").map("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").map("user_id")
+    return clicks.union(buys).distinct().to_df()
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 4) AS sum_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price")
+    )
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM __gs_lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "pivot_event_type",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0)
+
+
+@register(
+    "scalar_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(hour(ts) AS BIGINT) AS h,
+           upper(event_type) AS etype,
+           sqrt(value) AS v_sqrt,
+           CAST(length(event_type) AS BIGINT) AS name_len
+    FROM events
+    """,
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.hour("ts").cast("long").alias("h"),
+        F.upper("event_type").alias("etype"),
+        F.sqrt("value").alias("v_sqrt"),
+        F.length("event_type").cast("long").alias("name_len"),
+    )
+
+
+@register("distinct_types", oracle="SELECT DISTINCT event_type FROM events")
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ds(spark, sf_dir, "events").map("event_type").distinct().to_df()
+
+
+# =====================================================================
+# [EXT] LLM-data-pipeline operators — SURVEY.md §2.4 tail
+# =====================================================================
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    bench=True,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+            FROM documents)
+    ), nz AS (SELECT * FROM sh WHERE len(s) > 0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.s, b.s))::DOUBLE /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM nz a JOIN nz b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), block_cols=["lang"], n=3, threshold=0.05
+    )
+
+
+@register("dedup_minhash", oracle=None)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(read_table(spark, sf_dir, "documents"), threshold=0.05)
+
+
+@register("dedup_simhash", oracle=None, bench=True)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(read_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_dup_pairs(
+        read_table(spark, sf_dir, "embeddings"), block_cols=["label"], threshold=0.35
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@register(
+    "similarity_topk",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qe) AS sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+    bench=True,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vec(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return similarity.brute_force_topk(emb, qv, k=10)
+
+
+@register("similarity_ann_lsh", oracle=None)
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vec(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return similarity.lsh_topk(emb, qv, k=10)
+
+
+@register(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_unique,
+           list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) AS avg_token_len
+    FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+          FROM documents)
+    """,
+    bench=True,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           len(list_filter(w, x -> list_contains(['the','a','of','and','in','to','is'], x)))::DOUBLE
+                 / len(w) AS stopword_ratio,
+           (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                 / length(text) AS punct_ratio
+    FROM (SELECT *, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+          FROM documents)
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_stats(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(w, x -> list_contains(['the','and','of','to','in','is'], x))) AS h_en,
+             len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS h_de,
+             len(list_filter(w, x -> list_contains(['le','la','les','et','est','dans'], x))) AS h_fr,
+             len(list_filter(w, x -> list_contains(['el','la','los','y','es','en'], x))) AS h_es
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+            FROM documents)
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                WHEN h_en >= h_de THEN 'en'
+                ELSE 'de' END AS guessed_lang,
+           CAST(greatest(h_en, h_de, h_fr, h_es) AS BIGINT) AS marker_hits
+    FROM scored
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zio_analytics_spark.operators.multimodal import attach_binary, binary_meta
+
+    docs = read_table(spark, sf_dir, "documents")
+    with_bin = binary_meta(attach_binary(docs, "text"), "payload")
+    return with_bin.select("doc_id", "n_bytes", "content_sha")
+
+
+@register("multimodal_decode", oracle=None)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zio_analytics_spark.operators.multimodal import attach_binary, map_decode
+
+    docs = attach_binary(read_table(spark, sf_dir, "documents"), "text")
+    return map_decode(docs)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in CATALOG.items() if spec.oracle is not None}
+
+
+def bench_queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in CATALOG.items() if spec.bench}

@@ -1,0 +1,303 @@
+"""DataStream — the engine's fluent API, parity with the reference's plan ADT.
+
+Reference: ``sealed abstract class DataStream[A]``
+(/root/reference/src/main/scala/zio/analytics/DataStream.scala:5,40-56) — a lazy
+logical plan built by a fluent builder and executed by an interpreter
+(/root/reference/src/main/scala/zio/analytics/Local.scala:114-229).
+
+Here the logical plan IS the Spark DataFrame (also lazy, also one plan node
+per fluent call), and the interpreter is Catalyst + Tungsten. ``DataStream``
+wraps::
+
+    (df: DataFrame, key_cols: list[str], ts_col: str | None)
+
+The reference's type-states ``Grouped[K, V]`` (Expression.scala:5) and
+``Timestamped[A]`` (Expression.scala:7) become *tracked metadata* — key
+columns and an event-time column — instead of nested structs, so every
+operator lowers to vanilla DataFrame ops and Catalyst sees a plain relational
+plan it can optimize (pushdown/pruning/join selection, SURVEY.md §4).
+
+Scale notes (100 TB): ``group_by`` is logical-only, exactly like the
+reference's ``GroupBy`` (Local.scala:157-160 just maps) — the shuffle happens
+once, at the consuming ``fold``/``fold_window``, and Spark's hash aggregate
+does map-side partial aggregation so the exchange carries partial states, not
+rows. ``fold`` defaults to native aggregates; the reference's
+whole-group-as-list contract (``Group.values: Chunk[V]``, Expression.scala:6;
+materialized via ``runCollect`` at Local.scala:170-174) is available via
+``fold_group``/``collect_list`` but is a deliberate opt-in because it is a
+memory cliff at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zio_analytics_spark.windows import WindowAssigner
+
+__all__ = ["DataStream"]
+
+ColumnLike = Column | str
+
+
+def _to_col(c: ColumnLike) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+class DataStream:
+    """A typed stream/table of rows: a lazy Spark plan plus grouping/time metadata."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        key_cols: Sequence[str] = (),
+        ts_col: str | None = None,
+    ) -> None:
+        self.df = df
+        self.key_cols = list(key_cols)
+        self.ts_col = ts_col
+
+    # ------------------------------------------------------------------ #
+    # construction
+
+    @classmethod
+    def from_literals(cls, spark: SparkSession, rows: Sequence[Any], schema: Any | None = None) -> "DataStream":
+        """Reference ``fromLiterals`` (DataStream.scala:87-88)."""
+        from zio_analytics_spark.sources.literals import from_literals
+
+        return cls(from_literals(spark, rows, schema))
+
+    @classmethod
+    def read_parquet(cls, spark: SparkSession, path: str) -> "DataStream":
+        """[EXT] parquet scan source (SURVEY.md §2.4)."""
+        return cls(spark.read.parquet(path))
+
+    def _with(self, df: DataFrame, key_cols: Sequence[str] | None = None, ts_col: Any = ...) -> "DataStream":
+        return DataStream(
+            df,
+            self.key_cols if key_cols is None else key_cols,
+            self.ts_col if ts_col is ... else ts_col,
+        )
+
+    # ------------------------------------------------------------------ #
+    # stateless core — reference §2.1 #2-4
+
+    def map(self, *cols: ColumnLike, **named: ColumnLike) -> "DataStream":
+        """Per-row projection — reference ``Map`` (DataStream.scala:41; Local.scala:119-121).
+
+        ``named`` kwargs alias columns: ``.map(disc_price=col*...)``. Grouping
+        keys are NOT preserved; use ``map_values`` on a grouped stream.
+        """
+        exprs = [_to_col(c) for c in cols]
+        exprs += [_to_col(c).alias(n) for n, c in named.items()]
+        return DataStream(self.df.select(*exprs), ts_col=None)
+
+    def map_concat(self, arr: ColumnLike, alias: str, keep: Sequence[ColumnLike] = ()) -> "DataStream":
+        """flatMap: row → 0..n rows — reference ``MapConcat`` (DataStream.scala:42; Local.scala:131-137).
+
+        The reference's shape is "map to a List, then emit its elements":
+        ``.map_concat(F.split(text, ' '), 'word')`` ≡ explode. Arbitrary
+        fan-out beyond array-explode goes through ``map_in_pandas``.
+        """
+        kept = [_to_col(c) for c in keep]
+        return DataStream(self.df.select(*kept, F.explode(_to_col(arr)).alias(alias)), ts_col=None)
+
+    def filter(self, pred: ColumnLike) -> "DataStream":
+        """Per-row predicate — reference ``Filter`` (DataStream.scala:43; Local.scala:123-129).
+
+        Watermark passthrough (Local.scala:126-128) is implicit in Spark."""
+        return self._with(self.df.where(_to_col(pred)))
+
+    def with_column(self, name: str, expr: ColumnLike) -> "DataStream":
+        """[EXT] convenience projection that keeps all existing columns."""
+        return self._with(self.df.withColumn(name, _to_col(expr)))
+
+    # ------------------------------------------------------------------ #
+    # grouping + aggregation — reference §2.1 #6-8
+
+    def group_by(self, *keys: ColumnLike, **named: ColumnLike) -> "DataStream":
+        """Assign a grouping key — reference ``GroupBy`` (DataStream.scala:46-47).
+
+        Logical only: no shuffle happens here (the reference's interpreter
+        just tags rows, Local.scala:157-160; Spark defers the exchange to the
+        consuming aggregation). Regrouping an already-grouped stream appends
+        key columns — the ``ComputeGrouping`` nested-key typeclass
+        (DataStream.scala:7-38) degenerates to a list append.
+        """
+        df = self.df
+        new_keys = list(self.key_cols)
+        for k in keys:
+            if isinstance(k, str):
+                new_keys.append(k)
+            else:
+                raise TypeError("group_by: pass Column keys as named kwargs so the key has a name")
+        for name, expr in named.items():
+            df = df.withColumn(name, _to_col(expr))
+            new_keys.append(name)
+        return DataStream(df, key_cols=new_keys, ts_col=self.ts_col)
+
+    def map_values(self, **named: ColumnLike) -> "DataStream":
+        """Transform values, keys unchanged — reference ``MapValues``
+        (DataStream.scala:49,76-77; Local.scala:177-183). A projection that
+        preserves the key columns."""
+        if not self.key_cols:
+            raise ValueError("map_values requires a grouped stream (call group_by first)")
+        exprs = [F.col(k) for k in self.key_cols]
+        exprs += [_to_col(c).alias(n) for n, c in named.items()]
+        ts = self.ts_col if self.ts_col in {*self.key_cols, *named} else None
+        return DataStream(self.df.select(*exprs), key_cols=self.key_cols, ts_col=ts)
+
+    def fold(self, *aggs: Column, **named_aggs: Column) -> "DataStream":
+        """Aggregate each group — reference ``Fold`` (DataStream.scala:48; Local.scala:162-175).
+
+        Fast path: native aggregate expressions (hash agg, partial+final —
+        the exchange ships partial states, not rows). The reference instead
+        materializes every group as a list (``runCollect``,
+        Local.scala:170-174) — that literal contract is ``fold_group`` /
+        ``F.collect_list``, kept opt-in because it's a scale cliff.
+        """
+        if not self.key_cols:
+            raise ValueError("fold requires a grouped stream (call group_by first)")
+        exprs = list(aggs) + [a.alias(n) for n, a in named_aggs.items()]
+        out = self.df.groupBy(*[F.col(k) for k in self.key_cols]).agg(*exprs)
+        return DataStream(out)
+
+    def fold_group(self, fn: Callable, schema: Any) -> "DataStream":
+        """Whole-group reduction with an arbitrary Python function —
+        the reference's literal ``Fold`` contract (``Group[K, Chunk[V]]``,
+        Expression.scala:6) via ``applyInPandas``: each group arrives as one
+        pandas DataFrame. Use only when native aggregates can't express the
+        reduction; groups must fit in executor memory (same cliff as the
+        reference's ``runCollect``, Local.scala:170-174).
+        """
+        if not self.key_cols:
+            raise ValueError("fold_group requires a grouped stream")
+        out = self.df.groupBy(*[F.col(k) for k in self.key_cols]).applyInPandas(fn, schema)
+        return DataStream(out)
+
+    # ------------------------------------------------------------------ #
+    # event time + windows — reference §2.1 #9-10, §2.2
+
+    def assign_timestamps(self, ts: ColumnLike, watermark_delay: str | None = None) -> "DataStream":
+        """Designate the event-time column — reference ``AssignTimestamps``
+        (DataStream.scala:50,69-70; Local.scala:185-193).
+
+        ``ts`` must be/cast-to TimestampType. ``watermark_delay`` (e.g.
+        ``'10 minutes'``) applies ``withWatermark`` — meaningful on streaming
+        frames, a no-op marker on batch. The reference's "drop prior
+        watermarks" rule (Local.scala:189-192) is moot here: Spark derives
+        watermarks from the declared column.
+        """
+        name = ts if isinstance(ts, str) else "ts"
+        df = self.df if isinstance(ts, str) else self.df.withColumn(name, _to_col(ts))
+        if watermark_delay is not None:
+            df = df.withWatermark(name, watermark_delay)
+        return DataStream(df, key_cols=self.key_cols, ts_col=name)
+
+    def fold_window(self, assigner: WindowAssigner, *aggs: Column, **named_aggs: Column) -> "DataStream":
+        """Windowed incremental aggregation per (key, window) — reference
+        ``FoldWindow`` (DataStream.scala:51-56; Local.scala:195-228).
+
+        Spark natively reproduces the reference's machinery: window
+        assignment incl. sliding duplication (Local.scala:200-206),
+        incremental partial aggregation (:214-226), emit-on-watermark
+        (:221-225) and late-data drop (:215-219) in streaming append mode.
+        The output carries ``window.start``/``window.end`` columns
+        (``[start, end)`` — SURVEY.md §2.2 bound-convention note).
+        """
+        if self.ts_col is None:
+            raise ValueError("fold_window requires assign_timestamps first")
+        if not self.key_cols:
+            raise ValueError("fold_window requires a grouped stream")
+        exprs = list(aggs) + [a.alias(n) for n, a in named_aggs.items()]
+        win = assigner.assign(F.col(self.ts_col)).alias("window")
+        out = self.df.groupBy(win, *[F.col(k) for k in self.key_cols]).agg(*exprs)
+        out = out.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[F.col(c) for c in out.columns if c != "window"],
+        )
+        return DataStream(out)
+
+    # ------------------------------------------------------------------ #
+    # stateful scan — reference §2.1 #5 (implemented in operators.accumulate)
+
+    def map_accumulate(
+        self,
+        order_by: Sequence[ColumnLike],
+        running: dict[str, Column],
+        partition_by: Sequence[str] = (),
+    ) -> "DataStream":
+        """Stateful ordered scan — reference ``MapAccumulate``
+        (DataStream.scala:44-45; Local.scala:139-151). See
+        :mod:`zio_analytics_spark.operators.accumulate` for the
+        associative-fast-path / general-path contract.
+        """
+        from zio_analytics_spark.operators.accumulate import map_accumulate
+
+        return DataStream(
+            map_accumulate(self.df, order_by=order_by, running=running, partition_by=partition_by),
+            key_cols=self.key_cols,
+            ts_col=self.ts_col,
+        )
+
+    # ------------------------------------------------------------------ #
+    # [EXT] relational layer (absent in the reference — SURVEY.md §2.4)
+
+    def join(
+        self,
+        other: "DataStream | DataFrame",
+        on: Any,
+        how: str = "inner",
+        broadcast_other: bool = False,
+    ) -> "DataStream":
+        """[EXT] join; ``broadcast_other=True`` hints the small side to skip the shuffle."""
+        right = other.df if isinstance(other, DataStream) else other
+        if broadcast_other:
+            right = F.broadcast(right)
+        return DataStream(self.df.join(right, on, how))
+
+    def order_by(self, *cols: ColumnLike) -> "DataStream":
+        return self._with(self.df.orderBy(*[_to_col(c) for c in cols]))
+
+    def limit(self, n: int) -> "DataStream":
+        return self._with(self.df.limit(n))
+
+    def distinct(self) -> "DataStream":
+        return self._with(self.df.distinct())
+
+    def union(self, other: "DataStream | DataFrame") -> "DataStream":
+        return self._with(self.df.unionByName(other.df if isinstance(other, DataStream) else other))
+
+    def intersect(self, other: "DataStream | DataFrame") -> "DataStream":
+        return self._with(self.df.intersect(other.df if isinstance(other, DataStream) else other))
+
+    def except_all(self, other: "DataStream | DataFrame") -> "DataStream":
+        return self._with(self.df.exceptAll(other.df if isinstance(other, DataStream) else other))
+
+    # ------------------------------------------------------------------ #
+    # escape hatches (UDTF-like) and execution
+
+    def map_in_pandas(self, fn: Callable, schema: Any) -> "DataStream":
+        """[EXT] per-partition Arrow-batched transform (the vetted slow path)."""
+        return DataStream(self.df.mapInPandas(fn, schema))
+
+    def repartition(self, n: int, *cols: ColumnLike) -> "DataStream":
+        return self._with(self.df.repartition(n, *[_to_col(c) for c in cols]))
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode)
+
+    def to_df(self) -> DataFrame:
+        return self.df
+
+    def collect(self):
+        return self.df.collect()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        keys = f", keys={self.key_cols}" if self.key_cols else ""
+        ts = f", ts={self.ts_col}" if self.ts_col else ""
+        return f"DataStream({self.df.schema.simpleString()}{keys}{ts})"

@@ -1,0 +1,126 @@
+"""[EXT] Text analysis operators for LLM-data pipelines (SURVEY.md §2.4 tail).
+
+Everything here is built from JVM-side Column expressions (split / transform /
+aggregate / regexp) so the hot path stays inside whole-stage codegen — no
+Python per row. These run over the ``documents`` table but are
+schema-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_stats",
+    "quality_stats",
+    "language_id",
+    "fingerprint",
+    "word_shingles",
+    "DEFAULT_STOPWORDS",
+]
+
+# A tiny language-marker table used by the heuristic language id. Real
+# pipelines would plug a model here; the operator contract (detect per row,
+# JVM-side scoring) is what matters.
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "dans"),
+    "es": ("el", "la", "los", "y", "es", "en"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (empty tokens removed)."""
+    c = F.col(text) if isinstance(text, str) else text
+    arr = F.split(F.trim(c), r"\s+")
+    return F.filter(arr, lambda x: x != F.lit(""))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counting: total, unique, average token length."""
+    w = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_unique"),
+        (
+            F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long"))
+            / F.size(w)
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Per-document quality signals: length, stopword ratio, punctuation ratio.
+
+    Classic pre-training quality filters (length/punct/stopword heuristics);
+    all Column expressions, no UDF.
+    """
+    w = tokens(text_col)
+    text = F.col(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+    return df.select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars"),
+        F.size(w).cast("long").alias("n_tokens"),
+        (n_stop / F.size(w)).alias("stopword_ratio"),
+        (n_punct / F.length(text)).alias("punct_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language id: marker-word hit counts per language, argmax.
+
+    N-gram-profile lite: good enough to route documents; swap the marker
+    table for trained profiles without touching the plan shape.
+    """
+    w = tokens(text_col)
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(F.struct(F.size(F.filter(w, lambda x: F.array_contains(arr, x))).alias("hits"), F.lit(lang).alias("lang")))
+    # array_max on struct(hits, lang): max by hits, ties by lang string (desc
+    # order picks the largest struct; lang is the deterministic tiebreak).
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("unknown")).alias("guessed_lang"),
+        best.getField("hits").cast("long").alias("marker_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint: md5 of normalized text.
+
+    Normalization = trim + lowercase + whitespace collapse; the digest is the
+    dedup/content-addressing key.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles → array<string> (the MinHash/Jaccard unit).
+
+    Pure Column expression: ``transform(sequence(...))`` over the token array.
+    Documents with fewer than ``n`` tokens yield an empty array.
+    """
+    w = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,65 @@
+"""Parquet scan source [EXT].
+
+Thin passthrough over ``spark.read.parquet`` — Catalyst gives us column
+pruning, predicate pushdown, and partition pruning for free, which is the
+whole point of expressing scans declaratively (SURVEY.md §4.1).
+
+At 100 TB the scan IS the query plan's foundation: never cache a fact table,
+never infer schema per-file, and let ``spark.sql.files.maxPartitionBytes``
+(default 128 MB) drive split sizing so a 1000-executor cluster gets even work.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["TABLES", "read_parquet", "read_table", "load_tables"]
+
+# The driver's star schema + stream/LLM tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should be broadcast in joins at any scale.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """Scan a parquet path; optional projection (pruned at the reader)."""
+    df = spark.read.parquet(path)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+# rejects. With spark.sql.legacy.parquet.nanosAsLong=true they arrive as long
+# nanos; we truncate to microseconds (DuckDB does the same ns→µs truncation).
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table, e.g. ``read_table(spark, '/root/testdata/sf0.01', 'lineitem')``."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            # Integer division — float division loses precision on ~1e18 nanos.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Load several tables as a dict of DataFrames."""
+    return {name: read_table(spark, sf_dir, name) for name in names}

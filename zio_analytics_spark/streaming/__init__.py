@@ -1,0 +1,12 @@
+"""Structured Streaming layer.
+
+The reference's runtime is a streaming interpreter with in-band watermarks
+(/root/reference/src/main/scala/zio/analytics/Local.scala:54-110); Spark's
+incremental execution replaces all of it. These helpers run the *same*
+translation layer (DataStream methods) over ``readStream`` frames.
+"""
+
+from zio_analytics_spark.streaming.windowed import run_windowed_stream, windowed_counts
+from zio_analytics_spark.streaming.stateful import map_accumulate_stream
+
+__all__ = ["map_accumulate_stream", "run_windowed_stream", "windowed_counts"]
