@@ -76,8 +76,10 @@ def jaccard_pairs(
     to bound bucket sizes, or feed it LSH candidates instead at scale.
     Output: ``doc_a, doc_b (doc_a < doc_b), jaccard``.
     """
-    sh = df.select(*block_cols, F.col(id_col), word_shingles(text_col, n).alias("__sh")).where(
-        F.size("__sh") > 0
+    sh = (
+        df.select(*block_cols, F.col(id_col), word_shingles(text_col, n).alias("__sh"))
+        .where(F.size("__sh") > 0)
+        .persist()  # both self-join sides read it; avoid re-shingling
     )
     a = sh.select(*[F.col(c).alias(f"{c}__a") for c in block_cols], F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(*[F.col(c).alias(f"{c}__b") for c in block_cols], F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))
@@ -126,8 +128,12 @@ def minhash_lsh_pairs(
     16 hashes / 8 bands of 2: 1-(1-j²)^8 ≈ 0.93 at j=0.5, →1 quickly above.
     """
     rows_per_band = num_hashes // bands
-    sh = df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("__sh")).where(
-        F.size("__sh") > 0
+    # Shingle table is read three times (signature build + two verify joins):
+    # persist it. At 100 TB this is a materialized intermediate table.
+    sh = (
+        df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("__sh"))
+        .where(F.size("__sh") > 0)
+        .persist()
     )
     sig = sh.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
     band_arr = F.array(
@@ -139,18 +145,24 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
-    banded = sig.select("doc", "__sh", F.explode(band_arr).alias("b"))
-    a = banded.select(F.col("doc").alias("doc_a"), F.col("__sh").alias("__sh_a"), "b")
-    b = banded.select(F.col("doc").alias("doc_b"), F.col("__sh").alias("__sh_b"), "b")
+    # Band join on SLIM rows (doc, band-key) only — never shuffle the shingle
+    # arrays 8×; candidates re-join the shingle table for verification.
+    banded = sig.select("doc", F.explode(band_arr).alias("b"))
+    a = banded.select(F.col("doc").alias("doc_a"), "b")
+    b = banded.select(F.col("doc").alias("doc_b"), "b")
     cand = (
         a.join(b, ["b"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "__sh_a", "__sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc").alias("doc_a"), F.col("__sh").alias("__sh_a")), "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), F.col("__sh").alias("__sh_b")), "doc_b")
     )
     j = _pair_jaccard(F.col("__sh_a"), F.col("__sh_b"))
     return (
-        cand.select("doc_a", "doc_b", j.alias("__j"))
+        verified.select("doc_a", "doc_b", j.alias("__j"))
         .where(F.col("__j") >= threshold)
         .select("doc_a", "doc_b", F.col("__j").alias("jaccard"))
     )
@@ -206,7 +218,10 @@ def simhash_pairs(
     banded equi-join finds all of them without a cross join. Verify with
     ``bit_count(xor)``.
     """
-    fp = simhash(df, text_col, id_col).withColumnRenamed(id_col, "doc")
+    # Persist the fingerprint table: both sides of the self-join read it, and
+    # without this the pandas-UDF hashing runs twice. At 100 TB you'd write
+    # fingerprints to a table once and band-join from there.
+    fp = simhash(df, text_col, id_col).withColumnRenamed(id_col, "doc").persist()
     bands = F.array(
         *[
             F.struct(
@@ -220,12 +235,15 @@ def simhash_pairs(
     a = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "b")
     b = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "b")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # Filter on the cheap bit_count BEFORE deduplicating pairs: shared-vocab
+    # corpora put many docs in the same band bucket, so the candidate set is
+    # much larger than the survivor set — dedup only survivors.
     return (
         a.join(b, ["b"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
