@@ -1,0 +1,70 @@
+"""MapAccumulate paths: associative window fast path vs general pandas scan
+must agree (SURVEY.md §7 step 5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zio_analytics_spark.operators.accumulate import map_accumulate, map_accumulate_general
+
+
+def _frame(spark):
+    rows = [(1, "a", 2.0), (2, "a", 3.0), (3, "b", 5.0), (4, "a", 1.0), (5, "b", 4.0)]
+    return spark.createDataFrame(rows, "id long, k string, v double")
+
+
+def test_associative_running_sum_keyed(spark):
+    out = map_accumulate(_frame(spark), order_by=["id"], running={"rs": F.sum("v")}, partition_by=["k"])
+    got = {r.id: r.rs for r in out.collect()}
+    assert got == {1: 2.0, 2: 5.0, 3: 5.0, 4: 6.0, 5: 9.0}
+
+
+def test_associative_total_order(spark):
+    out = map_accumulate(_frame(spark), order_by=["id"], running={"rs": F.sum("v")})
+    got = {r.id: r.rs for r in out.collect()}
+    assert got == {1: 2.0, 2: 5.0, 3: 10.0, 4: 11.0, 5: 15.0}
+
+
+def test_general_path_matches_fast_path(spark):
+    def fn(state, pdf):
+        pdf = pdf.copy()
+        pdf["rs"] = pdf["v"].cumsum() + state
+        return state + pdf["v"].sum(), pdf[["id", "rs"]]
+
+    general = map_accumulate_general(
+        _frame(spark), ["id"], fn, "id long, rs double", lambda: 0.0
+    )
+    fast = map_accumulate(_frame(spark), order_by=["id"], running={"rs": F.sum("v")})
+    assert {(r.id, r.rs) for r in general.collect()} == {(r.id, r.rs) for r in fast.collect()}
+
+
+def test_general_path_keyed(spark):
+    def fn(state, pdf):
+        pdf = pdf.copy()
+        pdf["rs"] = pdf["v"].cumsum() + state
+        return state + pdf["v"].sum(), pdf[["id", "k", "rs"]]
+
+    out = map_accumulate_general(
+        _frame(spark), ["id"], fn, "id long, k string, rs double", lambda: 0.0, partition_by=["k"]
+    )
+    got = {r.id: r.rs for r in out.collect()}
+    assert got == {1: 2.0, 2: 5.0, 3: 5.0, 4: 6.0, 5: 9.0}
+
+
+def test_state_threading_non_associative(spark):
+    """A genuinely order-dependent accumulator (sign-flipping) — the case
+    the window fast path can't express (reference Local.scala:139-151)."""
+
+    def fn(state, pdf):
+        out_vals, s = [], state
+        for v in pdf["v"]:
+            s = v - s  # depends on full prefix, not associative
+            out_vals.append(s)
+        pdf = pdf.copy()
+        pdf["acc"] = out_vals
+        return s, pdf[["id", "acc"]]
+
+    out = map_accumulate_general(_frame(spark), ["id"], fn, "id long, acc double", lambda: 0.0)
+    got = [r.acc for r in sorted(out.collect(), key=lambda r: r.id)]
+    # manual: 2-0=2; 3-2=1; 5-1=4; 1-4=-3; 4-(-3)=7
+    assert got == [2.0, 1.0, 4.0, -3.0, 7.0]

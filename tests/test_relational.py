@@ -1,0 +1,46 @@
+"""[EXT] relational operators: as-of join semantics, top-k determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zio_analytics_spark.operators.asof import asof_join
+from zio_analytics_spark.operators.topk import top_k, top_k_per_group
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 25), (3, 1, 4), (4, 2, 50)], "eid long, k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 20, 200.0), (2, 60, 300.0)], "k long, t long, px double"
+    )
+    out = asof_join(
+        left, right, left_on="k", right_on="k", left_time="t", right_time="t", right_values=["px"]
+    )
+    got = {r.eid: r.px for r in out.collect()}
+    # eid=1 t=10 → px@5; eid=2 t=25 → px@20; eid=3 t=4 → nothing before; eid=4 t=50 < 60 → none
+    assert got == {1: 100.0, 2: 200.0, 3: None, 4: None}
+
+
+def test_asof_join_equal_timestamp_matches(spark):
+    """A left row AT a right timestamp matches it (<= semantics)."""
+    left = spark.createDataFrame([(1, 1, 20)], "eid long, k long, t long")
+    right = spark.createDataFrame([(1, 20, 9.0)], "k long, t long, px double")
+    out = asof_join(left, right, "k", "k", "t", "t", ["px"]).collect()
+    assert out[0].px == 9.0
+
+
+def test_top_k_deterministic_ties(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 4.0)], "id long, v double")
+    got = [r.id for r in top_k(df, [F.col("v").desc(), F.col("id")], 2).collect()]
+    assert got == [1, 2]
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 9.0), ("a", 2, 8.0), ("a", 3, 7.0), ("b", 4, 1.0)], "g string, id long, v double"
+    )
+    out = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], 2)
+    got = sorted((r.g, r.id) for r in out.collect())
+    assert got == [("a", 1), ("a", 2), ("b", 4)]

@@ -1,0 +1,79 @@
+"""Similarity search: brute-force exactness + LSH recall against it."""
+
+from __future__ import annotations
+
+import math
+
+from zio_analytics_spark.operators import similarity
+from zio_analytics_spark.sources.parquet import read_table
+
+
+def test_cosine_similarity_column(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    vals = [r.c for r in df.select(similarity.cosine_similarity(df.a, df.b).alias("c")).collect()]
+    assert vals[0] == 1.0 and vals[1] == 0.0
+    assert math.isclose(vals[2], 1 / math.sqrt(2), rel_tol=1e-12)
+
+
+def test_brute_force_topk_exact(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.where(emb.vec_id == 0).first()["embedding"]]
+    got = similarity.brute_force_topk(emb.where(emb.vec_id != 0), q, k=5).collect()
+    # verify against a driver-side numpy computation
+    import numpy as np
+
+    rows = emb.where(emb.vec_id != 0).select("vec_id", "embedding").collect()
+    qv = np.array(q)
+    sims = sorted(
+        (
+            (
+                -float(np.dot(v, qv) / (np.linalg.norm(v) * np.linalg.norm(qv))),
+                r.vec_id,
+            )
+            for r in rows
+            for v in [np.array([float(x) for x in r.embedding])]
+        )
+    )[:5]
+    expect = [vid for _, vid in sims]
+    assert [r.vec_id for r in got] == expect
+
+
+def test_lsh_topk_recall_on_clustered_data(spark):
+    """Bucketed ANN recovers truly-close neighbors. Hyperplane LSH only
+    concentrates when neighbors ARE close (cos ≳ 0.8) — the driver corpus
+    has max pairwise cosine ≈ 0.5, so recall is tested on planted clusters."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    q = rng.randn(32)
+    near = [(i, (q + 0.15 * rng.randn(32)).tolist()) for i in range(10)]          # cos ≈ 0.97
+    far = [(100 + i, rng.randn(32).tolist()) for i in range(200)]                 # cos ≈ 0
+    df = spark.createDataFrame(near + far, "vec_id long, embedding array<double>")
+    exact = {r.vec_id for r in similarity.brute_force_topk(df, q.tolist(), k=10).collect()}
+    assert exact == {i for i in range(10)}  # sanity: the planted cluster IS the top-10
+    approx = {
+        r.vec_id
+        for r in similarity.lsh_topk(df, q.tolist(), k=10, n_planes=6, probe_hamming=1).collect()
+    }
+    assert len(approx & exact) >= 8  # ≥ 80% recall on genuinely-near neighbors
+
+
+def test_lsh_scan_reduction(spark, sf_dir):
+    """The point of LSH: the candidate set is a fraction of the table."""
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    total = emb.count()
+    q = [float(x) for x in emb.where(emb.vec_id == 0).first()["embedding"]]
+    planes = similarity.make_planes(len(q), 6, seed=42)
+    v = emb.withColumn("b", similarity.hyperplane_bucket(F.col("embedding").cast("array<double>"), planes))
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(q, p)) > 0:
+            qb |= 1 << i
+    probes = [qb] + [qb ^ (1 << i) for i in range(6)]
+    cand = v.where(F.col("b").isin(probes)).count()
+    assert cand < total * 0.5

@@ -1,0 +1,107 @@
+"""Streaming semantics: the reference's FoldWindow contract on real
+unbounded frames — emit-on-watermark, late-data drop (Local.scala:195-228) —
+plus keyed stateful MapAccumulate (applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from zio_analytics_spark.sources.streaming import stream_parquet
+from zio_analytics_spark.streaming.stateful import running_sum_stream
+from zio_analytics_spark.streaming.windowed import run_windowed_stream, windowed_counts
+from zio_analytics_spark.windows import tumbling
+
+SCHEMA = "ts timestamp, word string"
+
+
+def _publish_parquet(df, src_dir: str, name: str) -> None:
+    """Land a DataFrame as ONE top-level file in the stream-source dir.
+
+    ``df.write.parquet`` creates a *directory*; the file stream source only
+    lists top-level files, so the part-file is moved up (this also gives
+    strictly increasing modification times → deterministic batch order).
+    """
+    import glob
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="stage_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(src_dir, f"{name}.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _write_batches(spark, batches) -> str:
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(f"2024-01-01 00:00:{s:02d}", w) for s, w in rows], "ts_s string, word string"
+        ).select(F.col("ts_s").cast("timestamp").alias("ts"), "word")
+        _publish_parquet(df, d, f"batch_{i}")
+    return d
+
+
+def test_streaming_windowed_counts_and_late_drop(spark):
+    """Tumbling 10s counts in append mode: windows emit once the watermark
+    passes their end; data later than the watermark is dropped
+    (reference drop-late policy, Local.scala:215-219)."""
+    # Micro-batch watermark sequencing (observed): the watermark for batch N
+    # derives from data through batch N-1, and state eviction runs within the
+    # batch — so a late row landing in the SAME batch as the eviction still
+    # joins the live state. The late row here arrives two batches after the
+    # watermark passed its window, when [0,10)'s state is provably gone.
+    src_dir = _write_batches(
+        spark,
+        [
+            [(1, "a"), (5, "a"), (12, "b")],   # windows [0,10): a×2, [10,20): b
+            [(35, "c")],                        # wm → 30s: closes [0,10), [10,20)
+            [(55, "d")],                        # wm → 50s: closes [30,40)
+            [(2, "a")],                         # LATE: wm=50s ≫ window [0,10) end
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    agg = windowed_counts(stream, tumbling("10 seconds"), "ts", ["word"], watermark_delay="5 seconds")
+    out = run_windowed_stream(agg, "stream_wc")
+    got = {(r.window_start.second, r.word): r.n for r in out.collect()}
+    # [0,10) emitted once with the on-time count; the late (2,'a') must not
+    # re-emit or bump it. [50,60) never emits (watermark never passes 60).
+    assert got[(0, "a")] == 2
+    assert got[(10, "b")] == 1
+    assert got[(30, "c")] == 1
+    assert (50, "d") not in got
+    assert sum(1 for (s, w) in got if w == "a") == 1
+
+
+def test_streaming_running_sum_stateful(spark):
+    """Keyed MapAccumulate over a stream: state persists across micro-batches."""
+    d = tempfile.mkdtemp(prefix="stream_state_")
+    _publish_parquet(spark.createDataFrame([(1, 2.0), (2, 3.0)], "k long, v double"), d, "b0")
+    _publish_parquet(spark.createDataFrame([(1, 5.0)], "k long, v double"), d, "b1")
+
+    stream = spark.readStream.schema("k long, v double").option("maxFilesPerTrigger", "1").parquet(d)
+    out = running_sum_stream(stream, ["k"], "v")
+    q = out.writeStream.outputMode("append").format("memory").queryName("state_rs").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM state_rs").collect()
+    sums_for_k1 = sorted(r.running_sum for r in rows if r.k == 1)
+    # batches may arrive as one or two micro-batches; the FINAL running sum
+    # for k=1 must be 7.0 (state threaded across batches)
+    assert sums_for_k1[-1] == 7.0
+    assert any(r.k == 2 and r.running_sum == 3.0 for r in rows)
+
+
+def test_stream_parquet_single_file(spark, sf_dir):
+    """Single-file path works (parent dir + pathGlobFilter)."""
+    raw = stream_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    assert raw.isStreaming

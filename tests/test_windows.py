@@ -1,0 +1,65 @@
+"""Window assigner semantics + properties (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zio_analytics_spark import DataStream, session, sliding, tumbling
+
+
+def _windows_for(spark, ts_ms_values, assigner):
+    ds = (
+        DataStream.from_literals(spark, [(t,) for t in ts_ms_values], "ts_ms long")
+        .with_column("ts", F.timestamp_millis(F.col("ts_ms")))
+        .assign_timestamps("ts")
+        .group_by(g=F.lit(1))
+        .fold_window(assigner, n=F.count("*"), items=F.collect_list("ts_ms"))
+    )
+    return ds.collect()
+
+
+def _ms(dt):
+    return int(dt.timestamp() * 1000)
+
+
+def test_sliding_coverage_property(spark):
+    """Every ts lands in exactly size/step windows, and each covers it."""
+    size_ms, step_ms = 20, 5
+    ts_values = list(range(0, 100, 7))
+    rows = _windows_for(spark, ts_values, sliding("20 milliseconds", "5 milliseconds"))
+    per_ts = {}
+    for r in rows:
+        start, end = _ms(r.window_start), _ms(r.window_end)
+        assert end - start == size_ms
+        assert start % step_ms == 0
+        for t in r.items:
+            assert start <= t < end
+            per_ts[t] = per_ts.get(t, 0) + 1
+    assert all(c == size_ms // step_ms for c in per_ts.values())
+    assert set(per_ts) == set(ts_values)
+
+
+def test_tumbling_partition_property(spark):
+    """Tumbling windows tile the axis: each ts in exactly one window."""
+    ts_values = list(range(0, 100, 3))
+    rows = _windows_for(spark, ts_values, tumbling("10 milliseconds"))
+    seen = {}
+    for r in rows:
+        start, end = _ms(r.window_start), _ms(r.window_end)
+        assert end - start == 10 and start % 10 == 0
+        for t in r.items:
+            assert t not in seen
+            seen[t] = True
+    assert set(seen) == set(ts_values)
+
+
+def test_session_window_merge_semantics(spark):
+    """Sessions merge on overlapping OR adjacent [ts, ts+gap) ranges: an
+    event at exactly prev_ts + gap still merges; a new session starts only
+    when ts - prev_ts > gap (strictly). Completes the reference's
+    unimplemented session assigner (Window.scala:23-26)."""
+    # gap = 10ms: [0, 5, 12] chain (diffs < 10); 22 == 12+10 → adjacent →
+    # MERGES (measured Spark behavior); 40 - 22 = 18 > 10 → new session.
+    rows = _windows_for(spark, [0, 5, 12, 22, 40], session("10 milliseconds"))
+    spans = sorted((_ms(r.window_start), _ms(r.window_end), r.n) for r in rows)
+    assert spans == [(0, 32, 4), (40, 50, 1)]

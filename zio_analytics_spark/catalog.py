@@ -299,15 +299,16 @@ def q_fold_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- #10 FoldWindow, session (gap-based) — implements the reference's TODO
-# (Window.scala:23-26). Oracle: gaps-and-islands. New session when
-# ts - prev_ts >= gap (Spark merges only strictly-overlapping [ts, ts+gap)).
+# (Window.scala:23-26). Oracle: gaps-and-islands. Spark merges overlapping OR
+# adjacent [ts, ts+gap) ranges: a new session starts only when
+# ts - prev_ts > gap (strictly), verified by tests/test_windows.py.
 @register(
     "fold_window_session",
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
