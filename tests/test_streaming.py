@@ -105,3 +105,35 @@ def test_stream_parquet_single_file(spark, sf_dir):
         "event_id long, ts long, user_id long, event_type string, value double, props string",
     )
     assert raw.isStreaming
+
+
+def test_stream_stream_interval_join(spark):
+    """Watermarked interval join: clicks matched to purchases within 30s."""
+    from zio_analytics_spark.streaming.joins import interval_join
+
+    d = tempfile.mkdtemp(prefix="ssj_")
+    clicks = spark.createDataFrame(
+        [("2024-01-01 00:00:05", 1), ("2024-01-01 00:01:40", 2)], "c_ts_s string, c_uid long"
+    ).select(F.col("c_ts_s").cast("timestamp").alias("c_ts"), "c_uid")
+    buys = spark.createDataFrame(
+        [("2024-01-01 00:00:20", 1), ("2024-01-01 00:03:00", 2)], "b_ts_s string, b_uid long"
+    ).select(F.col("b_ts_s").cast("timestamp").alias("b_ts"), "b_uid")
+    _publish_parquet(clicks, d, "clicks")
+    d2 = tempfile.mkdtemp(prefix="ssj2_")
+    _publish_parquet(buys, d2, "buys")
+
+    cs = spark.readStream.schema("c_ts timestamp, c_uid long").parquet(d)
+    bs = spark.readStream.schema("b_ts timestamp, b_uid long").parquet(d2)
+    joined = interval_join(
+        cs, bs, F.col("c_uid") == F.col("b_uid"),
+        left_ts="c_ts", right_ts="b_ts", watermark="10 seconds",
+        lower="0 seconds", upper="30 seconds",
+    )
+    q = joined.writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT c_uid FROM ssj_out").collect()
+    # uid=1: purchase 15s after click → joins; uid=2: 80s after → outside bound
+    assert [r.c_uid for r in rows] == [1]

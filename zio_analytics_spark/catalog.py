@@ -682,6 +682,128 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ds(spark, sf_dir, "lineitem")
+        .group_by("l_returnflag")
+        .fold(
+            n_parts=F.countDistinct("l_partkey"),
+            n_supps=F.countDistinct("l_suppkey"),
+            n_rows=F.count("*"),
+        )
+        .to_df()
+    )
+
+
+# approx_count_distinct: HLL parameters differ across engines, so the approx
+# column is rows-only; the exact column doubles as a sanity anchor in tests.
+@register("agg_approx_distinct", oracle=None)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ds(spark, sf_dir, "lineitem")
+        .group_by("l_returnflag")
+        .fold(
+            approx_parts=F.approx_count_distinct("l_partkey"),
+            exact_parts=F.countDistinct("l_partkey"),
+        )
+        .to_df()
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS med_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark's exact `percentile` interpolates identically to quantile_cont.
+    return (
+        _ds(spark, sf_dir, "lineitem")
+        .group_by("l_returnflag")
+        .fold(
+            med_qty=F.expr("percentile(l_quantity, 0.5)"),
+            p25_price=F.expr("percentile(l_extendedprice, 0.25)"),
+            p75_price=F.expr("percentile(l_extendedprice, 0.75)"),
+        )
+        .to_df()
+    )
+
+
+# Range (theta) join: fact rows matched to interval bands. The band table is
+# tiny → broadcast nested-loop, the right plan for non-equi joins at scale.
+@register(
+    "join_range_bands",
+    oracle="""
+    SELECT b.band, count(*) AS n, round(sum(l.l_quantity), 4) AS qty
+    FROM lineitem l
+    JOIN (VALUES ('low', 0, 17), ('mid', 17, 34), ('high', 34, 51)) AS b(band, lo, hi)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0, 17), ("mid", 17, 34), ("high", 34, 51)], "band string, lo int, hi int"
+    )
+    cond = (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi"))
+    return (
+        DataStream(li)
+        .join(DataStream(bands), cond, broadcast_other=True)
+        .group_by("band")
+        .fold(n=F.count("*"), qty=F.round(F.sum("l_quantity"), 4))
+        .to_df()
+    )
+
+
+# TPC-H Q3 shape: selective dim filter → joins → agg → global top-n.
+@register(
+    "tpch_q3_topn",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+    bench=True,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = (
+        DataStream(li)
+        .join(DataStream(o), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(DataStream(c), F.col("c_custkey") == F.col("o_custkey"))
+        .group_by("l_orderkey", "o_orderdate")
+        .fold(revenue=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4))
+        .to_df()
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("l_orderkey")], 10).select(
+        "l_orderkey", "revenue", "o_orderdate"
+    )
+
+
 @register("distinct_types", oracle="SELECT DISTINCT event_type FROM events")
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ds(spark, sf_dir, "events").map("event_type").distinct().to_df()

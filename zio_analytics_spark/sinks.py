@@ -1,0 +1,54 @@
+"""Sinks [EXT] — the reference has none (the caller consumes the ZStream,
+e.g. ``foreach(putStrLn)``, /root/reference/src/test/scala/zio/analytics/
+WordCountSpec.scala:24-25). Ours are thin ``df.write`` / ``writeStream``
+passthroughs with scale-correct defaults.
+
+Scale notes: always write partitioned parquet for fact-sized outputs
+(``partition_by`` on a low-cardinality column prunes later scans); never
+``collect()`` anything fact-sized — ``to_local`` exists for test/dim-sized
+frames only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["write_parquet", "to_local", "write_stream_memory", "write_stream_parquet"]
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Batch parquet sink; ``partition_by`` enables partition pruning downstream."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def to_local(df: DataFrame, limit: int | None = None):
+    """Collect to driver memory — test/dimension-sized frames ONLY."""
+    return (df.limit(limit) if limit is not None else df).collect()
+
+
+def write_stream_memory(df: DataFrame, query_name: str, output_mode: str = "append"):
+    """Memory sink for tests/demos; returns the StreamingQuery handle."""
+    return df.writeStream.outputMode(output_mode).format("memory").queryName(query_name).start()
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    partition_by: list[str] | None = None,
+):
+    """File sink with checkpointing — the durable streaming path (exactly-once
+    per file-sink semantics); returns the StreamingQuery handle."""
+    w = df.writeStream.outputMode(output_mode).option("checkpointLocation", checkpoint)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    return w.format("parquet").start(path)
