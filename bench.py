@@ -5,8 +5,10 @@
     {"metric": "total_query_sec", "value": N, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": ...}
 
-Each query is executed to completion (count + a cheap checksum collect) so
-the whole plan runs; timings exclude session startup but include Catalyst
+Each query is executed to completion via the ``noop`` sink — unlike
+``count()``, which would let Catalyst prune projected columns and skip the
+actual work, noop forces every output column to be computed without paying
+driver-transfer costs. Timings exclude session startup but include Catalyst
 planning, shuffles, and execution.
 """
 
@@ -36,9 +38,9 @@ def main() -> None:
     for name, fn in catalog.bench_queries().items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
