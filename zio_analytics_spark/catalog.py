@@ -804,6 +804,95 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unpivot_stack",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 4) AS qty,
+             round(sum(l_extendedprice), 4) AS price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty' AS metric, qty AS val FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'price' AS metric, price AS val FROM agg
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _ds(spark, sf_dir, "lineitem")
+        .group_by("l_returnflag")
+        .fold(qty=F.round(F.sum("l_quantity"), 4), price=F.round(F.sum("l_extendedprice"), 4))
+        .to_df()
+    )
+    return agg.selectExpr("l_returnflag", "stack(2, 'qty', qty, 'price', price) AS (metric, val)")
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           count(*) OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_in_range
+    FROM lineitem
+    """,
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = read_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy("l_extendedprice").rangeBetween(-1000, 0)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.count(F.lit(1)).over(w).alias("n_in_range"),
+    )
+
+
+@register(
+    "json_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def q_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(parsed)).cast("long").alias("n_keys"),
+        parsed.getItem("k").alias("k_value"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end
+    FROM orders
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
 @register("distinct_types", oracle="SELECT DISTINCT event_type FROM events")
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ds(spark, sf_dir, "events").map("event_type").distinct().to_df()
