@@ -1086,6 +1086,34 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_bin.select("doc_id", "n_bytes", "content_sha")
 
 
+# Composite LLM data pipeline: quality filter → exact dedup (keep min id per
+# content) → token stats for survivors. The shape of a real pre-training
+# cleaning job, end-to-end in one plan.
+@register(
+    "llm_pipeline_clean",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ), quality AS (
+      SELECT * FROM toks WHERE n_tokens >= 20
+    ), keepers AS (
+      SELECT min(doc_id) AS doc_id FROM quality GROUP BY text
+    )
+    SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens
+    FROM quality q JOIN keepers k ON q.doc_id = k.doc_id
+    """,
+    bench=True,
+)
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "text", F.size(text.tokens("text")).cast("long").alias("n_tokens"))
+    quality = toks.where(F.col("n_tokens") >= 20)
+    keepers = quality.groupBy(F.sha2("text", 256)).agg(F.min("doc_id").alias("doc_id"))
+    return quality.join(keepers, "doc_id", "left_semi").select("doc_id", "n_tokens")
+
+
 @register("multimodal_decode", oracle=None)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zio_analytics_spark.operators.multimodal import attach_binary, map_decode
