@@ -96,3 +96,21 @@ def test_embedding_dup_pairs(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
     out = {(r.id_a, r.id_b) for r in dedup.embedding_dup_pairs(df, block_cols=["label"], threshold=0.95).collect()}
     assert out == {(1, 2)}
+
+
+def test_cluster_duplicates_transitive(spark):
+    """a-b, b-c chain + isolated pair → two components with min-id labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    out = {r.node: r.cluster for r in dedup.cluster_duplicates(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_cluster_duplicates_long_chain(spark):
+    """Chain of 12 nodes: propagation must cross the whole diameter."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+    )
+    out = {r.node: r.cluster for r in dedup.cluster_duplicates(pairs).collect()}
+    assert set(out.values()) == {1} and len(out) == 12

@@ -893,6 +893,90 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
+           round(min(l_extendedprice), 4) AS min_price,
+           round(max(l_extendedprice), 4) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ds(spark, sf_dir, "lineitem")
+        .group_by("l_returnflag")
+        .fold(
+            sd_qty=F.round(F.stddev_samp("l_quantity"), 6),
+            var_qty=F.round(F.var_samp("l_quantity"), 6),
+            corr_qp=F.round(F.corr("l_quantity", "l_extendedprice"), 6),
+            cov_qp=F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4),
+            min_price=F.round(F.min("l_extendedprice"), 4),
+            max_price=F.round(F.max("l_extendedprice"), 4),
+        )
+        .to_df()
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_up,
+           substr(p_name, 1, 8) AS name_prefix,
+           concat(p_brand, '/', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_snake,
+           reverse(p_brand) AS brand_rev,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CAST(strpos(p_type, 'BRASS') AS BIGINT) AS brass_pos
+    FROM part
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.instr(F.col("p_type"), "BRASS").cast("long").alias("brass_pos"),
+    )
+
+
+@register(
+    "conditional_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           greatest(o_totalprice, 150000.0) AS floored,
+           least(CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT)) AS min_key
+    FROM orders
+    """,
+)
+def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_label"),
+        F.greatest(F.col("o_totalprice"), F.lit(150000.0)).alias("floored"),
+        F.least(F.col("o_custkey"), F.col("o_orderkey")).alias("min_key"),
+    )
+
+
 @register("distinct_types", oracle="SELECT DISTINCT event_type FROM events")
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ds(spark, sf_dir, "events").map("event_type").distinct().to_df()
@@ -1084,6 +1168,63 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     with_bin = binary_meta(attach_binary(docs, "text"), "payload")
     return with_bin.select("doc_id", "n_bytes", "content_sha")
+
+
+# SQL frontend: the engine's spark.sql surface over registered views —
+# Catalyst plans SQL and DataFrame formulations identically.
+_SQL_FRONTEND_QUERY = """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+"""
+
+
+@register("sql_frontend", oracle=_SQL_FRONTEND_QUERY)
+def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zio_analytics_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SQL_FRONTEND_QUERY)
+
+
+# Iterative algorithm: connected components over the near-dup pair graph →
+# one cluster representative (min doc id) per component. Oracle: recursive
+# CTE transitive closure over the identical pair definition.
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+            FROM documents)
+    ), nz AS (SELECT * FROM sh WHERE len(s) > 0),
+    pairs AS (
+      SELECT a.doc_id AS pa, b.doc_id AS pb
+      FROM nz a JOIN nz b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
+    ),
+    edges AS (SELECT pa AS src, pb AS dst FROM pairs UNION SELECT pb, pa FROM pairs),
+    walk (node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node, min(label) AS cluster FROM walk GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), block_cols=["lang"], n=3, threshold=0.05
+    )
+    return dedup.cluster_duplicates(pairs)
 
 
 # Composite LLM data pipeline: quality filter → exact dedup (keep min id per

@@ -247,6 +247,68 @@ def simhash_pairs(
     )
 
 
+def cluster_duplicates(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: assign every node the
+    minimum id reachable through the pair graph (the cluster representative).
+
+    Iterative min-label propagation on DataFrames: each round, every node
+    takes the min of its own label and its neighbors' labels; stops at
+    fixpoint. Rounds needed ≈ graph diameter (≤ log n with doubling data);
+    each round is one shuffle over the edge list — the standard large-graph
+    CC shape (no driver-side graph materialization).
+
+    Returns ``(node, cluster)`` where cluster = min doc id of the component.
+    """
+    # localCheckpoint (not persist): iterative self-joins double the logical
+    # plan each round, and Catalyst re-analyzes the WHOLE lineage even when
+    # data is cached — analysis cost explodes exponentially by ~iteration 8.
+    # Checkpointing truncates lineage so every round plans against a flat
+    # materialized relation. (On a cluster with a checkpoint dir, use
+    # checkpoint() for fault tolerance; local semantics are identical.)
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -63,3 +63,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     """Load several tables as a dict of DataFrames."""
     return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register every driver table as a temp view → full SQL frontend
+    (``spark.sql`` over the same scans; Catalyst produces identical plans
+    for SQL and DataFrame formulations). The reference has no SQL surface
+    (SURVEY.md §2.4) — this is [EXT] for free."""
+    for name in names:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
