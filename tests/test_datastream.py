@@ -109,3 +109,16 @@ def test_scalar_function_parity(spark):
         .collect()[0]
     )
     assert (out.n, out.total, out.first) == (3, 6, 7)
+
+
+def test_flip_tuple(spark):
+    from zio_analytics_spark.functions import fan_out, flip_tuple, nth_column
+
+    ds = _ds(spark, [(1, "x")], "a long, b string")
+    out = (
+        ds.map(pair=fan_out(F.col("a"), F.col("b")))
+        .map(flipped=flip_tuple("pair"))
+        .map(first=nth_column("flipped", 1), second=nth_column("flipped", 2))
+        .collect()[0]
+    )
+    assert (out.first, out.second) == ("x", 1)

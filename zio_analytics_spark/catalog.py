@@ -482,6 +482,47 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_full_outer",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_signups
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), e AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_errors
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT coalesce(s.day, e.day) AS day,
+           coalesce(s.n_signups, 0) AS n_signups,
+           coalesce(e.n_errors, 0) AS n_errors
+    FROM s FULL OUTER JOIN e ON s.day = e.day
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    s = ev.where(F.col("event_type") == "signup").groupBy(day).agg(F.count("*").alias("n_signups"))
+    e = ev.where(F.col("event_type") == "error").groupBy(day).agg(F.count("*").alias("n_errors"))
+    j = s.join(e, "day", "full_outer")
+    return j.select(
+        "day",
+        F.coalesce("n_signups", F.lit(0)).alias("n_signups"),
+        F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = read_table(spark, sf_dir, "region")
+    n = read_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
     "order_limit_topn",
     oracle="""
     SELECT o_orderkey, o_totalprice
