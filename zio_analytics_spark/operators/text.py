@@ -48,10 +48,10 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.size(w).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(w)).cast("long").alias("n_unique"),
-        (
-            F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long"))
-            / F.size(w)
-        ).alias("avg_token_len"),
+        F.try_divide(
+            F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")),
+            F.size(w),
+        ).alias("avg_token_len"),  # NULL (not an ANSI error) for token-less docs
     )
 
 
@@ -75,8 +75,8 @@ def quality_stats(
         F.col(id_col),
         F.length(text).cast("long").alias("n_chars"),
         F.size(w).cast("long").alias("n_tokens"),
-        (n_stop / F.size(w)).alias("stopword_ratio"),
-        (n_punct / F.length(text)).alias("punct_ratio"),
+        F.try_divide(n_stop, F.size(w)).alias("stopword_ratio"),
+        F.try_divide(n_punct, F.length(text)).alias("punct_ratio"),
     )
 
 
