@@ -49,9 +49,27 @@ def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = Non
 # nanos; we truncate to microseconds (DuckDB does the same ns→µs truncation).
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
+# Runtime-settable SQL confs this engine depends on. Callers may hand us a
+# SparkSession built elsewhere (e.g. the verification driver's); these are
+# correctness requirements, not preferences: without nanosAsLong the events
+# table is unreadable, and a non-UTC session timezone shifts every timestamp
+# relative to the UTC-naive DuckDB oracle.
+_REQUIRED_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply required runtime-settable confs to a possibly-foreign session."""
+    for k, v in _REQUIRED_RUNTIME_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, e.g. ``read_table(spark, '/root/testdata/sf0.01', 'lineitem')``."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
