@@ -137,3 +137,41 @@ def test_stream_stream_interval_join(spark):
     rows = spark.sql("SELECT c_uid FROM ssj_out").collect()
     # uid=1: purchase 15s after click → joins; uid=2: 80s after → outside bound
     assert [r.c_uid for r in rows] == [1]
+
+
+def test_streaming_sliding_windows(spark):
+    """Sliding windows duplicate events across overlapping windows in
+    streaming append mode (reference sliding duplication, Local.scala:200-206)."""
+    from zio_analytics_spark.windows import sliding
+
+    src_dir = _write_batches(
+        spark,
+        [
+            [(12, "a")],          # windows [0,20) and [10,30)
+            [(55, "z")],          # watermark → 50s: closes both
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    agg = windowed_counts(stream, sliding("20 seconds", "10 seconds"), "ts", ["word"], watermark_delay="5 seconds")
+    out = run_windowed_stream(agg, "stream_sliding")
+    got = sorted((r.window_start.second, r.word) for r in out.collect() if r.word == "a")
+    assert got == [(0, "a"), (10, "a")]
+
+
+def test_streaming_session_windows(spark):
+    """Session windows in streaming append mode (the reference's TODO,
+    Window.scala:23-26, working end-to-end on an unbounded frame)."""
+    from zio_analytics_spark.windows import session
+
+    src_dir = _write_batches(
+        spark,
+        [
+            [(1, "u"), (5, "u"), (30, "u")],   # sessions: [1,15) (2 events), [30,40)
+            [(55, "z")],                        # watermark → 50s > 40 → flush
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    agg = windowed_counts(stream, session("10 seconds"), "ts", ["word"], watermark_delay="5 seconds")
+    out = run_windowed_stream(agg, "stream_session")
+    got = sorted((r.window_start.second, r.n) for r in out.collect() if r.word == "u")
+    assert got == [(1, 2), (30, 1)]
