@@ -122,3 +122,28 @@ def test_flip_tuple(spark):
         .collect()[0]
     )
     assert (out.first, out.second) == ("x", 1)
+
+
+def test_rollup_cube_pivot_methods(spark):
+    ds = _ds(
+        spark,
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)],
+        "k1 string, k2 string, v long",
+    )
+    roll = ds.rollup_fold("k1", "k2", s=F.sum("v")).collect()
+    assert len(roll) == 6  # 3 leaf + 2 k1 subtotals + 1 grand total
+    assert {r.s for r in roll if r.k1 is None and r.k2 is None} == {6}
+
+    cube = ds.cube_fold("k1", "k2", s=F.sum("v")).collect()
+    assert len(cube) == 8  # + the 2 k2-only rows rollup lacks
+
+    piv = ds.group_by("k1").pivot_fold("k2", ["x", "y"], F.sum("v"), fill=0).collect()
+    got = {r.k1: (r.x, r.y) for r in piv}
+    assert got == {"a": (1, 2), "b": (3, 0)}
+
+
+def test_as_of_join_method(spark):
+    left = _ds(spark, [(1, 1, 10)], "eid long, k long, t long")
+    right = _ds(spark, [(1, 5, 2.5)], "k long, rt long, px double")
+    out = left.as_of_join(right, on="k", other_on="k", time="t", other_time="rt", values=["px"]).collect()
+    assert out[0].px == 2.5

@@ -278,6 +278,47 @@ class DataStream:
     def except_all(self, other: "DataStream | DataFrame") -> "DataStream":
         return self._with(self.df.exceptAll(other.df if isinstance(other, DataStream) else other))
 
+    def rollup_fold(self, *keys: str, **named_aggs: Column) -> "DataStream":
+        """[EXT] hierarchical subtotals: GROUP BY ROLLUP(keys)."""
+        out = self.df.rollup(*keys).agg(*[a.alias(n) for n, a in named_aggs.items()])
+        return DataStream(out)
+
+    def cube_fold(self, *keys: str, **named_aggs: Column) -> "DataStream":
+        """[EXT] all grouping-set combinations: GROUP BY CUBE(keys)."""
+        out = self.df.cube(*keys).agg(*[a.alias(n) for n, a in named_aggs.items()])
+        return DataStream(out)
+
+    def pivot_fold(self, pivot_col: str, values: Sequence[str], agg: Column, fill=None) -> "DataStream":
+        """[EXT] pivot the grouped stream on ``pivot_col``; pass ``values``
+        explicitly (scanning for distinct pivot values is an extra job at
+        scale) and ``fill`` for absent combinations."""
+        if not self.key_cols:
+            raise ValueError("pivot_fold requires a grouped stream")
+        out = self.df.groupBy(*[F.col(k) for k in self.key_cols]).pivot(pivot_col, list(values)).agg(agg)
+        if fill is not None:
+            out = out.na.fill(fill)
+        return DataStream(out)
+
+    def as_of_join(
+        self,
+        other: "DataStream | DataFrame",
+        on: str,
+        other_on: str,
+        time: str,
+        other_time: str,
+        values: Sequence[str],
+    ) -> "DataStream":
+        """[EXT] backward as-of join (see operators/asof.py for the
+        union-merge strategy and its scale contract)."""
+        from zio_analytics_spark.operators.asof import asof_join
+
+        right = other.df if isinstance(other, DataStream) else other
+        return DataStream(
+            asof_join(self.df, right, on, other_on, time, other_time, values),
+            key_cols=self.key_cols,
+            ts_col=self.ts_col,
+        )
+
     # ------------------------------------------------------------------ #
     # escape hatches (UDTF-like) and execution
 
