@@ -175,3 +175,26 @@ def test_streaming_session_windows(spark):
     out = run_windowed_stream(agg, "stream_session")
     got = sorted((r.window_start.second, r.n) for r in out.collect() if r.word == "u")
     assert got == [(1, 2), (30, 1)]
+
+
+def test_streaming_exact_dedup(spark):
+    """First-seen row per distinct content survives; later copies drop —
+    across micro-batches (state-backed)."""
+    from zio_analytics_spark.streaming.dedup import streaming_exact_dedup
+
+    d = tempfile.mkdtemp(prefix="sdedup_")
+    _publish_parquet(
+        spark.createDataFrame([(1, "same text"), (2, "other text")], "id long, text string"), d, "b0"
+    )
+    _publish_parquet(
+        spark.createDataFrame([(3, "same text"), (4, "third text")], "id long, text string"), d, "b1"
+    )
+    stream = spark.readStream.schema("id long, text string").option("maxFilesPerTrigger", "1").parquet(d)
+    out = streaming_exact_dedup(stream)
+    q = out.writeStream.outputMode("append").format("memory").queryName("sded").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(r.id for r in spark.sql("SELECT * FROM sded").collect())
+    assert ids == [1, 2, 4]  # id=3 is a cross-batch duplicate of id=1
