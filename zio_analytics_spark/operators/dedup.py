@@ -70,28 +70,58 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact word-``n``-gram Jaccard pairs within blocks.
+    """Exact word-``n``-gram Jaccard pairs within blocks, via an
+    **inverted-index set-similarity join** (the canonical distributed
+    algorithm): explode distinct shingles → equi-join on (shingle, blocks) →
+    the per-pair match count IS the intersection size; union follows from
+    the per-doc set sizes.
 
-    Quadratic per block — pass ``block_cols`` (e.g. language + length band)
-    to bound bucket sizes, or feed it LSH candidates instead at scale.
-    Output: ``doc_a, doc_b (doc_a < doc_b), jaccard``.
+    Only pairs sharing ≥1 shingle are ever generated, so for ``threshold``
+    > 0 the result is identical to the brute-force within-block cross join
+    while the cost is shuffle-on-shingle + aggregate — near-linear when
+    shingle frequencies are low. A shingle occurring in k docs contributes
+    k² join rows: hot shingles (boilerplate) are the skew risk; AQE
+    skew-join covers moderate cases, and shingle-frequency capping is the
+    documented escape hatch for pathological corpora.
+
+    Shingles are compared as xxhash64 values (8-byte longs, not strings):
+    a cross-engine-identical 2^-64 collision risk buys a large constant
+    factor. Output: ``doc_a, doc_b (doc_a < doc_b), jaccard``.
     """
+    if threshold <= 0:
+        raise ValueError("jaccard_pairs requires threshold > 0 (pairs sharing no shingle are never emitted)")
     sh = (
-        df.select(*block_cols, F.col(id_col), word_shingles(text_col, n).alias("__sh"))
+        df.select(
+            *block_cols,
+            F.col(id_col),
+            F.array_distinct(F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))).alias("__sh"),
+        )
         .where(F.size("__sh") > 0)
-        .persist()  # both self-join sides read it; avoid re-shingling
+        .select(*block_cols, F.col(id_col), F.col("__sh"), F.size("__sh").alias("__sz"))
     )
-    a = sh.select(*[F.col(c).alias(f"{c}__a") for c in block_cols], F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a"))
-    b = sh.select(*[F.col(c).alias(f"{c}__b") for c in block_cols], F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))
+    tok = sh.select(*block_cols, F.col(id_col), F.col("__sz"), F.explode("__sh").alias("__t"))
+    a = tok.select(
+        *[F.col(c).alias(f"{c}__a") for c in block_cols],
+        F.col(id_col).alias("doc_a"), F.col("__sz").alias("__sza"), F.col("__t"),
+    )
+    b = tok.select(
+        *[F.col(c).alias(f"{c}__b") for c in block_cols],
+        F.col(id_col).alias("doc_b"), F.col("__sz").alias("__szb"), F.col("__t"),
+    )
     cond = F.col("doc_a") < F.col("doc_b")
     for c in block_cols:
         cond = cond & (F.col(f"{c}__a") == F.col(f"{c}__b"))
-    j = _pair_jaccard(F.col("__sh_a"), F.col("__sh_b"))
-    # Filter on the raw value, round only for output — keeps the threshold
-    # semantics identical to any oracle that filters unrounded.
+    inter = (
+        a.join(b, ["__t"])
+        .where(cond)
+        .groupBy("doc_a", "doc_b", "__sza", "__szb")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    j = F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter"))
+    # Filter on the raw value — threshold semantics identical to an oracle
+    # that filters unrounded.
     return (
-        a.join(b, cond)
-        .select("doc_a", "doc_b", j.alias("__j"))
+        inter.select("doc_a", "doc_b", j.alias("__j"))
         .where(F.col("__j") >= threshold)
         .select("doc_a", "doc_b", F.col("__j").alias("jaccard"))
     )
