@@ -118,6 +118,46 @@ def q_map_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- #3b MapConcat with position — posexplode / unnest WITH ORDINALITY
+@register(
+    "map_concat_posexplode",
+    oracle="""
+    SELECT p_partkey, u.s.pos AS pos, u.s.word AS word
+    FROM (
+      SELECT p_partkey,
+             unnest(list_transform(string_split(p_type, ' '),
+                    (x, i) -> struct_pack(pos := CAST(i - 1 AS INT), word := x))) AS s
+      FROM part
+    ) u
+    """,
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return p.select("p_partkey", F.posexplode(F.split("p_type", " ")).alias("pos", "word"))
+
+
+@register(
+    "regexp_functions",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(p_type, '[A-Z]+')) AS BIGINT) AS n_words,
+           regexp_matches(p_name, 'a.*e') AS has_pattern,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+    FROM part
+    """,
+)
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("first_word"),
+        F.size(F.expr("regexp_extract_all(p_type, '[A-Z]+', 0)")).cast("long").alias("n_words"),
+        F.col("p_name").rlike("a.*e").alias("has_pattern"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
 # -- #4 Filter
 @register(
     "filter_where",
