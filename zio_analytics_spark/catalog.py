@@ -399,15 +399,20 @@ def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
     l = read_table(spark, sf_dir, "lineitem")
-    return (
+    # Aggregate to (customer, order) grain first, then to customer: two
+    # clean hash aggs instead of countDistinct's expand+double-aggregation —
+    # identical semantics (count of distinct orders = count of order-grain
+    # groups), and the second shuffle carries one row per order.
+    per_order = (
         DataStream(l)
         .join(DataStream(o), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(DataStream(c), F.col("c_custkey") == F.col("o_custkey"))
-        .group_by("c_custkey", "c_name")
-        .fold(
-            n_orders=F.countDistinct("o_orderkey"),
-            revenue=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4),
-        )
+        .group_by("c_custkey", "c_name", "o_orderkey")
+        .fold(order_rev=F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    )
+    return (
+        per_order.group_by("c_custkey", "c_name")
+        .fold(n_orders=F.count(F.lit(1)), revenue=F.round(F.sum("order_rev"), 4))
         .to_df()
     )
 
