@@ -1283,21 +1283,21 @@ def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     oracle="""
     WITH RECURSIVE
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc_id, lang,
              list_distinct(list_transform(range(1, len(w) - 1),
                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
       FROM (SELECT doc_id, lang,
                    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
             FROM documents)
-    ), nz AS (SELECT * FROM sh WHERE len(s) > 0),
-    pairs AS (
+    ), nz AS MATERIALIZED (SELECT * FROM sh WHERE len(s) > 0),
+    pairs AS MATERIALIZED (
       SELECT a.doc_id AS pa, b.doc_id AS pb
       FROM nz a JOIN nz b ON a.lang = b.lang AND a.doc_id < b.doc_id
       WHERE len(list_intersect(a.s, b.s))::DOUBLE /
             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
     ),
-    edges AS (SELECT pa AS src, pb AS dst FROM pairs UNION SELECT pb, pa FROM pairs),
+    edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs UNION SELECT pb, pa FROM pairs),
     walk (node, label) AS (
       SELECT src, src FROM edges
       UNION
