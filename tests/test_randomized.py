@@ -1,0 +1,112 @@
+"""Seeded randomized equivalence tests: optimized operators vs their
+straightforward definitions on random inputs (property-test style; seeds
+fixed for reproducibility — Spark latency makes per-example hypothesis
+generation impractical)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from zio_analytics_spark.operators import dedup
+from zio_analytics_spark.operators.asof import asof_join
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta", "iota", "kappa"]
+
+
+def _random_docs(seed: int, n_docs: int = 40):
+    rng = random.Random(seed)
+    docs = []
+    for i in range(n_docs):
+        length = rng.randint(5, 30)
+        docs.append((i, " ".join(rng.choice(WORDS) for _ in range(length)), "x"))
+    # plant a few near-dups
+    for i in range(3):
+        base = docs[i][1].split()
+        if len(base) > 6:
+            base[rng.randrange(len(base))] = rng.choice(WORDS)
+        docs.append((100 + i, " ".join(base), "x"))
+    return docs
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_inverted_index_jaccard_equals_bruteforce(spark, seed):
+    """The inverted-index set-similarity join must equal the brute-force
+    definition (python sets over the same shingles) on random corpora."""
+    docs = _random_docs(seed)
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in dedup.jaccard_pairs(df, block_cols=["lang"], n=3, threshold=0.2).collect()
+    }
+
+    def shingles(text):
+        w = text.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    expect = {}
+    for i, (ida, ta, _) in enumerate(docs):
+        sa = shingles(ta)
+        if not sa:
+            continue
+        for idb, tb, _ in docs[i + 1 :]:
+            sb = shingles(tb)
+            if not sb:
+                continue
+            a, b = (ida, idb) if ida < idb else (idb, ida)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.2:
+                expect[(a, b)] = round(j, 9)
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_asof_join_equals_pandas_merge_asof(spark, seed):
+    """The union-merge as-of join must equal pandas.merge_asof per key."""
+    import pandas as pd
+
+    rng = random.Random(seed)
+    left = [(i, rng.randint(0, 4), rng.randint(0, 1000)) for i in range(200)]
+    right_raw = {(rng.randint(0, 4), rng.randint(0, 1000)) for _ in range(60)}
+    right = [(k, t, float(i)) for i, (k, t) in enumerate(sorted(right_raw))]
+
+    ldf = spark.createDataFrame(left, "eid long, k long, t long")
+    rdf = spark.createDataFrame(right, "k long, t long, px double")
+    got = {r.eid: r.px for r in asof_join(ldf, rdf, "k", "k", "t", "t", ["px"]).collect()}
+
+    lp = pd.DataFrame(left, columns=["eid", "k", "t"]).sort_values("t", kind="mergesort")
+    rp = pd.DataFrame(right, columns=["k", "t", "px"]).sort_values("t", kind="mergesort")
+    merged = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    expect = {
+        int(r.eid): (None if pd.isna(r.px) else float(r.px)) for r in merged.itertuples()
+    }
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_cluster_duplicates_equals_union_find(spark, seed):
+    """DataFrame connected components vs a driver-side union-find."""
+    rng = random.Random(seed)
+    nodes = list(range(60))
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in
+                    ((rng.choice(nodes), rng.choice(nodes)) for _ in range(50)) if a != b})
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.node: r.cluster for r in dedup.cluster_duplicates(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+    assert got == expect
