@@ -1256,6 +1256,41 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_bin.select("doc_id", "n_bytes", "content_sha")
 
 
+# Hypertable-style cascading rollup: the DAY level is derived from the HOUR
+# level (one raw scan for the whole hierarchy); oracle aggregates raw rows
+# directly — results must be identical for re-aggregable measures.
+@register(
+    "timeseries_cascade_rollup",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total,
+           min(value) AS vmin, max(value) AS vmax
+    FROM events GROUP BY 1, 2
+    """,
+    bench=True,
+)
+def q_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zio_analytics_spark.operators.timeseries import cascade_rollup
+
+    ev = read_table(spark, sf_dir, "events")
+    levels = cascade_rollup(
+        ev,
+        ts_col="ts",
+        key_cols=["event_type"],
+        measures={
+            "n": ("count", "event_id"),
+            "total": ("sum", "value"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+        levels=["1 hour", "1 day"],
+    )
+    day = levels["1 day"]
+    return day.select(
+        "bucket_start", "event_type", "n", F.round("total", 2).alias("total"), "vmin", "vmax"
+    )
+
+
 # SQL frontend: the engine's spark.sql surface over registered views —
 # Catalyst plans SQL and DataFrame formulations identically.
 _SQL_FRONTEND_QUERY = """

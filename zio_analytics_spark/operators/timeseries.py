@@ -1,0 +1,74 @@
+"""[EXT] Time-series rollups — hypertable-style cascading downsampling.
+
+``cascade_rollup`` materializes a hierarchy of time-bucket aggregates
+(e.g. minute → hour → day) where every coarser level is computed FROM the
+next finer level, not from raw data. For re-aggregable functions
+(count/sum/min/max) the results are identical to aggregating raw rows, but
+the raw table is scanned exactly once: at 100 TB the minute level is ~5
+orders of magnitude smaller than raw, so the hour/day levels cost almost
+nothing — the continuous-aggregate pattern of time-series stores, expressed
+as plain DataFrame plans.
+
+avg must travel as (sum, count) through the cascade and be finalized at
+the end — averaging averages is wrong; the helper enforces this by taking
+re-aggregable primitives only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cascade_rollup"]
+
+# name → (initial agg over raw, re-agg over finer level)
+_REAGG = {
+    "count": (lambda c: F.count(c), lambda name: F.sum(name)),
+    "sum": (lambda c: F.sum(c), lambda name: F.sum(name)),
+    "min": (lambda c: F.min(c), lambda name: F.min(name)),
+    "max": (lambda c: F.max(c), lambda name: F.max(name)),
+}
+
+
+def cascade_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    measures: dict[str, tuple[str, str]],
+    levels: Sequence[str],
+) -> dict[str, DataFrame]:
+    """Build cascading rollups.
+
+    ``measures`` maps output name → (fn, column) with fn in
+    {count, sum, min, max}; ``levels`` are interval strings ordered finest →
+    coarsest (each must evenly divide into the next, e.g. ["1 minute",
+    "1 hour", "1 day"]). Returns {level: DataFrame} where each frame has
+    ``bucket_start`` + keys + measure columns.
+    """
+    for fn, _ in measures.values():
+        if fn not in _REAGG:
+            raise ValueError(f"{fn!r} is not re-aggregable; supported: {sorted(_REAGG)}")
+
+    out: dict[str, DataFrame] = {}
+    current: DataFrame | None = None
+    for i, level in enumerate(levels):
+        if i == 0:
+            aggs = [ _REAGG[fn][0](col).alias(name) for name, (fn, col) in measures.items() ]
+            src_ts = F.col(ts_col)
+            src = df
+        else:
+            aggs = [ _REAGG[fn][1](name).alias(name) for name, (fn, _) in measures.items() ]
+            src_ts = F.col("bucket_start")
+            src = current
+        level_df = (
+            src.groupBy(
+                F.window(src_ts, level).getField("start").alias("bucket_start"),
+                *[F.col(k) for k in key_cols],
+            )
+            .agg(*aggs)
+        )
+        out[level] = level_df
+        current = level_df
+    return out
