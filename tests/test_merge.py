@@ -1,0 +1,41 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zio_analytics_spark.operators.merge import merge_upsert, scd2_apply
+
+
+def test_merge_upsert(spark):
+    target = spark.createDataFrame([(1, "old"), (2, "keep")], "id long, v string")
+    source = spark.createDataFrame([(1, "new"), (3, "insert")], "id long, v string")
+    out = {r.id: r.v for r in merge_upsert(target, source, ["id"]).collect()}
+    assert out == {1: "new", 2: "keep", 3: "insert"}
+
+
+def test_scd2_apply(spark):
+    dim = spark.createDataFrame(
+        [
+            (1, "a_v1", "2024-01-01", "2024-02-01"),   # closed history
+            (1, "a_v2", "2024-02-01", "9999-12-31"),   # open
+            (2, "b_v1", "2024-01-01", "9999-12-31"),   # open, unchanged
+        ],
+        "id long, attr string, f string, t string",
+    ).select(
+        "id", "attr",
+        F.col("f").cast("timestamp").alias("valid_from"),
+        F.col("t").cast("timestamp").alias("valid_to"),
+    )
+    changes = spark.createDataFrame(
+        [(1, "a_v3", "2024-03-15")], "id long, attr string, ts string"
+    ).select("id", "attr", F.col("ts").cast("timestamp").alias("ts"))
+
+    out = scd2_apply(dim, changes, ["id"], "ts")
+    rows = sorted(
+        (r.id, r.attr, str(r.valid_from)[:10], str(r.valid_to)[:10]) for r in out.collect()
+    )
+    assert rows == [
+        (1, "a_v1", "2024-01-01", "2024-02-01"),   # untouched history
+        (1, "a_v2", "2024-02-01", "2024-03-15"),   # closed at change ts
+        (1, "a_v3", "2024-03-15", "9999-12-31"),   # new open version
+        (2, "b_v1", "2024-01-01", "9999-12-31"),   # unchanged key stays open
+    ]

@@ -1256,6 +1256,27 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_bin.select("doc_id", "n_bytes", "content_sha")
 
 
+# MERGE INTO emulation: a CDC changeset insert-or-replaces target rows by
+# key (anti-join + union — the plan Delta/Iceberg MERGE produces inside).
+@register(
+    "merge_upsert",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, 'UPDATED-' || c_name AS c_name FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zio_analytics_spark.operators.merge import merge_upsert
+
+    target = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    source = (
+        target.where(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", F.concat(F.lit("UPDATED-"), F.col("c_name")).alias("c_name"))
+    )
+    return merge_upsert(target, source, ["c_custkey"])
+
+
 # Hypertable-style cascading rollup: the DAY level is derived from the HOUR
 # level (one raw scan for the whole hierarchy); oracle aggregates raw rows
 # directly — results must be identical for re-aggregable measures.

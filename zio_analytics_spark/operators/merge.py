@@ -1,0 +1,72 @@
+"""[EXT] MERGE / upsert / SCD2 emulation — the CDC patterns of a lakehouse
+MERGE INTO, expressed with joins + unions (no Delta/Iceberg in this
+container; the plans are the same shape those engines produce internally).
+
+Scale notes: ``merge_upsert`` is one anti-join (target keys vs source keys,
+broadcast when the changeset is small — the common CDC case) plus a union;
+rewrite amplification is bounded by partition layout, so at 100 TB pair it
+with partitioned/sorted writes (sinks.write_parquet_sorted) and overwrite
+only affected partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["merge_upsert", "scd2_apply"]
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    broadcast_source: bool = True,
+) -> DataFrame:
+    """MERGE semantics: source rows insert-or-replace target rows by key.
+
+    Equivalent to ``MERGE INTO target USING source ON keys WHEN MATCHED
+    THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``. Source must be
+    unique per key (pre-dedupe a CDC stream to its latest row first).
+    """
+    src_keys = source.select(*keys)
+    if broadcast_source:
+        src_keys = F.broadcast(src_keys)
+    untouched = target.join(src_keys, list(keys), "left_anti")
+    return untouched.unionByName(source)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    change_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    open_end: str = "9999-12-31",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close current rows for changed keys
+    and append new versions.
+
+    ``dim`` carries ``valid_from``/``valid_to`` (open rows have
+    ``valid_to = open_end``); ``changes`` carries the new attribute values
+    plus ``change_ts``. Output = history rows untouched + closed-out rows +
+    new open rows.
+    """
+    open_rows = dim.where(F.col(valid_to) == F.lit(open_end).cast("timestamp"))
+    closed_rows = dim.where(F.col(valid_to) != F.lit(open_end).cast("timestamp"))
+
+    chg_keys = F.broadcast(changes.select(*keys, F.col(change_ts).alias("__new_from")))
+
+    # open rows for changed keys get closed at the change timestamp
+    closing = open_rows.join(chg_keys, list(keys)).withColumn(valid_to, F.col("__new_from")).drop("__new_from")
+    # open rows for unchanged keys stay open
+    still_open = open_rows.join(chg_keys.select(*keys), list(keys), "left_anti")
+
+    new_versions = changes.withColumn(valid_from, F.col(change_ts)).withColumn(
+        valid_to, F.lit(open_end).cast("timestamp")
+    ).drop(change_ts)
+
+    return closed_rows.unionByName(closing).unionByName(still_open).unionByName(new_versions)
