@@ -88,3 +88,16 @@ def test_broadcast_hint_produces_broadcast_join(spark, sf_dir):
     joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"), broadcast_other=True)
     plan = joined.to_df()._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_enabled_and_adaptive_plan(spark, sf_dir):
+    """AQE must be active: runtime partition coalescing + skew handling are
+    the session's primary scale levers (session.py DEFAULT_CONFIG)."""
+    from zio_analytics_spark.sources.parquet import read_table
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in plan
