@@ -63,3 +63,49 @@ def test_session_window_merge_semantics(spark):
     rows = _windows_for(spark, [0, 5, 12, 22, 40], session("10 milliseconds"))
     spans = sorted((_ms(r.window_start), _ms(r.window_end), r.n) for r in rows)
     assert spans == [(0, 32, 4), (40, 50, 1)]
+
+
+def test_fold_window_group_custom_reducer(spark):
+    """Arbitrary per-(key, window) fold — the reference FoldWindow's general
+    z/f contract via a pandas reducer."""
+    import pandas as pd
+
+    from zio_analytics_spark import DataStream
+
+    rows = [(5, "a", 1.0), (8, "a", 5.0), (15, "a", 2.0)]
+    ds = (
+        DataStream.from_literals(spark, rows, schema="ts_s long, k string, v double")
+        .with_column("ts", F.timestamp_seconds(F.col("ts_s")))
+        .assign_timestamps("ts")
+        .group_by("k")
+    )
+
+    def rng(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": [pdf["window_start"].iloc[0]],
+                "k": [pdf["k"].iloc[0]],
+                "spread": [pdf["v"].max() - pdf["v"].min()],
+            }
+        )
+
+    out = ds.fold_window_group(
+        tumbling("10 seconds"), rng, "window_start timestamp, k string, spread double"
+    ).collect()
+    got = {(r.window_start.second, r.k): r.spread for r in out}
+    assert got == {(0, "a"): 4.0, (10, "a"): 0.0}
+
+
+def test_fold_window_group_rejects_sliding(spark):
+    import pytest as _pytest
+
+    from zio_analytics_spark import DataStream, sliding
+
+    ds = (
+        DataStream.from_literals(spark, [(1, "a")], schema="ts_s long, k string")
+        .with_column("ts", F.timestamp_seconds(F.col("ts_s")))
+        .assign_timestamps("ts")
+        .group_by("k")
+    )
+    with _pytest.raises(NotImplementedError):
+        ds.fold_window_group(sliding("10 seconds", "5 seconds"), lambda p: p, "k string")

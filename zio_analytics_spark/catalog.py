@@ -376,6 +376,48 @@ def q_fold_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "window_start", "window_end", "n")
 
 
+# -- #10 FoldWindow, general fold contract: arbitrary Python reducer per
+# (key, window) group — the reference's z/f fold when no native aggregate
+# fits. Here: per-window value range + midpoint via numpy.
+@register(
+    "fold_window_custom",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS window_end,
+           event_type,
+           max(value) - min(value) AS value_range,
+           (max(value) + min(value)) / 2 AS midpoint
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_fold_window_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def window_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        return pd.DataFrame(
+            {
+                "window_start": [pdf["window_start"].iloc[0]],
+                "window_end": [pdf["window_end"].iloc[0]],
+                "event_type": [pdf["event_type"].iloc[0]],
+                "value_range": [hi - lo],
+                "midpoint": [(hi + lo) / 2],
+            }
+        )
+
+    return (
+        _ds(spark, sf_dir, "events")
+        .assign_timestamps("ts")
+        .group_by("event_type")
+        .fold_window_group(
+            tumbling("6 hours"),
+            window_fold,
+            "window_start timestamp, window_end timestamp, event_type string, value_range double, midpoint double",
+        )
+        .to_df()
+    )
+
+
 # =====================================================================
 # [EXT] Relational layer — SURVEY.md §2.4
 # =====================================================================

@@ -47,6 +47,25 @@ def _to_col(c: ColumnLike) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+_INTERVAL_UNITS_US = {
+    "microsecond": 1, "microseconds": 1,
+    "millisecond": 1_000, "milliseconds": 1_000,
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+}
+
+
+def _interval_to_micros(interval: str) -> int:
+    """Parse a simple '<n> <unit>' Spark interval string to microseconds."""
+    n, unit = interval.strip().split()
+    try:
+        return int(n) * _INTERVAL_UNITS_US[unit.lower()]
+    except KeyError:
+        raise ValueError(f"unsupported interval unit in {interval!r}") from None
+
+
 class DataStream:
     """A typed stream/table of rows: a lazy Spark plan plus grouping/time metadata."""
 
@@ -219,6 +238,38 @@ class DataStream:
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             *[F.col(c) for c in out.columns if c != "window"],
+        )
+        return DataStream(out)
+
+    def fold_window_group(self, assigner: WindowAssigner, fn: Callable, schema: Any) -> "DataStream":
+        """Windowed whole-group fold with an arbitrary Python reducer — the
+        reference ``FoldWindow``'s general ``z``/``f`` contract
+        (DataStream.scala:51-56) when native aggregates can't express the
+        fold. Each (key, window) group arrives as one pandas DataFrame with
+        ``window_start``/``window_end`` columns present.
+
+        Groups must fit in executor memory; prefer ``fold_window`` (native
+        incremental aggregates) whenever possible — this path materializes
+        the group, like the reference's ``Fold`` (Local.scala:170-174),
+        where native windowed aggs keep O(1) state per (key, window).
+        """
+        if self.ts_col is None:
+            raise ValueError("fold_window_group requires assign_timestamps first")
+        if not self.key_cols:
+            raise ValueError("fold_window_group requires a grouped stream")
+        if assigner.kind != "tumbling":
+            # Sliding multi-assignment and session merging exist only inside
+            # Spark's aggregation rewrite; they can't label rows in a
+            # projection. Use fold_window (native aggs) for those.
+            raise NotImplementedError("fold_window_group supports tumbling windows; use fold_window for sliding/session")
+        size_us = _interval_to_micros(assigner.size)
+        us = F.unix_micros(F.col(self.ts_col))
+        start_us = us - us % F.lit(size_us)
+        with_win = self.df.withColumn("window_start", F.timestamp_micros(start_us)).withColumn(
+            "window_end", F.timestamp_micros(start_us + F.lit(size_us))
+        )
+        out = with_win.groupBy("window_start", "window_end", *[F.col(k) for k in self.key_cols]).applyInPandas(
+            fn, schema
         )
         return DataStream(out)
 
