@@ -44,3 +44,22 @@ def test_top_k_per_group(spark):
     out = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], 2)
     got = sorted((r.g, r.id) for r in out.collect())
     assert got == [("a", 1), ("a", 2), ("b", 4)]
+
+
+def test_sample_per_group_deterministic(spark, sf_dir):
+    """Seeded hash-ordered sampling: same result on re-run, right size."""
+    from zio_analytics_spark import catalog
+
+    # multiset compare: the synthetic lineitem has duplicate
+    # (orderkey, linenumber) pairs, so sampled VALUES may repeat
+    a = sorted(tuple(r) for r in catalog.CATALOG["sample_per_group"].fn(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in catalog.CATALOG["sample_per_group"].fn(spark, sf_dir).collect())
+    assert a == b and len(a) == 300  # 3 flags × 100
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    from zio_analytics_spark import catalog
+
+    rows = catalog.CATALOG["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r.approx_med - r.exact_med) / r.exact_med < 0.05

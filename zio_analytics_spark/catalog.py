@@ -1105,6 +1105,111 @@ def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q5 shape: 6-table join chain with a region filter; small dims
+# (nation, region) broadcast, supplier/customer co-partitioned by nationkey.
+@register(
+    "tpch_q5_region_revenue",
+    oracle="""
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    bench=True,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        DataStream(joined)
+        .group_by("n_name")
+        .fold(revenue=F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4))
+        .to_df()
+    )
+
+
+# TPC-H Q18 shape: HAVING over a grouped subquery, then join back.
+@register(
+    "tpch_q18_big_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .where(F.col("__sq") > 150)
+        .select("l_orderkey", F.round("__sq", 4).alias("sum_qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty")
+    )
+
+
+# Per-group deterministic sample: top-n by a seeded hash — reproducible
+# sampling without a global sort (rows-only: no xxhash64 in DuckDB).
+@register("sample_per_group", oracle=None)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zio_analytics_spark.operators.topk import top_k_per_group
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return top_k_per_group(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber"),
+        group_by=["l_returnflag"],
+        order_by=[F.xxhash64(F.lit(42), "l_orderkey", "l_linenumber"), F.col("l_orderkey")],
+        k=100,
+    )
+
+
+# Approximate percentile sketch (t-digest-style): algorithm-specific values →
+# rows-only; accuracy asserted against exact percentile in tests.
+@register("agg_approx_percentile", oracle=None)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ds(spark, sf_dir, "lineitem")
+        .group_by("l_returnflag")
+        .fold(
+            approx_med=F.percentile_approx("l_extendedprice", 0.5, 10000),
+            exact_med=F.expr("percentile(l_extendedprice, 0.5)"),
+        )
+        .to_df()
+    )
+
+
 @register("distinct_types", oracle="SELECT DISTINCT event_type FROM events")
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ds(spark, sf_dir, "events").map("event_type").distinct().to_df()
