@@ -1552,6 +1552,456 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return map_decode(docs)
 
 
+# =====================================================================
+# [EXT] TPC-H classics — scan-agg / selective filter / multi-join shapes
+# =====================================================================
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical scan→filter→hash-agg. One pass, fully
+    map-side-combinable; the shipdate filter reaches the parquet scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: highly selective conjunctive filter → global agg. All four
+    predicates push to the parquet reader (PushedFilters); no shuffle at all
+    beyond the final single-row combine."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: 4-table join with a broadcast dim (nation) and a
+    TakeOrderedAndProject top-20; returnflag/orderdate filters push down."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = read_table(spark, sf_dir, "nation")
+    agg = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey")], 20).select(
+        "c_custkey", "c_name", "revenue", "n_name"
+    )
+
+
+# =====================================================================
+# [EXT] Event analytics — funnel / cohort retention / gap-fill
+# =====================================================================
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, ts FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')),
+    s1 AS (SELECT user_id, min(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s1) AS stage_view,
+           (SELECT count(*) FROM s2) AS stage_click,
+           (SELECT count(*) FROM s3) AS stage_purchase
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zio_analytics_spark.operators.analytics import funnel_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH f AS (SELECT user_id, date_trunc('day', min(ts))::TIMESTAMP AS cohort_day
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                 date_diff('day', f.cohort_day::DATE, date_trunc('day', e.ts)::DATE) AS day_offset
+          FROM events e JOIN f ON e.user_id = f.user_id)
+    SELECT cohort_day, day_offset, count(*) AS active_users
+    FROM a GROUP BY cohort_day, day_offset
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zio_analytics_spark.operators.analytics import cohort_retention
+
+    ev = read_table(spark, sf_dir, "events")
+    return cohort_retention(ev, unit="day")
+
+
+@register(
+    "gapfill_hours",
+    oracle="""
+    WITH b AS (SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS hour,
+                      count(*) AS n_events, round(sum(value), 2) AS sum_value
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM b GROUP BY user_id),
+    g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM r)
+    SELECT g.user_id, g.hour, coalesce(b.n_events, 0) AS n_events,
+           coalesce(b.sum_value, 0.0) AS sum_value
+    FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.hour = b.hour
+    """,
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zio_analytics_spark.operators.analytics import gapfill_hours
+
+    ev = read_table(spark, sf_dir, "events")
+    return gapfill_hours(ev)
+
+
+# =====================================================================
+# [EXT] Sketches & binning
+# =====================================================================
+
+
+@register(
+    "heavy_hitters_tokens",
+    oracle="""
+    WITH tok AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                           x -> x <> '')) AS token
+                 FROM documents),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT token, count(*) AS freq
+    FROM tok, tot GROUP BY token, n HAVING count(*) >= 0.002 * n
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters via the two-pass partition-candidates sketch
+    (operators/sketch.py) — no full-cardinality shuffle; oracle is the plain
+    GROUP BY ... HAVING equivalent."""
+    from zio_analytics_spark.operators.sketch import heavy_hitters
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("token")
+    )
+    return heavy_hitters(toks, "token", min_ratio=0.002)
+
+
+@register(
+    "histogram_bins",
+    oracle="""
+    -- DuckDB has no width_bucket; emulate Spark's formula exactly
+    -- (floor((v - lo) / step) + 1, clamped to [0, n+1]).
+    SELECT CASE WHEN l_extendedprice < 0.0 THEN 0
+                WHEN l_extendedprice >= 110000.0 THEN 23
+                ELSE CAST(floor((l_extendedprice - 0.0) / ((110000.0 - 0.0) / 22)) + 1 AS BIGINT)
+           END AS bucket,
+           count(*) AS n, round(sum(l_extendedprice), 4) AS total_price
+    FROM lineitem GROUP BY bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: width_bucket stays in whole-stage codegen; the
+    agg is map-side combinable with at most n_buckets+2 groups."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.width_bucket(F.col("l_extendedprice"), F.lit(0.0), F.lit(110000.0), F.lit(22))
+            .cast("long")
+            .alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        )
+    )
+
+
+# =====================================================================
+# [EXT] More window functions & array functions
+# =====================================================================
+
+
+@register(
+    "window_rank_funcs",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist,
+           first_value(o_orderkey) OVER w AS first_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist / first_value / nth_value — one
+    window spec, one sort per partition; ties broken by key so frames are
+    deterministic. percent_rank and cume_dist are exact integer ratios,
+    bit-identical across engines, so no rounding is needed."""
+    from pyspark.sql import Window as W
+
+    o = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           array_to_string(w[1:3], ' ') AS first3,
+           list_contains(w, 'the') AS has_the,
+           CAST(coalesce(list_position(w, 'the'), 0) AS BIGINT) AS the_pos,
+           list_min(w) AS min_token
+    FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+          FROM documents)
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column surface: size/slice/contains/position/min + join —
+    all JVM-side Column expressions over the tokenized text."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.array_join(F.slice(w, 1, 3), " ").alias("first3"),
+        F.array_contains(w, "the").alias("has_the"),
+        F.array_position(w, "the").cast("long").alias("the_pos"),
+        F.array_min(w).alias("min_token"),
+    )
+
+
+# =====================================================================
+# [EXT] IVF ANN (approximate — rows-only; recall tested in pytest)
+# =====================================================================
+
+
+@register("similarity_ann_ivf", oracle=None)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vec(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return similarity.ivf_topk(emb, qv, k=10, n_cells=16, nprobe=4)
+
+
+# =====================================================================
+# [EXT] Structured Streaming end-to-end (bounded source → memory sink)
+# =====================================================================
+
+
+@register(
+    "streaming_window_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
+           date_trunc('hour', ts)::TIMESTAMP + INTERVAL 1 HOUR AS window_end,
+           event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run: file-stream the events table,
+    tumbling 1-hour windowed aggregation in the state store, complete output
+    mode into a memory sink, then return the materialized result. Complete
+    mode emits every window (no watermark holdback), so a bounded stream is
+    exactly batch-equivalent — which is what lets this entry carry a DuckDB
+    oracle rather than a rows-only check.
+
+    Reference parity: this is the WordCountSpec pipeline shape
+    (/root/reference/src/test/scala/zio/analytics/WordCountSpec.scala:9-27 —
+    assignTimestamps → foldWindow → run) on a real unbounded-capable runtime.
+    """
+    import os as _os
+    import uuid
+
+    from zio_analytics_spark.sources.parquet import ensure_session_confs
+    from zio_analytics_spark.sources.streaming import stream_parquet
+
+    ensure_session_confs(spark)
+    # Stored as TIMESTAMP(NANOS): under nanosAsLong the scan yields LONG.
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    st = stream_parquet(spark, _os.path.join(sf_dir, "events.parquet"), schema)
+    st = st.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = st.groupBy(F.window("ts", "1 hour").alias("window"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n",
+        "total",
+    )
+    name = f"stream_wc_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+# =====================================================================
+# [EXT] Skew-mitigated join & n-gram mining
+# =====================================================================
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT p.p_brand, round(sum(l.l_extendedprice), 4) AS total_price,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py): the fact side is split into 8
+    sub-keys and the dim replicated per salt, so one hot part key becomes 8
+    even partitions. Result is identical to the plain join — which is the
+    oracle."""
+    from zio_analytics_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice"
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = salted_join(li, part, ["p_partkey"], n_salts=8)
+    return j.groupBy("p_brand").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "ngram_bigrams_topk",
+    oracle="""
+    WITH toks AS (SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> '') AS w
+                  FROM documents),
+    bg AS (SELECT unnest(list_transform(w[1:len(w) - 1],
+                                        (x, i) -> x || ' ' || w[i + 1])) AS bigram
+           FROM toks WHERE len(w) >= 2)
+    SELECT bigram, count(*) AS freq
+    FROM bg GROUP BY bigram
+    ORDER BY freq DESC, bigram LIMIT 20
+    """,
+)
+def q_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams: the n-gram generation is a JVM-side array
+    transform with an index lambda (no UDF); counting is a map-side-combined
+    hash agg on the exploded grams."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "").alias("w")
+    ).where(F.size("w") >= 2)
+    wc = F.col("w")
+    bigrams = F.transform(
+        F.slice(wc, 1, F.size(wc) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.get(wc, i + F.lit(1))),  # i is 0-based
+    )
+    agg = (
+        toks.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return top_k(agg, [F.col("freq").desc(), F.col("bigram")], 20)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

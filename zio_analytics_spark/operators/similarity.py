@@ -7,14 +7,21 @@
 - ``lsh_topk`` — random-hyperplane LSH: 2^p sign buckets; query probes its own
   bucket (plus Hamming-1 neighbors) so the scan touches ~1/2^p of the data.
   The scale path; approximate — recall is tested against brute force.
+- ``ivf_topk`` — IVF (inverted-file) ANN: K data-sampled centroids, every
+  vector assigned to its nearest cell by an Arrow-batched numpy matmul
+  (``pandas_udf``), query probes the ``nprobe`` nearest cells and runs exact
+  cosine inside them. At 100 TB the cell id is precomputed once and the table
+  is partitioned by it, so a query reads only ``nprobe/K`` of the data.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_similarity", "brute_force_topk", "hyperplane_bucket", "lsh_topk"]
+__all__ = ["cosine_similarity", "brute_force_topk", "hyperplane_bucket", "lsh_topk", "ivf_topk"]
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
@@ -61,8 +68,6 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes (driver-side, tiny)."""
-    import numpy as np
-
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()
 
@@ -97,4 +102,58 @@ def lsh_topk(
 
     v = df.withColumn("__bucket", hyperplane_bucket(F.col(vec_col).cast("array<double>"), planes))
     cand = v.where(F.col("__bucket").isin(probes))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file (IVF) index.
+
+    Centroids are trained driver-side with spherical k-means (a few Lloyd
+    iterations) on a fixed-size deterministic sample (lowest ``xxhash64(id)``
+    — uniform and seed-free, so the sample stays bounded no matter the table
+    size). Assignment is a vectorized numpy matmul inside an Arrow-batched
+    ``pandas_udf`` — the 10-100x-over-row-UDF fast path. The query probes its
+    ``nprobe`` nearest cells and runs exact cosine top-k inside them, so the
+    candidate scan covers ~``nprobe/n_cells`` of the rows. At 100 TB the cell
+    id is precomputed once and the table partitioned by it, so a query reads
+    only the probed partitions.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    sample_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(max(64 * n_cells, 1024))
+        .collect()
+    )
+    S = np.array([[float(x) for x in r[1]] for r in sample_rows], dtype=np.float64)
+    Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    Cn = Sn[:n_cells].copy()
+    for _ in range(8):  # spherical k-means; deterministic (no RNG)
+        assign = np.argmax(Sn @ Cn.T, axis=1)
+        for c in range(n_cells):
+            members = Sn[assign == c]
+            if len(members):
+                Cn[c] = members.mean(axis=0)
+        Cn = Cn / np.maximum(np.linalg.norm(Cn, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        M = np.array(embs.tolist(), dtype=np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(Mn @ Cn.T, axis=1).astype(np.int32))
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    cell_sims = Cn @ (q / np.linalg.norm(q))
+    probes = [int(i) for i in np.argsort(-cell_sims)[:nprobe]]
+
+    cand = df.withColumn("__cell", cell_of(F.col(vec_col))).where(F.col("__cell").isin(probes))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
