@@ -31,8 +31,17 @@ def main() -> None:
     spark = get_spark("bench")
 
     # Warm the JVM/codegen paths once with a trivial action so the first
-    # timed query doesn't pay one-time init costs.
+    # timed query doesn't pay one-time init costs, and warm the parquet
+    # datasource path (reader codegen, filesystem metadata) with a small
+    # real scan — otherwise the first timed query absorbs ~1 s of one-time
+    # scan-pipeline compilation that belongs to session startup, not to it.
+    from zio_analytics_spark.sources.parquet import read_table
+
     spark.range(1000).selectExpr("sum(id)").collect()
+    read_table(spark, sf_dir, "region").collect()
+    read_table(spark, sf_dir, "lineitem").limit(1000).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, fn in catalog.bench_queries().items():

@@ -101,3 +101,70 @@ def test_aqe_enabled_and_adaptive_plan(spark, sf_dir):
     agg = li.groupBy("l_returnflag").count()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "AdaptiveSparkPlan" in plan
+
+
+def test_tpch_q6_filters_push_to_scan(spark, sf_dir):
+    """Q6's conjunctive predicates must reach the parquet reader — at 100 TB
+    this query is viable only because the scan itself skips rows/row-groups."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    q = CATALOG["tpch_q6_forecast_revenue"].fn(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan.split("ReadSchema")[0], f"{col} not pushed: {plan[:2000]}"
+
+
+def test_tpch_q10_broadcasts_nation(spark, sf_dir):
+    from zio_analytics_spark.catalog import CATALOG
+
+    q = CATALOG["tpch_q10_returned_items"].fn(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """The correlated EXISTS must become a (left-)semi hash join, not a
+    nested-loop per-row subquery."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    q = CATALOG["tpch_q4_late_orders"].fn(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_3way_preaggregates_before_join(spark, sf_dir):
+    """The fact table must be aggregated to order grain BEFORE the join —
+    the optimized plan joins ~|orders| rows, not ~|lineitem| rows."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    import re
+
+    q = CATALOG["join_inner_3way"].fn(spark, sf_dir)
+    optimized = q._jdf.queryExecution().optimizedPlan().toString()
+    # the aggregate on l_orderkey must appear BELOW the first join
+    first_join = optimized.find("Join")
+    m = re.search(r"Aggregate \[l_orderkey#\d+L?\]", optimized)
+    assert m, optimized[:2000]
+    assert m.start() > first_join >= 0, optimized[:2000]
+
+
+def test_heavy_hitters_no_wide_shuffle_before_candidates(spark, sf_dir):
+    """Pass 1 (candidate generation) must not shuffle the token stream: the
+    mapInPandas scan runs on the scan partitioning, and only the tiny
+    candidate set is exchanged."""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.sketch import partition_candidates
+    from zio_analytics_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")).alias("token")
+    )
+    cand = partition_candidates(toks, "token", 0.002)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # exactly the distinct()'s exchange over candidates; none before the scan
+    before_python = plan.split("MapInPandas")[-1]  # below = upstream of UDF
+    assert "Exchange" not in before_python, plan[:3000]
