@@ -1905,20 +1905,7 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/src/test/scala/zio/analytics/WordCountSpec.scala:9-27 —
     assignTimestamps → foldWindow → run) on a real unbounded-capable runtime.
     """
-    import os as _os
-    import uuid
-
-    from zio_analytics_spark.sources.parquet import ensure_session_confs
-    from zio_analytics_spark.sources.streaming import stream_parquet
-
-    ensure_session_confs(spark)
-    # Stored as TIMESTAMP(NANOS): under nanosAsLong the scan yields LONG.
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    st = stream_parquet(spark, _os.path.join(sf_dir, "events.parquet"), schema)
-    st = st.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    st = _events_stream(spark, sf_dir)
     agg = st.groupBy(F.window("ts", "1 hour").alias("window"), "event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
@@ -1929,13 +1916,7 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total",
     )
-    name = f"stream_wc_{uuid.uuid4().hex[:8]}"
-    q = out.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.sql(f"SELECT * FROM {name}")
+    return _run_complete(out, "stream_wc")
 
 
 # =====================================================================
@@ -2129,6 +2110,209 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+_CHUNK_ORACLE = """
+    WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                          x -> x <> '') AS w
+               FROM documents),
+    s AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 16)) AS chunk_start
+          FROM t WHERE len(w) >= 1)
+    SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+           array_to_string(w[chunk_start:chunk_start + 31], ' ') AS chunk,
+           CAST(len(w[chunk_start:chunk_start + 31]) AS BIGINT) AS n_chunk_tokens
+    FROM s
+    """
+
+
+@register("text_chunking", oracle=_CHUNK_ORACLE)
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (size 32 tokens, stride 16) — the
+    standard LLM-context preparation step. Entirely JVM-side:
+    sequence() generates chunk starts, explode fans out, slice/array_join
+    build each chunk — no Python in the hot path, so this is the 100 TB
+    form of the operation."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "").alias("w"),
+    ).where(F.size("w") >= 1)
+    exploded = toks.select(
+        "doc_id", "w", F.explode(F.sequence(F.lit(1), F.size("w"), F.lit(16))).alias("start")
+    )
+    piece = F.expr("slice(w, start, 32)")
+    return exploded.select(
+        "doc_id",
+        F.col("start").cast("long").alias("chunk_start"),
+        F.array_join(piece, " ").alias("chunk"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+@register("udtf_chunk_text", oracle=_CHUNK_ORACLE)
+def q_udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same chunking expressed as a Python UDTF (one input row → many
+    output rows) applied laterally — demonstrating the UDTF escape hatch for
+    transforms that genuinely can't be written as Column expressions.
+    Row-at-a-time Python is the slow path: ``text_chunking`` is the
+    JVM-side formulation of this exact operator and shares its oracle, so
+    the two are verified identical."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_start bigint, chunk string, n_chunk_tokens bigint")
+    class ChunkText:
+        def eval(self, doc_id: int, text: str):
+            w = [t for t in _re.split(r"\s+", (text or "").strip()) if t]
+            for start in range(1, len(w) + 1, 16):
+                piece = w[start - 1 : start + 31]
+                yield doc_id, start, " ".join(piece), len(piece)
+
+    from zio_analytics_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    spark.udtf.register("chunk_text_udtf", ChunkText)
+    return spark.sql(
+        "SELECT c.* FROM documents d, LATERAL chunk_text_udtf(d.doc_id, d.text) c"
+    )
+
+
+@register(
+    "data_quality_checks",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS null_keys,
+      (SELECT count(*) FROM lineitem
+       WHERE l_extendedprice < 0 OR l_quantity <= 0
+          OR l_discount < 0 OR l_discount > 1) AS bad_values,
+      (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderkey IS NULL) AS orphan_lines
+    """,
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: null-key, value-range, and referential-integrity
+    violation counts in one pass each. The null/range checks are conditional
+    counts inside a single scan-agg; orphan detection is a left-anti join
+    against the parent key set (at scale: broadcast the parent keys if the
+    dim is small, else plain shuffled anti join — AQE decides)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    scan_checks = li.agg(
+        F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("null_keys"),
+        F.count(
+            F.when(
+                (F.col("l_extendedprice") < 0)
+                | (F.col("l_quantity") <= 0)
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 1),
+                1,
+            )
+        ).alias("bad_values"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lines"))
+    )
+    return scan_checks.crossJoin(orphans)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file-stream over the events table (nanos → µs like read_table)."""
+    import os as _os
+
+    from zio_analytics_spark.sources.parquet import ensure_session_confs
+    from zio_analytics_spark.sources.streaming import stream_parquet
+
+    ensure_session_confs(spark)
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    st = stream_parquet(spark, _os.path.join(sf_dir, "events.parquet"), schema)
+    return st.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_complete(out: DataFrame, prefix: str) -> DataFrame:
+    """Drive a bounded aggregated stream to completion (complete mode →
+    batch-equivalent results) and return the materialized memory table."""
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return out.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle="""
+    SELECT ws AS window_start, ws + INTERVAL 2 HOUR AS window_end,
+           event_type, count(*) AS n
+    FROM (SELECT unnest([date_trunc('hour', ts)::TIMESTAMP,
+                         date_trunc('hour', ts)::TIMESTAMP - INTERVAL 1 HOUR]) AS ws,
+                 event_type
+          FROM events)
+    GROUP BY ws, event_type
+    """,
+)
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h size, 1h step) on the STREAMING runtime: every
+    event lands in two overlapping windows, state lives in the state store,
+    complete mode emits all windows. The oracle expands the window
+    membership by hand (each event → its two window starts)."""
+    st = _events_stream(spark, sf_dir)
+    agg = st.groupBy(
+        F.window("ts", "2 hours", "1 hour").alias("window"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n",
+    )
+    return _run_complete(out, "stream_slide")
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    WITH cust AS (SELECT o_custkey, count(*) AS n_orders,
+                         round(sum(o_totalprice), 4) AS lifetime_value
+                  FROM orders GROUP BY o_custkey)
+    SELECT e.user_id, count(*) AS n_events,
+           max(c.n_orders) AS n_orders, max(c.lifetime_value) AS lifetime_value
+    FROM events e JOIN cust c ON e.user_id = c.o_custkey
+    GROUP BY e.user_id
+    """,
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream is enriched against a static
+    per-customer aggregate (recomputed per micro-batch from the batch frame
+    — the standard dimension-enrichment pattern), then aggregated per user.
+    The static side is broadcast by AQE when small; no stream-stream state
+    is involved, so no watermark is needed."""
+    st = _events_stream(spark, sf_dir).select("user_id", "event_id")
+    cust = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("lifetime_value"),
+        )
+    )
+    joined = st.join(cust, st["user_id"] == cust["o_custkey"])
+    agg = joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("n_orders").alias("n_orders"),
+        F.max("lifetime_value").alias("lifetime_value"),
+    )
+    return _run_complete(agg, "stream_enrich")
 
 
 def queries() -> dict[str, QueryFn]:
