@@ -157,3 +157,60 @@ class TestIVF:
         recall = len(set(exact) & set(approx)) / 10
         assert recall >= 0.5, f"IVF recall {recall} too low vs brute force"
         assert len(approx) == 10
+
+
+class TestChunking:
+    def test_boundaries(self, spark, sf_dir):
+        from zio_analytics_spark.catalog import CATALOG
+
+        # crafted frame via a temp view shadowing isn't possible here; use
+        # the operator logic directly on a tiny frame instead.
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(40))),  # 40 tokens -> starts 1,17,33
+             (2, "only three tokens"),                   # 3 tokens  -> one chunk
+             (3, "   ")],                                # no tokens -> no rows
+            "doc_id long, text string",
+        )
+        toks = docs.selectExpr(
+            "doc_id", "filter(split(trim(text), '\\\\s+'), x -> x != '') AS w"
+        ).where(F.size("w") >= 1)
+        exploded = toks.selectExpr(
+            "doc_id", "w", "explode(sequence(1, size(w), 16)) AS start"
+        )
+        out = exploded.selectExpr(
+            "doc_id", "start", "size(slice(w, start, 32)) AS n"
+        ).collect()
+        rows = {(r["doc_id"], r["start"]): r["n"] for r in out}
+        assert rows == {(1, 1): 32, (1, 17): 24, (1, 33): 8, (2, 1): 3}
+        assert CATALOG["text_chunking"] is not None
+
+    def test_udtf_matches_jvm(self, spark, sf_dir):
+        from zio_analytics_spark.catalog import CATALOG
+
+        jvm = CATALOG["text_chunking"].fn(spark, sf_dir)
+        udtf = CATALOG["udtf_chunk_text"].fn(spark, sf_dir)
+        assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, udtf.collect()))
+
+
+class TestNewAggregates:
+    def test_argminmax_crafted(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 5.0), ("a", 2, 9.0), ("a", 3, 1.0), ("b", 4, 2.0)],
+            "k string, id long, v double",
+        )
+        out = {
+            r["k"]: (r["top"], r["bottom"])
+            for r in df.groupBy("k")
+            .agg(F.max_by("id", "v").alias("top"), F.min_by("id", "v").alias("bottom"))
+            .collect()
+        }
+        assert out == {"a": (2, 3), "b": (4, 4)}
+
+    def test_funnel_stage_monotonicity(self, spark, sf_dir):
+        """Stage counts can never increase down the funnel (real data)."""
+        from zio_analytics_spark.operators.analytics import funnel_counts
+        from zio_analytics_spark.sources.parquet import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        row = funnel_counts(ev, ["view", "click", "purchase"]).collect()[0]
+        assert row["stage_view"] >= row["stage_click"] >= row["stage_purchase"]

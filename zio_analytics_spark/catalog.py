@@ -2315,6 +2315,59 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_complete(agg, "stream_enrich")
 
 
+@register(
+    "agg_argminmax",
+    oracle="""
+    SELECT DISTINCT event_type,
+           first_value(event_id) OVER (PARTITION BY event_type
+                                       ORDER BY value DESC, event_id DESC) AS top_event,
+           first_value(event_id) OVER (PARTITION BY event_type
+                                       ORDER BY value ASC, event_id ASC) AS bottom_event,
+           max(value) OVER (PARTITION BY event_type) AS max_value,
+           min(value) OVER (PARTITION BY event_type) AS min_value
+    FROM events
+    """,
+)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min aggregation: ``max_by``/``min_by`` with a struct
+    ordering key so ties on the value break on event_id — deterministic at
+    any scale factor (the oracle states the same ordering with window
+    functions, since DuckDB's arg_max takes only scalar keys). max/min are
+    selections, not accumulations, so they're emitted raw."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", F.struct("value", "event_id")).alias("top_event"),
+        F.min_by("event_id", F.struct("value", "event_id")).alias("bottom_event"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )
+
+
+@register(
+    "agg_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_qty_price,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_qty_price,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics — corr / covar_samp / linear-regression slope
+    and intercept — all single-pass distributed moment aggregates
+    (map-side partials, exact merge); rounded because the merge order of
+    floating partials differs between engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_qty_price"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias("intercept"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
