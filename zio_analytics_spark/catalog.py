@@ -2368,6 +2368,130 @@ def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_latest_by_key",
+    oracle="""
+    SELECT user_id, event_type, event_id AS last_event_id, ts AS last_ts, value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: keep the latest record per key — the single
+    most common production dedup (upsert log → current state). One window,
+    one shuffle on the key; ties on ts break on event_id so the survivor is
+    deterministic. At scale this is the streaming
+    ``dropDuplicates``/foreachBatch-merge pattern run as a batch."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "window_trailing_time_range",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_trailing_1h,
+           round(sum(value) OVER w, 2) AS sum_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: trailing 1-hour count/sum per user. Spark's
+    rangeBetween works on a numeric ordering key, so the frame runs over
+    epoch MICROseconds (unix_timestamp would truncate to seconds and move
+    frame boundaries for sub-second-apart events) — identical
+    inclusive-bound semantics to DuckDB's INTERVAL range frame. One shuffle
+    on the key, one in-partition sort."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
+    )
+
+
+@register(
+    "sink_partition_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink surface in the correctness gate: write events partitioned by
+    event_type, read back with a partition filter — the scan must touch only
+    the two matching partition directories (partition pruning, asserted in
+    test_sinks) — and aggregate. Verifies the write→read round-trip
+    preserves values exactly."""
+    import shutil
+    import tempfile
+
+    ev = read_table(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="zas_sink_")
+    try:
+        ev.write.partitionBy("event_type").mode("overwrite").parquet(out_dir)
+        back = spark.read.parquet(out_dir).where(
+            F.col("event_type").isin("click", "purchase")
+        )
+        result = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+        )
+        rows = result.collect()  # materialize before the temp dir is removed
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@register(
+    "string_distance_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(levenshtein(lang, 'en') AS INTEGER) AS lang_dist,
+           CAST(levenshtein(source, 'web') AS INTEGER) AS source_dist,
+           left(text, 12) AS prefix
+    FROM documents
+    """,
+)
+def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance surface: levenshtein as a JVM Column expression (used
+    in fuzzy dedup blocking verification at scale)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.levenshtein(F.col("lang"), F.lit("en")).alias("lang_dist"),
+        F.levenshtein(F.col("source"), F.lit("web")).alias("source_dist"),
+        F.substring("text", 1, 12).alias("prefix"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
