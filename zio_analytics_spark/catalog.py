@@ -2492,6 +2492,43 @@ def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_path_analysis",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sess_id FROM g),
+    p AS (SELECT user_id, sess_id,
+                 string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+          FROM s GROUP BY user_id, sess_id)
+    SELECT path, count(*) AS n_sessions
+    FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization + path analysis: group events into 6-hour-gap sessions
+    (native session_window — merge iff gap <= threshold, which the oracle
+    reproduces with a gaps-and-islands cumulative sum), build each session's
+    ordered event-type path, and count the top-10 paths. The per-session
+    collect is bounded by session length; the path count is a tiny
+    map-side-combined agg."""
+    ev = read_table(spark, sf_dir, "events")
+    sess = ev.groupBy("user_id", F.session_window("ts", "6 hours")).agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("evs")
+    )
+    paths = sess.select(
+        F.array_join(
+            F.transform(F.col("evs"), lambda e: e.getItem("event_type")), "->"
+        ).alias("path")
+    )
+    agg = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    return top_k(agg, [F.col("n_sessions").desc(), F.col("path")], 10)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
