@@ -2529,6 +2529,112 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(agg, [F.col("n_sessions").desc(), F.col("path")], 10)
 
 
+def _run_append(out: DataFrame, prefix: str) -> DataFrame:
+    """Drive a bounded non-aggregated stream (stateful map / join) to
+    completion in append mode and return the materialized memory table.
+    The bounded file source delivers everything in one trigger, so append
+    output over a single batch is deterministic."""
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return out.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "streaming_stateful_running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running_sum
+    FROM events
+    """,
+)
+def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's MapAccumulate on the STREAMING runtime
+    (/root/reference/src/main/scala/zio/analytics/DataStream.scala:44-45,
+    interpreter Local.scala:139-151): per-user running sum as custom keyed
+    state in ``applyInPandasWithState``. Rows are ordered by (ts, event_id)
+    inside the state function, so emissions are deterministic; rounding
+    happens Spark-side after emission (pandas round is banker's, Spark/
+    DuckDB are half-away)."""
+    import pandas as pd  # noqa: F401  (clarity: fn below is pandas-typed)
+
+    from zio_analytics_spark.streaming.stateful import map_accumulate_stream
+
+    st = _events_stream(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+
+    def fn(acc, pdf):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        sums = pdf["value"].cumsum() + acc
+        out = pdf[["user_id", "event_id"]].copy()
+        out["running_sum"] = sums
+        return (acc + float(pdf["value"].sum()), out)
+
+    out = map_accumulate_stream(
+        st,
+        ["user_id"],
+        fn,
+        init_state=lambda: 0.0,
+        output_schema="user_id long, event_id long, running_sum double",
+        state_schema="acc double",
+    )
+    result = _run_append(out, "stream_state")
+    return result.select(
+        "user_id", "event_id", F.round("running_sum", 2).alias("running_sum")
+    )
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join on the streaming runtime: purchases join
+    the same user's clicks from the preceding hour. The event-time bound is
+    what lets the engine expire buffered state (streaming/joins.py); on
+    bounded input every match is emitted exactly once, so the result equals
+    the batch range self-join — the oracle."""
+    from zio_analytics_spark.streaming.joins import interval_join
+
+    p = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("user_id"), F.col("ts").alias("p_ts"))
+    )
+    c = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = interval_join(
+        p,
+        c,
+        on=F.col("user_id") == F.col("c_user"),
+        left_ts="p_ts",
+        right_ts="c_ts",
+        watermark="1 hour",
+        lower="1 HOUR",
+        upper="0 SECONDS",
+    )
+    out = joined.select("purchase_id", "click_id", "user_id")
+    return _run_append(out, "stream_ijoin")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
