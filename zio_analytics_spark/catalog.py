@@ -2635,6 +2635,112 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_append(out, "stream_ijoin")
 
 
+@register(
+    "fold_group_collect_set",
+    oracle="""
+    SELECT event_type,
+           list_sort(list_distinct(list(user_id))) AS users,
+           CAST(len(list_distinct(list(user_id))) AS INTEGER) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_fold_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued fold: collect_set ↔ DuckDB list(DISTINCT) — sorted on both
+    sides so the array compare is deterministic. The set is bounded by group
+    cardinality; for unbounded keys prefer approx_count_distinct (the
+    [EXT] sketch path)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_set("user_id")).alias("users"),
+        F.size(F.collect_set("user_id")).alias("n_users"),
+    )
+
+
+@register(
+    "set_ops_multiset",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 10
+    INTERSECT ALL
+    SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_discount > 0.02
+    """,
+)
+def q_set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) semantics: intersectAll keeps duplicate multiplicity —
+    distinct from the set-semantics entries (set_intersect et al.)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") > 10).select("l_orderkey", "l_linenumber")
+    b = li.where(F.col("l_discount") > 0.02).select("l_orderkey", "l_linenumber")
+    return a.intersectAll(b)
+
+
+@register(
+    "pivot_multi_agg",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click_n,
+           round(coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0.0), 2) AS click_total,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+           round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0.0), 2) AS purchase_total
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (count + sum per event
+    type). Pivot values are declared, so no driver-side distinct collection
+    happens — the whole thing is one hash agg with conditional columns."""
+    ev = read_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("total"),
+        )
+    )
+    return out.select(
+        "user_id",
+        F.col("click_n").cast("long").alias("click_n"),
+        "click_total",
+        F.col("purchase_n").cast("long").alias("purchase_n"),
+        "purchase_total",
+    )
+
+
+@register(
+    "incremental_rollup",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily rollup is
+    computed over a 'base' partition of the data, then a 'delta' partition's
+    partial aggregates are MERGED in (sums add, counts add) — never
+    recomputing the base. The oracle is the full recompute, proving
+    incremental == full. At 100 TB this is how rollups absorb a day's new
+    data: aggregate the delta only, then combine mergeable partials
+    (sum/count/min/max merge trivially; avg carries (sum, n))."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    base = ev.where(F.col("event_id") % 10 != 0)
+    delta = ev.where(F.col("event_id") % 10 == 0)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", day).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v")
+        )
+
+    merged = (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("event_type", "day")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("sum_v"), 2).alias("total"))
+    )
+    return merged
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
