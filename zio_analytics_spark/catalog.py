@@ -651,18 +651,28 @@ def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            row_number() OVER w AS rn,
            lag(l_shipdate) OVER w AS prev_shipdate,
-           sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+           sum(l_quantity) OVER (PARTITION BY l_suppkey
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                          l_quantity, l_extendedprice
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                                 l_quantity, l_extendedprice)
     """,
     bench=True,
 )
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The synthetic lineitem does NOT have a unique (l_orderkey,
+    # l_linenumber): ~2% of keys repeat with different measures, so the
+    # ordering extends through l_quantity/l_extendedprice — remaining ties
+    # are equal in every column the frame reads, making the running sum
+    # tie-order-independent on both engines.
     from pyspark.sql import Window as W
 
     li = read_table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    w = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
     wr = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return li.select(
         "l_suppkey",
