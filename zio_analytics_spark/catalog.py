@@ -2751,6 +2751,50 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged
 
 
+@register(
+    "explode_outer_nulls",
+    oracle="""
+    SELECT doc_id, unnest(CASE WHEN len(w) = 0 THEN [NULL] ELSE w END) AS token
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(coalesce(nullif(lang, 'xx'), '')), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents)
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive with a NULL element
+    (plain explode would drop them — a silent data-loss bug in pipelines
+    that tokenize sparse fields). The lang column is nulled for 'xx' to
+    manufacture genuinely empty arrays; DuckDB emulates outer-unnest with a
+    CASE to a [NULL] list."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.trim(F.coalesce(F.nullif("lang", F.lit("xx")), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    return docs.select("doc_id", F.explode_outer(w).alias("token"))
+
+
+@register(
+    "union_schema_evolution",
+    oracle="""
+    SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, event_type, NULL AS value FROM events WHERE event_id % 2 = 1
+    """,
+)
+def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at union time: an 'old-schema' frame lacking the
+    value column unions with the current schema via
+    ``unionByName(allowMissingColumns=True)`` — missing columns null-fill,
+    and matching is BY NAME, not position (positional union is the classic
+    silent-corruption bug)."""
+    ev = read_table(spark, sf_dir, "events")
+    new_schema = ev.where(F.col("event_id") % 2 == 0).select("event_id", "event_type", "value")
+    old_schema = ev.where(F.col("event_id") % 2 == 1).select("event_id", "event_type")
+    return new_schema.unionByName(old_schema, allowMissingColumns=True)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
