@@ -60,7 +60,11 @@ def funnel_counts(
         counts.append(reached.agg(F.count(F.lit(1)).alias(f"stage_{stage}")))
     out = counts[0]
     for c in counts[1:]:
-        out = out.crossJoin(c)  # 1x1 frames — free
+        # Combining single-row scalar frames: this plans as a
+        # BroadcastNestedLoopJoin over 1x1 inputs, which is the intended
+        # (and free) way to lay scalar aggregates side by side — the
+        # data-scale joins above are all hash equi-joins on user_id.
+        out = out.crossJoin(c)
     return out
 
 
