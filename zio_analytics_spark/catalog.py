@@ -2795,6 +2795,47 @@ def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_schema.unionByName(old_schema, allowMissingColumns=True)
 
 
+@register(
+    "streaming_session_counts",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sids AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS window_start,
+           max(ts) + INTERVAL '30 minutes' AS window_end,
+           count(*) AS n
+    FROM sids GROUP BY user_id, sid
+    """,
+)
+def q_streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on the STREAMING runtime — completes all three
+    reference window assigners (Window.scala:8-31) on real streaming
+    execution (tumbling/sliding entries above). Session merging happens in
+    the state store; complete mode on the bounded stream emits the final
+    merged sessions, equal to the batch gaps-and-islands oracle."""
+    st = _events_stream(spark, sf_dir)
+    agg = st.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("window_start"),
+        (F.col("session_window.end")).alias("window_end"),
+        "n",
+    )
+    return _run_complete(out, "stream_sess")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
