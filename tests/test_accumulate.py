@@ -3,8 +3,12 @@ must agree (SURVEY.md §7 step 5)."""
 
 from __future__ import annotations
 
+import warnings
+
+import pytest
 from pyspark.sql import functions as F
 
+from zio_analytics_spark.operators import accumulate
 from zio_analytics_spark.operators.accumulate import map_accumulate, map_accumulate_general
 
 
@@ -68,3 +72,27 @@ def test_state_threading_non_associative(spark):
     got = [r.acc for r in sorted(out.collect(), key=lambda r: r.id)]
     # manual: 2-0=2; 3-2=1; 5-1=4; 1-4=-3; 4-(-3)=7
     assert got == [2.0, 1.0, 4.0, -3.0, 7.0]
+
+
+def test_keyless_guard(spark, monkeypatch):
+    """Keyless total-order scans above the threshold warn; an explicit
+    keyless_limit raises; partition_by and keyless_limit=0 stay silent."""
+    df = _frame(spark)
+
+    monkeypatch.setattr(accumulate, "KEYLESS_ROW_WARN_THRESHOLD", 3)
+    with pytest.warns(ResourceWarning, match="single-task total-order scan"):
+        map_accumulate(df, order_by=["id"], running={"rs": F.sum("v")})
+
+    with pytest.raises(ValueError, match="single-task total-order scan"):
+        map_accumulate(df, order_by=["id"], running={"rs": F.sum("v")}, keyless_limit=2)
+    with pytest.raises(ValueError, match="single-task total-order scan"):
+        map_accumulate_general(
+            df, ["id"], lambda s, p: (s, p), "id long", lambda: 0, keyless_limit=2
+        )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        # keyed path: guard must not even run
+        map_accumulate(df, order_by=["id"], running={"rs": F.sum("v")}, partition_by=["k"])
+        # keyless but explicitly acknowledged
+        map_accumulate(df, order_by=["id"], running={"rs": F.sum("v")}, keyless_limit=0)

@@ -2704,15 +2704,19 @@ def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", ["click", "purchase"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("total"),
+            F.round(F.sum("value"), 2).alias("total"),
         )
     )
+    # Coalesce AFTER the pivot: a (user, event_type) combo with no rows
+    # produces a NULL cell (the aggregate never ran for it), so any fill
+    # inside .agg() can't fire. Post-pivot coalesce gives the declared
+    # 0 / 0.0 fill semantics for absent combinations.
     return out.select(
         "user_id",
-        F.col("click_n").cast("long").alias("click_n"),
-        "click_total",
-        F.col("purchase_n").cast("long").alias("purchase_n"),
-        "purchase_total",
+        F.coalesce(F.col("click_n"), F.lit(0)).cast("long").alias("click_n"),
+        F.coalesce(F.col("click_total"), F.lit(0.0)).alias("click_total"),
+        F.coalesce(F.col("purchase_n"), F.lit(0)).cast("long").alias("purchase_n"),
+        F.coalesce(F.col("purchase_total"), F.lit(0.0)).alias("purchase_total"),
     )
 
 

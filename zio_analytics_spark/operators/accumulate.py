@@ -26,6 +26,7 @@ equally explicit — it was the literal insertion order):
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Callable, Sequence
 from typing import Any
 
@@ -35,19 +36,53 @@ from pyspark.sql import functions as F
 
 __all__ = ["map_accumulate", "map_accumulate_general"]
 
+#: Above this many rows, a keyless (total-order) scan is almost certainly a
+#: mistake at scale — the whole input funnels through ONE task. The guard is
+#: advisory (warn) by default because total-order semantics are sometimes the
+#: point; ``keyless_limit`` makes it a hard error or disables it.
+KEYLESS_ROW_WARN_THRESHOLD = 10_000_000
+
+
+def _guard_keyless(df: DataFrame, op: str, keyless_limit: int | None) -> None:
+    """Warn (or raise) when a keyless total-order scan looks too big.
+
+    The size check is a distributed ``count()`` — itself parallel and cheap
+    relative to the single-task scan it guards against.
+    """
+    if keyless_limit == 0:
+        return
+    limit = keyless_limit or KEYLESS_ROW_WARN_THRESHOLD
+    n = df.count()
+    if n > limit:
+        msg = (
+            f"{op} without partition_by forces a single-task total-order scan "
+            f"over {n:,} rows (> {limit:,}); pass partition_by keys, or "
+            "keyless_limit=0 to acknowledge the total-order cliff"
+        )
+        if keyless_limit is not None:
+            raise ValueError(msg)
+        warnings.warn(msg, ResourceWarning, stacklevel=3)
+
 
 def map_accumulate(
     df: DataFrame,
     order_by: Sequence[Column | str],
     running: dict[str, Column],
     partition_by: Sequence[str] = (),
+    keyless_limit: int | None = None,
 ) -> DataFrame:
     """Associative fast path: running aggregates over an explicit order.
 
     ``running`` maps output-column name → aggregate expression, e.g.
     ``{"running_sum": F.sum("value")}``. Each becomes
     ``agg.over(window.rowsBetween(unboundedPreceding, currentRow))``.
+
+    Without ``partition_by`` Spark plans a single-partition window; above
+    ``keyless_limit`` rows (default: warn at ``KEYLESS_ROW_WARN_THRESHOLD``,
+    raise if a limit is given, ``0`` disables) the keyless guard fires.
     """
+    if not partition_by:
+        _guard_keyless(df, "map_accumulate", keyless_limit)
     w = W.partitionBy(*partition_by) if partition_by else W.partitionBy()
     w = w.orderBy(*[F.col(c) if isinstance(c, str) else c for c in order_by])
     w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -64,6 +99,7 @@ def map_accumulate_general(
     schema: Any,
     init_state: Callable[[], Any],
     partition_by: Sequence[str] = (),
+    keyless_limit: int | None = None,
 ) -> DataFrame:
     """General path: arbitrary Python accumulator ``fn(state, pdf) -> (state, pdf_out)``.
 
@@ -71,7 +107,9 @@ def map_accumulate_general(
     and the output chunk. With ``partition_by``, state is per-key and the scan
     runs parallel per group (``applyInPandas``). Without keys the frame is
     coalesced to ONE partition — a documented scale cliff that only total-order
-    semantics can demand.
+    semantics can demand; the keyless guard warns above
+    ``KEYLESS_ROW_WARN_THRESHOLD`` rows (raises if ``keyless_limit`` is given,
+    ``keyless_limit=0`` disables).
     """
     def scan(pdf):
         pdf = pdf.sort_values(list(order_by), kind="mergesort")
@@ -90,4 +128,5 @@ def map_accumulate_general(
             return
         yield scan(pd.concat(chunks, ignore_index=True))
 
+    _guard_keyless(df, "map_accumulate_general", keyless_limit)
     return df.coalesce(1).mapInPandas(scan_partition, schema)

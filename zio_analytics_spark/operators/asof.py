@@ -49,6 +49,16 @@ def asof_join(
     if direction != "backward":
         raise NotImplementedError("only backward as-of is implemented")
 
+    reserved = [c for c in (*left.columns, *right.columns) if c.startswith("__asof_")]
+    if reserved:
+        raise ValueError(f"input columns collide with internal __asof_* tags: {reserved}")
+    clashes = [c for c in right_values if f"{c}{suffix}" in left.columns]
+    if clashes:
+        raise ValueError(
+            f"right_values {clashes} collide with left columns under suffix "
+            f"{suffix!r}; pass a non-empty suffix (e.g. '_right')"
+        )
+
     payload = F.struct(*[F.col(c) for c in right_values]).alias("__asof_v")
     r = right.select(
         F.col(right_on).alias("__asof_k"),

@@ -36,8 +36,19 @@ from pyspark.sql import functions as F
 __all__ = ["heavy_hitters", "partition_candidates"]
 
 
-def partition_candidates(items: DataFrame, col: str, min_ratio: float) -> DataFrame:
-    """Per-partition candidate heavy hitters (superset of the global ones)."""
+def _candidate_scan(items: DataFrame, col: str, min_ratio: float) -> DataFrame:
+    """Pass-1 scan: per-partition candidates PLUS the partition row count.
+
+    Each partition emits its local heavy-hitter candidates (``col`` set,
+    ``__part_rows`` null) and exactly one sentinel row (``col`` null,
+    ``__part_rows`` = partition row count). Folding the total into this scan
+    means ``heavy_hitters`` never runs a separate ``count()`` job over the
+    full input — at 100 TB that second scan is the difference between two
+    reads and three. The candidate schema is derived from the input column's
+    type (not hardcoded string) so numeric/binary keys semi-join without
+    implicit casts that could silently drop candidates.
+    """
+    dtype = items.schema[col].dataType.simpleString()
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: Counter = Counter()
@@ -48,9 +59,24 @@ def partition_candidates(items: DataFrame, col: str, min_ratio: float) -> DataFr
             counts.update(vals)
         bar = min_ratio * n
         out = [k for k, c in counts.items() if c >= bar]
-        yield pd.DataFrame({col: pd.Series(out, dtype=object)})
+        yield pd.DataFrame(
+            {
+                col: pd.Series(out + [None], dtype=object),
+                "__part_rows": pd.Series([None] * len(out) + [n], dtype="Int64"),
+            }
+        )
 
-    return items.select(col).mapInPandas(scan, schema=f"{col} string").distinct()
+    return items.select(col).mapInPandas(scan, schema=f"{col} {dtype}, __part_rows long")
+
+
+def partition_candidates(items: DataFrame, col: str, min_ratio: float) -> DataFrame:
+    """Per-partition candidate heavy hitters (superset of the global ones)."""
+    return (
+        _candidate_scan(items, col, min_ratio)
+        .where(F.col(col).isNotNull())
+        .select(col)
+        .distinct()
+    )
 
 
 def heavy_hitters(
@@ -64,9 +90,16 @@ def heavy_hitters(
     ``items`` is one row per occurrence (e.g. exploded tokens). Returns
     ``(col, freq_col)``; equivalent to ``GROUP BY col HAVING count(*) >=
     min_ratio * total`` but with the shuffle bounded by the candidate set.
+
+    Two input scans total: pass 1 emits (candidates + per-partition totals)
+    in ONE ``mapInPandas`` read (persisted — it is at most
+    ``partitions x (1/min_ratio + 1)`` rows); pass 2 is the broadcast
+    semi-join + exact count. Candidates are never null (pass 1 drops nulls),
+    so the null sentinel rows are unambiguous.
     """
-    total = items.count()
-    cand = partition_candidates(items, col, min_ratio)
+    scan_out = _candidate_scan(items, col, min_ratio).persist()
+    total = scan_out.agg(F.sum("__part_rows")).first()[0] or 0
+    cand = scan_out.where(F.col(col).isNotNull()).select(col).distinct()
     exact = (
         items.join(F.broadcast(cand), on=col, how="left_semi")
         .groupBy(col)
