@@ -91,6 +91,10 @@ def jaccard_pairs(
     """
     if threshold <= 0:
         raise ValueError("jaccard_pairs requires threshold > 0 (pairs sharing no shingle are never emitted)")
+    # Both sides of the inverted-index join (plus their filters/projects) read
+    # the shingle table — persist it so the shingling expression evaluates
+    # ONCE per document, not once per consumer. At 100 TB this is a
+    # materialized intermediate table, exactly as in ``minhash_lsh_pairs``.
     sh = (
         df.select(
             *block_cols,
@@ -99,6 +103,7 @@ def jaccard_pairs(
         )
         .where(F.size("__sh") > 0)
         .select(*block_cols, F.col(id_col), F.col("__sh"), F.size("__sh").alias("__sz"))
+        .persist()
     )
     tok = sh.select(*block_cols, F.col(id_col), F.col("__sz"), F.explode("__sh").alias("__t"))
     a = tok.select(
