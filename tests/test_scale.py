@@ -168,3 +168,39 @@ def test_heavy_hitters_no_wide_shuffle_before_candidates(spark, sf_dir):
     # exactly the distinct()'s exchange over candidates; none before the scan
     before_python = plan.split("MapInPandas")[-1]  # below = upstream of UDF
     assert "Exchange" not in before_python, plan[:3000]
+
+
+def test_word_shingles_expression_is_linear_in_plan(spark):
+    """The shingle expression must appear ONCE in the optimized plan: the
+    token array is bound as a lambda variable, not re-inlined per shingle.
+    The naive form re-ran the full regex tokenization inside every
+    element_at (O(L^2) per document — ~100 s across the dedup entries at
+    sf0.1, and quadratic in document length at web scale)."""
+    from zio_analytics_spark.operators.text import word_shingles
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = (
+        df.select(word_shingles("text").alias("sh"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1, plan[:3000]
+
+
+def test_jaccard_pairs_materializes_shingles_once(spark):
+    """jaccard_pairs must persist the shingle table: both sides of the
+    inverted-index join read it, so without the cache the (expensive)
+    shingling expression runs once per consumer."""
+    from zio_analytics_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, "w%d a b c d e" % (i % 3)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = jaccard_pairs(df, threshold=0.1)
+    try:
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan, plan[:3000]
+    finally:
+        spark.catalog.clearCache()

@@ -2230,19 +2230,23 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded file-stream over the events table (nanos → µs like read_table)."""
+    """Bounded file-stream over the events table, normalized like read_table.
+
+    The file source needs a declared schema; take it from the parquet footer
+    via a batch read (one metadata-only open) so the stream works with either
+    ts storage the driver has generated (long nanos or µs TIMESTAMP_NTZ),
+    then apply the same ts normalization as the batch reader.
+    """
     import os as _os
 
-    from zio_analytics_spark.sources.parquet import ensure_session_confs
+    from zio_analytics_spark.sources.parquet import ensure_session_confs, normalize_event_ts
     from zio_analytics_spark.sources.streaming import stream_parquet
 
     ensure_session_confs(spark)
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    st = stream_parquet(spark, _os.path.join(sf_dir, "events.parquet"), schema)
-    return st.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    path = _os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    st = stream_parquet(spark, path, schema)
+    return normalize_event_ts(st, ("ts",))
 
 
 def _run_complete(out: DataFrame, prefix: str) -> DataFrame:

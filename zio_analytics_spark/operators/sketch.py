@@ -92,14 +92,20 @@ def heavy_hitters(
     min_ratio * total`` but with the shuffle bounded by the candidate set.
 
     Two input scans total: pass 1 emits (candidates + per-partition totals)
-    in ONE ``mapInPandas`` read (persisted — it is at most
-    ``partitions x (1/min_ratio + 1)`` rows); pass 2 is the broadcast
-    semi-join + exact count. Candidates are never null (pass 1 drops nulls),
-    so the null sentinel rows are unambiguous.
+    in ONE ``mapInPandas`` read, collected in ONE job — the scan output is
+    bounded at ``partitions x (1/min_ratio + 1)`` rows, so pulling it to the
+    driver is exactly the materialization a broadcast join performs anyway,
+    and nothing is left behind in the executor block store (no lingering
+    ``persist``). Pass 2 is the broadcast semi-join + exact count.
+    Candidates are never null (pass 1 drops nulls), so the null sentinel
+    rows are unambiguous.
     """
-    scan_out = _candidate_scan(items, col, min_ratio).persist()
-    total = scan_out.agg(F.sum("__part_rows")).first()[0] or 0
-    cand = scan_out.where(F.col(col).isNotNull()).select(col).distinct()
+    dtype = items.schema[col].dataType.simpleString()
+    rows = _candidate_scan(items, col, min_ratio).collect()
+    total = sum(r["__part_rows"] for r in rows if r["__part_rows"] is not None)
+    cand_vals = sorted({r[col] for r in rows if r[col] is not None})
+    spark = items.sparkSession
+    cand = spark.createDataFrame([(v,) for v in cand_vals], f"{col} {dtype}")
     exact = (
         items.join(F.broadcast(cand), on=col, how="left_semi")
         .groupBy(col)

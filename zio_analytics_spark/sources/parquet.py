@@ -44,10 +44,14 @@ def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = Non
     return df
 
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-# rejects. With spark.sql.legacy.parquet.nanosAsLong=true they arrive as long
-# nanos; we truncate to microseconds (DuckDB does the same ns→µs truncation).
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Event-time columns whose parquet storage has varied across testdata
+# generations: TIMESTAMP(NANOS) (arrives as long nanos under
+# spark.sql.legacy.parquet.nanosAsLong=true; truncate to µs exactly like
+# DuckDB does) or TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as
+# TIMESTAMP_NTZ; cast to session-local TIMESTAMP — identical instant under
+# the required UTC session timezone). Normalizing here means every consumer
+# sees one type: TIMESTAMP.
+_EVENT_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 # Runtime-settable SQL confs this engine depends on. Callers may hand us a
 # SparkSession built elsewhere (e.g. the verification driver's); these are
@@ -67,15 +71,27 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
+def normalize_event_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP regardless of storage."""
+    dtypes = dict(df.dtypes)
+    for col in cols:
+        if col not in dtypes:
+            continue
+        if dtypes[col] == "bigint":
+            # nanosAsLong legacy path: long nanos → µs-truncated timestamp.
+            # Integer division — float division loses precision on ~1e18 nanos.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dtypes[col] == "timestamp_ntz":
+            # µs-precision naive storage: same instant under UTC session tz.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, e.g. ``read_table(spark, '/root/testdata/sf0.01', 'lineitem')``."""
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANOS_TS_COLS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            # Integer division — float division loses precision on ~1e18 nanos.
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return df
+    return normalize_event_ts(df, _EVENT_TS_COLS.get(name, ()))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
