@@ -8,7 +8,6 @@ import warnings
 import pytest
 from pyspark.sql import functions as F
 
-from zio_analytics_spark.operators import accumulate
 from zio_analytics_spark.operators.accumulate import map_accumulate, map_accumulate_general
 
 
@@ -74,25 +73,50 @@ def test_state_threading_non_associative(spark):
     assert got == [2.0, 1.0, 4.0, -3.0, 7.0]
 
 
-def test_keyless_guard(spark, monkeypatch):
-    """Keyless total-order scans above the threshold warn; an explicit
-    keyless_limit raises; partition_by and keyless_limit=0 stay silent."""
+def test_keyless_guard_is_lazy(spark):
+    """Constructing a keyless map_accumulate must trigger NO Spark job:
+    the guard is an execution-time check, not an eager count (which would
+    itself be a full scan at 100 TB, run even for never-executed plans)."""
+    df = _frame(spark)
+    sc = spark.sparkContext
+    sc.setJobGroup("keyless-guard-construction", "plan build only")
+    try:
+        map_accumulate(df, order_by=["id"], running={"rs": F.sum("v")})
+        map_accumulate_general(
+            df, ["id"], lambda s, p: (s, p), "id long, k string, v double", lambda: 0
+        )
+        jobs = sc.statusTracker().getJobIdsForGroup("keyless-guard-construction")
+        assert list(jobs) == [], f"plan construction launched Spark jobs: {jobs}"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
+def test_keyless_guard_fires_at_execution(spark):
+    """Past the limit, the deferred guard fails the JOB (not the plan build)
+    with the total-order-cliff message; under the limit values are
+    untouched; partition_by / keyless_limit=0 disable it."""
     df = _frame(spark)
 
-    monkeypatch.setattr(accumulate, "KEYLESS_ROW_WARN_THRESHOLD", 3)
-    with pytest.warns(ResourceWarning, match="single-task total-order scan"):
-        map_accumulate(df, order_by=["id"], running={"rs": F.sum("v")})
+    over = map_accumulate(df, order_by=["id"], running={"rs": F.sum("v")}, keyless_limit=2)
+    with pytest.raises(Exception, match="single-task total-order scan"):
+        over.collect()
+    gen = map_accumulate_general(
+        df, ["id"], lambda s, p: (s, p), "id long, k string, v double", lambda: 0,
+        keyless_limit=2,
+    )
+    with pytest.raises(Exception, match="single-task total-order scan"):
+        gen.collect()
 
-    with pytest.raises(ValueError, match="single-task total-order scan"):
-        map_accumulate(df, order_by=["id"], running={"rs": F.sum("v")}, keyless_limit=2)
-    with pytest.raises(ValueError, match="single-task total-order scan"):
-        map_accumulate_general(
-            df, ["id"], lambda s, p: (s, p), "id long", lambda: 0, keyless_limit=2
-        )
+    # guard active but under the limit: values flow through unchanged
+    under = map_accumulate(df, order_by=["id"], running={"rs": F.sum("v")}, keyless_limit=10)
+    assert {r.id: r.rs for r in under.collect()} == {1: 2.0, 2: 5.0, 3: 10.0, 4: 11.0, 5: 15.0}
 
     with warnings.catch_warnings():
         warnings.simplefilter("error")
-        # keyed path: guard must not even run
-        map_accumulate(df, order_by=["id"], running={"rs": F.sum("v")}, partition_by=["k"])
-        # keyless but explicitly acknowledged
-        map_accumulate(df, order_by=["id"], running={"rs": F.sum("v")}, keyless_limit=0)
+        # keyed path and explicit acknowledgement: no guard, collect fine
+        map_accumulate(
+            df, order_by=["id"], running={"rs": F.sum("v")}, partition_by=["k"]
+        ).collect()
+        map_accumulate(
+            df, order_by=["id"], running={"rs": F.sum("v")}, keyless_limit=0
+        ).collect()

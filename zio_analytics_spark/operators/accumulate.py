@@ -26,7 +26,6 @@ equally explicit — it was the literal insertion order):
 
 from __future__ import annotations
 
-import warnings
 from collections.abc import Callable, Sequence
 from typing import Any
 
@@ -37,31 +36,19 @@ from pyspark.sql import functions as F
 __all__ = ["map_accumulate", "map_accumulate_general"]
 
 #: Above this many rows, a keyless (total-order) scan is almost certainly a
-#: mistake at scale — the whole input funnels through ONE task. The guard is
-#: advisory (warn) by default because total-order semantics are sometimes the
-#: point; ``keyless_limit`` makes it a hard error or disables it.
-KEYLESS_ROW_WARN_THRESHOLD = 10_000_000
+#: mistake at scale — the whole input funnels through ONE task. The guard
+#: fires AT EXECUTION TIME (an expression/in-task check, never a plan-build
+#: job — constructing the DataFrame stays lazy and free); ``keyless_limit``
+#: overrides the threshold, ``keyless_limit=0`` disables it.
+KEYLESS_ROW_LIMIT = 10_000_000
 
 
-def _guard_keyless(df: DataFrame, op: str, keyless_limit: int | None) -> None:
-    """Warn (or raise) when a keyless total-order scan looks too big.
-
-    The size check is a distributed ``count()`` — itself parallel and cheap
-    relative to the single-task scan it guards against.
-    """
-    if keyless_limit == 0:
-        return
-    limit = keyless_limit or KEYLESS_ROW_WARN_THRESHOLD
-    n = df.count()
-    if n > limit:
-        msg = (
-            f"{op} without partition_by forces a single-task total-order scan "
-            f"over {n:,} rows (> {limit:,}); pass partition_by keys, or "
-            "keyless_limit=0 to acknowledge the total-order cliff"
-        )
-        if keyless_limit is not None:
-            raise ValueError(msg)
-        warnings.warn(msg, ResourceWarning, stacklevel=3)
+def _keyless_msg(op: str, limit: int) -> str:
+    return (
+        f"{op} without partition_by forces a single-task total-order scan "
+        f"over more than {limit:,} rows; pass partition_by keys, or "
+        "keyless_limit=0 to acknowledge the total-order cliff"
+    )
 
 
 def map_accumulate(
@@ -77,18 +64,34 @@ def map_accumulate(
     ``{"running_sum": F.sum("value")}``. Each becomes
     ``agg.over(window.rowsBetween(unboundedPreceding, currentRow))``.
 
-    Without ``partition_by`` Spark plans a single-partition window; above
-    ``keyless_limit`` rows (default: warn at ``KEYLESS_ROW_WARN_THRESHOLD``,
-    raise if a limit is given, ``0`` disables) the keyless guard fires.
+    Without ``partition_by`` Spark plans a single-partition window. The
+    keyless guard is a DEFERRED runtime check: the first running column is
+    wrapped in ``when(row_count > limit, raise_error(...))`` over the same
+    frame, so exceeding ``keyless_limit`` rows (default
+    ``KEYLESS_ROW_LIMIT``; ``0`` disables) fails the job with a clear
+    message — and building the plan never triggers a Spark job (laziness is
+    part of the DataFrame contract; an eager count here would itself be a
+    full scan at 100 TB, running even for never-executed plans).
     """
-    if not partition_by:
-        _guard_keyless(df, "map_accumulate", keyless_limit)
     w = W.partitionBy(*partition_by) if partition_by else W.partitionBy()
     w = w.orderBy(*[F.col(c) if isinstance(c, str) else c for c in order_by])
     w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    guard: Column | None = None
+    if not partition_by and keyless_limit != 0:
+        limit = keyless_limit or KEYLESS_ROW_LIMIT
+        # Running row count over the SAME frame — computed in the same
+        # single window pass, no extra job. Embedded in the first output
+        # column so it cannot be pruned while the result is consumed.
+        guard = F.count(F.lit(1)).over(w) > F.lit(limit)
     out = df
     for name, agg in running.items():
-        out = out.withColumn(name, agg.over(w))
+        expr = agg.over(w)
+        if guard is not None:
+            expr = F.when(
+                guard, F.raise_error(F.lit(_keyless_msg("map_accumulate", limit)))
+            ).otherwise(expr)
+            guard = None
+        out = out.withColumn(name, expr)
     return out
 
 
@@ -106,10 +109,11 @@ def map_accumulate_general(
     ``fn`` receives the state and a sorted pandas chunk, returns updated state
     and the output chunk. With ``partition_by``, state is per-key and the scan
     runs parallel per group (``applyInPandas``). Without keys the frame is
-    coalesced to ONE partition — a documented scale cliff that only total-order
-    semantics can demand; the keyless guard warns above
-    ``KEYLESS_ROW_WARN_THRESHOLD`` rows (raises if ``keyless_limit`` is given,
-    ``keyless_limit=0`` disables).
+    coalesced to ONE partition — a documented scale cliff that only
+    total-order semantics can demand; the keyless guard counts rows INSIDE
+    the scan task and raises past ``keyless_limit`` (default
+    ``KEYLESS_ROW_LIMIT``, ``0`` disables) — a deferred in-task check, so
+    building the plan never triggers a Spark job.
     """
     def scan(pdf):
         pdf = pdf.sort_values(list(order_by), kind="mergesort")
@@ -120,13 +124,21 @@ def map_accumulate_general(
     if partition_by:
         return df.groupBy(*partition_by).applyInPandas(lambda pdf: scan(pdf), schema)
 
+    limit = None if keyless_limit == 0 else (keyless_limit or KEYLESS_ROW_LIMIT)
+    msg = _keyless_msg("map_accumulate_general", limit or 0)
+
     def scan_partition(it):
         import pandas as pd
 
-        chunks = list(it)
+        chunks = []
+        n = 0
+        for chunk in it:
+            n += len(chunk)
+            if limit is not None and n > limit:
+                raise ValueError(msg)
+            chunks.append(chunk)
         if not chunks:
             return
         yield scan(pd.concat(chunks, ignore_index=True))
 
-    _guard_keyless(df, "map_accumulate_general", keyless_limit)
     return df.coalesce(1).mapInPandas(scan_partition, schema)
