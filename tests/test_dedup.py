@@ -114,3 +114,60 @@ def test_cluster_duplicates_long_chain(spark):
     )
     out = {r.node: r.cluster for r in dedup.cluster_duplicates(pairs).collect()}
     assert set(out.values()) == {1} and len(out) == 12
+
+
+def test_lsh_calibrate_scurve():
+    """Calibration must guarantee candidate recall >= target at the
+    threshold, and reject thresholds the budget cannot serve."""
+    for t in (0.2, 0.3, 0.5, 0.8):
+        nh, b = dedup.lsh_calibrate(t, target_recall=0.9)
+        assert nh % b == 0 and nh <= 128
+        assert dedup.lsh_recall_at(t, b, nh // b) >= 0.9
+    # round 2's defective configuration: 16/8 at t=0.05 was ~2% recall
+    assert dedup.lsh_recall_at(0.05, 8, 2) < 0.05
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no \\(bands, rows\\)"):
+        dedup.lsh_calibrate(0.005, target_recall=0.9, max_hashes=128)
+
+
+def test_minhash_rejects_uncalibrated_banding(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="candidate .?recall"):
+        dedup.minhash_lsh_pairs(
+            _docs(spark), num_hashes=16, bands=8, threshold=0.05
+        )
+
+
+def _planted_pairs_at_threshold(spark, n_pairs=150):
+    """Corpus of doc pairs with jaccard EXACTLY 0.2: each doc has 30 word
+    3-shingles, the pair shares 10 (12 shared prefix tokens + 20 unique
+    tail tokens -> shared = 12-2 = 10, total = 32-2 = 30; j = 10/50)."""
+    rows = []
+    for k in range(n_pairs):
+        prefix = [f"p{k}x{i}" for i in range(12)]
+        a_tail = [f"a{k}x{i}" for i in range(20)]
+        b_tail = [f"b{k}x{i}" for i in range(20)]
+        rows.append((2 * k, " ".join(prefix + a_tail)))
+        rows.append((2 * k + 1, " ".join(prefix + b_tail)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_recall_at_threshold(spark):
+    """Planted pairs AT the declared boundary (j = threshold = 0.2), not
+    just high-j dups: calibrated banding must recover >= ~0.9 of them.
+    (This is exactly the case the round-2 fixed 16/8 banding missed: its
+    candidate probability at j=0.2 was 1-(1-0.04)^8 = 0.28.)"""
+    docs = _planted_pairs_at_threshold(spark)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    planted = {(2 * k, 2 * k + 1) for k in range(150)}
+    recall = len(got & planted) / len(planted)
+    # xxhash64 is deterministic -> this is a fixed number; the bound leaves
+    # room for the binomial tail around the 0.9 design point.
+    assert recall >= 0.85, f"recall {recall:.3f} at j=threshold"
+    # verification stage keeps precision exact: no pair below threshold
+    assert all(p in planted or p[0] // 2 == p[1] // 2 for p in got)

@@ -1272,7 +1272,13 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_minhash", oracle=None)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(read_table(spark, sf_dir, "documents"), threshold=0.05)
+    """Banding auto-calibrated to the threshold (lsh_calibrate): 50 hashes /
+    25 bands of 2 ⇒ candidate recall ≥ 0.9 at j = 0.3, →1 above. (Round 2
+    ran threshold=0.05 against a fixed 16/8 scheme — ~2% candidate recall at
+    the boundary; thresholds that low are below what banded LSH can serve in
+    a sane hash budget and now raise — exhaustive low-threshold search is
+    jaccard_pairs' job, see dedup_ngram_jaccard.)"""
+    return dedup.minhash_lsh_pairs(read_table(spark, sf_dir, "documents"), threshold=0.3)
 
 
 @register("dedup_simhash", oracle=None, bench=True)

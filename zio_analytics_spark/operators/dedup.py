@@ -33,6 +33,8 @@ from zio_analytics_spark.operators.text import tokens, word_shingles
 __all__ = [
     "exact_dedup",
     "jaccard_pairs",
+    "lsh_calibrate",
+    "lsh_recall_at",
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
@@ -143,26 +145,92 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     )
 
 
+def lsh_calibrate(
+    threshold: float, target_recall: float = 0.9, max_hashes: int = 128
+) -> tuple[int, int]:
+    """Derive ``(num_hashes, bands)`` from the Jaccard threshold.
+
+    Banded-LSH candidate probability at similarity ``j`` with ``b`` bands of
+    ``r`` rows is ``1 - (1 - j^r)^b`` (the S-curve). We pick the LARGEST
+    ``r`` whose required band count ``b = ceil(ln(1-recall) / ln(1-t^r))``
+    still fits the hash budget — larger ``r`` sharpens the S-curve, i.e.
+    fewer false-positive candidates for the same recall at the threshold —
+    and recall only improves above ``t``. Raises when even ``r=1`` cannot
+    reach the target within ``max_hashes``: that threshold is simply below
+    what banded MinHash-LSH can serve at this budget, and silently shipping
+    ~0 recall (the round-2 defect: 16/8 banding at t=0.05 ⇒ ~2% candidate
+    probability) is worse than failing loudly.
+    """
+    import math
+
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if not 0 < target_recall < 1:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    log_miss = math.log(1.0 - target_recall)
+    for r in range(max_hashes, 0, -1):
+        p = threshold**r
+        if p >= 1.0:
+            return r, 1
+        if p <= 0.0:  # underflow: no finite band count reaches the target
+            continue
+        b = math.ceil(log_miss / math.log1p(-p))  # log1p: exact for tiny p
+        if b * r <= max_hashes:
+            return b * r, b
+    raise ValueError(
+        f"no (bands, rows) within {max_hashes} hashes reaches recall "
+        f"{target_recall} at threshold {threshold}; lower the threshold's "
+        "ambition (use jaccard_pairs for exhaustive low-threshold search) "
+        "or raise max_hashes"
+    )
+
+
+def lsh_recall_at(threshold: float, bands: int, rows_per_band: int) -> float:
+    """Candidate-generation recall of a (bands, rows) scheme at similarity t."""
+    return 1.0 - (1.0 - threshold**rows_per_band) ** bands
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     threshold: float = 0.5,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-Jaccard verified.
 
-    Pipeline: shingle → 16-way MinHash (Column exprs, no UDF) → split the
+    Pipeline: shingle → MinHash signature (Column exprs, no UDF) → split the
     signature into ``bands`` band-hashes → explode → self-equi-join on
     (band index, band hash) → distinct candidate pairs → verify with exact
     Jaccard ≥ threshold.
 
+    Banding is CALIBRATED TO THE THRESHOLD: by default ``(num_hashes,
+    bands)`` comes from :func:`lsh_calibrate`, guaranteeing candidate recall
+    ≥ ``target_recall`` at ``j = threshold`` (and better above). Passing an
+    explicit scheme is allowed but validated against the same bound — a
+    scheme whose recall at the threshold is below target raises instead of
+    silently missing near-duplicates.
+
     Scale: candidate generation is shuffle-on-band-key (near-linear); only
-    verified candidates pay the array-intersect cost. Recall for j ≥ 0.5 with
-    16 hashes / 8 bands of 2: 1-(1-j²)^8 ≈ 0.93 at j=0.5, →1 quickly above.
+    verified candidates pay the array-intersect cost.
     """
+    if (num_hashes is None) != (bands is None):
+        raise ValueError("pass both num_hashes and bands, or neither (auto-calibrate)")
+    if num_hashes is None:
+        num_hashes, bands = lsh_calibrate(threshold, target_recall)
+    elif num_hashes % bands != 0:
+        raise ValueError(f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
+    else:
+        recall = lsh_recall_at(threshold, bands, num_hashes // bands)
+        if recall < target_recall:
+            raise ValueError(
+                f"banding {num_hashes} hashes / {bands} bands has candidate "
+                f"recall {recall:.3f} at threshold {threshold} < target "
+                f"{target_recall}; use lsh_calibrate or pass a sharper scheme"
+            )
     rows_per_band = num_hashes // bands
     # Shingle table is read three times (signature build + two verify joins):
     # persist it. At 100 TB this is a materialized intermediate table.
