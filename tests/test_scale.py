@@ -204,3 +204,56 @@ def test_jaccard_pairs_materializes_shingles_once(spark):
         assert "InMemoryRelation" in plan, plan[:3000]
     finally:
         spark.catalog.clearCache()
+
+
+def test_ann_partitioned_index_prunes_to_probed_buckets(spark, sf_dir, tmp_path):
+    """The precomputed ANN layout contract: bucket is a PARTITION column,
+    so a query's `bucket IN (probes)` plans as a PartitionFilter and the
+    scan reads ONLY the probed bucket directories — len(probes)/2^n_planes
+    of the files. This is what makes ANN viable at 100 TB: the index build
+    is one-time, each query touches a constant fraction of the data."""
+    import re
+
+    from zio_analytics_spark.operators import ann_index
+    from zio_analytics_spark.operators.similarity import make_planes
+    from zio_analytics_spark.sources.parquet import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").where("vec_id <> 0")
+    path = str(tmp_path / "lsh_idx")
+    ann_index.build_lsh_index(emb, path, n_planes=4, seed=42)
+    qv = [
+        float(x)
+        for x in read_table(spark, sf_dir, "embeddings")
+        .where("vec_id = 0")
+        .first()["embedding"]
+    ]
+    q = ann_index.query_lsh_index(spark, path, qv, k=5, n_planes=4, seed=42)
+    assert len(q.collect()) == 5
+
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[bucket#\d+ IN \(", plan), plan[:3000]
+
+    def find_scan(node):
+        if "FileSourceScan" in node.getClass().getSimpleName():
+            return node
+        for i in range(node.children().size()):
+            got = find_scan(node.children().apply(i))
+            if got is not None:
+                return got
+        return None
+
+    scan = find_scan(q._jdf.queryExecution().executedPlan())
+    assert scan is not None, plan[:3000]
+    n_probes = len(
+        ann_index.probe_buckets(
+            ann_index.query_bucket(qv, make_planes(len(qv), 4, 42)), 4
+        )
+    )
+    metrics = {}
+    it = scan.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        metrics[kv._1()] = kv._2().value()
+    # one file per bucket at this size: files read == probed partitions << 16
+    assert metrics["numPartitions"] <= n_probes, metrics
+    assert metrics["numPartitions"] < 16, metrics
