@@ -2907,6 +2907,42 @@ def q_streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_complete(out, "stream_sess")
 
 
+@register(
+    "streaming_checkpoint_recovery",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart-survivability, proven end to end: the events table is laid
+    out as 4 files (1 file = 1 micro-batch), a checkpointed RocksDB-state
+    aggregation is KILLED after 2 committed batches and restarted from the
+    same checkpoint, and the final result must hash-equal the batch oracle
+    over the whole table — committed offsets stop re-reads (no double
+    counts), recovered state stops undercounts: exactly-once. This is the
+    Structured Streaming property the reference's in-memory runtime
+    (Local.scala:214-226) cannot offer; no other entry exercises it."""
+    import tempfile
+
+    from zio_analytics_spark.streaming import recovery
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "value")
+    src = tempfile.mkdtemp(prefix="zas_ckpt_src_")
+    ckpt = tempfile.mkdtemp(prefix="zas_ckpt_cp_")
+    recovery.split_into_files(ev, src, n_files=4)
+    return recovery.run_kill_restart(
+        spark,
+        src,
+        "user_id long, value double",
+        lambda st: st.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+        ),
+        ckpt,
+        stop_after_batches=2,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -1,0 +1,120 @@
+"""Checkpoint recovery — the defining Structured Streaming property.
+
+Everything else in streaming/ runs a query to completion in one process.
+This module demonstrates (and tests assert) restart-survivability: a
+streaming aggregation is KILLED mid-stream and restarted from its
+checkpoint, and the final result is exactly the batch answer — offsets
+(``checkpoint/offsets``, ``commits``) stop source re-reads, recovered state
+(``checkpoint/state``) stops undercounts, together = exactly-once.
+
+The state store is RocksDB (``RocksDBStateStoreProvider``) — the provider a
+real cluster runs, where keyed state exceeds executor heap: state lives
+off-heap/on-disk per partition and checkpoints upload compacted snapshots
+(the ``state/<op>/<part>/N.zip`` files) instead of JVM-heap HashMap deltas.
+
+Reference parity: the reference's runtime holds all state in process memory
+with no persistence whatsoever (/root/reference/src/main/scala/zio/
+analytics/Local.scala:214-226 — ``mapAccum`` over an in-memory tuple);
+recovery is the part of its "distributed stream processing" aspiration that
+only an engine with durable checkpoints can deliver.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "ROCKSDB_PROVIDER",
+    "split_into_files",
+    "start_complete_query",
+    "run_kill_restart",
+]
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def split_into_files(df: DataFrame, path: str, n_files: int) -> None:
+    """Lay a bounded frame out as ``n_files`` parquet files: with
+    ``maxFilesPerTrigger=1`` each file becomes one micro-batch, which is
+    what makes "kill after batch k of n" a meaningful experiment."""
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+
+
+def start_complete_query(
+    spark: SparkSession,
+    src_path: str,
+    schema,
+    build_agg: Callable[[DataFrame], DataFrame],
+    ckpt_path: str,
+    name: str,
+):
+    """Start a checkpointed complete-mode aggregation over a file-stream
+    (one file per micro-batch, RocksDB state store); returns the query."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+    )
+    return (
+        build_agg(st)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt_path)
+        .start()
+    )
+
+
+def run_kill_restart(
+    spark: SparkSession,
+    src_path: str,
+    schema,
+    build_agg: Callable[[DataFrame], DataFrame],
+    ckpt_path: str,
+    stop_after_batches: int = 2,
+    timeout_sec: float = 120.0,
+) -> DataFrame:
+    """Run ``build_agg`` over a file-stream of ``src_path`` with a real
+    checkpoint, kill the query after ``stop_after_batches`` non-empty
+    micro-batches, restart it from the same checkpoint, drain, and return
+    the final (complete-mode) result as a DataFrame.
+
+    The restarted query resumes from ``checkpoint/commits`` — it re-reads
+    NO committed file and restores operator state from the RocksDB
+    snapshots, so the returned frame equals the batch aggregation over the
+    whole directory iff recovery is exactly-once (the oracle check).
+    """
+    import uuid
+
+    run1 = f"ckpt_run1_{uuid.uuid4().hex[:8]}"
+    run2 = f"ckpt_run2_{uuid.uuid4().hex[:8]}"
+
+    def start(name: str):
+        return start_complete_query(spark, src_path, schema, build_agg, ckpt_path, name)
+
+    q1 = start(run1)
+    deadline = time.monotonic() + timeout_sec
+    try:
+        while (
+            len([p for p in q1.recentProgress if p["numInputRows"] > 0])
+            < stop_after_batches
+        ):
+            if time.monotonic() > deadline:
+                raise TimeoutError("stream never reached the kill point")
+            time.sleep(0.1)
+    finally:
+        q1.stop()  # the "kill": mid-stream, uncommitted files remain
+    q1.awaitTermination()
+
+    q2 = start(run2)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    return spark.sql(f"SELECT * FROM {run2}")
