@@ -75,10 +75,23 @@ _WORDCOUNT_ROWS = [(12, "quick"), (15, "quick"), (30, "brown"), (40, "brown")]
     """,
 )
 def q_from_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference WordCountSpec pipeline, constructed the way reference
+    users write it — lambdas over the row proxy, applied once at plan-build
+    time (WordCountSpec.scala:9-17: ``assignTimestamps(_._1)`` →
+    ``groupBy(_.value._2)`` → ``foldWindow(tumbling(10.millis))``): no named
+    F.col references in user code."""
+    from zio_analytics_spark.windows import tumbling
+
     ds = DataStream.from_literals(spark, _WORDCOUNT_ROWS, schema="ts_ms long, word string")
     return (
-        ds.group_by("word", window_start_ms=(F.floor(F.col("ts_ms") / 10) * 10).cast("long"))
-        .fold(n=F.count("*"))
+        ds.assign_timestamps(lambda r: F.timestamp_millis(r.ts_ms))
+        .group_by("word")
+        .fold_window(tumbling("10 milliseconds"), n=F.count(F.lit(1)))
+        .map(
+            "word",
+            "n",
+            window_start_ms=lambda r: F.unix_millis(r.window_start),
+        )
         .to_df()
     )
 

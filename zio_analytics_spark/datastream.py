@@ -40,11 +40,29 @@ from zio_analytics_spark.windows import WindowAssigner
 
 __all__ = ["DataStream"]
 
-ColumnLike = Column | str
+#: A column reference: a Column, a column name, or a USER LAMBDA over the
+#: row proxy (``lambda r: r.value * 2``) — the reference's ``f(Expression.
+#: Id())`` construction (DataStream.scala:59-84): the lambda runs ONCE at
+#: plan-build time and must return a Column; no closure survives into the
+#: plan. See zio_analytics_spark.functions.arrows.
+ColumnLike = Column | str | Callable[..., Column]
 
 
 def _to_col(c: ColumnLike) -> Column:
-    return F.col(c) if isinstance(c, str) else c
+    if isinstance(c, str):
+        return F.col(c)
+    if isinstance(c, Column):
+        return c
+    if callable(c):
+        from zio_analytics_spark.functions.arrows import apply_row_lambda
+
+        out = apply_row_lambda(c)
+        if not isinstance(out, Column):
+            raise TypeError(
+                f"row lambda must return a Column, got {type(out).__name__}"
+            )
+        return out
+    raise TypeError(f"expected Column, name, or row lambda; got {type(c).__name__}")
 
 
 _INTERVAL_UNITS_US = {
