@@ -1633,12 +1633,56 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.join(keepers, "doc_id", "left_semi").select("doc_id", "n_tokens")
 
 
-@register("multimodal_decode", oracle=None)
+@register(
+    "multimodal_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+    ), xs AS (
+      SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+    ), px AS (
+      SELECT doc_id, w, h, (doc_id + 3 * x + 7 * unnest(range(0, h))) % 256 AS v
+      FROM xs
+    )
+    SELECT doc_id,
+           max(w)::INT AS width, max(h)::INT AS height,
+           (max(w) * max(h))::BIGINT AS n_pixels,
+           avg(v) AS mean_byte,
+           min(v)::INT AS min_byte, max(v)::INT AS max_byte,
+           (doc_id % 256)::INT AS first_px
+    FROM px GROUP BY doc_id
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from zio_analytics_spark.operators.multimodal import attach_binary, map_decode
+    """REAL binary image decode, oracle-checked end to end: each document
+    gets a deterministic uncompressed 24-bit BMP payload (dimensions and
+    the pixel field (doc_id + 3x + 7y) mod 256 are pure functions of
+    doc_id), encoded by a pure-Python BMP writer in one Arrow stage and
+    parsed back — header, BGR order, row padding, bottom-up rows — by the
+    pure-Python parser in decode_pixel_stats. The DuckDB oracle predicts
+    every stat analytically from the same formulas, so any parser defect
+    (wrong stride, missed row flip, channel swap) hash-mismatches;
+    ``first_px`` (top-left red channel) specifically catches orientation
+    bugs that order-insensitive stats cannot."""
+    from zio_analytics_spark.operators.multimodal import decode_pixel_stats, encode_bmp
 
-    docs = attach_binary(read_table(spark, sf_dir, "documents"), "text")
-    return map_decode(docs)
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+
+                def gray(x, y, i=int(i)):
+                    v = (i + 3 * x + 7 * y) % 256
+                    return (v, v, v)
+
+                payloads.append(encode_bmp(4 + int(i) % 5, 3 + int(i) % 4, gray))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_pixel_stats(payloads)
 
 
 # =====================================================================

@@ -1,10 +1,12 @@
 """[EXT] Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata (SURVEY.md §2.4 tail).
 
-The container has no image/audio codecs, so the *decode* step is a
-deliberately-stubbed seam (``NotImplementedError`` or a deterministic fake) —
-but everything Spark-side is real and tested: the schema convention, the
-Arrow-batched ``mapInPandas`` plumbing, batch shapes, and partition sizing.
+The decode stage is REAL for the formats a pure-Python parser can own:
+uncompressed 24-bit BMP (BI_RGB) and binary PPM (P6) — header parse, row
+padding, bottom-up row order, pixel stats — inside the Arrow-batched
+``mapInPandas`` seam. Compressed codecs (JPEG/PNG/audio/video) stay behind
+the same seam as a stub (no codec libraries in this container): swap
+``decode_image`` for a PIL/libvips call and nothing else changes.
 
 Schema convention for a multimodal asset column::
 
@@ -19,14 +21,24 @@ decode stage so pruning happens at the parquet scan.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attach_binary", "binary_meta", "decode_image_stub", "map_decode"]
+__all__ = [
+    "attach_binary",
+    "binary_meta",
+    "encode_bmp",
+    "decode_image",
+    "decode_pixel_stats",
+    "decode_image_stub",
+    "map_decode",
+]
 
 
 def attach_binary(df: DataFrame, src_col: str, out_col: str = "payload") -> DataFrame:
@@ -40,6 +52,118 @@ def binary_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
     return df.withColumn("n_bytes", F.octet_length(F.col(bin_col)).cast("long")).withColumn(
         "content_sha", F.sha2(F.col(bin_col), 256)
     )
+
+
+def encode_bmp(width: int, height: int, pixel_of: Callable[[int, int], tuple[int, int, int]]) -> bytes:
+    """Pure-Python uncompressed 24-bit BMP writer (BI_RGB): 54-byte header,
+    rows bottom-up, BGR channel order, each row padded to a 4-byte multiple.
+    ``pixel_of(x, y)`` gives (r, g, b) for the TOP-LEFT-origin pixel grid."""
+    row_stride = (width * 3 + 3) & ~3
+    data_size = row_stride * height
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + data_size, 0, 0, 54,      # file header: size, data offset
+        40, width, height, 1, 24,             # BITMAPINFOHEADER, planes, bpp
+        0, data_size, 2835, 2835, 0, 0,       # BI_RGB, image size, 72 DPI
+    )
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):       # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixel_of(x, y)
+            row += bytes((b & 0xFF, g & 0xFF, r & 0xFF))  # BGR on disk
+        row += b"\x00" * (row_stride - len(row))
+        rows += row
+    return header + bytes(rows)
+
+
+def decode_image(payload: bytes) -> dict:
+    """REAL pure-Python image decode for BMP (BI_RGB 24bpp) and PPM (P6).
+
+    Returns ``{width, height, mode, pixels}`` where ``pixels`` is an
+    (height, width, 3) uint8 RGB array in TOP-LEFT-origin order — i.e. the
+    parser undoes BMP's bottom-up row storage, strips row padding, and
+    swaps BGR→RGB; for PPM it parses the ASCII header (with comment lines)
+    and maxval. Unsupported/compressed formats raise ``ValueError`` —
+    route those to a codec-library decoder behind the same seam.
+    """
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty payload")
+    magic = bytes(payload[:2])
+    if magic == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise ValueError(f"only BI_RGB 24bpp BMP supported (bpp={bpp}, comp={compression})")
+        bottom_up = height > 0
+        height = abs(height)
+        row_stride = (width * 3 + 3) & ~3
+        px = np.frombuffer(payload, dtype=np.uint8, count=row_stride * height, offset=data_off)
+        px = px.reshape(height, row_stride)[:, : width * 3].reshape(height, width, 3)
+        if bottom_up:
+            px = px[::-1]
+        return {"width": width, "height": height, "mode": "RGB", "pixels": px[:, :, ::-1]}
+    if magic == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single ws> data
+        pos, fields = 2, []
+        b = bytes(payload)
+        while len(fields) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":  # comment to end of line
+                pos = b.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(b[start:pos]))
+        pos += 1  # exactly one whitespace byte before the raster
+        width, height, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+        px = np.frombuffer(b, dtype=np.uint8, count=width * height * 3, offset=pos)
+        return {"width": width, "height": height, "mode": "RGB", "pixels": px.reshape(height, width, 3)}
+    raise ValueError(f"unsupported image format (magic={magic!r}); plug a codec decoder into this seam")
+
+
+def decode_pixel_stats(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched REAL decode stage: parse each payload with
+    :func:`decode_image` and emit per-image pixel statistics — the shape of
+    any decode/feature-extract stage (metadata-size output; payload bytes
+    never leave the task). ``first_px`` is the top-left red channel, which
+    catches row-order/padding/offset parser bugs that order-insensitive
+    stats would miss."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "width", "height", "n_pixels", "mean_byte", "min_byte", "max_byte", "first_px")}
+            for i, p in zip(pdf[id_col], pdf[bin_col]):
+                m = decode_image(p)
+                px = m["pixels"]
+                out["id"].append(i)
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["n_pixels"].append(m["width"] * m["height"])
+                # exact int sum, one double division: bitwise-reproducible
+                out["mean_byte"].append(float(int(px.sum(dtype=np.int64))) / px.size)
+                out["min_byte"].append(int(px.min()))
+                out["max_byte"].append(int(px.max()))
+                out["first_px"].append(int(px[0, 0, 0]))
+            yield pd.DataFrame({id_col if k == "id" else k: v for k, v in out.items()})
+
+    schema = (
+        f"{id_col} long, width int, height int, n_pixels long, "
+        "mean_byte double, min_byte int, max_byte int, first_px int"
+    )
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
 
 
 def decode_image_stub(payload: bytes) -> dict:
