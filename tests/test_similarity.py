@@ -77,3 +77,33 @@ def test_lsh_scan_reduction(spark, sf_dir):
     probes = [qb] + [qb ^ (1 << i) for i in range(6)]
     cand = v.where(F.col("b").isin(probes)).count()
     assert cand < total * 0.5
+
+
+def test_ivf_partitioned_index_recall_and_pruning(spark, tmp_path):
+    """The precomputed IVF layout: build once (cells partitioned, centroid
+    sidecar), query prunes to nprobe cell dirs, recall holds on planted
+    clusters — and the sidecar never pollutes reads of the index dir."""
+    import re
+
+    import numpy as np
+
+    from zio_analytics_spark.operators import ann_index
+
+    rng = np.random.RandomState(11)
+    q = rng.randn(32)
+    near = [(i, (q + 0.15 * rng.randn(32)).tolist()) for i in range(10)]
+    far = [(100 + i, rng.randn(32).tolist()) for i in range(300)]
+    df = spark.createDataFrame(near + far, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    ann_index.build_ivf_index(df, path, n_cells=8)
+
+    # plain read of the index dir sees only data columns + cell partition
+    assert set(spark.read.parquet(path).columns) == {"vec_id", "embedding", "cell"}
+
+    out = ann_index.query_ivf_index(spark, path, q.tolist(), k=10, nprobe=2)
+    got = {r.vec_id for r in out.collect()}
+    exact = {r.vec_id for r in similarity.brute_force_topk(df, q.tolist(), k=10).collect()}
+    assert len(got & exact) >= 8
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cell#\d+ IN \(", plan), plan[:3000]

@@ -2004,9 +2004,20 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_ann_ivf", oracle=None)
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN on the PRECOMPUTED layout (operators/ann_index.py): cells
+    assigned once at build, table partitioned by cell, centroid sidecar in
+    the index dir; the query prunes to its nprobe nearest cell directories.
+    Rows-only here (k-means isn't SQL-replicable); recall vs brute force is
+    asserted in tests/test_similarity.py, pruning in tests/test_scale.py."""
+    import tempfile
+
+    from zio_analytics_spark.operators import ann_index
+
     qv = _query_vec(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
-    return similarity.ivf_topk(emb, qv, k=10, n_cells=16, nprobe=4)
+    path = tempfile.mkdtemp(prefix="zas_ivf_idx_")
+    ann_index.build_ivf_index(emb, path, n_cells=16)
+    return ann_index.query_ivf_index(spark, path, qv, k=10, nprobe=4)
 
 
 # =====================================================================

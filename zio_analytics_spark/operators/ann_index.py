@@ -31,7 +31,14 @@ from zio_analytics_spark.operators.similarity import (
     make_planes,
 )
 
-__all__ = ["build_lsh_index", "query_lsh_index", "query_bucket", "probe_buckets"]
+__all__ = [
+    "build_lsh_index",
+    "query_lsh_index",
+    "query_bucket",
+    "probe_buckets",
+    "build_ivf_index",
+    "query_ivf_index",
+]
 
 
 def query_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
@@ -97,4 +104,58 @@ def query_lsh_index(
     planes = make_planes(len(query_vec), n_planes, seed)
     probes = probe_buckets(query_bucket(query_vec, planes), n_planes, probe_hamming)
     idx = spark.read.parquet(path).where(F.col("bucket").isin(probes))
+    return brute_force_topk(idx, query_vec, k, vec_col, id_col)
+
+
+def _centroids_path(path: str) -> str:
+    # Underscore prefix: Spark's file index skips _-prefixed entries (like
+    # _SUCCESS), so the sidecar never pollutes reads of the data directory.
+    import os
+
+    return os.path.join(path, "_ivf_centroids.npy")
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+) -> None:
+    """One-time IVF build: train centroids, assign each row's cell ONCE,
+    write the table partitioned by cell, persist the centroids as an
+    ``_``-prefixed sidecar inside the index directory (ignored by parquet
+    readers, exactly like ``_SUCCESS``)."""
+    import numpy as np
+
+    from zio_analytics_spark.operators.similarity import ivf_cell_udf, train_ivf_centroids
+
+    Cn = train_ivf_centroids(df, vec_col, id_col, n_cells)
+    cell_of = ivf_cell_udf(Cn)
+    out = df.withColumn("cell", cell_of(F.col(vec_col)))
+    out.write.partitionBy("cell").mode("overwrite").parquet(path)
+    with open(_centroids_path(path), "wb") as f:
+        np.save(f, Cn)
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Partition-pruned IVF query: load the centroid sidecar, pick the
+    ``nprobe`` nearest cells driver-side, scan only those cell directories
+    (``cell IN (probes)`` is a PartitionFilter), exact cosine inside."""
+    import numpy as np
+
+    from zio_analytics_spark.operators.similarity import ivf_probes
+
+    with open(_centroids_path(path), "rb") as f:
+        Cn = np.load(f)
+    probes = ivf_probes(Cn, query_vec, nprobe)
+    idx = spark.read.parquet(path).where(F.col("cell").isin(probes))
     return brute_force_topk(idx, query_vec, k, vec_col, id_col)

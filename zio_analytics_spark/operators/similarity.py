@@ -21,7 +21,16 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_similarity", "brute_force_topk", "hyperplane_bucket", "lsh_topk", "ivf_topk"]
+__all__ = [
+    "cosine_similarity",
+    "brute_force_topk",
+    "hyperplane_bucket",
+    "lsh_topk",
+    "train_ivf_centroids",
+    "ivf_cell_udf",
+    "ivf_probes",
+    "ivf_topk",
+]
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
@@ -105,29 +114,16 @@ def lsh_topk(
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
-def ivf_topk(
+def train_ivf_centroids(
     df: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_cells: int = 16,
-    nprobe: int = 4,
-) -> DataFrame:
-    """Approximate top-k via an inverted-file (IVF) index.
-
-    Centroids are trained driver-side with spherical k-means (a few Lloyd
-    iterations) on a fixed-size deterministic sample (lowest ``xxhash64(id)``
-    — uniform and seed-free, so the sample stays bounded no matter the table
-    size). Assignment is a vectorized numpy matmul inside an Arrow-batched
-    ``pandas_udf`` — the 10-100x-over-row-UDF fast path. The query probes its
-    ``nprobe`` nearest cells and runs exact cosine top-k inside them, so the
-    candidate scan covers ~``nprobe/n_cells`` of the rows. At 100 TB the cell
-    id is precomputed once and the table partitioned by it, so a query reads
-    only the probed partitions.
-    """
-    from pyspark.sql.functions import pandas_udf
-
+) -> np.ndarray:
+    """Spherical-k-means centroids (unit-norm, shape ``(n_cells, dim)``),
+    trained driver-side on a fixed-size deterministic sample (lowest
+    ``xxhash64(id)`` — uniform and seed-free, so the sample stays bounded no
+    matter the table size). Deterministic: no RNG anywhere."""
     sample_rows = (
         df.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)))
@@ -137,13 +133,21 @@ def ivf_topk(
     S = np.array([[float(x) for x in r[1]] for r in sample_rows], dtype=np.float64)
     Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
     Cn = Sn[:n_cells].copy()
-    for _ in range(8):  # spherical k-means; deterministic (no RNG)
+    for _ in range(8):  # Lloyd iterations
         assign = np.argmax(Sn @ Cn.T, axis=1)
         for c in range(n_cells):
             members = Sn[assign == c]
             if len(members):
                 Cn[c] = members.mean(axis=0)
         Cn = Cn / np.maximum(np.linalg.norm(Cn, axis=1, keepdims=True), 1e-12)
+    return Cn
+
+
+def ivf_cell_udf(Cn: np.ndarray):
+    """Arrow-batched nearest-centroid assignment (vectorized numpy matmul —
+    the 10-100x-over-row-UDF fast path); centroids ride along as a closure
+    (broadcast to workers once per stage)."""
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def cell_of(embs: pd.Series) -> pd.Series:
@@ -151,9 +155,34 @@ def ivf_topk(
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(Mn @ Cn.T, axis=1).astype(np.int32))
 
+    return cell_of
+
+
+def ivf_probes(Cn: np.ndarray, query_vec: list[float], nprobe: int) -> list[int]:
+    """The ``nprobe`` centroid cells nearest to the query (driver-side)."""
     q = np.asarray(query_vec, dtype=np.float64)
     cell_sims = Cn @ (q / np.linalg.norm(q))
-    probes = [int(i) for i in np.argsort(-cell_sims)[:nprobe]]
+    return [int(i) for i in np.argsort(-cell_sims)[:nprobe]]
 
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file (IVF) index, computed INLINE —
+    exploration mode: trains centroids, assigns every row's cell, probes
+    the ``nprobe`` nearest cells, exact cosine inside them. For repeated
+    queries use operators/ann_index.py: ``build_ivf_index`` precomputes the
+    cell once and partitions the table by it, so a query scans only the
+    probed partitions instead of re-assigning the whole table.
+    """
+    Cn = train_ivf_centroids(df, vec_col, id_col, n_cells)
+    cell_of = ivf_cell_udf(Cn)
+    probes = ivf_probes(Cn, query_vec, nprobe)
     cand = df.withColumn("__cell", cell_of(F.col(vec_col))).where(F.col("__cell").isin(probes))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
