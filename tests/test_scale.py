@@ -257,3 +257,26 @@ def test_ann_partitioned_index_prunes_to_probed_buckets(spark, sf_dir, tmp_path)
     # one file per bucket at this size: files read == probed partitions << 16
     assert metrics["numPartitions"] <= n_probes, metrics
     assert metrics["numPartitions"] < 16, metrics
+
+
+def test_join_3way_bloom_filter_fires_at_scale_thresholds(spark, sf_dir):
+    """Filter-before-pre-agg is delegated to Spark's runtime bloom filter:
+    below the 10 GB probe-scan threshold it (correctly) stays out of the
+    plan; under scale conditions it must inject might_contain(l_orderkey)
+    from the filtered orders side into the lineitem scan BELOW the
+    order-grain pre-aggregation."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    default = spark.conf.get(key)
+    q = CATALOG["join_inner_3way"].fn(spark, sf_dir)
+    assert "might_contain" not in q._jdf.queryExecution().optimizedPlan().toString()
+    spark.conf.set(key, "0")
+    try:
+        q = CATALOG["join_inner_3way"].fn(spark, sf_dir)
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:3000]
+        # injected below the pre-agg: the filter mentions the lineitem key
+        assert "might_contain" in plan and "l_orderkey" in plan.split("might_contain", 1)[1][:200]
+    finally:
+        spark.conf.set(key, default)

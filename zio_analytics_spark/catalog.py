@@ -461,6 +461,17 @@ def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     # becomes a plain count of order-grain rows. 2x faster at sf0.1;
     # at 100 TB it's the difference between shuffling the fact table and
     # shuffling the order dimension.
+    #
+    # Filter-before-pre-agg (only ~28% of orders pass the date filter, so
+    # ~72% of the pre-agg is discarded): measured at sf0.1, a hand-rolled
+    # join-first/semi-join variant is within noise of this plan — and at
+    # real scale Spark injects a runtime BLOOM FILTER from the filtered
+    # orders side into the lineitem scan below this aggregate
+    # (might_contain(l_orderkey); fires once the probe scan exceeds
+    # spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold,
+    # default 10 GB — plan-asserted under scale thresholds in
+    # tests/test_scale.py). Hand-rolling the semi-join would duplicate what
+    # the optimizer already does, and pay it even at sizes where it loses.
     per_order = (
         DataStream(l)
         .group_by("l_orderkey")
