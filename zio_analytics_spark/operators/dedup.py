@@ -517,17 +517,36 @@ def embedding_dup_pairs(
 
     Exact within blocks (pass LSH buckets or cluster labels as ``block_cols``
     at scale). Cosine is computed in double precision via zip_with/aggregate —
-    JVM-side, no UDF.
+    JVM-side, no UDF. Each vector's norm is computed ONCE per row before the
+    join (a per-pair norm would redo the same O(dim) fold for every partner —
+    at k pairs per vector that's 2k redundant folds); only the dot product is
+    inherently per-pair.
     """
-    from zio_analytics_spark.operators.similarity import cosine_similarity
-
-    v = df.select(*block_cols, F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
-    a = v.select(*[F.col(c).alias(f"{c}__a") for c in block_cols], F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
-    b = v.select(*[F.col(c).alias(f"{c}__b") for c in block_cols], F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("__v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    v = df.select(
+        *block_cols, F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__n", norm)
+    a = v.select(
+        *[F.col(c).alias(f"{c}__a") for c in block_cols],
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = v.select(
+        *[F.col(c).alias(f"{c}__b") for c in block_cols],
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
     cond = F.col("id_a") < F.col("id_b")
     for c in block_cols:
         cond = cond & (F.col(f"{c}__a") == F.col(f"{c}__b"))
-    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("__na") * F.col("__nb"))
     return (
         a.join(b, cond)
         .select("id_a", "id_b", cos.alias("__c"))
