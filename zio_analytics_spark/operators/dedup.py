@@ -234,8 +234,19 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # Shingle table is read three times (signature build + two verify joins):
     # persist it. At 100 TB this is a materialized intermediate table.
+    # Shingles are stored as xxhash64 LONGS, hashed from the string ONCE:
+    # the per-seed MinHash then hashes fixed-width longs instead of
+    # re-hashing variable-length strings num_hashes times (the dominant
+    # signature cost), and the persisted table shrinks to 8 bytes/shingle.
+    # Exact-Jaccard verification over hashed shingles carries the same
+    # 2^-64 collision risk jaccard_pairs already accepts.
     sh = (
-        df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("__sh"))
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(
+                F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
+            ).alias("__sh"),
+        )
         .where(F.size("__sh") > 0)
         .persist()
     )
