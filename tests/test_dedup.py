@@ -171,3 +171,35 @@ def test_minhash_recall_at_threshold(spark):
     assert recall >= 0.85, f"recall {recall:.3f} at j=threshold"
     # verification stage keeps precision exact: no pair below threshold
     assert all(p in planted or p[0] // 2 == p[1] // 2 for p in got)
+
+
+def test_jaccard_prefix_filter_equivalence(spark):
+    """Prefix filtering must be EXACTLY result-preserving (theorem-complete
+    candidates + full-array verify) — including pairs at exactly the
+    threshold and under frequency skew (a hot boilerplate shingle shared by
+    every doc, which the rarest-first canonical order pushes out of
+    prefixes)."""
+    rows = []
+    # planted exact-threshold pairs (j = 0.5: share 10 of 30... use the
+    # shared-prefix construction: p=17,q=15 -> shared 15, total 30, j=15/45)
+    for k in range(20):
+        prefix = [f"p{k}x{i}" for i in range(17)]
+        rows.append((2 * k, " ".join(prefix + [f"a{k}x{i}" for i in range(15)])))
+        rows.append((2 * k + 1, " ".join(prefix + [f"b{k}x{i}" for i in range(15)])))
+    # frequency skew: one boilerplate sentence glued onto every doc
+    boiler = "copyright footer terms of service apply everywhere"
+    rows = [(i, t + " " + boiler) for i, t in rows]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for t in (0.2, 1.0 / 3.0, 0.6):
+        plain = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in dedup.jaccard_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in dedup.jaccard_pairs(docs, threshold=t, prefix_filter=True).collect()
+        }
+        assert pref == plain, f"t={t}: prefix={len(pref)} plain={len(plain)}"
+        if t < 0.5:  # high threshold legitimately yields empty == empty
+            assert plain, f"t={t}: fixture produced no pairs (test is vacuous)"

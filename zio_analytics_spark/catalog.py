@@ -1294,6 +1294,26 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JACCARD_PREFIX_ORACLE = CATALOG["dedup_ngram_jaccard"].oracle
+
+
+@register("dedup_ngram_jaccard_prefix", oracle=_JACCARD_PREFIX_ORACLE)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix filtering over the same query — candidates
+    come only from each doc's (1-t)·|s|+1 globally-RAREST shingles, then
+    full-array verification: identical result (same oracle as
+    dedup_ngram_jaccard proves it), but hot boilerplate shingles fall out
+    of every prefix, collapsing the k² join rows they cause in the plain
+    inverted index — the skewed-corpus scale path."""
+    return dedup.jaccard_pairs(
+        read_table(spark, sf_dir, "documents"),
+        block_cols=["lang"],
+        n=3,
+        threshold=0.05,
+        prefix_filter=True,
+    )
+
+
 @register("dedup_minhash", oracle=None)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding auto-calibrated to the threshold (lsh_calibrate): 50 hashes /

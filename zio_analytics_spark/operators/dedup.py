@@ -72,6 +72,7 @@ def jaccard_pairs(
     block_cols: Sequence[str] = (),
     n: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact word-``n``-gram Jaccard pairs within blocks, via an
     **inverted-index set-similarity join** (the canonical distributed
@@ -90,6 +91,18 @@ def jaccard_pairs(
     Shingles are compared as xxhash64 values (8-byte longs, not strings):
     a cross-engine-identical 2^-64 collision risk buys a large constant
     factor. Output: ``doc_a, doc_b (doc_a < doc_b), jaccard``.
+
+    ``prefix_filter=True`` switches candidate generation to AllPairs/PPJoin
+    prefix filtering (Bayardo et al. WWW'07; Xiao et al. WWW'08): under a
+    global canonical shingle order, any pair with J ≥ t must collide within
+    the first ``|s| - ceil(t·|s|) + 1`` shingles of each side, so only that
+    prefix is indexed; candidates are then verified against the full
+    shingle arrays — the RESULT IS IDENTICAL (theorem-complete candidates +
+    exact verify), tested by equivalence. Ordering the canonical order
+    RAREST-FIRST also pushes hot boilerplate shingles out of every prefix,
+    collapsing the k² join rows they cause in the plain index — the
+    escape hatch for skewed corpora that frequency *capping* would buy at
+    the price of lost recall.
     """
     if threshold <= 0:
         raise ValueError("jaccard_pairs requires threshold > 0 (pairs sharing no shingle are never emitted)")
@@ -108,6 +121,56 @@ def jaccard_pairs(
         .persist()
     )
     tok = sh.select(*block_cols, F.col(id_col), F.col("__sz"), F.explode("__sh").alias("__t"))
+    cond = F.col("doc_a") < F.col("doc_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}__a") == F.col(f"{c}__b"))
+
+    if prefix_filter:
+        from pyspark.sql import Window as W
+
+        freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+        rank_w = W.partitionBy(*block_cols, F.col(id_col)).orderBy("__df", "__t")
+        # epsilon guards double rounding in sz*t: a one-longer prefix is
+        # always safe (more candidates), a one-shorter prefix loses pairs.
+        plen = (
+            F.col("__sz")
+            - F.ceil(F.col("__sz") * F.lit(float(threshold)) - F.lit(1e-9)).cast("long")
+            + 1
+        )
+        pref = (
+            tok.join(freq, "__t")
+            .withColumn("__rn", F.row_number().over(rank_w))
+            .where(F.col("__rn") <= plen)
+        )
+        a = pref.select(
+            *[F.col(c).alias(f"{c}__a") for c in block_cols],
+            F.col(id_col).alias("doc_a"), F.col("__t"),
+        )
+        b = pref.select(
+            *[F.col(c).alias(f"{c}__b") for c in block_cols],
+            F.col(id_col).alias("doc_b"), F.col("__t"),
+        )
+        cand = (
+            a.join(b, ["__t"]).where(cond)
+            .select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        verified = (
+            cand.join(
+                sh.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a")),
+                "doc_a",
+            ).join(
+                sh.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b")),
+                "doc_b",
+            )
+        )
+        j = _pair_jaccard(F.col("__sh_a"), F.col("__sh_b"))
+        return (
+            verified.select("doc_a", "doc_b", j.alias("__j"))
+            .where(F.col("__j") >= threshold)
+            .select("doc_a", "doc_b", F.col("__j").alias("jaccard"))
+        )
+
     a = tok.select(
         *[F.col(c).alias(f"{c}__a") for c in block_cols],
         F.col(id_col).alias("doc_a"), F.col("__sz").alias("__sza"), F.col("__t"),
@@ -116,9 +179,6 @@ def jaccard_pairs(
         *[F.col(c).alias(f"{c}__b") for c in block_cols],
         F.col(id_col).alias("doc_b"), F.col("__sz").alias("__szb"), F.col("__t"),
     )
-    cond = F.col("doc_a") < F.col("doc_b")
-    for c in block_cols:
-        cond = cond & (F.col(f"{c}__a") == F.col(f"{c}__b"))
     inter = (
         a.join(b, ["__t"])
         .where(cond)
