@@ -203,3 +203,29 @@ def test_jaccard_prefix_filter_equivalence(spark):
         assert pref == plain, f"t={t}: prefix={len(pref)} plain={len(plain)}"
         if t < 0.5:  # high threshold legitimately yields empty == empty
             assert plain, f"t={t}: fixture produced no pairs (test is vacuous)"
+
+
+def test_decontaminate_removes_and_tags(spark):
+    """Planted eval-overlap: doc 1 embeds a benchmark 4-gram verbatim and
+    must be removed; paraphrases/short overlaps survive; tag mode flags
+    instead of dropping."""
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris obviously")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "quiz question what is the capital of france answer below"),  # 4-gram hit
+            (2, "the capital city of italy is rome"),                          # no shared 4-gram
+            (3, "france is nice"),                                             # < n tokens shared
+        ],
+        "doc_id long, text string",
+    )
+    clean = dedup.decontaminate(corpus, bench, n=4)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
+    tagged = {r.doc_id: r.contaminated for r in dedup.decontaminate(corpus, bench, n=4, mode="tag").collect()}
+    assert tagged == {1: True, 2: False, 3: False}
+    import pytest as _p
+
+    with _p.raises(ValueError, match="mode"):
+        dedup.decontaminate(corpus, bench, mode="bogus")

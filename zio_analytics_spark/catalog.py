@@ -1294,6 +1294,42 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate_ngram",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN
+               list_distinct(list_transform(range(1, len(w) - 3),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+             ELSE [] END AS s
+      FROM tok
+    ), bench AS (
+      SELECT DISTINCT unnest(s) AS t FROM sh WHERE doc_id % 10 = 0
+    ), contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(s) AS t FROM sh WHERE doc_id % 10 <> 0)
+      WHERE t IN (SELECT t FROM bench)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram overlap rule):
+    docs with doc_id % 10 == 0 stand in for the eval set; any remaining
+    training doc sharing a word 5-gram with it is dropped. Both corpus
+    passes are shuffle-free (benchmark shingles broadcast)."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return dedup.decontaminate(corpus, bench, n=5).select("doc_id")
+
+
 _JACCARD_PREFIX_ORACLE = CATALOG["dedup_ngram_jaccard"].oracle
 
 

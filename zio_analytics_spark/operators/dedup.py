@@ -32,6 +32,7 @@ from zio_analytics_spark.operators.text import tokens, word_shingles
 
 __all__ = [
     "exact_dedup",
+    "decontaminate",
     "jaccard_pairs",
     "lsh_calibrate",
     "lsh_recall_at",
@@ -192,6 +193,49 @@ def jaccard_pairs(
         inter.select("doc_a", "doc_b", j.alias("__j"))
         .where(F.col("__j") >= threshold)
         .select("doc_a", "doc_b", F.col("__j").alias("jaccard"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    mode: str = "remove",
+) -> DataFrame:
+    """Benchmark decontamination: remove (or tag) training documents that
+    share ANY word ``n``-gram with an evaluation/benchmark set — the
+    standard n-gram-overlap rule for keeping eval data out of training
+    corpora (GPT-3 used 13-grams, PaLM 8-grams; ``n`` is the knob).
+
+    Scale shape: the benchmark shingle set is deduped and BROADCAST (eval
+    sets are tiny next to a training corpus), so both passes over the
+    corpus are shuffle-free — an exploded broadcast semi-join finds
+    contaminated ids, then a broadcast anti-join (``mode='remove'``) drops
+    them, or ``mode='tag'`` appends a boolean ``contaminated`` column.
+    Shingles compare as xxhash64 longs, like every dedup tier here.
+    """
+    if mode not in ("remove", "tag"):
+        raise ValueError(f"mode must be 'remove' or 'tag', got {mode!r}")
+    hashed = lambda col: F.array_distinct(  # noqa: E731
+        F.transform(word_shingles(col, n), lambda s: F.xxhash64(s))
+    )
+    bench_sh = (
+        benchmark.select(F.explode(hashed(bench_text_col)).alias("__t")).distinct()
+    )
+    corpus_sh = corpus.select(F.col(id_col), F.explode(hashed(text_col)).alias("__t"))
+    contaminated = (
+        corpus_sh.join(F.broadcast(bench_sh), "__t", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if mode == "remove":
+        return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+    flag = contaminated.withColumn("contaminated", F.lit(True))
+    return corpus.join(F.broadcast(flag), id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
     )
 
 
