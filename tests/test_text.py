@@ -58,3 +58,31 @@ def test_tokens_strips_empties(spark):
     df = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
     n = df.select(F.size(text.tokens("text")).alias("n")).collect()[0].n
     assert n == 0
+
+
+def test_pack_sequences_straddle_and_partitions(spark):
+    """Hand-checked concat-then-chunk: docs laid end-to-end per key, cut at
+    max_len=10; doc C spans [7,22) and must fragment into packs 0/1/2 with
+    3/10/2 tokens; zero-token docs vanish; a second key packs independently."""
+    from zio_analytics_spark.operators.text import pack_sequences
+
+    rows = [
+        (1, "x", 4), (2, "x", 3), (3, "x", 15), (4, "x", 0), (5, "x", 3),
+        (6, "y", 12),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, k string, n_tokens long")
+    out = pack_sequences(df, max_len=10, order_by="doc_id", partition_by=("k",))
+    got = {(r.k, r.doc_id, r.pack_id): r.n_frag_tokens for r in out.collect()}
+    assert got == {
+        ("x", 1, 0): 4,            # [0,4)
+        ("x", 2, 0): 3,            # [4,7)
+        ("x", 3, 0): 3, ("x", 3, 1): 10, ("x", 3, 2): 2,  # [7,22) straddles
+        ("x", 5, 2): 3,            # [22,25)
+        ("y", 6, 0): 10, ("y", 6, 1): 2,                  # own key, own packs
+    }
+    # conservation: fragments sum to doc token counts
+    import collections
+    per_doc = collections.Counter()
+    for (k, d, p), n in got.items():
+        per_doc[d] += n
+    assert per_doc == {1: 4, 2: 3, 3: 15, 5: 3, 6: 12}

@@ -2357,6 +2357,44 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sequence_packing",
+    oracle="""
+    WITH nt AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, lang, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+      FROM nt WHERE n_tokens > 0
+    ), frags AS (
+      SELECT doc_id, lang, n_tokens, cum,
+             unnest(range((cum - n_tokens) // 512, (cum - 1) // 512 + 1)) AS pack_id
+      FROM spans
+    )
+    SELECT doc_id, lang, pack_id,
+           least(cum, (pack_id + 1) * 512) - greatest(cum - n_tokens, pack_id * 512)
+             AS n_frag_tokens
+    FROM frags
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-then-chunk at 512-token
+    boundaries), per language: one window cumsum + arithmetic, all inside
+    whole-stage codegen. Docs straddling a boundary contribute a fragment
+    to each pack they touch — the standard no-padding pre-training layout.
+    Per-lang partitioning keeps the scan fully parallel at scale (any
+    high-cardinality bucket key works the same way)."""
+    docs = read_table(spark, sf_dir, "documents")
+    nt = docs.select(
+        "doc_id", "lang", F.size(text.tokens("text")).cast("long").alias("n_tokens")
+    )
+    out = text.pack_sequences(nt, max_len=512, order_by="doc_id", partition_by=("lang",))
+    return out.select("doc_id", "lang", "pack_id", "n_frag_tokens")
+
+
 @register("udtf_chunk_text", oracle=_CHUNK_ORACLE)
 def q_udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same chunking expressed as a Python UDTF (one input row → many

@@ -18,6 +18,7 @@ __all__ = [
     "language_id",
     "fingerprint",
     "word_shingles",
+    "pack_sequences",
     "DEFAULT_STOPWORDS",
 ]
 
@@ -109,6 +110,61 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_len: int,
+    order_by: str = "doc_id",
+    partition_by: tuple[str, ...] = (),
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing (concat-then-chunk): documents are laid
+    end-to-end in a deterministic order and cut into training sequences of
+    ``max_len`` tokens; a document whose token span straddles a boundary
+    contributes a fragment to each pack it touches — exactly the standard
+    pre-training packing scheme (no padding waste, documents may split).
+
+    One window cumsum + pure arithmetic, all JVM-side: a doc's span is
+    ``[cum-n, cum)``; it touches packs ``floor((cum-n)/L) ..
+    floor((cum-1)/L)`` and contributes ``min(cum, (p+1)·L) - max(cum-n,
+    p·L)`` tokens to pack ``p``. With ``partition_by`` (e.g. language or a
+    hash bucket) packing runs per key and fully parallel — the keyless form
+    is a total order and inherits that scan's serialization, like any
+    global sort.
+
+    Output: input columns + ``pack_id`` (long) + ``n_frag_tokens`` (long),
+    one row per (doc, touched pack); zero-token docs contribute nothing.
+    """
+    from pyspark.sql import Window as W
+
+    L = F.lit(int(max_len))
+    w = (W.partitionBy(*partition_by) if partition_by else W.partitionBy()).orderBy(
+        order_by, id_col
+    )
+    cum = F.sum(n_tokens_col).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = (
+        df.where(F.col(n_tokens_col) > 0)
+        .withColumn("__end", cum)
+        .withColumn("__start", F.col("__end") - F.col(n_tokens_col))
+        .withColumn(
+            "pack_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__start") / L), F.floor((F.col("__end") - 1) / L)
+                )
+            ),
+        )
+        .withColumn(
+            "n_frag_tokens",
+            F.least(F.col("__end"), (F.col("pack_id") + 1) * L)
+            - F.greatest(F.col("__start"), F.col("pack_id") * L),
+        )
+    )
+    return out.drop("__start", "__end")
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
