@@ -86,3 +86,19 @@ def test_pack_sequences_straddle_and_partitions(spark):
     for (k, d, p), n in got.items():
         per_doc[d] += n
     assert per_doc == {1: 4, 2: 3, 3: 15, 5: 3, 6: 12}
+
+
+def test_bpe_token_stats_lexer(spark):
+    """Punctuation/contractions count as their own tokens (tokenizer-budget
+    units), unlike whitespace tokens."""
+    from zio_analytics_spark.operators.text import bpe_token_stats
+
+    df = spark.createDataFrame(
+        [(1, "it's tokens-ish!"), (2, ""), (3, "abc abc 42")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bpe_tokens, r.n_unique_bpe) for r in bpe_token_stats(df).collect()}
+    # it | 's | tokens | - | ish | !  -> 6 tokens, all unique
+    assert got[1] == (6, 6)
+    assert got[2] == (0, 0)
+    assert got[3] == (3, 2)  # abc abc 42

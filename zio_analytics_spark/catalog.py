@@ -2358,6 +2358,25 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))::BIGINT
+             AS n_bpe_tokens,
+           len(list_distinct(regexp_extract_all(text, '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')))::BIGINT
+             AS n_unique_bpe
+    FROM documents
+    """,
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting in tokenizer-budget units: a GPT-2-flavored regex
+    lexer (contractions/letters/digits/punctuation as separate tokens),
+    restricted to constructs Java regex and RE2 interpret identically so
+    the DuckDB oracle runs the very same pattern."""
+    return text.bpe_token_stats(read_table(spark, sf_dir, "documents"))
+
+
+@register(
     "sequence_packing",
     oracle="""
     WITH nt AS (

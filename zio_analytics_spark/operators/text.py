@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "token_stats",
+    "bpe_token_stats",
+    "BPE_TOKEN_PATTERN",
     "quality_stats",
     "language_id",
     "fingerprint",
@@ -40,6 +42,27 @@ def tokens(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     arr = F.split(F.trim(c), r"\s+")
     return F.filter(arr, lambda x: x != F.lit(""))
+
+
+#: GPT-2-flavored lexer: contraction suffix | letter run | digit run |
+#: punctuation run. Deliberately restricted to constructs Java regex and
+#: RE2 interpret identically (no \p classes, no lookaround) so the same
+#: pattern is cross-engine-reproducible.
+BPE_TOKEN_PATTERN = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-style token counting: a GPT-2-flavored regex lexer instead of
+    whitespace splitting — punctuation and contractions count as their own
+    tokens, the unit real tokenizer budgets are measured in.
+    ``regexp_extract_all`` keeps it JVM-side/codegen like every other text
+    op here."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_bpe"),
+    )
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
