@@ -37,14 +37,9 @@ def batch(spark, sf_dir: str):
 def streaming(spark, sf_dir: str):
     """The same plan over an unbounded source (events table driven to
     completion through a memory sink)."""
-    from zio_analytics_spark.sources.streaming import stream_parquet
+    from zio_analytics_spark.sources.streaming import stream_table
 
-    raw = stream_parquet(
-        spark,
-        f"{sf_dir}/events.parquet",
-        "event_id long, ts long, user_id long, event_type string, value double, props string",
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = stream_table(spark, sf_dir, "events")
     agg = windowed_counts(ev, tumbling("1 hour"), "ts", ["event_type"], watermark_delay="10 minutes")
     out = run_windowed_stream(agg, "wc_stream")
     print("— streaming (events, tumbling 1h, append mode) —")

@@ -2485,23 +2485,11 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded file-stream over the events table, normalized like read_table.
+    """Bounded file-stream over the events table, normalized like read_table
+    (storage-agnostic — see sources.streaming.stream_table)."""
+    from zio_analytics_spark.sources.streaming import stream_table
 
-    The file source needs a declared schema; take it from the parquet footer
-    via a batch read (one metadata-only open) so the stream works with either
-    ts storage the driver has generated (long nanos or µs TIMESTAMP_NTZ),
-    then apply the same ts normalization as the batch reader.
-    """
-    import os as _os
-
-    from zio_analytics_spark.sources.parquet import ensure_session_confs, normalize_event_ts
-    from zio_analytics_spark.sources.streaming import stream_parquet
-
-    ensure_session_confs(spark)
-    path = _os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    st = stream_parquet(spark, path, schema)
-    return normalize_event_ts(st, ("ts",))
+    return stream_table(spark, sf_dir, "events")
 
 
 def _run_complete(out: DataFrame, prefix: str) -> DataFrame:

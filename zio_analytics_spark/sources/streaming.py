@@ -13,7 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-__all__ = ["rate_stream", "stream_parquet"]
+__all__ = ["rate_stream", "stream_parquet", "stream_table"]
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
@@ -39,3 +39,23 @@ def stream_parquet(spark: SparkSession, path: str, schema: StructType | str) -> 
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     return reader.parquet(path)
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Bounded file-stream over a driver table, normalized like
+    ``read_table``: the declared schema comes from the parquet footer (one
+    metadata-only batch open), so the stream works with either event-time
+    storage the driver has generated (long nanos or µs TIMESTAMP_NTZ), and
+    the same ts normalization as the batch reader is applied on top."""
+    from zio_analytics_spark.sources.parquet import (
+        _EVENT_TS_COLS,
+        ensure_session_confs,
+        normalize_event_ts,
+    )
+
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    return normalize_event_ts(
+        stream_parquet(spark, path, schema), _EVENT_TS_COLS.get(name, ())
+    )
