@@ -63,3 +63,55 @@ def test_approx_percentile_accuracy(spark, sf_dir):
     rows = catalog.CATALOG["agg_approx_percentile"].fn(spark, sf_dir).collect()
     for r in rows:
         assert abs(r.approx_med - r.exact_med) / r.exact_med < 0.05
+
+
+def test_asof_join_forward_and_nearest(spark):
+    """forward = earliest right at-or-after; nearest = closer of the two
+    (exact ties take the backward match); both keep NULL when no match
+    exists in the chosen direction."""
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 25), (3, 1, 4), (4, 2, 70), (5, 1, 12)],
+        "eid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 20, 200.0), (2, 60, 300.0)], "k long, t long, px double"
+    )
+
+    fwd = {
+        r.eid: r.px
+        for r in asof_join(left, right, "k", "k", "t", "t", ["px"], direction="forward").collect()
+    }
+    # eid=1 t=10 -> px@20; eid=2 t=25 -> nothing after; eid=3 t=4 -> px@5;
+    # eid=4 t=70 > 60 -> none; eid=5 t=12 -> px@20
+    assert fwd == {1: 200.0, 2: None, 3: 100.0, 4: None, 5: 200.0}
+
+    near = {
+        r.eid: r.px
+        for r in asof_join(left, right, "k", "k", "t", "t", ["px"], direction="nearest").collect()
+    }
+    # eid=1 t=10: back@5 (d=5) vs fwd@20 (d=10) -> back; eid=5 t=12: d 7 vs 8 -> back
+    # eid=2 t=25: only back; eid=3 t=4: only fwd; eid=4 t=70: only back (60)
+    assert near == {1: 100.0, 2: 200.0, 3: 100.0, 4: 300.0, 5: 100.0}
+
+    # exact tie -> backward: t=15 is 10 from 5 and 5 from 20 -> fwd closer;
+    # t=12.5 impossible with longs, craft symmetric tie at 12 with right 4/20
+    right2 = spark.createDataFrame([(1, 4, 1.0), (1, 20, 2.0)], "k long, t long, px double")
+    tie = asof_join(
+        spark.createDataFrame([(9, 1, 12)], "eid long, k long, t long"),
+        right2, "k", "k", "t", "t", ["px"], direction="nearest",
+    ).collect()
+    assert tie[0].px == 1.0  # d=8 both ways -> backward
+
+
+def test_asof_join_nearest_timestamp_type(spark):
+    """nearest distance comparison must work for TIMESTAMP times too
+    (interval comparison, no abs())."""
+    left = spark.createDataFrame([(1, 1, "2024-01-01 00:10:00")], "eid long, k long, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 00:15:00", 2.0)],
+        "k long, ts string, px double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(left, right, "k", "k", "ts", "ts", ["px"], direction="nearest").collect()
+    assert out[0].px == 2.0  # 5 min forward beats 10 min backward
+

@@ -587,11 +587,50 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_time="ts", right_time="o_orderdate",
         right_values=["o_orderkey", "o_totalprice"],
     )
+    return joined.select("event_id", "user_id",
+                         F.col("o_orderkey").alias("last_orderkey"),
+                         F.col("o_totalprice").alias("last_totalprice"))
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS next_orderkey,
+           o.o_totalprice AS next_totalprice
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of (earliest future right row, `>=`): same union-merge
+    single-exchange plan with the in-partition sort reversed; DuckDB's
+    ASOF JOIN with `<=` is the oracle."""
+    e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = top_k_per_group(
+        read_table(spark, sf_dir, "orders"),
+        group_by=["o_custkey", "o_orderdate"],
+        order_by=[F.col("o_orderkey").desc()],
+        k=1,
+    )
+    joined = asof_join(
+        e, o,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+        direction="forward",
+    )
     return joined.select(
         "event_id",
         "user_id",
-        F.col("o_orderkey").alias("last_orderkey"),
-        F.col("o_totalprice").alias("last_totalprice"),
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_totalprice").alias("next_totalprice"),
     )
 
 

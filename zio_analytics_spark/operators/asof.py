@@ -38,16 +38,28 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "",
 ) -> DataFrame:
-    """Left as-of join: attach the latest ``right`` row with
-    ``right_time <= left_time`` (direction='backward') per key.
+    """Left as-of join per key:
+
+    - ``direction='backward'`` — latest right row with ``right_time <=
+      left_time`` (the default, and the conventional as-of);
+    - ``direction='forward'`` — earliest right row with ``right_time >=
+      left_time`` (same union-merge, time order reversed);
+    - ``direction='nearest'`` — whichever of the two is closer in absolute
+      time; exact ties take the backward match.
+
+    All three keep the union-merge cost profile: ONE exchange on the key.
+    ``forward`` flips the in-partition sort; ``nearest`` evaluates both
+    carries — two in-partition sorts over the same hash partitioning, still
+    no second shuffle.
 
     ``right_values`` are the right-side columns to carry; they appear on the
-    output (optionally suffixed). Left rows with no prior right row get NULLs.
-    Right side should be unique per (key, time) — pre-dedupe if not, or the
-    carried row among equal times is the last by union order.
+    output (optionally suffixed). Left rows with no match in the chosen
+    direction get NULLs. Right side should be unique per (key, time) —
+    pre-dedupe if not, or the carried row among equal times is the last by
+    union order.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
 
     reserved = [c for c in (*left.columns, *right.columns) if c.startswith("__asof_")]
     if reserved:
@@ -59,7 +71,12 @@ def asof_join(
             f"{suffix!r}; pass a non-empty suffix (e.g. '_right')"
         )
 
-    payload = F.struct(*[F.col(c) for c in right_values]).alias("__asof_v")
+    # Payload carries the right event time too, so 'nearest' can compare
+    # distances without a second pass over the inputs.
+    payload = F.struct(
+        F.col(right_time).alias("__asof_rt"),
+        F.struct(*[F.col(c) for c in right_values]).alias("v"),
+    ).alias("__asof_v")
     r = right.select(
         F.col(right_on).alias("__asof_k"),
         F.col(right_time).alias("__asof_t"),
@@ -75,18 +92,39 @@ def asof_join(
     )
     u = l.unionByName(r, allowMissingColumns=True)
 
-    # At equal timestamps the right row sorts first (side desc) so a left row
-    # at exactly t matches a right row at t — the conventional `<=` as-of.
-    w = (
-        W.partitionBy("__asof_k")
-        .orderBy(F.col("__asof_t").asc(), F.col("__asof_side").desc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    carried = u.withColumn("__asof_match", F.last("__asof_v", ignorenulls=True).over(w))
+    # At equal timestamps the right row sorts first (side desc) so a left
+    # row at exactly t matches a right row at t — `<=` / `>=` inclusive.
+    def carry(descending: bool):
+        t = F.col("__asof_t").desc() if descending else F.col("__asof_t").asc()
+        w = (
+            W.partitionBy("__asof_k")
+            .orderBy(t, F.col("__asof_side").desc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return F.last("__asof_v", ignorenulls=True).over(w)
+
+    if direction == "backward":
+        match = carry(descending=False)
+    elif direction == "forward":
+        match = carry(descending=True)
+    else:
+        back, fwd = carry(descending=False), carry(descending=True)
+        # Both distances are non-negative by construction (back.rt <= t <=
+        # fwd.rt), so plain subtraction compares correctly for numeric AND
+        # timestamp times (timestamp difference yields a comparable interval).
+        dist_b = F.col("__asof_t") - back["__asof_rt"]
+        dist_f = fwd["__asof_rt"] - F.col("__asof_t")
+        match = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(dist_f < dist_b, fwd)  # tie -> backward (conventional)
+            .otherwise(back)
+        )
+    carried = u.withColumn("__asof_match", match)
 
     out_cols = [c for c in left.columns]
     out = carried.where(F.col("__asof_side") == 0).select(
         *out_cols,
-        *[F.col(f"__asof_match.{c}").alias(f"{c}{suffix}") for c in right_values],
+        *[F.col(f"__asof_match.v.{c}").alias(f"{c}{suffix}") for c in right_values],
     )
     return out
