@@ -96,16 +96,56 @@ def test_fold_window_group_custom_reducer(spark):
     assert got == {(0, "a"): 4.0, (10, "a"): 0.0}
 
 
-def test_fold_window_group_rejects_sliding(spark):
-    import pytest as _pytest
+def _count_reducer():
+    import pandas as pd
 
-    from zio_analytics_spark import DataStream, sliding
+    def cnt(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": [pdf["window_start"].iloc[0]],
+                "window_end": [pdf["window_end"].iloc[0]],
+                "k": [pdf["k"].iloc[0]],
+                "n": [len(pdf)],
+            }
+        )
 
+    return cnt, "window_start timestamp, window_end timestamp, k string, n long"
+
+
+def _group_vs_native(spark, assigner, ts_list):
+    """fold_window_group(count) must equal the native fold_window(count)
+    for the same assigner — proving the hand-rolled sliding duplication and
+    session gaps-and-islands labeling match Spark's own window semantics."""
+    from zio_analytics_spark import DataStream
+
+    rows = [(t, "a") for t in ts_list] + [(t + 3, "b") for t in ts_list[::2]]
     ds = (
-        DataStream.from_literals(spark, [(1, "a")], schema="ts_s long, k string")
-        .with_column("ts", F.timestamp_seconds(F.col("ts_s")))
+        DataStream.from_literals(spark, rows, schema="ts_ms long, k string")
+        .with_column("ts", F.timestamp_millis(F.col("ts_ms")))
         .assign_timestamps("ts")
         .group_by("k")
     )
-    with _pytest.raises(NotImplementedError):
-        ds.fold_window_group(sliding("10 seconds", "5 seconds"), lambda p: p, "k string")
+    native = {
+        (r.window_start, r.window_end, r.k): r.n
+        for r in ds.fold_window(assigner, n=F.count("*")).collect()
+    }
+    fn, schema = _count_reducer()
+    grouped = {
+        (r.window_start, r.window_end, r.k): r.n
+        for r in ds.fold_window_group(assigner, fn, schema).collect()
+    }
+    assert grouped == native and native
+
+
+def test_fold_window_group_sliding_matches_native(spark):
+    from zio_analytics_spark import sliding
+
+    _group_vs_native(spark, sliding("10 milliseconds", "5 milliseconds"), [0, 3, 7, 12, 26])
+    # size not a multiple of step: membership filter must trim ineligible starts
+    _group_vs_native(spark, sliding("10 milliseconds", "4 milliseconds"), [0, 3, 9, 17])
+
+
+def test_fold_window_group_session_matches_native(spark):
+    from zio_analytics_spark import session
+
+    _group_vs_native(spark, session("10 milliseconds"), [0, 5, 12, 22, 40])

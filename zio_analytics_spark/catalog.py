@@ -431,6 +431,63 @@ def q_fold_window_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fold_window_custom_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sids AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT min(ts) AS window_start,
+           max(ts) + INTERVAL '30 minutes' AS window_end,
+           user_id,
+           max(value) - min(value) AS value_range
+    FROM sids GROUP BY user_id, sid
+    """,
+)
+def q_fold_window_custom_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary Python fold over SESSION windows — the general z/f contract
+    on the assigner the reference left as ??? (Window.scala:23-26).
+    fold_window_group labels sessions by gaps-and-islands (proven equal to
+    F.session_window in test_windows) and hands each merged session to the
+    pandas reducer; the oracle replays the same labeling in SQL."""
+    import pandas as pd
+
+    from zio_analytics_spark.windows import session as session_assigner
+
+    def window_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        return pd.DataFrame(
+            {
+                "window_start": [pdf["window_start"].iloc[0]],
+                "window_end": [pdf["window_end"].iloc[0]],
+                "user_id": [pdf["user_id"].iloc[0]],
+                "value_range": [hi - lo],
+            }
+        )
+
+    return (
+        _ds(spark, sf_dir, "events")
+        .assign_timestamps("ts")
+        .group_by("user_id")
+        .fold_window_group(
+            session_assigner("30 minutes"),
+            window_fold,
+            "window_start timestamp, window_end timestamp, user_id long, value_range double",
+        )
+        .to_df()
+    )
+
+
 # =====================================================================
 # [EXT] Relational layer — SURVEY.md §2.4
 # =====================================================================

@@ -34,6 +34,7 @@ from collections.abc import Callable, Sequence
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from zio_analytics_spark.windows import WindowAssigner
@@ -266,6 +267,15 @@ class DataStream:
         fold. Each (key, window) group arrives as one pandas DataFrame with
         ``window_start``/``window_end`` columns present.
 
+        All three assigners are supported in batch: tumbling labels rows by
+        epoch-aligned bucket arithmetic; sliding EXPLODES each row into the
+        windows covering it (the reference's duplication, Local.scala:
+        200-206, done as sequence+explode); session labels rows by
+        gaps-and-islands (new-session flag where the gap exceeds the
+        threshold, running count = session id) and derives the merged
+        interval per group — the same semantics ``F.session_window``
+        produces in the native path.
+
         Groups must fit in executor memory; prefer ``fold_window`` (native
         incremental aggregates) whenever possible — this path materializes
         the group, like the reference's ``Fold`` (Local.scala:170-174),
@@ -275,20 +285,50 @@ class DataStream:
             raise ValueError("fold_window_group requires assign_timestamps first")
         if not self.key_cols:
             raise ValueError("fold_window_group requires a grouped stream")
-        if assigner.kind != "tumbling":
-            # Sliding multi-assignment and session merging exist only inside
-            # Spark's aggregation rewrite; they can't label rows in a
-            # projection. Use fold_window (native aggs) for those.
-            raise NotImplementedError("fold_window_group supports tumbling windows; use fold_window for sliding/session")
-        size_us = _interval_to_micros(assigner.size)
         us = F.unix_micros(F.col(self.ts_col))
-        start_us = us - us % F.lit(size_us)
-        with_win = self.df.withColumn("window_start", F.timestamp_micros(start_us)).withColumn(
-            "window_end", F.timestamp_micros(start_us + F.lit(size_us))
-        )
-        out = with_win.groupBy("window_start", "window_end", *[F.col(k) for k in self.key_cols]).applyInPandas(
-            fn, schema
-        )
+        size_us = _interval_to_micros(assigner.size)
+        if assigner.kind == "tumbling":
+            start_us = us - us % F.lit(size_us)
+            with_win = self.df.withColumn("__ws", start_us).withColumn(
+                "__we", start_us + F.lit(size_us)
+            )
+        elif assigner.kind == "sliding":
+            step_us = _interval_to_micros(assigner.step)
+            # windows starting at multiples of step in (ts - size, ts]
+            last_start = us - us % F.lit(step_us)
+            n_back = -(-size_us // step_us) - 1  # ceil(size/step) - 1
+            starts = F.sequence(
+                last_start - F.lit(n_back * step_us), last_start, F.lit(step_us)
+            )
+            with_win = (
+                self.df.withColumn("__ws", F.explode(starts))
+                .where((F.col("__ws") + F.lit(size_us)) > us)
+                .withColumn("__we", F.col("__ws") + F.lit(size_us))
+            )
+        elif assigner.kind == "session":
+            gap_us = size_us  # session assigner stores the gap in .size
+            keyw = W.partitionBy(*[F.col(k) for k in self.key_cols]).orderBy(us)
+            prev = F.lag(us).over(keyw)
+            new_s = F.when(prev.isNull() | ((us - prev) > F.lit(gap_us)), 1).otherwise(0)
+            sid = F.sum(new_s).over(
+                keyw.rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            sw = W.partitionBy(*[F.col(k) for k in self.key_cols], F.col("__sid"))
+            with_win = (
+                self.df.withColumn("__us", us)
+                .withColumn("__sid", sid)
+                .withColumn("__ws", F.min("__us").over(sw))
+                .withColumn("__we", F.max("__us").over(sw) + F.lit(gap_us))
+                .drop("__us", "__sid")
+            )
+        else:
+            raise ValueError(f"unknown window kind: {assigner.kind}")
+        with_win = with_win.withColumn(
+            "window_start", F.timestamp_micros(F.col("__ws"))
+        ).withColumn("window_end", F.timestamp_micros(F.col("__we"))).drop("__ws", "__we")
+        out = with_win.groupBy(
+            "window_start", "window_end", *[F.col(k) for k in self.key_cols]
+        ).applyInPandas(fn, schema)
         return DataStream(out)
 
     # ------------------------------------------------------------------ #
