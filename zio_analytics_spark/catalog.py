@@ -1478,6 +1478,55 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duckdb_bucket_expr(planes: list[list[float]], col: str) -> str:
+    """The hyperplane sign bucket as a DuckDB expression with the plane
+    literals baked in — the SQL twin of similarity.hyperplane_bucket."""
+
+    def arr(p: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {arr(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        + ")"
+    )
+
+
+def _embedding_lsh_dedup_oracle(n_planes: int = 4, seed: int = 7, dim: int = 64) -> str:
+    planes = similarity.make_planes(dim, n_planes, seed)
+    bucket = _duckdb_bucket_expr(planes, "embedding::DOUBLE[]")
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e, {bucket}::BIGINT AS b FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.e, b.e) AS cosine
+    FROM bk a JOIN bk b ON a.b = b.b AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+    """
+
+
+@register("dedup_embedding_lsh", oracle=_embedding_lsh_dedup_oracle())
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with LSH sign buckets as the BLOCKING key — the
+    no-labels form a 100 TB corpus actually runs (dedup_embedding's label
+    blocks assume a clustering already exists). Candidate pairs must share
+    a 16-bucket hyperplane bucket; exact cosine verifies inside. The oracle
+    replays the deterministic bucket function (plane literals baked in), so
+    the approximate-blocking result is still hash-checked exactly."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    planes = similarity.make_planes(dim, n_planes=4, seed=7)
+    bucketed = emb.withColumn(
+        "bucket",
+        similarity.hyperplane_bucket(F.col("embedding").cast("array<double>"), planes),
+    )
+    return dedup.embedding_dup_pairs(bucketed, block_cols=["bucket"], threshold=0.3)
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).select("embedding").first()
@@ -1519,18 +1568,8 @@ def _ann_partitioned_oracle(n_planes: int = 6, seed: int = 42, dim: int = 64) ->
     oracle-hash-checked instead of rows-only."""
     planes = similarity.make_planes(dim, n_planes, seed)
 
-    def arr(p: list[float]) -> str:
-        return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
-
     def bucket(col: str) -> str:
-        return (
-            "("
-            + " + ".join(
-                f"(CASE WHEN list_dot_product({col}, {arr(p)}) > 0 THEN {1 << i} ELSE 0 END)"
-                for i, p in enumerate(planes)
-            )
-            + ")"
-        )
+        return _duckdb_bucket_expr(planes, col)
 
     probes = "SELECT b FROM qb" + "".join(
         f" UNION ALL SELECT xor(b, {1 << i}::BIGINT) FROM qb" for i in range(n_planes)
