@@ -435,23 +435,23 @@ def q_fold_window_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fold_window_custom_session",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value, event_id,
+      SELECT event_type, ts, value, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                       OR ts - lag(ts) OVER w > INTERVAL '15 minutes'
                   THEN 1 ELSE 0 END AS new_s
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
     ), sids AS (
-      SELECT user_id, ts, value,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      SELECT event_type, ts, value,
+             sum(new_s) OVER (PARTITION BY event_type ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )
     SELECT min(ts) AS window_start,
-           max(ts) + INTERVAL '30 minutes' AS window_end,
-           user_id,
+           max(ts) + INTERVAL '15 minutes' AS window_end,
+           event_type,
            max(value) - min(value) AS value_range
-    FROM sids GROUP BY user_id, sid
+    FROM sids GROUP BY event_type, sid
     """,
 )
 def q_fold_window_custom_session(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,7 +459,15 @@ def q_fold_window_custom_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the assigner the reference left as ??? (Window.scala:23-26).
     fold_window_group labels sessions by gaps-and-islands (proven equal to
     F.session_window in test_windows) and hands each merged session to the
-    pandas reducer; the oracle replays the same labeling in SQL."""
+    pandas reducer; the oracle replays the same labeling in SQL.
+
+    Grain choice is deliberate: sessions per EVENT TYPE, whose count stays
+    bounded as the data grows denser (sessions merge), so the
+    one-Python-call-per-group cost of applyInPandas stays bounded too.
+    Per-user 30-min sessions at sf0.1 would mean ~95k one-row groups —
+    ~250 s of pure per-group overhead; that shape belongs to the native
+    fold_window/session_window path (see fold_window_session), not to a
+    whole-group Python fold."""
     import pandas as pd
 
     from zio_analytics_spark.windows import session as session_assigner
@@ -470,7 +478,7 @@ def q_fold_window_custom_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "window_start": [pdf["window_start"].iloc[0]],
                 "window_end": [pdf["window_end"].iloc[0]],
-                "user_id": [pdf["user_id"].iloc[0]],
+                "event_type": [pdf["event_type"].iloc[0]],
                 "value_range": [hi - lo],
             }
         )
@@ -478,11 +486,11 @@ def q_fold_window_custom_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _ds(spark, sf_dir, "events")
         .assign_timestamps("ts")
-        .group_by("user_id")
+        .group_by("event_type")
         .fold_window_group(
-            session_assigner("30 minutes"),
+            session_assigner("15 minutes"),
             window_fold,
-            "window_start timestamp, window_end timestamp, user_id long, value_range double",
+            "window_start timestamp, window_end timestamp, event_type string, value_range double",
         )
         .to_df()
     )
