@@ -8,6 +8,14 @@ fiber. The distributed restatement is *keyed* state —
 checkpointed by the state store. A single global state (the literal
 reference semantics) is the degenerate key ``lit(1)`` — correct, serialized,
 and documented as such (total order costs parallelism in any engine).
+
+Spark 4's successor API, ``transformWithStateInPandas`` (StatefulProcessor
+with typed value/list/map state + timers), is the natural next target for
+this module; it is unavailable in this container (its driver worker needs
+``google.protobuf``, which is not importable here — verified empirically),
+so the stable ``applyInPandasWithState`` remains the implementation. The
+``map_accumulate_stream`` contract is API-agnostic: swapping the backend
+changes no caller.
 """
 
 from __future__ import annotations
