@@ -1,0 +1,53 @@
+"""Deterministic content-hash dataset splitting (operators/splits.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zio_analytics_spark.operators.splits import hash_split
+
+
+def _docs(spark, n=400):
+    return spark.createDataFrame(
+        [(i, f"document number {i} with some content") for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    df = _docs(spark)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(df, w, on="text").collect()}
+    b = {r.doc_id: r.split for r in hash_split(df.repartition(13), w, on="text").collect()}
+    assert a == b  # membership is content-addressed, not partition-addressed
+    # roughly proportional (binomial tolerance at n=400)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.7 * 400 <= c["train"] <= 0.9 * 400
+    assert c["val"] > 0 and c["test"] > 0
+
+
+def test_hash_split_stable_under_growth(spark):
+    """Adding documents must never move an existing document's split."""
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = {r.doc_id: r.split for r in hash_split(_docs(spark, 100), w, on="text").collect()}
+    big = {r.doc_id: r.split for r in hash_split(_docs(spark, 400), w, on="text").collect()}
+    assert all(big[d] == s for d, s in small.items())
+
+
+def test_hash_split_salt_namespaces(spark):
+    w = {"a": 0.5, "b": 0.5}
+    s1 = {r.doc_id: r.split for r in hash_split(_docs(spark), w, on="text", salt="x").collect()}
+    s2 = {r.doc_id: r.split for r in hash_split(_docs(spark), w, on="text", salt="y").collect()}
+    assert s1 != s2  # independent draws
+    # exact dups land in the same split regardless (content-addressed)
+    dup = spark.createDataFrame([(1, "same"), (2, "same")], "doc_id long, text string")
+    out = {r.doc_id: r.split for r in hash_split(dup, w, on="text").collect()}
+    assert out[1] == out[2]
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(_docs(spark), {"a": 0.5, "b": 0.2}, on="text")

@@ -2501,6 +2501,36 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dataset_hash_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             (('0x' || substring(md5('corpus-v1' || text), 1, 8))::BIGINT % 10000) AS bk
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bk < 8000 THEN 'train'
+                WHEN bk < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q_dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split keyed on CONTENT hash
+    (operators/splits.py): no RNG, stable under re-partitioning and corpus
+    growth (a doc never migrates splits when new data arrives — the classic
+    randomSplit leakage bug), and reproducible by any engine — which is
+    exactly what lets the DuckDB oracle hash-check the assignment."""
+    from zio_analytics_spark.operators.splits import hash_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, on="text", salt="corpus-v1"
+    )
+    return out.select("doc_id", "split")
+
+
+@register(
     "text_bpe_tokens",
     oracle="""
     SELECT doc_id,

@@ -1,0 +1,62 @@
+"""[EXT] Deterministic dataset splitting (SURVEY.md §2.4 tail).
+
+``hash_split`` assigns every row a split label (train/val/test/...) from a
+hash of row content — the correct way to split a training corpus at scale:
+
+- **Deterministic & engine-reproducible**: no RNG, no ``zipWithIndex``, no
+  dependence on partitioning or cluster size — membership is a pure
+  function of the content (md5 is bit-identical across Spark, DuckDB, and
+  every other engine, which also makes the operator oracle-checkable).
+- **Stable under growth**: adding documents never moves an existing
+  document to a different split (the classic leakage bug with
+  ``randomSplit`` re-runs).
+- **Salted**: a salt namespaces the assignment so two pipelines can draw
+  independent splits from the same corpus.
+
+The bucket is the first 8 hex digits of ``md5(salt || key)`` taken mod
+10_000 (0.01% granularity), compared against cumulative weight thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_split", "split_bucket"]
+
+_BUCKETS = 10_000
+
+
+def split_bucket(key: Column | str, salt: str = "") -> Column:
+    """The 0..9999 assignment bucket: first 8 hex digits of md5(salt||key)."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    on: Column | str,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Append ``split_col`` with a label from ``weights`` (label → fraction,
+    must sum to 1 within rounding; insertion order defines the threshold
+    layout). ``on`` is the content key — use the text/digest column, NOT a
+    row number, so membership survives re-partitioning and corpus growth.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = split_bucket(on, salt)
+    expr: Column | None = None
+    upper = 0.0
+    labels = list(weights.items())
+    for label, w in labels[:-1]:
+        upper += w * _BUCKETS
+        cond = bucket < F.lit(int(round(upper)))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = F.lit(labels[-1][0])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
