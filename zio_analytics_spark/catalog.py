@@ -1844,6 +1844,80 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_pipeline_full",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ), quality AS (
+      SELECT doc_id, lang, text, len(w) AS n_tokens FROM tok WHERE len(w) >= 20
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN
+               list_distinct(list_transform(range(1, len(w) - 3),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+             ELSE [] END AS s
+      FROM tok
+    ), bench AS (
+      SELECT DISTINCT unnest(s) AS t FROM sh WHERE doc_id % 10 = 0
+    ), contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(s) AS t FROM sh WHERE doc_id % 10 <> 0)
+      WHERE t IN (SELECT t FROM bench)
+    ), clean AS (
+      SELECT * FROM quality
+      WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), keepers AS (
+      SELECT min(doc_id) AS doc_id FROM clean GROUP BY text
+    ), train AS (
+      SELECT c.doc_id, c.lang, c.n_tokens
+      FROM clean c JOIN keepers k ON c.doc_id = k.doc_id
+      WHERE (('0x' || substring(md5('pipe-v1' || c.text), 1, 8))::BIGINT % 10000) < 9000
+    ), spans AS (
+      SELECT doc_id, lang, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+      FROM train WHERE n_tokens > 0
+    ), frags AS (
+      SELECT doc_id, lang, n_tokens, cum,
+             unnest(range((cum - n_tokens) // 256, (cum - 1) // 256 + 1)) AS pack_id
+      FROM spans
+    )
+    SELECT doc_id, lang, pack_id,
+           least(cum, (pack_id + 1) * 256) - greatest(cum - n_tokens, pack_id * 256)
+             AS n_frag_tokens
+    FROM frags
+    """,
+)
+def q_llm_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE lazy plan, every stage an
+    operator from this engine: quality filter → benchmark decontamination
+    (5-gram overlap, doc_id%10 split) → exact dedup (min id per content) →
+    deterministic 90/10 content-hash split → GPT-style sequence packing of
+    the train split into 256-token packs per language. Catalyst sees a
+    single plan and optimizes across stages; the oracle composes the same
+    five verified SQL pieces."""
+    from zio_analytics_spark.operators.splits import hash_split
+    from zio_analytics_spark.operators.text import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", "text", F.size(text.tokens("text")).cast("long").alias("n_tokens")
+    )
+    quality = toks.where(F.col("n_tokens") >= 20)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = quality.where(F.col("doc_id") % 10 != 0)
+    clean = dedup.decontaminate(corpus, bench, n=5)
+    keepers = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    deduped = clean.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    split = hash_split(deduped, {"train": 0.9, "val": 0.1}, on="text", salt="pipe-v1")
+    train = split.where(F.col("split") == "train").select("doc_id", "lang", "n_tokens")
+    packed = pack_sequences(train, max_len=256, order_by="doc_id", partition_by=("lang",))
+    return packed.select("doc_id", "lang", "pack_id", "n_frag_tokens")
+
+
+@register(
     "multimodal_decode",
     oracle="""
     WITH dims AS (
