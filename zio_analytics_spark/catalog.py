@@ -1908,7 +1908,11 @@ def q_llm_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = toks.where(F.col("n_tokens") >= 20)
     bench = docs.where(F.col("doc_id") % 10 == 0)
     corpus = quality.where(F.col("doc_id") % 10 != 0)
-    clean = dedup.decontaminate(corpus, bench, n=5)
+    # Stage boundary: downstream dedup/split/pack read `clean` several times
+    # (keeper build + semi join + split scan); persist so the scan+tokenize+
+    # decontaminate prefix runs once. At 100 TB this is where a real
+    # pipeline writes an intermediate table.
+    clean = dedup.decontaminate(corpus, bench, n=5).persist()
     keepers = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     deduped = clean.join(keepers.select("doc_id"), "doc_id", "left_semi")
     split = hash_split(deduped, {"train": 0.9, "val": 0.1}, on="text", salt="pipe-v1")
