@@ -110,3 +110,38 @@ def test_cluster_duplicates_equals_union_find(spark, seed):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {n: find(n) for n in parent}
     assert got == expect
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_pack_sequences_invariants(spark, seed):
+    """Packing invariants on random token counts: (a) fragments conserve
+    every doc's tokens, (b) no pack exceeds max_len, (c) within a key,
+    every pack except the last is exactly full (concat-then-chunk leaves
+    no internal gaps), (d) zero-token docs vanish."""
+    from collections import defaultdict
+
+    from zio_analytics_spark.operators.text import pack_sequences
+
+    rng = random.Random(seed)
+    L = rng.choice([7, 16, 50])
+    rows = [
+        (i, rng.choice(["p", "q"]), rng.choice([0, 1, 2, 5, 13, 61, 200]))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, k string, n_tokens long")
+    out = pack_sequences(df, max_len=L, order_by="doc_id", partition_by=("k",)).collect()
+
+    per_doc, per_pack = defaultdict(int), defaultdict(int)
+    for r in out:
+        assert r.n_frag_tokens > 0
+        per_doc[r.doc_id] += r.n_frag_tokens
+        per_pack[(r.k, r.pack_id)] += r.n_frag_tokens
+    want = {i: n for i, _, n in rows if n > 0}
+    assert per_doc == want  # conservation; zero-token docs vanish
+    last_pack = {}
+    for (k, p), tot in per_pack.items():
+        assert tot <= L
+        last_pack[k] = max(last_pack.get(k, -1), p)
+    for (k, p), tot in per_pack.items():
+        if p < last_pack[k]:
+            assert tot == L, f"internal pack ({k},{p}) not full: {tot}"
