@@ -115,7 +115,7 @@ def jaccard_pairs(
         df.select(
             *block_cols,
             F.col(id_col),
-            F.array_distinct(F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))).alias("__sh"),
+            F.array_distinct(F.transform(word_shingles(text_col, n, distinct=False), lambda s: F.xxhash64(s))).alias("__sh"),
         )
         .where(F.size("__sh") > 0)
         .select(*block_cols, F.col(id_col), F.col("__sh"), F.size("__sh").alias("__sz"))
@@ -220,7 +220,7 @@ def decontaminate(
     if mode not in ("remove", "tag"):
         raise ValueError(f"mode must be 'remove' or 'tag', got {mode!r}")
     hashed = lambda col: F.array_distinct(  # noqa: E731
-        F.transform(word_shingles(col, n), lambda s: F.xxhash64(s))
+        F.transform(word_shingles(col, n, distinct=False), lambda s: F.xxhash64(s))
     )
     bench_sh = (
         benchmark.select(F.explode(hashed(bench_text_col)).alias("__t")).distinct()
@@ -348,7 +348,7 @@ def minhash_lsh_pairs(
         df.select(
             F.col(id_col).alias("doc"),
             F.array_distinct(
-                F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
+                F.transform(word_shingles(text_col, n, distinct=False), lambda s: F.xxhash64(s))
             ).alias("__sh"),
         )
         .where(F.size("__sh") > 0)

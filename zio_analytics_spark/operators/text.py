@@ -190,8 +190,14 @@ def pack_sequences(
     return out.drop("__start", "__end")
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
+def word_shingles(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
     """Distinct word n-gram shingles → array<string> (the MinHash/Jaccard unit).
+
+    ``distinct=False`` skips the string-level ``array_distinct`` — pass it
+    when the caller deduplicates AFTER hashing the shingles to longs
+    (array_distinct over long arrays is much cheaper than over string
+    arrays; measured ~45% of the whole shingle-build cost at sf0.1), as
+    every dedup-tier consumer here does.
 
     Pure Column expression, LINEAR in document length: the token array is
     bound ONCE per row as a higher-order-function lambda variable (wrap it in
@@ -212,9 +218,8 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
             idx,
             lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
         )
-        return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
-            F.array().cast("array<string>")
-        )
+        out = F.array_distinct(grams) if distinct else grams
+        return F.when(F.size(w) >= n, out).otherwise(F.array().cast("array<string>"))
 
     # transform([tokens], w -> build(w))[1]: binds the token array to the
     # lambda variable w, evaluated exactly once per row.
