@@ -102,3 +102,24 @@ def test_bpe_token_stats_lexer(spark):
     assert got[1] == (6, 6)
     assert got[2] == (0, 0)
     assert got[3] == (3, 2)  # abc abc 42
+
+
+def test_char_shingles_and_linearity(spark):
+    from zio_analytics_spark.operators.text import char_shingles
+
+    df = spark.createDataFrame([(1, "abcdef"), (2, "abc"), (3, "ab")], "id long, t string")
+    got = {r.id: r.sh for r in df.select("id", char_shingles("t", 4).alias("sh")).collect()}
+    assert got[1] == ["abcd", "bcde", "cdef"]
+    assert got[2] == []  # shorter than k
+    assert got[3] == []
+    # repeated grams dedupe by default, survive with distinct=False
+    rep = spark.createDataFrame([(1, "ababab")], "id long, t string")
+    d = rep.select(char_shingles("t", 2).alias("sh")).first().sh
+    nd = rep.select(char_shingles("t", 2, distinct=False).alias("sh")).first().sh
+    assert d == ["ab", "ba"] and len(nd) == 5
+    # linear: source string bound once in the optimized plan
+    plan = (
+        df.select(char_shingles("t", 4).alias("sh"))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("t#") <= plan.count("lambda") + 4  # no per-gram re-inline blowup

@@ -1434,6 +1434,36 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(corpus, bench, n=5).select("doc_id")
 
 
+@register(
+    "dedup_char_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(text) - 3),
+                                          i -> substring(text, i, 5))) AS s
+      FROM documents WHERE len(text) >= 5
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.s, b.s))::DOUBLE /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+    """,
+)
+def q_dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 5-gram Jaccard pairs — the shingling unit for text without
+    whitespace segmentation (CJK, URLs, code), where word shingles
+    degenerate; same inverted-index join machinery as the word entry."""
+    return dedup.jaccard_pairs(
+        read_table(spark, sf_dir, "documents"),
+        block_cols=["lang"],
+        n=5,
+        threshold=0.3,
+        shingle_mode="char",
+    )
+
+
 _JACCARD_PREFIX_ORACLE = CATALOG["dedup_ngram_jaccard"].oracle
 
 

@@ -74,6 +74,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     prefix_filter: bool = False,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """Exact word-``n``-gram Jaccard pairs within blocks, via an
     **inverted-index set-similarity join** (the canonical distributed
@@ -107,6 +108,16 @@ def jaccard_pairs(
     """
     if threshold <= 0:
         raise ValueError("jaccard_pairs requires threshold > 0 (pairs sharing no shingle are never emitted)")
+    if shingle_mode == "word":
+        grams = word_shingles(text_col, n, distinct=False)
+    elif shingle_mode == "char":
+        # character k-grams: the unit for text without whitespace
+        # segmentation (CJK, URLs, code) — same join machinery downstream.
+        from zio_analytics_spark.operators.text import char_shingles
+
+        grams = char_shingles(text_col, n, distinct=False)
+    else:
+        raise ValueError(f"shingle_mode must be 'word' or 'char', got {shingle_mode!r}")
     # Both sides of the inverted-index join (plus their filters/projects) read
     # the shingle table — persist it so the shingling expression evaluates
     # ONCE per document, not once per consumer. At 100 TB this is a
@@ -115,7 +126,7 @@ def jaccard_pairs(
         df.select(
             *block_cols,
             F.col(id_col),
-            F.array_distinct(F.transform(word_shingles(text_col, n, distinct=False), lambda s: F.xxhash64(s))).alias("__sh"),
+            F.array_distinct(F.transform(grams, lambda s: F.xxhash64(s))).alias("__sh"),
         )
         .where(F.size("__sh") > 0)
         .select(*block_cols, F.col(id_col), F.col("__sh"), F.size("__sh").alias("__sz"))

@@ -20,6 +20,7 @@ __all__ = [
     "language_id",
     "fingerprint",
     "word_shingles",
+    "char_shingles",
     "pack_sequences",
     "DEFAULT_STOPWORDS",
 ]
@@ -133,6 +134,24 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def char_shingles(text: Column | str, k: int = 5, distinct: bool = True) -> Column:
+    """Character ``k``-gram shingles → array<string> — the shingling unit
+    for text without whitespace segmentation (CJK, URLs, code), where
+    ``word_shingles`` degenerates. Linear like its word twin: the source
+    string binds once as the lambda variable, each gram is one substring.
+    Texts shorter than ``k`` characters yield an empty array.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+
+    def build(s: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.length(s) - k + 1)
+        grams = F.transform(idx, lambda i: s.substr(i, F.lit(k)))
+        out = F.array_distinct(grams) if distinct else grams
+        return F.when(F.length(s) >= k, out).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(c), build), 1)
 
 
 def pack_sequences(
