@@ -123,3 +123,20 @@ def test_char_shingles_and_linearity(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert plan.count("t#") <= plan.count("lambda") + 4  # no per-gram re-inline blowup
+
+
+def test_repetition_stats(spark):
+    from zio_analytics_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),       # 3 bigrams, 1 distinct -> 2/3 dup
+            (2, "all words here unique now"), # no repeats
+            (3, "hi"),                        # too short for bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.dup_2gram_frac, r.dup_3gram_frac) for r in repetition_stats(df).collect()}
+    assert abs(got[1][0] - 2 / 3) < 1e-12 and abs(got[1][1] - 0.5) < 1e-12
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (None, None)

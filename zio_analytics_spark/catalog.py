@@ -2639,6 +2639,38 @@ def q_dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2 THEN
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+             ELSE [] END AS g2,
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END AS g3
+      FROM w
+    )
+    SELECT doc_id,
+           CASE WHEN len(g2) = 0 THEN NULL
+                ELSE 1.0 - (len(list_distinct(g2))::DOUBLE / len(g2)) END AS dup_2gram_frac,
+           CASE WHEN len(g3) = 0 THEN NULL
+                ELSE 1.0 - (len(list_distinct(g3))::DOUBLE / len(g3)) END AS dup_3gram_frac
+    FROM g
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate word 2-/3-gram
+    fractions — the standard detector for machine-generated or
+    boilerplate-heavy documents."""
+    return text.repetition_stats(read_table(spark, sf_dir, "documents"))
+
+
+@register(
     "text_bpe_tokens",
     oracle="""
     SELECT doc_id,

@@ -17,6 +17,7 @@ __all__ = [
     "bpe_token_stats",
     "BPE_TOKEN_PATTERN",
     "quality_stats",
+    "repetition_stats",
     "language_id",
     "fingerprint",
     "word_shingles",
@@ -134,6 +135,23 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals: the fraction of word
+    2-grams and 3-grams that are duplicates of an earlier occurrence
+    (``1 - distinct/total``). Machine-generated and boilerplate-heavy
+    documents repeat phrases; these ratios are the standard quality filter
+    for that. NULL for documents too short to have the n-gram at all.
+    Pure Column expressions over the linear shingle builder."""
+    out = [F.col(id_col)]
+    for n in (2, 3):
+        grams = word_shingles(text_col, n, distinct=False)
+        frac = 1.0 - F.try_divide(F.size(F.array_distinct(grams)), F.size(grams))
+        out.append(frac.alias(f"dup_{n}gram_frac"))
+    return df.select(*out)
 
 
 def char_shingles(text: Column | str, k: int = 5, distinct: bool = True) -> Column:
