@@ -280,3 +280,31 @@ def test_join_3way_bloom_filter_fires_at_scale_thresholds(spark, sf_dir):
         assert "might_contain" in plan and "l_orderkey" in plan.split("might_contain", 1)[1][:200]
     finally:
         spark.conf.set(key, default)
+
+
+def test_tpch_q17_scalar_subquery_decorrelates(spark, sf_dir):
+    """The correlated scalar AVG subquery must decorrelate to one aggregate
+    + join — never a per-row nested-loop re-execution."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    q = CATALOG["tpch_q17_small_quantity"].fn(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert plan.count("HashAggregate") >= 2, plan[:2000]  # per-part avg + final
+
+
+def test_tpch_q19_disjunction_pushes_per_side(spark, sf_dir):
+    """OR-of-ANDs across both join sides: Catalyst must extract each side's
+    implied disjunction below the join, so both scans prune before joining
+    (the part side filters brand/size arms, the lineitem side the quantity
+    envelope)."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    q = CATALOG["tpch_q19_disjunctive"].fn(spark, sf_dir)
+    opt = q._jdf.queryExecution().optimizedPlan().toString()
+    join_pos = opt.find("Join Inner")
+    below = opt[join_pos:]
+    assert "Filter" in below
+    # lineitem-side envelope and part-side arms both appear BELOW the join
+    assert below.count("l_quantity") > 2, opt[:3000]
+    assert "Brand#1" in below.split("Relation", 1)[1] or "p_brand" in below, opt[:3000]
