@@ -120,3 +120,21 @@ def test_keyless_guard_fires_at_execution(spark):
         map_accumulate(
             df, order_by=["id"], running={"rs": F.sum("v")}, keyless_limit=0
         ).collect()
+
+
+def test_keyless_guard_survives_column_pruning(spark):
+    """The guard must fire no matter WHICH output column survives a
+    downstream select: Catalyst prunes unreferenced window columns, so a
+    guard embedded only in the first running column would silently vanish
+    when a consumer projects the second (the round-3 defect)."""
+    df = _frame(spark)
+    over = map_accumulate(
+        df,
+        order_by=["id"],
+        running={"rs": F.sum("v"), "rc": F.count(F.lit(1))},
+        keyless_limit=2,
+    )
+    with pytest.raises(Exception, match="single-task total-order scan"):
+        over.select("rc").collect()  # prunes "rs" — guard must still trip
+    with pytest.raises(Exception, match="single-task total-order scan"):
+        over.select("rs").collect()

@@ -198,7 +198,7 @@ def test_jaccard_pairs_materializes_shingles_once(spark):
         [(i, "w%d a b c d e" % (i % 3)) for i in range(10)],
         "doc_id long, text string",
     )
-    out = jaccard_pairs(df, threshold=0.1)
+    out = jaccard_pairs(df, threshold=0.1, finalize=False)
     try:
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "InMemoryRelation" in plan, plan[:3000]

@@ -149,3 +149,17 @@ def test_fold_window_group_session_matches_native(spark):
     from zio_analytics_spark import session
 
     _group_vs_native(spark, session("10 milliseconds"), [0, 5, 12, 22, 40])
+
+
+def test_fold_window_group_pre_epoch_timestamps(spark):
+    """Pre-epoch (negative) event times: Java's signed % would place the
+    window start AFTER the event (the round-3 advisory); pmod bucketing
+    must agree with the native F.window floor semantics on both sides of
+    the epoch, for every assigner."""
+    from zio_analytics_spark import session, sliding, tumbling
+
+    ts = [-23, -15, -10, -3, 0, 4, 11]
+    _group_vs_native(spark, tumbling("10 milliseconds"), ts)
+    _group_vs_native(spark, sliding("10 milliseconds", "5 milliseconds"), ts)
+    _group_vs_native(spark, sliding("10 milliseconds", "4 milliseconds"), ts)
+    _group_vs_native(spark, session("10 milliseconds"), ts)

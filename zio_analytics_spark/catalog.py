@@ -1505,7 +1505,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang,
              list_distinct(list_transform(range(1, len(text) - 3),
                                           i -> substring(text, i, 5))) AS s
-      FROM documents WHERE len(text) >= 5 AND doc_id < 500
+      FROM documents WHERE len(text) >= 5
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            len(list_intersect(a.s, b.s))::DOUBLE /
@@ -1516,24 +1516,26 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character 5-gram Jaccard pairs — the shingling unit for text without
-    whitespace segmentation (CJK, URLs, code), where word shingles
-    degenerate; same inverted-index join machinery as the word entry.
+    """Character 5-gram Jaccard pairs over the FULL corpus — the shingling
+    unit for text without whitespace segmentation (CJK, URLs, code), where
+    word shingles degenerate.
 
-    Runs on a FIXED 500-doc slice at every SF, deliberately: this corpus is
-    the adversarial case for char shingling (a ~10-word vocabulary means
-    every 5-char window repeats across most documents — measured 111 s at
-    sf0.1 from hot-shingle k² join rows, where real non-segmented text has
-    thousands of distinct characters and shingles discriminate). The
-    operator's scale levers for genuinely skewed corpora are measured and
-    available: prefix_filter (22 s) and longer grams + prefix (k=8: 14 s);
-    correctness is what this entry pins, via the oracle."""
+    This corpus is the adversarial case for char shingling: a ~10-word
+    vocabulary means every 5-char window repeats across most documents
+    (~2k distinct shingles per lang, Σ df² ≈ 4·10⁸ inverted-index join rows
+    — measured 111 s at sf0.1 on the sparse path). ``strategy='auto'``
+    probes exactly that statistic and flips to the dense bitmap path
+    (per-block dense shingle ids → popcount(AND) over all within-block
+    pairs — result-identical, no posting-list shuffle), which is what a
+    100 TB pipeline must do when a block's shingle universe collapses; on
+    diverse natural text the same probe keeps the sparse inverted index."""
     return dedup.jaccard_pairs(
-        read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500),
+        read_table(spark, sf_dir, "documents"),
         block_cols=["lang"],
         n=5,
         threshold=0.3,
         shingle_mode="char",
+        strategy="auto",
     )
 
 
@@ -2014,14 +2016,18 @@ def q_llm_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage boundary: downstream dedup/split/pack read `clean` several times
     # (keeper build + semi join + split scan); persist so the scan+tokenize+
     # decontaminate prefix runs once. At 100 TB this is where a real
-    # pipeline writes an intermediate table.
+    # pipeline writes an intermediate table. The final localCheckpoint
+    # materializes the (small) result so the stage cache can be RELEASED
+    # before returning — no per-call cache leak into the session.
     clean = dedup.decontaminate(corpus, bench, n=5).persist()
     keepers = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     deduped = clean.join(keepers.select("doc_id"), "doc_id", "left_semi")
     split = hash_split(deduped, {"train": 0.9, "val": 0.1}, on="text", salt="pipe-v1")
     train = split.where(F.col("split") == "train").select("doc_id", "lang", "n_tokens")
     packed = pack_sequences(train, max_len=256, order_by="doc_id", partition_by=("lang",))
-    return packed.select("doc_id", "lang", "pack_id", "n_frag_tokens")
+    out = packed.select("doc_id", "lang", "pack_id", "n_frag_tokens").localCheckpoint(eager=True)
+    clean.unpersist()
+    return out
 
 
 @register(
@@ -3496,7 +3502,13 @@ def q_streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFra
     ev = read_table(spark, sf_dir, "events").select("user_id", "value")
     src = tempfile.mkdtemp(prefix="zas_ckpt_src_")
     ckpt = tempfile.mkdtemp(prefix="zas_ckpt_cp_")
-    recovery.split_into_files(ev, src, n_files=4)
+    # A deterministic quarter of the events is HELD BACK and only written
+    # after the kill: the restart is guaranteed at least one uncommitted
+    # file, so run 2 always commits a batch (without this, a fast machine
+    # can commit every file before q1.stop() lands and the restarted
+    # complete-mode memory table would be empty — the round-3 advisory).
+    hold_pred = F.pmod(F.xxhash64("user_id", "value"), F.lit(4)) == 0
+    recovery.split_into_files(ev.where(~hold_pred), src, n_files=3)
     return recovery.run_kill_restart(
         spark,
         src,
@@ -3506,6 +3518,7 @@ def q_streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFra
         ),
         ckpt,
         stop_after_batches=2,
+        holdback=ev.where(hold_pred),
     )
 
 

@@ -287,22 +287,27 @@ class DataStream:
             raise ValueError("fold_window_group requires a grouped stream")
         us = F.unix_micros(F.col(self.ts_col))
         size_us = _interval_to_micros(assigner.size)
+        # Epoch-aligned bucketing uses pmod, not Java's signed %: for
+        # pre-epoch (negative) event times `us - us % step` would yield a
+        # start AFTER the event — pmod keeps start ≤ ts on both sides of
+        # the epoch, matching F.window's floor semantics in the native path.
         if assigner.kind == "tumbling":
-            start_us = us - us % F.lit(size_us)
+            start_us = us - F.pmod(us, F.lit(size_us))
             with_win = self.df.withColumn("__ws", start_us).withColumn(
                 "__we", start_us + F.lit(size_us)
             )
         elif assigner.kind == "sliding":
             step_us = _interval_to_micros(assigner.step)
             # windows starting at multiples of step in (ts - size, ts]
-            last_start = us - us % F.lit(step_us)
+            last_start = us - F.pmod(us, F.lit(step_us))
             n_back = -(-size_us // step_us) - 1  # ceil(size/step) - 1
             starts = F.sequence(
                 last_start - F.lit(n_back * step_us), last_start, F.lit(step_us)
             )
             with_win = (
                 self.df.withColumn("__ws", F.explode(starts))
-                .where((F.col("__ws") + F.lit(size_us)) > us)
+                # both bounds: a window contains ts iff ws ≤ ts < ws + size
+                .where((F.col("__ws") <= us) & ((F.col("__ws") + F.lit(size_us)) > us))
                 .withColumn("__we", F.col("__ws") + F.lit(size_us))
             )
         elif assigner.kind == "session":

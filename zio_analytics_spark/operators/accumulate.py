@@ -65,11 +65,15 @@ def map_accumulate(
     ``agg.over(window.rowsBetween(unboundedPreceding, currentRow))``.
 
     Without ``partition_by`` Spark plans a single-partition window. The
-    keyless guard is a DEFERRED runtime check: the first running column is
+    keyless guard is a DEFERRED runtime check: EVERY running column is
     wrapped in ``when(row_count > limit, raise_error(...))`` over the same
     frame, so exceeding ``keyless_limit`` rows (default
     ``KEYLESS_ROW_LIMIT``; ``0`` disables) fails the job with a clear
-    message — and building the plan never triggers a Spark job (laziness is
+    message no matter which subset of the output columns a downstream
+    ``select`` keeps — Catalyst prunes unreferenced columns, so a guard on
+    only one of them would vanish with it. The running count is one extra
+    aggregate in the SAME single window pass (not one per column, and no
+    extra job); building the plan never triggers a Spark job (laziness is
     part of the DataFrame contract; an eager count here would itself be a
     full scan at 100 TB, running even for never-executed plans).
     """
@@ -79,9 +83,6 @@ def map_accumulate(
     guard: Column | None = None
     if not partition_by and keyless_limit != 0:
         limit = keyless_limit or KEYLESS_ROW_LIMIT
-        # Running row count over the SAME frame — computed in the same
-        # single window pass, no extra job. Embedded in the first output
-        # column so it cannot be pruned while the result is consumed.
         guard = F.count(F.lit(1)).over(w) > F.lit(limit)
     out = df
     for name, agg in running.items():
@@ -90,7 +91,6 @@ def map_accumulate(
             expr = F.when(
                 guard, F.raise_error(F.lit(_keyless_msg("map_accumulate", limit)))
             ).otherwise(expr)
-            guard = None
         out = out.withColumn(name, expr)
     return out
 

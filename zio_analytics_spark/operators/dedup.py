@@ -25,6 +25,7 @@ from collections.abc import Sequence
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -34,6 +35,7 @@ __all__ = [
     "exact_dedup",
     "decontaminate",
     "jaccard_pairs",
+    "jaccard_strategy",
     "lsh_calibrate",
     "lsh_recall_at",
     "minhash_lsh_pairs",
@@ -41,6 +43,30 @@ __all__ = [
     "simhash_pairs",
     "embedding_dup_pairs",
 ]
+
+
+def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize ``result`` (eager localCheckpoint) and RELEASE the persisted
+    intermediate tables that produced it.
+
+    The dedup operators persist an intermediate (shingle / fingerprint) table
+    because several join sides read it; without a deterministic release each
+    call would leak a cached table into executor memory for the life of the
+    session. Materializing the (much smaller) result first truncates the
+    lineage so the intermediates can be unpersisted immediately — the caller
+    gets a plain materialized frame whose blocks are reclaimed by Spark's
+    ContextCleaner when the frame is garbage-collected, and the DataFrame
+    cache registry (``sharedState.cacheManager``) is left empty. At 100 TB
+    the same boundary is where a real pipeline writes the result table.
+
+    ``finalize=False`` on the operators skips this (keeps the fully lazy
+    plan + persisted intermediates) for callers that compose further and
+    accept the caller-must-release contract.
+    """
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -66,6 +92,213 @@ def _pair_jaccard(sh_a: Column, sh_b: Column) -> Column:
     return inter / union
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small/heavily-compressed local inputs can arrive as a SINGLE scan
+    split (the sf0.1 documents table is one 600 KB row group), which would
+    serialize the expensive per-document work (shingling, hashing) that
+    follows. If the scan has fewer partitions than the cluster's default
+    parallelism, add one round-robin repartition of the projected input;
+    on a real many-split corpus this is a no-op (no shuffle inserted)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _shingle_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: Sequence[str],
+    n: int,
+    shingle_mode: str,
+) -> DataFrame:
+    """(block_cols…, id, __sh array<long>, __sz) — distinct shingles hashed to
+    xxhash64 longs (8-byte comparisons downstream; 2^-64 collision risk
+    accepted), empty-shingle docs dropped."""
+    if shingle_mode == "word":
+        grams = word_shingles(text_col, n, distinct=False)
+    elif shingle_mode == "char":
+        # character k-grams: the unit for text without whitespace
+        # segmentation (CJK, URLs, code) — same join machinery downstream.
+        from zio_analytics_spark.operators.text import char_shingles
+
+        grams = char_shingles(text_col, n, distinct=False)
+    else:
+        raise ValueError(f"shingle_mode must be 'word' or 'char', got {shingle_mode!r}")
+    base = _ensure_parallelism(df.select(*block_cols, F.col(id_col), F.col(text_col)))
+    return (
+        base.select(
+            *block_cols,
+            F.col(id_col),
+            F.array_distinct(F.transform(grams, lambda s: F.xxhash64(s))).alias("__sh"),
+        )
+        .where(F.size("__sh") > 0)
+        .select(*block_cols, F.col(id_col), F.col("__sh"), F.size("__sh").alias("__sz"))
+    )
+
+
+# Relative cost weights for the auto-strategy probe. A sparse inverted-index
+# join row is shuffled, joined and hash-aggregated (~100s of ns); a dense
+# bitmap op is one codegen'd AND+popcount lane (~ns). The exact ratio only
+# matters near the crossover — both real regimes sit orders of magnitude to
+# one side (measured at sf0.1: synthetic char corpus 3.2e9 vs 1.0e8,
+# word-vocabulary corpora the reverse).
+_SPARSE_COST_PER_ROW = 8.0
+_DENSE_COST_PER_OP = 1.0
+
+
+def _choose_strategy(
+    sh: DataFrame, block_cols: Sequence[str], max_dense_bits: int
+) -> str:
+    """One aggregate pass over the shingle table → 'dense' or 'sparse'.
+
+    Estimates the two candidate costs from sufficient statistics:
+    the sparse inverted index generates Σ_t df(t)² join rows (its known
+    failure mode: hot shingles), the dense bitmap path compares
+    Σ_b D_b²/2 pairs at U_b/64 words each. Dense additionally requires
+    every block's distinct-shingle universe to fit ``max_dense_bits``.
+    The probe is two narrow aggregations (freq table + per-block rollup →
+    ONE driver row) — it runs a small job eagerly, which is part of this
+    operator's contract (dedup is a multi-job pipeline, not a single lazy
+    plan).
+    """
+    tok = sh.select(*block_cols, F.explode("__sh").alias("__t"))
+    freq = tok.groupBy(*block_cols, "__t").agg(F.count(F.lit(1)).alias("__df"))
+    per_block_sh = freq.groupBy(*block_cols).agg(
+        F.count(F.lit(1)).alias("__u"),
+        F.sum(F.col("__df") * F.col("__df")).alias("__df2"),
+    )
+    per_block_docs = sh.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__d"))
+    if block_cols:
+        joined = per_block_sh.join(per_block_docs, list(block_cols))
+    else:
+        joined = per_block_sh.crossJoin(per_block_docs)
+    row = joined.agg(
+        F.max("__u").alias("max_u"),
+        F.max(F.col("__d").cast("double") * F.col("__u")).alias("max_du"),
+        F.sum("__df2").alias("sparse_rows"),
+        F.sum(
+            F.col("__d") * F.col("__d") / 2.0 * (F.col("__u") / 64.0 + F.lit(8.0))
+        ).alias("dense_ops"),
+    ).first()
+    if row is None or row["max_u"] is None:
+        return "sparse"
+    # dense holds a block's D×U float32 incidence matrix in one task: gate
+    # both the universe width and the matrix bytes (512M cells ≈ 2 GB).
+    if row["max_u"] > max_dense_bits or row["max_du"] > float(1 << 29):
+        return "sparse"
+    dense_cost = float(row["dense_ops"]) * _DENSE_COST_PER_OP
+    sparse_cost = float(row["sparse_rows"]) * _SPARSE_COST_PER_ROW
+    return "dense" if dense_cost < sparse_cost else "sparse"
+
+
+def jaccard_strategy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Sequence[str] = (),
+    n: int = 3,
+    shingle_mode: str = "word",
+    max_dense_bits: int = 1 << 15,
+) -> str:
+    """The strategy ``jaccard_pairs(strategy='auto')`` would pick for this
+    input — exposed for planning/inspection (and tested on both regimes:
+    the repetitive small-vocabulary corpus probes dense, a diverse
+    natural-text corpus probes sparse)."""
+    sh = _shingle_table(df, text_col, id_col, block_cols, n, shingle_mode)
+    return _choose_strategy(sh, block_cols, max_dense_bits)
+
+
+def _dense_bitmap_pairs(
+    sh: DataFrame,
+    id_col: str,
+    block_cols: Sequence[str],
+    threshold: float,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Exact Jaccard for the DENSE regime (small per-block shingle universe,
+    high document overlap — boilerplate floods, tiny vocabularies, CJK char
+    grams over a narrow charset), where the inverted index melts: a shingle
+    in k docs costs k² join rows, and with every doc sharing most shingles
+    that is Θ((Σ df)²) — while the candidate set is all within-block pairs
+    anyway. Instead each task receives one whole block, factorizes its
+    shingles to local dense ids, and computes EXACT intersection counts as
+    a product of the 0/1 doc×shingle incidence matrix — ``inter = M @ M.T``
+    in float32 BLAS (exact for counts < 2²⁴; the universe gate keeps
+    U ≤ 2¹⁵) — emitting ONLY surviving pairs, so the pair space is never
+    materialized as rows. Measured at sf0.1 against the alternatives:
+    inverted-index join 111 s (Θ(Σ df²) shuffled rows), zip_with/aggregate
+    popcount 60 s (higher-order lambdas run interpreted per element), LUT
+    popcount over uint64 bitmaps 7 s, sgemm < 2 s — pairwise set
+    intersection in a dense universe IS a matrix product, and BLAS is the
+    fastest hardware path to it.
+
+    Parallelism: the shingle frame is replicated to ``salt_buckets`` copies
+    and pair (x, y), x<y, is computed only in the copy where
+    ``x % salt_buckets`` matches — each block runs S tasks wide, each task
+    comparing ~D/S docs against the block (chunked to bound temporaries).
+    The replication multiplies ONE narrow shuffle of the shingle table by
+    S; blocks are few by construction in the dense regime (the probe only
+    picks this path when per-block universes are tiny), so S ≈ cores/blocks
+    is the right trade. A task must hold its block's D×U incidence matrix —
+    the caller's probe gates on exactly that (``max_dense_bits`` plus the
+    block-bytes bound in :func:`_choose_strategy`).
+    """
+    import numpy as np
+
+    S = int(salt_buckets)
+    thr = float(threshold)
+    exploded = sh.select(
+        *block_cols,
+        F.col(id_col).alias("__doc"),
+        F.col("__sh"),
+        F.col("__sz"),
+        F.explode(F.array(*[F.lit(i) for i in range(S)])).alias("__salt"),
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64"),
+                              "jaccard": pd.Series(dtype="float64")})
+        D = len(pdf)
+        if D < 2:
+            return empty
+        salt = int(pdf["__salt"].iloc[0])
+        docs = pdf["__doc"].to_numpy(dtype=np.int64)
+        sizes = pdf["__sz"].to_numpy(dtype=np.int64)
+        a_idx = np.nonzero(docs % S == salt)[0]
+        if len(a_idx) == 0:
+            return empty
+        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["__sh"]])
+        codes = pd.factorize(flat)[0]
+        U = int(codes.max()) + 1
+        M = np.zeros((D, U), dtype=np.float32)
+        M[np.repeat(np.arange(D), sizes), codes] = 1.0
+        # chunk the A side so the (chunk × D) sgemm output stays ~64 MB
+        chunk = max(1, (64 << 20) // (D * 4))
+        outs = []
+        for c0 in range(0, len(a_idx), chunk):
+            ai = a_idx[c0 : c0 + chunk]
+            inter = (M[ai] @ M.T).astype(np.int64)
+            union = sizes[ai][:, None] + sizes[None, :] - inter
+            jac = inter / union
+            mask = (jac >= thr) & (docs[None, :] > docs[ai][:, None])
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                outs.append(
+                    pd.DataFrame(
+                        {"doc_a": docs[ai][ii], "doc_b": docs[jj], "jaccard": jac[ii, jj]}
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return exploded.groupBy(*block_cols, "__salt").applyInPandas(
+        block_pairs, "doc_a long, doc_b long, jaccard double"
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -75,6 +308,9 @@ def jaccard_pairs(
     threshold: float = 0.5,
     prefix_filter: bool = False,
     shingle_mode: str = "word",
+    strategy: str = "sparse",
+    max_dense_bits: int = 1 << 15,
+    finalize: bool = True,
 ) -> DataFrame:
     """Exact word-``n``-gram Jaccard pairs within blocks, via an
     **inverted-index set-similarity join** (the canonical distributed
@@ -105,41 +341,46 @@ def jaccard_pairs(
     collapsing the k² join rows they cause in the plain index — the
     escape hatch for skewed corpora that frequency *capping* would buy at
     the price of lost recall.
+
+    ``strategy`` picks the candidate machinery (result-identical either way):
+
+    - ``'sparse'`` — the inverted-index join above (with optional
+      ``prefix_filter``): right when shingle document frequencies are low
+      (diverse natural text — the common 100 TB regime).
+    - ``'dense'`` — per-block bitmap popcount comparison
+      (:func:`_dense_bitmap_pairs`): right when the per-block shingle
+      universe is small and documents overlap heavily (tiny vocabularies,
+      boilerplate floods, CJK char grams over a narrow charset), where the
+      inverted index generates Θ(Σ df²) join rows for a candidate set that
+      is all within-block pairs anyway.
+    - ``'auto'`` — probes sufficient statistics (two narrow aggregates →
+      one driver row) and picks; :func:`jaccard_strategy` exposes the
+      choice.
+
+    ``finalize=True`` (default) materializes the result and releases the
+    persisted shingle intermediate — see :func:`_finalize`; pass ``False``
+    to keep the fully lazy plan and release the cache yourself.
     """
     if threshold <= 0:
         raise ValueError("jaccard_pairs requires threshold > 0 (pairs sharing no shingle are never emitted)")
-    if shingle_mode == "word":
-        grams = word_shingles(text_col, n, distinct=False)
-    elif shingle_mode == "char":
-        # character k-grams: the unit for text without whitespace
-        # segmentation (CJK, URLs, code) — same join machinery downstream.
-        from zio_analytics_spark.operators.text import char_shingles
-
-        grams = char_shingles(text_col, n, distinct=False)
-    else:
-        raise ValueError(f"shingle_mode must be 'word' or 'char', got {shingle_mode!r}")
-    # Both sides of the inverted-index join (plus their filters/projects) read
-    # the shingle table — persist it so the shingling expression evaluates
-    # ONCE per document, not once per consumer. At 100 TB this is a
-    # materialized intermediate table, exactly as in ``minhash_lsh_pairs``.
-    sh = (
-        df.select(
-            *block_cols,
-            F.col(id_col),
-            F.array_distinct(F.transform(grams, lambda s: F.xxhash64(s))).alias("__sh"),
-        )
-        .where(F.size("__sh") > 0)
-        .select(*block_cols, F.col(id_col), F.col("__sh"), F.size("__sh").alias("__sz"))
-        .persist()
-    )
+    if strategy not in ("sparse", "dense", "auto"):
+        raise ValueError(f"strategy must be 'sparse', 'dense' or 'auto', got {strategy!r}")
+    # Every strategy reads the shingle table from several join sides —
+    # persist it so the shingling expression evaluates ONCE per document,
+    # not once per consumer. At 100 TB this is a materialized intermediate
+    # table, exactly as in ``minhash_lsh_pairs``.
+    sh = _shingle_table(df, text_col, id_col, block_cols, n, shingle_mode).persist()
+    if strategy == "auto":
+        strategy = _choose_strategy(sh, block_cols, max_dense_bits)
+    if strategy == "dense":
+        out = _dense_bitmap_pairs(sh, id_col, block_cols, threshold)
+        return _finalize(out, sh) if finalize else out
     tok = sh.select(*block_cols, F.col(id_col), F.col("__sz"), F.explode("__sh").alias("__t"))
     cond = F.col("doc_a") < F.col("doc_b")
     for c in block_cols:
         cond = cond & (F.col(f"{c}__a") == F.col(f"{c}__b"))
 
     if prefix_filter:
-        from pyspark.sql import Window as W
-
         freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
         rank_w = W.partitionBy(*block_cols, F.col(id_col)).orderBy("__df", "__t")
         # epsilon guards double rounding in sz*t: a one-longer prefix is
@@ -177,11 +418,12 @@ def jaccard_pairs(
             )
         )
         j = _pair_jaccard(F.col("__sh_a"), F.col("__sh_b"))
-        return (
+        out = (
             verified.select("doc_a", "doc_b", j.alias("__j"))
             .where(F.col("__j") >= threshold)
             .select("doc_a", "doc_b", F.col("__j").alias("jaccard"))
         )
+        return _finalize(out, sh) if finalize else out
 
     a = tok.select(
         *[F.col(c).alias(f"{c}__a") for c in block_cols],
@@ -200,11 +442,12 @@ def jaccard_pairs(
     j = F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter"))
     # Filter on the raw value — threshold semantics identical to an oracle
     # that filters unrounded.
-    return (
+    out = (
         inter.select("doc_a", "doc_b", j.alias("__j"))
         .where(F.col("__j") >= threshold)
         .select("doc_a", "doc_b", F.col("__j").alias("jaccard"))
     )
+    return _finalize(out, sh) if finalize else out
 
 
 def decontaminate(
@@ -314,6 +557,7 @@ def minhash_lsh_pairs(
     bands: int | None = None,
     threshold: float = 0.5,
     target_recall: float = 0.9,
+    finalize: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -356,7 +600,8 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verification over hashed shingles carries the same
     # 2^-64 collision risk jaccard_pairs already accepts.
     sh = (
-        df.select(
+        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col).alias("doc"),
             F.array_distinct(
                 F.transform(word_shingles(text_col, n, distinct=False), lambda s: F.xxhash64(s))
@@ -404,11 +649,12 @@ def minhash_lsh_pairs(
         .join(sh.select(F.col("doc").alias("doc_b"), F.col("__sh").alias("__sh_b")), "doc_b")
     )
     j = _pair_jaccard(F.col("__sh_a"), F.col("__sh_b"))
-    return (
+    out = (
         verified.select("doc_a", "doc_b", j.alias("__j"))
         .where(F.col("__j") >= threshold)
         .select("doc_a", "doc_b", F.col("__j").alias("jaccard"))
     )
+    return _finalize(out, sh) if finalize else out
 
 
 @F.pandas_udf(LongType())
@@ -466,7 +712,9 @@ def _simhash64(texts: pd.Series) -> pd.Series:
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document 64-bit SimHash fingerprint."""
-    return df.select(F.col(id_col), _simhash64(F.col(text_col)).alias("simhash"))
+    return _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), _simhash64(F.col(text_col)).alias("simhash")
+    )
 
 
 def _block_combo_keys(sim_col: F.Column, max_hamming: int) -> F.Column:
@@ -508,6 +756,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    finalize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming`` —
     exact (complete recall), never a cross join.
@@ -544,7 +793,7 @@ def simhash_pairs(
         .select("doc_a", "doc_b", F.lit(0).alias("hamming"))
     )
     if max_hamming == 0:
-        return same
+        return _finalize(same, fp) if finalize else same
 
     fpd = fp.select("simhash").distinct()
     keyed = fpd.select(
@@ -571,7 +820,8 @@ def simhash_pairs(
             "hamming",
         )
     )
-    return same.unionByName(cross)
+    out = same.unionByName(cross)
+    return _finalize(out, fp) if finalize else out
 
 
 def cluster_duplicates(

@@ -79,6 +79,7 @@ def run_kill_restart(
     ckpt_path: str,
     stop_after_batches: int = 2,
     timeout_sec: float = 120.0,
+    holdback: DataFrame | None = None,
 ) -> DataFrame:
     """Run ``build_agg`` over a file-stream of ``src_path`` with a real
     checkpoint, kill the query after ``stop_after_batches`` non-empty
@@ -87,8 +88,18 @@ def run_kill_restart(
 
     The restarted query resumes from ``checkpoint/commits`` — it re-reads
     NO committed file and restores operator state from the RocksDB
-    snapshots, so the returned frame equals the batch aggregation over the
-    whole directory iff recovery is exactly-once (the oracle check).
+    snapshots, so the returned frame equals the batch aggregation over
+    ALL the data (files + ``holdback``) iff recovery is exactly-once (the
+    oracle check).
+
+    ``holdback`` closes a kill-point race: the progress poll is sampled,
+    so every source file can commit between observing the kill condition
+    and ``q1.stop()`` — a restart with nothing left to read triggers no
+    micro-batch, and a complete-mode memory sink that never ran a batch is
+    EMPTY. Writing ``holdback`` to the source directory only after the
+    kill guarantees the restarted query has at least one uncommitted file,
+    so run 2 always commits a batch (and genuinely exercises recovered
+    state, not just committed offsets).
     """
     import uuid
 
@@ -112,9 +123,21 @@ def run_kill_restart(
         q1.stop()  # the "kill": mid-stream, uncommitted files remain
     q1.awaitTermination()
 
+    if holdback is not None:
+        # post-kill arrival: guaranteed-uncommitted input for the restart
+        holdback.repartition(1).write.mode("append").parquet(src_path)
+
     q2 = start(run2)
     try:
         q2.processAllAvailable()
     finally:
         q2.stop()
-    return spark.sql(f"SELECT * FROM {run2}")
+    out = spark.sql(f"SELECT * FROM {run2}")
+    if holdback is not None and not [
+        p for p in q2.recentProgress if p["numInputRows"] > 0
+    ]:
+        raise RuntimeError(
+            "restarted query processed no batch despite held-back input — "
+            "recovery was not exercised"
+        )
+    return out
