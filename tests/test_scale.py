@@ -308,3 +308,18 @@ def test_tpch_q19_disjunction_pushes_per_side(spark, sf_dir):
     # lineitem-side envelope and part-side arms both appear BELOW the join
     assert below.count("l_quantity") > 2, opt[:3000]
     assert "Brand#1" in below.split("Relation", 1)[1] or "p_brand" in below, opt[:3000]
+
+
+def test_tpch_q21_semi_anti_stack(spark, sf_dir):
+    """Q21's double correlated subquery (EXISTS + NOT EXISTS against the
+    same fact table) must plan as one LEFT SEMI and one LEFT ANTI equi-join
+    on l_orderkey with the supplier inequality as a residual condition —
+    never a cartesian/nested-loop expansion of the fact table."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    q = CATALOG["tpch_q21_waiting_suppliers"].fn(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "LeftSemi" in plan, plan[:3000]
+    assert "LeftAnti" in plan, plan[:3000]

@@ -974,18 +974,37 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# approx_count_distinct: HLL parameters differ across engines, so the approx
-# column is rows-only; the exact column doubles as a sanity anchor in tests.
-@register("agg_approx_distinct", oracle=None)
+# approx_count_distinct: HLL sketch values differ across engines, so the
+# approx VALUE can't be hash-compared — but its ERROR BOUND can: the entry
+# emits the exact count plus a tolerance verdict `abs(approx-exact)/exact
+# < 5%` (HLL at rsd=0.01 measures ~0.7% here, deterministic given the
+# data), and DuckDB predicts the verdict as TRUE. A broken sketch (or a
+# silently mis-wired rsd) flips the boolean and fails the hash — the
+# tolerance-banded oracle pattern for every approximate entry.
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    agg = (
         _ds(spark, sf_dir, "lineitem")
         .group_by("l_returnflag")
         .fold(
-            approx_parts=F.approx_count_distinct("l_partkey"),
+            approx_parts=F.approx_count_distinct("l_partkey", 0.01),
             exact_parts=F.countDistinct("l_partkey"),
         )
         .to_df()
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts")
+            < 0.05
+        ).alias("approx_ok"),
     )
 
 
@@ -1385,6 +1404,74 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*)::BIGINT AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_0' AND o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — the hardest public decorrelation pattern: correlated
+    EXISTS *and* NOT EXISTS against the SAME fact table, each correlated on
+    the join key plus an inequality (`l2.l_suppkey <> l1.l_suppkey`). This
+    schema has no receipt/commit dates, so `l_returnflag = 'R'` stands in
+    for the late-delivery predicate; the join topology is Q21's.
+
+    Decorrelated by hand into the canonical semi ⋈ anti stack: a LEFT SEMI
+    join keeps 'R' lines of multi-supplier orders, a LEFT ANTI join drops
+    lines where any OTHER supplier in the order also returned — both
+    equi-joins on l_orderkey with the supplier inequality as a residual
+    condition (shuffle-hash/sort-merge; never a cartesian), then the
+    status-filtered orders join, the supplier join and a BROADCAST nation
+    dim. Plan shape (semi + anti, no NestedLoop/Cartesian) is asserted in
+    tests/test_scale.py."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").alias("l3")
+    multi_supp = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = multi_supp.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    orders_f = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = read_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_0")
+    return (
+        sole_late.join(orders_f, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 # Per-group deterministic sample: top-n by a seeded hash — reproducible
 # sampling without a global sort (rows-only: no xxhash64 in DuckDB).
 @register("sample_per_group", oracle=None)
@@ -1400,11 +1487,20 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Approximate percentile sketch (t-digest-style): algorithm-specific values →
-# rows-only; accuracy asserted against exact percentile in tests.
-@register("agg_approx_percentile", oracle=None)
+# Approximate percentile sketch: algorithm-specific values can't be
+# hash-compared, but the error bound can — tolerance-banded oracle (see
+# agg_approx_distinct): `abs(approx-exact)/exact < 1%` (measured ~0.03%
+# at accuracy=10000), with the exact median as the hash anchor.
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_med,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    agg = (
         _ds(spark, sf_dir, "lineitem")
         .group_by("l_returnflag")
         .fold(
@@ -1412,6 +1508,13 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_med=F.expr("percentile(l_extendedprice, 0.5)"),
         )
         .to_df()
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_med",
+        (
+            F.abs(F.col("approx_med") - F.col("exact_med")) / F.col("exact_med") < 0.01
+        ).alias("approx_ok"),
     )
 
 
@@ -1559,15 +1662,48 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash", oracle=None)
+@register(
+    "dedup_minhash",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+            FROM documents)
+    ), nz AS (SELECT * FROM sh WHERE len(s) > 0)
+    SELECT count(*)::BIGINT AS n_exact, TRUE AS recall_ok
+    FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+    """,
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding auto-calibrated to the threshold (lsh_calibrate): 50 hashes /
     25 bands of 2 ⇒ candidate recall ≥ 0.9 at j = 0.3, →1 above. (Round 2
     ran threshold=0.05 against a fixed 16/8 scheme — ~2% candidate recall at
     the boundary; thresholds that low are below what banded LSH can serve in
     a sane hash budget and now raise — exhaustive low-threshold search is
-    jaccard_pairs' job, see dedup_ngram_jaccard.)"""
-    return dedup.minhash_lsh_pairs(read_table(spark, sf_dir, "documents"), threshold=0.3)
+    jaccard_pairs' job, see dedup_ngram_jaccard.)
+
+    Tolerance-banded oracle: LSH pairs are a SUBSET of the exact-Jaccard
+    pairs by construction (identical xxhash64 trigram shingles + exact
+    verification), so recall = n_lsh / n_exact. DuckDB computes the exact
+    denominator and predicts the recall verdict (≥ 0.9, the calibration
+    target; measured 1.0 at sf0.01 and sf0.1) — a silently mis-calibrated
+    banding would flip the boolean and fail the hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.3)
+    exact = dedup.jaccard_pairs(docs, threshold=0.3, strategy="auto")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .select(
+            "n_exact",
+            (F.col("n_lsh") >= F.lit(0.9) * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
 
 
 @register("dedup_simhash", oracle=None, bench=True)
@@ -1665,13 +1801,6 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, qv, k=10)
 
 
-@register("similarity_ann_lsh", oracle=None)
-def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qv = _query_vec(spark, sf_dir)
-    emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
-    return similarity.lsh_topk(emb, qv, k=10)
-
-
 def _ann_partitioned_oracle(n_planes: int = 6, seed: int = 42, dim: int = 64) -> str:
     """DuckDB replica of the partitioned-LSH ANN query: same deterministic
     Gaussian planes (make_planes literals baked in), same sign-bucket rule,
@@ -1698,6 +1827,17 @@ def _ann_partitioned_oracle(n_planes: int = 6, seed: int = 42, dim: int = 64) ->
     ORDER BY sim DESC, bk.vec_id
     LIMIT 10
     """
+
+
+@register("similarity_ann_lsh", oracle=_ann_partitioned_oracle(n_planes=8, seed=42))
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline LSH ANN (exploration mode — bucket computed per query). The
+    bucketing is a pure function of (dim, n_planes, seed), so the same
+    plane-literal replay oracle that checks the partitioned layout checks
+    this variant too — previously rows-only for no good reason."""
+    qv = _query_vec(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return similarity.lsh_topk(emb, qv, k=10, n_planes=8, seed=42)
 
 
 @register("similarity_ann_partitioned", oracle=_ann_partitioned_oracle())
@@ -2399,13 +2539,23 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-@register("similarity_ann_ivf", oracle=None)
+@register(
+    "similarity_ann_ivf",
+    oracle="SELECT 10::BIGINT AS k, TRUE AS recall_ok",
+)
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN on the PRECOMPUTED layout (operators/ann_index.py): cells
     assigned once at build, table partitioned by cell, centroid sidecar in
     the index dir; the query prunes to its nprobe nearest cell directories.
-    Rows-only here (k-means isn't SQL-replicable); recall vs brute force is
-    asserted in tests/test_similarity.py, pruning in tests/test_scale.py."""
+
+    K-means isn't SQL-replicable, so the oracle is tolerance-banded on
+    RECALL instead: the entry joins the IVF top-10 against the exact
+    brute-force top-10 and emits `recall ≥ 0.3` (nprobe=4 of 16 cells on
+    near-unstructured synthetic embeddings measures recall 0.5 at sf0.01
+    and sf0.1; planted-cluster recall ≥ 0.8 is asserted in
+    tests/test_similarity.py, partition pruning in tests/test_scale.py).
+    A broken cell assignment or probe selection collapses recall and fails
+    the hash — previously this entry was rows-only."""
     import tempfile
 
     from zio_analytics_spark.operators import ann_index
@@ -2414,7 +2564,13 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     path = tempfile.mkdtemp(prefix="zas_ivf_idx_")
     ann_index.build_ivf_index(emb, path, n_cells=16)
-    return ann_index.query_ivf_index(spark, path, qv, k=10, nprobe=4)
+    ann = ann_index.query_ivf_index(spark, path, qv, k=10, nprobe=4)
+    brute = similarity.brute_force_topk(emb, qv, k=10)
+    hits = ann.select("vec_id").join(brute.select("vec_id"), "vec_id", "left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("__n_hit")).select(
+        F.lit(10).cast("long").alias("k"),
+        (F.col("__n_hit") >= F.lit(3)).alias("recall_ok"),
+    )
 
 
 # =====================================================================
