@@ -269,10 +269,11 @@ def test_jaccard_strategy_adaptive(spark, sf_dir):
 
 
 def test_dedup_operators_release_caches(spark):
-    """Each dedup operator persists an intermediate (shingle / fingerprint)
-    table; with the default finalize=True the result is materialized and the
-    cache RELEASED before returning — the session-level DataFrame cache
-    registry must be empty after every call (the round-3 leak)."""
+    """Each dedup operator materializes its shared intermediate (shingle /
+    fingerprint table) as a temp parquet table instead of persist() — the
+    session-level DataFrame cache registry must be empty after every call
+    (the round-3 leak: a cache would need a release protocol the operator
+    cannot honor, since the consuming action happens after it returns)."""
     docs = spark.createDataFrame(
         [(i, "en", f"alpha beta gamma delta epsilon zeta doc{i % 7} eta theta") for i in range(40)],
         "doc_id long, lang string, text string",

@@ -189,21 +189,22 @@ def test_word_shingles_expression_is_linear_in_plan(spark):
 
 
 def test_jaccard_pairs_materializes_shingles_once(spark):
-    """jaccard_pairs must persist the shingle table: both sides of the
-    inverted-index join read it, so without the cache the (expensive)
-    shingling expression runs once per consumer."""
+    """jaccard_pairs must materialize the shingle table: several join sides
+    read it, so without the boundary the (expensive) shingling expression
+    would run once per consumer. The result plan therefore scans the
+    materialized table and contains NO tokenization at all — shingling
+    happened exactly once, at the write."""
     from zio_analytics_spark.operators.dedup import jaccard_pairs
 
     df = spark.createDataFrame(
         [(i, "w%d a b c d e" % (i % 3)) for i in range(10)],
         "doc_id long, text string",
     )
-    out = jaccard_pairs(df, threshold=0.1, finalize=False)
-    try:
-        plan = out._jdf.queryExecution().optimizedPlan().toString()
-        assert "InMemoryRelation" in plan, plan[:3000]
-    finally:
-        spark.catalog.clearCache()
+    out = jaccard_pairs(df, threshold=0.1)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "split(" not in plan, plan[:3000]
+    # consumers read the materialized shingle table (a parquet relation)
+    assert "__sh" in plan and "parquet" in plan, plan[:3000]
 
 
 def test_ann_partitioned_index_prunes_to_probed_buckets(spark, sf_dir, tmp_path):
@@ -323,3 +324,16 @@ def test_tpch_q21_semi_anti_stack(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "LeftSemi" in plan, plan[:3000]
     assert "LeftAnti" in plan, plan[:3000]
+
+
+def test_tpch_q22_scalar_broadcast_and_anti(spark, sf_dir):
+    """Q22's uncorrelated scalar bound must broadcast (one tiny aggregate
+    job, never per-row re-evaluation) and the NOT EXISTS must lower to a
+    LEFT ANTI join — no nested-loop over the fact table beyond the 1-row
+    broadcast."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    q = CATALOG["tpch_q22_dormant_customers"].fn(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]

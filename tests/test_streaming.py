@@ -288,3 +288,60 @@ def test_run_kill_restart_mid_stream(spark, tmp_path):
         for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_fold_window_group_stream_multi_trigger(spark, tmp_path):
+    """General-fold streaming windows under MULTI-trigger delivery: each
+    trigger re-emits the updated fold for groups it touched (changelog
+    contract) — keeping the LAST emission per (key, window_start) must
+    equal the batch answer, and for sessions the closed-session rows must
+    have left the state (only the open session is retained)."""
+    import pandas as pd
+
+    from zio_analytics_spark.streaming import grouped
+
+    src = str(tmp_path / "gf_src")
+    # two files -> two micro-batches with maxFilesPerTrigger=1; the second
+    # batch extends one session across the file boundary
+    rows1 = [(1_000 * s, "a", float(v)) for s, v in [(0, 1), (30, 5), (3600, 2)]]
+    rows2 = [(1_000 * s, "a", float(v)) for s, v in [(3660, 9), (9000, 4)]]
+    df1 = spark.createDataFrame(rows1, "ms long, event_type string, value double")
+    df2 = spark.createDataFrame(rows2, "ms long, event_type string, value double")
+    df1.coalesce(1).write.parquet(src)
+    df2.coalesce(1).write.mode("append").parquet(src)
+
+    def range_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": [pdf["window_start"].iloc[0]],
+                "event_type": [pdf["event_type"].iloc[0]],
+                "value_range": [pdf["value"].max() - pdf["value"].min()],
+            }
+        )
+
+    st = (
+        spark.readStream.schema("ms long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_millis(F.col("ms")))
+    )
+    out = grouped.fold_session_group_stream(
+        st, "ts", ["event_type"], "10 minutes", range_fold,
+        "window_start timestamp, event_type string, value_range double",
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName("gf_multi").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM gf_multi").collect()
+    # last emission per (key, window_start) wins
+    last = {}
+    for r in got:
+        last[(r.event_type, r.window_start)] = r.value_range
+    # batch truth: sessions at gap=10min over ts {0,30,3600,3660,9000}s:
+    # {0,30}, {3600,3660}, {9000} -> ranges 4, 7, 0
+    assert sorted(last.values()) == [0.0, 4.0, 7.0], got
+    # the cross-boundary session {3600,3660} got re-emitted with the
+    # extended range (first trigger saw only 3600 -> range 0)
+    assert len(got) > len(last), got

@@ -1472,6 +1472,55 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q22_dormant_customers",
+    oracle="""
+    WITH avg_bal AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_nationkey, count(*)::BIGINT AS numcust,
+           round(sum(c.c_acctbal), 4) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1998-10-01')
+    GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape — "global relationships" decorrelation: an UNCORRELATED
+    scalar aggregate subquery used as a filter bound (average positive
+    balance over the whole dimension) combined with a NOT EXISTS against
+    the fact table (above-average-balance customers with no RECENT orders
+    — this schema has no phone column, so nation stands in for the
+    country-code prefix and order recency for "no orders"; the join
+    topology is Q22's).
+
+    Plan shape: the scalar aggregate is one tiny job whose 1-row result
+    broadcasts into the filter (never a per-row re-evaluation), the NOT
+    EXISTS lowers to a LEFT ANTI join on the order keys — asserted in
+    tests/test_scale.py."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__a"))
+    orders_keys = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1998-10-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("__a")
+    )
+    dormant = rich.join(orders_keys, "c_custkey", "left_anti")
+    return (
+        dormant.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 # Per-group deterministic sample: top-n by a seeded hash — reproducible
 # sampling without a global sort (rows-only: no xxhash64 in DuckDB).
 @register("sample_per_group", oracle=None)
@@ -1642,22 +1691,32 @@ def q_dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_PREFIX_ORACLE = CATALOG["dedup_ngram_jaccard"].oracle
+_JACCARD_PREFIX_ORACLE = CATALOG["dedup_ngram_jaccard"].oracle.replace(">= 0.05", ">= 0.4")
 
 
 @register("dedup_ngram_jaccard_prefix", oracle=_JACCARD_PREFIX_ORACLE)
 def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AllPairs/PPJoin prefix filtering over the same query — candidates
-    come only from each doc's (1-t)·|s|+1 globally-RAREST shingles, then
-    full-array verification: identical result (same oracle as
-    dedup_ngram_jaccard proves it), but hot boilerplate shingles fall out
-    of every prefix, collapsing the k² join rows they cause in the plain
-    inverted index — the skewed-corpus scale path."""
+    """AllPairs/PPJoin prefix filtering — candidates come only from each
+    doc's (1-t)·|s|+1 globally-RAREST shingles, then full-array
+    verification: identical result to the plain inverted index (equality
+    asserted across thresholds in test_dedup), but hot boilerplate
+    shingles fall out of every prefix, collapsing the k² join rows they
+    cause — the skewed-corpus scale path.
+
+    Runs at threshold 0.4, NOT the plain entry's 0.05, deliberately: the
+    prefix length is |s| − ⌈t·|s|⌉ + 1, so as t→0 the prefix converges to
+    the WHOLE document and the filter mathematically degenerates to the
+    plain index plus pure overhead (documented PPJoin behavior; measured
+    2-3× the plain entry's time at t=0.05 for the identical answer).
+    Exhaustive low-threshold search is the plain inverted index's job
+    (dedup_ngram_jaccard); prefix filtering is the high-threshold
+    near-duplicate tool, and this entry exercises it where it filters
+    (60%-rarest prefixes; oracle = the same brute-force CTE at t=0.4)."""
     return dedup.jaccard_pairs(
         read_table(spark, sf_dir, "documents"),
         block_cols=["lang"],
         n=3,
-        threshold=0.05,
+        threshold=0.4,
         prefix_filter=True,
     )
 
@@ -1968,6 +2027,61 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(target, source, ["c_custkey"])
 
 
+@register(
+    "merge_scd2",
+    oracle="""
+    WITH versions AS (
+      SELECT c_custkey, 'OLD-' || c_name AS c_name, TIMESTAMP '2019-01-01' AS valid_from
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, TIMESTAMP '2020-01-01' FROM customer
+      UNION ALL
+      SELECT c_custkey, 'NEW-' || c_name, TIMESTAMP '2021-06-01'
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey, c_name, valid_from,
+           coalesce(lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from),
+                    TIMESTAMP '9999-12-31') AS valid_to
+    FROM versions
+    """,
+)
+def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 close-and-append, oracle-checked:
+    a customer dimension with open rows (and prior closed history for
+    every 7th key) absorbs a changeset for every 10th key — open rows of
+    changed keys close at the change timestamp, new open versions append,
+    history and unchanged keys pass through untouched.
+
+    The oracle does NOT replay the construction: it derives validity
+    intervals independently with a window formulation (``valid_to =
+    lead(valid_from) per key, else open-end``) over the bare version
+    events — equality holds iff scd2_apply's join/anti-join/union plan
+    implements exactly interval semantics."""
+    from zio_analytics_spark.operators.merge import scd2_apply
+
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    hist = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("OLD-"), F.col("c_name")).alias("c_name"),
+        ts("2019-01-01").alias("valid_from"),
+        ts("2020-01-01").alias("valid_to"),
+    )
+    open_rows = cust.select(
+        "c_custkey",
+        "c_name",
+        ts("2020-01-01").alias("valid_from"),
+        ts("9999-12-31").alias("valid_to"),
+    )
+    dim = hist.unionByName(open_rows)
+    changes = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("NEW-"), F.col("c_name")).alias("c_name"),
+        ts("2021-06-01").alias("ts"),
+    )
+    return scd2_apply(dim, changes, ["c_custkey"], "ts")
+
+
 # Hypertable-style cascading rollup: the DAY level is derived from the HOUR
 # level (one raw scan for the whole hierarchy); oracle aggregates raw rows
 # directly — results must be identical for re-aggregable measures.
@@ -2156,18 +2270,18 @@ def q_llm_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage boundary: downstream dedup/split/pack read `clean` several times
     # (keeper build + semi join + split scan); persist so the scan+tokenize+
     # decontaminate prefix runs once. At 100 TB this is where a real
-    # pipeline writes an intermediate table. The final localCheckpoint
-    # materializes the (small) result so the stage cache can be RELEASED
-    # before returning — no per-call cache leak into the session.
+    # pipeline writes an intermediate table. The final _finalize spills the
+    # (small) result to parquet so the stage cache can be RELEASED before
+    # returning — no per-call cache leak into the session.
     clean = dedup.decontaminate(corpus, bench, n=5).persist()
     keepers = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     deduped = clean.join(keepers.select("doc_id"), "doc_id", "left_semi")
     split = hash_split(deduped, {"train": 0.9, "val": 0.1}, on="text", salt="pipe-v1")
     train = split.where(F.col("split") == "train").select("doc_id", "lang", "n_tokens")
     packed = pack_sequences(train, max_len=256, order_by="doc_id", partition_by=("lang",))
-    out = packed.select("doc_id", "lang", "pack_id", "n_frag_tokens").localCheckpoint(eager=True)
-    clean.unpersist()
-    return out
+    return dedup._finalize(
+        packed.select("doc_id", "lang", "pack_id", "n_frag_tokens"), clean
+    )
 
 
 @register(
@@ -3084,6 +3198,113 @@ def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_complete(out, "stream_slide")
 
 
+def _run_append(out: DataFrame, prefix: str) -> DataFrame:
+    """Drive a bounded stateful stream to completion in APPEND mode (the
+    only mode applyInPandasWithState emits in) and return the memory table."""
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return out.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "streaming_fold_window_group_sliding",
+    oracle="""
+    SELECT ws AS window_start, ws + INTERVAL 2 HOUR AS window_end, event_type,
+           count(*)::BIGINT AS n,
+           list_sum(list_slice(list_sort(list(value), 'DESC'), 1, 2)) AS top2_sum
+    FROM (SELECT unnest([date_trunc('hour', ts)::TIMESTAMP,
+                         date_trunc('hour', ts)::TIMESTAMP - INTERVAL 1 HOUR]) AS ws,
+                 event_type, value
+          FROM events)
+    GROUP BY ws, event_type
+    """,
+)
+def q_streaming_fold_window_group_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general z/f FOLD on the STREAMING runtime with a SLIDING
+    assigner — the gap round 3 left: batch proved the custom-fold contract
+    for all three assigners, streaming covered native aggs only. Here the
+    fold (sum of the two largest values — not a native streaming aggregate)
+    runs per (event_type, window) with the group buffered in the state
+    store via applyInPandasWithState; window labeling reuses the batch
+    pmod/explode arithmetic on the stream. Single-trigger delivery (one
+    parquet file = one micro-batch) makes the append output exactly the
+    batch answer, which the oracle replays by hand-expanding each event's
+    two covering windows."""
+    import numpy as np
+    import pandas as pd
+
+    from zio_analytics_spark import sliding as sliding_assigner
+    from zio_analytics_spark.streaming import grouped
+
+    def top2_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(pdf["value"].to_numpy())[::-1]
+        return pd.DataFrame(
+            {
+                "window_start": [pdf["window_start"].iloc[0]],
+                "window_end": [pdf["window_end"].iloc[0]],
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(pdf)],
+                "top2_sum": [float(v[0] + v[1]) if len(v) > 1 else float(v[0])],
+            }
+        )
+
+    st = _events_stream(spark, sf_dir).select("ts", "event_type", "value")
+    out = grouped.fold_window_group_stream(
+        st,
+        sliding_assigner("2 hours", "1 hour"),
+        "ts",
+        ["event_type"],
+        top2_fold,
+        "window_start timestamp, window_end timestamp, event_type string, n long, top2_sum double",
+    )
+    return _run_append(out, "stream_gfold_slide")
+
+
+_SESSION_FOLD_ORACLE = CATALOG["fold_window_custom_session"].oracle
+
+
+@register("streaming_fold_window_group_session", oracle=_SESSION_FOLD_ORACLE)
+def q_streaming_fold_window_group_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general z/f fold on STREAMING SESSION windows — session extents
+    are data-dependent, so the gaps-and-islands merge runs INSIDE the keyed
+    state function (rows of closed sessions leave the state as their fold
+    is emitted; only the trailing open session is retained — bounded
+    state). Same fold and 15-minute gap as the batch
+    fold_window_custom_session entry, and the SAME oracle: under
+    single-trigger delivery the streaming answer must equal the batch one."""
+    import pandas as pd
+
+    from zio_analytics_spark.streaming import grouped
+
+    def range_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        return pd.DataFrame(
+            {
+                "window_start": [pdf["window_start"].iloc[0]],
+                "window_end": [pdf["window_end"].iloc[0]],
+                "event_type": [pdf["event_type"].iloc[0]],
+                "value_range": [hi - lo],
+            }
+        )
+
+    st = _events_stream(spark, sf_dir).select("ts", "event_type", "value")
+    out = grouped.fold_session_group_stream(
+        st,
+        "ts",
+        ["event_type"],
+        "15 minutes",
+        range_fold,
+        "window_start timestamp, window_end timestamp, event_type string, value_range double",
+    )
+    return _run_append(out, "stream_gfold_sess")
+
+
 @register(
     "streaming_static_enrich",
     oracle="""
@@ -3270,6 +3491,74 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
         )
         rows = result.collect()  # materialize before the temp dir is removed
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink surface in the correctness gate: write orders out as
+    headered CSV, read it back with an EXPLICIT schema (schema inference on
+    a 100 TB directory means a full extra pass — never infer at scale),
+    aggregate, and hash-match against the original parquet. Doubles
+    round-trip losslessly because Spark's CSV writer emits shortest-exact
+    representations."""
+    import shutil
+    import tempfile
+
+    src = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out_dir = tempfile.mkdtemp(prefix="zas_csv_")
+    try:
+        src.write.option("header", True).mode("overwrite").csv(out_dir)
+        back = (
+            spark.read.option("header", True)
+            .schema("o_orderkey long, o_orderpriority string, o_totalprice double")
+            .csv(out_dir)
+        )
+        result = back.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        )
+        rows = result.collect()  # materialize before the temp dir is removed
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink surface: write events as JSONL, read back with
+    an explicit schema (same no-inference-at-scale rule as CSV), aggregate,
+    hash-match against the original parquet."""
+    import shutil
+    import tempfile
+
+    src = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out_dir = tempfile.mkdtemp(prefix="zas_jsonl_")
+    try:
+        src.write.mode("overwrite").json(out_dir)
+        back = spark.read.schema("event_id long, event_type string, value double").json(
+            out_dir
+        )
+        result = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+        )
+        rows = result.collect()
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -46,27 +46,43 @@ __all__ = [
 
 
 def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Materialize ``result`` (eager localCheckpoint) and RELEASE the persisted
-    intermediate tables that produced it.
+    """Materialize ``result`` to a temp parquet and RELEASE the persisted
+    frames that produced it — for pipelines that used an explicit
+    ``persist()`` stage boundary (see ``llm_pipeline_full``): the spill
+    truncates the lineage so the cache can be unpersisted immediately,
+    leaving the DataFrame cache registry empty, with zero lingering
+    executor footprint (unlike ``localCheckpoint``, whose blocks sit in
+    storage memory until the consumer's GC drops the frame)."""
+    import tempfile
 
-    The dedup operators persist an intermediate (shingle / fingerprint) table
-    because several join sides read it; without a deterministic release each
-    call would leak a cached table into executor memory for the life of the
-    session. Materializing the (much smaller) result first truncates the
-    lineage so the intermediates can be unpersisted immediately — the caller
-    gets a plain materialized frame whose blocks are reclaimed by Spark's
-    ContextCleaner when the frame is garbage-collected, and the DataFrame
-    cache registry (``sharedState.cacheManager``) is left empty. At 100 TB
-    the same boundary is where a real pipeline writes the result table.
-
-    ``finalize=False`` on the operators skips this (keeps the fully lazy
-    plan + persisted intermediates) for callers that compose further and
-    accept the caller-must-release contract.
-    """
-    out = result.localCheckpoint(eager=True)
+    path = tempfile.mkdtemp(prefix="zas_dedup_out_")
+    result.write.mode("overwrite").parquet(path)
     for df in cached:
         df.unpersist()
-    return out
+    # explicit schema: robust to an empty result (zero part files)
+    return result.sparkSession.read.schema(result.schema).parquet(path)
+
+
+def _materialize_table(df: DataFrame, prefix: str = "zas_dedup_tbl_") -> DataFrame:
+    """Write an INTERMEDIATE table (shingles / fingerprints — small: hashed
+    longs, not documents) to a temp parquet and return a scan of it.
+
+    This replaces ``persist()`` for the dedup operators' shared
+    intermediates: several join sides read the table, and a cache would
+    have to be released by *someone* after an action the operator never
+    sees — the round-3 leak. A materialized table needs no release
+    protocol (no executor memory held, nothing in the cache registry, the
+    result plan stays fully lazy), each consumer re-scans a few MB of
+    columnar data, and at 100 TB writing the shingle/fingerprint table
+    once IS the standard pipeline shape. The write is one eager job —
+    dedup operators are multi-job pipelines by contract, not single lazy
+    plans.
+    """
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.schema(df.schema).parquet(path)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -92,13 +108,22 @@ def _pair_jaccard(sh_a: Column, sh_b: Column) -> Column:
     return inter / union
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
+def _ensure_parallelism(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """Small/heavily-compressed local inputs can arrive as a SINGLE scan
     split (the sf0.1 documents table is one 600 KB row group), which would
     serialize the expensive per-document work (shingling, hashing) that
     follows. If the scan has fewer partitions than the cluster's default
     parallelism, add one round-robin repartition of the projected input;
-    on a real many-split corpus this is a no-op (no shuffle inserted)."""
+    on a real many-split corpus this is a no-op (no shuffle inserted).
+
+    ``key_col`` is accepted but deliberately UNUSED: hash-partitioning by
+    document id here (so downstream per-document windows/aggregates skip
+    their exchange) was measured SLOWER than round-robin + exchanges
+    (warm medians at sf0.1: prefix 6.6 s vs 3.8 s, minhash 6.5 s vs
+    4.3 s) — removing the exchange fuses shingle-build, join and sort
+    into one stage with worse overlap, and leaves AQE no boundary to
+    re-plan/coalesce at. The exchanges the window/agg insert are on slim
+    exploded rows and are exactly where AQE earns its keep."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
@@ -127,7 +152,7 @@ def _shingle_table(
         grams = char_shingles(text_col, n, distinct=False)
     else:
         raise ValueError(f"shingle_mode must be 'word' or 'char', got {shingle_mode!r}")
-    base = _ensure_parallelism(df.select(*block_cols, F.col(id_col), F.col(text_col)))
+    base = _ensure_parallelism(df.select(*block_cols, F.col(id_col), F.col(text_col)), id_col)
     return (
         base.select(
             *block_cols,
@@ -310,7 +335,6 @@ def jaccard_pairs(
     shingle_mode: str = "word",
     strategy: str = "sparse",
     max_dense_bits: int = 1 << 15,
-    finalize: bool = True,
 ) -> DataFrame:
     """Exact word-``n``-gram Jaccard pairs within blocks, via an
     **inverted-index set-similarity join** (the canonical distributed
@@ -356,25 +380,20 @@ def jaccard_pairs(
     - ``'auto'`` — probes sufficient statistics (two narrow aggregates →
       one driver row) and picks; :func:`jaccard_strategy` exposes the
       choice.
-
-    ``finalize=True`` (default) materializes the result and releases the
-    persisted shingle intermediate — see :func:`_finalize`; pass ``False``
-    to keep the fully lazy plan and release the cache yourself.
     """
     if threshold <= 0:
         raise ValueError("jaccard_pairs requires threshold > 0 (pairs sharing no shingle are never emitted)")
     if strategy not in ("sparse", "dense", "auto"):
         raise ValueError(f"strategy must be 'sparse', 'dense' or 'auto', got {strategy!r}")
     # Every strategy reads the shingle table from several join sides —
-    # persist it so the shingling expression evaluates ONCE per document,
-    # not once per consumer. At 100 TB this is a materialized intermediate
-    # table, exactly as in ``minhash_lsh_pairs``.
-    sh = _shingle_table(df, text_col, id_col, block_cols, n, shingle_mode).persist()
+    # materialize it once (temp parquet, see _materialize_table) so the
+    # shingling expression evaluates ONCE per document, not once per
+    # consumer, with no cache for anyone to release.
+    sh = _materialize_table(_shingle_table(df, text_col, id_col, block_cols, n, shingle_mode))
     if strategy == "auto":
         strategy = _choose_strategy(sh, block_cols, max_dense_bits)
     if strategy == "dense":
-        out = _dense_bitmap_pairs(sh, id_col, block_cols, threshold)
-        return _finalize(out, sh) if finalize else out
+        return _dense_bitmap_pairs(sh, id_col, block_cols, threshold)
     tok = sh.select(*block_cols, F.col(id_col), F.col("__sz"), F.explode("__sh").alias("__t"))
     cond = F.col("doc_a") < F.col("doc_b")
     for c in block_cols:
@@ -418,12 +437,11 @@ def jaccard_pairs(
             )
         )
         j = _pair_jaccard(F.col("__sh_a"), F.col("__sh_b"))
-        out = (
+        return (
             verified.select("doc_a", "doc_b", j.alias("__j"))
             .where(F.col("__j") >= threshold)
             .select("doc_a", "doc_b", F.col("__j").alias("jaccard"))
         )
-        return _finalize(out, sh) if finalize else out
 
     a = tok.select(
         *[F.col(c).alias(f"{c}__a") for c in block_cols],
@@ -442,12 +460,11 @@ def jaccard_pairs(
     j = F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter"))
     # Filter on the raw value — threshold semantics identical to an oracle
     # that filters unrounded.
-    out = (
+    return (
         inter.select("doc_a", "doc_b", j.alias("__j"))
         .where(F.col("__j") >= threshold)
         .select("doc_a", "doc_b", F.col("__j").alias("jaccard"))
     )
-    return _finalize(out, sh) if finalize else out
 
 
 def decontaminate(
@@ -557,7 +574,6 @@ def minhash_lsh_pairs(
     bands: int | None = None,
     threshold: float = 0.5,
     target_recall: float = 0.9,
-    finalize: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -592,15 +608,16 @@ def minhash_lsh_pairs(
             )
     rows_per_band = num_hashes // bands
     # Shingle table is read three times (signature build + two verify joins):
-    # persist it. At 100 TB this is a materialized intermediate table.
+    # materialize it once (temp parquet — no cache to release; at 100 TB
+    # this is literally the pipeline's intermediate table).
     # Shingles are stored as xxhash64 LONGS, hashed from the string ONCE:
     # the per-seed MinHash then hashes fixed-width longs instead of
     # re-hashing variable-length strings num_hashes times (the dominant
     # signature cost), and the persisted table shrinks to 8 bytes/shingle.
     # Exact-Jaccard verification over hashed shingles carries the same
     # 2^-64 collision risk jaccard_pairs already accepts.
-    sh = (
-        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    sh = _materialize_table(
+        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col)), id_col)
         .select(
             F.col(id_col).alias("doc"),
             F.array_distinct(
@@ -608,7 +625,6 @@ def minhash_lsh_pairs(
             ).alias("__sh"),
         )
         .where(F.size("__sh") > 0)
-        .persist()
     )
     # Signature via explode + hash-aggregate mins, NOT per-seed array
     # traversals: the 50-odd per-seed minima compute columnar inside one
@@ -649,12 +665,11 @@ def minhash_lsh_pairs(
         .join(sh.select(F.col("doc").alias("doc_b"), F.col("__sh").alias("__sh_b")), "doc_b")
     )
     j = _pair_jaccard(F.col("__sh_a"), F.col("__sh_b"))
-    out = (
+    return (
         verified.select("doc_a", "doc_b", j.alias("__j"))
         .where(F.col("__j") >= threshold)
         .select("doc_a", "doc_b", F.col("__j").alias("jaccard"))
     )
-    return _finalize(out, sh) if finalize else out
 
 
 @F.pandas_udf(LongType())
@@ -756,7 +771,6 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    finalize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming`` —
     exact (complete recall), never a cross join.
@@ -783,9 +797,9 @@ def simhash_pairs(
     grain instead. At 100 TB you would also write the fingerprint table once
     and combo-join from there instead of recomputing per query.
     """
-    # Persist the fingerprint table: both join sides read it — without this
-    # the pandas-UDF hashing runs once per consumer.
-    fp = simhash(df, text_col, id_col).withColumnRenamed(id_col, "doc").persist()
+    # Materialize the fingerprint table (8 bytes/doc): five join sides read
+    # it — without this the pandas-UDF hashing runs once per consumer.
+    fp = _materialize_table(simhash(df, text_col, id_col).withColumnRenamed(id_col, "doc"))
     same = (
         fp.select(F.col("doc").alias("doc_a"), "simhash")
         .join(fp.select(F.col("doc").alias("doc_b"), "simhash"), "simhash")
@@ -793,7 +807,7 @@ def simhash_pairs(
         .select("doc_a", "doc_b", F.lit(0).alias("hamming"))
     )
     if max_hamming == 0:
-        return _finalize(same, fp) if finalize else same
+        return same
 
     fpd = fp.select("simhash").distinct()
     keyed = fpd.select(
@@ -820,8 +834,7 @@ def simhash_pairs(
             "hamming",
         )
     )
-    out = same.unionByName(cross)
-    return _finalize(out, fp) if finalize else out
+    return same.unionByName(cross)
 
 
 def cluster_duplicates(
