@@ -145,3 +145,48 @@ def test_pack_sequences_invariants(spark, seed):
     for (k, p), tot in per_pack.items():
         if p < last_pack[k]:
             assert tot == L, f"internal pack ({k},{p}) not full: {tot}"
+
+
+@pytest.mark.parametrize("seed", [11, 57])
+@pytest.mark.parametrize("strategy", ["dense", "auto"])
+def test_dense_jaccard_equals_bruteforce(spark, seed, strategy):
+    """The dense incidence-matrix path (and whatever 'auto' picks) must
+    equal the brute-force python-set definition on random corpora — same
+    property the sparse path is held to, covering char-mode shingles and
+    multi-block inputs."""
+    rng = random.Random(seed)
+    docs = []
+    for i in range(30):
+        length = rng.randint(6, 25)
+        lang = rng.choice(["x", "y"])
+        docs.append((i, " ".join(rng.choice(WORDS) for _ in range(length)), lang))
+    for i in range(3):  # planted near-dups
+        base = docs[i][1].split()
+        base[rng.randrange(len(base))] = rng.choice(WORDS)
+        docs.append((100 + i, " ".join(base), docs[i][2]))
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in dedup.jaccard_pairs(
+            df, block_cols=["lang"], n=4, threshold=0.15,
+            shingle_mode="char", strategy=strategy,
+        ).collect()
+    }
+
+    def shingles(text):
+        return {text[i : i + 4] for i in range(len(text) - 3)}
+
+    expect = {}
+    for i, (ida, ta, la) in enumerate(docs):
+        sa = shingles(ta)
+        if not sa:
+            continue
+        for idb, tb, lb in docs[i + 1 :]:
+            sb = shingles(tb)
+            if not sb or la != lb:
+                continue
+            a, b = (ida, idb) if ida < idb else (idb, ida)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.15:
+                expect[(a, b)] = round(j, 9)
+    assert got == expect and expect

@@ -3565,6 +3565,47 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_python_datasource",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 1000))::BIGINT AS doc_id),
+    toks AS (SELECT doc_id, unnest(range(0, 3 + doc_id % 5)) AS k FROM ids),
+    txt AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY k) AS text
+      FROM (SELECT doc_id, k,
+                   (['alpha','beta','gamma','delta','epsilon','zeta','eta','theta'])
+                     [((doc_id * 7 + k * 3) % 8 + 1)::INT] AS w
+            FROM toks)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, text, (doc_id % 3)::INT AS shard,
+           (3 + doc_id % 5)::BIGINT AS n_tokens
+    FROM txt
+    """,
+)
+def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 DataSource V2 Python API) in the
+    correctness gate: a registered source whose reader plans 8 shard
+    partitions and GENERATES each shard's rows task-side (nothing flows
+    from the driver — the scalable form of the reference's fromLiterals,
+    DataStream.scala:87-88, and the 100 TB synthetic-corpus shape). The
+    generator is pure doc_id arithmetic, so the oracle replays every text
+    byte-for-byte; downstream ops (tokenization here) compose on the scan
+    like any other source."""
+    from zio_analytics_spark.sources.pydatasource import register_synthetic_corpus
+
+    register_synthetic_corpus(spark)
+    corpus = (
+        spark.read.format("synthetic_corpus")
+        .option("n_docs", 1000)
+        .option("n_shards", 8)
+        .load()
+    )
+    return corpus.select(
+        "doc_id", "text", "shard", F.size(text.tokens("text")).cast("long").alias("n_tokens")
+    )
+
+
+@register(
     "string_distance_functions",
     oracle="""
     SELECT doc_id,
