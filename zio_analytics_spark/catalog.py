@@ -3606,6 +3606,129 @@ def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_python_datasource_stream",
+    oracle="""
+    SELECT (doc_id % 3)::INT AS shard, count(*)::BIGINT AS n,
+           sum(doc_id)::BIGINT AS id_sum
+    FROM (SELECT unnest(range(0, 1000))::BIGINT AS doc_id)
+    GROUP BY 1
+    """,
+)
+def q_source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME custom Python source as a STREAMING connector
+    (SimpleDataSourceStreamReader): the offset is the next doc id, each
+    micro-batch generates its range task-side, and readBetweenOffsets
+    replays any committed range deterministically — the property that
+    makes a custom source exactly-once-able. 1000 docs arrive in four
+    250-doc micro-batches into a complete-mode aggregation; the final
+    table must equal the all-at-once oracle."""
+    from zio_analytics_spark.sources.pydatasource import register_synthetic_corpus
+
+    register_synthetic_corpus(spark)
+    st = (
+        spark.readStream.format("synthetic_corpus")
+        .option("n_docs", 1000)
+        .option("docs_per_batch", 250)
+        .load()
+    )
+    agg = st.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum")
+    )
+    return _run_complete(agg, "stream_pyds")
+
+
+@register(
+    "variant_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           CAST(NULL AS BIGINT) AS missing,
+           CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str
+    FROM events
+    """,
+)
+def q_variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface over the events.props JSON column:
+    parse_json → an open-schema variant value, variant_get with typed
+    extraction paths (a present path as bigint and string, a missing path
+    → NULL instead of error via try semantics). VARIANT is the
+    semi-structured column type a 100 TB log pipeline actually stores —
+    parse once, extract many times without re-parsing strings."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_value"),
+        F.variant_get(v, "$.nope.deep", "bigint").alias("missing"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+    )
+
+
+@register(
+    "streaming_foreach_batch_merge",
+    oracle="""
+    SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical streaming SINK pattern: foreachBatch receives each
+    micro-batch as a DataFrame plus its batch id and MERGES a per-user
+    aggregate into a parquet target (read current target → merge_upsert by
+    key → overwrite) — the CDC-into-a-table loop every lakehouse runs,
+    here with plain parquet standing in for Delta/Iceberg. The events
+    table streams in 4-file micro-batches; after the drain the TARGET
+    TABLE (not a memory sink) must equal the batch aggregate over all
+    events — proving the merge loop neither drops nor double-counts
+    across batch boundaries."""
+    import shutil
+    import tempfile
+
+    from zio_analytics_spark.streaming.recovery import split_into_files
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "value")
+    src = tempfile.mkdtemp(prefix="zas_fbm_src_")
+    ckpt = tempfile.mkdtemp(prefix="zas_fbm_ck_")
+    target = tempfile.mkdtemp(prefix="zas_fbm_tgt_")
+    split_into_files(ev, src, n_files=4)
+    schema = "user_id bigint, n bigint, total double"
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        )
+        current = s.read.schema(schema).parquet(target)
+        merged = (
+            current.unionByName(batch_agg)
+            .groupBy("user_id")
+            .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        )
+        # parquet can't overwrite in place while being read: stage then swap
+        stage = target + f"_stage{batch_id}"
+        merged.write.mode("overwrite").parquet(stage)
+        shutil.rmtree(target, ignore_errors=True)
+        shutil.move(stage, target)
+
+    st = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        st.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.read.schema(schema).parquet(target)
+    return final.select("user_id", "n", F.round("total", 2).alias("total"))
+
+
+@register(
     "string_distance_functions",
     oracle="""
     SELECT doc_id,

@@ -18,7 +18,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 __all__ = ["SyntheticCorpusDataSource", "corpus_text", "register_synthetic_corpus"]
 
@@ -59,8 +64,36 @@ class _CorpusReader(DataSourceReader):
             yield (doc_id, corpus_text(doc_id), doc_id % 3)
 
 
+class _CorpusStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched form of the same generator: the OFFSET is simply the
+    next doc_id, each batch emits ``docs_per_batch`` documents until
+    ``n_docs`` is reached. ``read`` advances the offset, ``readBetweenOffsets``
+    regenerates any committed range deterministically — which is exactly
+    what makes a custom streaming source replayable/exactly-once-able: the
+    offset fully determines the data."""
+
+    def __init__(self, options) -> None:
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.per_batch = int(options.get("docs_per_batch", 250))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.per_batch, self.n_docs)
+        return self._rows(lo, hi), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["next"]), int(end["next"]))
+
+    def _rows(self, lo: int, hi: int):
+        return iter([(d, corpus_text(d), d % 3) for d in range(lo, hi)])
+
+
 class SyntheticCorpusDataSource(DataSource):
-    """``spark.read.format("synthetic_corpus").option("n_docs", N)`` source."""
+    """``spark.read.format("synthetic_corpus").option("n_docs", N)`` source —
+    batch AND streaming (``spark.readStream.format("synthetic_corpus")``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -71,6 +104,9 @@ class SyntheticCorpusDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _CorpusReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _CorpusStreamReader(self.options)
 
 
 def register_synthetic_corpus(spark) -> None:
