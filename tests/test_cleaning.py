@@ -1,0 +1,101 @@
+"""Corpus cleaning & composition operators (operators/cleaning.py,
+sketch.equi_depth_bins) — crafted fixtures for the semantics the oracle
+entries exercise statistically."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from zio_analytics_spark.operators import cleaning
+from zio_analytics_spark.operators.sketch import equi_depth_bins
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org and 10.1.2.3 then 555-123-4567"),
+            (2, "no pii here"),
+            (3, "two mails x@y.io z@w.co one ip 8.8.8.8"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in cleaning.redact_pii(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (1, 1, 1)
+    assert out[1]["redacted"] == "mail <EMAIL> and <IP> then <PHONE>"
+    assert out[2]["redacted"] == "no pii here"
+    assert (out[3]["n_email"], out[3]["n_ipv4"]) == (2, 1)
+
+
+def test_redact_pii_email_wins_over_inner_ip(spark):
+    # An IPv4-shaped substring inside an email's domain must be swallowed
+    # by the email redaction, not split by a later IP pass (_PII_ORDER).
+    df = spark.createDataFrame(
+        [(1, "u@10.0.0.1.example.com plus bare 10.0.0.2")], "id long, text string"
+    )
+    r = cleaning.redact_pii(df).collect()[0]
+    assert r["redacted"] == "<EMAIL> plus bare <IP>"
+    # counts are on the ORIGINAL text: the inner IP is still counted
+    assert r["n_ipv4"] == 2 and r["n_email"] == 1
+    # an @host with a numeric TLD is NOT an email (alpha TLD required):
+    # the embedded IP is what gets redacted instead
+    df2 = spark.createDataFrame([(2, "u@10.0.0.1 raw")], "id long, text string")
+    assert cleaning.redact_pii(df2).collect()[0]["redacted"] == "u@<IP> raw"
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([(1, "  Foo\t BAR \n baz  ")], "id long, text string")
+    r = cleaning.normalize_text(df).collect()[0]
+    assert r["norm"] == "foo bar baz"
+    # idempotent: normalizing a normal form is the identity
+    df2 = spark.createDataFrame([(1, r["norm"])], "id long, text string")
+    assert cleaning.normalize_text(df2).collect()[0]["norm"] == r["norm"]
+
+
+def test_mix_sources_nesting_and_determinism(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("src"),
+    )
+    half = cleaning.mix_sources(df, {"a": 0.5, "b": 0.5}, "src", ["doc_id"], seed="t")
+    quarter = cleaning.mix_sources(df, {"a": 0.25, "b": 0.25}, "src", ["doc_id"], seed="t")
+    h = {r["doc_id"] for r in half.collect()}
+    q = {r["doc_id"] for r in quarter.collect()}
+    assert q <= h  # lower-rate mix nests inside the higher-rate one
+    assert 0.4 < len(h) / 2000 < 0.6 and 0.17 < len(q) / 2000 < 0.33
+    # deterministic: rerun is identical
+    assert {r["doc_id"] for r in half.collect()} == h
+    # unknown strata fail closed (default_rate=0)
+    none = cleaning.mix_sources(df, {"a": 0.5}, "src", ["doc_id"], seed="t")
+    assert all(r["src"] == "a" for r in none.collect())
+
+
+def test_mix_sources_rate_one_keeps_everything(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"), F.lit("a").alias("src"))
+    assert cleaning.mix_sources(df, {"a": 1.0}, "src", ["doc_id"]).count() == 100
+
+
+def test_equi_depth_bins_uniform(spark):
+    df = spark.range(1600).select(F.col("id").alias("v"))
+    rows = equi_depth_bins(df, "v", n_bins=16).collect()
+    assert len(rows) == 16
+    assert sum(r["n"] for r in rows) == 1600
+    # unique uniform values → bins within interpolation slack of equal depth
+    assert all(95 <= r["n"] <= 105 for r in rows)
+    # bucket ranges are disjoint and ordered
+    by_bucket = sorted(rows, key=lambda r: r["bucket"])
+    for a, b in zip(by_bucket, by_bucket[1:]):
+        assert a["hi"] < b["lo"]
+
+
+def test_equi_depth_bins_ties_share_bucket(spark):
+    # one dominant value: ties must never split across buckets
+    df = spark.createDataFrame([(5,)] * 90 + [(1,), (9,)] * 5, "v int")
+    rows = equi_depth_bins(df, "v", n_bins=4).collect()
+    buckets_with_5 = [r for r in rows if r["lo"] <= 5 <= r["hi"]]
+    assert len(buckets_with_5) == 1
+    assert buckets_with_5[0]["n"] >= 90
+
+
+def test_equi_depth_bins_rejects_single_bin(spark):
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        equi_depth_bins(df, "v", n_bins=1)

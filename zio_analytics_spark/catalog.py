@@ -1521,17 +1521,33 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Per-group deterministic sample: top-n by a seeded hash — reproducible
-# sampling without a global sort (rows-only: no xxhash64 in DuckDB).
-@register("sample_per_group", oracle=None)
+# Per-group deterministic sample: top-n by a seeded content hash —
+# reproducible sampling without a global sort, stable under corpus growth
+# and partitioning (a row's sample membership never depends on where it
+# landed). The hash is md5 over a seeded key string — engine-identical in
+# DuckDB, so the oracle replays the EXACT sample (previously rows-only
+# with xxhash64, which DuckDB lacks).
+@register(
+    "sample_per_group",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber
+    FROM lineitem
+    QUALIFY row_number() OVER (
+      PARTITION BY l_returnflag
+      ORDER BY md5(concat_ws('|', 's42', l_orderkey, l_linenumber)),
+               l_orderkey, l_linenumber
+    ) <= 100
+    """,
+)
 def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zio_analytics_spark.operators.topk import top_k_per_group
 
     li = read_table(spark, sf_dir, "lineitem")
+    seeded = F.md5(F.concat_ws("|", F.lit("s42"), "l_orderkey", "l_linenumber"))
     return top_k_per_group(
         li.select("l_returnflag", "l_orderkey", "l_linenumber"),
         group_by=["l_returnflag"],
-        order_by=[F.xxhash64(F.lit(42), "l_orderkey", "l_linenumber"), F.col("l_orderkey")],
+        order_by=[seeded, F.col("l_orderkey"), F.col("l_linenumber")],
         k=100,
     )
 
@@ -1765,9 +1781,52 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", oracle=None, bench=True)
+# DuckDB replay of the full SimHash algorithm in md5 mode: per distinct
+# token, first 8 md5 digest bytes big-endian == ('0x'||substr(md5,1,16))
+# ::UBIGINT (verified bit-identical to hashlib.md5); per bit, majority
+# vote over the doc's token hashes (strictly more ones than zeros); pairs
+# by brute-force Hamming ≤ 3 — candidate-complete by construction, so it
+# also proves the Spark side's C(B,3) combo-key blocking loses no pair.
+_SIMHASH_FP_BITS = " + ".join(
+    f"(CASE WHEN 2*SUM(((h >> {b}) & 1::UBIGINT)::BIGINT) > COUNT(*) "
+    f"THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END)"
+    for b in range(64)
+)
+
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               regexp_split_to_array(text, '\\s+'), t -> t <> ''))) AS tok
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+    ),
+    fpx AS (SELECT doc_id, ({_SIMHASH_FP_BITS}) AS f FROM th GROUP BY doc_id),
+    fp AS (
+      SELECT d.doc_id, coalesce(x.f, 0::UBIGINT) AS f
+      FROM documents d LEFT JOIN fpx x USING (doc_id)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.f, b.f))::INT AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 3
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE, bench=True)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(read_table(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash Hamming-≤3 pairs, run in md5 token-hash mode so the oracle
+    can replay the EXACT fingerprints (``tok → ('0x'||substr(md5(tok),1,16))
+    ::UBIGINT``, bit-majority vote, brute-force Hamming join — same answer
+    as the production blake2b mode's algorithm, different token hash; the
+    brute-force oracle simultaneously certifies the combo-key candidate
+    blocking complete). Python ``str.split()`` ↔ ``regexp_split_to_array
+    (text, '\\s+')`` + drop-empties are the same tokenization."""
+    return dedup.simhash_pairs(
+        read_table(spark, sf_dir, "documents"), max_hamming=3, hash_name="md5"
+    )
 
 
 @register(
@@ -4129,6 +4188,250 @@ def q_streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFra
         stop_after_batches=2,
         holdback=ev.where(hold_pred),
     )
+
+
+# =====================================================================
+# [EXT] Corpus cleaning & composition (operators/cleaning.py)
+# =====================================================================
+
+# Deterministic PII spans are appended to each document (email / IPv4 /
+# phone derived from doc_id) so redaction has real matches to find; the
+# oracle rebuilds the same augmented text and replays the same regexes
+# (patterns restricted to the Java∩RE2 dialect — see cleaning.PII_PATTERNS).
+_PII_EMAIL, _PII_PHONE, _PII_IP = (
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    r"\b\d{3}-\d{3}-\d{4}\b",
+    r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+)
+
+_PII_ORACLE = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com'
+                  || ' ip 10.0.' || (doc_id % 256) || '.7'
+                  || ' tel 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                  || '-1234' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII_EMAIL}'))::BIGINT AS n_email,
+           len(regexp_extract_all(t, '{_PII_PHONE}'))::BIGINT AS n_phone,
+           len(regexp_extract_all(t, '{_PII_IP}'))::BIGINT AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g')) AS redacted_md5
+    FROM aug
+"""
+
+
+@register("pii_redaction", oracle=_PII_ORACLE)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/cleaning.py): per-class regex match counts
+    on the original text + all spans replaced, email → phone → IPv4 order
+    (overlap-safe). Pure Column expressions — one codegen'd projection, no
+    shuffle, linear in corpus bytes; the md5 of the redacted text makes the
+    oracle compare byte-exact, not just count-exact."""
+    from zio_analytics_spark.operators import cleaning
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+            F.lit(" ip 10.0."), F.pmod(did, F.lit(256)).cast("string"), F.lit(".7"),
+            F.lit(" tel 555-"),
+            F.lpad(F.pmod(did, F.lit(1000)).cast("string"), 3, "0"),
+            F.lit("-1234"),
+        ).alias("text"),
+    )
+    red = cleaning.redact_pii(aug, "text")
+    return red.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+             lower('  ' || upper(text) || ' ' || chr(9) || ' shout  END  '),
+             '\\s+', ' ', 'g'))) AS norm_md5,
+           len(trim(regexp_replace(
+             lower('  ' || upper(text) || ' ' || chr(9) || ' shout  END  '),
+             '\\s+', ' ', 'g')))::BIGINT AS norm_len
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text form (operators/cleaning.py): lowercase → collapse
+    whitespace runs → trim, the step before exact-hash dedup so trivially
+    different bytes share a digest. The input is deliberately perturbed
+    (uppercased, padded, a tab injected) so the normalization has real work
+    to undo; the md5 makes the check byte-exact."""
+    from zio_analytics_spark.operators import cleaning
+
+    docs = read_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("  "), F.upper("text"), F.lit(" \t "), F.lit("shout  END  ")
+        ).alias("text"),
+    )
+    norm = cleaning.normalize_text(aug)
+    return norm.select(
+        "doc_id",
+        F.md5("norm").alias("norm_md5"),
+        F.length("norm").cast("long").alias("norm_len"),
+    )
+
+
+@register(
+    "dataset_mix_sources",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5('mix7|' || doc_id), 1, 8))::UBIGINT % 1000000
+          < (CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+                       WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.1
+                       WHEN 'zh' THEN 0.05 ELSE 0.0 END * 1000000)::BIGINT
+    """,
+)
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus mixing (operators/cleaning.py): each
+    language stratum is down-sampled to a target rate by a content-hash
+    acceptance test (md5 bucket < rate·10⁶) — no RNG, so membership is
+    stable under repartitioning, retries and corpus growth, and lower-rate
+    mixes nest inside higher-rate ones. Map-side only: rejected rows never
+    reach an exchange — the 100 TB rebalancing shape. Oracle replays the
+    exact acceptance rule (md5 is engine-identical)."""
+    from zio_analytics_spark.operators import cleaning
+
+    docs = read_table(spark, sf_dir, "documents")
+    rates = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1, "zh": 0.05}
+    return cleaning.mix_sources(
+        docs, rates, strat_col="lang", id_cols=["doc_id"], seed="mix7"
+    ).select("doc_id", "lang")
+
+
+# =====================================================================
+# [EXT] Equi-depth binning (operators/sketch.py)
+# =====================================================================
+
+_EQUI_DEPTH_Q = [i / 16 for i in range(1, 16)]
+
+_EQUI_DEPTH_ORACLE = f"""
+    WITH b AS (
+      SELECT quantile_cont(n_chars, {_EQUI_DEPTH_Q!r}) AS qs FROM documents
+    )
+    SELECT (1 + {' + '.join(f'(d.n_chars > b.qs[{i + 1}])::INT' for i in range(15))})
+             AS bucket,
+           count(*) AS n, min(d.n_chars) AS lo, max(d.n_chars) AS hi
+    FROM documents d, b
+    GROUP BY bucket
+"""
+
+
+@register("equi_depth_bins", oracle=_EQUI_DEPTH_ORACLE)
+def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of document lengths: exact
+    quantile boundaries from ONE aggregate pass, broadcast back as literals,
+    then a codegen'd bucket assignment + count — the scalable two-pass shape
+    (never a global sort; cf. the equi-WIDTH histogram_bins entry). Ties sit
+    deterministically on the > boundary rule in both engines, and integer
+    data vs interpolated boundaries makes the strict compare ulp-robust
+    (exact-hit boundaries are computed exactly by both interpolation
+    forms)."""
+    from zio_analytics_spark.operators.sketch import equi_depth_bins
+
+    docs = read_table(spark, sf_dir, "documents")
+    return equi_depth_bins(docs, "n_chars", n_bins=16)
+
+
+# =====================================================================
+# [EXT] ORC source/sink round-trip
+# =====================================================================
+
+
+@register(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink surface in the correctness gate: write orders as ORC
+    partitioned by priority, read back with a partition filter (only the
+    two matching directories are scanned — same pruning contract as the
+    parquet sink entry), aggregate, hash-match against the parquet
+    original. ORC is the other columnar format a Spark warehouse must
+    interoperate with (Hive-era tables); the round-trip proves values and
+    types survive both codecs."""
+    import shutil
+    import tempfile
+
+    src = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out_dir = tempfile.mkdtemp(prefix="zas_orc_")
+    try:
+        src.write.partitionBy("o_orderpriority").mode("overwrite").orc(out_dir)
+        back = spark.read.orc(out_dir).where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        result = back.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        rows = result.collect()  # materialize before the temp dir is removed
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# =====================================================================
+# [EXT] Streaming ingest-time dedup (streaming/dedup.py)
+# =====================================================================
+
+
+@register(
+    "streaming_dedup_state",
+    oracle="""
+    SELECT DISTINCT event_type, (user_id % 10) AS user_bucket
+    FROM events
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact dedup on a real stream: state-backed
+    ``dropDuplicates`` on a content digest keeps the first-seen row per
+    distinct content across ALL micro-batches (state, not per-batch
+    distinct). The projection equals the dedup key, so survivor identity is
+    deterministic and the bounded run is batch-DISTINCT-equivalent — which
+    is what lets this entry carry an oracle. The watermarked state-expiry
+    variant (``dropDuplicatesWithinWatermark``) is exercised in
+    tests/test_streaming.py, where arrival order is controlled."""
+    from zio_analytics_spark.streaming.dedup import streaming_exact_dedup
+
+    st = _events_stream(spark, sf_dir).select(
+        "event_type", F.pmod(F.col("user_id"), F.lit(10)).alias("user_bucket")
+    )
+    keyed = st.withColumn(
+        "content",
+        F.concat_ws("|", "event_type", F.col("user_bucket").cast("string")),
+    )
+    dd = streaming_exact_dedup(keyed, text_col="content").select(
+        "event_type", "user_bucket"
+    )
+    return _run_append(dd, "stream_dedup")
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,126 @@
+"""[EXT] Corpus cleaning & composition operators for LLM-data pipelines.
+
+The reference has no text-pipeline surface (SURVEY.md §2.4 tail); these are
+the standard pre-training stages between raw crawl and tokenizer:
+
+- ``redact_pii``        — regex PII redaction (emails / IPv4 / phone-shaped
+                          numbers), with per-class match counts.
+- ``normalize_text``    — canonical text form: lowercase, collapse
+                          whitespace runs, trim (the first step before
+                          exact-hash dedup so trivially-different bytes
+                          dedupe together).
+- ``mix_sources``       — deterministic weighted down-sampling per stratum
+                          (lang/source/domain): hash-bucket acceptance, no
+                          RNG — a row's membership depends only on its key
+                          and the seed, so the mix is reproducible under
+                          repartitioning, retries, AND corpus growth.
+
+Scale design: everything here is a pure Column expression over one scan —
+no shuffle, no UDF, whole-stage codegen end-to-end. ``mix_sources`` is the
+shape used to rebalance a 100 TB crawl (e.g. downweight boilerplate-heavy
+domains to hit a target token budget per source): the acceptance test runs
+map-side; only surviving rows ever reach downstream exchanges. All hashes
+are md5-derived so a DuckDB oracle replays exact membership (same reasoning
+as operators/splits.py content-hash splits).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "PII_PATTERNS",
+    "redact_pii",
+    "normalize_text",
+    "mix_sources",
+]
+
+#: Pattern set kept deliberately in the regex subset valid in BOTH Java
+#: (Spark codegen) and RE2 (DuckDB/ripgrep) dialects: no backrefs, no
+#: lookaround — redaction must stay whole-stage-codegen-able, and the
+#: oracle must be able to replay it verbatim.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+#: Replacement order matters where patterns could overlap (an IPv4-shaped
+#: substring inside an email's domain must redact as part of the email):
+#: email first, then phone, then ipv4.
+_PII_ORDER = ("email", "phone", "ipv4")
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: Mapping[str, tuple[str, str]] | None = None,
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Redact PII spans and count matches per class.
+
+    Adds ``n_<class>`` count columns (counted on the ORIGINAL text, before
+    any replacement touches it) and ``out_col`` with all classes replaced,
+    applied in ``_PII_ORDER``. One projection, no shuffle.
+    """
+    pats = dict(patterns) if patterns is not None else PII_PATTERNS
+    order = [k for k in _PII_ORDER if k in pats] + [
+        k for k in pats if k not in _PII_ORDER
+    ]
+    out = df
+    red: Column = F.col(text_col)
+    for name in order:
+        pat, rep = pats[name]
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        red = F.regexp_replace(red, pat, rep)
+    return out.withColumn(out_col, red)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm"
+) -> DataFrame:
+    """Canonical text form: lowercase → collapse whitespace runs to one
+    space → trim. Run before content-hash dedup so case/spacing variants
+    of the same document share a digest."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, norm)
+
+
+def mix_sources(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    strat_col: str,
+    id_cols: Sequence[str],
+    seed: str = "mix",
+    default_rate: float = 0.0,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weighted down-sampling per stratum.
+
+    A row survives iff ``md5(seed | id_cols…)``'s first 32 bits, reduced mod
+    ``precision``, fall under ``rates[stratum] * precision`` — i.e. an
+    accept fraction per stratum with content-hash (not RNG) randomness:
+
+    - reproducible: same seed + ids → same sample on any cluster layout;
+    - stable under growth: adding documents never flips existing rows;
+    - nested: the rate-0.25 sample is a SUBSET of the rate-0.5 sample
+      (same threshold test, lower cut), so ablation subsets are free.
+
+    Strata missing from ``rates`` get ``default_rate`` (drop by default —
+    an unknown source in a curated mix should fail closed). The whole test
+    is one codegen'd projection; at 100 TB the rejected rows die map-side
+    before any exchange.
+    """
+    key = F.concat_ws("|", F.lit(seed), *[F.col(c).cast("string") for c in id_cols])
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % precision
+    rate = F.coalesce(
+        *[
+            F.when(F.col(strat_col) == k, F.lit(float(v)))
+            for k, v in sorted(rates.items())
+        ],
+        F.lit(float(default_rate)),
+    )
+    return df.where(bucket < (rate * precision).cast("long"))

@@ -672,63 +672,89 @@ def minhash_lsh_pairs(
     )
 
 
-@F.pandas_udf(LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (Arrow-vectorized).
+def _make_simhash64(hash_name: str = "blake2b"):
+    """Build the SimHash pandas UDF for a given per-token hash.
 
-    Deterministic (python hashlib blake2b per token, 8-byte digest), but the
-    expensive part is batch-vectorized: tokens across the whole Arrow batch
-    are factorized to a vocabulary and each unique word is hashed ONCE — on
-    shared-vocabulary corpora this turns millions of per-occurrence blake2b
-    calls into tens of thousands of per-vocab-word calls. The bit-majority
-    vote runs as 64 ``np.bincount`` segment sums over the per-occurrence
-    hash vector — measured 80× faster than the ``np.add.at`` 2-D scatter
-    (unbuffered ufunc) and it never materializes a doc×vocab matrix, so it
-    is safe for real corpora with large vocabularies.
-    """
+    ``blake2b`` (default) is the production choice (keyed, fast, 8-byte
+    digest). ``md5`` exists for cross-engine verification: DuckDB's ``md5``
+    is bit-identical, so an oracle can replay the exact fingerprint
+    (first 8 digest bytes, big-endian — ``('0x'||substr(md5(tok),1,16))
+    ::UBIGINT``) and the Hamming-pairs answer becomes hash-comparable
+    instead of rows-only. Same algorithm either way; only the token hash
+    differs."""
     import hashlib
 
-    import numpy as np
+    if hash_name not in ("blake2b", "md5"):
+        raise ValueError(f"hash_name must be 'blake2b' or 'md5', got {hash_name!r}")
 
-    n = len(texts)
-    out = np.zeros(n, dtype=np.int64)
-    doc_ids: list = []
-    words: list = []
-    for i, t in enumerate(texts):
-        ws = set((t or "").split())
-        doc_ids.extend([i] * len(ws))
-        words.extend(ws)
-    if not words:
-        return pd.Series(out)
-    codes, vocab = pd.factorize(pd.Series(words, dtype=object))
-    hs = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-            for w in vocab
-        ),
-        dtype=np.uint64,
-        count=len(vocab),
-    )
-    doc_idx = np.asarray(doc_ids, dtype=np.intp)
-    hcodes = hs[codes]  # per-occurrence hash (1-D gather)
-    votes = np.empty((n, 64), dtype=np.int64)
-    for b in range(64):
-        votes[:, b] = np.bincount(
-            doc_idx, weights=(hcodes >> np.uint64(b)) & np.uint64(1), minlength=n
-        )
-    counts = np.bincount(doc_idx, minlength=n)
-    # Bit set iff strictly more ones than zeros among the doc's token hashes
-    # (ones*2 > count) — identical to the per-doc votes>0 rule.
-    maj = (votes * 2) > counts[:, None]
-    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    sims = (maj.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
-    return pd.Series(sims.view(np.int64))
+    def tok_hashes(vocab) -> "np.ndarray":
+        import numpy as np
+
+        if hash_name == "md5":
+            it = (
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                for w in vocab
+            )
+        else:
+            it = (
+                int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                )
+                for w in vocab
+            )
+        return np.fromiter(it, dtype=np.uint64, count=len(vocab))
+
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(texts)
+        out = np.zeros(n, dtype=np.int64)
+        doc_ids: list = []
+        words: list = []
+        for i, t in enumerate(texts):
+            ws = set((t or "").split())
+            doc_ids.extend([i] * len(ws))
+            words.extend(ws)
+        if not words:
+            return pd.Series(out)
+        codes, vocab = pd.factorize(pd.Series(words, dtype=object))
+        hs = tok_hashes(vocab)
+        doc_idx = np.asarray(doc_ids, dtype=np.intp)
+        hcodes = hs[codes]  # per-occurrence hash (1-D gather)
+        votes = np.empty((n, 64), dtype=np.int64)
+        for b in range(64):
+            votes[:, b] = np.bincount(
+                doc_idx, weights=(hcodes >> np.uint64(b)) & np.uint64(1), minlength=n
+            )
+        counts = np.bincount(doc_idx, minlength=n)
+        # Bit set iff strictly more ones than zeros among the doc's token
+        # hashes (ones*2 > count) — identical to the per-doc votes>0 rule.
+        maj = (votes * 2) > counts[:, None]
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        sims = (maj.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        return pd.Series(sims.view(np.int64))
+
+    return _simhash
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document 64-bit SimHash fingerprint."""
+#: Default production UDF — blake2b token hash (see _make_simhash64; the
+#: batch-vectorized factorize + bincount machinery and its rationale live
+#: there, shared by both hash variants).
+_simhash64 = _make_simhash64("blake2b")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_name: str = "blake2b",
+) -> DataFrame:
+    """Per-document 64-bit SimHash fingerprint. ``hash_name='md5'`` swaps
+    the token hash for one DuckDB can replay bit-for-bit (oracle mode)."""
+    udf = _simhash64 if hash_name == "blake2b" else _make_simhash64(hash_name)
     return _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), _simhash64(F.col(text_col)).alias("simhash")
+        F.col(id_col), udf(F.col(text_col)).alias("simhash")
     )
 
 
@@ -771,6 +797,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_name: str = "blake2b",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming`` —
     exact (complete recall), never a cross join.
@@ -799,7 +826,9 @@ def simhash_pairs(
     """
     # Materialize the fingerprint table (8 bytes/doc): five join sides read
     # it — without this the pandas-UDF hashing runs once per consumer.
-    fp = _materialize_table(simhash(df, text_col, id_col).withColumnRenamed(id_col, "doc"))
+    fp = _materialize_table(
+        simhash(df, text_col, id_col, hash_name).withColumnRenamed(id_col, "doc")
+    )
     same = (
         fp.select(F.col("doc").alias("doc_a"), "simhash")
         .join(fp.select(F.col("doc").alias("doc_b"), "simhash"), "simhash")

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "partition_candidates"]
+__all__ = ["heavy_hitters", "partition_candidates", "equi_depth_bins"]
 
 
 def _candidate_scan(items: DataFrame, col: str, min_ratio: float) -> DataFrame:
@@ -113,3 +113,50 @@ def heavy_hitters(
         .where(F.col(freq_col) >= F.lit(min_ratio) * F.lit(total))
     )
     return exact
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Equal-frequency histogram: exact quantile boundaries → bucket counts.
+
+    Two passes, neither a global sort (the naive ``ntile`` formulation is a
+    single-task total-order window — a scale cliff this operator exists to
+    avoid):
+
+    1. ONE aggregate computes the ``n_bins - 1`` exact interior quantiles
+       (``percentile(col, array(...))``); the boundary list is bounded
+       (n_bins doubles) so collecting it to the driver is the same
+       materialization a broadcast performs.
+    2. Bucket id = ``1 + Σ [value > boundary_i]`` — a codegen'd projection
+       (boundaries inlined as literals), then an ordinary hash aggregate.
+
+    Ties sit deterministically on the strict ``>`` rule: equal values always
+    share a bucket (so bucket sizes deviate from n/n_bins exactly where
+    duplicate mass forces them to). At 100 TB swap pass 1's exact percentile
+    for ``approx_percentile`` — pass 2 is unchanged.
+
+    Returns ``(bucket, n, lo, hi)`` — count and value range per bucket.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.agg(
+        F.expr(f"percentile({col}, array({', '.join(map(str, qs))}))")
+    ).first()[0]
+    c = F.col(col)
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + (c > F.lit(float(b))).cast("int")
+    return (
+        df.select(bucket.alias(bucket_col), c)
+        .groupBy(bucket_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+        )
+    )
