@@ -140,3 +140,47 @@ def test_repetition_stats(spark):
     assert abs(got[1][0] - 2 / 3) < 1e-12 and abs(got[1][1] - 0.5) < 1e-12
     assert got[2] == (0.0, 0.0)
     assert got[3] == (None, None)
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    from zio_analytics_spark.operators.text import unigram_logprob
+
+    # 'common' appears 9x, 'rare' once: the rare-token doc must score higher
+    df = spark.createDataFrame(
+        [(i, "common common common") for i in range(3)] + [(9, "rare")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert out[9]["avg_neg_logprob"] > out[0]["avg_neg_logprob"]
+    assert out[0]["n_tokens"] == 3 and out[9]["n_tokens"] == 1
+    # identical docs score identically
+    assert out[0]["avg_neg_logprob"] == out[1]["avg_neg_logprob"]
+    # MLE check: p(common)=9/10, p(rare)=1/10
+    import math
+
+    assert abs(out[9]["avg_neg_logprob"] - (-math.log(0.1))) < 1e-6
+    assert abs(out[0]["avg_neg_logprob"] - (-math.log(0.9))) < 1e-6
+
+
+def test_token_budget_select_greedy_prefix(spark):
+    from zio_analytics_spark.operators.text import token_budget_select
+
+    df = spark.createDataFrame(
+        [(i, "g", "w " * 10) for i in range(100)], "doc_id long, grp string, text string"
+    )
+    out = token_budget_select(df, budget=55, group_col="grp", text_col="text")
+    rows = out.collect()
+    # each doc is 10 tokens; budget 55 -> exactly 5 docs, no partials
+    assert len(rows) == 5
+    assert max(r["cum_tokens"] for r in rows) == 50
+    # growth stability: doubling the corpus keeps the original winners
+    # that still fit (hash order is content-determined, not positional)
+    df2 = spark.createDataFrame(
+        [(i, "g", "w " * 10) for i in range(200)], "doc_id long, grp string, text string"
+    )
+    kept1 = {r["doc_id"] for r in rows}
+    kept2 = {r["doc_id"] for r in token_budget_select(df2, 55, "grp").collect()}
+    # an original doc kept under the grown corpus (5 smallest hashes of
+    # 200) was necessarily kept under the original (5 smallest of 100):
+    # growth only ever evicts, never admits previously-rejected docs
+    assert kept2 & set(range(100)) <= kept1

@@ -3867,7 +3867,7 @@ def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "source_python_datasource_stream",
+    "streaming_python_datasource",
     oracle="""
     SELECT (doc_id % 3)::INT AS shard, count(*)::BIGINT AS n,
            sum(doc_id)::BIGINT AS id_sum
@@ -4634,6 +4634,63 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "user_bucket"
     )
     return _run_append(dd, "stream_dedup")
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, count(*)::DOUBLE AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS t FROM vocab)
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(avg(-ln(v.cnt / tot.t)), 6) AS avg_neg_logprob
+    FROM toks JOIN vocab v USING (tok), tot
+    GROUP BY doc_id
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (operators/text.py): average negative log
+    probability of each document under the corpus's own unigram MLE — the
+    CCNet-style cheap perplexity proxy for quality filtering. Vocabulary
+    pass + broadcast-joined scoring pass; the broadcast is also the Zipf
+    skew escape (no shuffle on the token key). Oracle recomputes the same
+    model and score exactly."""
+    return text.unigram_logprob(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_budget_select",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> ''))::BIGINT AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           sum(n_tokens) OVER (
+             PARTITION BY lang
+             ORDER BY md5('budget|' || doc_id), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+    FROM base
+    QUALIFY cum_tokens <= 3000
+    """,
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget dataset assembly (operators/text.py): per language,
+    greedily keep documents in seeded md5 order until 3000 tokens are
+    reached — the reproducible, growth-stable way to cut a fixed-size
+    training mix per stratum. One parallel per-group window pass, never a
+    global sort; the oracle replays the exact membership (engine-identical
+    md5 order)."""
+    return text.token_budget_select(
+        read_table(spark, sf_dir, "documents"), budget=3000, group_col="lang"
+    )
 
 
 def queries() -> dict[str, QueryFn]:

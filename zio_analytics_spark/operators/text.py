@@ -9,6 +9,7 @@ schema-agnostic.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -261,3 +262,85 @@ def word_shingles(text: Column | str, n: int = 3, distinct: bool = True) -> Colu
     # transform([tokens], w -> build(w))[1]: binds the token array to the
     # lambda variable w, evaluated exactly once per row.
     return F.element_at(F.transform(F.array(tokens(text)), build), 1)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document average negative log-probability under the corpus's OWN
+    unigram language model — the classic cheap perplexity proxy for quality
+    filtering (cf. CCNet/Wenzek et al.: filter by LM score; here the LM is
+    the unigram MLE of the corpus itself, so no external model is needed).
+
+    Low score = common words (boilerplate-ish); high score = rare-token
+    soup (OCR noise, gibberish). Both tails are the usual cut candidates.
+
+    Plan: one token scan builds the vocabulary (token → count), a second
+    token scan joins each occurrence to its count and averages per doc.
+    The vocabulary is tiny relative to the corpus (Heaps' law), so it
+    BROADCASTS by default and the scoring pass is shuffle-free on the
+    corpus side — also the skew escape: a shuffle join on the token key
+    would put every 'the' occurrence in one task (Zipf). Set
+    ``broadcast_vocab=False`` only when the vocab exceeds broadcast limits
+    (then AQE's skew-join split handles the hot keys).
+
+    Returns ``(id_col, n_tokens, avg_neg_logprob)`` with the score rounded
+    to 6 dp (cross-engine float discipline — see catalog conventions).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").alias("__tot"))
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", (-F.log(F.col("__cnt") / F.col("__tot"))).alias("__nlp")
+    )
+    if broadcast_vocab:
+        scored = F.broadcast(scored)
+    return (
+        toks.join(scored, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("__nlp"), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "budget",
+) -> DataFrame:
+    """Greedy token-budget dataset assembly: per ``group_col`` stratum,
+    take documents in seeded content-hash order until the running token
+    total exceeds ``budget`` — how a fixed-size training mix is cut from
+    an oversized corpus with reproducible, growth-stable membership (the
+    hash order never reshuffles when new docs arrive; new docs slot in and
+    can only push out docs hashed after them, never reorder the kept
+    prefix arbitrarily).
+
+    One window pass per stratum (strata run in parallel; the sort is per
+    group, never global). Keeps rows while the cumulative count INCLUDING
+    the current doc is ≤ budget (no partial documents).
+
+    Returns ``(id_col, group_col, n_tokens, cum_tokens)``.
+    """
+    order = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    return base.withColumn("cum_tokens", F.sum("n_tokens").over(w)).where(
+        F.col("cum_tokens") <= budget
+    )
