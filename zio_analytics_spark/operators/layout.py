@@ -1,0 +1,144 @@
+"""[EXT] Storage-layout optimization: Z-order clustering & contiguous ids.
+
+At 100 TB the scan is the query: what a file CONTAINS decides whether the
+engine can skip it. Parquet readers prune at file/row-group level from
+column min/max statistics — but statistics only help if the layout makes
+them tight. These operators produce such layouts:
+
+- ``zorder_value`` / ``zorder_write``: interleave the bits of two (or more)
+  numeric dimensions into one Z-value and range-partition + sort the data
+  by it. Each output file then covers a small axis-aligned rectangle of the
+  key space, so a conjunctive 2-D range predicate skips most files on
+  min/max alone — the standard multi-dimensional clustering trick (Delta
+  OPTIMIZE ZORDER, Iceberg sort orders) built from plain Column
+  expressions: no engine extension needed, just bit math + a sorted write.
+
+- ``assign_contiguous_ids``: gap-free 0..N-1 ids in a deterministic
+  content-hash order WITHOUT a single-task global sort. Pass 1 range-
+  partitions by the order key and counts rows per partition (a few hundred
+  longs to the driver — the same materialization a broadcast does); pass 2
+  adds the partition's global offset to the in-partition rank. The naive
+  ``row_number() OVER ()`` is one task sorting 100 TB; this is the
+  standard two-pass replacement (cf. RDD zipWithIndex, which does exactly
+  this at the RDD layer).
+
+Both are deterministic, so a DuckDB oracle replays them exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_value", "zorder_write", "assign_contiguous_ids"]
+
+
+def zorder_value(cols: Sequence[Column | str], bits: int = 16) -> Column:
+    """Morton/Z-value of non-negative integer columns: bit-interleave the
+    low ``bits`` of each (values clamped into range). Pure Column bit math
+    — whole-stage codegen, no UDF.
+
+    With d dimensions the result uses d·bits bits (d·bits ≤ 63). Callers
+    bucket raw values into [0, 2^bits) first (e.g. ``width_bucket``-style
+    scaling) — clamping here is a safety net, not the quantizer.
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    d = len(cs)
+    if d * bits > 63:
+        raise ValueError(f"{d} dims x {bits} bits exceeds a signed long")
+    cap = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cs):
+            v = F.least(F.greatest(c.cast("long"), F.lit(0)), F.lit(cap))
+            bit = F.shiftright(v, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * d + i))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-value of ``cols``:
+    ``repartitionByRange(z)`` (range exchange via a sampled boundary pass)
+    then an in-partition sort, so every file covers a contiguous Z-range =
+    a small rectangle of the key space. Readers then prune files/row-groups
+    from per-column min/max stats for conjunctive range predicates on ANY
+    prefix-free combination of the clustered dimensions."""
+    z = zorder_value(cols, bits).alias("__z")
+    clustered = df.withColumn("__z", z)
+    parts = (
+        clustered.repartitionByRange(n_files, "__z")
+        if n_files
+        else clustered.repartitionByRange("__z")
+    )
+    parts.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").parquet(path)
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    order_num: Column | str,
+    tiebreak: Sequence[Column | str] = (),
+    id_name: str = "seq_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Gap-free 0..N-1 ids following the total order ``(order_num,
+    *tiebreak)``, without a global single-task sort.
+
+    The naive ``row_number() OVER (ORDER BY ...)`` funnels everything
+    through ONE task. Instead: (1) one aggregate computes ``n_buckets``
+    exact quantile boundaries of ``order_num`` and a bucket id is assigned
+    by strict-``>`` comparison against the inlined boundaries (ties always
+    share a bucket, so bucket order respects value order); (2) one tiny
+    aggregate counts rows per bucket → cumulative offsets, inlined as a
+    literal map; (3) id = bucket offset + in-bucket ``row_number`` − 1,
+    each bucket's window sorting only its own slice in parallel.
+
+    Everything driver-side is bounded (n_buckets doubles + counts — the
+    same materialization a broadcast performs). Deliberately built from
+    DATA-derived buckets, not ``spark_partition_id`` after a range
+    exchange: range-exchange boundary sampling is not guaranteed stable
+    across job re-executions, so physical partition ids are not a safe
+    foundation for ids that must be exactly-once-deterministic.
+
+    ``order_num`` must be numeric (hash your key into a long first);
+    ``(order_num, *tiebreak)`` must be a total order or ids within a tie
+    group are arbitrary.
+    """
+    c = F.col(order_num) if isinstance(order_num, str) else order_num
+    tb = [F.col(t) if isinstance(t, str) else t for t in tiebreak]
+    key = df.select(c.alias("__k"))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = key.agg(
+        F.expr(f"percentile(__k, array({', '.join(map(str, qs))}))")
+    ).first()[0]
+    if bounds is None:  # empty input: single empty bucket, no ids to assign
+        return df.withColumn(id_name, F.lit(None).cast("long"))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (c > F.lit(float(b))).cast("int")
+    with_b = df.withColumn("__bkt", bucket)
+    counts = {
+        r["__bkt"]: r["n"]
+        for r in with_b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for bk in sorted(counts):
+        offsets[bk] = acc
+        acc += counts[bk]
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(b) for b in sorted(offsets)]),
+            F.array(*[F.lit(offsets[b]).cast("long") for b in sorted(offsets)]),
+        ),
+        F.col("__bkt"),
+    )
+    rank = F.row_number().over(W.partitionBy("__bkt").orderBy(c, *tb))
+    return with_b.withColumn(id_name, off + rank.cast("long") - 1).drop("__bkt")
