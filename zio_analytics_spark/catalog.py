@@ -4776,6 +4776,166 @@ def q_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# [EXT] PageRank (operators/graph.py), table diff, robust stats
+# =====================================================================
+
+
+def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
+    """Chained-CTE replay of exactly n_iter PageRank rounds (same dangling-
+    mass redistribution as graph.pagerank) — iteration count is FIXED, so
+    the whole computation is deterministic and SQL-expressible."""
+    cte = [
+        """e AS (
+      SELECT DISTINCT user_id AS src, (user_id * 7 + event_id % 11) % 150 AS dst
+      FROM events WHERE user_id != (user_id * 7 + event_id % 11) % 150
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    ]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        cte.append(f"""dm{k} AS (
+      SELECT coalesce(sum(r.rank), 0) AS dm
+      FROM r{p} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL
+    ),
+    c{k} AS (
+      SELECT e.dst, sum(r.rank / deg.d) AS c
+      FROM e JOIN deg USING (src) JOIN r{p} r ON r.node = e.src GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT nodes.node,
+             {1.0 - damping} / nn.n + {damping} * (coalesce(c.c, 0) + d.dm / nn.n) AS rank
+      FROM nodes CROSS JOIN nn CROSS JOIN dm{k} d
+      LEFT JOIN c{k} c ON c.dst = nodes.node
+    )""")
+    return (
+        "WITH " + ",\n    ".join(cte)
+        + f"\n    SELECT node, round(rank, 9) AS rank FROM r{n_iter}"
+    )
+
+
+@register("pagerank_fixed", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 3 fixed iterations, over a deterministic interaction graph
+    derived from events (distinct (user, 7·user+event mod 11 mod 150)
+    edges). DataFrame message passing: one join + one aggregation per
+    round, dangling mass redistributed via a 1-row broadcast, lineage
+    truncated per round with localCheckpoint (the connected-components
+    lesson: Catalyst re-analysis doubles per round otherwise). The oracle
+    replays all three rounds as chained CTEs — value-exact to 9 dp."""
+    from zio_analytics_spark.operators.graph import pagerank
+
+    ev = read_table(spark, sf_dir, "events")
+    dst = F.pmod(F.col("user_id") * 7 + F.pmod(F.col("event_id"), F.lit(11)), F.lit(150))
+    edges = (
+        ev.select(F.col("user_id").alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pr = pagerank(edges, n_iter=3, damping=0.85)
+    return pr.select("node", F.round("rank", 9).alias("rank"))
+
+
+@register(
+    "table_diff",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice FROM orders
+      WHERE o_orderkey % 11 = 0
+    )
+    SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+           CASE WHEN r.o_orderkey IS NULL THEN 'only_left'
+                WHEN l.o_orderkey IS NULL THEN 'only_right'
+                WHEN l.o_totalprice <> r.o_totalprice THEN 'changed'
+                ELSE 'same' END AS diff
+    FROM orders l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric table diff (operators/merge.py) — migration/backfill
+    verification: orders vs a deterministically mutated copy (some keys
+    dropped, some values changed, some keys added). ONE full outer join
+    carrying keys + per-side 64-bit value hashes instead of full rows
+    (what makes diffing two wide 100 TB tables shuffle-cheap); the oracle
+    classifies by direct value comparison — identical verdicts prove the
+    hash formulation faithful."""
+    from zio_analytics_spark.operators.merge import table_diff
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    mutated = (
+        orders.where(k % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(k % 13 == 0, F.col("o_totalprice") + 1)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.where(k % 11 == 0).select(
+                (k + 10_000_000).alias("o_orderkey"), "o_totalprice"
+            )
+        )
+    )
+    return table_diff(orders, mutated, key_cols=["o_orderkey"])
+
+
+@register(
+    "winsorize_clip",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+      FROM events
+    )
+    SELECT event_id, round(least(greatest(value, b.lo), b.hi), 4) AS clipped
+    FROM events, b
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (operators/robust.py): clip the value column to its
+    [p1, p99] band — two passes (one bounded quantile aggregate, one
+    codegen'd projection with the fences inlined). Output rounded to 4 dp
+    on both sides so a last-ulp fence-interpolation difference between
+    engines cannot flip the hash."""
+    from zio_analytics_spark.operators.robust import winsorize
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    out = winsorize(ev, "value", 0.01, 0.99, out_col="clipped")
+    return out.select("event_id", F.round("clipped", 4).alias("clipped"))
+
+
+@register(
+    "mad_outliers",
+    oracle="""
+    WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+    s AS (SELECT quantile_cont(abs(value - m.med), 0.5) AS mad FROM events, m)
+    SELECT event_id, round(abs(value - m.med) / s.mad, 6) AS dev,
+           abs(value - m.med) / s.mad > 3.0 AS is_outlier
+    FROM events, m, s
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD outlier flagging (operators/robust.py): |x − median| > k·MAD —
+    the 50%-breakdown-point alternative to z-scores (mean/stddev are what
+    outliers corrupt). Median and MAD are each one bounded aggregate; the
+    flag is a codegen'd projection."""
+    from zio_analytics_spark.operators.robust import mad_outliers
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    out = mad_outliers(ev, "value", k=3.0)
+    return out.select(
+        "event_id", F.round("__dev", 6).alias("dev"), "is_outlier"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

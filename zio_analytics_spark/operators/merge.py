@@ -16,7 +16,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "scd2_apply"]
+__all__ = ["merge_upsert", "scd2_apply", "table_diff"]
 
 
 def merge_upsert(
@@ -70,3 +70,43 @@ def scd2_apply(
     ).drop(change_ts)
 
     return closed_rows.unionByName(closing).unionByName(still_open).unionByName(new_versions)
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Symmetric table diff — the migration/backfill verification tool:
+    classify every key as ``only_left`` / ``only_right`` / ``changed`` /
+    ``same`` in ONE full outer join.
+
+    Value comparison hashes the compared columns to one digest per side
+    (null-safe: null and 'null' hash differently via typed struct
+    serialization), so the join carries keys + two 64-bit hashes instead
+    of full rows — at 100 TB the diff of two wide tables shuffles a few
+    dozen bytes per row. ``compare_cols`` defaults to all non-key columns
+    shared by both sides (by name).
+
+    Returns ``(key_cols…, diff)`` with ``diff`` ∈ {only_left, only_right,
+    changed, same}; callers usually filter ``diff != 'same'``.
+    """
+    keys = list(key_cols)
+    if compare_cols is None:
+        shared = [c for c in left.columns if c in set(right.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+    cmp_cols = list(compare_cols)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        h = F.xxhash64(*[F.struct(F.col(c)) for c in cmp_cols]) if cmp_cols else F.lit(0)
+        return df.select(*keys, h.alias(f"__h_{tag}"), F.lit(1).alias(f"__p_{tag}"))
+
+    joined = side(left, "l").join(side(right, "r"), keys, "full_outer")
+    diff = (
+        F.when(F.col("__p_r").isNull(), F.lit("only_left"))
+        .when(F.col("__p_l").isNull(), F.lit("only_right"))
+        .when(F.col("__h_l") != F.col("__h_r"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return joined.select(*keys, diff.alias("diff"))
