@@ -4936,6 +4936,117 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# [EXT] SQL frontier: recursive CTE, LATERAL; grouped-agg pandas UDAF
+# =====================================================================
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT s_suppkey AS k, 0 AS depth FROM supplier WHERE s_suppkey = 1
+      UNION ALL
+      SELECT s.s_suppkey, c.depth + 1
+      FROM supplier s JOIN chain c
+        ON s.s_suppkey = c.k * 2 OR s.s_suppkey = c.k * 2 + 1
+      WHERE c.depth < 12
+    )
+    SELECT k, depth FROM chain
+    """,
+)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4) — hierarchy traversal INSIDE the SQL
+    frontend: walk the implicit binary tree parent(k)=k/2 over supplier
+    keys from the root, emitting (node, depth). The engine iterates the
+    recursive step to fixpoint exactly as DuckDB does; this is the
+    SQL-native form of what dedup_clusters/pagerank do with explicit
+    DataFrame loops."""
+    from zio_analytics_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT s_suppkey AS k, 0 AS depth FROM supplier WHERE s_suppkey = 1
+          UNION ALL
+          SELECT s.s_suppkey, c.depth + 1
+          FROM supplier s JOIN chain c
+            ON s.s_suppkey = c.k * 2 OR s.s_suppkey = c.k * 2 + 1
+          WHERE c.depth < 12
+        )
+        SELECT k, depth FROM chain
+        """
+    )
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    """,
+)
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery in the SQL frontend: top-2 customers by
+    balance per nation, expressed as a per-row dependent subquery rather
+    than a window function — Catalyst decorrelates it into the same
+    ranked-window plan topk_per_group builds by hand (both formulations
+    verified against the same kind of oracle)."""
+    from zio_analytics_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )
+
+
+@register(
+    "udaf_geomean",
+    oracle="""
+    SELECT o_orderpriority, round(exp(avg(ln(o_totalprice))), 6) AS geomean
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via a GROUPED_AGG pandas UDF — the remaining UDF variant
+    (scalar pandas_udf, applyInPandas, mapInPandas, UDTF are covered
+    elsewhere): geometric mean of order value per priority, computed as a
+    numpy reduction over each group's Arrow batch. The oracle is the
+    closed form exp(avg(ln x)). NOTE the scale contract difference: a
+    grouped-agg pandas UDF materializes each whole group in one worker
+    (like fold_group) — for an algebraic aggregate like this, the
+    decomposable form exp(avg(ln)) via built-ins is the 100 TB path
+    (partial-aggregates map-side); the UDAF form exists for genuinely
+    non-decomposable reductions."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module's `from __future__ import
+    # annotations` stringizes type hints, so signature inference can't see
+    # the Series -> float shape
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def gmean(v):
+        import numpy as np
+
+        return float(np.exp(np.log(v).mean()))
+
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(gmean("o_totalprice"), 6).alias("geomean")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
