@@ -290,3 +290,28 @@ def test_dedup_operators_release_caches(spark):
         out = make()
         out.count()  # consume
         assert cache_mgr.isEmpty(), "dedup operator leaked a cached table"
+
+
+def test_prebuilt_shingles_result_identical(spark):
+    from zio_analytics_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "the quick brown fox jumps over the lazy dog"),
+            (2, "a", "the quick brown fox jumps over the lazy cat"),
+            (3, "a", "completely different text with unique words here"),
+            (4, "b", "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    sh = dedup.build_shingle_table(docs, block_cols=["lang"], n=3)
+    direct = dedup.jaccard_pairs(docs, block_cols=["lang"], n=3, threshold=0.2)
+    reused = dedup.jaccard_pairs(
+        docs, block_cols=["lang"], n=3, threshold=0.2, prebuilt_shingles=sh
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, reused.collect()))
+
+    sh_nb = sh.select("doc_id", "__sh", "__sz")
+    d2 = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    r2 = dedup.minhash_lsh_pairs(docs, threshold=0.5, prebuilt_shingles=sh_nb)
+    assert sorted(map(tuple, d2.collect())) == sorted(map(tuple, r2.collect()))

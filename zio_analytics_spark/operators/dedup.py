@@ -34,6 +34,7 @@ from zio_analytics_spark.operators.text import tokens, word_shingles
 __all__ = [
     "exact_dedup",
     "decontaminate",
+    "build_shingle_table",
     "jaccard_pairs",
     "jaccard_strategy",
     "lsh_calibrate",
@@ -324,6 +325,24 @@ def _dense_bitmap_pairs(
     )
 
 
+def build_shingle_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Sequence[str] = (),
+    n: int = 3,
+    shingle_mode: str = "word",
+) -> DataFrame:
+    """Materialize the hashed shingle table ONCE for reuse across several
+    dedup passes (plain inverted-index, prefix-filtered, clustering…):
+    shingling + hashing is the shared linear pass every tier repeats, and
+    at 100 TB the shingle table is a first-class pipeline intermediate you
+    write once and join from many times. Pass the result to
+    ``jaccard_pairs(..., prebuilt_shingles=...)`` — parameters must match
+    the ones the consumer would have used (same n / mode / blocks)."""
+    return _materialize_table(_shingle_table(df, text_col, id_col, block_cols, n, shingle_mode))
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -335,6 +354,7 @@ def jaccard_pairs(
     shingle_mode: str = "word",
     strategy: str = "sparse",
     max_dense_bits: int = 1 << 15,
+    prebuilt_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-``n``-gram Jaccard pairs within blocks, via an
     **inverted-index set-similarity join** (the canonical distributed
@@ -388,8 +408,13 @@ def jaccard_pairs(
     # Every strategy reads the shingle table from several join sides —
     # materialize it once (temp parquet, see _materialize_table) so the
     # shingling expression evaluates ONCE per document, not once per
-    # consumer, with no cache for anyone to release.
-    sh = _materialize_table(_shingle_table(df, text_col, id_col, block_cols, n, shingle_mode))
+    # consumer, with no cache for anyone to release. A caller running
+    # several dedup passes amortizes further via build_shingle_table.
+    sh = (
+        prebuilt_shingles
+        if prebuilt_shingles is not None
+        else _materialize_table(_shingle_table(df, text_col, id_col, block_cols, n, shingle_mode))
+    )
     if strategy == "auto":
         strategy = _choose_strategy(sh, block_cols, max_dense_bits)
     if strategy == "dense":
@@ -574,6 +599,7 @@ def minhash_lsh_pairs(
     bands: int | None = None,
     threshold: float = 0.5,
     target_recall: float = 0.9,
+    prebuilt_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -616,16 +642,22 @@ def minhash_lsh_pairs(
     # signature cost), and the persisted table shrinks to 8 bytes/shingle.
     # Exact-Jaccard verification over hashed shingles carries the same
     # 2^-64 collision risk jaccard_pairs already accepts.
-    sh = _materialize_table(
-        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col)), id_col)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.array_distinct(
-                F.transform(word_shingles(text_col, n, distinct=False), lambda s: F.xxhash64(s))
-            ).alias("__sh"),
+    # ``prebuilt_shingles`` (any table carrying ``id_col`` + ``__sh`` from
+    # build_shingle_table with the same n/mode) lets several dedup tiers
+    # amortize the one shared linear pass.
+    if prebuilt_shingles is not None:
+        sh = prebuilt_shingles.select(F.col(id_col).alias("doc"), F.col("__sh"))
+    else:
+        sh = _materialize_table(
+            _ensure_parallelism(df.select(F.col(id_col), F.col(text_col)), id_col)
+            .select(
+                F.col(id_col).alias("doc"),
+                F.array_distinct(
+                    F.transform(word_shingles(text_col, n, distinct=False), lambda s: F.xxhash64(s))
+                ).alias("__sh"),
+            )
+            .where(F.size("__sh") > 0)
         )
-        .where(F.size("__sh") > 0)
-    )
     # Signature via explode + hash-aggregate mins, NOT per-seed array
     # traversals: the 50-odd per-seed minima compute columnar inside one
     # partial+final HashAggregate (map-side combine ships per-doc partials
