@@ -114,3 +114,25 @@ def test_asof_join_nearest_timestamp_type(spark):
     out = asof_join(left, right, "k", "k", "ts", "ts", ["px"], direction="nearest").collect()
     assert out[0].px == 2.0  # 5 min forward beats 10 min backward
 
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 105.0), (2, 100, 200.0)], "id long, k long, t double"
+    )
+    right = spark.createDataFrame(
+        [(100, 100.0, "fresh"), (100, 10.0, "stale")], "k long, rt double, tag string"
+    )
+    out = asof_join(
+        left, right, left_on="k", right_on="k", left_time="t", right_time="rt",
+        right_values=["tag"], tolerance=F.lit(50.0),
+    )
+    got = {r["id"]: r["tag"] for r in out.collect()}
+    # id 1: backward match rt=100 at distance 5 -> kept
+    # id 2: backward match rt=100 at distance 100 > 50 -> nulled (NOT the
+    # stale rt=10 row — tolerance post-filters the chosen match)
+    assert got == {1: "fresh", 2: None}

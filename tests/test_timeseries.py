@@ -47,3 +47,35 @@ def test_cascade_levels_match_direct_aggregation(spark):
 def test_cascade_rejects_non_reaggregable(spark):
     with pytest.raises(ValueError, match="not re-aggregable"):
         cascade_rollup(_events(spark), "ts", ["k"], {"a": ("avg", "v")}, ["1 hour"])
+
+
+def test_interpolate_linear_basic(spark):
+    from zio_analytics_spark.operators.timeseries import interpolate_linear
+
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 10, None), ("a", 20, None), ("a", 40, 50.0),
+         ("a", 50, None),           # trailing edge: no next neighbor
+         ("b", 0, None), ("b", 5, 7.0)],  # leading edge: no prev neighbor
+        "k string, t long, v double",
+    )
+    out = {(r["k"], r["t"]): r["v"] for r in
+           interpolate_linear(df, "k", "t", "v").collect()}
+    assert out[("a", 0)] == 10.0 and out[("a", 40)] == 50.0   # anchors kept
+    assert out[("a", 10)] == 20.0 and out[("a", 20)] == 30.0  # lerp on t, not row index
+    assert out[("a", 50)] is None and out[("b", 0)] is None   # strict: no extrapolation
+    assert out[("b", 5)] == 7.0
+
+
+def test_interpolate_linear_timestamp_axis(spark):
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.timeseries import interpolate_linear
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 0.0),
+         ("a", "2024-01-01 01:00:00", None),
+         ("a", "2024-01-01 03:00:00", 9.0)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {str(r["ts"]): r["v"] for r in interpolate_linear(df, "k", "ts", "v").collect()}
+    assert out["2024-01-01 01:00:00"] == 3.0  # 1/3 of the way in TIME

@@ -5078,6 +5078,171 @@ def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "timeseries_interpolate",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS hour,
+             round(avg(value), 4) AS v, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM b GROUP BY event_type),
+    g AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM r),
+    s AS (
+      SELECT g.event_type, g.hour,
+             CASE WHEN b.c >= 3 THEN b.v END AS v,
+             epoch_us(g.hour) AS t
+      FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.hour = b.hour
+    ),
+    w AS (
+      SELECT event_type, hour, v, t,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt
+      FROM s
+    )
+    SELECT event_type, hour,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL OR nv IS NULL THEN NULL
+                      ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END, 6) AS value
+    FROM w
+    """,
+)
+def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + LINEAR interpolation (operators/timeseries.py): per
+    event type, the hourly average series is densified over its full range
+    (sequence+explode grid), hours with fewer than 3 observations are
+    masked to NULL, and the gaps are filled by lerping between the nearest
+    real neighbors — the standard resampling step before a model consumes
+    an irregular series. Two ignore-nulls carries over ONE key
+    partitioning; edges stay NULL (no extrapolation). The oracle replays
+    the identical grid, mask and lerp."""
+    from zio_analytics_spark.operators.timeseries import interpolate_linear
+
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.round(F.avg("value"), 4).alias("v"), F.count(F.lit(1)).alias("c"))
+    r = b.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    g = r.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    s = g.join(b, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.when(F.col("c") >= 3, F.col("v")).alias("v"),
+    )
+    out = interpolate_linear(s, "event_type", "hour", "v", out_col="value")
+    return out.select("event_type", "hour", F.round("value", 6).alias("value"))
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    ),
+    j AS (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice, o.o_orderdate
+      FROM events e
+      ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    )
+    SELECT event_id, user_id,
+           CASE WHEN o_orderdate >= ts - INTERVAL 30 DAY THEN o_orderkey END
+             AS last_orderkey,
+           CASE WHEN o_orderdate >= ts - INTERVAL 30 DAY THEN o_totalprice END
+             AS last_totalprice
+    FROM j
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match-distance TOLERANCE (pandas merge_asof
+    parity): the backward match is kept only when it lies within 30 days
+    of the probe — stale carries become NULL. One extra codegen'd
+    conditional on the same single-exchange union-merge plan; the oracle
+    applies the identical post-filter to DuckDB's ASOF JOIN."""
+    e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = top_k_per_group(
+        read_table(spark, sf_dir, "orders"),
+        group_by=["o_custkey", "o_orderdate"],
+        order_by=[F.col("o_orderkey").desc()],
+        k=1,
+    )
+    joined = asof_join(
+        e,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+        tolerance=F.expr("INTERVAL 30 DAYS"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+@register(
+    "source_merge_schema",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS n,
+           round(sum(o_totalprice), 2) AS total,
+           count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END)::BIGINT
+             AS n_with_status
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_source_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the STORAGE layer: two parquet generations of
+    the same table — v1 without the status column, v2 with it — live in
+    one directory; ``mergeSchema`` reconciles the footers into the union
+    schema and v1 rows surface NULL status (counted to prove it). The
+    logical-layer twin is union_schema_evolution; this is the on-disk form
+    every long-lived 100 TB table eventually needs (columns get added;
+    history doesn't get rewritten)."""
+    import shutil
+    import tempfile
+
+    orders = read_table(spark, sf_dir, "orders")
+    v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    v2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
+    )
+    out_dir = tempfile.mkdtemp(prefix="zas_mrg_")
+    try:
+        v1.write.mode("overwrite").parquet(out_dir + "/gen=1")
+        v2.write.mode("overwrite").parquet(out_dir + "/gen=2")
+        back = spark.read.option("mergeSchema", True).parquet(out_dir)
+        result = back.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count("o_orderstatus").alias("n_with_status"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

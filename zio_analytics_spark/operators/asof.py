@@ -37,6 +37,7 @@ def asof_join(
     right_values: Sequence[str],
     direction: str = "backward",
     suffix: str = "",
+    tolerance=None,
 ) -> DataFrame:
     """Left as-of join per key:
 
@@ -51,6 +52,13 @@ def asof_join(
     ``forward`` flips the in-partition sort; ``nearest`` evaluates both
     carries — two in-partition sorts over the same hash partitioning, still
     no second shuffle.
+
+    ``tolerance`` (optional Column/interval literal, e.g.
+    ``F.expr("INTERVAL 30 DAYS")`` for timestamps or a numeric literal for
+    numeric times) nulls the carried values when the matched row is further
+    than the tolerance — pandas ``merge_asof(tolerance=...)`` semantics
+    (post-filter of the chosen match, not "nearest within window"). Costs
+    one extra codegen'd conditional; no plan change.
 
     ``right_values`` are the right-side columns to carry; they appear on the
     output (optionally suffixed). Left rows with no match in the chosen
@@ -121,6 +129,18 @@ def asof_join(
             .otherwise(back)
         )
     carried = u.withColumn("__asof_match", match)
+    if tolerance is not None:
+        rt = F.col("__asof_match.__asof_rt")
+        # abs distance via greatest of both subtractions: valid for numeric
+        # times AND timestamps (interval results compare against interval
+        # tolerances; F.abs does not accept intervals)
+        dist = F.greatest(F.col("__asof_t") - rt, rt - F.col("__asof_t"))
+        carried = carried.withColumn(
+            "__asof_match",
+            F.when(dist <= tolerance, F.col("__asof_match")).otherwise(
+                F.lit(None).cast(carried.schema["__asof_match"].dataType)
+            ),
+        )
 
     out_cols = [c for c in left.columns]
     out = carried.where(F.col("__asof_side") == 0).select(

@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = ["cascade_rollup"]
@@ -72,3 +73,55 @@ def cascade_rollup(
         out[level] = level_df
         current = level_df
     return out
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill NULL gaps in a per-key series by LINEAR interpolation between
+    the nearest non-null neighbors (the resampling companion to gap-fill:
+    ``gapfill_hours`` densifies the time axis with nulls, this makes the
+    values continuous).
+
+    Two ignore-nulls window carries per key — previous (value, time) and
+    next (value, time) — then a codegen'd lerp:
+    ``pv + (nv - pv) * (t - pt) / (nt - pt)``. Edges with only one
+    neighbor stay NULL (strict interpolation, no extrapolation). Both
+    windows share ONE hash partitioning on the key (forward carry is just
+    the reversed in-partition sort), so the cost profile is a single
+    exchange — the as-of join's shape.
+
+    ``ts_col`` may be a timestamp (converted to epoch-µs for the ratio) or
+    numeric.
+    """
+    from pyspark.sql.types import TimestampType, TimestampNTZType
+
+    t_raw = F.col(ts_col)
+    is_ts = isinstance(df.schema[ts_col].dataType, (TimestampType, TimestampNTZType))
+    t = F.unix_micros(t_raw) if is_ts else t_raw.cast("double")
+    v = F.col(value_col)
+    wb = (
+        W.partitionBy(key_col)
+        .orderBy(t)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(key_col)
+        .orderBy(t.desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pv = F.last(v, ignorenulls=True).over(wb)
+    pt = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wb)
+    nv = F.last(v, ignorenulls=True).over(wf)
+    nt = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wf)
+    lerp = pv + (nv - pv) * (t - pt) / (nt - pt)
+    filled = (
+        F.when(v.isNotNull(), v.cast("double"))
+        .when(pv.isNull() | nv.isNull(), F.lit(None).cast("double"))
+        .otherwise(lerp)
+    )
+    return df.withColumn(out_col or value_col, filled)
