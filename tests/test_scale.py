@@ -337,3 +337,36 @@ def test_tpch_q22_scalar_broadcast_and_anti(spark, sf_dir):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_nested_schema_pruning_reads_only_touched_leaves(spark):
+    """A query touching meta.etype/meta.v must prune the parquet ReadSchema
+    to those two leaves — the heavy payload array is never decoded."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.struct(F.lit("t").alias("etype"), (F.col("id") * 1.0).alias("v")).alias("meta"),
+        F.array(
+            F.struct(F.lit("k").alias("k"), F.repeat(F.lit("x"), 100).alias("val"))
+        ).alias("payload"),
+    )
+    out = tempfile.mkdtemp(prefix="zas_nestp_")
+    try:
+        df.write.mode("overwrite").parquet(out)
+        q = (
+            spark.read.parquet(out)
+            .groupBy(F.col("meta.etype"))
+            .agg(F.sum("meta.v"))
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert read_schema, plan
+        rs = read_schema[0]
+        assert "etype" in rs and "v:" in rs
+        assert "payload" not in rs, rs  # the array never reaches the scan
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

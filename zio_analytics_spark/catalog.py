@@ -5243,6 +5243,50 @@ def q_source_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+@register(
+    "nested_schema_pruning",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS total_v
+    FROM events GROUP BY event_type
+    """,
+)
+def q_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-column pruning: events re-written as a DEEP schema (a meta
+    struct plus a payload array of structs), then a query touching only
+    ``meta.etype``/``meta.v`` — Catalyst prunes the parquet ReadSchema to
+    exactly those two leaves, never decoding the heavy payload array
+    (asserted on the scan's ReadSchema in tests/test_scale.py). At 100 TB
+    nested pruning is the column-pruning story for struct-heavy data
+    (logs, protobuf exports): without it a 2-leaf query pays the full
+    nested decode."""
+    import shutil
+    import tempfile
+
+    ev = read_table(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("etype"), F.col("value").alias("v")
+        ).alias("meta"),
+        F.array(
+            F.struct(F.lit("p").alias("k"), F.col("props").alias("val")),
+            F.struct(F.lit("u").alias("k"), F.col("user_id").cast("string").alias("val")),
+        ).alias("payload"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="zas_nested_")
+    try:
+        nested.write.mode("overwrite").parquet(out_dir)
+        back = spark.read.parquet(out_dir)
+        result = back.groupBy(F.col("meta.etype").alias("event_type")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("meta.v"), 2).alias("total_v"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
