@@ -5287,6 +5287,201 @@ def q_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+# =====================================================================
+# [EXT] TPC-H q2/q11/q20 over a DERIVED partsupp (driver schema lacks one)
+# =====================================================================
+
+# partsupp is derived DETERMINISTICALLY from the driver's part+supplier
+# tables (4 suppliers per part by modular arithmetic, cost/qty by integer
+# hashing) — both engines construct the identical relation, so the three
+# hardest remaining TPC-H topologies become oracle-checkable without
+# synthesizing any input data.
+_PS_SQL = """
+    ps AS (
+      SELECT p_partkey,
+             (p_partkey * 13 + i.i * 7) % (SELECT count(*) FROM supplier) AS s_suppkey,
+             ((p_partkey * 31 + ((p_partkey * 13 + i.i * 7) % (SELECT count(*) FROM supplier)) * 7) % 10000) / 100.0 + 1 AS ps_supplycost,
+             (p_partkey * 17 + ((p_partkey * 13 + i.i * 7) % (SELECT count(*) FROM supplier)) * 3) % 1000 + 1 AS ps_availqty
+      FROM part, (SELECT unnest(range(0, 4)) AS i) i
+    )
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_supp = read_table(spark, sf_dir, "supplier").count()
+    part = read_table(spark, sf_dir, "part").select("p_partkey")
+    sk = F.pmod(F.col("p_partkey") * 13 + F.col("i") * 7, F.lit(n_supp))
+    return part.select(
+        "p_partkey", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+    ).select(
+        "p_partkey",
+        sk.alias("s_suppkey"),
+        (
+            F.pmod(F.col("p_partkey") * 31 + sk * 7, F.lit(10000)) / 100.0 + 1
+        ).alias("ps_supplycost"),
+        (F.pmod(F.col("p_partkey") * 17 + sk * 3, F.lit(1000)) + 1).alias(
+            "ps_availqty"
+        ),
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PS_SQL},
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    pse AS (
+      SELECT ps.p_partkey, ps.ps_supplycost, eu.s_name, eu.s_acctbal, eu.n_name
+      FROM ps JOIN eu USING (s_suppkey)
+    ),
+    mins AS (SELECT p_partkey, min(ps_supplycost) AS mc FROM pse GROUP BY p_partkey)
+    SELECT p.p_partkey, p.p_brand, x.s_name, x.n_name, x.ps_supplycost
+    FROM part p
+    JOIN pse x ON x.p_partkey = p.p_partkey
+    JOIN mins m ON m.p_partkey = p.p_partkey AND x.ps_supplycost = m.mc
+    WHERE p.p_size = 3
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape — min-cost supplier per part within a region: the
+    correlated scalar-MIN subquery decorrelated into a per-part aggregate
+    joined back on (part, cost) equality — ties all surface, per spec.
+    Region→nation→supplier reduces to a broadcast dim chain; the only
+    fact-side shuffles are the partsupp joins on partkey. The derived-
+    partsupp costs come from integer arithmetic, so cost equality is an
+    exact double compare in both engines."""
+    ps = _derived_partsupp(spark, sf_dir)
+    nat = read_table(spark, sf_dir, "nation")
+    reg = read_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey).select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pse = ps.join(F.broadcast(eu), "s_suppkey").select(
+        "p_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name"
+    )
+    mins = pse.groupBy("p_partkey").agg(F.min("ps_supplycost").alias("mc"))
+    part = read_table(spark, sf_dir, "part").where(F.col("p_size") == 3).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        part.join(pse, "p_partkey")
+        .join(mins, "p_partkey")
+        .where(F.col("ps_supplycost") == F.col("mc"))
+        .select("p_partkey", "p_brand", "s_name", "n_name", "ps_supplycost")
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH {_PS_SQL},
+    nat_ps AS (
+      SELECT ps.p_partkey, ps.ps_supplycost * ps.ps_availqty AS v
+      FROM ps JOIN supplier s ON ps.s_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    ),
+    tot AS (SELECT sum(v) AS t FROM nat_ps)
+    SELECT p_partkey, round(sum(v), 4) AS stock_value
+    FROM nat_ps, tot
+    GROUP BY p_partkey, tot.t
+    HAVING sum(v) > 0.001 * tot.t
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape — group-HAVING against a GLOBAL scalar: per-part stock
+    value within a nation set, kept only above a fraction of the grand
+    total. The total is one tiny aggregate broadcast into the filter
+    (never a per-group re-scan); the nation set reduces supplier to a
+    broadcast dim."""
+    ps = _derived_partsupp(spark, sf_dir)
+    nat = read_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    supp = read_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    nat_ps = ps.join(F.broadcast(supp), "s_suppkey").select(
+        "p_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v")
+    )
+    tot = nat_ps.agg(F.sum("v").alias("__t"))
+    return (
+        nat_ps.groupBy("p_partkey")
+        .agg(F.sum("v").alias("__sv"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("__sv") > 0.001 * F.col("__t"))
+        .select("p_partkey", F.round("__sv", 4).alias("stock_value"))
+    )
+
+
+@register(
+    "tpch_q20_excess_stock",
+    oracle=f"""
+    WITH {_PS_SQL},
+    lq AS (
+      SELECT l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    sel AS (
+      SELECT DISTINCT ps.s_suppkey
+      FROM ps JOIN lq ON ps.p_partkey = lq.l_partkey AND ps.s_suppkey = lq.l_suppkey
+      WHERE ps.ps_availqty > lq.half
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND s.s_suppkey IN (SELECT s_suppkey FROM sel)
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape — the nested semi-join chain: suppliers (in one nation)
+    whose stock of a part exceeds half the year's shipped quantity of that
+    (part, supplier). The quantity subquery aggregates lineitem FIRST
+    (shuffling the (part,supp) grain, not line grain), the availqty
+    comparison is a residual on the equi-join, and both IN-subqueries
+    lower to LEFT SEMI joins — no correlated re-execution anywhere."""
+    ps = _derived_partsupp(spark, sf_dir)
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lq = li.groupBy("l_partkey", "l_suppkey").agg(
+        (0.5 * F.sum("l_quantity")).alias("half")
+    )
+    sel = (
+        ps.join(
+            lq,
+            (ps.p_partkey == lq.l_partkey) & (ps.s_suppkey == lq.l_suppkey),
+        )
+        .where(F.col("ps_availqty") > F.col("half"))
+        .select("s_suppkey")
+        .distinct()
+    )
+    nat = read_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    return (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(sel, "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
