@@ -370,3 +370,68 @@ def test_nested_schema_pruning_reads_only_touched_leaves(spark):
         assert "payload" not in rs, rs  # the array never reaches the scan
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_tpch_q7_q8_broadcast_all_dims(spark, sf_dir):
+    """Every dimension chain in q7/q8 must broadcast — the fact table's own
+    equi-joins are the only exchanges; no nested loop anywhere."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    for name in ("tpch_q7_volume_shipping", "tpch_q8_market_share"):
+        q = CATALOG[name].fn(spark, sf_dir)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, (name, plan[:1500])
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan, name
+
+
+def test_tpch_q2_min_decorrelates(spark, sf_dir):
+    """q2's scalar MIN must run as one aggregate joined back — never a
+    correlated per-part re-execution (no nested loop in the plan)."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    q = CATALOG["tpch_q2_min_cost_supplier"].fn(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final of the min
+
+
+def test_mix_sources_filter_is_map_side(spark, sf_dir):
+    """mix_sources must plan as scan -> Filter with NO exchange: rejected
+    rows die before any shuffle."""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.cleaning import mix_sources
+    from zio_analytics_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = mix_sources(docs, {"en": 0.5}, "lang", ["doc_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Filter" in plan
+
+
+def test_unigram_logprob_scoring_join_broadcasts(spark, sf_dir):
+    """The vocabulary join must be a broadcast — a shuffle join on the
+    Zipf-skewed token key would put every hot token in one task."""
+    from zio_analytics_spark.operators.text import unigram_logprob
+    from zio_analytics_spark.sources.parquet import read_table
+
+    out = unigram_logprob(read_table(spark, sf_dir, "documents"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_contiguous_ids_no_single_partition_global_sort(spark, sf_dir):
+    """The id assignment must sort per bucket, never via a single-partition
+    global window (SinglePartition in the window's distribution)."""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.layout import assign_contiguous_ids
+    from zio_analytics_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.pmod(F.xxhash64("doc_id"), F.lit(100000)).cast("long")
+    out = assign_contiguous_ids(docs, h, tiebreak=["doc_id"], n_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window partitions by __bkt -> hashpartitioning, not SinglePartition
+    assert "SinglePartition" not in plan, plan[:1500]
