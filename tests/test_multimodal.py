@@ -86,3 +86,61 @@ def test_decode_pixel_stats_spark(spark):
         v = (i * 40) % 256
         assert (r.width, r.height, r.n_pixels) == (3 + i, 2 + i, (3 + i) * (2 + i))
         assert r.mean_byte == float(v) and r.min_byte == v and r.max_byte == v and r.first_px == v
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from zio_analytics_spark.operators.multimodal import decode_audio, encode_wav
+
+    amp = np.array([0, 1000, -1000, 32767, -32768, 7], dtype=np.int64)
+    payload = encode_wav(amp, sample_rate=16000)
+    m = decode_audio(payload)
+    assert m["sample_rate"] == 16000 and m["n_channels"] == 1
+    assert m["samples"][:, 0].tolist() == amp.tolist()
+
+
+def test_wav_decode_walks_extra_chunks():
+    """A LIST chunk between fmt and data (common in real files) must not
+    break the parser — it walks chunks, it doesn't assume byte 44."""
+    import struct
+
+    import numpy as np
+
+    from zio_analytics_spark.operators.multimodal import decode_audio, encode_wav
+
+    base = encode_wav(np.array([5, -5], dtype=np.int64), 8000)
+    fmt_chunk = base[12:36]  # 'fmt ' header+body (24 bytes)
+    data_chunk = base[36:]
+    junk = b"LIST" + struct.pack("<I", 6) + b"INFOab"
+    doctored = base[:12] + fmt_chunk + junk + data_chunk
+    m = decode_audio(doctored)
+    assert m["samples"][:, 0].tolist() == [5, -5]
+
+
+def test_wav_decode_rejects_non_riff():
+    import pytest
+
+    from zio_analytics_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(ValueError):
+        decode_audio(b"ID3\x03mp3-ish bytes")
+
+
+def test_decode_audio_stats_stage(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.multimodal import (
+        decode_audio_stats,
+        encode_wav,
+    )
+
+    rows = [(1, encode_wav(np.array([100, -300, 200], dtype=np.int64), 1000)),
+            (2, encode_wav(np.array([0, 0, 0, 0], dtype=np.int64), 8000))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_audio_stats(df).collect()}
+    assert out[1]["n_samples"] == 3 and out[1]["duration_ms"] == 3.0
+    assert out[1]["mean_amp"] == 0.0 and out[1]["max_abs"] == 300
+    assert out[1]["first_sample"] == 100
+    assert out[2]["duration_ms"] == 0.5

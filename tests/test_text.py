@@ -184,3 +184,24 @@ def test_token_budget_select_greedy_prefix(spark):
     # 200) was necessarily kept under the original (5 smallest of 100):
     # growth only ever evicts, never admits previously-rejected docs
     assert kept2 & set(range(100)) <= kept1
+
+
+def test_tfidf_rare_term_wins(spark):
+    from zio_analytics_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common rare"),
+            (2, "common common common"),
+            (3, "common other other"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=1)
+    top = {r["doc_id"]: r["tok"] for r in out.collect()}
+    # doc 1 at equal tf: 'rare' (df=1, idf ln2+1) outranks 'common' (df=3, idf 1)
+    assert top[1] == "rare"
+    assert top[2] == "common"
+    assert top[3] == "other"
+    # exactly k rows per doc
+    assert tfidf_top_terms(df, k=2).groupBy("doc_id").count().where("count > 2").count() == 0

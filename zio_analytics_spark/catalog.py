@@ -5482,6 +5482,87 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_audio_decode",
+    oracle="""
+    WITH s AS (SELECT doc_id, 50 + doc_id % 50 AS n FROM documents),
+    v AS (SELECT doc_id, n, unnest(range(0, n)) AS k FROM s),
+    x AS (SELECT doc_id, n, ((doc_id * 31 + k * 7) % 2003) - 1001 AS amp FROM v)
+    SELECT doc_id,
+           8000 AS sample_rate,
+           max(n)::BIGINT AS n_samples,
+           max(n) * 1000.0 / 8000 AS duration_ms,
+           sum(amp)::DOUBLE / max(n) AS mean_amp,
+           max(abs(amp))::INT AS max_abs,
+           ((doc_id * 31) % 2003 - 1001)::INT AS first_sample
+    FROM x GROUP BY doc_id
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary AUDIO decode, oracle-checked end to end (the audio twin
+    of multimodal_decode): each document gets a deterministic PCM-16 WAV
+    clip (50 + id%50 samples of ((31·id + 7k) mod 2003) − 1001 at 8 kHz),
+    written by the pure-Python RIFF/WAVE encoder in one Arrow stage and
+    parsed back — chunk walk, fmt validation, int16 byte order — by
+    decode_audio_stats. The oracle predicts every stat analytically;
+    ``first_sample`` pins byte order and data-chunk offset. Compressed
+    codecs (MP3/AAC) remain behind the same seam (ValueError routes to a
+    codec library in a real deployment)."""
+    from zio_analytics_spark.operators.multimodal import decode_audio_stats, encode_wav
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 50 + i % 50
+                k = np.arange(n, dtype=np.int64)
+                amp = ((i * 31 + k * 7) % 2003) - 1001
+                payloads.append(encode_wav(amp, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    import pandas as pd  # noqa: F401  (encode closure)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_audio_stats(payloads)
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    sc AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * (ln((nd.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
+      FROM tf JOIN dfreq USING (tok), nd
+    )
+    SELECT doc_id, tok, round(score, 6) AS score
+    FROM sc
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) <= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/text.py) — smoothed-idf
+    keyword extraction with the document-frequency and corpus-size
+    aggregates broadcast into the scoring join (no shuffle on the skewed
+    token key; same Zipf discipline as unigram_logprob). Deterministic
+    tie-break on the token string."""
+    out = text.tfidf_top_terms(read_table(spark, sf_dir, "documents"), k=3)
+    return out.select("doc_id", "tok", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -37,6 +37,9 @@ __all__ = [
     "decode_image",
     "decode_pixel_stats",
     "decode_image_stub",
+    "encode_wav",
+    "decode_audio",
+    "decode_audio_stats",
     "map_decode",
 ]
 
@@ -210,3 +213,84 @@ def map_decode(
             yield out
 
     return df.select(id_col, bin_col).mapInPandas(run, out_schema)
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """Pure-Python PCM WAV writer: canonical 44-byte RIFF/WAVE header +
+    16-bit little-endian mono samples. ``samples`` is an int array within
+    int16 range."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    n = len(pcm)
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", n)
+    return hdr + pcm
+
+
+def decode_audio(payload: bytes) -> dict:
+    """REAL pure-Python audio decode for PCM WAV (16-bit mono/stereo):
+    walks the RIFF chunk list (robust to extra chunks like LIST/fact —
+    not a fixed 44-byte assumption), validates the fmt chunk, and returns
+    ``{sample_rate, n_channels, samples}`` with ``samples`` an
+    (n, channels) int16 array. Compressed audio (MP3/AAC/...) raises
+    ``ValueError`` — swap a codec-library decoder into the same seam.
+    """
+    b = bytes(payload or b"")
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("unsupported audio format (not RIFF/WAVE); plug a codec decoder into this seam")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, sz = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (fmt={audio_fmt}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch)
+    else:
+        samples = samples.reshape(-1, 1)
+    return {"sample_rate": rate, "n_channels": n_ch, "samples": samples}
+
+
+def decode_audio_stats(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched REAL audio decode stage: parse each WAV payload and
+    emit per-clip sample statistics (metadata-size output; PCM bytes never
+    leave the task). ``first_sample`` pins byte order and data-chunk
+    offset the way ``first_px`` does for images; ``mean_amp`` uses an
+    exact integer sum with one double division (bitwise-reproducible)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "id", "sample_rate", "n_samples", "duration_ms",
+                "mean_amp", "max_abs", "first_sample",
+            )}
+            for i, p in zip(pdf[id_col], pdf[bin_col]):
+                m = decode_audio(p)
+                s = m["samples"][:, 0].astype(np.int64)
+                out["id"].append(i)
+                out["sample_rate"].append(m["sample_rate"])
+                out["n_samples"].append(len(s))
+                out["duration_ms"].append(len(s) * 1000.0 / m["sample_rate"])
+                out["mean_amp"].append(float(int(s.sum())) / len(s))
+                out["max_abs"].append(int(np.abs(s).max()))
+                out["first_sample"].append(int(s[0]))
+            yield pd.DataFrame({id_col if k == "id" else k: v for k, v in out.items()})
+
+    schema = (
+        f"{id_col} long, sample_rate int, n_samples long, duration_ms double, "
+        "mean_amp double, max_abs int, first_sample int"
+    )
+    return df.select(id_col, bin_col).mapInPandas(run, schema)

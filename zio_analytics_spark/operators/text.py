@@ -344,3 +344,40 @@ def token_budget_select(
     return base.withColumn("cum_tokens", F.sum("n_tokens").over(w)).where(
         F.col("cum_tokens") <= budget
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyword/feature
+    extraction: ``score = tf · (ln((N+1)/(df+1)) + 1)`` (smoothed idf, the
+    scikit-learn convention).
+
+    Plan shape mirrors :func:`unigram_logprob`: term frequencies are one
+    hash aggregate on (doc, token); document frequencies and the corpus
+    size are small aggregates BROADCAST into the scoring join (never a
+    shuffle on the Zipf-skewed token key); the per-doc top-k is a ranked
+    window over (doc) — one exchange on the doc id. Ties break on the
+    token string for determinism.
+
+    Returns ``(id_col, tok, score)`` rows, ``k`` per document.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = toks.groupBy("tok").agg(F.count_distinct(F.col(id_col)).alias("__df"))
+    nd = df.agg(F.count_distinct(F.col(id_col)).alias("__n"))
+    idf = F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0)) + 1.0
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(F.col(id_col), "tok", (F.col("__tf") * idf).alias("score"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(F.col(id_col), "tok", "score")
+    )
