@@ -144,3 +144,47 @@ def test_decode_audio_stats_stage(spark):
     assert out[1]["mean_amp"] == 0.0 and out[1]["max_abs"] == 300
     assert out[1]["first_sample"] == 100
     assert out[2]["duration_ms"] == 0.5
+
+
+def test_y4m_roundtrip_and_plane_order():
+    import numpy as np
+
+    from zio_analytics_spark.operators.multimodal import decode_video, encode_y4m
+
+    fr = np.zeros((2, 2, 3, 3), dtype=np.uint8)
+    fr[0, 0, 0] = (10, 20, 30)  # Y/U/V of frame0 top-left
+    fr[1, 1, 2] = (99, 98, 97)
+    payload = encode_y4m(fr, width=3, height=2)
+    m = decode_video(payload)
+    assert (m["width"], m["height"], m["n_frames"]) == (3, 2, 2)
+    assert m["frames"][0, 0, 0].tolist() == [10, 20, 30]  # planar undone
+    assert m["frames"][1, 1, 2].tolist() == [99, 98, 97]
+
+
+def test_y4m_rejects_compressed_and_wrong_colorspace():
+    import pytest
+
+    from zio_analytics_spark.operators.multimodal import decode_video
+
+    with pytest.raises(ValueError):
+        decode_video(b"\x00\x00\x00\x18ftypmp42 h264-ish")
+    with pytest.raises(ValueError):
+        decode_video(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + b"\x00" * 6)
+
+
+def test_sample_frame_stats_stride(spark):
+    import numpy as np
+
+    from zio_analytics_spark.operators.multimodal import encode_y4m, sample_frame_stats
+
+    # 5 frames, luma = frame index; sampling every 2nd keeps frames 0,2,4
+    fr = np.zeros((5, 1, 1, 3), dtype=np.uint8)
+    for f in range(5):
+        fr[f, 0, 0, 0] = f * 10
+    df = spark.createDataFrame(
+        [(1, encode_y4m(fr, 1, 1))], "doc_id long, payload binary"
+    )
+    r = sample_frame_stats(df, every_k=2).collect()[0]
+    assert r["n_frames"] == 5 and r["n_sampled"] == 3
+    assert r["mean_luma"] == (0 + 20 + 40) / 3
+    assert r["first_luma"] == 0

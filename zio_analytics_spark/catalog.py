@@ -5563,6 +5563,63 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "tok", F.round("score", 6).alias("score"))
 
 
+@register(
+    "multimodal_video_frames",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS n, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h
+      FROM documents
+    ),
+    f AS (SELECT doc_id, n, w, h, unnest(range(0, n, 2)) AS fr FROM d),
+    yx AS (SELECT doc_id, n, w, h, fr, unnest(range(0, h)) AS y FROM f),
+    px AS (
+      SELECT doc_id, n, w, h,
+             (doc_id + 11 * fr + 3 * unnest(range(0, w)) + 5 * y) % 256 AS v
+      FROM yx
+    )
+    SELECT doc_id, max(w)::INT AS width, max(h)::INT AS height,
+           max(n)::INT AS n_frames, ((max(n) + 1) // 2)::INT AS n_sampled,
+           sum(v)::DOUBLE / count(*) AS mean_luma,
+           (doc_id % 256)::INT AS first_luma
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + FRAME SAMPLING, oracle-checked end to end (the
+    video leg of the image/audio/video triad): each document gets a
+    deterministic uncompressed YUV4MPEG2 clip (4 + id%5 frames, luma
+    (id + 11f + 3x + 5y) mod 256), written by the pure-Python y4m encoder
+    in one Arrow stage and parsed back — header tags, FRAME markers, raw
+    C444 planes — by sample_frame_stats, which keeps every 2nd frame (the
+    pre-training frame-subsampling step) and aggregates luma over SAMPLED
+    frames only. The oracle predicts every stat analytically from the same
+    formulas; ``first_luma`` pins plane order and frame offset. Compressed
+    codecs (H.264/VP9) stay behind the same seam."""
+    from zio_analytics_spark.operators.multimodal import encode_y4m, sample_frame_stats
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n, w, h = 4 + i % 5, 4 + i % 3, 3 + i % 2
+                fr = np.zeros((n, h, w, 3), dtype=np.uint8)
+                for f in range(n):
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    fr[f, :, :, 0] = (i + 11 * f + 3 * xx + 5 * yy) % 256
+                    fr[f, :, :, 1] = (i + f) % 256
+                    fr[f, :, :, 2] = (2 * i + f) % 256
+                payloads.append(encode_y4m(fr, w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return sample_frame_stats(payloads, every_k=2)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -40,6 +40,9 @@ __all__ = [
     "encode_wav",
     "decode_audio",
     "decode_audio_stats",
+    "encode_y4m",
+    "decode_video",
+    "sample_frame_stats",
     "map_decode",
 ]
 
@@ -292,5 +295,99 @@ def decode_audio_stats(
     schema = (
         f"{id_col} long, sample_rate int, n_samples long, duration_ms double, "
         "mean_amp double, max_abs int, first_sample int"
+    )
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def encode_y4m(
+    frames: "np.ndarray", width: int, height: int, rate: str = "25:1"
+) -> bytes:
+    """Pure-Python YUV4MPEG2 (.y4m) writer, C444 colorspace: the standard
+    UNCOMPRESSED video container (text stream header, per-frame ``FRAME``
+    markers, raw planes). ``frames`` is (n, h, w, 3) uint8 in Y/U/V plane
+    order per frame."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    n, h, w = fr.shape[0], fr.shape[1], fr.shape[2]
+    assert (h, w) == (height, width)
+    out = [f"YUV4MPEG2 W{width} H{height} F{rate} Ip A1:1 C444\n".encode()]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        # planar: full Y plane, then U, then V
+        out.append(fr[i, :, :, 0].tobytes())
+        out.append(fr[i, :, :, 1].tobytes())
+        out.append(fr[i, :, :, 2].tobytes())
+    return b"".join(out)
+
+
+def decode_video(payload: bytes) -> dict:
+    """REAL pure-Python video decode for YUV4MPEG2 C444: parse the stream
+    header tags (W/H/F/C), then walk ``FRAME`` markers reading raw planes.
+    Returns ``{width, height, n_frames, frames}`` with ``frames`` an
+    (n, h, w, 3) uint8 array. Compressed codecs (H.264/VP9/...) raise
+    ``ValueError`` — the ffmpeg/pyav seam."""
+    b = bytes(payload or b"")
+    if not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("unsupported video format (not YUV4MPEG2); plug a codec decoder into this seam")
+    nl = b.index(b"\n")
+    width = height = None
+    colorspace = "C420"
+    for tag in b[10:nl].split(b" "):
+        if tag.startswith(b"W"):
+            width = int(tag[1:])
+        elif tag.startswith(b"H"):
+            height = int(tag[1:])
+        elif tag.startswith(b"C"):
+            colorspace = tag.decode()
+    if width is None or height is None:
+        raise ValueError("y4m missing W/H header tags")
+    if colorspace != "C444":
+        raise ValueError(f"only C444 supported here, got {colorspace}")
+    frame_bytes = width * height * 3
+    pos, frames = nl + 1, []
+    while pos < len(b):
+        if not b.startswith(b"FRAME", pos):
+            raise ValueError("corrupt y4m: missing FRAME marker")
+        pos = b.index(b"\n", pos) + 1  # frame params (if any) end at newline
+        raw = np.frombuffer(b, dtype=np.uint8, count=frame_bytes, offset=pos)
+        frames.append(raw.reshape(3, height, width).transpose(1, 2, 0))
+        pos += frame_bytes
+    fr = np.stack(frames) if frames else np.zeros((0, height, width, 3), np.uint8)
+    return {"width": width, "height": height, "n_frames": len(frames), "frames": fr}
+
+
+def sample_frame_stats(
+    df: DataFrame,
+    every_k: int = 2,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched video decode + FRAME SAMPLING stage: parse each y4m
+    payload, keep every ``every_k``-th frame (the pre-training
+    frame-subsampling step), and emit per-clip stats over the SAMPLED
+    frames only — ``first_luma`` (frame 0, top-left Y) pins plane order
+    and frame offsets the way first_px/first_sample do for image/audio."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "id", "width", "height", "n_frames", "n_sampled",
+                "mean_luma", "first_luma",
+            )}
+            for i, p in zip(pdf[id_col], pdf[bin_col]):
+                m = decode_video(p)
+                sampled = m["frames"][::every_k]
+                y = sampled[:, :, :, 0].astype(np.int64)
+                out["id"].append(i)
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["n_frames"].append(m["n_frames"])
+                out["n_sampled"].append(len(sampled))
+                out["mean_luma"].append(float(int(y.sum())) / y.size if y.size else None)
+                out["first_luma"].append(int(y[0, 0, 0]) if y.size else None)
+            yield pd.DataFrame({id_col if k == "id" else k: v for k, v in out.items()})
+
+    schema = (
+        f"{id_col} long, width int, height int, n_frames int, n_sampled int, "
+        "mean_luma double, first_luma int"
     )
     return df.select(id_col, bin_col).mapInPandas(run, schema)
