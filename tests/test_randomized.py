@@ -190,3 +190,70 @@ def test_dense_jaccard_equals_bruteforce(spark, seed, strategy):
             if j >= 0.15:
                 expect[(a, b)] = round(j, 9)
     assert got == expect and expect
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_zorder_bijective_on_random_grids(spark, seed):
+    """The Morton value must be a bijection on the [0,2^bits)^2 grid and
+    monotone on each axis when the other is fixed at 0."""
+    from zio_analytics_spark.operators.layout import zorder_value
+
+    rng = random.Random(seed)
+    bits = rng.choice([3, 4, 5])
+    side = 1 << bits
+    pts = [(x, y) for x in range(side) for y in range(side)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select("x", "y", zorder_value(["x", "y"], bits=bits).alias("z")).collect()
+    zs = sorted(r["z"] for r in rows)
+    assert zs == list(range(side * side))
+    axis = {r["x"]: r["z"] for r in rows if r["y"] == 0}
+    assert all(axis[i] < axis[i + 1] for i in range(side - 1))
+
+
+@pytest.mark.parametrize("seed", [5, 77])
+def test_interpolation_bounded_by_neighbors(spark, seed):
+    """Interpolated values must lie within [min, max] of the two anchor
+    neighbors, and anchors must pass through unchanged."""
+    from zio_analytics_spark.operators.timeseries import interpolate_linear
+
+    rng = random.Random(seed)
+    ts = sorted(rng.sample(range(1000), 40))
+    vals = {}
+    rows = []
+    for i, t in enumerate(ts):
+        if i % 3 == 0:  # anchors at every 3rd point
+            v = rng.uniform(-100, 100)
+            vals[t] = v
+            rows.append(("k", t, v))
+        else:
+            rows.append(("k", t, None))
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = {r["t"]: r["v"] for r in interpolate_linear(df, "k", "t", "v").collect()}
+    anchor_ts = sorted(vals)
+    for t, v in out.items():
+        if t in vals:
+            assert v == vals[t]
+        elif v is not None:
+            prev = max(a for a in anchor_ts if a < t)
+            nxt = min(a for a in anchor_ts if a > t)
+            lo, hi = sorted((vals[prev], vals[nxt]))
+            assert lo - 1e-9 <= v <= hi + 1e-9
+
+
+@pytest.mark.parametrize("seed", [3, 31])
+def test_table_diff_involution_and_symmetry(spark, seed):
+    """diff(a, a) is all 'same'; swapping sides swaps only_left/only_right
+    and preserves changed/same."""
+    from zio_analytics_spark.operators.merge import table_diff
+
+    rng = random.Random(seed)
+    rows_a = [(i, rng.randint(0, 5) * 1.0) for i in range(50)]
+    rows_b = [(i + rng.randint(0, 1) * 100, v + rng.randint(0, 1)) for i, v in rows_a]
+    a = spark.createDataFrame(rows_a, "k long, v double")
+    b = spark.createDataFrame(rows_b, "k long, v double").dropDuplicates(["k"])
+    assert table_diff(a, a, ["k"]).where("diff != 'same'").count() == 0
+    ab = {r["k"]: r["diff"] for r in table_diff(a, b, ["k"]).collect()}
+    ba = {r["k"]: r["diff"] for r in table_diff(b, a, ["k"]).collect()}
+    flip = {"only_left": "only_right", "only_right": "only_left",
+            "same": "same", "changed": "changed"}
+    assert ba == {k: flip[d] for k, d in ab.items()}
