@@ -28,3 +28,25 @@ def test_synthetic_corpus_supports_pushless_filters(spark):
     register_synthetic_corpus(spark)
     df = spark.read.format("synthetic_corpus").option("n_docs", 50).load()
     assert df.where("shard = 1").count() == sum(1 for i in range(50) if i % 3 == 1)
+
+
+def test_jsonl_sink_two_phase_commit(spark, tmp_path):
+    import glob
+    import json
+    import os
+
+    from zio_analytics_spark.sources.pydatasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    df = spark.range(100).selectExpr("id", "id * 2 AS v").repartition(4)
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+    files = glob.glob(out + "/part-*.jsonl")
+    assert len(files) == 4            # one atomic file per task
+    assert not glob.glob(out + "/.tmp-*")  # no torn temp files left
+    manifest = json.load(open(out + "/_SUCCESS"))
+    assert manifest == {"files": 4, "rows": 100}
+    back = spark.read.schema("id long, v long").json(out + "/part-*.jsonl")
+    assert back.count() == 100
+    assert back.agg({"v": "sum"}).first()[0] == sum(2 * i for i in range(100))

@@ -5620,6 +5620,54 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frame_stats(payloads, every_k=2)
 
 
+@register(
+    "sink_python_datasource",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 4 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python WRITER (the sink half of the Spark 4 Python
+    DataSource API — reader/streamReader are covered by
+    source_python_datasource/streaming_python_datasource): a quarter of
+    orders written through ``jsonl_sink`` (per-task atomic file writes,
+    two-phase commit with a _SUCCESS manifest, abort cleanup), read back
+    as JSONL with an explicit schema, aggregated, and hash-matched
+    against the original parquet — the full write path proven lossless."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from zio_analytics_spark.sources.pydatasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    src = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out_dir = tempfile.mkdtemp(prefix="zas_pysink_")
+    try:
+        src.write.format("jsonl_sink").option("path", out_dir).mode("append").save()
+        with open(os.path.join(out_dir, "_SUCCESS")) as f:
+            manifest = json.load(f)
+        back = (
+            spark.read.schema("o_orderkey long, o_orderpriority string, o_totalprice double")
+            .json(out_dir + "/part-*.jsonl")
+        )
+        result = back.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        rows = result.collect()
+        assert manifest["rows"] == sum(r["n"] for r in rows)  # commit manifest honest
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

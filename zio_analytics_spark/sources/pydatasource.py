@@ -21,11 +21,19 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
-__all__ = ["SyntheticCorpusDataSource", "corpus_text", "register_synthetic_corpus"]
+__all__ = [
+    "SyntheticCorpusDataSource",
+    "JsonlSinkDataSource",
+    "corpus_text",
+    "register_synthetic_corpus",
+    "register_jsonl_sink",
+]
 
 #: tiny vocabulary; picks are pure doc_id arithmetic (SQL-replicable)
 _VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
@@ -111,3 +119,73 @@ class SyntheticCorpusDataSource(DataSource):
 
 def register_synthetic_corpus(spark) -> None:
     spark.dataSource.register(SyntheticCorpusDataSource)
+
+
+# --------------------------------------------------------------------- #
+# Custom Python WRITER (the sink half of the V2 Python API)
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Task-side writer: one JSONL file per partition, written atomically
+    (tmp name → rename on success), row count reported in the commit
+    message. ``commit`` runs on the driver once EVERY task succeeded and
+    publishes a _SUCCESS marker with the total — the standard two-phase
+    output-commit contract a real connector implements."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires .option('path', ...)")
+
+    def write(self, iterator) -> "_JsonlCommit":
+        import json
+        import os
+        import uuid
+
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        final = tmp.replace("/.tmp-", "/part-")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        os.rename(tmp, final)
+        return _JsonlCommit(final, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        total = sum(m.n_rows for m in messages)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"files": len(messages), "rows": total}, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", dir).save()`` —
+    the WRITER half of the Python DataSource API (reader + streamReader
+    live on synthetic_corpus): per-task atomic file writes, two-phase
+    commit with a _SUCCESS manifest, abort cleanup."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _JsonlWriter(self.options)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)
