@@ -257,3 +257,30 @@ def test_table_diff_involution_and_symmetry(spark, seed):
     flip = {"only_left": "only_right", "only_right": "only_left",
             "same": "same", "changed": "changed"}
     assert ba == {k: flip[d] for k, d in ab.items()}
+
+
+@pytest.mark.parametrize("seed", [13, 57])
+def test_incremental_jaccard_equals_filtered_full(spark, seed):
+    """Incremental (new batch vs corpus) must equal the FULL pair set
+    restricted to pairs touching a new doc — for every threshold."""
+    docs = _random_docs(seed, n_docs=30)
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    new_pred = F.col("doc_id") % 3 == 0
+    for t in (0.2, 0.5):
+        full = dedup.jaccard_pairs(df, block_cols=["lang"], n=3, threshold=t)
+        expected = sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in full.collect()
+            if r["doc_a"] % 3 == 0 or r["doc_b"] % 3 == 0
+        )
+        inc = dedup.jaccard_pairs_incremental(
+            df.where(new_pred),
+            df.where(~new_pred),
+            block_cols=["lang"],
+            n=3,
+            threshold=t,
+        )
+        got = sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in inc.collect()
+        )
+        assert got == expected, (t, got, expected)

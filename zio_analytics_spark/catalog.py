@@ -5668,6 +5668,36 @@ def q_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+_INCREMENTAL_DEDUP_ORACLE = CATALOG["dedup_ngram_jaccard"].oracle.replace(
+    "WHERE len(list_intersect(a.s, b.s))::DOUBLE /",
+    "WHERE (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)\n      AND len(list_intersect(a.s, b.s))::DOUBLE /",
+)
+
+
+@register("dedup_incremental_ingest", oracle=_INCREMENTAL_DEDUP_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py): docs with id%10==0
+    play the NEW daily batch, the rest the EXISTING corpus whose shingle
+    table is already materialized (here: sliced from the shared word-3
+    table — in production the parquet you wrote at the last ingest). Only
+    pairs touching the new batch are generated — (new × corpus) ∪
+    (new × new), the corpus never re-compared against itself — which is
+    what bounds daily dedup cost by the batch, not the corpus. The oracle
+    is the FULL brute-force pair set filtered to pairs involving a new
+    doc: the incremental formulation must reproduce it exactly."""
+    sh = _shared_word3_shingles(spark, sf_dir)
+    new_pred = F.col("doc_id") % 10 == 0
+    return dedup.jaccard_pairs_incremental(
+        None,
+        None,
+        block_cols=["lang"],
+        n=3,
+        threshold=0.05,
+        prebuilt_new_shingles=sh.where(new_pred),
+        prebuilt_corpus_shingles=sh.where(~new_pred),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -36,6 +36,7 @@ __all__ = [
     "decontaminate",
     "build_shingle_table",
     "jaccard_pairs",
+    "jaccard_pairs_incremental",
     "jaccard_strategy",
     "lsh_calibrate",
     "lsh_recall_at",
@@ -489,6 +490,83 @@ def jaccard_pairs(
         inter.select("doc_a", "doc_b", j.alias("__j"))
         .where(F.col("__j") >= threshold)
         .select("doc_a", "doc_b", F.col("__j").alias("jaccard"))
+    )
+
+
+def jaccard_pairs_incremental(
+    new_df: DataFrame | None,
+    corpus_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Sequence[str] = (),
+    n: int = 3,
+    threshold: float = 0.5,
+    shingle_mode: str = "word",
+    prebuilt_new_shingles: DataFrame | None = None,
+    prebuilt_corpus_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL n-gram Jaccard: near-dup pairs that INVOLVE the new
+    batch — (new × corpus) ∪ (new × new) — never re-comparing the corpus
+    against itself.
+
+    This is the production ingest shape at 100 TB: the corpus's shingle
+    table already exists on disk (``build_shingle_table``, passed via
+    ``prebuilt_corpus_shingles``); a daily batch only pays candidates that
+    touch it. Cost scales with |new|·df, not |corpus|²; the corpus-side
+    posting list is read, never re-shingled.
+
+    Mechanics: the inverted-index join probes NEW postings against the
+    union of corpus postings and new postings, with the residual
+    ``other is corpus OR other_id > new_id`` so every qualifying pair is
+    generated exactly once (new-new pairs would otherwise double). Result
+    ≡ ``jaccard_pairs`` over the full corpus filtered to pairs touching a
+    new doc (equivalence tested). Output: ``doc_a, doc_b, jaccard`` with
+    ``doc_a < doc_b``.
+    """
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0")
+    sh_new = (
+        prebuilt_new_shingles
+        if prebuilt_new_shingles is not None
+        else _materialize_table(_shingle_table(new_df, text_col, id_col, block_cols, n, shingle_mode))
+    )
+    sh_old = (
+        prebuilt_corpus_shingles
+        if prebuilt_corpus_shingles is not None
+        else _materialize_table(_shingle_table(corpus_df, text_col, id_col, block_cols, n, shingle_mode))
+    )
+
+    def toks(sh: DataFrame, tag: str, is_new: bool) -> DataFrame:
+        return sh.select(
+            *[F.col(c).alias(f"{c}__{tag}") for c in block_cols],
+            F.col(id_col).alias(f"id__{tag}"),
+            F.col("__sz").alias(f"sz__{tag}"),
+            F.explode("__sh").alias("__t"),
+            F.lit(is_new).alias(f"new__{tag}"),
+        )
+
+    probe = toks(sh_new, "x", True)
+    build = toks(sh_old, "y", False).unionByName(toks(sh_new, "y", True))
+    cond = F.lit(True)
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}__x") == F.col(f"{c}__y"))
+    cond = cond & (
+        (~F.col("new__y")) | (F.col("id__y") > F.col("id__x"))
+    )
+    inter = (
+        probe.join(build, ["__t"])
+        .where(cond & (F.col("id__x") != F.col("id__y")))
+        .groupBy("id__x", "id__y", "sz__x", "sz__y")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    jac = F.col("__i") / (F.col("sz__x") + F.col("sz__y") - F.col("__i"))
+    return (
+        inter.select(
+            F.least("id__x", "id__y").alias("doc_a"),
+            F.greatest("id__x", "id__y").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 
