@@ -214,3 +214,29 @@ class TestNewAggregates:
         ev = read_table(spark, sf_dir, "events")
         row = funnel_counts(ev, ["view", "click", "purchase"]).collect()[0]
         assert row["stage_view"] >= row["stage_click"] >= row["stage_purchase"]
+
+
+def test_psi_drift_detects_shift_and_identity(spark):
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.profiling import psi_drift
+
+    base = spark.range(2000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = psi_drift(base, base, "v", n_bins=10).first()["psi"]
+    assert abs(same) < 1e-9  # identical distributions -> ~0
+    shifted = spark.range(2000).select(((F.col("id") % 100) + 60.0).alias("v"))
+    drift = psi_drift(base, shifted, "v", n_bins=10).first()["psi"]
+    assert drift > 0.25  # a 60% shift is a 'shifted' verdict
+
+
+def test_profile_table_nulls_and_distinct(spark):
+    from zio_analytics_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "x long, s string"
+    )
+    out = {r["column"]: r for r in profile_table(df, ["x", "s"]).collect()}
+    assert out["x"]["n_rows"] == 4 and out["x"]["n_nulls"] == 1
+    assert out["x"]["n_distinct"] == 3 and out["x"]["min_str"] == "1"
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["max_str"] == "b"

@@ -5698,6 +5698,143 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "profile_table",
+    oracle="""
+    SELECT 'o_custkey' AS "column", count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+           min(o_custkey)::VARCHAR AS min_str, max(o_custkey)::VARCHAR AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_totalprice), min(o_totalprice)::VARCHAR, max(o_totalprice)::VARCHAR
+    FROM orders
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (operators/profiling.py): null/distinct/min/max per
+    column in long format, every column's stats from ONE aggregate pass
+    (a per-column loop is N full scans at 100 TB). The doubles stringify
+    through the same shortest-exact repr in both engines."""
+    from zio_analytics_spark.operators.profiling import profile_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    return profile_table(orders, ["o_custkey", "o_orderpriority", "o_totalprice"])
+
+
+@register(
+    "psi_drift",
+    oracle="""
+    WITH ref AS (SELECT value FROM events WHERE user_id % 2 = 0),
+    cur AS (SELECT value + 20 AS value FROM events WHERE user_id % 2 = 1),
+    b AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM ref),
+    rbin AS (
+      SELECT ((value > qs[1])::INT + (value > qs[2])::INT + (value > qs[3])::INT
+            + (value > qs[4])::INT + (value > qs[5])::INT + (value > qs[6])::INT
+            + (value > qs[7])::INT + (value > qs[8])::INT + (value > qs[9])::INT) AS bin
+      FROM ref, b
+    ),
+    cbin AS (
+      SELECT ((value > qs[1])::INT + (value > qs[2])::INT + (value > qs[3])::INT
+            + (value > qs[4])::INT + (value > qs[5])::INT + (value > qs[6])::INT
+            + (value > qs[7])::INT + (value > qs[8])::INT + (value > qs[9])::INT) AS bin
+      FROM cur, b
+    ),
+    spine AS (SELECT unnest(range(0, 10))::INT AS bin),
+    rc AS (SELECT bin, count(*) AS cr FROM rbin GROUP BY bin),
+    cc AS (SELECT bin, count(*) AS ccnt FROM cbin GROUP BY bin),
+    rn AS (SELECT count(*) AS n FROM ref), cn AS (SELECT count(*) AS n FROM cur),
+    j AS (
+      SELECT (coalesce(rc.cr, 0) + 1e-6) / (rn.n + 10 * 1e-6) AS p_ref,
+             (coalesce(cc.ccnt, 0) + 1e-6) / (cn.n + 10 * 1e-6) AS p_cur
+      FROM spine LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin), rn, cn
+    )
+    SELECT round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi, 10 AS n_bins
+    FROM j
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators/profiling.py) between two
+    event populations — even users as the reference epoch, odd users
+    SHIFTED by +20 as the current one, so the drift is real and the PSI
+    materially positive. Equi-depth bins come from the REFERENCE's exact
+    quantiles (the convention: the baseline defines the binning); counts
+    are one aggregate per side over a generated bin spine with uniform
+    Laplace smoothing. The oracle replays boundaries, binning, smoothing
+    and the log-sum to 6 dp."""
+    from zio_analytics_spark.operators.profiling import psi_drift
+
+    ev = read_table(spark, sf_dir, "events")
+    ref = ev.where(F.col("user_id") % 2 == 0).select("value")
+    cur = ev.where(F.col("user_id") % 2 == 1).select(
+        (F.col("value") + 20).alias("value")
+    )
+    out = psi_drift(ref, cur, "value", n_bins=10)
+    return out.select(F.round("psi", 6).alias("psi"), "n_bins")
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), TIMESTAMP '2001-09-01') AS recency,
+             count(*) AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+      SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS rq,
+             quantile_cont(frequency::DOUBLE, [0.25, 0.5, 0.75]) AS fq,
+             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
+      FROM rfm
+    )
+    SELECT o_custkey,
+           (1 + (recency > rq[1])::INT + (recency > rq[2])::INT + (recency > rq[3])::INT) AS r_score,
+           (1 + (frequency > fq[1])::INT + (frequency > fq[2])::INT + (frequency > fq[3])::INT) AS f_score,
+           (1 + (monetary > mq[1])::INT + (monetary > mq[2])::INT + (monetary > mq[3])::INT) AS m_score
+    FROM rfm, q
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quartile scores: one aggregate to the (customer) grain, one bounded
+    quantile aggregate for the fences, one codegen'd scoring projection.
+    The same strict-``>`` boundary rule as equi_depth_bins (ties share a
+    quartile; no single-task ntile sort anywhere)."""
+    orders = read_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate")
+        ).alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    qs = rfm.agg(
+        F.expr("percentile(recency, array(0.25, 0.5, 0.75))").alias("rq"),
+        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias("fq"),
+        F.expr("percentile(monetary, array(0.25, 0.5, 0.75))").alias("mq"),
+    ).first()
+
+    def score(c: str, bounds) -> F.Column:
+        s = F.lit(1)
+        for b in bounds:
+            s = s + (F.col(c) > F.lit(float(b))).cast("int")
+        return s
+
+    return rfm.select(
+        "o_custkey",
+        score("recency", qs["rq"]).alias("r_score"),
+        score("frequency", qs["fq"]).alias("f_score"),
+        score("monetary", qs["mq"]).alias("m_score"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
