@@ -240,3 +240,40 @@ def test_profile_table_nulls_and_distinct(spark):
     assert out["x"]["n_distinct"] == 3 and out["x"]["min_str"] == "1"
     assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
     assert out["s"]["max_str"] == "b"
+
+
+def test_funnel_deadline_drops_late_conversions(spark):
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.analytics import funnel_counts
+
+    rows = [
+        (1, "a", "2024-01-01 00:00:00"),
+        (1, "b", "2024-01-01 00:30:00"),   # within 1h -> converts
+        (2, "a", "2024-01-01 00:00:00"),
+        (2, "b", "2024-01-01 02:00:00"),   # too late under 1h deadline
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    unbounded = funnel_counts(df, ["a", "b"]).first()
+    bounded = funnel_counts(df, ["a", "b"], max_gap=F.expr("INTERVAL 1 HOUR")).first()
+    assert unbounded["stage_b"] == 2
+    assert bounded["stage_b"] == 1 and bounded["stage_a"] == 2
+
+
+def test_event_transitions_probabilities(spark):
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.analytics import event_transitions
+
+    rows = [(1, i, t, f"2024-01-01 00:0{i}:00") for i, t in enumerate("abab")] + [
+        (2, i, t, f"2024-01-01 00:0{i}:00") for i, t in enumerate("aac")
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in event_transitions(df, order_tiebreak="event_id").collect()}
+    # user1: a->b, b->a, a->b ; user2: a->a, a->c
+    assert got[("a", "b")][0] == 2 and got[("a", "a")][0] == 1 and got[("a", "c")][0] == 1
+    assert abs(got[("a", "b")][1] - 0.5) < 1e-12   # 2 of 4 from-a transitions
+    assert got[("b", "a")] == (1, 1.0)

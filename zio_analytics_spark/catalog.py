@@ -5835,6 +5835,69 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_conversion_window",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, ts FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')),
+    s1 AS (SELECT user_id, min(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t
+             AND e.ts <= s1.t + INTERVAL 2 HOUR GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t
+             AND e.ts <= s2.t + INTERVAL 2 HOUR GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s1) AS stage_view,
+           (SELECT count(*) FROM s2) AS stage_click,
+           (SELECT count(*) FROM s3) AS stage_purchase
+    """,
+)
+def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion-DEADLINE funnel: each stage must land within 2 hours
+    of the previous arrival ("purchase within 2h of the click") — the
+    product-analytics question the unbounded funnel can't answer. Same
+    per-stage hash-equi-join cascade as funnel_conversion plus one
+    residual comparison; the oracle adds the identical deadline to each
+    stage CTE."""
+    from zio_analytics_spark.operators.analytics import funnel_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], max_gap=F.expr("INTERVAL 2 HOURS")
+    )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS from_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           round(n / sum(n) OVER (PARTITION BY from_type), 9) AS p
+    FROM pairs
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between consecutive event types per
+    user (operators/analytics.py): one lag-window pass per user (event_id
+    tiebreak makes the order total), a hash aggregate on the tiny
+    (from, to) domain, and a window-sum normalization over that aggregate
+    — never a second scan of the events."""
+    from zio_analytics_spark.operators.analytics import event_transitions
+
+    ev = read_table(spark, sf_dir, "events")
+    out = event_transitions(ev, order_tiebreak="event_id")
+    return out.select("from_type", "to_type", "n", F.round("p", 9).alias("p"))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -21,6 +21,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = ["funnel_counts", "cohort_retention", "gapfill_hours"]
@@ -32,12 +33,19 @@ def funnel_counts(
     type_col: str = "event_type",
     user_col: str = "user_id",
     ts_col: str = "ts",
+    max_gap=None,
 ) -> DataFrame:
     """Strictly-ordered funnel: one row, one column per stage.
 
     A user reaches stage i iff they have a stage-i event *strictly after*
     their earliest stage-(i-1) arrival (earliest-arrival semantics, the
     standard product-analytics definition). Count of reaching users per stage.
+
+    ``max_gap`` (optional interval Column, e.g. ``F.expr("INTERVAL 1
+    HOUR")``) adds the conversion-DEADLINE variant: stage i must land
+    within the gap of the previous arrival — the "purchase within an hour
+    of the click" product question. Same per-stage hash-equi-join plan,
+    one extra residual comparison.
     """
     if not stages:
         raise ValueError("stages must be non-empty")
@@ -53,7 +61,14 @@ def funnel_counts(
         reached = (
             ev.where(F.col(type_col) == stage)
             .join(reached.select(user_col, F.col("__t").alias("__prev")), on=user_col)
-            .where(F.col(ts_col) > F.col("__prev"))
+            .where(
+                (F.col(ts_col) > F.col("__prev"))
+                & (
+                    F.lit(True)
+                    if max_gap is None
+                    else F.col(ts_col) <= F.col("__prev") + max_gap
+                )
+            )
             .groupBy(user_col)
             .agg(F.min(ts_col).alias("__t"))
         )
@@ -140,3 +155,35 @@ def gapfill_hours(
             F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive event types per user — the sequence-analytics summary a
+    path/recommendation model starts from.
+
+    One window pass per user (lag over the user's time order — a total
+    order requires ``order_tiebreak`` when timestamps can tie), then a
+    hash aggregate on the tiny (from, to) domain; the probability
+    denominator is a window sum over that aggregate, not a second scan.
+
+    Returns ``(from_type, to_type, n, p)`` where ``p`` is row-normalized
+    per ``from_type``.
+    """
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = W.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.select(user_col, F.col(type_col).alias("to_type"), *order)
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(W.partitionBy("from_type"))
+    return pairs.withColumn("p", F.col("n") / total)
