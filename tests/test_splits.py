@@ -51,3 +51,30 @@ def test_hash_split_salt_namespaces(spark):
 def test_hash_split_rejects_bad_weights(spark):
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(_docs(spark), {"a": 0.5, "b": 0.2}, on="text")
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.topk import weighted_sample_per_group
+
+    # 500 light rows (w=1) + 100 heavy rows (w=50): a 100-row weighted
+    # sample should be dominated by heavy rows (each heavy row has ~50x a
+    # light row's inclusion odds); zero-weight rows must never appear
+    rows = [(i, "g", 1.0) for i in range(500)] + \
+           [(1000 + i, "g", 50.0) for i in range(100)] + \
+           [(2000 + i, "g", 0.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    out = weighted_sample_per_group(
+        df, group_by=["grp"], weight=F.col("w"), id_cols=["id"], k=100
+    ).collect()
+    assert len(out) == 100
+    ids = {r["id"] for r in out}
+    heavy = sum(1 for i in ids if 1000 <= i < 2000)
+    assert heavy >= 70          # expectation ~91 of 100; 70 is a safe floor
+    assert all(i < 2000 for i in ids)  # zero-weight excluded
+    # deterministic: second run identical
+    again = {r["id"] for r in weighted_sample_per_group(
+        df, group_by=["grp"], weight=F.col("w"), id_cols=["id"], k=100
+    ).collect()}
+    assert again == ids

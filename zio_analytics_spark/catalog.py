@@ -5898,6 +5898,76 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("from_type", "to_type", "n", F.round("p", 9).alias("p"))
 
 
+@register(
+    "weighted_sample_per_group",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE l_quantity > 0
+    QUALIFY row_number() OVER (
+      PARTITION BY l_returnflag
+      ORDER BY pow(
+        (('0x' || substr(md5('ws7|' || l_orderkey || '|' || l_linenumber), 1, 8))::UBIGINT + 1.0)
+          / 4294967297.0,
+        1.0 / l_quantity) DESC,
+      l_orderkey, l_linenumber
+    ) <= 50
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES),
+    50 per return flag with l_quantity as the weight: key = u^(1/w), u a
+    content-hash fraction — deterministic under retries/repartitioning
+    (a resumed 100 TB job redraws the SAME sample), heavier rows win
+    proportionally more often. One ranked window per group; the oracle
+    replays hash, key and ranking exactly."""
+    from zio_analytics_spark.operators.topk import weighted_sample_per_group
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return weighted_sample_per_group(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"),
+        group_by=["l_returnflag"],
+        weight=F.col("l_quantity"),
+        id_cols=["l_orderkey", "l_linenumber"],
+        k=50,
+        seed="ws7",
+    ).select("l_returnflag", "l_orderkey", "l_linenumber")
+
+
+@register(
+    "streaming_available_now",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_streaming_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow — the production BACKFILL trigger: process
+    everything currently available in bounded micro-batches, then STOP on
+    its own (unlike processAllAvailable, which is a test-harness wait, or
+    continuous triggers, which never exit). The query drains the events
+    file-stream under availableNow and the final complete-mode table must
+    equal the batch aggregate — proving the self-terminating run loses
+    nothing. This is how a nightly job catches up on a streaming table
+    without running forever."""
+    import uuid
+
+    st = _events_stream(spark, sf_dir)
+    agg = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    name = f"avail_now_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)  # availableNow terminates itself
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
