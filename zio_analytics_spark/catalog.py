@@ -5968,6 +5968,94 @@ def q_streaming_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
+    FROM documents
+    """,
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy Arrow-native UDF variant (completes
+    the Python-function matrix: scalar/grouped-agg pandas_udf,
+    applyInPandas, cogroup, mapInPandas, UDTF): RecordBatches flow in and
+    out with NO pandas conversion, and the work runs in pyarrow.compute
+    kernels (C++ SIMD) — the fastest Python seam Spark offers, right for
+    byte/string crunching where even pandas overhead matters. The oracle
+    replays the same regex-token count."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def count(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+                ],
+                ["doc_id", "n_chars", "n_tokens"],
+            )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(count, "doc_id long, n_chars long, n_tokens long")
+
+
+@register(
+    "udf_cogroup_asof",
+    oracle=CATALOG["join_asof"].oracle,
+)
+def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` — the remaining pandas-function API:
+    both sides hash-partition on the key, each key's two pandas frames
+    arrive TOGETHER, and the body runs ``pandas.merge_asof`` per user —
+    the pandas-native formulation of the as-of join. Shares join_asof's
+    ORACLE verbatim, so the cogroup formulation and the union-merge
+    Column formulation are verified identical. (Scale contract: per-key
+    pair materialization — use operators/asof.py's single-exchange form
+    unless you need arbitrary per-key pandas logic; that it exists is the
+    point of this entry.)"""
+    import pandas as pd
+
+    e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = top_k_per_group(
+        read_table(spark, sf_dir, "orders"),
+        group_by=["o_custkey", "o_orderdate"],
+        order_by=[F.col("o_orderkey").desc()],
+        k=1,
+    ).select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        if len(right) == 0:
+            out = left.copy()
+            out["last_orderkey"] = pd.array([None] * len(left), dtype="Int64")
+            out["last_totalprice"] = float("nan")
+            return out[["event_id", "user_id", "ts", "last_orderkey", "last_totalprice"]]
+        right = right.sort_values("o_orderdate")
+        m = pd.merge_asof(
+            left, right, left_on="ts", right_on="o_orderdate", direction="backward"
+        )
+        m = m.rename(
+            columns={"o_orderkey": "last_orderkey", "o_totalprice": "last_totalprice"}
+        )
+        return m[["event_id", "user_id", "ts", "last_orderkey", "last_totalprice"]]
+
+    out = (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy(F.col("o_custkey").alias("user_id")))
+        .applyInPandas(
+            merge,
+            "event_id long, user_id long, ts timestamp, "
+            "last_orderkey long, last_totalprice double",
+        )
+    )
+    return out.select("event_id", "user_id", "last_orderkey", "last_totalprice")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
