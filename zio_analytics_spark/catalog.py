@@ -6056,6 +6056,104 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "last_orderkey", "last_totalprice")
 
 
+@register(
+    "try_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / nullif(l_quantity - 25, 0) AS price_per_excess,
+           try_cast(l_returnflag AS INT) AS flag_as_int,
+           try_cast(l_shipdate::VARCHAR AS INT) AS date_as_int
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe SQL under ANSI mode (Spark 4 defaults ANSI ON, where
+    ``/ 0`` and bad casts THROW): the ``try_*`` family returns NULL
+    instead — division by the zero-crossing ``l_quantity − 25`` and two
+    unparseable casts. DuckDB's native semantics are already NULL-on-zero
+    (via nullif) and try_cast, so the oracle pins the exact NULL
+    placement. At 100 TB this is the difference between one poison row
+    killing a 6-hour job and a NULL you can audit."""
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25).alias(
+            "price_per_excess"
+        ),
+        F.expr("try_cast(l_returnflag AS INT)").alias("flag_as_int"),
+        F.expr("try_cast(cast(l_shipdate AS STRING) AS INT)").alias("date_as_int"),
+    )
+
+
+_UNPIVOT_NATIVE_ORACLE = CATALOG["unpivot_stack"].oracle
+
+
+@register("unpivot_native", oracle=_UNPIVOT_NATIVE_ORACLE)
+def q_unpivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.unpivot`` (the native melt API, Spark 3.4+) — same
+    oracle as unpivot_stack, so the native operator and the ``stack``
+    expression formulation are verified identical (the udtf_chunk_text
+    pattern: two formulations, one oracle)."""
+    agg = (
+        _ds(spark, sf_dir, "lineitem")
+        .group_by("l_returnflag")
+        .fold(qty=F.round(F.sum("l_quantity"), 4), price=F.round(F.sum("l_extendedprice"), 4))
+        .to_df()
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "observe_metrics",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events WHERE value > 100
+    GROUP BY event_type
+    UNION ALL
+    SELECT '__audit_input_rows', count(*) FROM events
+    UNION ALL
+    SELECT '__audit_null_values', sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+    FROM events
+    """,
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Observation`` — audit metrics WITHOUT a second scan: the filtered
+    aggregation runs once, and observe() taps total input rows + null
+    count off the same pass (at 100 TB the alternative is a second full
+    scan just to know what you filtered). The observed counters are
+    appended as audit rows and hash-checked with the query result against
+    the oracle's recomputation."""
+    from pyspark.sql import Observation
+
+    ev = read_table(spark, sf_dir, "events")
+    obs = Observation("audit")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("input_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+    )
+    result = (
+        observed.where(F.col("value") > 100)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = result.collect()  # action -> metrics become available
+    audit = obs.get
+    audit_rows = [
+        ("__audit_input_rows", audit["input_rows"]),
+        ("__audit_null_values", int(audit["null_values"] or 0)),
+    ]
+    return spark.createDataFrame(rows, result.schema).unionByName(
+        spark.createDataFrame(audit_rows, result.schema)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
