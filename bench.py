@@ -72,6 +72,16 @@ def main() -> None:
     import tempfile as _tmp
 
     spark.range(1000).write.mode("overwrite").parquet(_tmp.mkdtemp(prefix="zas_warm_"))
+    # Warm the Python DataSource worker path (plan/pickle/bootstrap is a
+    # one-time ~3 s session cost measured via a tiny scan: first use 3.2 s,
+    # every later scan 0.2-0.4 s) — same session-vs-query accounting as the
+    # pandas-UDF warm-up above.
+    from zio_analytics_spark.sources.pydatasource import register_synthetic_corpus
+
+    register_synthetic_corpus(spark)
+    spark.read.format("synthetic_corpus").option("n_docs", 8).option(
+        "n_shards", 2
+    ).load().write.format("noop").mode("overwrite").save()
 
     def run_timed(names_fns, isolate: bool = False) -> dict[str, float]:
         out: dict[str, float] = {}
