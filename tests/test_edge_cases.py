@@ -79,3 +79,25 @@ def test_asof_join_empty_right(spark):
     right = spark.createDataFrame([], "k long, t long, px double")
     out = asof_join(left, right, "k", "k", "t", "t", ["px"]).collect()
     assert len(out) == 1 and out[0].px is None
+
+
+def test_round4_operators_empty_inputs(spark):
+    """Quantile-based operators must degrade gracefully on empty input
+    instead of crashing on a None boundary."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.profiling import psi_drift
+    from zio_analytics_spark.operators.robust import mad_outliers, winsorize
+    from zio_analytics_spark.operators.sketch import equi_depth_bins
+
+    empty = spark.range(0).select(F.col("id").cast("double").alias("v"))
+    assert winsorize(empty, "v", out_col="c").count() == 0
+    assert mad_outliers(empty, "v").count() == 0
+    assert equi_depth_bins(empty, "v", n_bins=4).count() == 0
+    with pytest.raises(ValueError):
+        psi_drift(empty, empty, "v")
+    # all-null column behaves like empty (percentile skips nulls)
+    nulls = spark.range(5).select(F.lit(None).cast("double").alias("v"))
+    assert winsorize(nulls, "v", out_col="c").count() == 5
+    assert equi_depth_bins(nulls, "v", n_bins=4).count() == 0

@@ -1,10 +1,33 @@
 """Operators beyond the thin DataFrame passthroughs.
 
+Reference core:
+
 - :mod:`accumulate` — reference ``MapAccumulate`` (stateful ordered scan).
-- :mod:`asof` — [EXT] as-of / range joins.
-- :mod:`topk` — [EXT] top-k and per-group top-k.
-- :mod:`dedup` — [EXT] exact + near-duplicate detection (LLM pipelines).
-- :mod:`similarity` — [EXT] embedding similarity search.
-- :mod:`text` — [EXT] text analysis (tokens, quality, lang-id, fingerprints).
-- :mod:`multimodal` — [EXT] opaque binary columns + decode plumbing.
+
+[EXT] relational / analytics:
+
+- :mod:`asof` — as-of joins (backward/forward/nearest, tolerance).
+- :mod:`topk` — top-k, per-group top-k, weighted sampling (A-ES).
+- :mod:`analytics` — funnels (incl. deadlines), retention, gap-fill,
+  Markov event transitions, session paths.
+- :mod:`timeseries` — cascading rollups, linear gap interpolation.
+- :mod:`sketch` — heavy hitters, equi-depth binning.
+- :mod:`skew` — hot-key salting (join + two-phase agg).
+- :mod:`merge` — MERGE/upsert, SCD2, symmetric table diff.
+- :mod:`graph` — PageRank (edge-list message passing).
+- :mod:`robust` — winsorization, MAD outliers.
+- :mod:`profiling` — one-pass table profiles, PSI drift.
+- :mod:`layout` — Z-order clustered writes, contiguous ids.
+
+[EXT] LLM-data pipeline:
+
+- :mod:`dedup` — exact + near-duplicate detection, incremental ingest,
+  decontamination.
+- :mod:`similarity` / :mod:`ann_index` — embedding search (brute force,
+  LSH/IVF, precomputed partition-pruned layouts).
+- :mod:`text` — tokens, quality, lang-id, fingerprints, shingles,
+  packing, unigram-LM scores, TF-IDF, token budgets.
+- :mod:`cleaning` — PII redaction, normalization, weighted source mixing.
+- :mod:`splits` — content-hash dataset splits.
+- :mod:`multimodal` — binary columns + real BMP/PPM/WAV/Y4M decode.
 """

@@ -67,6 +67,8 @@ def psi_drift(
     bounds = reference.agg(
         F.expr(f"percentile({col}, array({', '.join(map(str, qs))}))")
     ).first()[0]
+    if bounds is None:
+        raise ValueError("psi_drift: empty/all-null reference cannot define bins")
     c = F.col(col)
     bucket = F.lit(0)
     for b in bounds:

@@ -36,6 +36,8 @@ def winsorize(
     lo, hi = df.agg(
         F.expr(f"percentile({col}, {lower_q})"), F.expr(f"percentile({col}, {upper_q})")
     ).first()
+    if lo is None:  # empty/all-null input: nothing to clip
+        return df.withColumn(out_col or col, F.col(col))
     clipped = F.least(F.greatest(F.col(col), F.lit(float(lo))), F.lit(float(hi)))
     return df.withColumn(out_col or col, clipped)
 
@@ -53,6 +55,10 @@ def mad_outliers(
     column) flags exactly the non-modal values.
     """
     med = df.agg(F.expr(f"percentile({col}, 0.5)")).first()[0]
+    if med is None:  # empty/all-null input: no location to deviate from
+        return df.withColumn("__dev", F.lit(None).cast("double")).withColumn(
+            flag_col, F.lit(None).cast("boolean")
+        )
     mad = df.agg(
         F.expr(f"percentile(abs({col} - {float(med)!r}), 0.5)")
     ).first()[0]

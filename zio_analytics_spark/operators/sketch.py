@@ -147,6 +147,11 @@ def equi_depth_bins(
     bounds = df.agg(
         F.expr(f"percentile({col}, array({', '.join(map(str, qs))}))")
     ).first()[0]
+    if bounds is None:  # empty/all-null input: no bins to report
+        return df.sparkSession.createDataFrame(
+            [], f"{bucket_col} int, n long, lo {df.schema[col].dataType.simpleString()}, "
+            f"hi {df.schema[col].dataType.simpleString()}"
+        )
     c = F.col(col)
     bucket = F.lit(1)
     for b in bounds:
