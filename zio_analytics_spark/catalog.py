@@ -6004,9 +6004,14 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(count, "doc_id long, n_chars long, n_tokens long")
 
 
+_COGROUP_ASOF_ORACLE = CATALOG["join_asof"].oracle.replace(
+    "FROM events e", "FROM (SELECT * FROM events WHERE user_id % 7 = 0) e"
+)
+
+
 @register(
     "udf_cogroup_asof",
-    oracle=CATALOG["join_asof"].oracle,
+    oracle=_COGROUP_ASOF_ORACLE,
 )
 def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped ``applyInPandas`` — the remaining pandas-function API:
@@ -6017,10 +6022,21 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     Column formulation are verified identical. (Scale contract: per-key
     pair materialization — use operators/asof.py's single-exchange form
     unless you need arbitrary per-key pandas logic; that it exists is the
-    point of this entry.)"""
+    point of this entry.)
+
+    Runs on the user_id % 7 slice: cogroup pays a fixed Python-invocation
+    cost PER GROUP (measured 22.9 s for ~1.5 k user groups at sf0.1 vs
+    ~1.6 s for the Column form over the same data — the ~15 ms/group
+    applyInPandas overhead rule from SCALE.md, exhibited live); the slice
+    keeps the entry honest about what the API costs without letting a
+    demonstration dominate the sweep."""
     import pandas as pd
 
-    e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    e = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 7 == 0)
+        .select("event_id", "user_id", "ts")
+    )
     o = top_k_per_group(
         read_table(spark, sf_dir, "orders"),
         group_by=["o_custkey", "o_orderdate"],
