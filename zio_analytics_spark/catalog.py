@@ -6005,7 +6005,7 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COGROUP_ASOF_ORACLE = CATALOG["join_asof"].oracle.replace(
-    "FROM events e", "FROM (SELECT * FROM events WHERE user_id % 7 = 0) e"
+    "FROM events e", "FROM (SELECT * FROM events WHERE user_id % 31 = 0) e"
 )
 
 
@@ -6024,21 +6024,27 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     unless you need arbitrary per-key pandas logic; that it exists is the
     point of this entry.)
 
-    Runs on the user_id % 7 slice: cogroup pays a fixed Python-invocation
-    cost PER GROUP (measured 22.9 s for ~1.5 k user groups at sf0.1 vs
-    ~1.6 s for the Column form over the same data — the ~15 ms/group
-    applyInPandas overhead rule from SCALE.md, exhibited live); the slice
-    keeps the entry honest about what the API costs without letting a
-    demonstration dominate the sweep."""
+    Runs on the user_id % 31 slice: cogroup pays a fixed Python-invocation
+    cost PER GROUP (measured at sf0.1: 22.9 s for ~1.5 k user groups,
+    still 17.8 s for ~215 groups once AQE coalesces the tiny shuffle into
+    ONE serial task — ~80 ms/group of arrow+pandas round-trip, vs ~1.6 s
+    for the Column form on the full data; on a real cluster the groups
+    spread across executors, locally the slice keeps a demonstration from
+    dominating the sweep). The numbers ARE the lesson: per-key Python is
+    an API of last resort — operators/asof.py's single-exchange Column
+    form is the scale path."""
     import pandas as pd
 
     e = (
         read_table(spark, sf_dir, "events")
-        .where(F.col("user_id") % 7 == 0)
+        .where(F.col("user_id") % 31 == 0)
         .select("event_id", "user_id", "ts")
     )
+    # the slice must hit BOTH sides: cogroup instantiates a Python call for
+    # every key present on EITHER side, so an unfiltered right side alone
+    # would keep all ~1.5k groups alive (measured: the 23 s stayed)
     o = top_k_per_group(
-        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 31 == 0),
         group_by=["o_custkey", "o_orderdate"],
         order_by=[F.col("o_orderkey").desc()],
         k=1,
@@ -6167,6 +6173,41 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(rows, result.schema).unionByName(
         spark.createDataFrame(audit_rows, result.schema)
+    )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5 bitmap_*):
+    keys bucket into 32k-bit segments (``bitmap_bucket_number``), each
+    (group, bucket) builds a bitmap of positions
+    (``bitmap_construct_agg(bitmap_bit_position(k))``), and per-group
+    popcounts sum up. Why it matters at 100 TB: unlike ``count(DISTINCT)``
+    — whose dedup state is proportional to the key cardinality in every
+    partial — bitmap partials are FIXED-SIZE (4 KB per bucket), mergeable
+    with OR, and can be PERSISTED: tomorrow's distinct count over
+    today+tomorrow is one bitmap_or_agg over stored segments, no re-scan
+    of today (the incremental_rollup story for exact distinct). The
+    oracle is the plain COUNT(DISTINCT) — the two formulations must agree
+    exactly (bitmaps are exact, not sketches)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    seg = (
+        li.select(
+            "l_returnflag",
+            F.bitmap_bucket_number(F.col("l_partkey")).alias("__bucket"),
+            F.bitmap_bit_position(F.col("l_partkey")).alias("__pos"),
+        )
+        .groupBy("l_returnflag", "__bucket")
+        .agg(F.bitmap_construct_agg(F.col("__pos")).alias("__bm"))
+    )
+    return seg.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count(F.col("__bm"))).alias("n_distinct")
     )
 
 
