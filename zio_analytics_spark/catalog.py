@@ -6211,6 +6211,109 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    WITH {_PS_SQL}
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate)::BIGINT AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - ps.ps_supplycost * l.l_quantity AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN ps ON ps.p_partkey = l.l_partkey AND ps.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_type = 'PROMO'
+    ) GROUP BY nation, o_year
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape — product-type profit by nation and year: the 6-table
+    star whose distinguishing feature is the COMPOSITE-key fact join
+    (lineitem ⋈ partsupp on (partkey, suppkey)) feeding a derived measure
+    (revenue − supply cost). Part/supplier/nation broadcast; the
+    composite-key join and the orders join are the two fact-side
+    shuffles. Runs over the derived partsupp (only lineitem pairs that
+    exist in it contribute — the topology, not TPC-H's data coverage, is
+    what's exercised)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    part = read_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.p_partkey) & (li.l_suppkey == ps.s_suppkey),
+        )
+        .join(
+            F.broadcast(
+                supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).select(
+                    F.col("s_suppkey").alias("sn_suppkey"), "n_name"
+                )
+            ),
+            li.l_suppkey == F.col("sn_suppkey"),
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+    )
+    # round at 4 dp, the amounts' exact decimal granularity (2-dp prices x
+    # 2-dp discount factors): true sums land ON 4-dp multiples, so rounding
+    # recovers the multiple on both engines; 2 dp would round BETWEEN
+    # multiples and a half-cent boundary can flip on summation-order ulps
+    # (observed: 168823.355 -> .35 vs .36)
+    return joined.groupBy("nation", "o_year").agg(
+        F.round(F.sum("amount"), 4).alias("sum_profit")
+    )
+
+
+@register(
+    "tpch_q16_supplier_count",
+    oracle=f"""
+    WITH {_PS_SQL}
+    SELECT p.p_brand, p.p_size, count(DISTINCT ps.s_suppkey)::BIGINT AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 2, 3, 4, 5)
+      AND ps.s_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape — supplier counts per part spec with an EXCLUSION
+    subquery: NOT IN over a complaint-supplier list (negative balance
+    stands in for the comment filter) lowers to a LEFT ANTI join against
+    a broadcast exclusion set (the subquery is null-free by construction,
+    so NOT IN ≡ anti join — the classic NOT-IN-with-nulls trap doesn't
+    arise); then a COUNT(DISTINCT) over the brand/size grid."""
+    ps = _derived_partsupp(spark, sf_dir)
+    part = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = read_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(F.broadcast(part), "p_partkey")
+        .join(F.broadcast(bad), "s_suppkey", "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("s_suppkey").alias("supplier_cnt"))
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
