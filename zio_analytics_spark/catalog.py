@@ -6314,6 +6314,66 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fold_window_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN INTERVAL '30 minutes'
+                  ELSE INTERVAL '2 hours' END AS gap
+      FROM events
+    ),
+    r AS (SELECT user_id, ts, event_id, ts + gap AS reach FROM e),
+    m AS (
+      SELECT user_id, ts, reach,
+             max(reach) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_reach,
+             event_id
+      FROM r
+    ),
+    s AS (
+      SELECT user_id, ts, reach, event_id,
+             CASE WHEN prev_reach IS NULL OR ts > prev_reach THEN 1 ELSE 0 END AS new_s
+      FROM m
+    ),
+    sids AS (
+      SELECT user_id, ts, reach,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id, min(ts) AS window_start, max(reach) AS window_end,
+           count(*) AS n
+    FROM sids GROUP BY user_id, sid
+    """,
+)
+def q_fold_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC session gaps — ``session_window`` with a per-EVENT gap
+    Column (error events hold the session open 30 min, everything else
+    2 h): the advanced form of the reference's session windows, where the
+    timeout depends on what just happened. A session's end is the running
+    max of each member's own (ts + gap); the oracle reproduces exactly
+    that via a gaps-and-islands running max (same strict-``>`` boundary
+    convention as the static session entries)."""
+    ev = read_table(spark, sf_dir, "events")
+    # session_window's dynamic gap demands CalendarIntervalType — ANSI
+    # INTERVAL literals are DayTimeIntervalType and are rejected;
+    # make_interval is the constructor that still yields CalendarInterval
+    gap = F.when(
+        F.col("event_type") == "error", F.make_interval(mins=F.lit(30))
+    ).otherwise(F.make_interval(hours=F.lit(2)))
+    out = ev.groupBy(
+        F.session_window(F.col("ts"), gap).alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
