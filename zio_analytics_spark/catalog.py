@@ -6374,6 +6374,101 @@ def q_fold_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_interval_join_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the hard emission case:
+    an unmatched purchase can only emit its NULL-padded row once the
+    watermark proves no future click can match (left_ts + bound + delay),
+    and on a naively bounded stream the watermark never passes the last
+    rows, so their outer results would be withheld forever. The entry
+    closes that hole with a SENTINEL batch: the real events arrive as
+    micro-batch 1, then one far-future row (user −1, filtered from the
+    output) arrives as micro-batch 2 and drags the watermark past every
+    real purchase — the engine's no-data-batch finalization then emits
+    every pending outer row. Result ≡ the batch LEFT JOIN (oracle); the
+    matched subset doubles as streaming_interval_join's inner result."""
+    import tempfile
+    import time as _time
+
+    from zio_analytics_spark.streaming.joins import interval_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    src = tempfile.mkdtemp(prefix="zas_outer_src_")
+    ev.repartition(1).write.mode("append").parquet(src)
+    _time.sleep(1.05)  # file-source orders batches by mod time: sentinel second
+    # one sentinel PER SIDE: each side's watermark derives from the event
+    # times that side actually observes AFTER its filter, so a purchase-only
+    # sentinel advances only the purchase watermark and the click side's
+    # stalls an hour before end-of-data — withholding the last purchases'
+    # outer rows (observed: exactly the final-hour unmatched purchases
+    # missing). Both sentinel rows are user −1 and filtered from the output.
+    def sentinel_at(year: int, base: int):
+        return spark.createDataFrame(
+            [
+                (base, -1, "purchase", f"{year}-01-01 00:00:00"),
+                (base - 1, -1, "click", f"{year}-01-01 00:00:00"),
+            ],
+            "event_id long, user_id long, event_type string, ts string",
+        ).select(
+            "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+        )
+
+    # TWO sentinel batches (each BEYOND all real event times — a sentinel
+    # older than the watermark is itself dropped as late and advances
+    # nothing): batch 2's event times raise the watermark, but the raised
+    # watermark only APPLIES to state in a subsequent batch — without
+    # batch 3 the final outer rows stay buffered and processAllAvailable
+    # returns with them withheld (both failure modes observed).
+    sentinel_at(2030, -1).repartition(1).write.mode("append").parquet(src)
+    _time.sleep(1.05)
+    sentinel_at(2031, -3).repartition(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    p = stream.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = stream.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = interval_join(
+        p,
+        c,
+        on=F.col("user_id") == F.col("c_user"),
+        left_ts="p_ts",
+        right_ts="c_ts",
+        watermark="1 hour",
+        lower="1 HOUR",
+        upper="0 SECONDS",
+        how="left_outer",
+    )
+    out = joined.select("purchase_id", "click_id", "user_id")
+    # The sentinel filter must run on the SINK OUTPUT, not inside the
+    # streaming plan: a `user_id >= 0` before the sink gets pushed into
+    # the file scan (and inferred onto the other side through the join
+    # key), so the sentinel rows are filtered BEFORE the watermark
+    # operator ever sees their event times — and advance nothing
+    # (observed: offsets moved, numInputRows 0, watermark stuck).
+    return _run_append(out, "stream_ojoin").where(F.col("user_id") >= 0)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
