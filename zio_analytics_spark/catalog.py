@@ -6469,6 +6469,32 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     return _run_append(out, "stream_ojoin").where(F.col("user_id") >= 0)
 
 
+@register(
+    "agg_median_mode",
+    oracle="""
+    SELECT l_linestatus, median(l_quantity) AS med_qty,
+           mode(l_returnflag) AS modal_flag,
+           round(median(l_extendedprice), 4) AS med_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal aggregates — exact ``median`` (≡ percentile 0.5, engines
+    interpolate identically) and ``mode`` (modal return flag per line
+    status; unique-max frequency in this data, so the tie-arbitrariness
+    caveat both engines share doesn't bite). Deliberately EXCLUDES
+    skewness/kurtosis from the hash check: Spark computes population
+    moments, DuckDB sample-adjusted ones (probed: 1.17 vs 1.74 on the
+    same five rows) — a cross-engine semantic gap, not a bug, covered by
+    agg_stats' variance/stddev instead."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.mode("l_returnflag").alias("modal_flag"),
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
