@@ -345,3 +345,62 @@ def test_fold_window_group_stream_multi_trigger(spark, tmp_path):
     # the cross-boundary session {3600,3660} got re-emitted with the
     # extended range (first trigger saw only 3600 -> range 0)
     assert len(got) > len(last), got
+
+
+def test_interval_join_outer_needs_watermark_proof(spark, tmp_path):
+    """A LEFT OUTER stream-stream join withholds NULL-padded rows until the
+    watermark proves them unmatchable: without a watermark-advancing later
+    batch the unmatched row is NOT emitted; with one, it is."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.streaming.joins import interval_join
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+
+    def run(with_sentinel: bool, name: str):
+        src = str(tmp_path / f"src_{name}")
+        base = spark.createDataFrame(
+            [
+                (1, 10, "purchase", "2024-01-01 10:00:00"),
+                (2, 10, "click", "2024-01-01 09:30:00"),   # matches purchase 1
+                (3, 20, "purchase", "2024-01-01 10:00:00"),  # no click -> outer
+            ],
+            "event_id long, user_id long, event_type string, ts string",
+        ).select("event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+        base.repartition(1).write.mode("append").parquet(src)
+        if with_sentinel:
+            time.sleep(1.05)
+            s = spark.createDataFrame(
+                [(-1, -1, "purchase", "2030-01-01 00:00:00"),
+                 (-2, -1, "click", "2030-01-01 00:00:00")],
+                "event_id long, user_id long, event_type string, ts string",
+            ).select("event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+            s.repartition(1).write.mode("append").parquet(src)
+            time.sleep(1.05)
+            s.selectExpr("event_id - 10 AS event_id", "user_id", "event_type",
+                         "ts + INTERVAL 1 YEAR AS ts").write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        p = stream.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts"))
+        c = stream.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("cid"), F.col("user_id").alias("cu"), F.col("ts").alias("c_ts"))
+        j = interval_join(
+            p, c, on=F.col("user_id") == F.col("cu"), left_ts="p_ts", right_ts="c_ts",
+            watermark="10 minutes", lower="1 HOUR", upper="0 SECONDS", how="left_outer",
+        )
+        out = j.select("pid", "cid", "user_id")
+        q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {(r["pid"], r["cid"]) for r in spark.sql(f"SELECT * FROM {name}").collect()
+                if r["user_id"] is None or r["user_id"] >= 0}
+
+    without = run(False, "oj_nosent")
+    assert (1, 2) in without          # the match emits either way
+    assert (3, None) not in without   # outer row withheld: unprovable
+    with_s = run(True, "oj_sent")
+    assert (1, 2) in with_s and (3, None) in with_s  # proof arrived -> emitted
