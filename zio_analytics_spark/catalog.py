@@ -6495,6 +6495,68 @@ def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "string_agg_ordered",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS line_seq
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    GROUP BY l_orderkey
+    """,
+)
+def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — ``listagg ... WITHIN GROUP (ORDER BY)``
+    (SQL:2016, new in Spark 4): each order's line numbers concatenated in
+    sequence. WITHIN GROUP is what makes the concat DETERMINISTIC — bare
+    listagg concatenates in arrival order, which differs per shuffle; the
+    ordered form is the only one an oracle (or a reproducible pipeline)
+    can accept."""
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return li.groupBy("l_orderkey").agg(
+        F.expr(
+            "listagg(cast(l_linenumber AS STRING), ',') WITHIN GROUP (ORDER BY l_linenumber)"
+        ).alias("line_seq")
+    )
+
+
+@register(
+    "xml_functions",
+    oracle="""
+    SELECT o_orderkey, o_custkey AS parsed_cust,
+           o_orderpriority AS parsed_priority,
+           o_custkey AS xpath_cust
+    FROM orders WHERE o_orderkey % 200 = 0
+    """,
+)
+def q_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface: each order rendered as an XML document (deterministic
+    concat), then parsed back TWO ways — ``from_xml`` with a target schema
+    (the Spark 4 structured path) and the legacy ``xpath_int`` query path.
+    DuckDB has no XML engine, so the oracle predicts the round-trip
+    analytically from the source fields (the multimodal_decode pattern:
+    we built the document, so we know what parsing must return)."""
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 200 == 0)
+    xml = F.concat(
+        F.lit("<order><cust>"),
+        F.col("o_custkey").cast("string"),
+        F.lit("</cust><prio>"),
+        F.col("o_orderpriority"),
+        F.lit("</prio></order>"),
+    )
+    with_xml = o.select("o_orderkey", xml.alias("doc"))
+    parsed = with_xml.select(
+        "o_orderkey",
+        F.from_xml("doc", "cust LONG, prio STRING").alias("p"),
+        F.xpath_int("doc", F.lit("/order/cust")).cast("long").alias("xpath_cust"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("p.cust").alias("parsed_cust"),
+        F.col("p.prio").alias("parsed_priority"),
+        "xpath_cust",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
