@@ -6557,6 +6557,56 @@ def q_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_hll_sketch_union",
+    oracle="""
+    WITH ex AS (
+      SELECT count(DISTINCT l_partkey) AS exact_parts,
+             count(DISTINCT CASE WHEN l_orderkey % 2 = 0 THEN l_partkey END) AS exact_even
+      FROM lineitem
+    )
+    SELECT exact_parts, exact_even, TRUE AS union_ok, TRUE AS half_ok FROM ex
+    """,
+)
+def q_agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistable/mergeable APPROXIMATE distinct — Datasketches HLL
+    (Spark 3.5 ``hll_sketch_agg``/``hll_union_agg``): per-half sketches
+    built independently, then UNIONED and estimated — the sketch algebra
+    that lets a 100 TB pipeline store per-partition/per-day sketches and
+    answer cross-cut distinct queries by merge, no re-scan (the
+    approximate sibling of agg_bitmap_distinct's exact bitmaps:
+    fixed-size state either way, HLL's is ~KB where bitmaps grow with the
+    key range). Tolerance-banded oracle: union estimate within 5%% of the
+    exact distinct, half-estimate likewise (HLL at default lgK=12
+    measures well under 2%% here)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    halves = li.groupBy((F.col("l_orderkey") % 2).alias("__h")).agg(
+        F.hll_sketch_agg("l_partkey").alias("__sk")
+    )
+    est = halves.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__u"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.when(F.col("__h") == 0, F.col("__sk")))
+        ).alias("__e0"),
+    )
+    exact = li.agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct(
+            F.when(F.col("l_orderkey") % 2 == 0, F.col("l_partkey"))
+        ).alias("exact_even"),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_parts",
+        "exact_even",
+        (
+            F.abs(F.col("__u") - F.col("exact_parts")) / F.col("exact_parts") < 0.05
+        ).alias("union_ok"),
+        (
+            F.abs(F.col("__e0") - F.col("exact_even")) / F.col("exact_even") < 0.05
+        ).alias("half_ok"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
