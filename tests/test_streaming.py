@@ -404,3 +404,30 @@ def test_interval_join_outer_needs_watermark_proof(spark, tmp_path):
     assert (3, None) not in without   # outer row withheld: unprovable
     with_s = run(True, "oj_sent")
     assert (1, 2) in with_s and (3, None) in with_s  # proof arrived -> emitted
+
+
+def test_update_mode_emits_only_changed_keys(spark, tmp_path):
+    """Update mode re-emits a key per REVISION (unlike complete, which
+    rewrites everything every trigger): two micro-batches touching
+    overlapping keys produce one row per (key, revision)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "upd_src")
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double") \
+        .repartition(1).write.mode("append").parquet(src)
+    time.sleep(1.05)
+    spark.createDataFrame([(2, 5.0), (3, 30.0)], "k long, v double") \
+        .repartition(1).write.mode("append").parquet(src)
+    st = spark.readStream.schema("k long, v double").option("maxFilesPerTrigger", 1).parquet(src)
+    agg = st.groupBy("k").agg(F.sum("v").alias("s"))
+    q = agg.writeStream.outputMode("update").format("memory").queryName("upd_t").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [(r["k"], r["s"]) for r in spark.sql("SELECT * FROM upd_t").collect()]
+    # batch1 emits k=1 and k=2; batch2 emits ONLY the changed k=2 (revised)
+    # and the new k=3 — k=1 is NOT re-emitted
+    assert sorted(rows) == [(1, 10.0), (2, 20.0), (2, 25.0), (3, 30.0)]

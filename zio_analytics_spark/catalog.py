@@ -6607,6 +6607,44 @@ def q_agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_update_mode",
+    oracle="""
+    SELECT (user_id % 50) AS user_bucket, count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def q_streaming_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the third and last output mode (complete and
+    append are covered elsewhere): only CHANGED aggregate rows flow to the
+    sink each trigger, the mode a key-value serving store is fed with
+    (complete rewrites everything, append can't revise). On a bounded
+    directory the file source takes every file in ONE trigger (no
+    maxFilesPerTrigger), so each key updates exactly once and the sink
+    content equals the batch aggregate — which is what makes the entry
+    oracle-checkable; multi-batch update semantics (same key emitted per
+    revision) are exercised in tests/test_streaming.py."""
+    import uuid
+
+    st = _events_stream(spark, sf_dir)
+    agg = st.groupBy(F.pmod(F.col("user_id"), F.lit(50)).alias("user_bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    name = f"upd_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
