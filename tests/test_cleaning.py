@@ -99,3 +99,24 @@ def test_equi_depth_bins_rejects_single_bin(spark):
     df = spark.range(10).select(F.col("id").alias("v"))
     with pytest.raises(ValueError):
         equi_depth_bins(df, "v", n_bins=1)
+
+
+def test_remove_boilerplate_lines(spark):
+    from zio_analytics_spark.operators.cleaning import remove_boilerplate_lines
+
+    rows = [(i, "COOKIE BANNER\ncontent %d\nFOOTER" % i) for i in range(5)] + [
+        (99, "COOKIE BANNER\nFOOTER")  # pure boilerplate -> empty, not dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["cleaned"] for r in
+           remove_boilerplate_lines(df, max_df=3).collect()}
+    assert out[0] == "content 0" and out[4] == "content 4"
+    assert out[99] == ""
+    assert len(out) == 6  # nothing vanishes
+    # order preserved when several rare lines survive
+    df2 = spark.createDataFrame(
+        [(1, "b\na\nc"), (2, "x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["cleaned"] for r in
+           remove_boilerplate_lines(df2, max_df=3).collect()}
+    assert got[1] == "b\na\nc"  # document order, NOT sorted line order

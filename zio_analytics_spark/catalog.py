@@ -6645,6 +6645,60 @@ def q_streaming_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+@register(
+    "boilerplate_removal",
+    oracle="""
+    WITH docs2 AS (
+      SELECT doc_id,
+             'HEADER: terms apply' || chr(10) || text || chr(10)
+             || 'FOOTER: all rights reserved' || chr(10) || 'UNIQ ' || doc_id AS t
+      FROM documents
+    ),
+    sp AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM docs2),
+    ln AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS pos FROM sp),
+    lines AS (SELECT doc_id, pos, l[pos] AS line FROM ln),
+    hot AS (
+      SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) > 10
+    ),
+    kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)),
+    asm AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, md5(coalesce(a.cleaned, '')) AS cleaned_md5,
+           length(coalesce(a.cleaned, ''))::BIGINT AS n_chars
+    FROM documents d LEFT JOIN asm a ON d.doc_id = a.doc_id
+    """,
+)
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (operators/cleaning.py — the CCNet
+    web-corpus step): every document gets a synthetic header/footer (the
+    same two lines in all 500+ docs) plus a unique trailer line; lines in
+    more than 10 documents are struck, content and unique lines survive
+    IN ORDER. Hot-line set broadcasts into an anti join; reassembly is an
+    order-preserving struct sort. The md5 of the cleaned text makes the
+    oracle byte-exact — including the empty-result contract for docs
+    that were pure boilerplate."""
+    from zio_analytics_spark.operators import cleaning
+
+    docs = read_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HEADER: terms apply\n"),
+            F.col("text"),
+            F.lit("\nFOOTER: all rights reserved\nUNIQ "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = cleaning.remove_boilerplate_lines(aug, max_df=10)
+    return out.select(
+        "doc_id",
+        F.md5("cleaned").alias("cleaned_md5"),
+        F.length("cleaned").cast("long").alias("n_chars"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -36,6 +36,7 @@ __all__ = [
     "redact_pii",
     "normalize_text",
     "mix_sources",
+    "remove_boilerplate_lines",
 ]
 
 #: Pattern set kept deliberately in the regex subset valid in BOTH Java
@@ -124,3 +125,55 @@ def mix_sources(
         F.lit(float(default_rate)),
     )
     return df.where(bucket < (rate * precision).cast("long"))
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 10,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/web-corpus approach):
+    a LINE appearing in more than ``max_df`` documents is boilerplate
+    (nav bars, cookie banners, license headers) and is struck from every
+    document; rare lines — the actual content — survive in order.
+
+    Plan: posexplode lines → line document-frequencies (one hash
+    aggregate) → the HOT set (small by construction: boilerplate is the
+    repeated minority) broadcasts into a LEFT ANTI join → surviving lines
+    re-assemble per document via an order-preserving sort of (pos, line)
+    structs. The only data-grain shuffles are the line aggregate and the
+    per-doc regroup; the anti join is map-side. Documents whose every
+    line was boilerplate come back as empty text, not dropped — the
+    caller decides their fate.
+
+    Returns ``(id_col, cleaned)``.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("__pos", "__line"),
+    )
+    linedf = lines.groupBy("__line").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    hot = linedf.where(F.col("__df") > max_df).select("__line")
+    kept = lines.join(F.broadcast(hot), "__line", "left_anti")
+    assembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                line_sep,
+            ).alias("cleaned")
+        )
+    )
+    # left join back: all-boilerplate docs return empty, never vanish
+    return df.select(F.col(id_col)).join(assembled, id_col, "left").select(
+        F.col(id_col), F.coalesce("cleaned", F.lit("")).alias("cleaned")
+    )
