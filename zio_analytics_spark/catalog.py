@@ -6699,6 +6699,57 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_SURVIVORS_ORACLE = (
+    CATALOG["dedup_clusters"].oracle.replace(
+        "SELECT node, min(label) AS cluster FROM walk GROUP BY node",
+        """, cl AS (SELECT node, min(label) AS cluster FROM walk GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster, d.n_chars
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.node
+    )
+    SELECT doc_id, cluster FROM labeled
+    QUALIFY row_number() OVER (PARTITION BY cluster
+                               ORDER BY n_chars DESC, doc_id) = 1""",
+    )
+)
+
+
+@register("dedup_survivors", oracle=_DEDUP_SURVIVORS_ORACLE)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup CAPSTONE — near-dup pairs → connected components → ONE
+    survivor per cluster, chosen by QUALITY (longest document, id
+    tiebreak) rather than arbitrary min-id: the full 'which documents
+    actually enter training' answer, composed from three verified pieces
+    (inverted-index Jaccard on the shared shingle table, iterative CC,
+    ranked keeper selection). Singleton docs survive as their own
+    cluster. The oracle composes the same pieces: recursive-CTE
+    components + the same ranked selection."""
+    pairs = dedup.jaccard_pairs(
+        read_table(spark, sf_dir, "documents"),
+        block_cols=["lang"],
+        n=3,
+        threshold=0.05,
+        prebuilt_shingles=_shared_word3_shingles(spark, sf_dir),
+    )
+    clusters = dedup.cluster_duplicates(pairs)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from pyspark.sql import Window as W
+
+    labeled = docs.join(
+        clusters.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        "n_chars",
+    )
+    w = W.partitionBy("cluster").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "cluster")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
