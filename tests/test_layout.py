@@ -139,3 +139,14 @@ def test_contiguous_ids_heavy_ties(spark):
 def test_contiguous_ids_empty(spark):
     df = spark.range(0).select(F.col("id").alias("h"))
     assert assign_contiguous_ids(df, "h").count() == 0
+
+
+def test_zorder_value_three_dims(spark):
+    # 3 dims x 2 bits: bijective on the 4x4x4 cube, 6-bit codomain
+    pts = [(x, y, z) for x in range(4) for y in range(4) for z in range(4)]
+    df = spark.createDataFrame(pts, "x long, y long, z long")
+    vals = sorted(
+        r["m"]
+        for r in df.select(zorder_value(["x", "y", "z"], bits=2).alias("m")).collect()
+    )
+    assert vals == list(range(64))

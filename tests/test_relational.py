@@ -136,3 +136,20 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     # id 2: backward match rt=100 at distance 100 > 50 -> nulled (NOT the
     # stale rt=10 row — tolerance post-filters the chosen match)
     assert got == {1: "fresh", 2: None}
+
+
+def test_asof_tolerance_boundary_inclusive(spark):
+    """A match at EXACTLY the tolerance distance is kept (<=, merge_asof
+    convention), one past it is nulled."""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1, 50.0), (2, 1, 51.0)], "id long, k long, t double")
+    right = spark.createDataFrame([(1, 0.0, "m")], "k long, rt double, tag string")
+    out = asof_join(
+        left, right, left_on="k", right_on="k", left_time="t", right_time="rt",
+        right_values=["tag"], tolerance=F.lit(50.0),
+    )
+    got = {r["id"]: r["tag"] for r in out.collect()}
+    assert got == {1: "m", 2: None}
