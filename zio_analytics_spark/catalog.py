@@ -6750,6 +6750,36 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_exact_best",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text)
+                               ORDER BY n_chars DESC, doc_id) = 1
+    """,
+)
+def q_dedup_exact_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a QUALITY-chosen keeper — the policy variant of
+    dedup_exact (which keeps min-id): per identical content, keep the
+    longest document (id tiebreak). Same digest-groupBy shuffle shape;
+    the keeper policy is one ranked window over the digest groups. In a
+    real pipeline the ORDER BY carries whatever quality signal the team
+    trusts (length, source priority, fetch recency) — the entry pins the
+    mechanism."""
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("__d")
+    )
+    w = W.partitionBy("__d").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
