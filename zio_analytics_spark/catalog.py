@@ -6576,9 +6576,9 @@ def q_agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer cross-cut distinct queries by merge, no re-scan (the
     approximate sibling of agg_bitmap_distinct's exact bitmaps:
     fixed-size state either way, HLL's is ~KB where bitmaps grow with the
-    key range). Tolerance-banded oracle: union estimate within 5%% of the
+    key range). Tolerance-banded oracle: union estimate within 5% of the
     exact distinct, half-estimate likewise (HLL at default lgK=12
-    measures well under 2%% here)."""
+    measures well under 2% here)."""
     li = read_table(spark, sf_dir, "lineitem")
     halves = li.groupBy((F.col("l_orderkey") % 2).alias("__h")).agg(
         F.hll_sketch_agg("l_partkey").alias("__sk")
