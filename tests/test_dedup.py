@@ -315,3 +315,23 @@ def test_prebuilt_shingles_result_identical(spark):
     d2 = dedup.minhash_lsh_pairs(docs, threshold=0.5)
     r2 = dedup.minhash_lsh_pairs(docs, threshold=0.5, prebuilt_shingles=sh_nb)
     assert sorted(map(tuple, d2.collect())) == sorted(map(tuple, r2.collect()))
+
+
+def test_incremental_ingest_reingest_same_doc_id(spark):
+    """A doc_id present in BOTH the prebuilt corpus shingles and the new
+    batch (re-ingest) must not sit on the build side twice — that would
+    merge both copies in the intersection groupBy and double the count
+    (jaccard > 1). The new version supersedes the corpus copy."""
+    corpus = spark.createDataFrame(
+        [(1, BASE), (4, FAR)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, BASE), (2, BASE)], "doc_id long, text string"  # 1 re-ingested
+    )
+    sh_corpus = dedup.build_shingle_table(corpus, n=3)
+    pairs = dedup.jaccard_pairs_incremental(
+        new, corpus, n=3, threshold=0.5, prebuilt_corpus_shingles=sh_corpus
+    ).collect()
+    assert all(r.jaccard <= 1.0 for r in pairs)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert got == {(1, 2): 1.0}  # exactly once, exact jaccard

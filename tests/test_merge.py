@@ -39,3 +39,22 @@ def test_scd2_apply(spark):
         (1, "a_v3", "2024-03-15", "9999-12-31"),   # new open version
         (2, "b_v1", "2024-01-01", "9999-12-31"),   # unchanged key stays open
     ]
+
+
+def test_table_diff_null_position_distinguishing(spark):
+    """Spark's hash skips null inputs — bare per-column structs would make
+    (NULL,'x') and ('x',NULL) digest identically and misclassify the row as
+    'same' (the dangerous direction for a migration check). The digest pairs
+    every value with an isNull marker, so null POSITION changes the hash."""
+    from zio_analytics_spark.operators.merge import table_diff
+
+    left = spark.createDataFrame(
+        [(1, None, "x"), (2, "q", "q"), (3, None, None)],
+        "id long, a string, b string",
+    )
+    right = spark.createDataFrame(
+        [(1, "x", None), (2, "q", "q"), (3, None, None)],
+        "id long, a string, b string",
+    )
+    out = {r.id: r.diff for r in table_diff(left, right, ["id"]).collect()}
+    assert out == {1: "changed", 2: "same", 3: "same"}

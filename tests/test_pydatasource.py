@@ -47,6 +47,69 @@ def test_jsonl_sink_two_phase_commit(spark, tmp_path):
     assert not glob.glob(out + "/.tmp-*")  # no torn temp files left
     manifest = json.load(open(out + "/_SUCCESS"))
     assert manifest == {"files": 4, "rows": 100}
-    back = spark.read.schema("id long, v long").json(out + "/part-*.jsonl")
+    back = (
+        spark.read.schema("id long, v long")
+        .option("pathGlobFilter", "part-*.jsonl")
+        .json(out)
+    )
     assert back.count() == 100
     assert back.agg({"v": "sum"}).first()[0] == sum(2 * i for i in range(100))
+
+
+def test_jsonl_sink_overwrite_clears_stale_parts(spark, tmp_path):
+    """mode('overwrite') must clear prior part files driver-side — a stale
+    part surviving an overwrite silently duplicates rows on read-back."""
+    import glob
+    import json
+    import os
+
+    from zio_analytics_spark.sources.pydatasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "sink_ow")
+    df = spark.range(50).selectExpr("id", "id AS v").repartition(4)
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+    assert len(glob.glob(out + "/part-*.jsonl")) == 4
+    spark.range(7).selectExpr("id", "id AS v").coalesce(1).write.format(
+        "jsonl_sink"
+    ).option("path", out).mode("overwrite").save()
+    assert len(glob.glob(out + "/part-*.jsonl")) == 1
+    assert json.load(open(out + "/_SUCCESS")) == {"files": 1, "rows": 7}
+    back = (
+        spark.read.schema("id long, v long")
+        .option("pathGlobFilter", "part-*.jsonl")
+        .json(out)
+    )
+    assert back.count() == 7  # no stale rows from the first write
+
+
+def test_jsonl_sink_publishes_only_committed_attempts(tmp_path):
+    """The two-phase contract directly: write() stages under a tmp name and
+    publishes NOTHING; commit() renames exactly the winning attempts' files
+    and sweeps orphan tmps from losing speculative/zombie attempts."""
+    import glob
+    import json
+    import os
+
+    from zio_analytics_spark.sources.pydatasource import _JsonlWriter
+
+    class _Row:
+        def __init__(self, d):
+            self._d = d
+
+        def asDict(self):
+            return self._d
+
+    out = str(tmp_path / "sink_spec")
+    w = _JsonlWriter({"path": out}, overwrite=False)
+    winner = w.write(iter([_Row({"id": 1}), _Row({"id": 2})]))
+    zombie = w.write(iter([_Row({"id": 1}), _Row({"id": 2})]))  # retried attempt
+    # nothing is published until commit
+    assert glob.glob(out + "/part-*.jsonl") == []
+    assert len(glob.glob(out + "/.tmp-*.jsonl")) == 2
+    w.commit([winner])  # only the winning attempt's message reaches commit
+    parts = glob.glob(out + "/part-*.jsonl")
+    assert len(parts) == 1  # zombie attempt not published…
+    assert glob.glob(out + "/.tmp-*.jsonl") == []  # …and its tmp was swept
+    assert json.load(open(out + "/_SUCCESS")) == {"files": 1, "rows": 2}
+    assert zombie.n_rows == 2  # the zombie did run; only publication is gated

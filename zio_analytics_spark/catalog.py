@@ -5653,9 +5653,14 @@ def q_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.write.format("jsonl_sink").option("path", out_dir).mode("append").save()
         with open(os.path.join(out_dir, "_SUCCESS")) as f:
             manifest = json.load(f)
+        # read the DIRECTORY with pathGlobFilter, not a glob-in-path:
+        # FileStreamSink.hasMetadata stats the literal glob string and logs
+        # a FileNotFoundException WARN stack (benign but it camouflages real
+        # failures in bench stderr)
         back = (
             spark.read.schema("o_orderkey long, o_orderpriority string, o_totalprice double")
-            .json(out_dir + "/part-*.jsonl")
+            .option("pathGlobFilter", "part-*.jsonl")
+            .json(out_dir)
         )
         result = back.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("n"),

@@ -124,7 +124,10 @@ def mix_sources(
         ],
         F.lit(float(default_rate)),
     )
-    return df.where(bucket < (rate * precision).cast("long"))
+    # round, don't truncate: 0.29 * 1e6 = 289999.9999… in binary floating
+    # point — a bare cast('long') would accept one bucket fewer than the
+    # stated rate and diverge from an oracle replay that rounds
+    return df.where(bucket < F.round(rate * precision).cast("long"))
 
 
 def remove_boilerplate_lines(

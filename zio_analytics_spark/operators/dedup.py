@@ -535,6 +535,15 @@ def jaccard_pairs_incremental(
         if prebuilt_corpus_shingles is not None
         else _materialize_table(_shingle_table(corpus_df, text_col, id_col, block_cols, n, shingle_mode))
     )
+    # Re-ingest semantics: a doc_id present in BOTH the corpus table and the
+    # new batch would otherwise sit on the build side twice (once per tag)
+    # and the (id,id,sz,sz) groupBy would merge the copies, doubling the
+    # intersection count (jaccard could exceed 1). The new version
+    # supersedes the corpus copy: anti-join the corpus shingles against the
+    # new batch's ids (small side — broadcastable at any corpus scale).
+    sh_old = sh_old.join(
+        F.broadcast(sh_new.select(id_col).distinct()), id_col, "left_anti"
+    )
 
     def toks(sh: DataFrame, tag: str, is_new: bool) -> DataFrame:
         return sh.select(

@@ -99,7 +99,17 @@ def table_diff(
     cmp_cols = list(compare_cols)
 
     def side(df: DataFrame, tag: str) -> DataFrame:
-        h = F.xxhash64(*[F.struct(F.col(c)) for c in cmp_cols]) if cmp_cols else F.lit(0)
+        # Spark's hash expressions SKIP null inputs (a null leaves the
+        # accumulator unchanged), so hashing bare columns would make
+        # (NULL, 'x') and ('x', NULL) collide across same-typed columns —
+        # false-'same' is the dangerous direction for a diff tool. Pairing
+        # every value with an explicit isNull marker makes null position-
+        # distinguishing: the boolean always contributes to the digest.
+        h = (
+            F.xxhash64(*[F.struct(F.col(c).isNull(), F.col(c)) for c in cmp_cols])
+            if cmp_cols
+            else F.lit(0)
+        )
         return df.select(*keys, h.alias(f"__h_{tag}"), F.lit(1).alias(f"__p_{tag}"))
 
     joined = side(left, "l").join(side(right, "r"), keys, "full_outer")

@@ -75,11 +75,19 @@ def psi_drift(
         bucket = bucket + (c > F.lit(float(b))).cast("int")
 
     def counts(df: DataFrame, name: str) -> DataFrame:
-        return df.select(bucket.alias("bin")).groupBy("bin").agg(
-            F.count(F.lit(1)).alias(name)
+        # NULLs have no bucket (their bin expression is NULL, absent from
+        # the 0..n_bins-1 spine) — they must leave the denominator too, or
+        # bin fractions stop summing to 1 and PSI biases downward whenever
+        # null rates differ between the two populations
+        return (
+            df.where(c.isNotNull())
+            .select(bucket.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
         )
 
-    ref_n, cur_n = reference.count(), current.count()
+    ref_n = reference.where(c.isNotNull()).count()
+    cur_n = current.where(c.isNotNull()).count()
     spine = reference.sparkSession.range(n_bins).select(
         F.col("id").cast("int").alias("bin")
     )

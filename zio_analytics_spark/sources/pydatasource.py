@@ -131,16 +131,30 @@ class _JsonlCommit(WriterCommitMessage):
 
 
 class _JsonlWriter(DataSourceWriter):
-    """Task-side writer: one JSONL file per partition, written atomically
-    (tmp name → rename on success), row count reported in the commit
-    message. ``commit`` runs on the driver once EVERY task succeeded and
-    publishes a _SUCCESS marker with the total — the standard two-phase
-    output-commit contract a real connector implements."""
+    """Task-side writer: one JSONL file per partition, staged under a
+    dot-prefixed tmp name. Publication happens ONLY in ``commit`` (driver,
+    after every task succeeded): the driver renames exactly the tmp files
+    named in the winning attempts' commit messages, so a speculative or
+    retried-after-success task attempt leaves an orphan tmp (swept by
+    commit) rather than a second published part file — the real two-phase
+    output-commit contract. ``overwrite`` is honored driver-side: stale
+    ``part-*`` files are cleared in ``__init__`` (which runs on the driver,
+    before tasks launch)."""
 
-    def __init__(self, options) -> None:
+    def __init__(self, options, overwrite: bool) -> None:
+        import glob
+        import os
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_sink requires .option('path', ...)")
+        os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            for stale in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(stale)
+            marker = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(marker):
+                os.remove(marker)
 
     def write(self, iterator) -> "_JsonlCommit":
         import json
@@ -148,29 +162,40 @@ class _JsonlWriter(DataSourceWriter):
         import uuid
 
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
-        final = tmp.replace("/.tmp-", "/part-")
         n = 0
         with open(tmp, "w") as f:
             for row in iterator:
                 f.write(json.dumps(row.asDict()) + "\n")
                 n += 1
-        os.rename(tmp, final)
-        return _JsonlCommit(final, n)
+        # stay under the tmp name — commit() publishes winners only
+        return _JsonlCommit(tmp, n)
 
     def commit(self, messages) -> None:
+        import glob
         import json
         import os
 
-        total = sum(m.n_rows for m in messages)
+        winners = set()
+        total = 0
+        for m in messages:
+            final = m.path.replace("/.tmp-", "/part-")
+            os.rename(m.path, final)
+            winners.add(m.path)
+            total += m.n_rows
+        # sweep tmp files from losing speculative/zombie attempts
+        for orphan in glob.glob(os.path.join(self.path, ".tmp-*.jsonl")):
+            if orphan not in winners:
+                os.remove(orphan)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             json.dump({"files": len(messages), "rows": total}, f)
 
     def abort(self, messages) -> None:
+        import glob
         import os
 
-        for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+        # nothing was published (tmps only) — remove every staged file
+        for orphan in glob.glob(os.path.join(self.path, ".tmp-*.jsonl")):
+            os.remove(orphan)
 
 
 class JsonlSinkDataSource(DataSource):
@@ -184,7 +209,7 @@ class JsonlSinkDataSource(DataSource):
         return "jsonl_sink"
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
-        return _JsonlWriter(self.options)
+        return _JsonlWriter(self.options, overwrite)
 
 
 def register_jsonl_sink(spark) -> None:
