@@ -65,6 +65,10 @@ def test_decode_image_rejects_unknown_formats():
     import pytest
 
     with pytest.raises(ValueError, match="unsupported image format"):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF....")  # JPEG: real codec seam
+    with pytest.raises(ValueError, match="IHDR"):
+        # PNG is SUPPORTED now — a valid signature with no chunks is corrupt,
+        # not unknown
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(ValueError, match="only BI_RGB"):
         # BMP header claiming 8 bpp
@@ -188,3 +192,91 @@ def test_sample_frame_stats_stride(spark):
     assert r["n_frames"] == 5 and r["n_sampled"] == 3
     assert r["mean_luma"] == (0 + 20 + 40) / 3
     assert r["first_luma"] == 0
+
+
+def test_png_roundtrip_all_filters_rgb():
+    """encode_png cycles scanline filter y%5, so an 11-row image forces the
+    decoder through None/Sub/Up/Average/Paeth (twice); any broken unfilter
+    corrupts every subsequent row via the Up/Paeth chain."""
+    import numpy as np
+
+    w, h = 7, 11
+
+    def pix(x, y):
+        return ((x * 3 + y * 7) % 256, (x + y) % 256, (2 * x + 5 * y) % 256)
+
+    m = multimodal.decode_image(multimodal.encode_png(w, h, pix, color_type=2))
+    assert (m["width"], m["height"], m["mode"]) == (w, h, "RGB")
+    exp = np.array([[pix(x, y) for x in range(w)] for y in range(h)], dtype=np.uint8)
+    assert np.array_equal(m["pixels"], exp)
+
+
+def test_png_roundtrip_rgba_and_gray():
+    import numpy as np
+
+    def pix4(x, y):
+        return (x % 256, y % 256, (x + y) % 256, (x * y) % 256)
+
+    m4 = multimodal.decode_png(multimodal.encode_png(5, 6, pix4, color_type=6))
+    exp4 = np.array([[pix4(x, y) for x in range(5)] for y in range(6)], dtype=np.uint8)
+    assert m4["mode"] == "RGBA" and np.array_equal(m4["pixels"], exp4)
+    mg = multimodal.decode_png(
+        multimodal.encode_png(4, 7, lambda x, y: ((x * 31 + y * 17) % 256,), color_type=0)
+    )
+    assert mg["mode"] == "L" and mg["pixels"].shape == (7, 4, 1)
+
+
+def test_png_decoder_only_handbuilt_stream():
+    """Decoder-vs-spec check that cannot be cancelled by a shared encoder
+    bug: a 2x2 RGB stream hand-filtered with Sub then Paeth, expected raw
+    bytes computed by hand from RFC 2083's predictor definitions."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # raw row0 = 10,20,30,110,120,130  -> Sub:   10,20,30,100,100,100
+    # raw row1 = 13,24,35,120,130,150  -> Paeth: 3,4,5,10,10,20
+    filtered = bytes([1, 10, 20, 30, 100, 100, 100, 4, 3, 4, 5, 10, 10, 20])
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    comp = zlib.compress(filtered)
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+    exp = np.array(
+        [[[10, 20, 30], [110, 120, 130]], [[13, 24, 35], [120, 130, 150]]],
+        dtype=np.uint8,
+    )
+    one = sig + ihdr + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+    assert np.array_equal(multimodal.decode_png(one)["pixels"], exp)
+    # IDAT may be split arbitrarily — the zlib stream spans chunks
+    split = sig + ihdr + chunk(b"IDAT", comp[:5]) + chunk(b"IDAT", comp[5:]) + chunk(b"IEND", b"")
+    assert np.array_equal(multimodal.decode_png(split)["pixels"], exp)
+
+
+def test_png_rejects_unsupported_tiers():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="signature"):
+        multimodal.decode_png(b"\x89PNG\r\n\x1a\x00garbage")
+    # 16-bit depth refused (documented seam, not silent garbage)
+    import struct
+    import zlib
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="8-bit"):
+        multimodal.decode_png(bad)

@@ -2,11 +2,12 @@
 with typed metadata (SURVEY.md §2.4 tail).
 
 The decode stage is REAL for the formats a pure-Python parser can own:
-uncompressed 24-bit BMP (BI_RGB) and binary PPM (P6) — header parse, row
-padding, bottom-up row order, pixel stats — inside the Arrow-batched
-``mapInPandas`` seam. Compressed codecs (JPEG/PNG/audio/video) stay behind
-the same seam as a stub (no codec libraries in this container): swap
-``decode_image`` for a PIL/libvips call and nothing else changes.
+uncompressed 24-bit BMP (BI_RGB), binary PPM (P6), and — compression
+included — PNG (stdlib ``zlib`` inflate + the five scanline unfilters,
+8-bit gray/RGB/RGBA), inside the Arrow-batched ``mapInPandas`` seam.
+Codecs that genuinely need external libraries (JPEG/MP3/H.264) stay
+behind the same seam as a documented ``ValueError``: swap ``decode_image``
+for a PIL/libvips call and nothing else changes.
 
 Schema convention for a multimodal asset column::
 
@@ -34,6 +35,8 @@ __all__ = [
     "attach_binary",
     "binary_meta",
     "encode_bmp",
+    "encode_png",
+    "decode_png",
     "decode_image",
     "decode_pixel_stats",
     "decode_image_stub",
@@ -83,8 +86,179 @@ def encode_bmp(width: int, height: int, pixel_of: Callable[[int, int], tuple[int
     return header + bytes(rows)
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick the neighbor — left ``a``,
+    up ``b``, upper-left ``c`` — closest to the linear estimate a + b - c,
+    ties broken left → up → upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+#: channels per PNG color type (bit depth 8, non-palette)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixel_of: Callable[[int, int], tuple],
+    color_type: int = 2,
+    filter_cycle: bool = True,
+) -> bytes:
+    """Pure-Python PNG writer (stdlib ``zlib`` DEFLATE only): signature,
+    IHDR, one IDAT, IEND, with correct CRCs. ``pixel_of(x, y)`` returns the
+    channel tuple for the top-left-origin pixel grid (len must match
+    ``color_type``: 0=gray, 2=RGB, 4=gray+alpha, 6=RGBA; bit depth 8).
+
+    ``filter_cycle=True`` applies scanline filter ``y % 5`` — deliberately
+    exercising None/Sub/Up/Average/Paeth on successive rows so a decoder
+    must implement every unfilter correctly (an encoder that always emits
+    filter 0 would let a broken Paeth path pass undetected).
+    """
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = bytearray(height * stride)
+    for y in range(height):
+        for x in range(width):
+            px = pixel_of(x, y)
+            raw[y * stride + x * ch : y * stride + (x + 1) * ch] = bytes(
+                v & 0xFF for v in px
+            )
+
+    filtered = bytearray()
+    zero = bytes(stride)
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        prior = raw[(y - 1) * stride : y * stride] if y else zero
+        ftype = y % 5 if filter_cycle else 0
+        filtered.append(ftype)
+        for i in range(stride):
+            left = row[i - ch] if i >= ch else 0
+            up = prior[i]
+            ul = prior[i - ch] if i >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = _paeth(left, up, ul)
+            filtered.append((row[i] - pred) & 0xFF)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL pure-Python PNG decode — stdlib ``zlib`` inflate + per-scanline
+    unfiltering (None/Sub/Up/Average/Paeth), no codec libraries.
+
+    Supports the truecolor tier: bit depth 8, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced, multi-IDAT. Returns
+    ``{width, height, mode, pixels}`` with ``pixels`` an (h, w, channels)
+    uint8 array in top-left-origin order. Palette/16-bit/Adam7 raise
+    ``ValueError`` — the same documented seam as every other codec edge.
+
+    Scale note: rows unfilter sequentially (each predicts from the prior
+    row) so the work is inherently per-image — which is exactly the
+    mapInPandas grain; numpy vectorizes the None/Up rows and the per-byte
+    loop touches only Sub/Average/Paeth rows.
+    """
+    import zlib
+
+    b = bytes(payload or b"")
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        ln = struct.unpack_from(">I", b, pos)[0]
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # len + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in _PNG_CHANNELS or comp != 0 or filt != 0:
+        raise ValueError(
+            f"only 8-bit gray/RGB/RGBA PNG supported (depth={depth}, color={color_type})"
+        )
+    if interlace != 0:
+        raise ValueError("Adam7 interlace not supported")
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    data = zlib.decompress(b"".join(idat))
+    if len(data) != height * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = data[off]
+        row = np.frombuffer(data, dtype=np.uint8, count=stride, offset=off + 1)
+        if ftype == 0:
+            cur = row.copy()
+        elif ftype == 2:  # Up: fully vectorized
+            cur = (row.astype(np.int32) + prior) .astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: left-dependent scan
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(cur[i - ch]) if i >= ch else 0
+                up = int(prior[i])
+                ul = int(prior[i - ch]) if i >= ch else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) >> 1
+                else:
+                    pred = _paeth(left, up, ul)
+                cur[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prior = cur
+    mode = {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[ch]
+    return {
+        "width": width,
+        "height": height,
+        "mode": mode,
+        "pixels": out.reshape(height, width, ch),
+    }
+
+
 def decode_image(payload: bytes) -> dict:
-    """REAL pure-Python image decode for BMP (BI_RGB 24bpp) and PPM (P6).
+    """REAL pure-Python image decode for BMP (BI_RGB 24bpp), PPM (P6), and
+    PNG (via :func:`decode_png` — DEFLATE + per-scanline unfiltering).
 
     Returns ``{width, height, mode, pixels}`` where ``pixels`` is an
     (height, width, 3) uint8 RGB array in TOP-LEFT-origin order — i.e. the
@@ -95,6 +269,8 @@ def decode_image(payload: bytes) -> dict:
     """
     if payload is None or len(payload) < 2:
         raise ValueError("empty payload")
+    if bytes(payload[:8]) == _PNG_SIG:
+        return decode_png(payload)
     magic = bytes(payload[:2])
     if magic == b"BM":
         if len(payload) < 54:
