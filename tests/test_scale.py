@@ -435,3 +435,22 @@ def test_contiguous_ids_no_single_partition_global_sort(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the window partitions by __bkt -> hashpartitioning, not SinglePartition
     assert "SinglePartition" not in plan, plan[:1500]
+
+
+def test_tpch_q12_filters_below_single_join(spark, sf_dir):
+    """Q12 must plan exactly ONE join (orders ⋈ lineitem on orderkey);
+    every derived-column predicate (shipmode IN-list, commit < receipt,
+    ship < commit, receipt-year window) must sit BELOW the join on the
+    lineitem side so only surviving rows reach the exchange."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    q = CATALOG["tpch_q12_shipmode"].fn(spark, sf_dir)
+    opt = q._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Join") == 1, opt[:3000]
+    below = opt[opt.find("Join"):]
+    # the 4-condition filter stack is under the join, next to the scan
+    assert "MAIL" in below and "1997-01-01" in below, opt[:3000]
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # two-row key space → partial aggregation is map-side combinable
+    assert "HashAggregate" in plan, plan[:2000]

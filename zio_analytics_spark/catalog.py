@@ -6281,6 +6281,79 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q12_shipmode",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             ['AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK']
+               [(l_orderkey * 7 + l_linenumber * 13) % 7 + 1] AS l_shipmode,
+             l_shipdate::DATE AS sd,
+             l_shipdate::DATE
+               + ((l_orderkey * 7 + l_linenumber * 13) % 60 - 20)::INT AS cd,
+             l_shipdate::DATE
+               + (((l_orderkey * 7 + l_linenumber * 13) * 5) % 30 + 1)::INT AS rd
+      FROM lineitem
+    )
+    SELECT l_shipmode,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders JOIN li ON o_orderkey = l_orderkey
+    WHERE l_shipmode IN ('MAIL', 'SHIP')
+      AND cd < rd AND sd < cd
+      AND rd >= DATE '1997-01-01' AND rd < DATE '1998-01-01'
+    GROUP BY l_shipmode
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 — the last of the 22 TPC-H topologies (shipping-mode priority
+    report): selective fact filter → single orders⋈lineitem join →
+    two-branch conditional aggregation. The driver schema lacks
+    l_shipmode/l_commitdate/l_receiptdate, so they are DERIVED
+    deterministically from (l_orderkey, l_linenumber) integer arithmetic
+    — the same trick that unblocked q2/q9/q11/q16/q20's partsupp: both
+    engines construct the identical columns in-query, so the full Q12
+    predicate stack (mode IN-list, commit < receipt, ship < commit,
+    receipt-year window) and the CASE aggregation are exercised for real.
+    Scale shape: every derived column and all four filters are computed
+    map-side in the lineitem scan projection — the join sees only
+    surviving rows, and the groupBy carries two int accumulators over a
+    2-row key space (fully map-side combinable)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    k = F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13
+    modes = F.array(
+        *[F.lit(m) for m in ("AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK")]
+    )
+    sd = F.col("l_shipdate").cast("date")
+    derived = li.select(
+        "l_orderkey",
+        F.element_at(modes, (F.pmod(k, 7) + 1).cast("int")).alias("l_shipmode"),
+        sd.alias("sd"),
+        F.date_add(sd, (F.pmod(k, 60) - 20).cast("int")).alias("cd"),
+        F.date_add(sd, (F.pmod(k * 5, 30) + 1).cast("int")).alias("rd"),
+    ).where(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("cd") < F.col("rd"))
+        & (F.col("sd") < F.col("cd"))
+        & (F.col("rd") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("rd") < F.lit("1998-01-01").cast("date"))
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        derived.join(orders, derived.l_orderkey == orders.o_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
     "tpch_q9_product_profit",
     oracle=f"""
     WITH {_PS_SQL}
