@@ -22,6 +22,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from zio_analytics_spark.tmpdirs import scratch_dir as _scratch_dir
+
 from zio_analytics_spark.datastream import DataStream
 from zio_analytics_spark.operators import dedup, similarity, text
 from zio_analytics_spark.operators.asof import asof_join
@@ -2198,13 +2200,12 @@ def q_similarity_ann_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_scale.py). Index build is the one-time cost this
     entry pays per call for reproducibility; real deployments build once
     and query many times."""
-    import tempfile
 
     from zio_analytics_spark.operators import ann_index
 
     qv = _query_vec(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
-    path = tempfile.mkdtemp(prefix="zas_ann_idx_")
+    path = _scratch_dir(prefix="zas_ann_idx_")
     ann_index.build_lsh_index(emb, path, n_planes=6, seed=42)
     return ann_index.query_lsh_index(spark, path, qv, k=10, n_planes=6, seed=42)
 
@@ -3029,13 +3030,12 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py, partition pruning in tests/test_scale.py).
     A broken cell assignment or probe selection collapses recall and fails
     the hash — previously this entry was rows-only."""
-    import tempfile
 
     from zio_analytics_spark.operators import ann_index
 
     qv = _query_vec(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
-    path = tempfile.mkdtemp(prefix="zas_ivf_idx_")
+    path = _scratch_dir(prefix="zas_ivf_idx_")
     ann_index.build_ivf_index(emb, path, n_cells=16)
     ann = ann_index.query_ivf_index(spark, path, qv, k=10, nprobe=4)
     brute = similarity.brute_force_topk(emb, qv, k=10)
@@ -4046,8 +4046,8 @@ def q_streaming_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFra
     from zio_analytics_spark.streaming.recovery import split_into_files
 
     ev = read_table(spark, sf_dir, "events").select("user_id", "value")
-    src = tempfile.mkdtemp(prefix="zas_fbm_src_")
-    ckpt = tempfile.mkdtemp(prefix="zas_fbm_ck_")
+    src = _scratch_dir(prefix="zas_fbm_src_")
+    ckpt = _scratch_dir(prefix="zas_fbm_ck_")
     target = tempfile.mkdtemp(prefix="zas_fbm_tgt_")
     split_into_files(ev, src, n_files=4)
     schema = "user_id bigint, n bigint, total double"
@@ -4463,13 +4463,12 @@ def q_streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFra
     counts), recovered state stops undercounts: exactly-once. This is the
     Structured Streaming property the reference's in-memory runtime
     (Local.scala:214-226) cannot offer; no other entry exercises it."""
-    import tempfile
 
     from zio_analytics_spark.streaming import recovery
 
     ev = read_table(spark, sf_dir, "events").select("user_id", "value")
-    src = tempfile.mkdtemp(prefix="zas_ckpt_src_")
-    ckpt = tempfile.mkdtemp(prefix="zas_ckpt_cp_")
+    src = _scratch_dir(prefix="zas_ckpt_src_")
+    ckpt = _scratch_dir(prefix="zas_ckpt_cp_")
     # A deterministic quarter of the events is HELD BACK and only written
     # after the kill: the restart is guaranteed at least one uncommitted
     # file, so run 2 always commits a batch (without this, a fast machine
@@ -6539,7 +6538,6 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     real purchase — the engine's no-data-batch finalization then emits
     every pending outer row. Result ≡ the batch LEFT JOIN (oracle); the
     matched subset doubles as streaming_interval_join's inner result."""
-    import tempfile
     import time as _time
 
     from zio_analytics_spark.streaming.joins import interval_join
@@ -6547,7 +6545,7 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
-    src = tempfile.mkdtemp(prefix="zas_outer_src_")
+    src = _scratch_dir(prefix="zas_outer_src_")
     ev.repartition(1).write.mode("append").parquet(src)
     _time.sleep(1.05)  # file-source orders batches by mod time: sentinel second
     # one sentinel PER SIDE: each side's watermark derives from the event

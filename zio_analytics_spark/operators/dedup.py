@@ -54,10 +54,12 @@ def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
     truncates the lineage so the cache can be unpersisted immediately,
     leaving the DataFrame cache registry empty, with zero lingering
     executor footprint (unlike ``localCheckpoint``, whose blocks sit in
-    storage memory until the consumer's GC drops the frame)."""
-    import tempfile
+    storage memory until the consumer's GC drops the frame). The temp dir
+    is registered with :mod:`zio_analytics_spark.tmpdirs` and removed at
+    session stop / interpreter exit."""
+    from zio_analytics_spark.tmpdirs import scratch_dir
 
-    path = tempfile.mkdtemp(prefix="zas_dedup_out_")
+    path = scratch_dir(prefix="zas_dedup_out_")
     result.write.mode("overwrite").parquet(path)
     for df in cached:
         df.unpersist()
@@ -78,11 +80,12 @@ def _materialize_table(df: DataFrame, prefix: str = "zas_dedup_tbl_") -> DataFra
     columnar data, and at 100 TB writing the shingle/fingerprint table
     once IS the standard pipeline shape. The write is one eager job —
     dedup operators are multi-job pipelines by contract, not single lazy
-    plans.
+    plans. The dir is registered with :mod:`zio_analytics_spark.tmpdirs`
+    and removed at session stop / interpreter exit.
     """
-    import tempfile
+    from zio_analytics_spark.tmpdirs import scratch_dir
 
-    path = tempfile.mkdtemp(prefix=prefix)
+    path = scratch_dir(prefix=prefix)
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.schema(df.schema).parquet(path)
 

@@ -61,4 +61,24 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _hook_scratch_cleanup(spark)
     return spark
+
+
+def _hook_scratch_cleanup(spark: SparkSession) -> None:
+    """Wrap ``spark.stop`` so session-scoped scratch dirs (materialized
+    dedup/ANN intermediates — see :mod:`zio_analytics_spark.tmpdirs`) are
+    removed when the session ends; atexit covers processes that never call
+    stop(). Idempotent: getOrCreate may hand back the same session."""
+    if getattr(spark, "_zas_scratch_hooked", False):
+        return
+    original_stop = spark.stop
+
+    def stop_and_cleanup(*args, **kwargs):
+        from zio_analytics_spark import tmpdirs
+
+        tmpdirs.cleanup()
+        return original_stop(*args, **kwargs)
+
+    spark.stop = stop_and_cleanup
+    spark._zas_scratch_hooked = True
