@@ -10,8 +10,10 @@ round-over-round comparison metric). The full-catalog per-entry sweep is
 written to ``BENCH_FULL.json`` NEXT TO this file, never to stdout: the
 driver's tail capture parses the last stdout line, and a 107-entry JSON
 blob overflows it (round 2's official record was lost that way). Set
-``SPARK_GRAFT_FULL_BENCH=0`` to skip the full sweep. Streaming entries are
-excluded there (their latency is trigger/watermark policy, not query cost).
+``SPARK_GRAFT_FULL_BENCH=0`` to skip the full sweep. Streaming entries get
+their own ``streaming_queries`` section in BENCH_FULL.json (wall time incl.
+checkpoint setup, same per-entry budget) — separate from the batch total
+because their latency mixes trigger/watermark policy with query cost.
 
 Each query is executed to completion via the ``noop`` sink — unlike
 ``count()``, which would let Catalyst prune projected columns and skip the
@@ -106,6 +108,8 @@ def main() -> None:
     timings = run_timed(catalog.bench_queries().items(), isolate=True)
 
     all_timings: dict[str, float] = {}
+    stream_timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_FULL_BENCH", "1") != "0":
         rest = [
             (name, fn)
@@ -114,6 +118,28 @@ def main() -> None:
         ]
         spark.catalog.clearCache()
         all_timings = {**timings, **run_timed(rest, isolate=True)}
+        # Streaming lane: wall time per entry INCLUDING checkpoint/source
+        # setup and awaitTermination — a latency record, kept separate from
+        # the batch total (trigger policy dominates, not query cost).
+        stream = [
+            (name, fn)
+            for name, fn in catalog.queries().items()
+            if name.startswith("streaming_")
+        ]
+        stream_timings = run_timed(stream, isolate=True)
+        # Production simhash path: the catalog entry ships hash_name='md5'
+        # so DuckDB can replay fingerprints bit-for-bit (+~24%% on the md5
+        # column expression); record the shipped blake2b default's timing
+        # too so the production path has a perf history.
+        from zio_analytics_spark.operators import dedup as _dedup
+        from zio_analytics_spark.sources.parquet import read_table as _rt
+
+        t0 = time.perf_counter()
+        _dedup.simhash_pairs(
+            _rt(spark, sf_dir, "documents"), max_hamming=3, hash_name="blake2b"
+        ).write.format("noop").mode("overwrite").save()
+        extras["dedup_simhash_blake2b"] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -125,7 +151,9 @@ def main() -> None:
     # Override with SPARK_GRAFT_BENCH_BUDGET_SEC; 0 disables.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "15"))
     breaches = {
-        n: t for n, t in (all_timings or timings).items() if budget > 0 and t > budget
+        n: t
+        for n, t in {**(all_timings or timings), **stream_timings}.items()
+        if budget > 0 and t > budget
     }
     if all_timings:
         full_path = os.path.join(
@@ -136,6 +164,9 @@ def main() -> None:
                 {
                     "all_queries": all_timings,
                     "all_total_sec": round(sum(all_timings.values()), 3),
+                    "streaming_queries": stream_timings,
+                    "streaming_total_sec": round(sum(stream_timings.values()), 3),
+                    "extras": extras,
                     "budget_sec": budget,
                     "budget_breaches": breaches,
                     "sf": sf_val,

@@ -150,3 +150,18 @@ def test_zorder_value_three_dims(spark):
         for r in df.select(zorder_value(["x", "y", "z"], bits=2).alias("m")).collect()
     )
     assert vals == list(range(64))
+
+
+def test_contiguous_ids_default_bucket_count_scales(spark):
+    """Default n_buckets derives from input size (clamped [16, 4096]) and
+    ids stay the exact global rank regardless of boundary placement —
+    approx_percentile boundaries only affect balance, never correctness."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(
+        F.pmod(F.xxhash64("id"), F.lit(997)).cast("long").alias("h"),
+        F.col("id").alias("k"),
+    )
+    out = assign_contiguous_ids(df, "h", tiebreak=["k"])  # default buckets
+    rows = out.orderBy("h", "k").collect()
+    assert [r["seq_id"] for r in rows] == list(range(500))

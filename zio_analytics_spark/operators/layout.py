@@ -87,21 +87,36 @@ def assign_contiguous_ids(
     order_num: Column | str,
     tiebreak: Sequence[Column | str] = (),
     id_name: str = "seq_id",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Gap-free 0..N-1 ids following the total order ``(order_num,
     *tiebreak)``, without a global single-task sort.
 
     The naive ``row_number() OVER (ORDER BY ...)`` funnels everything
     through ONE task. Instead: (1) one aggregate computes ``n_buckets``
-    exact quantile boundaries of ``order_num`` and a bucket id is assigned
-    by strict-``>`` comparison against the inlined boundaries (ties always
+    APPROXIMATE quantile boundaries of ``order_num`` (sketch-based — no
+    sort; an exact ``percentile`` over the full key column would itself be
+    a heavy sort-aggregate at 100 TB) and a bucket id is assigned by
+    strict-``>`` comparison against the inlined boundaries (ties always
     share a bucket, so bucket order respects value order); (2) one tiny
     aggregate counts rows per bucket → cumulative offsets, inlined as a
     literal map; (3) id = bucket offset + in-bucket ``row_number`` − 1,
     each bucket's window sorting only its own slice in parallel.
 
-    Everything driver-side is bounded (n_buckets doubles + counts — the
+    Approximate boundaries are SAFE here: the final id is the global rank
+    in ``(order_num, *tiebreak)`` order for ANY boundary placement —
+    buckets respect value order by construction and offsets come from the
+    actual per-bucket counts, so boundary skew costs only balance, never
+    correctness. The boundaries are collected once and inlined as
+    literals, so pass 2 and pass 3 see the identical bucketing.
+
+    ``n_buckets`` defaults to ~1 bucket per 2M rows, clamped to
+    [16, 4096] (one cheap count pass) — the pass-3 parallelism bound: a
+    fixed 64 would mean 64 single-task window sorts (~1.6 TB/task at
+    100 TB), while the cap keeps driver state and the boundary sketch
+    bounded. Pass an explicit value to pin it.
+
+    Everything driver-side is bounded (n_buckets values + counts — the
     same materialization a broadcast performs). Deliberately built from
     DATA-derived buckets, not ``spark_partition_id`` after a range
     exchange: range-exchange boundary sampling is not guaranteed stable
@@ -115,9 +130,12 @@ def assign_contiguous_ids(
     c = F.col(order_num) if isinstance(order_num, str) else order_num
     tb = [F.col(t) if isinstance(t, str) else t for t in tiebreak]
     key = df.select(c.alias("__k"))
+    if n_buckets is None:
+        n_rows = key.count()
+        n_buckets = max(16, min(4096, -(-n_rows // 2_000_000)))
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = key.agg(
-        F.expr(f"percentile(__k, array({', '.join(map(str, qs))}))")
+        F.expr(f"approx_percentile(__k, array({', '.join(map(str, qs))}))")
     ).first()[0]
     if bounds is None:  # empty input: single empty bucket, no ids to assign
         return df.withColumn(id_name, F.lit(None).cast("long"))
