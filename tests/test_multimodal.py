@@ -280,3 +280,49 @@ def test_png_rejects_unsupported_tiers():
     )
     with _pytest.raises(ValueError, match="8-bit"):
         multimodal.decode_png(bad)
+
+
+def test_g711_reference_values_and_roundtrip():
+    """Published G.711 anchor values (μ-law 0x00 → −32124, 0xFF → 0;
+    A-law 0x55 → −8, 0x2A → −32256) plus full-container decode — the
+    expansion formulas are checked against the spec, not a shared
+    implementation."""
+    import numpy as np
+
+    from zio_analytics_spark.operators.multimodal import (
+        _alaw_to_linear,
+        _ulaw_to_linear,
+        decode_audio,
+        encode_wav_g711,
+    )
+
+    assert _ulaw_to_linear(np.array([0xFF], np.uint8))[0] == 0
+    assert _ulaw_to_linear(np.array([0x00], np.uint8))[0] == -32124
+    assert _ulaw_to_linear(np.array([0x80], np.uint8))[0] == 32124
+    assert _alaw_to_linear(np.array([0x55], np.uint8))[0] == -8
+    assert _alaw_to_linear(np.array([0xD5], np.uint8))[0] == 8
+    assert _alaw_to_linear(np.array([0x2A], np.uint8))[0] == -32256
+    assert _alaw_to_linear(np.array([0xAA], np.uint8))[0] == 32256
+
+    enc = bytes((i * 31 + 7) % 256 for i in range(50))
+    for law, expand in (("ulaw", _ulaw_to_linear), ("alaw", _alaw_to_linear)):
+        m = decode_audio(encode_wav_g711(enc, 8000, law))
+        assert m["sample_rate"] == 8000 and m["n_channels"] == 1
+        assert np.array_equal(
+            m["samples"][:, 0], expand(np.frombuffer(enc, np.uint8))
+        )
+
+
+def test_decode_audio_still_rejects_real_codecs():
+    import pytest as _pytest
+
+    from zio_analytics_spark.operators import multimodal as mm
+
+    # fmt code 85 = MP3-in-WAV: a genuine codec-library seam
+    import struct
+
+    hdr = b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 85, 1, 8000, 8000, 1, 0)
+    hdr += b"data" + struct.pack("<I", 0)
+    with _pytest.raises(ValueError, match="G.711"):
+        mm.decode_audio(hdr)

@@ -5595,6 +5595,66 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_g711",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, 20 + doc_id % 13 AS n,
+             unnest(range(0, 20 + doc_id % 13)) AS i
+      FROM documents
+    ), d AS (
+      SELECT doc_id, n, i, 255 - ((doc_id * 31 + i * 7) % 256) AS u FROM s
+    ), t AS (
+      SELECT doc_id, n, i, u,
+             ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS mag
+      FROM d
+    ), v AS (
+      SELECT doc_id, n, i,
+             CASE WHEN u >= 128 THEN 132 - mag ELSE mag - 132 END AS sample
+      FROM t
+    )
+    SELECT doc_id, 8000 AS sample_rate, max(n)::BIGINT AS n_samples,
+           max(n) * 1000.0 / 8000 AS duration_ms,
+           avg(sample) AS mean_amp,
+           max(abs(sample))::INT AS max_abs,
+           max(CASE WHEN i = 0 THEN sample END)::INT AS first_sample
+    FROM v GROUP BY doc_id
+    """,
+)
+def q_multimodal_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio decode, oracle-checked end to end: each document
+    gets a G.711 μ-law WAV (fmt code 7, companded byte i =
+    (31·doc_id + 7i) mod 256) and decode_audio expands it to linear PCM
+    with the CCITT reference formula — complement, (mantissa·8 + 132) <<
+    exponent, − 132, sign from bit 7. The formula is pure integer
+    arithmetic, so the DuckDB oracle replays the EXPANSION itself (not
+    just the container walk): a wrong shift, bias, or sign convention in
+    the expander mismatches every stat; ``first_sample`` pins the i=0
+    byte through complement + segment + sign. With PNG this makes both
+    'compressed codec' seams real decode paths, zero new dependencies
+    ([EXT]; reference has no multimodal tier)."""
+    from zio_analytics_spark.operators.multimodal import (
+        decode_audio_stats,
+        encode_wav_g711,
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 20 + i % 13
+                enc = bytes((i * 31 + k * 7) % 256 for k in range(n))
+                payloads.append(encode_wav_g711(enc, sample_rate=8000, law="ulaw"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_audio_stats(payloads)
+
+
+@register(
     "text_tfidf_top_terms",
     oracle="""
     WITH toks AS (

@@ -41,6 +41,7 @@ __all__ = [
     "decode_pixel_stats",
     "decode_image_stub",
     "encode_wav",
+    "encode_wav_g711",
     "decode_audio",
     "decode_audio_stats",
     "encode_y4m",
@@ -406,12 +407,47 @@ def encode_wav(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
     return hdr + pcm
 
 
+def encode_wav_g711(encoded: bytes, sample_rate: int = 8000, law: str = "ulaw") -> bytes:
+    """RIFF/WAVE container around already-G.711-companded 8-bit samples:
+    fmt code 7 (μ-law) or 6 (A-law), mono, 8 bits/sample. The payload
+    bytes ARE the companded stream — companding itself happens upstream
+    (telephony capture); this writer only frames it."""
+    fmt_code = {"ulaw": 7, "alaw": 6}[law]
+    n = len(encoded)
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, fmt_code, 1, sample_rate, sample_rate, 1, 8)
+    hdr += b"data" + struct.pack("<I", n)
+    return hdr + bytes(encoded)
+
+
+def _ulaw_to_linear(u8: "np.ndarray") -> "np.ndarray":
+    """G.711 μ-law expansion (CCITT reference formula): complement, then
+    sample = ((mantissa·8 + 132) << exponent) − 132, sign from bit 7.
+    Pure integer arithmetic — a SQL oracle replays it exactly."""
+    u = (~u8.astype(np.int32)) & 0xFF
+    t = ((u & 0x0F) * 8 + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int32)
+
+
+def _alaw_to_linear(a8: "np.ndarray") -> "np.ndarray":
+    """G.711 A-law expansion: XOR 0x55, then segment 0 → mantissa·16 + 8,
+    segments ≥ 1 → (mantissa·16 + 264) << (segment − 1); sign bit SET
+    means positive (A-law's inverted sign convention)."""
+    a = a8.astype(np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    mag = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, mag, -mag).astype(np.int32)
+
+
 def decode_audio(payload: bytes) -> dict:
-    """REAL pure-Python audio decode for PCM WAV (16-bit mono/stereo):
-    walks the RIFF chunk list (robust to extra chunks like LIST/fact —
-    not a fixed 44-byte assumption), validates the fmt chunk, and returns
+    """REAL pure-Python audio decode for WAV: 16-bit PCM (fmt 1) plus the
+    COMPRESSED telephony codecs G.711 μ-law (fmt 7) and A-law (fmt 6),
+    expanded to linear int16 by the CCITT reference formulas. Walks the
+    RIFF chunk list (robust to extra chunks like LIST/fact — not a fixed
+    44-byte assumption), validates the fmt chunk, and returns
     ``{sample_rate, n_channels, samples}`` with ``samples`` an
-    (n, channels) int16 array. Compressed audio (MP3/AAC/...) raises
+    (n, channels) int16-range array. Other codecs (MP3/AAC/...) raise
     ``ValueError`` — swap a codec-library decoder into the same seam.
     """
     b = bytes(payload or b"")
@@ -429,9 +465,15 @@ def decode_audio(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, _, _, bits = fmt
-    if audio_fmt != 1 or bits != 16:
-        raise ValueError(f"only 16-bit PCM supported (fmt={audio_fmt}, bits={bits})")
-    samples = np.frombuffer(data, dtype="<i2")
+    if audio_fmt == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    elif audio_fmt in (6, 7) and bits == 8:
+        expand = _alaw_to_linear if audio_fmt == 6 else _ulaw_to_linear
+        samples = expand(np.frombuffer(data, dtype=np.uint8))
+    else:
+        raise ValueError(
+            f"only 16-bit PCM and 8-bit G.711 supported (fmt={audio_fmt}, bits={bits})"
+        )
     if n_ch > 1:
         samples = samples.reshape(-1, n_ch)
     else:
