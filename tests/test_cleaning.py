@@ -120,3 +120,36 @@ def test_remove_boilerplate_lines(spark):
     got = {r["doc_id"]: r["cleaned"] for r in
            remove_boilerplate_lines(df2, max_df=3).collect()}
     assert got[1] == "b\na\nc"  # document order, NOT sorted line order
+
+
+def test_temperature_mix_alpha_extremes(spark):
+    """alpha=1 -> natural distribution (every rate 1.0, nothing dropped);
+    alpha=0 -> uniform (head strata cut toward the rarest stratum's
+    count); alpha=0.5 keeps the rarest stratum complete."""
+    rows = [(i, "big" if i < 400 else "small") for i in range(440)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+
+    keep_all = cleaning.temperature_mix(df, "src", ["doc_id"], alpha=1.0)
+    assert keep_all.count() == 440  # (nm/n)^0 == 1 for every stratum
+
+    half = cleaning.temperature_mix(df, "src", ["doc_id"], alpha=0.5)
+    by_src = {r["src"]: r["n"] for r in half.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src.get("small") == 40          # rarest keeps everything
+    # big's rate is sqrt(40/400) ~= 0.316 -> acceptance is hash-random
+    assert 80 <= by_src.get("big", 0) <= 180  # loose band around 126
+
+    flat = cleaning.temperature_mix(df, "src", ["doc_id"], alpha=0.0)
+    flat_counts = {r["src"]: r["n"] for r in flat.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert flat_counts.get("small") == 40
+    assert flat_counts.get("big", 0) <= 80  # cut toward n_min (rate 0.1)
+
+
+def test_temperature_mix_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(300)], "doc_id long, src string"
+    )
+    a = sorted(r["doc_id"] for r in cleaning.temperature_mix(df, "src", ["doc_id"]).collect())
+    b = sorted(r["doc_id"] for r in cleaning.temperature_mix(df, "src", ["doc_id"]).collect())
+    assert a == b and a  # same membership on re-run

@@ -205,3 +205,44 @@ def test_tfidf_rare_term_wins(spark):
     assert top[3] == "other"
     # exactly k rows per doc
     assert tfidf_top_terms(df, k=2).groupBy("doc_id").count().where("count > 2").count() == 0
+
+
+def test_bigram_logprob_word_salad_scores_higher(spark):
+    """Transition model property the unigram scorer cannot express: two
+    documents with the SAME bag of words score differently when one has
+    fluent (repeated) transitions and the other is shuffled word salad."""
+    from zio_analytics_spark.operators.text import bigram_logprob
+
+    fluent = "the cat sat on the mat " * 10
+    salad = "mat the on sat cat the mat sat the on the cat " * 5
+    df = spark.createDataFrame(
+        [(1, fluent), (2, salad)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert out[1]["n_bigrams"] == 59 and out[2]["n_bigrams"] == 59
+    assert out[2]["avg_neg_logprob"] > out[1]["avg_neg_logprob"]
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """2-doc corpus small enough to compute the interpolated probability
+    by hand: corpus = 'a b' and 'a b'; c(a)=c(b)=2, T=4, c(ab)=2.
+    P(b|a) = 0.75*(2/2) + 0.25*(2/4) = 0.875 -> -ln(0.875)."""
+    import math
+
+    from zio_analytics_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame([(1, "a b"), (2, "a b")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    want = round(-math.log(0.875), 6)
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["avg_neg_logprob"] == want == out[2]["avg_neg_logprob"]
+
+
+def test_bigram_logprob_short_docs_drop(spark):
+    from zio_analytics_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two tokens")], "doc_id long, text string"
+    )
+    out = {r["doc_id"] for r in bigram_logprob(df).collect()}
+    assert out == {2}  # <2 tokens -> no transitions -> absent

@@ -4249,7 +4249,14 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper="0 SECONDS",
     )
     out = joined.select("purchase_id", "click_id", "user_id")
-    return _run_append(out, "stream_ijoin")
+    # 8 state partitions at this volume — see streaming_interval_join_outer
+    # (per-partition state-store commits dominate at 32)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _run_append(out, "stream_ijoin")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 @register(
@@ -4617,6 +4624,80 @@ def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaning.mix_sources(
         docs, rates, strat_col="lang", id_cols=["doc_id"], seed="mix7"
     ).select("doc_id", "lang")
+
+
+@register(
+    "dataset_temperature_mix",
+    oracle="""
+    WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS nm FROM c),
+    r AS (SELECT lang, round(sqrt(m.nm / c.n) * 1000000)::BIGINT AS thr FROM c, m)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE ('0x' || substr(md5('tmix|' || d.doc_id), 1, 8))::UBIGINT % 1000000
+          < r.thr
+    """,
+)
+def q_dataset_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α=0.5) source rebalancing (operators/cleaning.py) —
+    the XLM-R/mT5 α-sampling scheme realized as deterministic acceptance
+    rates rᵢ = sqrt(n_min/nᵢ): the rarest language keeps everything,
+    head languages are flattened toward it. Rates are DATA-derived (one
+    |strata|-row count aggregate to the driver), the acceptance test is
+    the same content-hash rule as dataset_mix_sources (map-side,
+    growth-stable). α=0.5 is chosen deliberately: sqrt is correctly
+    rounded under IEEE 754 in both engines, so the oracle's re-derivation
+    of every rate — counts → sqrt → round(·10⁶) threshold — is
+    bit-identical, with no pow() last-ulp caveat."""
+    from zio_analytics_spark.operators import cleaning
+
+    docs = read_table(spark, sf_dir, "documents")
+    return cleaning.temperature_mix(
+        docs, strat_col="lang", id_cols=["doc_id"], alpha=0.5, seed="tmix"
+    ).select("doc_id", "lang")
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS L
+      FROM documents
+    ),
+    pos AS (SELECT doc_id, unnest(range(0, len(L))) AS i, L FROM base),
+    tk AS (
+      SELECT doc_id, L[i + 1] AS tok,
+             CASE WHEN i > 0 THEN L[i] END AS prev
+      FROM pos
+    ),
+    uni AS (SELECT tok, count(*)::DOUBLE AS c1 FROM tk GROUP BY tok),
+    tot AS (SELECT sum(c1) AS t FROM uni),
+    bi AS (
+      SELECT prev, tok, count(*)::DOUBLE AS c2
+      FROM tk WHERE prev IS NOT NULL GROUP BY prev, tok
+    )
+    SELECT tk.doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(-ln(0.75 * (bi.c2 / up.c1)
+                         + 0.25 * (ut.c1 / tot.t))), 6) AS avg_neg_logprob
+    FROM tk
+    JOIN bi ON tk.prev = bi.prev AND tk.tok = bi.tok
+    JOIN uni up ON up.tok = tk.prev
+    JOIN uni ut ON ut.tok = tk.tok, tot
+    GROUP BY tk.doc_id
+    """,
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM quality score (operators/text.py): average
+    negative log P(wᵢ|wᵢ₋₁) under the Jelinek–Mercer mix λ·bigram-MLE +
+    (1−λ)·unigram-MLE of the corpus itself — one rung above
+    text_unigram_logprob on the cheap-perplexity ladder (word-salad
+    documents have common WORDS but rare TRANSITIONS; only a transition
+    model separates them from fluent text). Positional scan + lag window
+    for transitions, vocabulary-sized bigram/unigram tables broadcast
+    (the Zipf-skew escape). Oracle rebuilds the same model and score."""
+    return text.bigram_logprob(read_table(spark, sf_dir, "documents"))
 
 
 # =====================================================================
@@ -6598,6 +6679,7 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     real purchase — the engine's no-data-batch finalization then emits
     every pending outer row. Result ≡ the batch LEFT JOIN (oracle); the
     matched subset doubles as streaming_interval_join's inner result."""
+    import os as _os
     import time as _time
 
     from zio_analytics_spark.streaming.joins import interval_join
@@ -6606,8 +6688,22 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
         "event_id", "user_id", "event_type", "ts"
     )
     src = _scratch_dir(prefix="zas_outer_src_")
+
+    # The file source orders batches by file MOD TIME — instead of
+    # sleeping >1 s between writes (2.1 s of dead wall time per bench
+    # run), stamp each write's files with an explicit, strictly
+    # increasing mtime via os.utime: same ordering, zero sleep.
+    _seen: set[str] = set()
+
+    def _stamp_new(when: float) -> None:
+        for name in _os.listdir(src):
+            if name not in _seen:
+                _os.utime(_os.path.join(src, name), (when, when))
+                _seen.add(name)
+
+    _t_base = _time.time()
     ev.repartition(1).write.mode("append").parquet(src)
-    _time.sleep(1.05)  # file-source orders batches by mod time: sentinel second
+    _stamp_new(_t_base - 20)
     # one sentinel PER SIDE: each side's watermark derives from the event
     # times that side actually observes AFTER its filter, so a purchase-only
     # sentinel advances only the purchase watermark and the click side's
@@ -6632,8 +6728,9 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     # batch 3 the final outer rows stay buffered and processAllAvailable
     # returns with them withheld (both failure modes observed).
     sentinel_at(2030, -1).repartition(1).write.mode("append").parquet(src)
-    _time.sleep(1.05)
+    _stamp_new(_t_base - 10)
     sentinel_at(2031, -3).repartition(1).write.mode("append").parquet(src)
+    _stamp_new(_t_base)
 
     stream = (
         spark.readStream.schema("event_id long, user_id long, event_type string, ts timestamp")
@@ -6666,7 +6763,19 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     # key), so the sentinel rows are filtered BEFORE the watermark
     # operator ever sees their event times — and advance nothing
     # (observed: offsets moved, numInputRows 0, watermark stuck).
-    return _run_append(out, "stream_ojoin").where(F.col("user_id") >= 0)
+    #
+    # State-partition sizing: every micro-batch commits one state-store
+    # instance per shuffle partition per join side — at this data volume
+    # 32 partitions is pure commit overhead (measured ~2 s/run), so the
+    # query runs at 8. Sizing state partitions to volume is the same
+    # decision a cluster deployment makes (upward, there).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        res = _run_append(out, "stream_ojoin")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return res.where(F.col("user_id") >= 0)
 
 
 @register(

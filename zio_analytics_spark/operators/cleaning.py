@@ -36,6 +36,7 @@ __all__ = [
     "redact_pii",
     "normalize_text",
     "mix_sources",
+    "temperature_mix",
     "remove_boilerplate_lines",
 ]
 
@@ -128,6 +129,50 @@ def mix_sources(
     # point — a bare cast('long') would accept one bucket fewer than the
     # stated rate and diverge from an oracle replay that rounds
     return df.where(bucket < F.round(rate * precision).cast("long"))
+
+
+def temperature_mix(
+    df: DataFrame,
+    strat_col: str,
+    id_cols: Sequence[str],
+    alpha: float = 0.5,
+    seed: str = "tmix",
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-pretraining
+    standard, cf. XLM-R / mT5 α-sampling): sample stratum *i* with
+    probability ∝ pᵢ^α, flattening the source distribution so rare
+    sources/languages aren't drowned by the head. Realized as per-stratum
+    ACCEPTANCE RATES over :func:`mix_sources`'s content-hash test —
+    deterministic, repartition/retry/growth-stable, map-side only.
+
+    The rate normalizes the rarest stratum to 1.0 (keep everything there,
+    down-sample the rest): rᵢ = (n_min/nᵢ)^(1−α). α=1 ⇒ natural
+    distribution (all rates 1); α=0 ⇒ uniform (every stratum cut to
+    n_min); α=0.5 (default) is the common compromise — and computes via
+    ``sqrt``, which IEEE 754 rounds correctly in every engine, so an
+    oracle's replay is bit-identical (a general ``pow`` is only
+    faithfully-rounded and may differ in the last ulp across libms).
+
+    One tiny count aggregate drives the rates (|strata| rows to the
+    driver — broadcast-sized); the acceptance pass is one codegen'd
+    projection, so at 100 TB rejected rows die before any exchange.
+    """
+    import math
+
+    counts = {
+        r[0]: r[1] for r in df.groupBy(strat_col).count().collect()
+    }
+    if not counts:
+        return df.where(F.lit(False))
+    n_min = min(counts.values())
+    if alpha == 0.5:
+        rates = {k: math.sqrt(n_min / n) for k, n in counts.items()}
+    else:
+        rates = {k: (n_min / n) ** (1.0 - alpha) for k, n in counts.items()}
+    return mix_sources(
+        df, rates, strat_col, id_cols, seed=seed, precision=precision
+    )
 
 
 def remove_boilerplate_lines(

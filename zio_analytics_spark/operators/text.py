@@ -21,6 +21,7 @@ __all__ = [
     "repetition_stats",
     "language_id",
     "fingerprint",
+    "bigram_logprob",
     "word_shingles",
     "char_shingles",
     "pack_sequences",
@@ -304,6 +305,66 @@ def unigram_logprob(
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.avg("__nlp"), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document average negative log-probability under a Jelinek–Mercer
+    interpolated BIGRAM model of the corpus itself — the next rung above
+    :func:`unigram_logprob` on the cheap-perplexity ladder (CCNet-style
+    LM quality filtering without an external model):
+
+        P(wᵢ | wᵢ₋₁) = λ · c(wᵢ₋₁wᵢ)/c(wᵢ₋₁) + (1−λ) · c(wᵢ)/T
+
+    Word-salad documents score high (fluent transitions are rare even when
+    individual words are common — which the unigram score cannot see);
+    boilerplate scores low on both.
+
+    Plan: one positional token scan (posexplode), transitions via ``lag``
+    over a per-document window (one shuffle on ``id_col``, linear); the
+    unigram and bigram tables are vocabulary-sized (Heaps' law) and
+    BROADCAST by default, so corpus-side scoring is shuffle-free — the
+    same Zipf-skew escape as the unigram scorer ('the the' would otherwise
+    hot-key a token-keyed shuffle join). Documents with < 2 tokens have no
+    transitions and drop out (same convention as the oracle).
+
+    Returns ``(id_col, n_bigrams, avg_neg_logprob)`` rounded to 6 dp.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    pairs = toks.select(
+        id_col, "tok", F.lag("tok").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    total = uni.agg(F.sum("c1").alias("t"))
+    bi = pairs.groupBy("prev", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    )
+    u_prev = uni.select(F.col("tok").alias("prev"), F.col("c1").alias("c1_prev"))
+    u_tok = uni.select("tok", F.col("c1").alias("c1_tok"))
+    if broadcast_vocab:
+        bi, u_prev, u_tok = F.broadcast(bi), F.broadcast(u_prev), F.broadcast(u_tok)
+    p = F.lit(lam) * (F.col("c2") / F.col("c1_prev")) + F.lit(1.0 - lam) * (
+        F.col("c1_tok") / F.col("t")
+    )
+    return (
+        pairs.join(bi, ["prev", "tok"])
+        .join(u_prev, "prev")
+        .join(u_tok, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("avg_neg_logprob"),
         )
     )
 
