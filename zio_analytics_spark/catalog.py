@@ -4700,6 +4700,44 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logprob(read_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "payload_decompress",
+    oracle="""
+    SELECT doc_id, md5(text) AS gzip_md5, md5(text) AS zstd_md5,
+           len(text)::BIGINT AS n_chars
+    FROM documents
+    """,
+)
+def q_payload_decompress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-payload ingest (operators/compression.py) — the
+    web-crawl shape: WARC-style pipelines deliver per-record
+    gzip-compressed payloads, lakes increasingly carry zstd blobs. Each
+    document's text round-trips through BOTH codecs (stdlib gzip with
+    deterministic mtime=0 framing; zstd through pyarrow.Codec with an
+    8-byte length prefix) inside Arrow-vectorized pandas UDFs, and the
+    decompressed bytes are md5'd against the original text — the oracle
+    is simply md5(text), so any codec-path corruption (truncation, frame
+    offset, encoding) hash-mismatches. Payload bytes stay at the task
+    grain; decompression is pure per-row CPU and scales embarrassingly."""
+    from zio_analytics_spark.operators.compression import compress, decompress
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = F.encode("text", "utf-8")
+    packed = docs.select(
+        "doc_id",
+        compress(raw, "gzip").alias("gz"),
+        compress(raw, "zstd").alias("zs"),
+    )
+    return packed.select(
+        "doc_id",
+        F.md5(F.decode(decompress(F.col("gz"), "gzip"), "utf-8")).alias("gzip_md5"),
+        F.md5(F.decode(decompress(F.col("zs"), "zstd"), "utf-8")).alias("zstd_md5"),
+        F.length(F.decode(decompress(F.col("gz"), "gzip"), "utf-8"))
+        .cast("long")
+        .alias("n_chars"),
+    )
+
+
 # =====================================================================
 # [EXT] Equi-depth binning (operators/sketch.py)
 # =====================================================================
