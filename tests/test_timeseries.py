@@ -79,3 +79,35 @@ def test_interpolate_linear_timestamp_axis(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = {str(r["ts"]): r["v"] for r in interpolate_linear(df, "k", "ts", "v").collect()}
     assert out["2024-01-01 01:00:00"] == 3.0  # 1/3 of the way in TIME
+
+
+def test_ewma_recurrence_hand_computed(spark):
+    """e1=x1; et = 0.25*xt + 0.75*e(t-1) — exact binary coefficients, so
+    the comparison is equality, not approx."""
+    from zio_analytics_spark.operators.timeseries import ewma
+
+    rows = [(1, 1, "2024-01-01 00:00:00", 8.0),
+            (1, 2, "2024-01-01 01:00:00", 4.0),
+            (1, 3, "2024-01-01 02:00:00", 0.0),
+            (2, 4, "2024-01-01 00:00:00", 2.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string, value double"
+    ).selectExpr("user_id", "event_id", "CAST(ts_s AS timestamp) AS ts", "value")
+    out = {r.event_id: r.ewma for r in ewma(
+        df, "value", order_by=["ts", "event_id"], partition_by=["user_id"]
+    ).collect()}
+    assert out[1] == 8.0
+    assert out[2] == 0.25 * 4.0 + 0.75 * 8.0      # 7.0
+    assert out[3] == 0.25 * 0.0 + 0.75 * 7.0      # 5.25
+    assert out[4] == 2.0  # independent key restarts the recurrence
+
+
+def test_ewma_requires_partition_keys(spark):
+    import pytest as _pytest
+
+    from zio_analytics_spark.operators.timeseries import ewma
+
+    df = spark.range(5).selectExpr("id AS user_id", "id AS event_id",
+                                   "CAST(id AS double) AS value")
+    with _pytest.raises(ValueError, match="partition_by"):
+        ewma(df, "value", order_by=["event_id"], partition_by=[])

@@ -2374,6 +2374,49 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, changes, ["c_custkey"], "ts")
 
 
+@register(
+    "timeseries_ewma",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, value, rn, value AS ewma
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.value, s.rn,
+             0.25 * s.value + 0.75 * r.ewma
+      FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value, ewma FROM r
+    """,
+)
+def q_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA over event time (operators/timeseries.py) — a true
+    linear RECURRENCE, the op class neither window aggregates (not
+    associative) nor the closed-form window trick (overflows past ~700
+    rows) can serve at scale: each key runs a sequential Arrow scan,
+    parallel across keys — MapAccumulate's per-key state contract
+    (DataStream.scala:44-45) powering a real time-series primitive. The
+    oracle replays the recurrence itself via a recursive CTE stepping
+    row_number chains; α=0.25 makes both coefficients exactly
+    representable, and both engines evaluate literally α·x + (1−α)·e per
+    step, so every double is bit-identical — no rounding needed."""
+    from zio_analytics_spark.operators.timeseries import ewma
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = ewma(
+        ev, "value", order_by=["ts", "event_id"], partition_by=["user_id"],
+        alpha=0.25,
+    )
+    return out.select("user_id", "event_id", "value", "ewma")
+
+
 # Hypertable-style cascading rollup: the DAY level is derived from the HOUR
 # level (one raw scan for the whole hierarchy); oracle aggregates raw rows
 # directly — results must be identical for re-aggregable measures.

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["cascade_rollup"]
+__all__ = ["cascade_rollup", "ewma"]
 
 # name → (initial agg over raw, re-agg over finer level)
 _REAGG = {
@@ -125,3 +125,56 @@ def interpolate_linear(
         .otherwise(lerp)
     )
     return df.withColumn(out_col or value_col, filled)
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    alpha: float = 0.25,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per key:
+    ``e₁ = x₁; eₜ = α·xₜ + (1−α)·eₜ₋₁`` over ``order_by`` within each
+    ``partition_by`` group — the smoothing/anomaly-baseline primitive.
+
+    An EWMA is a linear RECURRENCE, not an associative aggregate, so the
+    window fast path doesn't apply; the closed-form window trick
+    (Σ xᵢ/(1−α)^i scaled back) overflows doubles after ~700 rows, so it is
+    deliberately NOT used. Instead each key's slice runs a sequential
+    Arrow-batched scan (``applyInPandas``) — per-key state like the
+    reference's MapAccumulate (DataStream.scala:44-45), parallel across
+    keys, linear within. The recurrence is evaluated as literally
+    ``α·x + (1−α)·e`` in float64, one multiply each and one add per step,
+    so an oracle replaying the same expression sequence is bit-identical
+    (with α=0.25 both coefficients are exactly representable).
+
+    Returns ``partition_by + order_by + (value_col, out_col)``.
+    """
+    import numpy as np
+
+    part = list(partition_by)
+    order = list(order_by)
+    if not part:
+        raise ValueError("ewma requires partition_by keys (per-key recurrence)")
+    a, b = float(alpha), 1.0 - float(alpha)
+    out_cols = part + order + [value_col, out_col]
+
+    def scan(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        out = np.empty(len(vals), dtype=np.float64)
+        e = 0.0
+        for i in range(len(vals)):
+            e = vals[i] if i == 0 else a * vals[i] + b * e
+            out[i] = e
+        pdf = pdf.copy()
+        pdf[out_col] = out
+        return pdf[out_cols]
+
+    schema_parts = []
+    for c in out_cols[:-1]:
+        schema_parts.append(f"{c} {df.schema[c].dataType.simpleString()}")
+    schema_parts.append(f"{out_col} double")
+    return df.groupBy(*part).applyInPandas(scan, ", ".join(schema_parts))
