@@ -88,3 +88,26 @@ def test_mad_outliers_zero_mad(spark):
     df = spark.createDataFrame([(i, 5.0) for i in range(20)] + [(99, 6.0)], "id long, v double")
     out = {r["id"]: r["is_outlier"] for r in mad_outliers(df, "v").collect()}
     assert out[99] and sum(out.values()) == 1
+
+
+def test_count_triangles_known_graph(spark):
+    """K4 has 4 triangles; adding a pendant edge and a duplicate/reversed/
+    self-loop edge changes nothing after canonicalization."""
+    from zio_analytics_spark.operators.graph import count_triangles
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(2, 1), (3, 3), (0, 9), (1, 0)]  # reversed, loop, pendant, dup
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    assert count_triangles(df).first()["n_triangles"] == 4
+
+
+def test_count_triangles_skewed_hub(spark):
+    """A star (hub + 50 leaves) has zero triangles regardless of hub
+    degree; closing one leaf-leaf edge creates exactly one."""
+    from zio_analytics_spark.operators.graph import count_triangles
+
+    star = [(0, i) for i in range(1, 51)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    assert count_triangles(df).first()["n_triangles"] == 0
+    closed = spark.createDataFrame(star + [(1, 2)], "src long, dst long")
+    assert count_triangles(closed).first()["n_triangles"] == 1

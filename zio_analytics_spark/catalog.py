@@ -4250,6 +4250,66 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_ewma",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, value, rn, value AS ewma
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.value, s.rn,
+             0.25 * s.value + 0.75 * r.ewma
+      FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ewma FROM r
+    """,
+)
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EWMA recurrence on the STREAMING runtime — batch/streaming
+    parity for timeseries_ewma, same recursive-CTE oracle, same
+    bit-identical α=0.25 arithmetic: per-user state (the running average
+    and a seen-anything flag packed as one double — NaN = fresh key)
+    carried by ``applyInPandasWithState`` across micro-batches. This is
+    the production smoothing shape: the model state survives batch
+    boundaries via the state store, so a restart resumes the recurrence
+    instead of restarting it."""
+    import math
+
+    from zio_analytics_spark.streaming.stateful import map_accumulate_stream
+
+    st = _events_stream(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+
+    def fn(acc, pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        out = np.empty(len(vals), dtype=np.float64)
+        e = acc
+        for i in range(len(vals)):
+            e = vals[i] if math.isnan(e) else 0.25 * vals[i] + 0.75 * e
+            out[i] = e
+        o = pdf[["user_id", "event_id"]].copy()
+        o["ewma"] = out
+        return (float(e), o)
+
+    out = map_accumulate_stream(
+        st,
+        ["user_id"],
+        fn,
+        init_state=lambda: float("nan"),
+        output_schema="user_id long, event_id long, ewma double",
+        state_schema="acc double",
+    )
+    return _run_append(out, "stream_ewma")
+
+
+@register(
     "streaming_interval_join",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
@@ -5093,6 +5153,46 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, n_iter=3, damping=0.85)
     return pr.select("node", F.round("rank", 9).alias("rank"))
+
+
+@register(
+    "graph_triangles",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id % 60 AS s, (doc_id * 7 + doc_id // 60) % 60 AS d
+      FROM documents
+    ),
+    und AS (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM raw WHERE s <> d
+    )
+    SELECT count(*)::BIGINT AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count (operators/graph.py) — the canonical
+    multi-way distributed join workload — over a deterministic graph
+    derived from documents (edges doc_id%60 → (7·doc_id + doc_id div 60)
+    % 60, canonicalized undirected — 516 triangles at sf0.01, so the
+    count is non-trivial, not a vacuous zero). The operator counts via DEGREE-ORIENTED
+    wedges (every edge directed low-degree → high-degree, ties by id):
+    oriented out-degree is O(√E), so a power-law hub generates O(E)
+    wedge candidates total instead of deg² — the standard skew bound for
+    triangle enumeration at scale. The oracle counts the same triangles
+    with the naive id-ordered 3-way join (a<b<c); both formulations count
+    each triangle exactly once, so the equality also certifies the
+    orientation logic."""
+    from zio_analytics_spark.operators.graph import count_triangles
+
+    docs = read_table(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(60)).alias("src"),
+        F.pmod(F.col("doc_id") * 7 + F.expr("doc_id DIV 60"), F.lit(60)).alias("dst"),
+    )
+    return count_triangles(edges)
 
 
 @register(

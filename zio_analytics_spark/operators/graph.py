@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "count_triangles"]
 
 
 def pagerank(
@@ -78,3 +78,71 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def count_triangles(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact triangle count over an undirected edge list — the canonical
+    multi-way distributed join workload (clustering coefficients, spam/
+    community detection).
+
+    Input edges may be directed/duplicated/self-looped; they are first
+    canonicalized to distinct undirected pairs. Counting then ORIENTS
+    every edge by DEGREE — from the lower-degree endpoint to the higher
+    (ties by node id) — and joins oriented wedges a→b, a→c (b < c in the
+    degree order) against the oriented closing edge b→c. Each triangle is
+    counted exactly once, and the orientation is the standard skew bound:
+    a node's oriented out-degree is O(√E), so the wedge join's per-key
+    fan-out is bounded even when raw degrees are power-law — the
+    difference between a hub node generating deg² wedge candidates and
+    √E², i.e. E, total across the graph.
+
+    Plan: degree aggregate (one shuffle) joined back onto edges on the
+    node keys (NOT broadcast — at graph scale the degree table is
+    node-count-sized; AQE demotes to broadcast when it actually fits),
+    wedge self-join on the low endpoint, closing-edge equi-join on
+    (x, y). No cross join anywhere.
+
+    Returns a 1-row frame ``(n_triangles)``.
+    """
+    s, d = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(
+            F.least(s, d).alias("a"), F.greatest(s, d).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
+    with_deg = und.join(da, "a").join(db, "b")
+    # orient lower-degree -> higher-degree (ties by id): (lo, hi)
+    lo_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lo_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_hi"),
+    )
+    # wedges lo -> (x, y) with x before y in the (deg, id) orientation order
+    e1 = oriented.select("lo", F.col("hi").alias("x"), F.col("deg_hi").alias("dx"))
+    e2 = oriented.select(
+        F.col("lo").alias("lo2"), F.col("hi").alias("y"), F.col("deg_hi").alias("dy")
+    )
+    wedges = e1.join(e2, e1.lo == e2.lo2).where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
