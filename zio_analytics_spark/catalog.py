@@ -5133,6 +5133,70 @@ def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
     )
 
 
+def _kmeans_oracle(k: int = 10, d: int = 64, n_iter: int = 3) -> str:
+    """Chained-CTE replay of Lloyd's k-means: init = k smallest vec_ids,
+    per-iteration assignment (argmin L2², ties to lowest j) and centroid
+    update (per-dim avg rounded to 6 dp, empty clusters keep their old
+    centroid via COALESCE) — the exact contract of
+    operators/clustering.py."""
+    dims = f"(SELECT unnest(range(1, {d + 1})) AS i) i"
+    ctes = [
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS emb
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""d{t} AS (
+      SELECT e.vec_id, e.embedding, c.j,
+             sum((e.embedding[i.i]::DOUBLE - c.emb[i.i]::DOUBLE)
+                 * (e.embedding[i.i]::DOUBLE - c.emb[i.i]::DOUBLE)) AS dist
+      FROM embeddings e, c{t - 1} c, {dims}
+      GROUP BY e.vec_id, e.embedding, c.j
+    )""")
+        ctes.append(f"""a{t} AS (
+      SELECT vec_id, embedding, j FROM d{t}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1
+    )""")
+        if t < n_iter:
+            ctes.append(f"""u{t} AS (
+      SELECT j, i.i AS i, round(avg(embedding[i.i]::DOUBLE), 6) AS x
+      FROM a{t}, {dims} GROUP BY j, i.i
+    )""")
+            ctes.append(f"""c{t} AS (
+      SELECT c{t - 1}.j, coalesce(nu.emb, c{t - 1}.emb) AS emb
+      FROM c{t - 1} LEFT JOIN
+           (SELECT j, list(x ORDER BY i) AS emb FROM u{t} GROUP BY j) nu
+      USING (j)
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT vec_id, j AS cluster FROM a{n_iter}"
+    )
+
+
+@register("kmeans_clusters", oracle=_kmeans_oracle())
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native k-means (operators/clustering.py): Lloyd's
+    algorithm, 3 fixed iterations, k=10 over the 64-dim embeddings — the
+    MLlib-shaped distributed iteration with bounded k·d driver state,
+    inlined-literal distance expressions (codegen, no UDF), and one
+    k×d-cell aggregate per round. Every determinism lever is pinned so
+    the DuckDB oracle replays ALL three iterations and every final
+    assignment exactly: data-derived init (k smallest ids), ties to the
+    lowest cluster index, centroids rounded 6 dp per update (summation-
+    order ulps cannot compound), empty clusters keep their centroid.
+    The driver's embeddings carry no geometric label structure
+    (same-label cosine ≈ 0.002 ≈ noise — measured), so recovery QUALITY
+    is proven separately on crafted well-separated blobs in
+    tests/test_clustering.py; this entry certifies the distributed
+    iteration itself."""
+    from zio_analytics_spark.operators.clustering import kmeans_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, "embedding", "vec_id", k=10, n_iter=3, dim=64)
+
+
 @register("pagerank_fixed", oracle=_pagerank_oracle())
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 3 fixed iterations, over a deterministic interaction graph

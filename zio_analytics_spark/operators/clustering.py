@@ -1,0 +1,80 @@
+"""[EXT] DataFrame-native k-means (Lloyd's algorithm).
+
+The MLlib-shaped iteration without the MLlib dependency: centroids are
+BOUNDED driver state (k·d doubles — the same materialization a broadcast
+performs), each iteration is one scan with the k distance expressions
+inlined as literals (whole-stage codegen, no UDF) plus one k×d-cell
+aggregate. At 100 TB that is: per-iteration cost = one pass over the data
++ a k·d-sized shuffle — the known-optimal distributed Lloyd shape.
+
+Determinism contract (what makes a DuckDB oracle replay possible):
+
+- init = the embeddings of the k smallest ids (data-derived, no RNG);
+- ties in the argmin break toward the LOWEST cluster index (Spark
+  ``array_position`` takes the first minimum; the oracle orders by
+  ``(dist, j)``);
+- centroid coordinates are ROUNDED (default 6 dp) after every update, so
+  cross-engine summation-order ulps in the per-cluster means cannot
+  accumulate across iterations;
+- an empty cluster keeps its previous centroid (COALESCE in the oracle).
+
+Iteration count is FIXED (like :func:`~zio_analytics_spark.operators.
+graph.pagerank`): convergence-threshold stopping would make the plan
+data-dependent and the oracle unreplayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_assign"]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_iter: int = 3,
+    dim: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means for ``n_iter`` fixed iterations; returns
+    ``(id_col, cluster)`` — every row's assignment under the final
+    centroids. ``dim`` defaults to the length of the first vector."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    init = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(init)}")
+    cents = [[float(x) for x in r[vec_col]] for r in init]
+
+    def assign_expr():
+        v = F.col(vec_col)
+        dists = []
+        for c in cents:
+            terms = None
+            for i in range(dim):
+                d = v[i].cast("double") - F.lit(c[i])
+                t = d * d
+                terms = t if terms is None else terms + t  # fixed i-ascending order
+            dists.append(terms)
+        arr = F.array(*dists)
+        return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+    assigned = None
+    for t in range(n_iter):
+        assigned = df.select(id_col, vec_col, assign_expr().alias("cluster"))
+        if t < n_iter - 1:
+            rows = assigned.groupBy("cluster").agg(
+                *[
+                    F.round(F.avg(F.col(vec_col)[i].cast("double")), round_dp).alias(
+                        f"x{i}"
+                    )
+                    for i in range(dim)
+                ]
+            ).collect()
+            new = {int(r["cluster"]): [r[f"x{i}"] for i in range(dim)] for r in rows}
+            cents = [new.get(j, cents[j]) for j in range(k)]
+    return assigned.select(id_col, "cluster")
