@@ -5133,6 +5133,44 @@ def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
     )
 
 
+@register(
+    "fuzzy_join_symspell",
+    oracle="""
+    WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+    v AS (
+      SELECT id, unnest(list_prepend(s,
+               list_transform(range(1, len(s) + 1),
+                              i -> substr(s, 1, i - 1) || substr(s, i + 1))))
+             AS var
+      FROM c
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+    )
+    SELECT cand.id_a, cand.id_b, levenshtein(ca.s, cb.s)::INT AS dist
+    FROM cand JOIN c ca ON ca.id = cand.id_a JOIN c cb ON cb.id = cand.id_b
+    WHERE levenshtein(ca.s, cb.s) <= 1
+    """,
+)
+def q_fuzzy_join_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy join (operators/linkage.py) — SymSpell
+    symmetric-delete blocking: candidates come from an EQUI-join on the
+    {original ∪ one-char-delete} neighborhood (never a cross join; the
+    neighborhood is linear in string length and the shuffle carries an
+    8-byte variant hash), then ``levenshtein`` verifies candidates only —
+    killing both the colliding-deletions distance-2 false positives
+    ('ab' vs 'ba') and any hash-collision extras (collisions can only
+    ADD candidates, so hashing is one-sided safe for completeness).
+    Customer names are near-sequential, so thousands of real distance-1
+    pairs exist. The oracle replays neighborhood, blocking on the raw
+    variant strings, and the same classic Levenshtein."""
+    from zio_analytics_spark.operators.linkage import fuzzy_pairs_symspell
+
+    cust = read_table(spark, sf_dir, "customer")
+    return fuzzy_pairs_symspell(cust, "c_name", "c_custkey", max_edit=1)
+
+
 def _kmeans_oracle(k: int = 10, d: int = 64, n_iter: int = 3) -> str:
     """Chained-CTE replay of Lloyd's k-means: init = k smallest vec_ids,
     per-iteration assignment (argmin L2², ties to lowest j) and centroid
