@@ -5134,6 +5134,121 @@ def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
 
 
 @register(
+    "join_point_in_time",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_custkey * 10 + v.v AS attr_version,
+             DATE '1995-01-01' + (v.v * 730)::INT AS valid_from,
+             CASE WHEN v.v < 2 THEN DATE '1995-01-01' + ((v.v + 1) * 730)::INT
+                  ELSE DATE '9999-12-31' END AS valid_to
+      FROM customer, (SELECT unnest(range(0, 3)) AS v) v
+    )
+    SELECT o.o_orderkey, d.attr_version
+    FROM orders o
+    JOIN dim d ON d.c_custkey = o.o_custkey
+              AND o.o_orderdate::DATE >= d.valid_from
+              AND o.o_orderdate::DATE < d.valid_to
+    """,
+)
+def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal validity) join — the warehouse classic:
+    each fact row joins the dimension VERSION that was valid at the
+    fact's own timestamp (SCD2 consumption; merge_scd2 covers the
+    production side). The dimension is derived deterministically (three
+    730-day versions per customer) so both engines construct it
+    identically. Scale shape: an EQUI-join on the business key with the
+    validity window as a residual range predicate — never a pure
+    inequality join; Spark plans the hash/sort-merge join on c_custkey
+    and evaluates the two date bounds as a post-join filter, so the
+    shuffle is keyed and bounded exactly like any dimensional join."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    v = F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("v")
+    base = F.lit("1995-01-01").cast("date")
+    dim = cust.select("c_custkey", v).select(
+        "c_custkey",
+        (F.col("c_custkey") * 10 + F.col("v")).alias("attr_version"),
+        F.date_add(base, (F.col("v") * 730).cast("int")).alias("valid_from"),
+        F.when(
+            F.col("v") < 2,
+            F.date_add(base, ((F.col("v") + 1) * 730).cast("int")),
+        )
+        .otherwise(F.lit("9999-12-31").cast("date"))
+        .alias("valid_to"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    return (
+        orders.join(
+            dim,
+            (orders.o_custkey == dim.c_custkey)
+            & (orders.od >= dim.valid_from)
+            & (orders.od < dim.valid_to),
+        )
+        .select("o_orderkey", "attr_version")
+    )
+
+
+@register(
+    "anomaly_ewma_mad",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, value, rn, value AS ewma
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.value, s.rn,
+             0.25 * s.value + 0.75 * r.ewma
+      FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    ),
+    res AS (
+      SELECT user_id, event_id,
+             value - lag(ewma) OVER (PARTITION BY user_id ORDER BY rn)
+               AS resid
+      FROM r
+      QUALIFY lag(ewma) OVER (PARTITION BY user_id ORDER BY rn) IS NOT NULL
+    ),
+    med AS (SELECT quantile_cont(resid, 0.5) AS m FROM res),
+    mad AS (SELECT quantile_cont(abs(resid - med.m), 0.5) AS d FROM res, med)
+    SELECT res.user_id, res.event_id, res.resid,
+           (abs(res.resid - med.m) / mad.d > 3.0) AS is_outlier
+    FROM res, med, mad
+    """,
+)
+def q_anomaly_ewma_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection by COMPOSITION of two verified primitives: the
+    one-step-ahead EWMA residual (xₜ − eₜ₋₁ — how far the new value
+    landed from its forecast) fenced by MAD (50% breakdown: half the
+    residuals can be wild before the fence moves). Both engines replay
+    the identical recurrence, lag, median and MAD, so residuals AND
+    flags hash-match with no rounding. The composition shape — smooth,
+    difference, robust-fence — is the standard streaming-metrics
+    anomaly pipeline, here as one lazy plan over the batch runtime."""
+    from zio_analytics_spark.operators.robust import mad_outliers
+    from zio_analytics_spark.operators.timeseries import ewma
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    sm = ewma(ev, "value", order_by=["ts", "event_id"], partition_by=["user_id"],
+              alpha=0.25)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    res = (
+        sm.withColumn("__prev", F.lag("ewma").over(w))
+        .where(F.col("__prev").isNotNull())
+        .select("user_id", "event_id", (F.col("value") - F.col("__prev")).alias("resid"))
+    )
+    out = mad_outliers(res, "resid", k=3.0)
+    return out.select("user_id", "event_id", "resid", "is_outlier")
+
+
+@register(
     "fuzzy_join_symspell",
     oracle="""
     WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
