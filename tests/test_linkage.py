@@ -41,9 +41,46 @@ def test_no_cross_join_in_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_max_edit_2_documented_unsupported(spark):
+def test_max_edit_2_matches_brute_force(spark):
+    """d=2 neighborhood completeness against a brute-force cross check on
+    a crafted set mixing substitutions, inserts, deletes and transposes."""
+    names = [
+        "kitten", "mitten", "sitten", "sittin", "kitte", "kit",
+        "kettle", "written", "bitten", "biting", "kitten!!",
+    ]
+    df = _df(spark, list(enumerate(names)))
+    got = {(r.id_a, r.id_b): r.dist for r in
+           fuzzy_pairs_symspell(df, "name", "id", max_edit=2).collect()}
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def rec(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                rec(i - 1, j) + 1,
+                rec(i, j - 1) + 1,
+                rec(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return rec(len(a), len(b))
+
+    want = {}
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            d = lev(names[i], names[j])
+            if d <= 2:
+                want[(i, j)] = d
+    assert got == want
+
+
+def test_max_edit_3_documented_unsupported(spark):
     import pytest
 
     df = _df(spark, [(1, "x")])
     with pytest.raises(NotImplementedError):
-        fuzzy_pairs_symspell(df, "name", "id", max_edit=2)
+        fuzzy_pairs_symspell(df, "name", "id", max_edit=3)

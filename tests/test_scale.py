@@ -454,3 +454,38 @@ def test_tpch_q12_filters_below_single_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # two-row key space → partial aggregation is map-side combinable
     assert "HashAggregate" in plan, plan[:2000]
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    from zio_analytics_spark.catalog import CATALOG
+
+    q = CATALOG["graph_triangles"].fn(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_point_in_time_join_is_keyed(spark, sf_dir):
+    """The validity window must be a residual on an EQUI join keyed by
+    c_custkey — a nested-loop/cartesian plan would mean the range
+    predicate became the join itself."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    q = CATALOG["join_point_in_time"].fn(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_is_codegen_not_udf(spark, sf_dir):
+    """The distance argmin must be inlined Column arithmetic (whole-stage
+    codegen) — no Python evaluation in the per-row path."""
+    from zio_analytics_spark.operators.clustering import kmeans_assign
+    from zio_analytics_spark.sources.parquet import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = kmeans_assign(emb, k=4, n_iter=1, dim=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # '*(n)' prefixes are executedPlan's whole-stage-codegen stage markers
+    assert "*(1)" in plan, plan[:500]

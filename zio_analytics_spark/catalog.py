@@ -5286,6 +5286,52 @@ def q_fuzzy_join_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs_symspell(cust, "c_name", "c_custkey", max_edit=1)
 
 
+@register(
+    "fuzzy_join_symspell_d2",
+    oracle="""
+    WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+               WHERE c_custkey % 20 = 0),
+    b AS (
+      SELECT id, s,
+             list_transform(range(1, len(s) + 1),
+                            i -> substr(s, 1, i - 1) || substr(s, i + 1)) AS d1
+      FROM c
+    ),
+    v AS (
+      SELECT id, unnest(list_distinct(
+               list_prepend(s, d1 || flatten(
+                 list_transform(d1,
+                   t -> list_transform(range(1, len(t) + 1),
+                          j -> substr(t, 1, j - 1) || substr(t, j + 1)))))))
+             AS var
+      FROM b
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM v a JOIN v b2 ON a.var = b2.var AND a.id < b2.id
+    )
+    SELECT cand.id_a, cand.id_b, levenshtein(ca.s, cb.s)::INT AS dist
+    FROM cand JOIN c ca ON ca.id = cand.id_a JOIN c cb ON cb.id = cand.id_b
+    WHERE levenshtein(ca.s, cb.s) <= 2
+    """,
+)
+def q_fuzzy_join_symspell_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-2 tier of the SymSpell join: the delete neighborhood
+    recurses one level (d1 ∪ deletes-of-d1 — O(L²) variants per row,
+    ~324 for these names), candidates still come from one equi-join, and
+    ``levenshtein ≤ 2`` verifies. Runs on the custkey%20 slice because
+    near-sequential names make distance-2 pairs QUADRATICALLY dense
+    (full sf0.01 data: ~1.3M result pairs — an output-size property of
+    this corpus, not an operator cost; the slice keeps the result
+    1903 pairs while exercising the exact same plan)."""
+    from zio_analytics_spark.operators.linkage import fuzzy_pairs_symspell
+
+    cust = read_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 20 == 0
+    )
+    return fuzzy_pairs_symspell(cust, "c_name", "c_custkey", max_edit=2)
+
+
 def _kmeans_oracle(k: int = 10, d: int = 64, n_iter: int = 3) -> str:
     """Chained-CTE replay of Lloyd's k-means: init = k smallest vec_ids,
     per-iteration assignment (argmin L2², ties to lowest j) and centroid

@@ -38,21 +38,32 @@ def fuzzy_pairs_symspell(
     the d ≥ 2 extension recurses the delete neighborhood, same contract).
 
     Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``.
+
+    ``max_edit`` up to 2: depth-d neighborhoods recurse the delete step
+    (d1 ∪ deletes-of-d1), O(L^d) variants per row — linear for d=1,
+    quadratic for d=2; the completeness argument is per-edit: every
+    substitution consumes one delete on EACH side, every insert/delete
+    one delete on ONE side, so ≤ d deletes per side always meet.
     """
-    if max_edit != 1:
+    if max_edit not in (1, 2):
         raise NotImplementedError(
-            "symmetric-delete blocking implemented for max_edit=1; "
-            "d >= 2 recurses the delete neighborhood (same join shape)"
+            "symmetric-delete blocking implemented for max_edit in {1, 2}"
         )
+
+    def dels(v):  # one-char deletes of a string Column / lambda variable
+        n = F.length(v)
+        return F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(v.substr(F.lit(1), i - 1), v.substr(i + 1, n)),
+        )
+
     s = F.col(str_col)
-    n = F.length(s)
-    # original + every one-char-delete; array_union also dedupes repeats
-    # (deleting either of two equal adjacent chars yields the same variant)
-    deletes = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat(s.substr(F.lit(1), i - 1), s.substr(i + 1, n)),
-    )
-    variants = F.array_union(F.array(s), deletes)
+    d1 = dels(s)
+    variants = F.array_union(F.array(s), d1)
+    if max_edit == 2:
+        variants = F.array_union(
+            variants, F.array_distinct(F.flatten(F.transform(d1, dels)))
+        )
     v = df.select(
         F.col(id_col).alias("__id"),
         F.explode(variants).alias("__var"),
