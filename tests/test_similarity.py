@@ -107,3 +107,24 @@ def test_ivf_partitioned_index_recall_and_pruning(spark, tmp_path):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[cell#\d+ IN \(", plan), plan[:3000]
+
+
+def test_quantize_int8_reconstruction_error_bounded(spark):
+    """Dequantized vectors must sit within scale/2 of the original per
+    dimension; a constant dimension codes to 0."""
+    import numpy as np
+
+    from zio_analytics_spark.operators.similarity import quantize_int8
+
+    rows = [(i, [float(i), -1.0 + i * 0.25, 7.0]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.codes for r in quantize_int8(df, dim=3).collect()}
+    lo0, hi0 = 0.0, 8.0
+    scale0 = (hi0 - lo0) / 255.0
+    for i in range(9):
+        codes = out[i]
+        assert 0 <= codes[0] <= 255
+        assert abs(lo0 + codes[0] * scale0 - float(i)) <= scale0 / 2 + 1e-9
+        assert codes[2] == 0  # constant dim -> code 0 by convention
+    # extremes hit the rails exactly
+    assert out[0][0] == 0 and out[8][0] == 255

@@ -5249,6 +5249,42 @@ def q_anomaly_ewma_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, i.i AS i, embedding[i.i]::DOUBLE AS val
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+    ),
+    st AS (SELECT i, min(val) AS lo, max(val) AS hi FROM x GROUP BY i),
+    q AS (
+      SELECT x.vec_id, x.i,
+             CASE WHEN st.hi = st.lo THEN 0
+                  ELSE least(greatest(
+                         round((x.val - st.lo) / ((st.hi - st.lo) / 255.0)),
+                         0), 255)::INT END AS code
+      FROM x JOIN st USING (i)
+    )
+    SELECT vec_id, list(code ORDER BY i) AS codes FROM q GROUP BY vec_id
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column
+    (operators/similarity.py) — the standard 4× ANN storage compression:
+    one aggregate derives the per-dimension (min, max) codebook (2·d
+    doubles of driver state, broadcast-sized), then codes = half-up
+    round((x − min)/scale) clamped to [0,255] inlined as codegen'd
+    literals. min/max are SELECTIONS (not sums), so the codebook is
+    bit-identical across engines, and the code path is one subtract,
+    one divide, one round — the oracle replays every int8 code of every
+    vector exactly. At 100 TB this is the difference between 25 TB and
+    6 TB of vector bytes scanned per ANN sweep."""
+    from zio_analytics_spark.operators.similarity import quantize_int8
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "embedding", "vec_id", dim=64)
+
+
+@register(
     "fuzzy_join_symspell",
     oracle="""
     WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),

@@ -30,6 +30,7 @@ __all__ = [
     "ivf_cell_udf",
     "ivf_probes",
     "ivf_topk",
+    "quantize_int8",
 ]
 
 
@@ -186,3 +187,46 @@ def ivf_topk(
     probes = ivf_probes(Cn, query_vec, nprobe)
     cand = df.withColumn("__cell", cell_of(F.col(vec_col))).where(F.col("__cell").isin(probes))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-dimension int8 scalar quantization — the standard 4× vector-
+    storage compression for ANN at scale (float32 → uint8 codes + a
+    k·d-sized codebook of per-dim (min, scale)).
+
+    Pass 1: one aggregate computes every dimension's global min/max
+    (2·d cells — broadcast-sized driver state, like k-means centroids).
+    Pass 2: codes = round((x − min_d) / scale_d) clamped to [0, 255],
+    inlined as literals (codegen, no UDF). A constant dimension
+    (max == min) maps to code 0 by convention. Deterministic: the only
+    float ops are one subtract, one divide, one half-up round — both
+    engines replay them identically.
+
+    Returns ``(id_col, codes array<int>)``; the codebook is the
+    (min, scale) literal pairs — recover x̂ = min + code·scale with
+    max error scale/2 per dimension.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    v = F.col(vec_col)
+    stats = df.agg(
+        *[F.min(v[i].cast("double")).alias(f"lo{i}") for i in range(dim)],
+        *[F.max(v[i].cast("double")).alias(f"hi{i}") for i in range(dim)],
+    ).first()
+    codes = []
+    for i in range(dim):
+        lo, hi = float(stats[f"lo{i}"]), float(stats[f"hi{i}"])
+        if hi == lo:
+            codes.append(F.lit(0))
+            continue
+        scale = (hi - lo) / 255.0
+        q = F.round((v[i].cast("double") - F.lit(lo)) / F.lit(scale), 0)
+        codes.append(
+            F.least(F.greatest(q, F.lit(0.0)), F.lit(255.0)).cast("int")
+        )
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
