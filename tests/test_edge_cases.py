@@ -101,3 +101,28 @@ def test_round4_operators_empty_inputs(spark):
     nulls = spark.range(5).select(F.lit(None).cast("double").alias("v"))
     assert winsorize(nulls, "v", out_col="c").count() == 5
     assert equi_depth_bins(nulls, "v", n_bins=4).count() == 0
+
+
+def test_cms_one_sided_and_exact_on_sparse(spark):
+    """CMS property tests: estimates never undercount; with width >>
+    distinct values there are no collisions, so estimates are exact; and
+    counters from two half-streams MERGE (add) to the full sketch."""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.sketch import cms_build, cms_estimate
+
+    rows = [(i, f"tok{i % 7}") for i in range(700)]
+    df = spark.createDataFrame(rows, "i long, tok string")
+    counters = cms_build(df, "tok", width=512, depth=3)
+    items = df.select("tok").distinct()
+    est = {r.tok: r.est for r in cms_estimate(counters, items, "tok", width=512, depth=3).collect()}
+    assert est == {f"tok{i}": 100 for i in range(7)}  # sparse -> exact
+
+    # mergeability: sketch(first half) + sketch(second half) == sketch(all)
+    h1 = cms_build(df.where("i < 350"), "tok", width=512, depth=3)
+    h2 = cms_build(df.where("i >= 350"), "tok", width=512, depth=3)
+    merged = (
+        h1.unionAll(h2).groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    est2 = {r.tok: r.est for r in cms_estimate(merged, items, "tok", width=512, depth=3).collect()}
+    assert est2 == est

@@ -5249,6 +5249,149 @@ def q_anomaly_ewma_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_search_rrf",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    kw1 AS (
+      SELECT doc_id, tf FROM (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x = 'join')) AS tf
+        FROM documents WHERE doc_id <> 0
+      ) WHERE tf > 0
+      ORDER BY tf DESC, doc_id LIMIT 100
+    ),
+    kw AS (SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS kw_rank
+           FROM kw1),
+    vs1 AS (
+      SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qe) AS sim
+      FROM embeddings, q WHERE vec_id <> 0
+      ORDER BY sim DESC, vec_id LIMIT 100
+    ),
+    vs AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS vec_rank
+           FROM vs1),
+    f AS (
+      SELECT coalesce(kw.doc_id, vs.vec_id) AS doc_id,
+             coalesce(1.0 / (60 + kw.kw_rank), 0)
+               + coalesce(1.0 / (60 + vs.vec_rank), 0) AS rrf,
+             kw.kw_rank, vs.vec_rank
+      FROM kw FULL JOIN vs ON kw.doc_id = vs.vec_id
+    )
+    SELECT doc_id, rrf, kw_rank, vec_rank FROM f
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion — the modern RAG
+    stack's keyword ⊕ vector merge: a term-frequency ranked list (query
+    term 'join') and a cosine-similarity ranked list (query vector 0)
+    fuse as Σ 1/(60 + rank) per list, the standard RRF with k=60. Each
+    list is cutoff-bounded (top-100 via distributed TakeOrdered — the
+    ranking window then runs over ≤100 rows, never a global sort of the
+    corpus); docs absent from a list contribute nothing. Ranks, fused
+    doubles (two exact-rounded divisions, fixed add order) and the final
+    top-10 replay bit-identically in the oracle."""
+    qv = _query_vec(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") != 0)
+    tf = docs.select(
+        "doc_id",
+        F.size(F.filter(text.tokens("text"), lambda t: t == F.lit("join"))).alias("tf"),
+    ).where(F.col("tf") > 0)
+    from pyspark.sql import Window as W
+
+    kw = (
+        tf.orderBy(F.col("tf").desc(), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("tf").desc(), "doc_id"))
+            .cast("long")
+            .alias("kw_rank"),
+        )
+    )
+    emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    vs = (
+        similarity.brute_force_topk(emb, qv, k=100)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(W.orderBy(F.col("sim").desc(), "vec_id"))
+            .cast("long")
+            .alias("vec_rank"),
+        )
+    )
+    fused = (
+        kw.join(vs, kw.doc_id == vs.vec_id, "full_outer")
+        .select(
+            F.coalesce(kw.doc_id, vs.vec_id).alias("doc_id"),
+            (
+                F.coalesce(1.0 / (F.lit(60) + F.col("kw_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
+            ).alias("rrf"),
+            "kw_rank",
+            "vec_rank",
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+@register(
+    "cms_token_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    rr AS (SELECT unnest(range(0, 3)) AS r),
+    cells AS (
+      SELECT rr.r AS row,
+             ('0x' || substr(md5('cms|' || rr.r || '|' || tok), 1, 8))::UBIGINT
+               % 1024 AS bucket,
+             count(*) AS cnt
+      FROM toks, rr GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT tok, count(*) AS exact FROM toks GROUP BY tok
+      ORDER BY exact DESC, tok LIMIT 20
+    )
+    SELECT t.tok, min(c.cnt)::BIGINT AS est, t.exact::BIGINT AS exact
+    FROM top t, rr
+    JOIN cells c
+      ON c.row = rr.r
+     AND c.bucket = ('0x' || substr(md5('cms|' || rr.r || '|' || t.tok), 1, 8))
+                    ::UBIGINT % 1024
+    GROUP BY t.tok, t.exact
+    """,
+)
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketch.py) — the mergeable streaming
+    frequency sketch, here with something library sketches can't offer:
+    an EXACT oracle replay. Buckets come from md5 (engine-identical), so
+    DuckDB rebuilds the identical 3×1024 counter table and the identical
+    min-over-rows estimate for each of the top-20 tokens; the classic
+    one-sided guarantee (est ≥ exact) is visible in the output columns.
+    Scale shape: the build aggregate's key space is depth·width, so
+    map-side combine collapses the token stream before the exchange, and
+    the counter table broadcasts for point queries — counters from
+    different days/partitions just add (mergeability)."""
+    from zio_analytics_spark.operators.sketch import cms_build, cms_estimate
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("tok"))
+    counters = cms_build(toks, "tok", width=1024, depth=3, seed="cms")
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.col("exact").desc(), "tok")
+        .limit(20)
+    )
+    est = cms_estimate(counters, top.select("tok"), "tok", width=1024, depth=3, seed="cms")
+    return est.join(top, "tok").select("tok", "est", "exact")
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
     WITH x AS (

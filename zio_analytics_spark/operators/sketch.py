@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "partition_candidates", "equi_depth_bins"]
+__all__ = ["heavy_hitters", "partition_candidates", "equi_depth_bins", "cms_build", "cms_estimate"]
 
 
 def _candidate_scan(items: DataFrame, col: str, min_ratio: float) -> DataFrame:
@@ -165,3 +165,73 @@ def equi_depth_bins(
             F.max(col).alias("hi"),
         )
     )
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 3,
+    seed: str = "cms",
+) -> DataFrame:
+    """Count-min sketch of a column: ``depth`` hash rows × ``width``
+    counters. Returns the counter table ``(row, bucket, cnt)`` —
+    ``depth·width`` cells regardless of input size (the mergeable-sketch
+    property: counters from different partitions/days just add).
+
+    The row-``r`` hash is the first 8 hex digits of
+    ``md5('<seed>|r|' || value)`` mod width — md5 is engine-identical,
+    so unlike library sketches this one is EXACTLY replayable by a SQL
+    oracle (same buckets, same counters, same estimates). The build is
+    one aggregate whose key space is depth·width: map-side partial
+    aggregation collapses the per-row explosion before the exchange, so
+    the shuffle carries at most depth·width cells per map task at any
+    data scale.
+    """
+    c = F.col(col).cast("string")
+    rows = []
+    for r in range(depth):
+        bucket = (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|{r}|"), c)), 1, 8), 16, 10)
+            .cast("long")
+            % width
+        )
+        rows.append(
+            df.select(F.lit(r).alias("row"), bucket.alias("bucket"))
+        )
+    all_rows = rows[0]
+    for other in rows[1:]:
+        all_rows = all_rows.unionAll(other)
+    return all_rows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    items: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 3,
+    seed: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for every row of ``items``: estimate =
+    min over hash rows of the addressed counter (the classic one-sided
+    bound: estimate ≥ true count, with overestimate probability shrinking
+    geometrically in ``depth``). The counter table is depth·width cells —
+    it BROADCASTS; the items side never shuffles."""
+    c = F.col(col).cast("string")
+    sel = items.select(F.col(col))
+    for r in range(depth):
+        bucket = (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|{r}|"), c)), 1, 8), 16, 10)
+            .cast("long")
+            % width
+        )
+        sel = sel.withColumn(f"__b{r}", bucket)
+    out = sel
+    for r in range(depth):
+        cr = counters.where(F.col("row") == r).select(
+            F.col("bucket").alias(f"__b{r}"), F.col("cnt").alias(f"__c{r}")
+        )
+        out = out.join(F.broadcast(cr), f"__b{r}", "left")
+    est = F.least(*[F.coalesce(F.col(f"__c{r}"), F.lit(0)) for r in range(depth)])
+    return out.select(F.col(col), est.alias("est"))
