@@ -58,3 +58,23 @@ def test_table_diff_null_position_distinguishing(spark):
     )
     out = {r.id: r.diff for r in table_diff(left, right, ["id"]).collect()}
     assert out == {1: "changed", 2: "same", 3: "same"}
+
+
+def test_cdc_apply_ordering_and_ops(spark):
+    """Per-key sequence order decides: U then D deletes; D then U
+    resurrects; I of a fresh key lands; untouched keys survive."""
+    from zio_analytics_spark.operators.merge import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    log = spark.createDataFrame(
+        [
+            (1, "a2", 1, "U"), (1, "x", 2, "D"),          # update then delete
+            (2, "ignored", 1, "D"), (2, "b2", 2, "U"),    # delete then update
+            (9, "new", 1, "I"),
+        ],
+        "id long, v string, seq long, op string",
+    )
+    out = {r.id: r.v for r in cdc_apply(base, log, ["id"]).collect()}
+    assert out == {2: "b2", 3: "c", 9: "new"}

@@ -246,3 +246,23 @@ def test_bigram_logprob_short_docs_drop(spark):
     )
     out = {r["doc_id"] for r in bigram_logprob(df).collect()}
     assert out == {2}  # <2 tokens -> no transitions -> absent
+
+
+def test_bm25_ranks_and_zero_excluded(spark):
+    """Higher tf of a rare term scores higher; docs with no query term are
+    absent; length normalization damps long documents."""
+    from zio_analytics_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "join join join filter"),
+            (2, "join filter"),
+            (3, "scan scan scan scan"),
+            (4, "join " + "pad " * 50),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_scores(df, ["join"]).collect()}
+    assert 3 not in out                      # no query term -> excluded
+    assert out[1] > out[2]                   # more tf -> higher
+    assert out[2] > out[4]                   # same tf, longer doc -> damped

@@ -5249,6 +5249,97 @@ def q_anomaly_ewma_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_log_apply",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 13 <> 0
+    UNION ALL
+    SELECT o_orderkey + 9000000, 42.5 FROM orders WHERE o_orderkey % 500 = 0
+    """,
+)
+def q_cdc_log_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction (operators/merge.py cdc_apply) — the Debezium/
+    binlog materialization step: a deterministic change log (updates for
+    keys %7, deletes for keys %13 at a HIGHER sequence — so keys
+    divisible by 91 take the update then die, proving per-key ordering —
+    and inserts of fresh keys) applies onto the orders snapshot via one
+    hash-partitioned latest-wins window. The oracle derives the final
+    state in CLOSED FORM (no window at all), so the machinery is checked
+    against independent reasoning, not a replay of itself."""
+    from zio_analytics_spark.operators.merge import cdc_apply
+
+    base = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    upd = base.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = base.where(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.lit(0.0).alias("o_totalprice"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = base.where(F.col("o_orderkey") % 500 == 0).select(
+        (F.col("o_orderkey") + 9000000).alias("o_orderkey"),
+        F.lit(42.5).alias("o_totalprice"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    log = upd.unionByName(dele).unionByName(ins)
+    return cdc_apply(base, log, ["o_orderkey"], "seq", "op")
+
+
+@register(
+    "text_bm25",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS L
+      FROM documents
+    ),
+    st AS (SELECT count(*)::DOUBLE AS n, avg(len(L)::DOUBLE) AS avgdl FROM tk),
+    dfs AS (
+      SELECT
+        sum((len(list_filter(L, x -> x = 'join')) > 0)::INT)::DOUBLE AS dfj,
+        sum((len(list_filter(L, x -> x = 'hash')) > 0)::INT)::DOUBLE AS dfh
+      FROM tk
+    )
+    SELECT doc_id, bm25 FROM (
+      SELECT doc_id, round(
+          ln(1 + (st.n - dfs.dfj + 0.5) / (dfs.dfj + 0.5))
+            * (len(list_filter(L, x -> x = 'join'))::DOUBLE * (1.2 + 1.0)
+               / (len(list_filter(L, x -> x = 'join'))::DOUBLE
+                  + 1.2 * (1.0 - 0.75 + 0.75 * len(L)::DOUBLE / st.avgdl)))
+          + ln(1 + (st.n - dfs.dfh + 0.5) / (dfs.dfh + 0.5))
+            * (len(list_filter(L, x -> x = 'hash'))::DOUBLE * (1.2 + 1.0)
+               / (len(list_filter(L, x -> x = 'hash'))::DOUBLE
+                  + 1.2 * (1.0 - 0.75 + 0.75 * len(L)::DOUBLE / st.avgdl)))
+        , 6) AS bm25
+      FROM tk, st, dfs
+    ) WHERE bm25 > 0
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (operators/text.py) for the query {'join', 'hash'} —
+    the standard keyword-retrieval ranking, one rung above TF-IDF
+    (saturated term frequency + document-length normalization). Two tiny
+    aggregates (N, avgdl, per-term df — driver state the size of the
+    query) inline as literals into one codegen'd projection; per-doc tf
+    via size(filter(tokens)) so the corpus side never explodes or
+    shuffles. Integer-count sums are exact in doubles, so N/avgdl/df and
+    every score term replay bit-identically (rounded 6 dp)."""
+    from zio_analytics_spark.operators.text import bm25_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["join", "hash"])
+
+
+@register(
     "hybrid_search_rrf",
     oracle="""
     WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),

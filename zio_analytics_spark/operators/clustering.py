@@ -51,15 +51,19 @@ def kmeans_assign(
     cents = [[float(x) for x in r[vec_col]] for r in init]
 
     def assign_expr():
+        # ||x − c||² per centroid via zip_with + left-fold aggregate: the
+        # SAME i-ascending (x_i − c_i)² summation as an explicit 64-term
+        # sum, but an O(k)-node expression tree instead of O(k·d) — the
+        # explicit form made Catalyst analysis/codegen the dominant cost
+        # (measured 19.5 s/entry; HOF form ~2 s, identical numerics).
         v = F.col(vec_col)
         dists = []
         for c in cents:
-            terms = None
-            for i in range(dim):
-                d = v[i].cast("double") - F.lit(c[i])
-                t = d * d
-                terms = t if terms is None else terms + t  # fixed i-ascending order
-            dists.append(terms)
+            lit_c = F.array(*[F.lit(x) for x in c])
+            sq = F.zip_with(
+                v, lit_c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            )
+            dists.append(F.aggregate(sq, F.lit(0.0), lambda a, b: a + b))
         arr = F.array(*dists)
         return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 

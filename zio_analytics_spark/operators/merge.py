@@ -14,9 +14,10 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "scd2_apply", "table_diff"]
+__all__ = ["merge_upsert", "scd2_apply", "table_diff", "cdc_apply"]
 
 
 def merge_upsert(
@@ -120,3 +121,45 @@ def table_diff(
         .otherwise(F.lit("same"))
     )
     return joined.select(*keys, diff.alias("diff"))
+
+
+def cdc_apply(
+    base: DataFrame,
+    log: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change log (insert/update/delete rows with a total
+    per-key order) to a base snapshot — the Debezium/binlog-compaction
+    materialization step.
+
+    ``log`` carries ``key_cols + value columns + seq_col + op_col`` with
+    ``op`` ∈ {'I','U','D'}; ``base`` carries ``key_cols + value columns``
+    and ranks BELOW every log entry (seq −1). Per key the HIGHEST-seq
+    row wins (one hash-partitioned window, the same shuffle any
+    compaction pays); a winning 'D' removes the key. Equal seqs within a
+    key are a malformed log — the tie then breaks arbitrarily; dedupe
+    upstream (same contract as merge_upsert).
+
+    At 100 TB this is the periodic-compaction shape: the log is a day's
+    binlog (small vs the snapshot), the window runs per key, and the
+    output is the next snapshot — no driver-side state at all.
+    """
+    keys = list(key_cols)
+    value_cols = [c for c in base.columns if c not in keys]
+    stamped_base = base.select(
+        *keys, *value_cols,
+        F.lit(-1).cast("long").alias(seq_col),
+        F.lit("I").alias(op_col),
+    )
+    unioned = stamped_base.unionByName(
+        log.select(*keys, *value_cols, seq_col, op_col)
+    )
+    w = W.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    latest = (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return latest.where(F.col(op_col) != "D").select(*keys, *value_cols)

@@ -22,6 +22,7 @@ __all__ = [
     "language_id",
     "fingerprint",
     "bigram_logprob",
+    "bm25_scores",
     "word_shingles",
     "char_shingles",
     "pack_sequences",
@@ -442,3 +443,62 @@ def tfidf_top_terms(
         .where(F.col("__rn") <= k)
         .select(F.col(id_col), "tok", "score")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 scores for a fixed query — the standard keyword-
+    retrieval ranking (the idf·saturated-tf·length-normalized sum):
+
+        score(d) = Σ_t ln(1 + (N − df_t + ½)/(df_t + ½))
+                       · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·|d|/avgdl))
+
+    Two tiny prior aggregates (corpus size + avgdl, and one df per query
+    term — |terms| numbers of driver state) inline as literals into ONE
+    codegen'd projection: per-doc tf via ``size(filter(tokens, ...))``,
+    no explode, no shuffle on the corpus side at all. Terms the doc
+    lacks contribute exactly 0 (tf = 0 zeroes the numerator), so the
+    term loop needs no join. Returns ``(id_col, bm25)`` rounded 6 dp for
+    docs matching at least one term.
+
+    Sums of integer counts are exact in doubles (every partial sum is an
+    integer < 2⁵³), so N/avgdl/df are bit-identical in any engine and
+    the whole score replays exactly.
+    """
+    import math
+
+    def _term_tf(term: str) -> Column:
+        # factory closure: a 2-arg lambda in F.filter would receive the
+        # ELEMENT INDEX as its second argument (the HOF arity contract),
+        # silently shadowing a default-bound term
+        return F.size(F.filter("__L", lambda x: x == F.lit(term)))
+
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__L"))
+    st = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("__L").cast("double")).alias("avgdl"),
+        *[
+            F.sum((_term_tf(t) > 0).cast("int")).alias(f"df_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    ).first()
+    n, avgdl = float(st["n"]), float(st["avgdl"])
+    dl = F.size("__L").cast("double")
+    score = None
+    for i, t in enumerate(query_terms):
+        dft = float(st[f"df_{i}"])
+        idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+        tf = _term_tf(t).cast("double")
+        term = F.lit(idf) * (
+            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / F.lit(avgdl)))
+        )
+        score = term if score is None else score + term
+    out = base.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+    return out.where(F.col("bm25") > 0)
