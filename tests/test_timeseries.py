@@ -111,3 +111,23 @@ def test_ewma_requires_partition_keys(spark):
                                    "CAST(id AS double) AS value")
     with _pytest.raises(ValueError, match="partition_by"):
         ewma(df, "value", order_by=["event_id"], partition_by=[])
+
+
+def test_ewma_bucketed_identical_to_per_key(spark):
+    """n_buckets changes only the Python-invocation grouping — the
+    recurrence resets at key boundaries inside the scan, so results are
+    identical to the per-key form (including keys colliding in a bucket)."""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.timeseries import ewma
+
+    df = spark.range(300).select(
+        (F.col("id") % 17).alias("user_id"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 13).cast("double").alias("value"),
+    )
+    per_key = ewma(df, "value", ["event_id"], ["user_id"])
+    bucketed = ewma(df, "value", ["event_id"], ["user_id"], n_buckets=4)
+    a = sorted(map(tuple, per_key.collect()))
+    b = sorted(map(tuple, bucketed.collect()))
+    assert a == b

@@ -2412,7 +2412,7 @@ def q_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ewma(
         ev, "value", order_by=["ts", "event_id"], partition_by=["user_id"],
-        alpha=0.25,
+        alpha=0.25, n_buckets=64,
     )
     return out.select("user_id", "event_id", "value", "ewma")
 
@@ -5237,13 +5237,19 @@ def q_anomaly_ewma_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "value"
     )
     sm = ewma(ev, "value", order_by=["ts", "event_id"], partition_by=["user_id"],
-              alpha=0.25)
+              alpha=0.25, n_buckets=64)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     res = (
         sm.withColumn("__prev", F.lag("ewma").over(w))
         .where(F.col("__prev").isNotNull())
         .select("user_id", "event_id", (F.col("value") - F.col("__prev")).alias("resid"))
     )
+    # mad_outliers drives THREE actions (median, MAD, result) — materialize
+    # the residual table once so the EWMA scan doesn't recompute per pass
+    # (the dedup _materialize_table pattern; dir removed at session stop)
+    res_path = _scratch_dir(prefix="zas_anom_res_")
+    res.write.mode("overwrite").parquet(res_path)
+    res = spark.read.schema(res.schema).parquet(res_path)
     out = mad_outliers(res, "resid", k=3.0)
     return out.select("user_id", "event_id", "resid", "is_outlier")
 

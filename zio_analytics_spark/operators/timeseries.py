@@ -134,6 +134,7 @@ def ewma(
     partition_by: Sequence[str],
     alpha: float = 0.25,
     out_col: str = "ewma",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Exponentially weighted moving average per key:
     ``e₁ = x₁; eₜ = α·xₜ + (1−α)·eₜ₋₁`` over ``order_by`` within each
@@ -150,6 +151,14 @@ def ewma(
     so an oracle replaying the same expression sequence is bit-identical
     (with α=0.25 both coefficients are exactly representable).
 
+    ``n_buckets`` trades Python-invocation count for in-task work: by
+    default the scan runs one ``applyInPandas`` call PER KEY (~ms of
+    Arrow/pandas round-trip each — the cogroup lesson); with ``n_buckets``
+    set, keys hash into that many cogroups and the recurrence resets at
+    key boundaries INSIDE each invocation, so the Python round-trip count
+    is the bucket count (sized to cluster cores), not the key count.
+    Same math, same output, verified identical.
+
     Returns ``partition_by + order_by + (value_col, out_col)``.
     """
     import numpy as np
@@ -162,12 +171,17 @@ def ewma(
     out_cols = part + order + [value_col, out_col]
 
     def scan(pdf):
-        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf = pdf.sort_values(part + order, kind="mergesort")
         vals = pdf[value_col].to_numpy(dtype=np.float64)
         out = np.empty(len(vals), dtype=np.float64)
-        e = 0.0
+        keys = list(zip(*(pdf[c].tolist() for c in part)))
+        e, prev = 0.0, object()
         for i in range(len(vals)):
-            e = vals[i] if i == 0 else a * vals[i] + b * e
+            k = keys[i]
+            if k != prev:
+                e, prev = vals[i], k
+            else:
+                e = a * vals[i] + b * e
             out[i] = e
         pdf = pdf.copy()
         pdf[out_col] = out
@@ -177,4 +191,14 @@ def ewma(
     for c in out_cols[:-1]:
         schema_parts.append(f"{c} {df.schema[c].dataType.simpleString()}")
     schema_parts.append(f"{out_col} double")
-    return df.groupBy(*part).applyInPandas(scan, ", ".join(schema_parts))
+    schema = ", ".join(schema_parts)
+    if n_buckets:
+        bkt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in part]), F.lit(n_buckets)
+        ).cast("int")
+        return (
+            df.withColumn("__bkt", bkt)
+            .groupBy("__bkt")
+            .applyInPandas(lambda pdf: scan(pdf.drop(columns="__bkt")), schema)
+        )
+    return df.groupBy(*part).applyInPandas(scan, schema)
