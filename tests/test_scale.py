@@ -489,3 +489,19 @@ def test_kmeans_assignment_is_codegen_not_udf(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # '*(n)' prefixes are executedPlan's whole-stage-codegen stage markers
     assert "*(1)" in plan, plan[:500]
+
+
+def test_not_in_null_aware_plans_naaj(spark, sf_dir):
+    """The NOT-IN branch must plan as a single-column null-aware anti
+    join (broadcast hash, null-aware flag) — not a nested-loop expansion."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    q = CATALOG["join_not_in_null_aware"].fn(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # single-column NOT IN plans as BroadcastHashJoin [..] LeftAnti,
+    # BuildRight, true — the trailing flag is isNullAwareAntiJoin; the
+    # NOT EXISTS branch plans the same join with the flag false
+    assert "LeftAnti, BuildRight, true" in plan, plan[:2000]
+    assert "LeftAnti, BuildRight, false" in plan, plan[:2000]

@@ -5255,6 +5255,62 @@ def q_anomaly_ewma_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_not_in_null_aware",
+    oracle="""
+    WITH sub AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL SELECT NULL
+    ),
+    nin AS (
+      SELECT count(*) AS n FROM orders
+      WHERE o_custkey NOT IN (SELECT k FROM sub)
+    ),
+    nex AS (
+      SELECT count(*) AS n FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.k = o.o_custkey)
+    )
+    SELECT 'not_in' AS semantics, n FROM nin
+    UNION ALL SELECT 'not_exists', n FROM nex
+    """,
+)
+def q_join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT-IN null trap, exercised head-on (q16 merely avoided it):
+    against a subquery CONTAINING a NULL, ``x NOT IN (…)`` can never be
+    TRUE under three-valued logic — the comparison to NULL is UNKNOWN —
+    so the not_in branch returns count 0 while the NOT EXISTS branch
+    returns the real anti-join count. Spark plans the former as a
+    null-aware anti join (single-column NAAJ → broadcast hash join with
+    the null-aware flag), the latter as a plain LEFT ANTI; both engines
+    agree on both counts, pinning the semantic difference that silently
+    eats rows in migrated SQL."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    sub = (
+        cust.where(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_custkey").alias("k"))
+        .unionByName(spark.range(1).select(F.lit(None).cast("long").alias("k")))
+    )
+    orders.createOrReplaceTempView(f"v_ord_{tag}")
+    sub.createOrReplaceTempView(f"v_sub_{tag}")
+    return spark.sql(f"""
+        WITH nin AS (
+          SELECT count(*) AS n FROM v_ord_{tag}
+          WHERE o_custkey NOT IN (SELECT k FROM v_sub_{tag})
+        ),
+        nex AS (
+          SELECT count(*) AS n FROM v_ord_{tag} o
+          WHERE NOT EXISTS (SELECT 1 FROM v_sub_{tag} s
+                            WHERE s.k = o.o_custkey)
+        )
+        SELECT 'not_in' AS semantics, n FROM nin
+        UNION ALL SELECT 'not_exists', n FROM nex
+    """)
+
+
+@register(
     "cdc_log_apply",
     oracle="""
     SELECT o_orderkey,
