@@ -16,17 +16,19 @@ from zio_analytics_spark.operators.multimodal import (
 )
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=60, deadline=None)
 @given(
     w=st.integers(1, 12),
     h=st.integers(1, 12),
     seed=st.integers(0, 2**31 - 1),
     color=st.sampled_from([0, 2, 6]),
+    interlace=st.booleans(),
 )
-def test_png_roundtrip_any_shape(w, h, seed, color):
-    """Every (dims, pixels, color type) round-trips exactly — heights < 5
-    exercise partial filter coverage, 1-px rows exercise the no-left-
-    neighbor path, random bytes exercise all predictor magnitudes."""
+def test_png_roundtrip_any_shape(w, h, seed, color, interlace):
+    """Every (dims, pixels, color type, interlace mode) round-trips
+    exactly — heights < 5 exercise partial filter coverage, 1-px rows the
+    no-left-neighbor path, small dims empty Adam7 passes, random bytes all
+    predictor magnitudes."""
     rng = np.random.RandomState(seed)
     ch = {0: 1, 2: 3, 6: 4}[color]
     px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
@@ -34,7 +36,7 @@ def test_png_roundtrip_any_shape(w, h, seed, color):
     def pixel_of(x, y):
         return tuple(int(v) for v in px[y, x])
 
-    m = decode_png(encode_png(w, h, pixel_of, color_type=color))
+    m = decode_png(encode_png(w, h, pixel_of, color_type=color, interlace=interlace))
     assert (m["width"], m["height"]) == (w, h)
     assert np.array_equal(m["pixels"], px)
 

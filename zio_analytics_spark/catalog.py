@@ -2739,6 +2739,69 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_pixel_stats(payloads)
 
 
+@register(
+    "multimodal_png_adam7",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 9 AS w, 5 + doc_id % 7 AS h FROM documents
+    ), xs AS (
+      SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+    ), xy AS (
+      SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+    ), ch AS (
+      SELECT doc_id, w, h,
+             unnest([(doc_id + 3 * x + 7 * y) % 256,
+                     (2 * doc_id + 5 * x + y) % 256,
+                     (doc_id + x + 11 * y) % 256]) AS v
+      FROM xy
+    )
+    SELECT doc_id,
+           max(w)::INT AS width, max(h)::INT AS height,
+           (max(w) * max(h))::BIGINT AS n_pixels,
+           avg(v) AS mean_byte,
+           min(v)::INT AS min_byte, max(v)::INT AS max_byte,
+           (doc_id % 256)::INT AS first_px
+    FROM ch GROUP BY doc_id
+    """,
+)
+def q_multimodal_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7 PROGRESSIVE PNG decode — the interlaced twin of
+    multimodal_png_decode, closing the decoder's last documented gap:
+    each payload is written interlace=1 (seven independently-filtered
+    sub-images, concatenated into one DEFLATE stream; dims 4–12 × 5–11
+    make several passes partially or fully EMPTY, the spec's edge case),
+    and decode_png de-interlaces them back into the grid. The analytic
+    oracle is pixel-for-pixel the same formulas as the non-interlaced
+    entry — Adam7 changes byte layout, never pixel values — so a
+    scatter/geometry bug in any of the seven passes shifts first_px or
+    the stats and hash-mismatches."""
+    from zio_analytics_spark.operators.multimodal import decode_pixel_stats, encode_png
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+
+                def rgb(x, y, i=i):
+                    return (
+                        (i + 3 * x + 7 * y) % 256,
+                        (2 * i + 5 * x + y) % 256,
+                        (i + x + 11 * y) % 256,
+                    )
+
+                payloads.append(
+                    encode_png(4 + i % 9, 5 + i % 7, rgb, interlace=True)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_pixel_stats(payloads)
+
+
 # =====================================================================
 # [EXT] TPC-H classics — scan-agg / selective filter / multi-join shapes
 # =====================================================================

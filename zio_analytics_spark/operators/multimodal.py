@@ -104,36 +104,22 @@ def _paeth(a: int, b: int, c: int) -> int:
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: Adam7 pass geometry (x0, y0, dx, dy) — public spec, RFC 2083 §2.6
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
-def encode_png(
-    width: int,
-    height: int,
-    pixel_of: Callable[[int, int], tuple],
-    color_type: int = 2,
-    filter_cycle: bool = True,
-) -> bytes:
-    """Pure-Python PNG writer (stdlib ``zlib`` DEFLATE only): signature,
-    IHDR, one IDAT, IEND, with correct CRCs. ``pixel_of(x, y)`` returns the
-    channel tuple for the top-left-origin pixel grid (len must match
-    ``color_type``: 0=gray, 2=RGB, 4=gray+alpha, 6=RGBA; bit depth 8).
 
-    ``filter_cycle=True`` applies scanline filter ``y % 5`` — deliberately
-    exercising None/Sub/Up/Average/Paeth on successive rows so a decoder
-    must implement every unfilter correctly (an encoder that always emits
-    filter 0 would let a broken Paeth path pass undetected).
-    """
-    import zlib
-
-    ch = _PNG_CHANNELS[color_type]
+def _filter_raw(raw: bytearray, width: int, height: int, ch: int, filter_cycle: bool) -> bytearray:
+    """Filter a raw (height × width·ch) sub-image into PNG scanlines —
+    one filter byte per row, cycling y % 5 when ``filter_cycle``."""
     stride = width * ch
-    raw = bytearray(height * stride)
-    for y in range(height):
-        for x in range(width):
-            px = pixel_of(x, y)
-            raw[y * stride + x * ch : y * stride + (x + 1) * ch] = bytes(
-                v & 0xFF for v in px
-            )
-
     filtered = bytearray()
     zero = bytes(stride)
     for y in range(height):
@@ -156,6 +142,52 @@ def encode_png(
             else:
                 pred = _paeth(left, up, ul)
             filtered.append((row[i] - pred) & 0xFF)
+    return filtered
+
+
+def _gather_raw(pixel_of: Callable, xs: range, ys: range, ch: int) -> bytearray:
+    """Raw bytes of the sub-image sampling ``pixel_of`` at (xs × ys)."""
+    raw = bytearray()
+    for y in ys:
+        for x in xs:
+            raw += bytes(v & 0xFF for v in pixel_of(x, y))
+    return raw
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixel_of: Callable[[int, int], tuple],
+    color_type: int = 2,
+    filter_cycle: bool = True,
+    interlace: bool = False,
+) -> bytes:
+    """Pure-Python PNG writer (stdlib ``zlib`` DEFLATE only): signature,
+    IHDR, one IDAT, IEND, with correct CRCs. ``pixel_of(x, y)`` returns the
+    channel tuple for the top-left-origin pixel grid (len must match
+    ``color_type``: 0=gray, 2=RGB, 4=gray+alpha, 6=RGBA; bit depth 8).
+
+    ``filter_cycle=True`` applies scanline filter ``y % 5`` — deliberately
+    exercising None/Sub/Up/Average/Paeth on successive rows so a decoder
+    must implement every unfilter correctly (an encoder that always emits
+    filter 0 would let a broken Paeth path pass undetected).
+    ``interlace=True`` writes Adam7: seven sub-images, each filtered
+    independently, concatenated into one DEFLATE stream.
+    """
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    filtered = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            xs, ys = range(x0, width, dx), range(y0, height, dy)
+            if not xs or not ys:
+                continue  # empty pass contributes no bytes, per spec
+            raw = _gather_raw(pixel_of, xs, ys, ch)
+            filtered += _filter_raw(raw, len(xs), len(ys), ch, filter_cycle)
+    else:
+        raw = _gather_raw(pixel_of, range(width), range(height), ch)
+        filtered = _filter_raw(raw, width, height, ch, filter_cycle)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -165,7 +197,9 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -179,10 +213,12 @@ def decode_png(payload: bytes) -> dict:
     unfiltering (None/Sub/Up/Average/Paeth), no codec libraries.
 
     Supports the truecolor tier: bit depth 8, color types 0 (gray),
-    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced, multi-IDAT. Returns
-    ``{width, height, mode, pixels}`` with ``pixels`` an (h, w, channels)
-    uint8 array in top-left-origin order. Palette/16-bit/Adam7 raise
-    ``ValueError`` — the same documented seam as every other codec edge.
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), multi-IDAT, and BOTH interlace
+    modes (progressive Adam7 sub-images de-interlace back into the grid).
+    Returns ``{width, height, mode, pixels}`` with ``pixels`` an
+    (h, w, channels) uint8 array in top-left-origin order. Palette/16-bit
+    raise ``ValueError`` — the same documented seam as every other codec
+    edge.
 
     Scale note: rows unfilter sequentially (each predicts from the prior
     row) so the work is inherently per-image — which is exactly the
@@ -213,48 +249,66 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError(
             f"only 8-bit gray/RGB/RGBA PNG supported (depth={depth}, color={color_type})"
         )
-    if interlace != 0:
-        raise ValueError("Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     ch = _PNG_CHANNELS[color_type]
-    stride = width * ch
     data = zlib.decompress(b"".join(idat))
-    if len(data) != height * (stride + 1):
-        raise ValueError("PNG data length mismatch")
 
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        off = y * (stride + 1)
-        ftype = data[off]
-        row = np.frombuffer(data, dtype=np.uint8, count=stride, offset=off + 1)
-        if ftype == 0:
-            cur = row.copy()
-        elif ftype == 2:  # Up: fully vectorized
-            cur = (row.astype(np.int32) + prior) .astype(np.uint8)
-        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: left-dependent scan
-            cur = np.zeros(stride, dtype=np.uint8)
-            for i in range(stride):
-                left = int(cur[i - ch]) if i >= ch else 0
-                up = int(prior[i])
-                ul = int(prior[i - ch]) if i >= ch else 0
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
-                    pred = (left + up) >> 1
-                else:
-                    pred = _paeth(left, up, ul)
-                cur[i] = (int(row[i]) + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        out[y] = cur
-        prior = cur
+    def unfilter(offset: int, w: int, h: int) -> tuple["np.ndarray", int]:
+        """Unfilter one (sub-)image of ``h`` scanlines of ``w`` pixels
+        starting at ``offset``; returns (h, w·ch) array + bytes consumed."""
+        stride = w * ch
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prior = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            off = offset + y * (stride + 1)
+            if off >= len(data):
+                raise ValueError("PNG data truncated")
+            ftype = data[off]
+            row = np.frombuffer(data, dtype=np.uint8, count=stride, offset=off + 1)
+            if ftype == 0:
+                cur = row.copy()
+            elif ftype == 2:  # Up: fully vectorized
+                cur = (row.astype(np.int32) + prior).astype(np.uint8)
+            elif ftype in (1, 3, 4):  # Sub/Average/Paeth: left-dependent scan
+                cur = np.zeros(stride, dtype=np.uint8)
+                for i in range(stride):
+                    left = int(cur[i - ch]) if i >= ch else 0
+                    up = int(prior[i])
+                    ul = int(prior[i - ch]) if i >= ch else 0
+                    if ftype == 1:
+                        pred = left
+                    elif ftype == 3:
+                        pred = (left + up) >> 1
+                    else:
+                        pred = _paeth(left, up, ul)
+                    cur[i] = (int(row[i]) + pred) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter type {ftype}")
+            out[y] = cur
+            prior = cur
+        return out, h * (stride + 1)
+
+    if interlace == 0:
+        if len(data) != height * (width * ch + 1):
+            raise ValueError("PNG data length mismatch")
+        out, _ = unfilter(0, width, height)
+        pixels = out.reshape(height, width, ch)
+    else:  # Adam7: seven independently-filtered sub-images, scattered back
+        pixels = np.zeros((height, width, ch), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            xs, ys = range(x0, width, dx), range(y0, height, dy)
+            if not xs or not ys:
+                continue
+            sub, used = unfilter(offset, len(xs), len(ys))
+            offset += used
+            sub = sub.reshape(len(ys), len(xs), ch)
+            pixels[y0::dy, x0::dx, :] = sub
+        if offset != len(data):
+            raise ValueError("PNG data length mismatch (Adam7)")
     mode = {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[ch]
-    return {
-        "width": width,
-        "height": height,
-        "mode": mode,
-        "pixels": out.reshape(height, width, ch),
-    }
+    return {"width": width, "height": height, "mode": mode, "pixels": pixels}
 
 
 def decode_image(payload: bytes) -> dict:
