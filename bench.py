@@ -71,9 +71,9 @@ def main() -> None:
     # Warm the parquet WRITE path (committer init, writer codegen): dedup
     # entries spill their result to parquet (deterministic cache release) and
     # the first one would otherwise absorb this one-time cost.
-    import tempfile as _tmp
+    from zio_analytics_spark.tmpdirs import scratch_dir as _scratch_dir
 
-    spark.range(1000).write.mode("overwrite").parquet(_tmp.mkdtemp(prefix="zas_warm_"))
+    spark.range(1000).write.mode("overwrite").parquet(_scratch_dir(prefix="zas_warm_"))
     # Warm the Python DataSource worker path (plan/pickle/bootstrap is a
     # one-time ~3 s session cost measured via a tiny scan: first use 3.2 s,
     # every later scan 0.2-0.4 s) — same session-vs-query accounting as the

@@ -4147,14 +4147,13 @@ def q_streaming_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFra
     events — proving the merge loop neither drops nor double-counts
     across batch boundaries."""
     import shutil
-    import tempfile
 
     from zio_analytics_spark.streaming.recovery import split_into_files
 
     ev = read_table(spark, sf_dir, "events").select("user_id", "value")
     src = _scratch_dir(prefix="zas_fbm_src_")
     ckpt = _scratch_dir(prefix="zas_fbm_ck_")
-    target = tempfile.mkdtemp(prefix="zas_fbm_tgt_")
+    target = _scratch_dir(prefix="zas_fbm_tgt_")
     split_into_files(ev, src, n_files=4)
     schema = "user_id bigint, n bigint, total double"
 

@@ -62,6 +62,12 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     _hook_scratch_cleanup(spark)
+    # Crash-robust scratch hygiene: atexit cleanup cannot run when a prior
+    # process was SIGKILLed, so every new session sweeps dead-pid scratch
+    # parents (see tmpdirs.sweep_stale) before doing any work of its own.
+    from zio_analytics_spark import tmpdirs
+
+    tmpdirs.sweep_stale()
     return spark
 
 
