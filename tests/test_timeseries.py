@@ -131,3 +131,62 @@ def test_ewma_bucketed_identical_to_per_key(spark):
     a = sorted(map(tuple, per_key.collect()))
     b = sorted(map(tuple, bucketed.collect()))
     assert a == b
+
+
+def test_ewma_pandas_engine_bit_identical_to_loop(spark):
+    """Round-6 vectorization: the Cython groupby-ewm path must reproduce the
+    literal a*x + b*e loop BIT-IDENTICALLY for the shipped alpha=0.25 (what
+    keeps the recursive-CTE oracle hash-green), and within 1 ulp for
+    arbitrary alpha (pandas' internal weighted-average form)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.timeseries import ewma
+
+    rnd = random.Random(42)
+    rows = [
+        (i % 23, i, rnd.gauss(0.0, 1.0) * rnd.choice([1e-6, 1.0, 1e6]))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+
+    for alpha, exact in [(0.25, True), (0.5, True), (0.719, False)]:
+        loop = ewma(
+            df, "value", ["event_id"], ["user_id"], alpha=alpha,
+            n_buckets=4, engine="loop",
+        )
+        fast = ewma(
+            df, "value", ["event_id"], ["user_id"], alpha=alpha,
+            n_buckets=4, engine="pandas",
+        )
+        a = {r.event_id: r.ewma for r in loop.collect()}
+        b = {r.event_id: r.ewma for r in fast.collect()}
+        assert a.keys() == b.keys()
+        for k in a:
+            if exact:
+                assert a[k] == b[k], (alpha, k, a[k].hex(), b[k].hex())
+            else:
+                assert math.isclose(a[k], b[k], rel_tol=1e-11), (alpha, k)
+
+
+def test_ewma_auto_engine_falls_back_on_nulls(spark):
+    """auto must preserve the loop's NaN-propagation semantics: a null value
+    poisons the rest of its key's chain rather than being skipped."""
+    from zio_analytics_spark.operators.timeseries import ewma
+
+    rows = [(1, 0, 2.0), (1, 1, None), (1, 2, 4.0), (2, 0, 8.0), (2, 1, 10.0)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    out = {
+        (r.user_id, r.event_id): r.ewma
+        for r in ewma(df, "value", ["event_id"], ["user_id"], alpha=0.25).collect()
+    }
+    import math
+
+    def poisoned(v):  # arrow maps the scan's NaN to SQL null on the way out
+        return v is None or math.isnan(v)
+
+    assert out[(1, 0)] == 2.0
+    assert poisoned(out[(1, 1)]) and poisoned(out[(1, 2)])
+    assert out[(2, 0)] == 8.0 and out[(2, 1)] == 0.25 * 10.0 + 0.75 * 8.0

@@ -7051,9 +7051,27 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(count, "doc_id long, n_chars long, n_tokens long")
 
 
-_COGROUP_ASOF_ORACLE = CATALOG["join_asof"].oracle.replace(
-    "FROM events e", "FROM (SELECT * FROM events WHERE user_id % 31 = 0) e"
-)
+_COGROUP_ASOF_ORACLE = """
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 31 = 0
+      ORDER BY user_id LIMIT 24
+    ),
+    e AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE user_id IN (SELECT user_id FROM u)
+    ),
+    o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+      FROM orders WHERE o_custkey IN (SELECT user_id FROM u)
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS last_orderkey,
+           o.o_totalprice AS last_totalprice
+    FROM e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """
 
 
 @register(
@@ -7064,34 +7082,49 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped ``applyInPandas`` — the remaining pandas-function API:
     both sides hash-partition on the key, each key's two pandas frames
     arrive TOGETHER, and the body runs ``pandas.merge_asof`` per user —
-    the pandas-native formulation of the as-of join. Shares join_asof's
-    ORACLE verbatim, so the cogroup formulation and the union-merge
-    Column formulation are verified identical. (Scale contract: per-key
-    pair materialization — use operators/asof.py's single-exchange form
-    unless you need arbitrary per-key pandas logic; that it exists is the
-    point of this entry.)
+    the pandas-native formulation of the as-of join. Same result contract
+    as join_asof (the oracle replays the identical ASOF LEFT JOIN on the
+    capped slice), so the cogroup formulation and the union-merge Column
+    formulation are verified identical. (Scale contract: per-key pair
+    materialization — use operators/asof.py's single-exchange form or the
+    bucketed cogroup below unless you need arbitrary per-key pandas logic;
+    that the API exists is the point of this entry.)
 
-    Runs on the user_id % 31 slice: cogroup pays a fixed Python-invocation
-    cost PER GROUP (measured at sf0.1: 22.9 s for ~1.5 k user groups,
-    still 17.8 s for ~215 groups once AQE coalesces the tiny shuffle into
-    ONE serial task — ~80 ms/group of arrow+pandas round-trip, vs ~1.6 s
-    for the Column form on the full data; on a real cluster the groups
-    spread across executors, locally the slice keeps a demonstration from
-    dominating the sweep). The numbers ARE the lesson: per-key Python is
-    an API of last resort — operators/asof.py's single-exchange Column
-    form is the scale path."""
+    HARD-BOUNDED demonstration: cogroup pays ~80 ms of arrow+pandas
+    round-trip PER GROUP (measured at sf0.1: 22.9 s for ~1.5 k user
+    groups full-data), so this entry first takes a FIXED key set — the 24
+    smallest user_ids of the %31 slice (TakeOrdered, deterministic) — and
+    semi-joins BOTH sides to it. Keys per invocation ≤ 24 at any corpus
+    size, and rows/key is corpus-invariant in this data (user count
+    scales, not depth), so total Python work is O(1) no matter the scale.
+    The numbers ARE the lesson: per-key Python is an API of last resort —
+    operators/asof.py's single-exchange Column form (~1.6 s full data) and
+    udf_cogroup_asof_bucketed (fixed 32 invocations on FULL data) are the
+    scale paths."""
     import pandas as pd
 
-    e = (
+    users = (
         read_table(spark, sf_dir, "events")
         .where(F.col("user_id") % 31 == 0)
-        .select("event_id", "user_id", "ts")
+        .select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(24)
     )
-    # the slice must hit BOTH sides: cogroup instantiates a Python call for
-    # every key present on EITHER side, so an unfiltered right side alone
+    e = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .join(F.broadcast(users), "user_id", "left_semi")
+    )
+    # the cap must hit BOTH sides: cogroup instantiates a Python call for
+    # every key present on EITHER side, so an uncapped right side alone
     # would keep all ~1.5k groups alive (measured: the 23 s stayed)
     o = top_k_per_group(
-        read_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 31 == 0),
+        read_table(spark, sf_dir, "orders").join(
+            F.broadcast(users.withColumnRenamed("user_id", "o_custkey")),
+            "o_custkey",
+            "left_semi",
+        ),
         group_by=["o_custkey", "o_orderdate"],
         order_by=[F.col("o_orderkey").desc()],
         k=1,

@@ -135,6 +135,7 @@ def ewma(
     alpha: float = 0.25,
     out_col: str = "ewma",
     n_buckets: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Exponentially weighted moving average per key:
     ``e₁ = x₁; eₜ = α·xₜ + (1−α)·eₜ₋₁`` over ``order_by`` within each
@@ -159,6 +160,24 @@ def ewma(
     is the bucket count (sized to cluster cores), not the key count.
     Same math, same output, verified identical.
 
+    ``engine`` picks the in-task evaluator (round-6 perf fix — the round-5
+    audit flagged the Python ``for`` as the one interpreter-speed inner
+    loop left in the repo):
+
+    - ``"pandas"``: ``groupby(keys).ewm(alpha, adjust=False).mean()`` —
+      the identical recurrence in Cython. Measured equivalence vs the
+      loop (test_timeseries): BIT-IDENTICAL for the shipped α=0.25 (and
+      0.5/0.125/0.75) across random keys/magnitudes — which is what keeps
+      the recursive-CTE oracle hash-green — and within 1 ulp (~1e-13
+      relative) for arbitrary α, where pandas' internal weighted-average
+      form rounds differently. ~50× faster in-task. pandas SKIPS NaN
+      inputs (carries the prior state forward) where the loop propagates
+      them, so it requires a NaN-free column.
+    - ``"loop"``: the original per-row evaluation — keeps NaN-propagation
+      semantics and serves as the executable spec.
+    - ``"auto"`` (default): ``"pandas"`` when the batch has no NaNs,
+      else ``"loop"`` — semantics never silently change.
+
     Returns ``partition_by + order_by + (value_col, out_col)``.
     """
     import numpy as np
@@ -167,22 +186,38 @@ def ewma(
     order = list(order_by)
     if not part:
         raise ValueError("ewma requires partition_by keys (per-key recurrence)")
+    if engine not in ("auto", "pandas", "loop"):
+        raise ValueError(f"unknown ewma engine: {engine!r}")
     a, b = float(alpha), 1.0 - float(alpha)
     out_cols = part + order + [value_col, out_col]
 
     def scan(pdf):
-        pdf = pdf.sort_values(part + order, kind="mergesort")
+        pdf = pdf.sort_values(part + order, kind="mergesort").reset_index(drop=True)
         vals = pdf[value_col].to_numpy(dtype=np.float64)
-        out = np.empty(len(vals), dtype=np.float64)
-        keys = list(zip(*(pdf[c].tolist() for c in part)))
-        e, prev = 0.0, object()
-        for i in range(len(vals)):
-            k = keys[i]
-            if k != prev:
-                e, prev = vals[i], k
-            else:
-                e = a * vals[i] + b * e
-            out[i] = e
+        use_pandas = engine == "pandas" or (
+            engine == "auto" and not np.isnan(vals).any()
+        )
+        if use_pandas:
+            # Groups are contiguous after the sort and groupby(sort=False)
+            # preserves first-appearance order, so the concatenated group
+            # results align positionally with the sorted frame.
+            out = (
+                pdf.groupby(part, sort=False)[value_col]
+                .ewm(alpha=a, adjust=False)
+                .mean()
+                .to_numpy()
+            )
+        else:
+            out = np.empty(len(vals), dtype=np.float64)
+            keys = list(zip(*(pdf[c].tolist() for c in part)))
+            e, prev = 0.0, object()
+            for i in range(len(vals)):
+                k = keys[i]
+                if k != prev:
+                    e, prev = vals[i], k
+                else:
+                    e = a * vals[i] + b * e
+                out[i] = e
         pdf = pdf.copy()
         pdf[out_col] = out
         return pdf[out_cols]
