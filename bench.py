@@ -6,7 +6,10 @@
      "queries": {"q": sec, ...}, "sf": ...}
 
 ``value``/``queries`` cover the headline set (stable across rounds — the
-round-over-round comparison metric). The full-catalog per-entry sweep is
+round-over-round comparison metric) as per-query MEDIANS over
+``$SPARK_GRAFT_HEADLINE_RUNS`` (default 3) executions, with per-query
+minima and the summed max−min band alongside — single-shot wall time on a
+shared host is contention-bound (round-5 lesson). The full-catalog per-entry sweep is
 written to ``BENCH_FULL.json`` NEXT TO this file, never to stdout: the
 driver's tail capture parses the last stdout line, and a 107-entry JSON
 blob overflows it (round 2's official record was lost that way). Set
@@ -105,7 +108,35 @@ def main() -> None:
     # fragment is shared across distinct headline entries, so no entry's
     # cache could have subsidized another's — which keeps totals comparable
     # round-over-round.
-    timings = run_timed(catalog.bench_queries().items(), isolate=True)
+    #
+    # MEDIAN-OF-N (round-6): single-shot wall time on this host is
+    # contention-bound — round 5's driver record ran 15.99 s where the
+    # identical code's committed run measured 14.18 s, a uniform +4…+25%
+    # smear across untouched entries. The headline set therefore runs N
+    # times (default 3) and reports the per-query MEDIAN (the comparison
+    # metric) plus min and spread, so one noisy co-tenant burst cannot
+    # masquerade as a code regression. The full-catalog sweep stays
+    # single-shot: it is a coverage/budget gate, not the round-over-round
+    # comparison metric.
+    import statistics
+
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_HEADLINE_RUNS", "3")))
+    head_runs = [
+        run_timed(catalog.bench_queries().items(), isolate=True)
+        for _ in range(n_runs)
+    ]
+    timings = {
+        name: round(statistics.median([r[name] for r in head_runs]), 3)
+        for name in head_runs[0]
+    }
+    timings_min = {
+        name: round(min(r[name] for r in head_runs), 3) for name in head_runs[0]
+    }
+    spread = round(
+        sum(max(r[n] for r in head_runs) - min(r[n] for r in head_runs)
+            for n in head_runs[0]),
+        3,
+    )
 
     all_timings: dict[str, float] = {}
     stream_timings: dict[str, float] = {}
@@ -176,6 +207,9 @@ def main() -> None:
             )
         print(f"# full-catalog timings -> {full_path}", file=sys.stderr)
     # The LAST stdout line is the driver's record — keep it compact.
+    # `value`/`queries` are per-query MEDIANS over `runs` executions;
+    # `value_min`/`queries_min` are the per-query minima (the least
+    # contention-polluted estimate), `spread_sec` the summed max-min band.
     print(
         json.dumps(
             {
@@ -183,6 +217,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": n_runs,
+                "value_min": round(sum(timings_min.values()), 3),
+                "queries_min": timings_min,
+                "spread_sec": spread,
                 "sf": sf_val,
             }
         )
