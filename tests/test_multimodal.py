@@ -326,3 +326,65 @@ def test_decode_audio_still_rejects_real_codecs():
     hdr += b"data" + struct.pack("<I", 0)
     with _pytest.raises(ValueError, match="G.711"):
         mm.decode_audio(hdr)
+
+
+def test_png_palette_property_roundtrip():
+    """Hypothesis property: ANY palette (1..256 random RGB triples) and any
+    index grid round-trips encode_png(color_type=3) -> decode_png exactly,
+    in both interlace modes — including single-entry palettes and dims
+    that leave Adam7 passes empty."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 13),
+        h=st.integers(1, 12),
+        psize=st.integers(1, 256),
+        seed=st.integers(0, 2**31 - 1),
+        interlace=st.booleans(),
+    )
+    def check(w, h, psize, seed, interlace):
+        rng = np.random.default_rng(seed)
+        pal = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(psize)]
+        grid = rng.integers(0, psize, (h, w))
+        png = multimodal.encode_png(
+            w, h, lambda x, y: (int(grid[y, x]),),
+            color_type=3, palette=pal, interlace=interlace,
+        )
+        m = multimodal.decode_png(png)
+        assert (m["width"], m["height"], m["mode"]) == (w, h, "RGB")
+        assert m["palette_size"] == psize
+        exp = np.array(pal, dtype=np.uint8)[grid]
+        assert np.array_equal(m["pixels"], exp)
+
+    check()
+
+
+def test_png_palette_malformed_rejected():
+    """PLTE hygiene: missing PLTE, truncated PLTE, and out-of-range indices
+    are errors, never silent garbage."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    idat = chunk(b"IDAT", zlib.compress(bytes([0, 0, 1, 0, 1, 0])))
+    with _pytest.raises(ValueError, match="PLTE"):
+        multimodal.decode_png(sig + ihdr + idat + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="PLTE"):
+        multimodal.decode_png(
+            sig + ihdr + chunk(b"PLTE", b"\x01\x02") + idat + chunk(b"IEND", b"")
+        )
+    # 2-entry palette but stream indexes entry 5
+    idx5 = chunk(b"IDAT", zlib.compress(bytes([0, 0, 5, 0, 1, 0])))
+    plte2 = chunk(b"PLTE", bytes([10, 20, 30, 40, 50, 60]))
+    with _pytest.raises(ValueError, match="index out of range"):
+        multimodal.decode_png(sig + ihdr + plte2 + idx5 + chunk(b"IEND", b""))

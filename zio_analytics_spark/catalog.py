@@ -2802,6 +2802,72 @@ def q_multimodal_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_pixel_stats(payloads)
 
 
+@register(
+    "multimodal_png_palette",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 6 AS w, 5 + doc_id % 4 AS h,
+             17 + doc_id % 9 AS p
+      FROM documents
+    ), xs AS (
+      SELECT doc_id, w, h, p, unnest(range(0, w)) AS x FROM dims
+    ), xy AS (
+      SELECT doc_id, w, h, p, x, unnest(range(0, h)) AS y FROM xs
+    ), idx AS (
+      SELECT doc_id, w, h, (doc_id + 3 * x + 5 * y) % p AS j FROM xy
+    ), ch AS (
+      SELECT doc_id, w, h,
+             unnest([(j * 37) % 256, (j * 59 + 13) % 256, (j * 83 + 7) % 256]) AS v
+      FROM idx
+    )
+    SELECT doc_id,
+           max(w)::INT AS width, max(h)::INT AS height,
+           (max(w) * max(h))::BIGINT AS n_pixels,
+           avg(v) AS mean_byte,
+           min(v)::INT AS min_byte, max(v)::INT AS max_byte,
+           ((doc_id % (17 + doc_id % 9)) * 37 % 256)::INT AS first_px
+    FROM ch GROUP BY doc_id
+    """,
+)
+def q_multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEXED-color PNG decode (color type 3) — the palette tier the
+    round-5 verdict ranked as the last in-reach codec gap: each document
+    gets a PLTE palette of 17–25 deterministic RGB triples and a per-pixel
+    index grid, odd doc_ids additionally written Adam7-interlaced so
+    palette resolution composes with de-interlacing. decode_png walks
+    PLTE, unfilters the 1-byte-per-pixel index plane, bounds-checks every
+    index, and expands through the lookup table to RGB; the analytic
+    oracle replays palette entry j = ((j·37)%256, (j·59+13)%256,
+    (j·83+7)%256) at index (doc_id+3x+5y) mod p, so a wrong index ANYWHERE
+    (filter bug on the index plane, off-by-one in PLTE parsing, wrong
+    lookup order) shifts the stats or first_px and hash-mismatches."""
+    from zio_analytics_spark.operators.multimodal import decode_pixel_stats, encode_png
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                p = 17 + i % 9
+                pal = [((j * 37) % 256, (j * 59 + 13) % 256, (j * 83 + 7) % 256)
+                       for j in range(p)]
+
+                def idx(x, y, i=i, p=p):
+                    return ((i + 3 * x + 5 * y) % p,)
+
+                payloads.append(
+                    encode_png(4 + i % 6, 5 + i % 4, idx, color_type=3,
+                               palette=pal, interlace=bool(i % 2))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_pixel_stats(payloads)
+
+
 # =====================================================================
 # [EXT] TPC-H classics — scan-agg / selective filter / multi-join shapes
 # =====================================================================

@@ -100,8 +100,8 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-#: channels per PNG color type (bit depth 8, non-palette)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: bytes per pixel per PNG color type at bit depth 8 (3 = palette index)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 #: Adam7 pass geometry (x0, y0, dx, dy) — public spec, RFC 2083 §2.6
@@ -161,11 +161,17 @@ def encode_png(
     color_type: int = 2,
     filter_cycle: bool = True,
     interlace: bool = False,
+    palette: "list[tuple[int, int, int]] | None" = None,
 ) -> bytes:
     """Pure-Python PNG writer (stdlib ``zlib`` DEFLATE only): signature,
     IHDR, one IDAT, IEND, with correct CRCs. ``pixel_of(x, y)`` returns the
     channel tuple for the top-left-origin pixel grid (len must match
-    ``color_type``: 0=gray, 2=RGB, 4=gray+alpha, 6=RGBA; bit depth 8).
+    ``color_type``: 0=gray, 2=RGB, 3=palette index, 4=gray+alpha, 6=RGBA;
+    bit depth 8).
+
+    ``color_type=3`` (indexed color) requires ``palette`` — a list of ≤256
+    RGB triples written as a PLTE chunk between IHDR and IDAT per the spec;
+    ``pixel_of`` then returns a 1-tuple ``(index,)``.
 
     ``filter_cycle=True`` applies scanline filter ``y % 5`` — deliberately
     exercising None/Sub/Up/Average/Paeth on successive rows so a decoder
@@ -176,6 +182,11 @@ def encode_png(
     """
     import zlib
 
+    if color_type == 3:
+        if not palette or len(palette) > 256:
+            raise ValueError("color_type 3 needs a palette of 1..256 RGB triples")
+    elif palette is not None:
+        raise ValueError("palette is only valid with color_type 3")
     ch = _PNG_CHANNELS[color_type]
     filtered = bytearray()
     if interlace:
@@ -200,9 +211,15 @@ def encode_png(
     ihdr = struct.pack(
         ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
     )
+    plte = (
+        chunk(b"PLTE", b"".join(bytes((r & 0xFF, g & 0xFF, b & 0xFF)) for r, g, b in palette))
+        if color_type == 3
+        else b""
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(bytes(filtered)))
         + chunk(b"IEND", b"")
     )
@@ -212,13 +229,14 @@ def decode_png(payload: bytes) -> dict:
     """REAL pure-Python PNG decode — stdlib ``zlib`` inflate + per-scanline
     unfiltering (None/Sub/Up/Average/Paeth), no codec libraries.
 
-    Supports the truecolor tier: bit depth 8, color types 0 (gray),
-    2 (RGB), 4 (gray+alpha), 6 (RGBA), multi-IDAT, and BOTH interlace
-    modes (progressive Adam7 sub-images de-interlace back into the grid).
-    Returns ``{width, height, mode, pixels}`` with ``pixels`` an
-    (h, w, channels) uint8 array in top-left-origin order. Palette/16-bit
-    raise ``ValueError`` — the same documented seam as every other codec
-    edge.
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette —
+    indices resolved through the PLTE chunk to RGB), 4 (gray+alpha),
+    6 (RGBA), multi-IDAT, and BOTH interlace modes (progressive Adam7
+    sub-images de-interlace back into the grid). Returns
+    ``{width, height, mode, pixels}`` with ``pixels`` an (h, w, channels)
+    uint8 array in top-left-origin order; palette images come back
+    expanded to RGB with a ``palette_size`` key. 16-bit depth raises
+    ``ValueError`` — the same documented seam as every other codec edge.
 
     Scale note: rows unfilter sequentially (each predicts from the prior
     row) so the work is inherently per-image — which is exactly the
@@ -230,13 +248,15 @@ def decode_png(payload: bytes) -> dict:
     b = bytes(payload or b"")
     if len(b) < 8 or b[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(b):
         ln = struct.unpack_from(">I", b, pos)[0]
         ctype = b[pos + 4 : pos + 8]
         body = b[pos + 8 : pos + 8 + ln]
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -247,8 +267,11 @@ def decode_png(payload: bytes) -> dict:
     width, height, depth, color_type, comp, filt, interlace = ihdr
     if depth != 8 or color_type not in _PNG_CHANNELS or comp != 0 or filt != 0:
         raise ValueError(
-            f"only 8-bit gray/RGB/RGBA PNG supported (depth={depth}, color={color_type})"
+            f"only 8-bit gray/RGB/palette/RGBA PNG supported (depth={depth}, color={color_type})"
         )
+    if color_type == 3:
+        if plte is None or len(plte) == 0 or len(plte) % 3 or len(plte) > 768:
+            raise ValueError("palette PNG missing/malformed PLTE chunk")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     ch = _PNG_CHANNELS[color_type]
@@ -307,6 +330,19 @@ def decode_png(payload: bytes) -> dict:
             pixels[y0::dy, x0::dx, :] = sub
         if offset != len(data):
             raise ValueError("PNG data length mismatch (Adam7)")
+    if color_type == 3:
+        # indexed color: resolve each index through the PLTE lookup table
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = pixels.reshape(height, width)
+        if int(idx.max(initial=0)) >= len(table):
+            raise ValueError("PNG palette index out of range")
+        return {
+            "width": width,
+            "height": height,
+            "mode": "RGB",
+            "pixels": table[idx],
+            "palette_size": len(table),
+        }
     mode = {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[ch]
     return {"width": width, "height": height, "mode": mode, "pixels": pixels}
 
