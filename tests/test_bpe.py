@@ -1,0 +1,90 @@
+"""BPE merge training (operators/bpe.py): the Spark trainer must reproduce
+a naive in-memory greedy BPE trainer exactly — argmax selection with
+(count DESC, lhs, rhs) tiebreak AND greedy leftmost-non-overlapping merge
+application, including the lhs == rhs overlap runs."""
+
+from __future__ import annotations
+
+import collections
+import random
+import re
+
+import pytest
+
+from zio_analytics_spark.operators.bpe import bpe_train
+
+
+def _naive_bpe(texts: list[str], n_merges: int) -> list[tuple]:
+    words: collections.Counter = collections.Counter()
+    for t in texts:
+        for w in re.findall("[a-z]+", t.lower()):
+            words[w] += 1
+    vocab = {w: list(w) for w in words}
+    out = []
+    for it in range(n_merges):
+        cnt: collections.Counter = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += words[w]
+        if not cnt:
+            break
+        (l, r), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            vocab[w] = merged
+        total = sum(words[w] * len(s) for w, s in vocab.items())
+        out.append((it, l, r, c, total))
+    return out
+
+
+def test_bpe_train_matches_naive_on_overlap_runs(spark):
+    """Deliberate lhs == rhs overlap coverage: odd/even runs of the same
+    character must merge greedily (floor(run/2) sites, leftmost-first)."""
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "aaaa aaa aa banana bananas",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(df, n_merges=6).collect()]
+    assert got == _naive_bpe(texts, 6)
+
+
+def test_bpe_train_randomized_equivalence(spark):
+    """Randomized corpora over a 3-letter alphabet (maximizing overlap and
+    tie pressure) must match the naive trainer for every merge."""
+    rnd = random.Random(1234)
+    for trial in range(3):
+        texts = [
+            " ".join(
+                "".join(rnd.choice("aab") for _ in range(rnd.randint(1, 9)))
+                for _ in range(rnd.randint(3, 25))
+            )
+            for _ in range(12)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = [tuple(r) for r in bpe_train(df, n_merges=5).collect()]
+        assert got == _naive_bpe(texts, 5), (trial, texts[:2])
+
+
+def test_bpe_train_single_char_vocab_stops_early(spark):
+    """A vocabulary of single-symbol words has no pairs: the trainer
+    returns an empty merge table instead of failing."""
+    df = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    assert bpe_train(df, n_merges=3).count() == 0
+
+
+def test_bpe_merge_expr_rejects_non_alpha():
+    from zio_analytics_spark.operators.bpe import _merge_expr
+
+    with pytest.raises(ValueError, match="non-alphabetic"):
+        _merge_expr("a'", "b")

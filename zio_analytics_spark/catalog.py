@@ -8095,6 +8095,96 @@ def q_dedup_exact_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle(n_merges: int = 4) -> str:
+    """Chained-CTE replay of BPE merge training (operators/bpe.py): per
+    iteration, pair counts over the word-frequency vocab, argmax with
+    (cnt DESC, lhs, rhs) tiebreak, then GREEDY merge application restated
+    set-wise — overlapping merge sites only arise when lhs == rhs (site i
+    overlaps site i+1 only if the shared middle symbol is both rhs and
+    lhs), so greedy ≡ keeping sites at even offset within each run of
+    consecutive sites: window functions, no recursion."""
+    ctes = [
+        """w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    )""",
+        """v0 AS (
+      SELECT word, count(*)::BIGINT AS freq, regexp_extract_all(word, '.') AS syms
+      FROM w GROUP BY word
+    )""",
+    ]
+    for k in range(n_merges):
+        ctes.append(f"""p{k} AS (
+      SELECT v.syms[t.pos] AS lhs, v.syms[t.pos + 1] AS rhs,
+             sum(v.freq)::BIGINT AS cnt
+      FROM v{k} v, unnest(range(1, len(v.syms))) AS t(pos)
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""b{k} AS (
+      SELECT lhs, rhs, cnt FROM p{k} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+    )""")
+        ctes.append(f"""m{k} AS (
+      SELECT v.word, v.freq, v.syms, t.pos,
+             (t.pos < len(v.syms) AND v.syms[t.pos] = b.lhs
+              AND v.syms[t.pos + 1] = b.rhs) AS mark
+      FROM v{k} v CROSS JOIN b{k} b, unnest(range(1, len(v.syms) + 1)) AS t(pos)
+    )""")
+        ctes.append(f"""g{k} AS (
+      SELECT *, CASE WHEN mark THEN pos - row_number() OVER
+                  (PARTITION BY word, mark ORDER BY pos) END AS grp
+      FROM m{k}
+    )""")
+        ctes.append(f"""t{k} AS (
+      SELECT word, freq, syms, pos, mark,
+             (mark AND ((pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0))
+               AS taken
+      FROM g{k}
+    )""")
+        ctes.append(f"""u{k} AS (
+      SELECT word, freq, syms, pos, taken,
+             coalesce(lag(taken) OVER (PARTITION BY word ORDER BY pos), false)
+               AS prev_taken
+      FROM t{k}
+    )""")
+        ctes.append(f"""v{k + 1} AS (
+      SELECT u.word, u.freq,
+             array_agg(CASE WHEN u.taken THEN b.lhs || b.rhs
+                            ELSE u.syms[u.pos] END ORDER BY u.pos) AS syms
+      FROM u{k} u CROSS JOIN b{k} b
+      WHERE NOT u.prev_taken
+      GROUP BY u.word, u.freq
+    )""")
+    unions = "\n      UNION ALL\n      ".join(
+        f"""SELECT {k} AS iter, b{k}.lhs, b{k}.rhs, b{k}.cnt AS pair_count,
+             (SELECT sum(freq * len(syms))::BIGINT FROM v{k + 1}) AS total_syms
+      FROM b{k}"""
+        for k in range(n_merges)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM (\n      {unions}\n    ) ORDER BY iter"
+    )
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle())
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING (operators/bpe.py) — learns the first 4 merges
+    from the documents corpus: the tokenizer-construction workload
+    (Sennrich et al. 2016) where every iteration needs corpus-wide pair
+    frequencies. Scale shape: ONE corpus scan builds the Zipf-bounded
+    (word, freq) vocab; all iterations run on that table (corpus-size-
+    independent), pair counting is a map-side-combinable explode+sum,
+    the argmax brings one row to the driver per round, and greedy merge
+    application is a pure `aggregate` stack HOF (codegen, no UDF). The
+    oracle replays every iteration: argmax with deterministic tiebreak
+    AND the post-merge corpus symbol total, so both the selection and
+    the application step are pinned; text_bpe_tokens is the fixed-lexer
+    counting sibling, this entry is the trainer."""
+    from zio_analytics_spark.operators.bpe import bpe_train
+
+    return bpe_train(read_table(spark, sf_dir, "documents"), n_merges=4)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

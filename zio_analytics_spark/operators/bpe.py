@@ -1,0 +1,139 @@
+"""[EXT] BPE merge TRAINING — learn byte-pair-encoding merges from a corpus.
+
+``text.bpe_token_stats`` tokenizes with a FIXED lexer; this module learns
+the merge table itself (Sennrich et al. 2016, "Neural Machine Translation
+of Rare Words with Subword Units" — public algorithm), which is the actual
+scale problem in tokenizer construction: every iteration needs corpus-wide
+pair frequencies.
+
+Scale design (the classic trainer restated for Spark):
+
+- The corpus is scanned ONCE to build the ``(word, freq)`` vocabulary.
+  Everything after runs on that vocab table, whose size is Zipf-bounded by
+  the language, NOT by corpus row count — at 100 TB the distinct-word table
+  is still broadcast-scale, so iteration cost is corpus-size-independent.
+- Pair counting is a map-side-combinable ``explode → groupBy → sum(freq)``
+  over the vocab; the argmax brings ONE row to the driver per iteration
+  (same bounded-driver-state discipline as clustering.kmeans).
+- Merge application is a pure Column HOF (``aggregate`` over the symbol
+  array — a left-to-right stack: top-of-stack == left and next == right
+  collapses into the merged symbol), so it stays JVM-side with no UDF; the
+  stack scan IS greedy leftmost-non-overlapping merging, the reference
+  semantics of BPE merge application.
+
+The learned table (one row per iteration: pair, weighted frequency, total
+corpus symbol count after applying the merge) is exactly replayable in SQL:
+overlapping merge sites only arise when left == right (site i overlaps
+site i+1 only if the middle symbol is both right and left), so greedy
+application ≡ "keep merge sites at even offset within each run of
+consecutive sites" — window functions, no recursion. The catalog oracle
+unrolls that replay per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["bpe_train", "WORD_PATTERN"]
+
+#: pre-tokenizer: lowercase letter runs — identical in Java regex and RE2,
+#: and keeps the symbol alphabet quote-free for expression generation.
+WORD_PATTERN = "[a-z]+"
+
+
+def _merge_expr(left: str, right: str) -> str:
+    """Column expression applying ONE merge greedily to ``syms``.
+
+    Left-to-right stack scan: push each symbol; when the stack top is
+    ``left`` and the incoming symbol is ``right``, replace the top with the
+    concatenated symbol. Overlaps resolve exactly like the sequential scan
+    (a just-merged top spells ``left+right`` and can never equal ``left``),
+    so this is greedy leftmost-non-overlapping merging as a single
+    whole-stage-codegen expression.
+    """
+    if not (left.isalpha() and right.isalpha()):  # alphabet is [a-z]+ only
+        raise ValueError(f"non-alphabetic merge pair: {left!r}+{right!r}")
+    return f"""
+        aggregate(
+          syms,
+          cast(array() as array<string>),
+          (acc, x) -> if(
+            size(acc) > 0 AND element_at(acc, -1) = '{left}' AND x = '{right}',
+            concat(slice(acc, 1, size(acc) - 1), array('{left}{right}')),
+            concat(acc, array(x))
+          )
+        )
+    """
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from a text column.
+
+    Returns one row per iteration:
+    ``(iter, lhs, rhs, pair_count, total_syms)`` where ``pair_count`` is
+    the frequency-weighted count of the chosen pair BEFORE merging
+    (including overlapping sites — the argmax statistic) and
+    ``total_syms`` is Σ freq·|symbols| over the vocab AFTER applying the
+    merge — a corpus-level invariant that pins the application step, not
+    just the argmax.
+
+    Driver state per iteration: one (lhs, rhs, count) row + one scalar.
+    """
+    spark: SparkSession = df.sparkSession
+    vocab = (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_PATTERN}', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.expr("regexp_extract_all(word, '.', 0)"))
+        .select("freq", "syms")
+    )
+    # the vocab is re-scanned 2x per iteration — keep it materialized, and
+    # re-materialize after each merge so iteration lineage doesn't stack
+    cur = vocab.persist()
+    results = []
+    try:
+        for it in range(n_merges):
+            pairs = (
+                cur.select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "zip_with(slice(syms, 1, size(syms) - 1),"
+                            "         slice(syms, 2, size(syms) - 1),"
+                            "         (a, b) -> struct(a AS lhs, b AS rhs))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.lhs", "p.rhs")
+                .agg(F.sum("freq").alias("cnt"))
+            )
+            top = pairs.orderBy(F.desc("cnt"), "lhs", "rhs").limit(1).collect()
+            if not top:  # vocabulary of single-symbol words: nothing to merge
+                break
+            best = top[0]
+            nxt = cur.withColumn(
+                "syms", F.expr(_merge_expr(best["lhs"], best["rhs"]))
+            ).persist()
+            total = nxt.agg(
+                F.sum(F.col("freq") * F.size("syms")).alias("t")
+            ).collect()[0]["t"]
+            results.append(
+                (it, best["lhs"], best["rhs"], int(best["cnt"]), int(total))
+            )
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        results,
+        "iter int, lhs string, rhs string, pair_count bigint, total_syms bigint",
+    )

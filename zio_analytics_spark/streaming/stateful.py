@@ -12,8 +12,9 @@ and documented as such (total order costs parallelism in any engine).
 Spark 4's successor API, ``transformWithStateInPandas`` (StatefulProcessor
 with typed value/list/map state + timers), is the natural next target for
 this module; it is unavailable in this container (its driver worker needs
-``google.protobuf``, which is not importable here — verified empirically),
-so the stable ``applyInPandasWithState`` remains the implementation. The
+``google.protobuf``, which is not importable here — verified empirically,
+re-probed negative round 6, 2026-08-14), so the stable
+``applyInPandasWithState`` remains the implementation. The
 ``map_accumulate_stream`` contract is API-agnostic: swapping the backend
 changes no caller.
 """
