@@ -263,23 +263,36 @@ def test_png_rejects_unsupported_tiers():
 
     with _pytest.raises(ValueError, match="signature"):
         multimodal.decode_png(b"\x89PNG\r\n\x1a\x00garbage")
-    # 16-bit depth refused (documented seam, not silent garbage)
     import struct
     import zlib
+
+    import numpy as np
 
     def chunk(t, b):
         return struct.pack(">I", len(b)) + t + b + struct.pack(
             ">I", zlib.crc32(t + b) & 0xFFFFFFFF
         )
 
-    bad = (
+    # 16-bit depth is SUPPORTED since round 6: an all-zero 2x2 RGB16 stream
+    # (2 rows x (1 filter byte + 12 sample bytes)) decodes to uint16 zeros
+    ok16 = (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
         + chunk(b"IEND", b"")
     )
-    with _pytest.raises(ValueError, match="8-bit"):
-        multimodal.decode_png(bad)
+    m = multimodal.decode_png(ok16)
+    assert m["depth"] == 16 and m["pixels"].dtype == np.uint16
+    assert m["pixels"].shape == (2, 2, 3) and not m["pixels"].any()
+    # sub-byte depths remain the documented seam
+    bad4 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 4))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="8/16-bit"):
+        multimodal.decode_png(bad4)
 
 
 def test_g711_reference_values_and_roundtrip():
@@ -388,3 +401,35 @@ def test_png_palette_malformed_rejected():
     plte2 = chunk(b"PLTE", bytes([10, 20, 30, 40, 50, 60]))
     with _pytest.raises(ValueError, match="index out of range"):
         multimodal.decode_png(sig + ihdr + plte2 + idx5 + chunk(b"IEND", b""))
+
+
+def test_png_16bit_property_roundtrip():
+    """Hypothesis property: random uint16 grids round-trip at depth 16 for
+    every color type, both interlace modes — the predictor offset must be
+    bpp BYTES (2·ch), not channels, or high/low byte pairing scrambles."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 11),
+        h=st.integers(1, 10),
+        ct=st.sampled_from([0, 2, 4, 6]),
+        seed=st.integers(0, 2**31 - 1),
+        interlace=st.booleans(),
+    )
+    def check(w, h, ct, seed, interlace):
+        from zio_analytics_spark.operators.multimodal import _PNG_CHANNELS
+
+        ch = _PNG_CHANNELS[ct]
+        rng = np.random.default_rng(seed)
+        grid = rng.integers(0, 65536, (h, w, ch))
+        png = multimodal.encode_png(
+            w, h, lambda x, y: tuple(int(v) for v in grid[y, x]),
+            color_type=ct, depth=16, interlace=interlace,
+        )
+        m = multimodal.decode_png(png)
+        assert m["depth"] == 16 and m["pixels"].dtype == np.uint16
+        assert np.array_equal(m["pixels"], grid.astype(np.uint16))
+
+    check()

@@ -2803,6 +2803,63 @@ def q_multimodal_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_16bit",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 5 + doc_id % 3 AS h FROM documents
+    ), xs AS (
+      SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+    ), xy AS (
+      SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+    ), ch AS (
+      SELECT doc_id, w, h,
+             (doc_id * 257 + 1031 * x + 2053 * y) % 65536 AS v
+      FROM xy
+    )
+    SELECT doc_id,
+           max(w)::INT AS width, max(h)::INT AS height,
+           (max(w) * max(h))::BIGINT AS n_pixels,
+           avg(v) AS mean_byte,
+           min(v)::INT AS min_byte, max(v)::INT AS max_byte,
+           ((doc_id * 257) % 65536)::INT AS first_px
+    FROM ch GROUP BY doc_id
+    """,
+)
+def q_multimodal_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-BIT-depth PNG decode (grayscale, big-endian samples) — the
+    high-dynamic-range tier: per the spec, scanline filters operate on
+    BYTES with "left" meaning bpp bytes back, so a correct decoder must
+    widen its predictor offset to 2 at depth 16 — an off-by-one there
+    scrambles every sample's high/low byte pairing, which first_px
+    (= doc_id·257 mod 65536, exceeding 255 for most docs) and the stats
+    catch immediately. Odd doc_ids are Adam7-interlaced so 16-bit sample
+    reassembly composes with de-interlacing. Channel values are an
+    analytic function of (doc_id, x, y) over the FULL 0..65535 range."""
+    from zio_analytics_spark.operators.multimodal import decode_pixel_stats, encode_png
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+
+                def gray(x, y, i=i):
+                    return ((i * 257 + 1031 * x + 2053 * y) % 65536,)
+
+                payloads.append(
+                    encode_png(4 + i % 5, 5 + i % 3, gray, color_type=0,
+                               depth=16, interlace=bool(i % 2))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_pixel_stats(payloads)
+
+
+@register(
     "multimodal_png_palette",
     oracle="""
     WITH dims AS (

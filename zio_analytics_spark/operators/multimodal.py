@@ -116,10 +116,14 @@ _ADAM7 = [
 ]
 
 
-def _filter_raw(raw: bytearray, width: int, height: int, ch: int, filter_cycle: bool) -> bytearray:
-    """Filter a raw (height × width·ch) sub-image into PNG scanlines —
-    one filter byte per row, cycling y % 5 when ``filter_cycle``."""
-    stride = width * ch
+def _filter_raw(raw: bytearray, width: int, height: int, bpp: int, filter_cycle: bool) -> bytearray:
+    """Filter a raw (height × width·bpp bytes) sub-image into PNG
+    scanlines — one filter byte per row, cycling y % 5 when
+    ``filter_cycle``. ``bpp`` is BYTES per pixel (channels × depth/8):
+    per the spec, filters always operate on bytes, with "left" meaning
+    the byte ``bpp`` positions back — which is what makes the same code
+    serve 8- and 16-bit depths."""
+    stride = width * bpp
     filtered = bytearray()
     zero = bytes(stride)
     for y in range(height):
@@ -128,9 +132,9 @@ def _filter_raw(raw: bytearray, width: int, height: int, ch: int, filter_cycle: 
         ftype = y % 5 if filter_cycle else 0
         filtered.append(ftype)
         for i in range(stride):
-            left = row[i - ch] if i >= ch else 0
+            left = row[i - bpp] if i >= bpp else 0
             up = prior[i]
-            ul = prior[i - ch] if i >= ch else 0
+            ul = prior[i - bpp] if i >= bpp else 0
             if ftype == 0:
                 pred = 0
             elif ftype == 1:
@@ -145,12 +149,17 @@ def _filter_raw(raw: bytearray, width: int, height: int, ch: int, filter_cycle: 
     return filtered
 
 
-def _gather_raw(pixel_of: Callable, xs: range, ys: range, ch: int) -> bytearray:
-    """Raw bytes of the sub-image sampling ``pixel_of`` at (xs × ys)."""
+def _gather_raw(pixel_of: Callable, xs: range, ys: range, depth: int) -> bytearray:
+    """Raw bytes of the sub-image sampling ``pixel_of`` at (xs × ys);
+    16-bit samples pack big-endian per the spec."""
     raw = bytearray()
     for y in ys:
         for x in xs:
-            raw += bytes(v & 0xFF for v in pixel_of(x, y))
+            if depth == 8:
+                raw += bytes(v & 0xFF for v in pixel_of(x, y))
+            else:
+                for v in pixel_of(x, y):
+                    raw += struct.pack(">H", v & 0xFFFF)
     return raw
 
 
@@ -162,12 +171,15 @@ def encode_png(
     filter_cycle: bool = True,
     interlace: bool = False,
     palette: "list[tuple[int, int, int]] | None" = None,
+    depth: int = 8,
 ) -> bytes:
     """Pure-Python PNG writer (stdlib ``zlib`` DEFLATE only): signature,
     IHDR, one IDAT, IEND, with correct CRCs. ``pixel_of(x, y)`` returns the
     channel tuple for the top-left-origin pixel grid (len must match
-    ``color_type``: 0=gray, 2=RGB, 3=palette index, 4=gray+alpha, 6=RGBA;
-    bit depth 8).
+    ``color_type``: 0=gray, 2=RGB, 3=palette index, 4=gray+alpha, 6=RGBA).
+
+    ``depth`` is 8 or 16 bits per sample (16-bit samples pack big-endian;
+    palette images are 8-bit only, per the spec's depth/color matrix).
 
     ``color_type=3`` (indexed color) requires ``palette`` — a list of ≤256
     RGB triples written as a PLTE chunk between IHDR and IDAT per the spec;
@@ -182,23 +194,28 @@ def encode_png(
     """
     import zlib
 
+    if depth not in (8, 16):
+        raise ValueError(f"PNG depth must be 8 or 16, got {depth}")
     if color_type == 3:
         if not palette or len(palette) > 256:
             raise ValueError("color_type 3 needs a palette of 1..256 RGB triples")
+        if depth != 8:
+            raise ValueError("palette PNGs are 8-bit only")
     elif palette is not None:
         raise ValueError("palette is only valid with color_type 3")
     ch = _PNG_CHANNELS[color_type]
+    bpp = ch * (depth // 8)
     filtered = bytearray()
     if interlace:
         for x0, y0, dx, dy in _ADAM7:
             xs, ys = range(x0, width, dx), range(y0, height, dy)
             if not xs or not ys:
                 continue  # empty pass contributes no bytes, per spec
-            raw = _gather_raw(pixel_of, xs, ys, ch)
-            filtered += _filter_raw(raw, len(xs), len(ys), ch, filter_cycle)
+            raw = _gather_raw(pixel_of, xs, ys, depth)
+            filtered += _filter_raw(raw, len(xs), len(ys), bpp, filter_cycle)
     else:
-        raw = _gather_raw(pixel_of, range(width), range(height), ch)
-        filtered = _filter_raw(raw, width, height, ch, filter_cycle)
+        raw = _gather_raw(pixel_of, range(width), range(height), depth)
+        filtered = _filter_raw(raw, width, height, bpp, filter_cycle)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -209,7 +226,7 @@ def encode_png(
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, 1 if interlace else 0
     )
     plte = (
         chunk(b"PLTE", b"".join(bytes((r & 0xFF, g & 0xFF, b & 0xFF)) for r, g, b in palette))
@@ -229,14 +246,17 @@ def decode_png(payload: bytes) -> dict:
     """REAL pure-Python PNG decode — stdlib ``zlib`` inflate + per-scanline
     unfiltering (None/Sub/Up/Average/Paeth), no codec libraries.
 
-    Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette —
+    Supports bit depths 8 AND 16 (big-endian samples; filters operate on
+    bytes with "left" = bpp bytes back, so the same unfilter serves both),
+    color types 0 (gray), 2 (RGB), 3 (palette — 8-bit only per the spec,
     indices resolved through the PLTE chunk to RGB), 4 (gray+alpha),
     6 (RGBA), multi-IDAT, and BOTH interlace modes (progressive Adam7
     sub-images de-interlace back into the grid). Returns
-    ``{width, height, mode, pixels}`` with ``pixels`` an (h, w, channels)
-    uint8 array in top-left-origin order; palette images come back
-    expanded to RGB with a ``palette_size`` key. 16-bit depth raises
-    ``ValueError`` — the same documented seam as every other codec edge.
+    ``{width, height, mode, depth, pixels}`` with ``pixels`` an
+    (h, w, channels) array in top-left-origin order — uint8 at depth 8,
+    uint16 at depth 16; palette images come back expanded to RGB with a
+    ``palette_size`` key. Sub-byte depths (1/2/4) raise ``ValueError`` —
+    the same documented seam as every other codec edge.
 
     Scale note: rows unfilter sequentially (each predicts from the prior
     row) so the work is inherently per-image — which is exactly the
@@ -265,22 +285,25 @@ def decode_png(payload: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     width, height, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or color_type not in _PNG_CHANNELS or comp != 0 or filt != 0:
+    if depth not in (8, 16) or color_type not in _PNG_CHANNELS or comp != 0 or filt != 0:
         raise ValueError(
-            f"only 8-bit gray/RGB/palette/RGBA PNG supported (depth={depth}, color={color_type})"
+            f"only 8/16-bit gray/RGB/palette/RGBA PNG supported (depth={depth}, color={color_type})"
         )
     if color_type == 3:
+        if depth != 8:
+            raise ValueError("palette PNGs are 8-bit only")
         if plte is None or len(plte) == 0 or len(plte) % 3 or len(plte) > 768:
             raise ValueError("palette PNG missing/malformed PLTE chunk")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     ch = _PNG_CHANNELS[color_type]
+    bpp = ch * (depth // 8)  # filters operate on BYTES, "left" = bpp back
     data = zlib.decompress(b"".join(idat))
 
     def unfilter(offset: int, w: int, h: int) -> tuple["np.ndarray", int]:
         """Unfilter one (sub-)image of ``h`` scanlines of ``w`` pixels
-        starting at ``offset``; returns (h, w·ch) array + bytes consumed."""
-        stride = w * ch
+        starting at ``offset``; returns (h, w·bpp) BYTE array + consumed."""
+        stride = w * bpp
         out = np.zeros((h, stride), dtype=np.uint8)
         prior = np.zeros(stride, dtype=np.uint8)
         for y in range(h):
@@ -296,9 +319,9 @@ def decode_png(payload: bytes) -> dict:
             elif ftype in (1, 3, 4):  # Sub/Average/Paeth: left-dependent scan
                 cur = np.zeros(stride, dtype=np.uint8)
                 for i in range(stride):
-                    left = int(cur[i - ch]) if i >= ch else 0
+                    left = int(cur[i - bpp]) if i >= bpp else 0
                     up = int(prior[i])
-                    ul = int(prior[i - ch]) if i >= ch else 0
+                    ul = int(prior[i - bpp]) if i >= bpp else 0
                     if ftype == 1:
                         pred = left
                     elif ftype == 3:
@@ -312,13 +335,21 @@ def decode_png(payload: bytes) -> dict:
             prior = cur
         return out, h * (stride + 1)
 
+    def to_samples(byte_rows: "np.ndarray", w: int, h: int) -> "np.ndarray":
+        """(h, w·bpp) unfiltered bytes → (h, w, ch) samples (BE at 16)."""
+        if depth == 8:
+            return byte_rows.reshape(h, w, ch)
+        pairs = byte_rows.reshape(h, w, ch, 2).astype(np.uint16)
+        return (pairs[..., 0] << 8) | pairs[..., 1]
+
+    px_dtype = np.uint8 if depth == 8 else np.uint16
     if interlace == 0:
-        if len(data) != height * (width * ch + 1):
+        if len(data) != height * (width * bpp + 1):
             raise ValueError("PNG data length mismatch")
         out, _ = unfilter(0, width, height)
-        pixels = out.reshape(height, width, ch)
+        pixels = to_samples(out, width, height)
     else:  # Adam7: seven independently-filtered sub-images, scattered back
-        pixels = np.zeros((height, width, ch), dtype=np.uint8)
+        pixels = np.zeros((height, width, ch), dtype=px_dtype)
         offset = 0
         for x0, y0, dx, dy in _ADAM7:
             xs, ys = range(x0, width, dx), range(y0, height, dy)
@@ -326,8 +357,7 @@ def decode_png(payload: bytes) -> dict:
                 continue
             sub, used = unfilter(offset, len(xs), len(ys))
             offset += used
-            sub = sub.reshape(len(ys), len(xs), ch)
-            pixels[y0::dy, x0::dx, :] = sub
+            pixels[y0::dy, x0::dx, :] = to_samples(sub, len(xs), len(ys))
         if offset != len(data):
             raise ValueError("PNG data length mismatch (Adam7)")
     if color_type == 3:
@@ -340,11 +370,18 @@ def decode_png(payload: bytes) -> dict:
             "width": width,
             "height": height,
             "mode": "RGB",
+            "depth": 8,
             "pixels": table[idx],
             "palette_size": len(table),
         }
     mode = {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[ch]
-    return {"width": width, "height": height, "mode": mode, "pixels": pixels}
+    return {
+        "width": width,
+        "height": height,
+        "mode": mode,
+        "depth": depth,
+        "pixels": pixels,
+    }
 
 
 def decode_image(payload: bytes) -> dict:
