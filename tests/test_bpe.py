@@ -88,3 +88,45 @@ def test_bpe_merge_expr_rejects_non_alpha():
 
     with pytest.raises(ValueError, match="non-alphabetic"):
         _merge_expr("a'", "b")
+
+
+def test_bpe_segment_matches_naive_application(spark):
+    """Per-document subword counts must equal naively training then
+    segmenting each document's words with the learned merges."""
+    texts = ["low lower lowest", "new newest low low", "aaaa banana"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from zio_analytics_spark.operators.bpe import bpe_segment
+
+    got = {r.doc_id: (r.n_words, r.n_tokens) for r in bpe_segment(df, n_merges=4).collect()}
+
+    # naive: train on full corpus, then segment each doc
+    words = collections.Counter()
+    for t in texts:
+        for w in re.findall("[a-z]+", t.lower()):
+            words[w] += 1
+    vocab = {w: list(w) for w in words}
+    for _ in range(4):
+        cnt = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += words[w]
+        if not cnt:
+            break
+        (l, r), _c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            vocab[w] = merged
+    expected = {}
+    for d, t in enumerate(texts):
+        ws = re.findall("[a-z]+", t.lower())
+        expected[d] = (len(ws), sum(len(vocab[w]) for w in ws))
+    assert got == expected

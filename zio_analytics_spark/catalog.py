@@ -8152,9 +8152,9 @@ def q_dedup_exact_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(n_merges: int = 4) -> str:
-    """Chained-CTE replay of BPE merge training (operators/bpe.py): per
-    iteration, pair counts over the word-frequency vocab, argmax with
+def _bpe_oracle_ctes(n_merges: int) -> list:
+    """Shared chained-CTE replay of BPE merge training (operators/bpe.py):
+    per iteration, pair counts over the word-frequency vocab, argmax with
     (cnt DESC, lhs, rhs) tiebreak, then GREEDY merge application restated
     set-wise — overlapping merge sites only arise when lhs == rhs (site i
     overlaps site i+1 only if the shared middle symbol is both rhs and
@@ -8211,6 +8211,12 @@ def _bpe_oracle(n_merges: int = 4) -> str:
       WHERE NOT u.prev_taken
       GROUP BY u.word, u.freq
     )""")
+    return ctes
+
+
+def _bpe_oracle(n_merges: int = 4) -> str:
+    """Training replay: per-iteration argmax pair + post-merge symbol total."""
+    ctes = _bpe_oracle_ctes(n_merges)
     unions = "\n      UNION ALL\n      ".join(
         f"""SELECT {k} AS iter, b{k}.lhs, b{k}.rhs, b{k}.cnt AS pair_count,
              (SELECT sum(freq * len(syms))::BIGINT FROM v{k + 1}) AS total_syms
@@ -8220,6 +8226,24 @@ def _bpe_oracle(n_merges: int = 4) -> str:
     return (
         "WITH " + ",\n    ".join(ctes)
         + f"\n    SELECT * FROM (\n      {unions}\n    ) ORDER BY iter"
+    )
+
+
+def _bpe_segment_oracle(n_merges: int = 4) -> str:
+    """Apply-side replay: join every document's words to the FINAL vocab
+    segmentation and sum subword counts per document."""
+    ctes = _bpe_oracle_ctes(n_merges)
+    ctes.append("""dw AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+           sum(len(v.syms))::BIGINT AS n_tokens
+    FROM dw JOIN v{n_merges} v USING (word)
+    GROUP BY dw.doc_id"""
     )
 
 
@@ -8240,6 +8264,23 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zio_analytics_spark.operators.bpe import bpe_train
 
     return bpe_train(read_table(spark, sf_dir, "documents"), n_merges=4)
+
+
+@register("bpe_segment_docs", oracle=_bpe_segment_oracle())
+def q_bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY-side of BPE (operators/bpe.py bpe_segment): tokenize every
+    document with the merges learned by bpe_train_merges. The scale
+    contract is the point: segmentation runs ONCE on the Zipf-bounded
+    vocab (same iteration loop as training), yielding a word → subword-
+    count dimension table; the corpus pass is one explode + BROADCAST
+    dimension join + per-doc sum — so a production 50 k-merge tokenizer
+    costs the same single corpus scan, only the vocab segmentation gets
+    deeper. The oracle replays all four merges set-wise and joins each
+    document's words to the final vocab, pinning per-document subword
+    counts exactly."""
+    from zio_analytics_spark.operators.bpe import bpe_segment
+
+    return bpe_segment(read_table(spark, sf_dir, "documents"), n_merges=4)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_train", "WORD_PATTERN"]
+__all__ = ["bpe_train", "bpe_segment", "WORD_PATTERN"]
 
 #: pre-tokenizer: lowercase letter runs — identical in Java regex and RE2,
 #: and keeps the symbol alphabet quote-free for expression generation.
@@ -67,6 +67,59 @@ def _merge_expr(left: str, right: str) -> str:
     """
 
 
+def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """One corpus scan → the Zipf-bounded ``(word, freq, syms)`` table."""
+    return (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_PATTERN}', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.expr("regexp_extract_all(word, '.', 0)"))
+    )
+
+
+def _train_loop(vocab: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
+    """Run the merge-learning iterations; returns (merge rows, FINAL vocab —
+    persisted, caller unpersists). Driver state per iteration: one
+    (lhs, rhs, count) row + one scalar."""
+    # the vocab is re-scanned 2x per iteration — keep it materialized, and
+    # re-materialize after each merge so iteration lineage doesn't stack
+    cur = vocab.persist()
+    results = []
+    for it in range(n_merges):
+        pairs = (
+            cur.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms) - 1),"
+                        "         slice(syms, 2, size(syms) - 1),"
+                        "         (a, b) -> struct(a AS lhs, b AS rhs))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "lhs", "rhs").limit(1).collect()
+        if not top:  # vocabulary of single-symbol words: nothing to merge
+            break
+        best = top[0]
+        nxt = cur.withColumn(
+            "syms", F.expr(_merge_expr(best["lhs"], best["rhs"]))
+        ).persist()
+        total = nxt.agg(
+            F.sum(F.col("freq") * F.size("syms")).alias("t")
+        ).collect()[0]["t"]
+        results.append((it, best["lhs"], best["rhs"], int(best["cnt"]), int(total)))
+        cur.unpersist()
+        cur = nxt
+    return results, cur
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -81,59 +134,53 @@ def bpe_train(
     ``total_syms`` is Σ freq·|symbols| over the vocab AFTER applying the
     merge — a corpus-level invariant that pins the application step, not
     just the argmax.
-
-    Driver state per iteration: one (lhs, rhs, count) row + one scalar.
     """
     spark: SparkSession = df.sparkSession
-    vocab = (
-        df.select(
-            F.explode(
-                F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_PATTERN}', 0)")
-            ).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("syms", F.expr("regexp_extract_all(word, '.', 0)"))
-        .select("freq", "syms")
-    )
-    # the vocab is re-scanned 2x per iteration — keep it materialized, and
-    # re-materialize after each merge so iteration lineage doesn't stack
-    cur = vocab.persist()
-    results = []
-    try:
-        for it in range(n_merges):
-            pairs = (
-                cur.select(
-                    "freq",
-                    F.explode(
-                        F.expr(
-                            "zip_with(slice(syms, 1, size(syms) - 1),"
-                            "         slice(syms, 2, size(syms) - 1),"
-                            "         (a, b) -> struct(a AS lhs, b AS rhs))"
-                        )
-                    ).alias("p"),
-                )
-                .groupBy("p.lhs", "p.rhs")
-                .agg(F.sum("freq").alias("cnt"))
-            )
-            top = pairs.orderBy(F.desc("cnt"), "lhs", "rhs").limit(1).collect()
-            if not top:  # vocabulary of single-symbol words: nothing to merge
-                break
-            best = top[0]
-            nxt = cur.withColumn(
-                "syms", F.expr(_merge_expr(best["lhs"], best["rhs"]))
-            ).persist()
-            total = nxt.agg(
-                F.sum(F.col("freq") * F.size("syms")).alias("t")
-            ).collect()[0]["t"]
-            results.append(
-                (it, best["lhs"], best["rhs"], int(best["cnt"]), int(total))
-            )
-            cur.unpersist()
-            cur = nxt
-    finally:
-        cur.unpersist()
+    vocab = _word_vocab(df, text_col).select("freq", "syms")
+    results, cur = _train_loop(vocab, n_merges)
+    cur.unpersist()
     return spark.createDataFrame(
         results,
         "iter int, lhs string, rhs string, pair_count bigint, total_syms bigint",
     )
+
+
+def bpe_segment(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 4,
+) -> DataFrame:
+    """Apply-side of the trainer: segment every document with the learned
+    merges and return ``(id, n_words, n_tokens)`` per document.
+
+    Scale shape — the reason application is NOT "replay the merges per
+    document": segmentation is computed ONCE on the Zipf-bounded vocab
+    (the same iteration loop as training), producing a
+    ``word → subword-count`` dimension table; the corpus pass is then one
+    explode + broadcast dimension join + per-doc sum. With a real 50 k-
+    merge tokenizer the per-document work is identical — only the vocab
+    table's segmentation gets deeper — so corpus cost stays one scan
+    regardless of merge count. Documents with no ``[a-z]+`` word are
+    excluded (no tokens), matching the oracle's inner join.
+    """
+    vocab = _word_vocab(df, text_col)
+    _, seg = _train_loop(vocab, n_merges)
+    dim = seg.select("word", F.size("syms").alias("n_sub"))
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_PATTERN}', 0)")
+        ).alias("word"),
+    )
+    out = (
+        words.join(F.broadcast(dim), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_tokens"),
+        )
+    )
+    # seg stays persisted until the returned plan is consumed; it is tiny
+    # (the vocab) and session cache isolation (bench/tests) clears it.
+    return out
