@@ -284,15 +284,24 @@ def test_png_rejects_unsupported_tiers():
     m = multimodal.decode_png(ok16)
     assert m["depth"] == 16 and m["pixels"].dtype == np.uint16
     assert m["pixels"].shape == (2, 2, 3) and not m["pixels"].any()
-    # sub-byte depths remain the documented seam
-    bad4 = (
+    # 4-bit gray is SUPPORTED too (full spec matrix since round 6):
+    # 2x2 depth-4 → stride 1, two rows of (filter byte + 1 data byte)
+    m4 = multimodal.decode_png(
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0x5A, 0, 0xC3])))
+        + chunk(b"IEND", b"")
+    )
+    assert m4["pixels"].reshape(2, 2).tolist() == [[5, 10], [12, 3]]
+    # combinations OUTSIDE the spec matrix are rejected (depth 3 never valid)
+    bad3 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 4))
         + chunk(b"IEND", b"")
     )
-    with _pytest.raises(ValueError, match="8/16-bit"):
-        multimodal.decode_png(bad4)
+    with _pytest.raises(ValueError, match="depth/color"):
+        multimodal.decode_png(bad3)
 
 
 def test_g711_reference_values_and_roundtrip():
@@ -431,5 +440,46 @@ def test_png_16bit_property_roundtrip():
         m = multimodal.decode_png(png)
         assert m["depth"] == 16 and m["pixels"].dtype == np.uint16
         assert np.array_equal(m["pixels"], grid.astype(np.uint16))
+
+    check()
+
+
+def test_png_subbyte_property_roundtrip():
+    """Hypothesis property: random grids at depths 1/2/4 round-trip for
+    gray AND palette, both interlace modes — per-row byte padding and the
+    1-byte predictor offset are the failure surfaces."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 19),
+        h=st.integers(1, 12),
+        depth=st.sampled_from([1, 2, 4]),
+        pal=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+        interlace=st.booleans(),
+    )
+    def check(w, h, depth, pal, seed, interlace):
+        rng = np.random.default_rng(seed)
+        m = 1 << depth
+        grid = rng.integers(0, m, (h, w))
+        if pal:
+            palette = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(m)]
+            png = multimodal.encode_png(
+                w, h, lambda x, y: (int(grid[y, x]),), color_type=3,
+                palette=palette, depth=depth, interlace=interlace,
+            )
+            out = multimodal.decode_png(png)
+            exp = np.array(palette, dtype=np.uint8)[grid]
+            assert np.array_equal(out["pixels"], exp)
+        else:
+            png = multimodal.encode_png(
+                w, h, lambda x, y: (int(grid[y, x]),), color_type=0,
+                depth=depth, interlace=interlace,
+            )
+            out = multimodal.decode_png(png)
+            assert out["depth"] == depth
+            assert np.array_equal(out["pixels"].reshape(h, w), grid.astype(np.uint8))
 
     check()

@@ -2860,6 +2860,67 @@ def q_multimodal_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_subbyte",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 17 AS w, 8 + doc_id % 9 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END AS m
+      FROM documents
+    ), xs AS (
+      SELECT doc_id, w, h, m, unnest(range(0, w)) AS x FROM dims
+    ), xy AS (
+      SELECT doc_id, w, h, m, x, unnest(range(0, h)) AS y FROM xs
+    ), ch AS (
+      SELECT doc_id, w, h, (doc_id + 3 * x + 7 * y) % m AS v FROM xy
+    )
+    SELECT doc_id,
+           max(w)::INT AS width, max(h)::INT AS height,
+           (max(w) * max(h))::BIGINT AS n_pixels,
+           avg(v) AS mean_byte,
+           min(v)::INT AS min_byte, max(v)::INT AS max_byte,
+           (doc_id % (CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END))::INT
+             AS first_px
+    FROM ch GROUP BY doc_id
+    """,
+)
+def q_multimodal_png_subbyte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-BYTE-depth PNG decode (1/2/4 bits per sample — the bilevel /
+    document-scan tier, completing the spec's full depth/color matrix):
+    samples pack MSB-first with each SCANLINE padded to a byte boundary,
+    and the filter predictor offset clamps to 1 byte, so a decoder that
+    unpacks across row padding or mis-sizes the stride shears every
+    subsequent row. doc_id%3 selects depth 1, 2, or 4 and the pixel value
+    cycles the full 0..2^depth−1 range; odd doc_ids are Adam7-interlaced,
+    whose per-PASS row padding (pass widths differ) is the hard case.
+    The analytic oracle predicts every stat from (doc_id, x, y) mod
+    2^depth."""
+    from zio_analytics_spark.operators.multimodal import decode_pixel_stats, encode_png
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                depth = (1, 2, 4)[i % 3]
+                m = 1 << depth
+
+                def px(x, y, i=i, m=m):
+                    return ((i + 3 * x + 7 * y) % m,)
+
+                payloads.append(
+                    encode_png(16 + i % 17, 8 + i % 9, px, color_type=0,
+                               depth=depth, interlace=bool(i % 2))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_pixel_stats(payloads)
+
+
+@register(
     "multimodal_png_palette",
     oracle="""
     WITH dims AS (

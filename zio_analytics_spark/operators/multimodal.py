@@ -100,8 +100,11 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-#: bytes per pixel per PNG color type at bit depth 8 (3 = palette index)
+#: samples per pixel per PNG color type (3 = palette index)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: the spec's allowed depth/color matrix (RFC 2083 §6): sub-byte only for
+#: gray and palette; multi-channel types are 8/16; palette caps at 8
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 #: Adam7 pass geometry (x0, y0, dx, dy) — public spec, RFC 2083 §2.6
@@ -116,14 +119,14 @@ _ADAM7 = [
 ]
 
 
-def _filter_raw(raw: bytearray, width: int, height: int, bpp: int, filter_cycle: bool) -> bytearray:
-    """Filter a raw (height × width·bpp bytes) sub-image into PNG
-    scanlines — one filter byte per row, cycling y % 5 when
-    ``filter_cycle``. ``bpp`` is BYTES per pixel (channels × depth/8):
-    per the spec, filters always operate on bytes, with "left" meaning
-    the byte ``bpp`` positions back — which is what makes the same code
-    serve 8- and 16-bit depths."""
-    stride = width * bpp
+def _filter_raw(raw: bytearray, stride: int, height: int, bpp: int, filter_cycle: bool) -> bytearray:
+    """Filter a raw (height × stride bytes) sub-image into PNG scanlines —
+    one filter byte per row, cycling y % 5 when ``filter_cycle``. ``bpp``
+    is the spec's predictor offset: BYTES per pixel rounded UP to 1
+    (= channels × depth/8 at depths ≥ 8; 1 at sub-byte depths). Per the
+    spec, filters always operate on bytes, with "left" meaning the byte
+    ``bpp`` positions back — which is what makes the same code serve
+    1/2/4/8/16-bit depths."""
     filtered = bytearray()
     zero = bytes(stride)
     for y in range(height):
@@ -151,9 +154,22 @@ def _filter_raw(raw: bytearray, width: int, height: int, bpp: int, filter_cycle:
 
 def _gather_raw(pixel_of: Callable, xs: range, ys: range, depth: int) -> bytearray:
     """Raw bytes of the sub-image sampling ``pixel_of`` at (xs × ys);
-    16-bit samples pack big-endian per the spec."""
+    16-bit samples pack big-endian, sub-byte samples pack MSB-first with
+    each ROW padded to a byte boundary, per the spec."""
     raw = bytearray()
+    mask = (1 << depth) - 1
     for y in ys:
+        if depth in (1, 2, 4):
+            acc, nbits = 0, 0
+            for x in xs:
+                acc = (acc << depth) | (pixel_of(x, y)[0] & mask)
+                nbits += depth
+                if nbits == 8:
+                    raw.append(acc)
+                    acc, nbits = 0, 0
+            if nbits:
+                raw.append(acc << (8 - nbits))
+            continue
         for x in xs:
             if depth == 8:
                 raw += bytes(v & 0xFF for v in pixel_of(x, y))
@@ -178,8 +194,10 @@ def encode_png(
     channel tuple for the top-left-origin pixel grid (len must match
     ``color_type``: 0=gray, 2=RGB, 3=palette index, 4=gray+alpha, 6=RGBA).
 
-    ``depth`` is 8 or 16 bits per sample (16-bit samples pack big-endian;
-    palette images are 8-bit only, per the spec's depth/color matrix).
+    ``depth`` follows the spec's depth/color matrix (RFC 2083 §6): 8/16
+    everywhere, plus sub-byte 1/2/4 for gray and palette. 16-bit samples
+    pack big-endian; sub-byte samples pack MSB-first with each row padded
+    to a byte boundary.
 
     ``color_type=3`` (indexed color) requires ``palette`` — a list of ≤256
     RGB triples written as a PLTE chunk between IHDR and IDAT per the spec;
@@ -194,17 +212,25 @@ def encode_png(
     """
     import zlib
 
-    if depth not in (8, 16):
-        raise ValueError(f"PNG depth must be 8 or 16, got {depth}")
+    if depth not in _PNG_DEPTHS.get(color_type, ()):
+        raise ValueError(
+            f"PNG depth {depth} invalid for color type {color_type} "
+            f"(allowed: {_PNG_DEPTHS.get(color_type)})"
+        )
     if color_type == 3:
-        if not palette or len(palette) > 256:
-            raise ValueError("color_type 3 needs a palette of 1..256 RGB triples")
-        if depth != 8:
-            raise ValueError("palette PNGs are 8-bit only")
+        if not palette or len(palette) > min(256, 1 << depth):
+            raise ValueError(
+                f"color_type 3 at depth {depth} needs a palette of "
+                f"1..{min(256, 1 << depth)} RGB triples"
+            )
     elif palette is not None:
         raise ValueError("palette is only valid with color_type 3")
     ch = _PNG_CHANNELS[color_type]
-    bpp = ch * (depth // 8)
+    bpp = max(1, ch * depth // 8)  # spec: predictor offset, min 1 byte
+
+    def stride_of(w: int) -> int:
+        return (w * ch * depth + 7) // 8
+
     filtered = bytearray()
     if interlace:
         for x0, y0, dx, dy in _ADAM7:
@@ -212,10 +238,10 @@ def encode_png(
             if not xs or not ys:
                 continue  # empty pass contributes no bytes, per spec
             raw = _gather_raw(pixel_of, xs, ys, depth)
-            filtered += _filter_raw(raw, len(xs), len(ys), bpp, filter_cycle)
+            filtered += _filter_raw(raw, stride_of(len(xs)), len(ys), bpp, filter_cycle)
     else:
         raw = _gather_raw(pixel_of, range(width), range(height), depth)
-        filtered = _filter_raw(raw, width, height, bpp, filter_cycle)
+        filtered = _filter_raw(raw, stride_of(width), height, bpp, filter_cycle)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -246,17 +272,18 @@ def decode_png(payload: bytes) -> dict:
     """REAL pure-Python PNG decode — stdlib ``zlib`` inflate + per-scanline
     unfiltering (None/Sub/Up/Average/Paeth), no codec libraries.
 
-    Supports bit depths 8 AND 16 (big-endian samples; filters operate on
-    bytes with "left" = bpp bytes back, so the same unfilter serves both),
-    color types 0 (gray), 2 (RGB), 3 (palette — 8-bit only per the spec,
+    Supports the spec's FULL depth/color matrix (RFC 2083 §6): bit depths
+    1/2/4 (gray + palette — MSB-first packed, rows byte-padded), 8, and 16
+    (big-endian samples); color types 0 (gray), 2 (RGB), 3 (palette —
     indices resolved through the PLTE chunk to RGB), 4 (gray+alpha),
-    6 (RGBA), multi-IDAT, and BOTH interlace modes (progressive Adam7
-    sub-images de-interlace back into the grid). Returns
-    ``{width, height, mode, depth, pixels}`` with ``pixels`` an
-    (h, w, channels) array in top-left-origin order — uint8 at depth 8,
-    uint16 at depth 16; palette images come back expanded to RGB with a
-    ``palette_size`` key. Sub-byte depths (1/2/4) raise ``ValueError`` —
-    the same documented seam as every other codec edge.
+    6 (RGBA); multi-IDAT; and BOTH interlace modes (progressive Adam7
+    sub-images de-interlace back into the grid). Filters always operate
+    on BYTES with "left" = bpp bytes back (min 1), which is what lets one
+    unfilter serve every depth. Returns ``{width, height, mode, depth,
+    pixels}`` with ``pixels`` an (h, w, channels) array in top-left-origin
+    order — uint16 at depth 16, uint8 otherwise (sub-byte samples appear
+    as raw 0..2^depth−1 values); palette images come back expanded to RGB
+    with a ``palette_size`` key.
 
     Scale note: rows unfilter sequentially (each predicts from the prior
     row) so the work is inherently per-image — which is exactly the
@@ -285,25 +312,29 @@ def decode_png(payload: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     width, height, depth, color_type, comp, filt, interlace = ihdr
-    if depth not in (8, 16) or color_type not in _PNG_CHANNELS or comp != 0 or filt != 0:
+    if (
+        color_type not in _PNG_CHANNELS
+        or depth not in _PNG_DEPTHS[color_type]
+        or comp != 0
+        or filt != 0
+    ):
         raise ValueError(
-            f"only 8/16-bit gray/RGB/palette/RGBA PNG supported (depth={depth}, color={color_type})"
+            f"unsupported PNG depth/color combination (depth={depth}, color={color_type})"
         )
     if color_type == 3:
-        if depth != 8:
-            raise ValueError("palette PNGs are 8-bit only")
         if plte is None or len(plte) == 0 or len(plte) % 3 or len(plte) > 768:
             raise ValueError("palette PNG missing/malformed PLTE chunk")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     ch = _PNG_CHANNELS[color_type]
-    bpp = ch * (depth // 8)  # filters operate on BYTES, "left" = bpp back
+    # filters operate on BYTES, "left" = bpp back (min 1 at sub-byte depths)
+    bpp = max(1, ch * depth // 8)
     data = zlib.decompress(b"".join(idat))
 
     def unfilter(offset: int, w: int, h: int) -> tuple["np.ndarray", int]:
         """Unfilter one (sub-)image of ``h`` scanlines of ``w`` pixels
-        starting at ``offset``; returns (h, w·bpp) BYTE array + consumed."""
-        stride = w * bpp
+        starting at ``offset``; returns (h, stride) BYTE array + consumed."""
+        stride = (w * ch * depth + 7) // 8
         out = np.zeros((h, stride), dtype=np.uint8)
         prior = np.zeros(stride, dtype=np.uint8)
         for y in range(h):
@@ -336,15 +367,22 @@ def decode_png(payload: bytes) -> dict:
         return out, h * (stride + 1)
 
     def to_samples(byte_rows: "np.ndarray", w: int, h: int) -> "np.ndarray":
-        """(h, w·bpp) unfiltered bytes → (h, w, ch) samples (BE at 16)."""
+        """(h, stride) unfiltered bytes → (h, w, ch) samples (BE at 16;
+        MSB-first bit groups with per-row padding at sub-byte depths)."""
         if depth == 8:
             return byte_rows.reshape(h, w, ch)
-        pairs = byte_rows.reshape(h, w, ch, 2).astype(np.uint16)
-        return (pairs[..., 0] << 8) | pairs[..., 1]
+        if depth == 16:
+            pairs = byte_rows.reshape(h, w, ch, 2).astype(np.uint16)
+            return (pairs[..., 0] << 8) | pairs[..., 1]
+        bits = np.unpackbits(byte_rows, axis=1)  # (h, stride·8), MSB first
+        groups = bits[:, : (bits.shape[1] // depth) * depth].reshape(h, -1, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (groups * weights).sum(axis=2).astype(np.uint8)
+        return vals[:, :w].reshape(h, w, 1)
 
-    px_dtype = np.uint8 if depth == 8 else np.uint16
+    px_dtype = np.uint16 if depth == 16 else np.uint8
     if interlace == 0:
-        if len(data) != height * (width * bpp + 1):
+        if len(data) != height * ((width * ch * depth + 7) // 8 + 1):
             raise ValueError("PNG data length mismatch")
         out, _ = unfilter(0, width, height)
         pixels = to_samples(out, width, height)
