@@ -483,3 +483,67 @@ def test_png_subbyte_property_roundtrip():
             assert np.array_equal(out["pixels"].reshape(h, w), grid.astype(np.uint8))
 
     check()
+
+
+def test_adpcm_encode_decode_bit_exact_reconstruction():
+    """IMA ADPCM is lossy but its DECODE is losslessly defined: the decoder
+    must reproduce the encoder's tracked reconstruction bit-exactly, for
+    random signals, block sizes, and multi-block streams."""
+    import numpy as np
+
+    from zio_analytics_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav_adpcm,
+    )
+
+    rng = np.random.default_rng(77)
+    for trial in range(5):
+        n = int(rng.integers(3, 1500))
+        spb = int(rng.choice([5, 9, 101, 505]))
+        t = np.arange(n)
+        sig = (
+            12000 * np.sin(t / 17) + rng.normal(0, 3000, n)
+        ).clip(-32768, 32767).astype(np.int64)
+        payload, recon = encode_wav_adpcm(sig, 8000, samples_per_block=spb)
+        m = decode_audio(payload)
+        assert m["sample_rate"] == 8000
+        assert np.array_equal(m["samples"][:, 0], recon), (trial, n, spb)
+        # lossy-but-sane: reconstruction tracks the source
+        k = min(n, len(recon))
+        assert np.abs(m["samples"][:k, 0] - sig[:k]).mean() < 2000
+
+
+def test_adpcm_step_anchor_values():
+    """Hand-computed anchor transitions from the IMA spec's tables: from
+    (pred=0, idx=0, step=7), nibble 7 → diff 0+1+3+7=11, pred 11, idx +8;
+    nibble 15 → pred falls by the same magnitude ladder."""
+    from zio_analytics_spark.operators.multimodal import _ima_step
+
+    assert _ima_step(0, 0, 7) == (11, 8)
+    assert _ima_step(0, 0, 15) == (-11, 8)
+    assert _ima_step(0, 0, 0) == (0, 0)       # step//8 = 0, index floor 0
+    assert _ima_step(32760, 88, 7) == (32767, 88)  # clamp both ends
+    assert _ima_step(-32760, 88, 15) == (-32768, 88)
+
+
+def test_adpcm_malformed_rejected():
+    import struct
+
+    import pytest as _pytest
+
+    from zio_analytics_spark.operators.multimodal import decode_audio
+
+    def wav(body, block_align):
+        hdr = b"RIFF" + struct.pack("<I", 40 + len(body)) + b"WAVE"
+        hdr += b"fmt " + struct.pack(
+            "<IHHIIHHHH", 20, 0x11, 1, 8000, 4000, block_align, 4, 2, 9
+        )
+        hdr += b"data" + struct.pack("<I", len(body))
+        return hdr + body
+
+    # step index 120 > 88
+    bad = wav(struct.pack("<hBB", 0, 120, 0) + b"\x00\x00", 6)
+    with _pytest.raises(ValueError, match="step index"):
+        decode_audio(bad)
+    with _pytest.raises(ValueError, match="block_align"):
+        decode_audio(wav(b"\x00\x00\x00\x00", 4))

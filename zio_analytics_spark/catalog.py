@@ -2859,6 +2859,100 @@ def q_multimodal_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_pixel_stats(payloads)
 
 
+_IMA_STEPS_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,"
+    "73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,"
+    "408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,"
+    "1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,"
+    "7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,"
+    "22385,24623,27086,29794,32767]"
+)
+
+
+@register(
+    "multimodal_audio_adpcm",
+    oracle=f"""
+    WITH RECURSIVE params AS (
+      SELECT doc_id,
+             48 + (doc_id % 5) * 2 AS n_nib,
+             ((doc_id * 113) % 4001) - 2000 AS p0,
+             doc_id % 89 AS i0
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, 0 AS t, p0::BIGINT AS pred, i0::BIGINT AS idx FROM params
+      UNION ALL
+      SELECT s.doc_id, s.t + 1,
+             greatest(-32768, least(32767,
+               CASE WHEN ((n.v // 8) % 2) = 1 THEN s.pred - d.diff
+                    ELSE s.pred + d.diff END)),
+             greatest(0, least(88,
+               s.idx + ([-1,-1,-1,-1,2,4,6,8])[(n.v % 8) + 1]))
+      FROM st s
+      JOIN params p ON p.doc_id = s.doc_id,
+      LATERAL (SELECT (s.doc_id * 7 + 5 * s.t) % 16 AS v) n,
+      LATERAL (SELECT ({_IMA_STEPS_SQL})[s.idx + 1] AS step) q,
+      LATERAL (SELECT q.step // 8 + (n.v % 2) * (q.step // 4)
+                      + ((n.v // 2) % 2) * (q.step // 2)
+                      + ((n.v // 4) % 2) * q.step AS diff) d
+      WHERE s.t < p.n_nib
+    )
+    SELECT doc_id,
+           8000::INT AS sample_rate,
+           count(*)::BIGINT AS n_samples,
+           count(*) * 1000.0 / 8000 AS duration_ms,
+           sum(pred)::DOUBLE / count(*) AS mean_amp,
+           max(abs(pred))::INT AS max_abs,
+           min(CASE WHEN t = 0 THEN pred END)::INT AS first_sample
+    FROM st GROUP BY doc_id
+    """,
+)
+def q_multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA/DVI ADPCM decode (WAV fmt 0x11) — a true ADAPTIVE compressed
+    audio codec beyond G.711's stateless companding: every 4-bit nibble
+    updates a (predictor, step-index) state machine, so ONE mis-stepped
+    transition corrupts every later sample. Each document gets a one-block
+    stream with a deterministic nibble sequence (doc_id·7 + 5t mod 16),
+    header predictor and step index derived from doc_id (covering the
+    full 0..88 index range); decode_audio replays the IMA tables and the
+    DuckDB oracle replays the SAME state machine as a recursive CTE with
+    the 89-entry step table inlined — every predictor value, clamp, and
+    index adaptation is pinned bit-for-bit via mean/max/first stats over
+    the reconstruction."""
+    import struct as _struct
+
+    from zio_analytics_spark.operators.multimodal import decode_audio_stats
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n_nib = 48 + (i % 5) * 2
+                p0 = ((i * 113) % 4001) - 2000
+                i0 = i % 89
+                nibs = [(i * 7 + 5 * t) % 16 for t in range(n_nib)]
+                body = bytearray(_struct.pack("<hBB", p0, i0, 0))
+                for lo, hi in zip(nibs[0::2], nibs[1::2]):
+                    body.append(lo | (hi << 4))
+                block_align = len(body)
+                hdr = b"RIFF" + _struct.pack("<I", 40 + len(body)) + b"WAVE"
+                hdr += b"fmt " + _struct.pack(
+                    "<IHHIIHHHH", 20, 0x11, 1, 8000,
+                    8000 * block_align // (n_nib + 1), block_align, 4,
+                    2, n_nib + 1,
+                )
+                hdr += b"data" + _struct.pack("<I", len(body))
+                payloads.append(hdr + bytes(body))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_audio_stats(payloads)
+
+
 @register(
     "multimodal_png_subbyte",
     oracle="""

@@ -585,6 +585,120 @@ def encode_wav_g711(encoded: bytes, sample_rate: int = 8000, law: str = "ulaw") 
     return hdr + bytes(encoded)
 
 
+#: IMA/DVI ADPCM tables — public spec (IMA Digital Audio Compression
+#: Standard; also RFC 3551 DVI4): 89-entry quantizer step sizes and the
+#: step-index adaptation deltas (indexed by the nibble's magnitude bits).
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(pred: int, idx: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decoder state transition: (predictor, index) → next.
+    diff = step/8 + bit-selected step/4, step/2, step; bit 8 is the sign."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nibble & 7]))
+    return pred, idx
+
+
+def _ima_adpcm_to_linear(data: bytes, block_align: int) -> "np.ndarray":
+    """Decode mono IMA ADPCM block stream: each block = 4-byte header
+    (predictor int16 LE = sample 0, step index uint8, reserved) + packed
+    nibbles, LOW nibble first. Sequential per block — the per-payload
+    grain, same contract as the PNG unfilter chain."""
+    if block_align < 5:
+        raise ValueError("ADPCM block_align too small")
+    out = []
+    for bstart in range(0, len(data), block_align):
+        block = data[bstart : bstart + block_align]
+        if len(block) < 4:
+            raise ValueError("truncated ADPCM block header")
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        idx = block[2]
+        if idx > 88:
+            raise ValueError(f"ADPCM step index {idx} out of range")
+        out.append(pred)
+        for byte in block[4:]:
+            for nibble in (byte & 0xF, byte >> 4):
+                pred, idx = _ima_step(pred, idx, nibble)
+                out.append(pred)
+    return np.array(out, dtype=np.int64)
+
+
+def encode_wav_adpcm(
+    samples: "np.ndarray",
+    sample_rate: int = 8000,
+    samples_per_block: int = 505,
+) -> tuple[bytes, "np.ndarray"]:
+    """REAL mono IMA ADPCM encoder + RIFF framing (fmt 0x11): quantizes
+    each int16 sample against the adaptive predictor with the reference
+    nibble-selection rule, tracking the decoder's reconstruction exactly.
+    Returns ``(payload, reconstruction)`` — a correct decoder must output
+    ``reconstruction`` BIT-EXACTLY, which is what the round-trip property
+    test asserts (lossy codec, losslessly-defined decode)."""
+    s = np.asarray(samples, dtype=np.int64)
+    if samples_per_block < 3 or samples_per_block % 2 == 0:
+        raise ValueError("samples_per_block must be odd and >= 3")
+    blocks, recon = [], []
+    for bstart in range(0, len(s), samples_per_block):
+        chunk = s[bstart : bstart + samples_per_block]
+        pred = int(np.clip(chunk[0], -32768, 32767))
+        idx = 0 if not blocks else idx  # carry index across blocks, per spec
+        blocks.append(struct.pack("<hBB", pred, idx, 0))
+        recon.append(pred)
+        nibbles = []
+        for x in chunk[1:]:
+            step = _IMA_STEP_TABLE[idx]
+            diff = int(x) - pred
+            n = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                n |= 4
+                diff -= step
+            if diff >= step >> 1:
+                n |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                n |= 1
+            pred, idx = _ima_step(pred, idx, n)
+            recon.append(pred)
+            nibbles.append(n)
+        if len(nibbles) % 2:
+            nibbles.append(0)  # pad nibble (its sample is beyond the count)
+            pred_pad, idx = _ima_step(pred, idx, 0)  # keep state consistent
+            recon.append(pred_pad)
+        packed = bytearray()
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            packed.append(lo | (hi << 4))
+        blocks.append(bytes(packed))
+    data = b"".join(blocks)
+    block_align = 4 + (samples_per_block - 1 + 1) // 2  # header + nibble bytes
+    hdr = b"RIFF" + struct.pack("<I", 40 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHHHH", 20, 0x11, 1, sample_rate,
+        sample_rate * block_align // samples_per_block, block_align, 4,
+        2, samples_per_block,
+    )
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data, np.array(recon, dtype=np.int64)
+
+
 def _ulaw_to_linear(u8: "np.ndarray") -> "np.ndarray":
     """G.711 μ-law expansion (CCITT reference formula): complement, then
     sample = ((mantissa·8 + 132) << exponent) − 132, sign from bit 7.
@@ -606,9 +720,11 @@ def _alaw_to_linear(a8: "np.ndarray") -> "np.ndarray":
 
 
 def decode_audio(payload: bytes) -> dict:
-    """REAL pure-Python audio decode for WAV: 16-bit PCM (fmt 1) plus the
-    COMPRESSED telephony codecs G.711 μ-law (fmt 7) and A-law (fmt 6),
-    expanded to linear int16 by the CCITT reference formulas. Walks the
+    """REAL pure-Python audio decode for WAV: 16-bit PCM (fmt 1), the
+    COMPRESSED telephony codecs G.711 μ-law (fmt 7) and A-law (fmt 6)
+    expanded by the CCITT reference formulas, and mono IMA/DVI ADPCM
+    (fmt 0x11) — a true ADAPTIVE codec whose decode replays a per-block
+    predictor/step-index state machine over 4-bit nibbles. Walks the
     RIFF chunk list (robust to extra chunks like LIST/fact — not a fixed
     44-byte assumption), validates the fmt chunk, and returns
     ``{sample_rate, n_channels, samples}`` with ``samples`` an
@@ -629,15 +745,18 @@ def decode_audio(payload: bytes) -> dict:
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_fmt, n_ch, rate, _, _, bits = fmt
+    audio_fmt, n_ch, rate, _, block_align, bits = fmt
     if audio_fmt == 1 and bits == 16:
         samples = np.frombuffer(data, dtype="<i2")
     elif audio_fmt in (6, 7) and bits == 8:
         expand = _alaw_to_linear if audio_fmt == 6 else _ulaw_to_linear
         samples = expand(np.frombuffer(data, dtype=np.uint8))
+    elif audio_fmt == 0x11 and bits == 4 and n_ch == 1:
+        samples = _ima_adpcm_to_linear(data, block_align)
     else:
         raise ValueError(
-            f"only 16-bit PCM and 8-bit G.711 supported (fmt={audio_fmt}, bits={bits})"
+            "only 16-bit PCM, 8-bit G.711, and mono IMA ADPCM supported "
+            f"(fmt={audio_fmt}, bits={bits})"
         )
     if n_ch > 1:
         samples = samples.reshape(-1, n_ch)
