@@ -8421,6 +8421,95 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(read_table(spark, sf_dir, "documents"), n_merges=4)
 
 
+def _pq_oracle(m: int = 4, k: int = 16, sub: int = 16, n_iter: int = 2, topk: int = 10) -> str:
+    """Chained-CTE replay of Product Quantization (operators/pq.py): per
+    subspace, the SAME Lloyd replay as _kmeans_oracle over a list slice
+    (init = k smallest ids' subvectors, ties to lowest code, rounded
+    centroid updates, empty clusters COALESCE), then the query's per-
+    subspace lookup tables and the ADC score as the m-way join of final
+    code assignments, rounded before ranking."""
+    dims = f"(SELECT unnest(range(1, {sub + 1})) AS i) i"
+    ctes = []
+    for j in range(m):
+        off = j * sub
+        ctes.append(f"""c{j}_0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+             embedding[{off + 1}:{off + sub}] AS emb
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+    )""")
+        for t in range(1, n_iter + 1):
+            ctes.append(f"""d{j}_{t} AS (
+      SELECT e.vec_id, e.embedding, c.code,
+             sum((e.embedding[{off} + i.i]::DOUBLE - c.emb[i.i]::DOUBLE)
+                 * (e.embedding[{off} + i.i]::DOUBLE - c.emb[i.i]::DOUBLE)) AS dist
+      FROM embeddings e, c{j}_{t - 1} c, {dims}
+      GROUP BY e.vec_id, e.embedding, c.code
+    )""")
+            ctes.append(f"""a{j}_{t} AS (
+      SELECT vec_id, embedding, code FROM d{j}_{t}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) = 1
+    )""")
+            if t < n_iter:
+                ctes.append(f"""u{j}_{t} AS (
+      SELECT code, i.i AS i, round(avg(embedding[{off} + i.i]::DOUBLE), 6) AS x
+      FROM a{j}_{t}, {dims} GROUP BY code, i.i
+    )""")
+                ctes.append(f"""c{j}_{t} AS (
+      SELECT c{j}_{t - 1}.code, coalesce(nu.emb, c{j}_{t - 1}.emb) AS emb
+      FROM c{j}_{t - 1} LEFT JOIN
+           (SELECT code, list(x ORDER BY i) AS emb FROM u{j}_{t} GROUP BY code) nu
+      USING (code)
+    )""")
+    ctes.append(
+        "q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1)"
+    )
+    for j in range(m):
+        off = j * sub
+        ctes.append(f"""lut{j} AS (
+      SELECT c.code, sum((q.qe[{off} + i.i]::DOUBLE - c.emb[i.i]::DOUBLE)
+                         * (q.qe[{off} + i.i]::DOUBLE - c.emb[i.i]::DOUBLE)) AS pd
+      FROM c{j}_{n_iter - 1} c, q, {dims} GROUP BY c.code
+    )""")
+    joins = f"a0_{n_iter} s0"
+    for j in range(1, m):
+        joins += f" JOIN a{j}_{n_iter} s{j} USING (vec_id)"
+    for j in range(m):
+        joins += f" JOIN lut{j} l{j} ON l{j}.code = s{j}.code"
+    total = " + ".join(f"l{j}.pd" for j in range(m))
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT s0.vec_id, round({total}, 6) AS adc_dist
+    FROM {joins}
+    ORDER BY adc_dist, s0.vec_id LIMIT {topk}"""
+    )
+
+
+@register("similarity_pq_adc", oracle=_pq_oracle())
+def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product Quantization ANN (operators/pq.py — Jégou et al. 2011):
+    4 subspaces × 16-code codebooks compress each 64-dim vector 64×
+    (256 B → 4 B), and the query runs Asymmetric Distance Computation —
+    per-subspace query→centroid lookup tables inlined as literal arrays,
+    a row's score = 4 element_at sums inside codegen, plan = scan →
+    project → TakeOrdered. Training is 4 bounded-driver-state Lloyd runs
+    on subvector slices (the kmeans determinism contract: smallest-id
+    init, lowest-code ties, rounded updates); the oracle replays ALL of
+    it — every per-subspace iteration, every code assignment, the lookup
+    tables, and the final rounded ADC ranking. Completes the ANN ladder:
+    brute (similarity_topk) → LSH/IVF partition-pruned layouts → int8
+    scalar quantization → PQ."""
+    from zio_analytics_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cbs = pq_train(emb, m=4, k=16, n_iter=2)
+    query = [
+        float(v)
+        for v in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    return pq_adc_topk(pq_encode(emb, cbs), cbs, query, top_k=10)
+
+
 @register("bpe_segment_docs", oracle=_bpe_segment_oracle())
 def q_bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY-side of BPE (operators/bpe.py bpe_segment): tokenize every
