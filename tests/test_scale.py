@@ -505,3 +505,62 @@ def test_not_in_null_aware_plans_naaj(spark, sf_dir):
     # NOT EXISTS branch plans the same join with the flag false
     assert "LeftAnti, BuildRight, true" in plan, plan[:2000]
     assert "LeftAnti, BuildRight, false" in plan, plan[:2000]
+
+
+def test_pq_adc_plan_is_codegen_takeordered(spark, sf_dir):
+    """ADC search must stay JVM-side: codes + literal lookup-table sums in
+    codegen (no Python eval), ranking via TakeOrdered (no global sort of
+    the corpus, no join against the codebook)."""
+    from zio_analytics_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+    from zio_analytics_spark.sources.parquet import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cbs = pq_train(emb, m=4, k=8, n_iter=1, dim=64)
+    query = [float(v) for v in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    out = pq_adc_topk(pq_encode(emb, cbs), cbs, query, top_k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan, plan[:500]
+    assert "Join" not in plan  # LUTs are literals, not a joined table
+
+
+def test_bpe_segment_corpus_pass_broadcasts_vocab(spark, sf_dir):
+    """The apply-side corpus pass must be ONE scan + a broadcast dimension
+    join against the segmented vocab — never a shuffle join keyed on the
+    corpus."""
+    from zio_analytics_spark.operators.bpe import bpe_segment
+    from zio_analytics_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = bpe_segment(docs, n_merges=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:500]
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_train_pair_count_is_partial_agg(spark, sf_dir):
+    """Pair counting must map-side combine (partial_sum before the
+    exchange) — the vocab shuffle carries (pair, partial count), not raw
+    exploded pairs."""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.bpe import _word_vocab
+    from zio_analytics_spark.sources.parquet import read_table
+
+    vocab = _word_vocab(read_table(spark, sf_dir, "documents"), "text")
+    pairs = (
+        vocab.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(syms, 1, size(syms) - 1),"
+                    "         slice(syms, 2, size(syms) - 1),"
+                    "         (a, b) -> struct(a AS lhs, b AS rhs))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.lhs", "p.rhs")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan, plan[:800]

@@ -6407,6 +6407,67 @@ def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_nearest",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    ),
+    b AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey AS bk, o.o_totalprice AS bp, o.o_orderdate AS bd
+      FROM events e
+      ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ),
+    f AS (
+      SELECT e.event_id,
+             o.o_orderkey AS fk, o.o_totalprice AS fp, o.o_orderdate AS fd
+      FROM events e
+      ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    )
+    SELECT b.event_id, b.user_id,
+           CASE WHEN bk IS NULL THEN fk WHEN fk IS NULL THEN bk
+                WHEN (fd - b.ts) < (b.ts - bd) THEN fk ELSE bk END
+             AS near_orderkey,
+           CASE WHEN bk IS NULL THEN fp WHEN fk IS NULL THEN bp
+                WHEN (fd - b.ts) < (b.ts - bd) THEN fp ELSE bp END
+             AS near_totalprice
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (whichever of the latest-past / earliest-future right
+    row is closer in absolute event-time distance, ties to the PAST —
+    pandas merge_asof's convention): the union-merge plan evaluates both
+    directional carries in ONE pass over one exchange and picks per row.
+    The oracle composes DuckDB's two directional ASOF joins and replays
+    the same distance comparison and tie rule. Completes the catalog's
+    as-of matrix: backward (join_asof) / forward / tolerance / nearest."""
+    e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = top_k_per_group(
+        read_table(spark, sf_dir, "orders"),
+        group_by=["o_custkey", "o_orderdate"],
+        order_by=[F.col("o_orderkey").desc()],
+        k=1,
+    )
+    joined = asof_join(
+        e, o,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("near_orderkey"),
+        F.col("o_totalprice").alias("near_totalprice"),
+    )
+
+
+@register(
     "join_asof_tolerance",
     oracle="""
     WITH o AS (
