@@ -58,3 +58,44 @@ def test_pq_train_validates_inputs(spark):
     with pytest.raises(ValueError, match="query dim"):
         cbs = pq_train(df, m=2, k=4, n_iter=1, dim=8)
         pq_adc_topk(pq_encode(df, cbs), cbs, [0.0] * 5)
+
+
+def test_ivfpq_retrieves_planted_cluster(spark):
+    """IVF-PQ with enough probes must behave like PQ on planted clusters:
+    query's cluster fills the top-per set; and the scored rows must be
+    restricted to the probed cells only."""
+    from zio_analytics_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_search,
+        ivfpq_train,
+    )
+
+    per = 12
+    df = _planted(spark, n_clusters=4, per=per)
+    coarse, cbs = ivfpq_train(df, n_cells=4, m=2, k=4, n_iter=2, dim=8)
+    enc = ivfpq_encode(df, coarse, cbs)
+    query = df.where("vec_id = 30").collect()[0]["embedding"]  # cluster 2
+    got = [r.vec_id for r in ivfpq_search(enc, coarse, cbs, query, nprobe=4, top_k=per).collect()]
+    assert set(got) == set(range(2 * per, 3 * per))
+    # nprobe=1: every returned vector must live in the single probed cell
+    one = ivfpq_search(enc, coarse, cbs, query, nprobe=1, top_k=50)
+    cells = {
+        r.cell
+        for r in enc.join(one.select("vec_id"), "vec_id").select("cell").collect()
+    }
+    assert len(cells) == 1
+
+
+def test_ivfpq_residual_codes_differ_from_raw_pq(spark):
+    """Residual encoding is real: with well-separated clusters the coarse
+    tier absorbs the cluster offset, so PQ codes of vectors from DIFFERENT
+    cells overlap (they encode residual shapes, not absolute position)."""
+    from zio_analytics_spark.operators.pq import ivfpq_encode, ivfpq_train
+
+    df = _planted(spark, n_clusters=4, per=12)
+    coarse, cbs = ivfpq_train(df, n_cells=4, m=2, k=4, n_iter=2, dim=8)
+    enc = ivfpq_encode(df, coarse, cbs).collect()
+    cells = {r.vec_id: r.cell for r in enc}
+    # coarse tier separates the planted clusters
+    assert len({cells[v] for v in range(12)}) == 1
+    assert cells[0] != cells[24]

@@ -8546,6 +8546,155 @@ def _pq_oracle(m: int = 4, k: int = 16, sub: int = 16, n_iter: int = 2, topk: in
     )
 
 
+def _ivfpq_oracle(
+    n_cells: int = 8,
+    m: int = 4,
+    k: int = 16,
+    sub: int = 16,
+    d: int = 64,
+    n_iter: int = 2,
+    nprobe: int = 2,
+    topk: int = 10,
+) -> str:
+    """Chained-CTE replay of IVF-PQ (operators/pq.py): coarse Lloyd on
+    full vectors (kc_*), residuals via list_transform, per-subspace Lloyd
+    on residual slices (p{j}_*), probed-cell selection, per-cell query-
+    residual lookup tables with the SAME ((q−coarse)−codebook)
+    association as the Spark driver code, and the rounded ADC ranking."""
+    dims = f"(SELECT unnest(range(1, {d + 1})) AS i) i"
+    dims_s = f"(SELECT unnest(range(1, {sub + 1})) AS i) i"
+    ctes = [f"""kc_0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding AS emb
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_cells})
+    )"""]
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""kd_{t} AS (
+      SELECT e.vec_id, e.embedding, c.code,
+             sum((e.embedding[i.i]::DOUBLE - c.emb[i.i]::DOUBLE)
+                 * (e.embedding[i.i]::DOUBLE - c.emb[i.i]::DOUBLE)) AS dist
+      FROM embeddings e, kc_{t - 1} c, {dims}
+      GROUP BY e.vec_id, e.embedding, c.code
+    )""")
+        ctes.append(f"""ka_{t} AS (
+      SELECT vec_id, embedding, code FROM kd_{t}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) = 1
+    )""")
+        if t < n_iter:
+            ctes.append(f"""ku_{t} AS (
+      SELECT code, i.i AS i, round(avg(embedding[i.i]::DOUBLE), 6) AS x
+      FROM ka_{t}, {dims} GROUP BY code, i.i
+    )""")
+            ctes.append(f"""kc_{t} AS (
+      SELECT kc_{t - 1}.code, coalesce(nu.emb, kc_{t - 1}.emb) AS emb
+      FROM kc_{t - 1} LEFT JOIN
+           (SELECT code, list(x ORDER BY i) AS emb FROM ku_{t} GROUP BY code) nu
+      USING (code)
+    )""")
+    ctes.append(f"""r AS (
+      SELECT a.vec_id, a.code AS cell,
+             list_transform(range(1, {d + 1}),
+                            ii -> a.embedding[ii]::DOUBLE - c.emb[ii]::DOUBLE) AS res
+      FROM ka_{n_iter} a JOIN kc_{n_iter - 1} c ON c.code = a.code
+    )""")
+    for j in range(m):
+        off = j * sub
+        ctes.append(f"""p{j}_0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+             res[{off + 1}:{off + sub}] AS emb
+      FROM (SELECT vec_id, res FROM r ORDER BY vec_id LIMIT {k})
+    )""")
+        for t in range(1, n_iter + 1):
+            ctes.append(f"""pd{j}_{t} AS (
+      SELECT e.vec_id, e.res, c.code,
+             sum((e.res[{off} + i.i] - c.emb[i.i]::DOUBLE)
+                 * (e.res[{off} + i.i] - c.emb[i.i]::DOUBLE)) AS dist
+      FROM r e, p{j}_{t - 1} c, {dims_s}
+      GROUP BY e.vec_id, e.res, c.code
+    )""")
+            ctes.append(f"""pa{j}_{t} AS (
+      SELECT vec_id, res, code FROM pd{j}_{t}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) = 1
+    )""")
+            if t < n_iter:
+                ctes.append(f"""pu{j}_{t} AS (
+      SELECT code, i.i AS i, round(avg(res[{off} + i.i]), 6) AS x
+      FROM pa{j}_{t}, {dims_s} GROUP BY code, i.i
+    )""")
+                ctes.append(f"""p{j}_{t} AS (
+      SELECT p{j}_{t - 1}.code, coalesce(nu.emb, p{j}_{t - 1}.emb) AS emb
+      FROM p{j}_{t - 1} LEFT JOIN
+           (SELECT code, list(x ORDER BY i) AS emb FROM pu{j}_{t} GROUP BY code) nu
+      USING (code)
+    )""")
+    ctes.append(
+        "q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1)"
+    )
+    ctes.append(f"""probed AS (
+      SELECT c.code AS cell
+      FROM kc_{n_iter - 1} c, q, {dims}
+      GROUP BY c.code
+      ORDER BY sum((q.qe[i.i]::DOUBLE - c.emb[i.i]::DOUBLE)
+                   * (q.qe[i.i]::DOUBLE - c.emb[i.i]::DOUBLE)), c.code
+      LIMIT {nprobe}
+    )""")
+    for j in range(m):
+        off = j * sub
+        ctes.append(f"""lut{j} AS (
+      SELECT pc.cell, cb.code,
+             sum(((q.qe[{off} + i.i]::DOUBLE - cc.emb[{off} + i.i]::DOUBLE)
+                  - cb.emb[i.i]::DOUBLE)
+                 * ((q.qe[{off} + i.i]::DOUBLE - cc.emb[{off} + i.i]::DOUBLE)
+                    - cb.emb[i.i]::DOUBLE)) AS pd
+      FROM probed pc
+      JOIN kc_{n_iter - 1} cc ON cc.code = pc.cell, q, p{j}_{n_iter - 1} cb, {dims_s}
+      GROUP BY pc.cell, cb.code
+    )""")
+    joins = f"r v JOIN probed pc ON pc.cell = v.cell"
+    for j in range(m):
+        joins += f" JOIN pa{j}_{n_iter} s{j} USING (vec_id)"
+    for j in range(m):
+        joins += f" JOIN lut{j} l{j} ON l{j}.cell = v.cell AND l{j}.code = s{j}.code"
+    total = " + ".join(f"l{j}.pd" for j in range(m))
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT v.vec_id, round({total}, 6) AS adc_dist
+    FROM {joins}
+    ORDER BY adc_dist, v.vec_id LIMIT {topk}"""
+    )
+
+
+@register("similarity_ivfpq", oracle=_ivfpq_oracle())
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the full FAISS-style production ANN stack composed from
+    this repo's pieces: a coarse quantizer (8 cells, full-dim Lloyd under
+    the kmeans determinism contract) partitions the corpus into inverted
+    lists; PQ codebooks trained on RESIDUALS x − centroid[cell] compress
+    each vector to m=4 codes; search probes the nprobe=2 nearest cells
+    with per-cell query-residual lookup tables and never touches the
+    other cells — on the ann_index partitionBy(cell) layout that filter
+    is a PartitionFilters prune, so a 100 TB corpus reads nprobe/n_cells
+    of its partitions × m bytes per vector. The oracle replays BOTH
+    quantizer tiers (coarse Lloyd, residual construction, 4 residual
+    Lloyd runs), the probed-cell selection, the per-cell LUTs with the
+    identical ((q−coarse)−codebook) association, and the rounded ADC
+    ranking."""
+    from zio_analytics_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_search,
+        ivfpq_train,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    coarse, cbs = ivfpq_train(emb, n_cells=8, m=4, k=16, n_iter=2)
+    query = [
+        float(v)
+        for v in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    enc = ivfpq_encode(emb, coarse, cbs)
+    return ivfpq_search(enc, coarse, cbs, query, nprobe=2, top_k=10)
+
+
 @register("similarity_pq_adc", oracle=_pq_oracle())
 def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product Quantization ANN (operators/pq.py — Jégou et al. 2011):

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_adc_topk"]
+__all__ = ["pq_train", "pq_encode", "pq_adc_topk", "ivfpq_encode", "ivfpq_search"]
 
 
 def _argmin_expr(sub: Column, cents: list) -> Column:
@@ -155,5 +155,151 @@ def pq_adc_topk(
         dist = dist + F.element_at(lut_arr, F.col("codes")[j] + 1)
     scored = encoded.select(
         id_col, F.round(dist, round_dp).alias("adc_dist")
+    )
+    return scored.orderBy("adc_dist", id_col).limit(top_k)
+
+
+def _lloyd_full(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    n_iter: int,
+    dim: int,
+    round_dp: int = 6,
+) -> list:
+    """Full-dimension Lloyd returning the CENTROIDS (the coarse quantizer
+    for IVF) under the same determinism contract as clustering.py."""
+    init = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(init)}")
+    cents = [[float(x) for x in r[vec_col]] for r in init]
+    for _t in range(n_iter - 1):
+        assigned = df.select(
+            F.col(vec_col).alias("__v"),
+            _argmin_expr(F.col(vec_col), cents).alias("__c"),
+        )
+        rows = assigned.groupBy("__c").agg(
+            *[
+                F.round(F.avg(F.col("__v")[i].cast("double")), round_dp).alias(f"x{i}")
+                for i in range(dim)
+            ]
+        ).collect()
+        new = {int(r["__c"]): [r[f"x{i}"] for i in range(dim)] for r in rows}
+        cents = [new.get(c, cents[c]) for c in range(k)]
+    return cents
+
+
+def ivfpq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+    dim: int | None = None,
+) -> tuple[list, list]:
+    """Train the two quantizer tiers: the coarse (IVF) centroids on full
+    vectors, then PQ codebooks on the RESIDUALS x − centroid[cell] —
+    residual codebooks are shared across cells, which is what keeps m·k
+    centroids accurate over the whole space (the FAISS IVFPQ recipe).
+    Returns ``(coarse, codebooks)``; both are bounded driver state."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    coarse = _lloyd_full(df, vec_col, id_col, n_cells, n_iter, dim)
+    assigned = df.select(
+        id_col, vec_col, _argmin_expr(F.col(vec_col), coarse).alias("cell")
+    )
+    res_df = assigned.select(
+        id_col, _residual_expr(vec_col, coarse).alias(vec_col)
+    )
+    codebooks = pq_train(
+        res_df, vec_col=vec_col, id_col=id_col, m=m, k=k, n_iter=n_iter, dim=dim
+    )
+    return coarse, codebooks
+
+
+def _residual_expr(vec_col: str, cents: list) -> Column:
+    """x − coarse_centroid[cell] as one Column expression: the per-cell
+    centroid arrays inline as an array-of-arrays literal indexed by the
+    cell assignment (no join, no UDF)."""
+    table = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+    chosen = F.element_at(table, F.col("cell") + 1)
+    return F.zip_with(
+        F.col(vec_col), chosen, lambda x, y: x.cast("double") - y
+    )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    coarse: list,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ encoding (the FAISS IVFPQ layout's algebra): assign each
+    vector to its nearest coarse centroid (inverted-list cell), then PQ-
+    encode the RESIDUAL x − centroid[cell] — residuals are what make a
+    shared codebook accurate across cells. One scan, all codegen. Returns
+    ``(id_col, cell, codes)``; on disk this is exactly what
+    ann_index-style ``partitionBy(cell)`` layouts store, so search scans
+    prune to probed cells (PartitionFilters — proven in
+    similarity_ann_partitioned) and read m bytes per vector."""
+    assigned = df.select(
+        id_col, vec_col, _argmin_expr(F.col(vec_col), coarse).alias("cell")
+    )
+    sub_d = len(codebooks[0][0])
+    res = _residual_expr(vec_col, coarse)
+    with_res = assigned.withColumn("__res", res)
+    codes = [
+        _argmin_expr(F.slice(F.col("__res"), j * sub_d + 1, sub_d), cents)
+        for j, cents in enumerate(codebooks)
+    ]
+    return with_res.select(id_col, "cell", F.array(*codes).alias("codes"))
+
+
+def ivfpq_search(
+    encoded: DataFrame,
+    coarse: list,
+    codebooks: list,
+    query: list,
+    nprobe: int = 2,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Probed ADC search: rank coarse cells by query→centroid distance,
+    keep the ``nprobe`` nearest (ties to the lower cell id), and score
+    ONLY vectors in those cells with per-cell lookup tables built from
+    the query's residual against that cell. Everything driver-side is
+    k_c·d + nprobe·m·k doubles; the cell filter is a literal IN list, so
+    a partitioned layout prunes the scan before it reads a byte of the
+    other cells."""
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    qd = [
+        sum((float(qv) - cv) ** 2 for qv, cv in zip(query, cent))
+        for cent in coarse
+    ]
+    probed = sorted(range(len(coarse)), key=lambda c: (qd[c], c))[:nprobe]
+    # per probed cell: LUTs from the query residual w.r.t. that cell
+    per_cell_dist = []
+    for cell in probed:
+        qres = [float(q) - c for q, c in zip(query, coarse[cell])]
+        dist = F.lit(0.0)
+        for j, cents in enumerate(codebooks):
+            qsub = qres[j * sub_d : (j + 1) * sub_d]
+            lut = [sum((qv - cv) ** 2 for qv, cv in zip(qsub, cent)) for cent in cents]
+            dist = dist + F.element_at(
+                F.array(*[F.lit(v) for v in lut]), F.col("codes")[j] + 1
+            )
+        per_cell_dist.append((cell, dist))
+    dist_expr = F.lit(None).cast("double")
+    for cell, dist in per_cell_dist:
+        dist_expr = F.when(F.col("cell") == cell, dist).otherwise(dist_expr)
+    scored = (
+        encoded.where(F.col("cell").isin([c for c, _ in per_cell_dist]))
+        .select(id_col, F.round(dist_expr, round_dp).alias("adc_dist"))
     )
     return scored.orderBy("adc_dist", id_col).limit(top_k)
