@@ -4240,6 +4240,117 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_binary_files",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+    dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 5 + doc_id % 3 AS h FROM ids
+    ), xs AS (
+      SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+    ), xy AS (
+      SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+    ), ch AS (
+      SELECT doc_id, w, h,
+             unnest([(doc_id + 3 * x + 7 * y) % 256,
+                     (2 * doc_id + 5 * x + y) % 256,
+                     (doc_id + x + 11 * y) % 256]) AS v
+      FROM xy
+    )
+    SELECT doc_id,
+           max(w)::INT AS width, max(h)::INT AS height,
+           (max(w) * max(h))::BIGINT AS n_pixels,
+           avg(v) AS mean_byte,
+           min(v)::INT AS min_byte, max(v)::INT AS max_byte,
+           (doc_id % 256)::INT AS first_px
+    FROM ch GROUP BY doc_id
+    """,
+)
+def q_source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL multimodal INGEST path: Spark's built-in ``binaryFile``
+    source reads a directory of raw files as (path, modificationTime,
+    length, content) rows — how image/audio corpora actually enter a
+    pipeline (each file is one row; files never split, so partition
+    count follows file count and small-file consolidation happens
+    upstream). A bounded fixture (48 PNGs, O(1) at every SF, named
+    <doc_id>.png) is written driver-side, read back with
+    ``pathGlobFilter`` (non-matching junk file excluded at LISTING time,
+    before any bytes are read), doc_id parsed from the path, and the
+    payloads decoded through the real PNG decoder — proving the
+    file-on-disk → binary column → decode chain end to end."""
+    import os as _os
+
+    from zio_analytics_spark.operators.multimodal import decode_pixel_stats, encode_png
+
+    ids = [
+        int(r["doc_id"])
+        for r in read_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 48)
+        .select("doc_id")
+        .collect()
+    ]
+    d = _scratch_dir(prefix="zas_binsrc_")
+    for i in ids:
+        def rgb(x, y, i=i):
+            return (
+                (i + 3 * x + 7 * y) % 256,
+                (2 * i + 5 * x + y) % 256,
+                (i + x + 11 * y) % 256,
+            )
+
+        with open(_os.path.join(d, f"{i}.png"), "wb") as f:
+            f.write(encode_png(4 + i % 5, 5 + i % 3, rgb))
+    with open(_os.path.join(d, "ignore.txt"), "w") as f:
+        f.write("not an image")  # pathGlobFilter must exclude this
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(d)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.png$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    return decode_pixel_stats(files)
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE XML source/sink (merged from spark-xml): write an
+    orders slice as row-tagged XML, read it back with an EXPLICIT schema
+    (XML schema inference is a full extra parse pass — never infer at
+    scale), aggregate, and hash-match against the original parquet.
+    Completes the text-format source matrix: CSV, JSON, and XML all
+    round-trip through explicit schemas."""
+    src = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    out_dir = _scratch_dir(prefix="zas_xmlsrc_")
+    src.write.mode("overwrite").format("xml").option("rowTag", "order").save(out_dir)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey long, o_orderpriority string, o_totalprice double")
+        .load(out_dir)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
     "source_csv_roundtrip",
     oracle="""
     SELECT o_orderpriority, count(*)::BIGINT AS n,
