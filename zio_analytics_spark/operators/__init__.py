@@ -25,9 +25,14 @@ Reference core:
   decontamination.
 - :mod:`similarity` / :mod:`ann_index` — embedding search (brute force,
   LSH/IVF, precomputed partition-pruned layouts).
+- :mod:`pq` — product quantization (per-subspace codebooks, ADC search)
+  and the composed IVF-PQ stack (coarse cells + residual codes).
 - :mod:`text` — tokens, quality, lang-id, fingerprints, shingles,
   packing, unigram-LM scores, TF-IDF, token budgets.
+- :mod:`bpe` — BPE tokenizer TRAINING (corpus-scale merge learning) and
+  application via the segmented-vocab dimension join.
 - :mod:`cleaning` — PII redaction, normalization, weighted source mixing.
 - :mod:`splits` — content-hash dataset splits.
-- :mod:`multimodal` — binary columns + real BMP/PPM/WAV/Y4M decode.
+- :mod:`multimodal` — binary columns + real BMP/PPM/PNG (full depth/color
+  matrix)/WAV (PCM, G.711, IMA ADPCM)/Y4M decode.
 """
