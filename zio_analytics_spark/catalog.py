@@ -8065,7 +8065,13 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     output) arrives as micro-batch 2 and drags the watermark past every
     real purchase — the engine's no-data-batch finalization then emits
     every pending outer row. Result ≡ the batch LEFT JOIN (oracle); the
-    matched subset doubles as streaming_interval_join's inner result."""
+    matched subset doubles as streaming_interval_join's inner result.
+
+    Remaining ~4 s wall time is the floor of this design: ~0.7 s source
+    materialization + two stateful micro-batches committing 8×2 state
+    stores + the no-data finalization batch + ~1 s query start/stop —
+    all fixed lifecycle costs; the round-6 single-sentinel trim removed
+    the only redundant stateful batch (5.7 → 4.2 s)."""
     import os as _os
     import time as _time
 
@@ -8789,7 +8795,11 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer tiers (coarse Lloyd, residual construction, 4 residual
     Lloyd runs), the probed-cell selection, the per-cell LUTs with the
     identical ((q−coarse)−codebook) association, and the rounded ADC
-    ranking."""
+    ranking. Local-SF wall time (~8 s) is DRIVER-bound, not data-bound:
+    seven small jobs whose k·d-literal expression trees dominate Catalyst
+    analysis — the data path is one training pass, one encode pass, and a
+    pruned probe scan, so entry cost stays ~constant while the data-side
+    work is what scales with the corpus."""
     from zio_analytics_spark.operators.pq import (
         ivfpq_encode,
         ivfpq_search,
