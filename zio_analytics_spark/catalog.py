@@ -8044,6 +8044,35 @@ def q_fold_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_dynamic_gap",
+    oracle=CATALOG["fold_window_dynamic_gap"].oracle,
+)
+def q_streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC session gaps on the STREAMING runtime — the fourth window
+    assigner form on real streaming execution (tumbling/sliding/static
+    session entries above): the per-EVENT gap Column (error events hold
+    the session open 30 min, others 2 h) drives state-store session
+    MERGING, so the gap of the event that just arrived decides whether it
+    extends a buffered session or opens a new one. Shares
+    fold_window_dynamic_gap's gaps-and-islands oracle verbatim — the
+    streaming and batch formulations must produce identical sessions."""
+    st = _events_stream(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "error", F.make_interval(mins=F.lit(30))
+    ).otherwise(F.make_interval(hours=F.lit(2)))
+    agg = st.groupBy(
+        F.session_window(F.col("ts"), gap).alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = agg.select(
+        "user_id",
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n",
+    )
+    return _run_complete(out, "stream_dyn_sess")
+
+
+@register(
     "streaming_interval_join_outer",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
