@@ -83,11 +83,47 @@ def test_bpe_train_single_char_vocab_stops_early(spark):
     assert bpe_train(df, n_merges=3).count() == 0
 
 
-def test_bpe_merge_expr_rejects_non_alpha():
-    from zio_analytics_spark.operators.bpe import _merge_expr
+def test_bpe_arbitrary_alphabet_apostrophes(spark):
+    """The merge expression binds symbols as literals (Column API, no SQL
+    interpolation), so alphabets with apostrophes/quotes train correctly —
+    verified against the naive trainer with a [a-z']+ pre-tokenizer."""
+    texts = ["don't don't can't won't", "it's don't o'clock 'tis", "a'a'a'a a'a'a"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        tuple(r)
+        for r in bpe_train(df, n_merges=5, word_pattern="[a-z']+").collect()
+    ]
 
-    with pytest.raises(ValueError, match="non-alphabetic"):
-        _merge_expr("a'", "b")
+    words = collections.Counter()
+    for t in texts:
+        for w in re.findall("[a-z']+", t.lower()):
+            words[w] += 1
+    vocab = {w: list(w) for w in words}
+    expected = []
+    for it in range(5):
+        cnt = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += words[w]
+        if not cnt:
+            break
+        (l, r), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            vocab[w] = merged
+        total = sum(words[w] * len(s) for w, s in vocab.items())
+        expected.append((it, l, r, c, total))
+    assert got == expected
+    assert any("'" in lhs or "'" in rhs for _, lhs, rhs, _, _ in got)
 
 
 def test_bpe_segment_matches_naive_application(spark):

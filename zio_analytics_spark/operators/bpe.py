@@ -37,12 +37,14 @@ from pyspark.sql import functions as F
 
 __all__ = ["bpe_train", "bpe_segment", "WORD_PATTERN"]
 
-#: pre-tokenizer: lowercase letter runs — identical in Java regex and RE2,
-#: and keeps the symbol alphabet quote-free for expression generation.
+#: default pre-tokenizer: lowercase letter runs — identical in Java regex
+#: and RE2 so the catalog oracle replays the same words. The operator
+#: itself accepts ANY ``word_pattern``/alphabet (symbols bind as literals,
+#: never as SQL text — apostrophes/quotes/unicode train fine).
 WORD_PATTERN = "[a-z]+"
 
 
-def _merge_expr(left: str, right: str) -> str:
+def _merge_expr(left: str, right: str):
     """Column expression applying ONE merge greedily to ``syms``.
 
     Left-to-right stack scan: push each symbol; when the stack top is
@@ -50,34 +52,41 @@ def _merge_expr(left: str, right: str) -> str:
     concatenated symbol. Overlaps resolve exactly like the sequential scan
     (a just-merged top spells ``left+right`` and can never equal ``left``),
     so this is greedy leftmost-non-overlapping merging as a single
-    whole-stage-codegen expression.
+    whole-stage-codegen expression. Built with the Column API (symbols
+    enter as bound literals, never interpolated into SQL text), so ANY
+    alphabet works — apostrophes, quotes, unicode.
     """
-    if not (left.isalpha() and right.isalpha()):  # alphabet is [a-z]+ only
-        raise ValueError(f"non-alphabetic merge pair: {left!r}+{right!r}")
-    return f"""
-        aggregate(
-          syms,
-          cast(array() as array<string>),
-          (acc, x) -> if(
-            size(acc) > 0 AND element_at(acc, -1) = '{left}' AND x = '{right}',
-            concat(slice(acc, 1, size(acc) - 1), array('{left}{right}')),
-            concat(acc, array(x))
-          )
+    empty = F.array().cast("array<string>")
+
+    def step(acc, x):
+        mergeable = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right))
         )
-    """
+        return F.when(
+            mergeable,
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(left + right))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(F.col("syms"), empty, step)
 
 
-def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+def _words(text_col: str, word_pattern: str):
+    """Pre-tokenizer as a Column: lowercase + regexp word extraction (the
+    pattern enters as a bound literal, not SQL text)."""
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(word_pattern), 0)
+
+
+def _word_vocab(df: DataFrame, text_col: str, word_pattern: str = WORD_PATTERN) -> DataFrame:
     """One corpus scan → the Zipf-bounded ``(word, freq, syms)`` table."""
     return (
-        df.select(
-            F.explode(
-                F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_PATTERN}', 0)")
-            ).alias("word")
-        )
+        df.select(F.explode(_words(text_col, word_pattern)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("syms", F.expr("regexp_extract_all(word, '.', 0)"))
+        .withColumn("syms", F.regexp_extract_all(F.col("word"), F.lit("."), 0))
     )
 
 
@@ -109,7 +118,7 @@ def _train_loop(vocab: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
             break
         best = top[0]
         nxt = cur.withColumn(
-            "syms", F.expr(_merge_expr(best["lhs"], best["rhs"]))
+            "syms", _merge_expr(best["lhs"], best["rhs"])
         ).persist()
         total = nxt.agg(
             F.sum(F.col("freq") * F.size("syms")).alias("t")
@@ -124,6 +133,7 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 4,
+    word_pattern: str = WORD_PATTERN,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges from a text column.
 
@@ -136,7 +146,7 @@ def bpe_train(
     just the argmax.
     """
     spark: SparkSession = df.sparkSession
-    vocab = _word_vocab(df, text_col).select("freq", "syms")
+    vocab = _word_vocab(df, text_col, word_pattern).select("freq", "syms")
     results, cur = _train_loop(vocab, n_merges)
     cur.unpersist()
     return spark.createDataFrame(
@@ -150,6 +160,7 @@ def bpe_segment(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_merges: int = 4,
+    word_pattern: str = WORD_PATTERN,
 ) -> DataFrame:
     """Apply-side of the trainer: segment every document with the learned
     merges and return ``(id, n_words, n_tokens)`` per document.
@@ -164,14 +175,12 @@ def bpe_segment(
     regardless of merge count. Documents with no ``[a-z]+`` word are
     excluded (no tokens), matching the oracle's inner join.
     """
-    vocab = _word_vocab(df, text_col)
+    vocab = _word_vocab(df, text_col, word_pattern)
     _, seg = _train_loop(vocab, n_merges)
     dim = seg.select("word", F.size("syms").alias("n_sub"))
     words = df.select(
         F.col(id_col),
-        F.explode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_PATTERN}', 0)")
-        ).alias("word"),
+        F.explode(_words(text_col, word_pattern)).alias("word"),
     )
     out = (
         words.join(F.broadcast(dim), "word")
