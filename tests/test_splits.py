@@ -78,3 +78,49 @@ def test_weighted_sample_prefers_heavy_rows(spark):
         df, group_by=["grp"], weight=F.col("w"), id_cols=["id"], k=100
     ).collect()}
     assert again == ids
+
+
+def test_stratified_exact_split_quotas_per_stratum(spark):
+    """Every stratum must hit its fractions EXACTLY (floor boundaries),
+    including strata too small for hash_split to cover reliably."""
+    import collections
+
+    from zio_analytics_spark.operators.splits import stratified_exact_split
+
+    rows = []
+    i = 0
+    for lang, n in [("en", 200), ("de", 37), ("sw", 5)]:
+        for _ in range(n):
+            rows.append((i, lang, f"text number {i} for {lang}"))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = stratified_exact_split(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, on="text", strata=["lang"]
+    ).collect()
+    counts = collections.Counter((r.lang, r.split) for r in out)
+    for lang, n in [("en", 200), ("de", 37), ("sw", 5)]:
+        tr = int(0.8 * n)  # floor boundaries
+        va = int(0.9 * n) - tr
+        te = n - tr - va
+        assert counts[(lang, "train")] == tr, (lang, dict(counts))
+        assert counts[(lang, "val")] == va
+        assert counts[(lang, "test")] == te
+    # the 5-doc stratum is guaranteed val/test presence (floor(0.9*5)=4 -> 1 test)
+    assert counts[("sw", "test")] >= 1
+    # deterministic: identical assignment on re-run
+    again = stratified_exact_split(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, on="text", strata=["lang"]
+    ).collect()
+    assert {(r.doc_id, r.split) for r in out} == {(r.doc_id, r.split) for r in again}
+
+
+def test_stratified_exact_split_validates(spark):
+    import pytest as _pytest
+
+    from zio_analytics_spark.operators.splits import stratified_exact_split
+
+    df = spark.createDataFrame([(1, "en", "t")], "doc_id long, lang string, text string")
+    with _pytest.raises(ValueError, match="sum to 1"):
+        stratified_exact_split(df, {"a": 0.5}, on="text", strata=["lang"])
+    with _pytest.raises(ValueError, match="stratum column"):
+        stratified_exact_split(df, {"a": 1.0}, on="text", strata=[])

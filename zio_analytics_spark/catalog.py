@@ -3731,6 +3731,44 @@ def q_dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dataset_stratified_split",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5('corpus-v1' || text), text) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rn <= floor(0.8 * n) THEN 'train'
+                WHEN rn <= floor(0.9 * n) THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+)
+def q_dataset_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified train/val/test quotas (operators/splits.py
+    stratified_exact_split): within each language, docs rank by content
+    hash and the first ⌊0.8n⌋ / ⌊0.9n⌋ ranks take train/val — every
+    stratum hits its fractions exactly, where dataset_hash_split's
+    threshold rule only holds in expectation and can strand a small
+    language entirely in train. Deterministic (md5 rank + text tiebreak,
+    no RNG) and engine-independent, so the oracle replays the full
+    assignment; the documented tradeoff vs hash_split — exact quotas on a
+    frozen snapshot vs growth-stable membership — lives in the operator
+    docstring. One window shuffle keyed on the stratum."""
+    from zio_analytics_spark.operators.splits import stratified_exact_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = stratified_exact_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+        on="text", strata=["lang"], salt="corpus-v1",
+    )
+    return out.select("doc_id", "lang", "split")
+
+
+@register(
     "text_repetition",
     oracle="""
     WITH w AS (

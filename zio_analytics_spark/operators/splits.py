@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "split_bucket"]
+__all__ = ["hash_split", "split_bucket", "stratified_exact_split"]
 
 _BUCKETS = 10_000
 
@@ -56,6 +56,53 @@ def hash_split(
     for label, w in labels[:-1]:
         upper += w * _BUCKETS
         cond = bucket < F.lit(int(round(upper)))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = F.lit(labels[-1][0])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def stratified_exact_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    on: Column | str,
+    strata: list[str],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """EXACT per-stratum split quotas: within each stratum, rows rank by
+    md5(salt||key) (key string as the tiebreak) and the first
+    ⌊w_cum · n⌋ ranks take each label — so every stratum hits its
+    fractions exactly (±1 row), which :func:`hash_split` only achieves in
+    expectation and can miss badly for SMALL strata (a 30-doc language can
+    land 100% in train by hash luck; stratified quotas guarantee its val/
+    test presence).
+
+    Tradeoff vs :func:`hash_split`, stated honestly: ranks shift when the
+    corpus grows, so membership is reproducible for a FIXED corpus
+    (deterministic, engine-independent — the oracle replays it) but not
+    growth-stable. Use hash_split for evolving corpora, this for frozen
+    snapshots needing exact stratum proportions. One window shuffle keyed
+    on the strata; no RNG anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if not strata:
+        raise ValueError("stratified_exact_split requires at least one stratum column")
+    key = F.col(on) if isinstance(on, str) else on
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    win = W.partitionBy(*strata).orderBy(h, key.cast("string"))
+    rn = F.row_number().over(win)
+    n = F.count(F.lit(1)).over(W.partitionBy(*strata))
+    labels = list(weights.items())
+    expr: Column | None = None
+    cum = 0.0
+    for label, w in labels[:-1]:
+        cum += w
+        cond = rn <= F.floor(F.lit(cum) * n)
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
     last = F.lit(labels[-1][0])
     out = last if expr is None else expr.otherwise(last)
