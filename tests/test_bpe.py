@@ -166,3 +166,20 @@ def test_bpe_segment_matches_naive_application(spark):
         ws = re.findall("[a-z]+", t.lower())
         expected[d] = (len(ws), sum(len(vocab[w]) for w in ws))
     assert got == expected
+
+
+def test_bpe_segment_releases_cache(spark):
+    """Round-7 advice fix: bpe_segment materializes its vocab dimension to a
+    scratch parquet and unpersists the training cache — repeated calls in a
+    long session must not accumulate cached tables."""
+    from zio_analytics_spark.operators.bpe import bpe_segment
+
+    df = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "new newest low")], "doc_id long, text string"
+    )
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    first = {tuple(r) for r in bpe_segment(df, n_merges=3).collect()}
+    second = {tuple(r) for r in bpe_segment(df, n_merges=3).collect()}
+    assert first == second
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before, (before, after)

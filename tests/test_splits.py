@@ -114,6 +114,34 @@ def test_stratified_exact_split_quotas_per_stratum(spark):
     assert {(r.doc_id, r.split) for r in out} == {(r.doc_id, r.split) for r in again}
 
 
+def test_stratified_exact_split_tiebreak_restores_determinism(spark):
+    """Round-7 advice fix: duplicate `on` values share a sort key, so the
+    documented contract requires a `tiebreak` column; with it, assignment is
+    a pure function of (key, tiebreak) — stable across repartitionings."""
+    from zio_analytics_spark.operators.splits import stratified_exact_split
+
+    # every text duplicated: without tiebreak the ranks of the twin rows
+    # are an arbitrary coin flip; with tiebreak=doc_id they are total-ordered
+    rows = [(i, "en", f"dup text {i % 10}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w = {"train": 0.5, "val": 0.5}
+    base = {
+        (r.doc_id, r.split)
+        for r in stratified_exact_split(
+            df, w, on="text", strata=["lang"], tiebreak="doc_id"
+        ).collect()
+    }
+    for n_parts in (1, 7):
+        again = {
+            (r.doc_id, r.split)
+            for r in stratified_exact_split(
+                df.repartition(n_parts), w, on="text", strata=["lang"],
+                tiebreak="doc_id",
+            ).collect()
+        }
+        assert again == base, n_parts
+
+
 def test_stratified_exact_split_validates(spark):
     import pytest as _pytest
 

@@ -190,3 +190,30 @@ def test_ewma_auto_engine_falls_back_on_nulls(spark):
     assert out[(1, 0)] == 2.0
     assert poisoned(out[(1, 1)]) and poisoned(out[(1, 2)])
     assert out[(2, 0)] == 8.0 and out[(2, 1)] == 0.25 * 10.0 + 0.75 * 8.0
+
+
+def test_ewma_null_partition_keys(spark):
+    """Round-7 advice fix: null partition keys must form their own group
+    (dropna=False in the pandas engine) rather than crash with a length
+    mismatch, and both engines must agree on the grouping."""
+    from zio_analytics_spark.operators.timeseries import ewma
+
+    rows = [
+        (None, 0, 8.0),
+        (None, 1, 4.0),
+        (1, 2, 2.0),
+        (1, 3, 6.0),
+        (None, 4, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    for engine in ("pandas", "loop", "auto"):
+        out = {
+            r.event_id: r.ewma
+            for r in ewma(
+                df, "value", ["event_id"], ["user_id"], alpha=0.25, engine=engine
+            ).collect()
+        }
+        assert out[0] == 8.0, engine
+        assert out[1] == 0.25 * 4.0 + 0.75 * 8.0, engine  # null key: one group
+        assert out[4] == 0.25 * 0.0 + 0.75 * out[1], engine
+        assert out[2] == 2.0 and out[3] == 0.25 * 6.0 + 0.75 * 2.0, engine

@@ -175,14 +175,23 @@ def bpe_segment(
     regardless of merge count. Documents with no ``[a-z]+`` word are
     excluded (no tokens), matching the oracle's inner join.
     """
+    from zio_analytics_spark.tmpdirs import materialize_table
+
     vocab = _word_vocab(df, text_col, word_pattern)
     _, seg = _train_loop(vocab, n_merges)
-    dim = seg.select("word", F.size("syms").alias("n_sub"))
+    # Materialize the word→subword-count dimension to a scratch parquet and
+    # release the training cache NOW — the returned plan reads the
+    # materialized table, so no persisted vocab outlives this call (the
+    # round-6 advice: repeated bpe_segment calls must not accumulate cache).
+    dim = materialize_table(
+        seg.select("word", F.size("syms").alias("n_sub")), prefix="zas_bpe_dim_"
+    )
+    seg.unpersist()
     words = df.select(
         F.col(id_col),
         F.explode(_words(text_col, word_pattern)).alias("word"),
     )
-    out = (
+    return (
         words.join(F.broadcast(dim), "word")
         .groupBy(id_col)
         .agg(
@@ -190,6 +199,3 @@ def bpe_segment(
             F.sum("n_sub").alias("n_tokens"),
         )
     )
-    # seg stays persisted until the returned plan is consumed; it is tiny
-    # (the vocab) and session cache isolation (bench/tests) clears it.
-    return out

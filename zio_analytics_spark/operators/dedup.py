@@ -83,11 +83,9 @@ def _materialize_table(df: DataFrame, prefix: str = "zas_dedup_tbl_") -> DataFra
     plans. The dir is registered with :mod:`zio_analytics_spark.tmpdirs`
     and removed at session stop / interpreter exit.
     """
-    from zio_analytics_spark.tmpdirs import scratch_dir
+    from zio_analytics_spark.tmpdirs import materialize_table
 
-    path = scratch_dir(prefix=prefix)
-    df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.schema(df.schema).parquet(path)
+    return materialize_table(df, prefix=prefix)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -34,7 +34,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_adc_topk", "ivfpq_encode", "ivfpq_search"]
+__all__ = [
+    "pq_train",
+    "pq_encode",
+    "pq_adc_topk",
+    "ivfpq_train",
+    "ivfpq_encode",
+    "ivfpq_search",
+]
 
 
 def _argmin_expr(sub: Column, cents: list) -> Column:

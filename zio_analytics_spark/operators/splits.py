@@ -69,6 +69,7 @@ def stratified_exact_split(
     strata: list[str],
     salt: str = "",
     split_col: str = "split",
+    tiebreak: Column | str | None = None,
 ) -> DataFrame:
     """EXACT per-stratum split quotas: within each stratum, rows rank by
     md5(salt||key) (key string as the tiebreak) and the first
@@ -77,6 +78,13 @@ def stratified_exact_split(
     expectation and can miss badly for SMALL strata (a 30-doc language can
     land 100% in train by hash luck; stratified quotas guarantee its val/
     test presence).
+
+    DETERMINISM CONTRACT: the window orders by (md5(salt||key), key), so
+    ``on`` must be UNIQUE within each stratum — duplicate keys share a
+    sort key and ``row_number`` over ties is engine/partitioning-dependent.
+    If ``on`` can repeat (e.g. splitting on a category), pass ``tiebreak``
+    (a unique id column) and it is appended to the window ORDER BY to
+    restore a total order.
 
     Tradeoff vs :func:`hash_split`, stated honestly: ranks shift when the
     corpus grows, so membership is reproducible for a FIXED corpus
@@ -94,7 +102,11 @@ def stratified_exact_split(
         raise ValueError("stratified_exact_split requires at least one stratum column")
     key = F.col(on) if isinstance(on, str) else on
     h = F.md5(F.concat(F.lit(salt), key.cast("string")))
-    win = W.partitionBy(*strata).orderBy(h, key.cast("string"))
+    order = [h, key.cast("string")]
+    if tiebreak is not None:
+        tb = F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
+        order.append(tb.cast("string"))
+    win = W.partitionBy(*strata).orderBy(*order)
     rn = F.row_number().over(win)
     n = F.count(F.lit(1)).over(W.partitionBy(*strata))
     labels = list(weights.items())

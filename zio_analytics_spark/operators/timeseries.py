@@ -201,15 +201,28 @@ def ewma(
             # Groups are contiguous after the sort and groupby(sort=False)
             # preserves first-appearance order, so the concatenated group
             # results align positionally with the sorted frame.
+            # dropna=False: null partition keys form their own group (they
+            # are contiguous after the sort); the default dropna=True would
+            # DROP those rows and break the positional assignment below.
             out = (
-                pdf.groupby(part, sort=False)[value_col]
+                pdf.groupby(part, sort=False, dropna=False)[value_col]
                 .ewm(alpha=a, adjust=False)
                 .mean()
                 .to_numpy()
             )
         else:
             out = np.empty(len(vals), dtype=np.float64)
-            keys = list(zip(*(pdf[c].tolist() for c in part)))
+            # Normalize nulls to None so NaN keys compare equal (matches the
+            # pandas engine's dropna=False grouping; float('nan') != float('nan')
+            # would otherwise restart the recurrence on every null-key row).
+            keys = list(
+                zip(
+                    *(
+                        pdf[c].astype(object).where(pdf[c].notna(), None).tolist()
+                        for c in part
+                    )
+                )
+            )
             e, prev = 0.0, object()
             for i in range(len(vals)):
                 k = keys[i]

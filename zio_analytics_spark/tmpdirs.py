@@ -38,7 +38,14 @@ import tempfile
 import threading
 import time
 
-__all__ = ["scratch_dir", "cleanup", "registered", "sweep_stale", "process_parent"]
+__all__ = [
+    "scratch_dir",
+    "cleanup",
+    "registered",
+    "sweep_stale",
+    "process_parent",
+    "materialize_table",
+]
 
 _dirs: set[str] = set()
 _lock = threading.Lock()
@@ -106,6 +113,23 @@ def cleanup() -> int:
         # parent) without their own registration.
         shutil.rmtree(parent, ignore_errors=True)
     return n
+
+
+def materialize_table(df, prefix: str = "zas_tbl_"):
+    """Write an intermediate DataFrame to a scratch parquet and return a
+    lazy scan of it.
+
+    This is the repo-wide replacement for ``persist()`` on shared
+    intermediates (dedup shingle tables, BPE vocab segmentations): a cache
+    must be released by *someone* after an action the operator never sees,
+    whereas a materialized table needs no release protocol — no executor
+    memory held, each consumer re-scans columnar data, and the directory's
+    lifetime is owned by this registry (removed at session stop /
+    interpreter exit / dead-pid sweep). The write is one eager job.
+    """
+    path = scratch_dir(prefix=prefix)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.schema(df.schema).parquet(path)
 
 
 def _pid_alive(pid: int) -> bool:
