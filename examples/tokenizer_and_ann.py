@@ -15,7 +15,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from zio_analytics_spark import get_spark
 from zio_analytics_spark.operators.bpe import bpe_segment, bpe_train
-from zio_analytics_spark.operators.pq import ivfpq_encode, ivfpq_search, ivfpq_train
+from zio_analytics_spark.operators.pq import ivfpq_fit_encode, ivfpq_search
 from zio_analytics_spark.sources.parquet import read_table
 
 
@@ -36,8 +36,9 @@ def main(sf_dir: str) -> None:
     # --- ANN: coarse cells + residual PQ codes + probed ADC search -------
     # 64-dim float vectors become (cell, 4 codes): 64x smaller; search
     # probes 2 of 8 cells and scores via lookup tables, no decompression.
-    coarse, codebooks = ivfpq_train(emb, n_cells=8, m=4, k=16, n_iter=2)
-    encoded = ivfpq_encode(emb, coarse, codebooks)
+    # fit_encode shares ONE coarse-assignment pass between training and
+    # encoding (the materialized residual table).
+    coarse, codebooks, encoded = ivfpq_fit_encode(emb, n_cells=8, m=4, k=16, n_iter=2)
     query = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
     print("== IVF-PQ top-10 for the first vector's query ==")
     ivfpq_search(encoded, coarse, codebooks, list(query), nprobe=2, top_k=10).show()

@@ -99,3 +99,93 @@ def test_ivfpq_residual_codes_differ_from_raw_pq(spark):
     # coarse tier separates the planted clusters
     assert len({cells[v] for v in range(12)}) == 1
     assert cells[0] != cells[24]
+
+
+def test_pq_engines_equivalent(spark):
+    """Round-7: the arrow (mapInPandas + numpy) engine must reproduce the
+    codegen engine exactly — codebooks, codes, and ADC results."""
+    df = _planted(spark, n_clusters=4, per=12, d=8)
+    cb_cg = pq_train(df, m=2, k=4, n_iter=3, dim=8, engine="codegen")
+    cb_ar = pq_train(df, m=2, k=4, n_iter=3, dim=8, engine="arrow")
+    assert cb_cg == cb_ar
+    enc_cg = {r.vec_id: list(r.codes) for r in pq_encode(df, cb_cg, engine="codegen").collect()}
+    enc_ar = {r.vec_id: list(r.codes) for r in pq_encode(df, cb_cg, engine="arrow").collect()}
+    assert enc_cg == enc_ar
+
+
+def test_ivfpq_engines_equivalent_and_fit_encode(spark):
+    """ivfpq arrow engine == codegen engine for train/encode/search, and
+    ivfpq_fit_encode (single coarse-assignment pass) == train-then-encode."""
+    from zio_analytics_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_fit_encode,
+        ivfpq_search,
+        ivfpq_train,
+    )
+
+    df = _planted(spark, n_clusters=4, per=12, d=8)
+    co_cg, cb_cg = ivfpq_train(df, n_cells=4, m=2, k=4, n_iter=2, dim=8, engine="codegen")
+    co_ar, cb_ar = ivfpq_train(df, n_cells=4, m=2, k=4, n_iter=2, dim=8, engine="arrow")
+    assert co_cg == co_ar and cb_cg == cb_ar
+    enc_cg = {
+        r.vec_id: (r.cell, list(r.codes))
+        for r in ivfpq_encode(df, co_cg, cb_cg, engine="codegen").collect()
+    }
+    enc_ar = {
+        r.vec_id: (r.cell, list(r.codes))
+        for r in ivfpq_encode(df, co_cg, cb_cg, engine="arrow").collect()
+    }
+    assert enc_cg == enc_ar
+
+    co_f, cb_f, enc_f = ivfpq_fit_encode(df, n_cells=4, m=2, k=4, n_iter=2, dim=8)
+    assert co_f == co_cg and cb_f == cb_cg
+    assert {r.vec_id: (r.cell, list(r.codes)) for r in enc_f.collect()} == enc_cg
+
+    enc = ivfpq_encode(df, co_cg, cb_cg)
+    query = df.where("vec_id = 30").collect()[0]["embedding"]
+    s_cg = [
+        tuple(r)
+        for r in ivfpq_search(enc, co_cg, cb_cg, query, nprobe=2, top_k=10, engine="codegen").collect()
+    ]
+    s_ar = [
+        tuple(r)
+        for r in ivfpq_search(enc, co_cg, cb_cg, query, nprobe=2, top_k=10, engine="arrow").collect()
+    ]
+    assert s_cg == s_ar
+
+
+def test_pq_production_parameter_plan_ceiling(spark):
+    """Round-7 scale pin: at real-world PQ parameters (k=256, m=8, d=256 —
+    ~65k inlined literals on the codegen path, measured ~80 s of py4j plan
+    construction) the auto engine must route to the arrow path and build +
+    analyze + execute the encode plan in seconds, not minutes."""
+    import random
+    import time
+
+    from zio_analytics_spark.operators.pq import _pick_engine
+
+    k, m, d = 256, 8, 256
+    assert _pick_engine("auto", k * d) == "arrow"
+    assert _pick_engine("auto", 16 * 64) == "codegen"  # shipped toy shape
+
+    rnd = random.Random(11)
+    sub_d = d // m
+    cbs = [
+        [[rnd.uniform(-1, 1) for _ in range(sub_d)] for _ in range(k)]
+        for _ in range(m)
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=3) for _ in range(d)]).alias("embedding"),
+    )
+    t0 = time.time()
+    enc = pq_encode(df, cbs)  # engine=auto -> arrow
+    enc.schema  # analysis
+    n = enc.count()  # execution
+    elapsed = time.time() - t0
+    assert n == 64
+    codes = enc.collect()[0]["codes"]
+    assert len(codes) == m and all(0 <= c < k for c in codes)
+    assert elapsed < 15.0, f"production-parameter encode took {elapsed:.1f}s"

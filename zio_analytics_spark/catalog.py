@@ -8862,24 +8862,21 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer tiers (coarse Lloyd, residual construction, 4 residual
     Lloyd runs), the probed-cell selection, the per-cell LUTs with the
     identical ((q−coarse)−codebook) association, and the rounded ADC
-    ranking. Local-SF wall time (~8 s) is DRIVER-bound, not data-bound:
-    seven small jobs whose k·d-literal expression trees dominate Catalyst
-    analysis — the data path is one training pass, one encode pass, and a
-    pruned probe scan, so entry cost stays ~constant while the data-side
-    work is what scales with the corpus."""
-    from zio_analytics_spark.operators.pq import (
-        ivfpq_encode,
-        ivfpq_search,
-        ivfpq_train,
-    )
+    ranking. Local-SF wall time is DRIVER-bound, not data-bound: a few
+    small sequential jobs — the data path is one training pass, ONE
+    coarse-assignment/residual pass shared by codebook training and
+    encoding (ivfpq_fit_encode materializes the (id, cell, residual)
+    table once — the round-7 scan cut), and a pruned probe scan, so entry
+    cost stays ~constant while the data-side work is what scales with the
+    corpus."""
+    from zio_analytics_spark.operators.pq import ivfpq_fit_encode, ivfpq_search
 
     emb = read_table(spark, sf_dir, "embeddings")
-    coarse, cbs = ivfpq_train(emb, n_cells=8, m=4, k=16, n_iter=2)
+    coarse, cbs, enc = ivfpq_fit_encode(emb, n_cells=8, m=4, k=16, n_iter=2)
     query = [
         float(v)
         for v in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
     ]
-    enc = ivfpq_encode(emb, coarse, cbs)
     return ivfpq_search(enc, coarse, cbs, query, nprobe=2, top_k=10)
 
 

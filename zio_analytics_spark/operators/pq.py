@@ -27,9 +27,37 @@ Determinism contract (inherited from clustering.py so a DuckDB oracle can
 replay every code): init = subvectors of the k smallest ids; argmin ties
 to the lowest code; centroids rounded after every update; empty clusters
 keep their previous centroid; fixed iteration count.
+
+PRODUCTION-PARAMETER CEILING (round-7): the codegen path inlines every
+codebook value as an ``F.lit`` — measured plan-CONSTRUCTION cost (py4j
+Column building, before Catalyst even sees it) is ~81 s at the real-world
+PQ shape k=256/m=8/d=256 (~65k literals) vs 3 s at the shipped toy
+k=16/m=4/d=64 (~1k literals). Catalyst analysis itself stays <50 ms; the
+cliff is literal-count-linear driver-side build time. Every entry point
+therefore takes ``engine``:
+
+- ``"codegen"`` — the literal-inlined HOF path (whole-stage codegen, the
+  oracle-replayed reference semantics).
+- ``"arrow"`` — ``mapInPandas`` + numpy: codebooks travel as an O(k·d)
+  closure broadcast, each Arrow batch computes argmin codes via the
+  expanded ‖x‖²−2x·Cᵀ+‖c‖² BLAS form. O(1) plan nodes at ANY k/m/d;
+  the 100 TB path for production parameters.
+- ``"auto"`` (default) — ``"arrow"`` when the inlined-literal count would
+  exceed :data:`_CODEGEN_MAX_LITERALS` (2048 ≈ <5 s build), else
+  ``"codegen"`` — so the shipped catalog entries keep the codegen plan
+  and its bit-exact oracle replay.
+
+Engine equivalence is tested at k=16 (test_pq): identical codes/results.
+The one documented caveat: the arrow path's BLAS summation order differs
+from the codegen path's sequential left-fold, so two centroids whose
+distances agree to <1 ulp could in principle argmin differently —
+unobservable on continuous data, and the auto threshold keeps every
+oracle-checked entry on the codegen path anyway.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -40,8 +68,44 @@ __all__ = [
     "pq_adc_topk",
     "ivfpq_train",
     "ivfpq_encode",
+    "ivfpq_fit_encode",
     "ivfpq_search",
 ]
+
+#: codegen is preferred up to this many inlined codebook literals (~5 s of
+#: driver-side Column building); beyond it, auto switches to the arrow path.
+_CODEGEN_MAX_LITERALS = 2048
+
+
+def _pick_engine(engine: str, n_literals: int) -> str:
+    if engine not in ("auto", "codegen", "arrow"):
+        raise ValueError(f"unknown pq engine: {engine!r}")
+    if engine == "auto":
+        return "arrow" if n_literals > _CODEGEN_MAX_LITERALS else "codegen"
+    return engine
+
+
+def _np_codebooks(codebooks: list):
+    import numpy as np
+
+    return [np.asarray(c, dtype=np.float64) for c in codebooks]
+
+
+def _np_subspace_codes(X, np_cbs) -> "object":
+    """(n, m) int32 nearest-centroid codes per subspace; ties → lowest code
+    (np.argmin returns the first minimum). Distances via the expanded BLAS
+    form — O(n·k) memory, no (n, k, d) intermediate."""
+    import numpy as np
+
+    n = X.shape[0]
+    m = len(np_cbs)
+    sub_d = np_cbs[0].shape[1]
+    codes = np.empty((n, m), dtype=np.int32)
+    for j, C in enumerate(np_cbs):
+        S = X[:, j * sub_d : (j + 1) * sub_d]
+        d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) + (C * C).sum(1)[None, :]
+        codes[:, j] = d2.argmin(1)
+    return codes
 
 
 def _argmin_expr(sub: Column, cents: list) -> Column:
@@ -58,6 +122,39 @@ def _argmin_expr(sub: Column, cents: list) -> Column:
     return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 
 
+def _explode_subcodes_arrow(df: DataFrame, codebooks: list, vec_col: str) -> DataFrame:
+    """Arrow twin of the codegen explode in :func:`pq_train`: one row per
+    (input row, subspace) with the subspace index, assigned code, and
+    subvector — codebooks as closure state, numpy argmin per batch."""
+    import numpy as np
+    import pandas as pd
+
+    np_cbs = _np_codebooks(codebooks)
+    m = len(np_cbs)
+    sub_d = np_cbs[0].shape[1]
+
+    def fn(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = _np_subspace_codes(X, np_cbs)
+            frames = []
+            for j in range(m):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "j": np.full(len(X), j, dtype=np.int32),
+                            "code": codes[:, j],
+                            "sub": list(X[:, j * sub_d : (j + 1) * sub_d]),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(vec_col).mapInPandas(fn, "j int, code int, sub array<double>")
+
+
 def pq_train(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -67,6 +164,7 @@ def pq_train(
     n_iter: int = 2,
     dim: int | None = None,
     round_dp: int = 6,
+    engine: str = "auto",
 ) -> list:
     """Learn ``m`` per-subspace codebooks; returns a list of m lists of k
     centroids (each d/m floats) — bounded driver state (k·d doubles), the
@@ -76,6 +174,7 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_d = dim // m
+    eng = _pick_engine(engine, m * k * sub_d)
     init = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     if len(init) < k:
         raise ValueError(f"need at least k={k} training rows, got {len(init)}")
@@ -88,19 +187,22 @@ def pq_train(
     # computes every codebook's update — iteration cost is one pass + an
     # (m·k)×(d/m)-cell aggregate regardless of m, not m passes.
     for _t in range(n_iter - 1):
-        structs = []
-        for j in range(m):
-            sub = F.slice(F.col(vec_col), j * sub_d + 1, sub_d)
-            structs.append(
-                F.struct(
-                    F.lit(j).alias("j"),
-                    _argmin_expr(sub, codebooks[j]).alias("code"),
-                    sub.alias("sub"),
+        if eng == "arrow":
+            exploded = _explode_subcodes_arrow(df, codebooks, vec_col)
+        else:
+            structs = []
+            for j in range(m):
+                sub = F.slice(F.col(vec_col), j * sub_d + 1, sub_d)
+                structs.append(
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _argmin_expr(sub, codebooks[j]).alias("code"),
+                        sub.alias("sub"),
+                    )
                 )
+            exploded = df.select(F.explode(F.array(*structs)).alias("s")).select(
+                "s.j", "s.code", "s.sub"
             )
-        exploded = df.select(F.explode(F.array(*structs)).alias("s")).select(
-            "s.j", "s.code", "s.sub"
-        )
         rows = exploded.groupBy("j", "code").agg(
             *[
                 F.round(F.avg(F.col("sub")[i].cast("double")), round_dp).alias(f"x{i}")
@@ -122,16 +224,43 @@ def pq_encode(
     codebooks: list,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    engine: str = "auto",
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
-    """One scan → ``(id_col, codes array<int> length m)``: every vector
-    replaced by its m nearest-centroid codes."""
+    """One scan → ``(id_col, *passthrough_cols, codes array<int> length m)``:
+    every vector replaced by its m nearest-centroid codes."""
     m = len(codebooks)
     sub_d = len(codebooks[0][0])
+    extra = list(passthrough_cols or [])
+    eng = _pick_engine(engine, m * len(codebooks[0]) * sub_d)
+    if eng == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        np_cbs = _np_codebooks(codebooks)
+        keep = [id_col] + extra
+        keep_types = [
+            f"{c} {df.schema[c].dataType.simpleString()}" for c in keep
+        ]
+
+        def fn(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                codes = _np_subspace_codes(X, np_cbs)
+                out = {c: pdf[c].to_numpy() for c in keep}
+                out["codes"] = list(codes)
+                yield pd.DataFrame(out)
+
+        return df.select(*keep, vec_col).mapInPandas(
+            fn, ", ".join(keep_types) + ", codes array<int>"
+        )
     codes = []
     for j, cents in enumerate(codebooks):
         sub = F.slice(F.col(vec_col), j * sub_d + 1, sub_d)
         codes.append(_argmin_expr(sub, cents))
-    return df.select(id_col, F.array(*codes).alias("codes"))
+    return df.select(id_col, *extra, F.array(*codes).alias("codes"))
 
 
 def pq_adc_topk(
@@ -166,6 +295,24 @@ def pq_adc_topk(
     return scored.orderBy("adc_dist", id_col).limit(top_k)
 
 
+def _assign_cells_arrow(df: DataFrame, cents: list, vec_col: str) -> DataFrame:
+    """Arrow twin of the codegen coarse assignment: (__v vector, __c cell)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)
+
+    def fn(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cells = _np_subspace_codes(X, [C])[:, 0]
+            yield pd.DataFrame({"__v": list(X), "__c": cells})
+
+    return df.select(vec_col).mapInPandas(fn, "__v array<double>, __c int")
+
+
 def _lloyd_full(
     df: DataFrame,
     vec_col: str,
@@ -174,18 +321,23 @@ def _lloyd_full(
     n_iter: int,
     dim: int,
     round_dp: int = 6,
+    engine: str = "auto",
 ) -> list:
     """Full-dimension Lloyd returning the CENTROIDS (the coarse quantizer
     for IVF) under the same determinism contract as clustering.py."""
+    eng = _pick_engine(engine, k * dim)
     init = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     if len(init) < k:
         raise ValueError(f"need at least k={k} rows, got {len(init)}")
     cents = [[float(x) for x in r[vec_col]] for r in init]
     for _t in range(n_iter - 1):
-        assigned = df.select(
-            F.col(vec_col).alias("__v"),
-            _argmin_expr(F.col(vec_col), cents).alias("__c"),
-        )
+        if eng == "arrow":
+            assigned = _assign_cells_arrow(df, cents, vec_col)
+        else:
+            assigned = df.select(
+                F.col(vec_col).alias("__v"),
+                _argmin_expr(F.col(vec_col), cents).alias("__c"),
+            )
         rows = assigned.groupBy("__c").agg(
             *[
                 F.round(F.avg(F.col("__v")[i].cast("double")), round_dp).alias(f"x{i}")
@@ -197,6 +349,46 @@ def _lloyd_full(
     return cents
 
 
+def _assign_residual_arrow(
+    df: DataFrame, coarse: list, vec_col: str, id_col: str
+) -> DataFrame:
+    """Arrow path: one pass → ``(id, cell, __res residual vector)``."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(coarse, dtype=np.float64)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def fn(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cells = _np_subspace_codes(X, [C])[:, 0]
+            R = X - C[cells]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "cell": cells, "__res": list(R)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_col} {id_type}, cell int, __res array<double>"
+    )
+
+
+def _assign_residual(
+    df: DataFrame, coarse: list, vec_col: str, id_col: str, engine: str = "auto"
+) -> DataFrame:
+    """``(id, cell, __res)`` — the shared first stage of IVF-PQ training and
+    encoding (engine-dispatched)."""
+    eng = _pick_engine(engine, len(coarse) * len(coarse[0]))
+    if eng == "arrow":
+        return _assign_residual_arrow(df, coarse, vec_col, id_col)
+    assigned = df.select(
+        id_col, vec_col, _argmin_expr(F.col(vec_col), coarse).alias("cell")
+    )
+    return assigned.select(id_col, "cell", _residual_expr(vec_col, coarse).alias("__res"))
+
+
 def ivfpq_train(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -206,25 +398,71 @@ def ivfpq_train(
     k: int = 16,
     n_iter: int = 2,
     dim: int | None = None,
+    engine: str = "auto",
 ) -> tuple[list, list]:
     """Train the two quantizer tiers: the coarse (IVF) centroids on full
     vectors, then PQ codebooks on the RESIDUALS x − centroid[cell] —
     residual codebooks are shared across cells, which is what keeps m·k
     centroids accurate over the whole space (the FAISS IVFPQ recipe).
-    Returns ``(coarse, codebooks)``; both are bounded driver state."""
+    Returns ``(coarse, codebooks)``; both are bounded driver state.
+
+    NOTE: encoding after this recomputes the coarse assignment — when you
+    need codes for the SAME frame you trained on, use
+    :func:`ivfpq_fit_encode`, which materializes the assigned/residual
+    table once and feeds both codebook training and encoding from it."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    coarse = _lloyd_full(df, vec_col, id_col, n_cells, n_iter, dim)
-    assigned = df.select(
-        id_col, vec_col, _argmin_expr(F.col(vec_col), coarse).alias("cell")
-    )
-    res_df = assigned.select(
-        id_col, _residual_expr(vec_col, coarse).alias(vec_col)
+    coarse = _lloyd_full(df, vec_col, id_col, n_cells, n_iter, dim, engine=engine)
+    res_df = _assign_residual(df, coarse, vec_col, id_col, engine).select(
+        id_col, F.col("__res").alias(vec_col)
     )
     codebooks = pq_train(
-        res_df, vec_col=vec_col, id_col=id_col, m=m, k=k, n_iter=n_iter, dim=dim
+        res_df, vec_col=vec_col, id_col=id_col, m=m, k=k, n_iter=n_iter, dim=dim,
+        engine=engine,
     )
     return coarse, codebooks
+
+
+def ivfpq_fit_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+    dim: int | None = None,
+    engine: str = "auto",
+) -> tuple[list, list, DataFrame]:
+    """Train AND encode with ONE coarse-assignment pass (round-7 scan cut):
+    ``ivfpq_train`` + ``ivfpq_encode`` back-to-back each compute the
+    full-corpus coarse argmin; here the ``(id, cell, residual)`` table is
+    computed once, materialized to a scratch parquet (the dedup shingle-
+    table discipline — no cache-release protocol, consumers re-scan
+    columnar data; at 100 TB you'd persist this table anyway), and BOTH
+    codebook training and code emission read it. Returns
+    ``(coarse, codebooks, encoded)`` with ``encoded = (id, cell, codes)``
+    — identical to ``ivfpq_encode(df, *ivfpq_train(df, ...))`` (asserted
+    in test_pq)."""
+    from zio_analytics_spark.tmpdirs import materialize_table
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    coarse = _lloyd_full(df, vec_col, id_col, n_cells, n_iter, dim, engine=engine)
+    res_tbl = materialize_table(
+        _assign_residual(df, coarse, vec_col, id_col, engine), prefix="zas_ivfpq_res_"
+    )
+    codebooks = pq_train(
+        res_tbl.select(id_col, F.col("__res").alias(vec_col)),
+        vec_col=vec_col, id_col=id_col, m=m, k=k, n_iter=n_iter, dim=dim,
+        engine=engine,
+    )
+    encoded = pq_encode(
+        res_tbl.select(id_col, "cell", F.col("__res").alias(vec_col)),
+        codebooks, vec_col=vec_col, id_col=id_col, engine=engine,
+        passthrough_cols=["cell"],
+    ).select(id_col, "cell", "codes")
+    return coarse, codebooks, encoded
 
 
 def _residual_expr(vec_col: str, cents: list) -> Column:
@@ -244,6 +482,7 @@ def ivfpq_encode(
     codebooks: list,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    engine: str = "auto",
 ) -> DataFrame:
     """IVF-PQ encoding (the FAISS IVFPQ layout's algebra): assign each
     vector to its nearest coarse centroid (inverted-list cell), then PQ-
@@ -253,6 +492,36 @@ def ivfpq_encode(
     ann_index-style ``partitionBy(cell)`` layouts store, so search scans
     prune to probed cells (PartitionFilters — proven in
     similarity_ann_partitioned) and read m bytes per vector."""
+    n_lits = len(coarse) * len(coarse[0]) + len(codebooks) * len(codebooks[0]) * len(
+        codebooks[0][0]
+    )
+    eng = _pick_engine(engine, n_lits)
+    if eng == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(coarse, dtype=np.float64)
+        np_cbs = _np_codebooks(codebooks)
+        id_type = df.schema[id_col].dataType.simpleString()
+
+        def fn(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                cells = _np_subspace_codes(X, [C])[:, 0]
+                codes = _np_subspace_codes(X - C[cells], np_cbs)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "cell": cells,
+                        "codes": list(codes),
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(
+            fn, f"{id_col} {id_type}, cell int, codes array<int>"
+        )
     assigned = df.select(
         id_col, vec_col, _argmin_expr(F.col(vec_col), coarse).alias("cell")
     )
@@ -275,6 +544,7 @@ def ivfpq_search(
     top_k: int = 10,
     id_col: str = "vec_id",
     round_dp: int = 6,
+    engine: str = "auto",
 ) -> DataFrame:
     """Probed ADC search: rank coarse cells by query→centroid distance,
     keep the ``nprobe`` nearest (ties to the lower cell id), and score
@@ -282,31 +552,64 @@ def ivfpq_search(
     the query's residual against that cell. Everything driver-side is
     k_c·d + nprobe·m·k doubles; the cell filter is a literal IN list, so
     a partitioned layout prunes the scan before it reads a byte of the
-    other cells."""
+    other cells (both engines filter FIRST — the arrow scorer runs after
+    the prune)."""
     m = len(codebooks)
     sub_d = len(codebooks[0][0])
+    k = len(codebooks[0])
     qd = [
         sum((float(qv) - cv) ** 2 for qv, cv in zip(query, cent))
         for cent in coarse
     ]
     probed = sorted(range(len(coarse)), key=lambda c: (qd[c], c))[:nprobe]
     # per probed cell: LUTs from the query residual w.r.t. that cell
-    per_cell_dist = []
+    luts = {}
     for cell in probed:
         qres = [float(q) - c for q, c in zip(query, coarse[cell])]
-        dist = F.lit(0.0)
-        for j, cents in enumerate(codebooks):
-            qsub = qres[j * sub_d : (j + 1) * sub_d]
-            lut = [sum((qv - cv) ** 2 for qv, cv in zip(qsub, cent)) for cent in cents]
-            dist = dist + F.element_at(
-                F.array(*[F.lit(v) for v in lut]), F.col("codes")[j] + 1
-            )
-        per_cell_dist.append((cell, dist))
+        luts[cell] = [
+            [
+                sum((qv - cv) ** 2 for qv, cv in zip(qres[j * sub_d : (j + 1) * sub_d], cent))
+                for cent in cents
+            ]
+            for j, cents in enumerate(codebooks)
+        ]
+    pruned = encoded.where(F.col("cell").isin(probed))
+    eng = _pick_engine(engine, nprobe * m * k)
+    if eng == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        np_luts = {c: np.asarray(t, dtype=np.float64) for c, t in luts.items()}
+        id_type = encoded.schema[id_col].dataType.simpleString()
+
+        def fn(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+                cells = pdf["cell"].to_numpy()
+                dist = np.empty(len(pdf), dtype=np.float64)
+                j_idx = np.arange(codes.shape[1])
+                for c, lut in np_luts.items():
+                    mask = cells == c
+                    if mask.any():
+                        dist[mask] = lut[j_idx[None, :], codes[mask]].sum(1)
+                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "__d": dist})
+
+        scored = pruned.select(id_col, "cell", "codes").mapInPandas(
+            fn, f"{id_col} {id_type}, __d double"
+        ).select(
+            # round in Spark (HALF_UP) so both engines share rounding semantics
+            id_col, F.round(F.col("__d"), round_dp).alias("adc_dist")
+        )
+        return scored.orderBy("adc_dist", id_col).limit(top_k)
     dist_expr = F.lit(None).cast("double")
-    for cell, dist in per_cell_dist:
+    for cell in probed:
+        dist = F.lit(0.0)
+        for j in range(m):
+            dist = dist + F.element_at(
+                F.array(*[F.lit(v) for v in luts[cell][j]]), F.col("codes")[j] + 1
+            )
         dist_expr = F.when(F.col("cell") == cell, dist).otherwise(dist_expr)
-    scored = (
-        encoded.where(F.col("cell").isin([c for c, _ in per_cell_dist]))
-        .select(id_col, F.round(dist_expr, round_dp).alias("adc_dist"))
-    )
+    scored = pruned.select(id_col, F.round(dist_expr, round_dp).alias("adc_dist"))
     return scored.orderBy("adc_dist", id_col).limit(top_k)
