@@ -168,6 +168,109 @@ def test_bpe_segment_matches_naive_application(spark):
     assert got == expected
 
 
+def _naive_batched_bpe(texts: list[str], n_merges: int, batch: int) -> list[tuple]:
+    """In-memory replay of the batched contract: static rounds, greedy
+    compatible selection over the full ordered pair list, batch applied in
+    selection order, one total per round."""
+    from zio_analytics_spark.operators.bpe import _batch_compatible
+
+    words: collections.Counter = collections.Counter()
+    for t in texts:
+        for w in re.findall("[a-z]+", t.lower()):
+            words[w] += 1
+    vocab = {w: list(w) for w in words}
+
+    def apply_merge(l, r):
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            vocab[w] = merged
+
+    out = []
+    n_rounds = -(-n_merges // batch)
+    for rnd in range(n_rounds):
+        target = min(batch, n_merges - rnd * batch)
+        cnt: collections.Counter = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += words[w]
+        ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        used, concats, acc = set(), set(), []
+        for (l, r), c in ordered:
+            if _batch_compatible(l, r, used, concats):
+                acc.append((l, r, c))
+                used.update((l, r))
+                concats.add(l + r)
+                if len(acc) == target:
+                    break
+        if not acc:
+            break
+        for l, r, _c in acc:
+            apply_merge(l, r)
+        total = sum(words[w] * len(s) for w, s in vocab.items())
+        for slot, (l, r, c) in enumerate(acc):
+            out.append((rnd, slot, l, r, c, total))
+    return out
+
+
+def test_bpe_train_batched_matches_naive_replay(spark):
+    """The Spark batched trainer must equal the in-memory replay of the
+    batched contract — selection, compatibility filtering, application,
+    and per-round totals — on corpora with heavy overlap pressure."""
+    from zio_analytics_spark.operators.bpe import bpe_train_batched
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "aaaa aaa aa banana bananas",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for batch in (2, 3):
+        got = [tuple(r) for r in bpe_train_batched(df, n_merges=6, batch=batch).collect()]
+        assert got == _naive_batched_bpe(texts, 6, batch), batch
+
+
+def test_bpe_train_batched_batch1_equals_sequential(spark):
+    """batch=1 degenerates to the classic argmax: same merges, counts, and
+    totals as bpe_train, with round == iter and slot == 0."""
+    from zio_analytics_spark.operators.bpe import bpe_train_batched
+
+    texts = ["low low low lower lowest", "new newer newest low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    seq = [tuple(r) for r in bpe_train(df, n_merges=5).collect()]
+    bat = [tuple(r) for r in bpe_train_batched(df, n_merges=5, batch=1).collect()]
+    assert [(r, s) for r, s, *_ in bat] == [(i, 0) for i in range(len(seq))]
+    assert [(l, rh, c, t) for _r, _s, l, rh, c, t in bat] == [
+        (l, rh, c, t) for _i, l, rh, c, t in seq
+    ]
+
+
+def test_bpe_batch_compatibility_predicate():
+    """Unit coverage of the commutation conditions."""
+    from zio_analytics_spark.operators.bpe import _batch_compatible
+
+    # disjoint symbols, distinct concats: compatible
+    assert _batch_compatible("c", "d", {"a", "b"}, {"ab"})
+    # shares a symbol with the batch
+    assert not _batch_compatible("b", "c", {"a", "b"}, {"ab"})
+    # consumes a symbol an earlier merge creates
+    assert not _batch_compatible("ab", "c", {"a", "b"}, {"ab"})
+    # creates a symbol an earlier pair consumes
+    assert not _batch_compatible("a", "b", {"ab", "x"}, {"abx"})
+    # same concat from site-disjoint pairs is allowed
+    assert _batch_compatible("a", "bc", {"ab", "c"}, {"abc"})
+
+
 def test_bpe_segment_releases_cache(spark):
     """Round-7 advice fix: bpe_segment materializes its vocab dimension to a
     scratch parquet and unpersists the training cache — repeated calls in a

@@ -44,6 +44,16 @@ def test_kmeans_deterministic_across_runs(spark):
     assert a == b
 
 
+def test_kmeans_engines_equivalent(spark):
+    """Round-7: arrow (mapInPandas + numpy) assignment must reproduce the
+    codegen literal-inline path exactly — same clusters every iteration
+    (the centroid updates run through identical rounded aggregates)."""
+    df = _blobs(spark, n_per=12)
+    a = sorted(map(tuple, kmeans_assign(df, k=4, n_iter=3, dim=8, engine="codegen").collect()))
+    b = sorted(map(tuple, kmeans_assign(df, k=4, n_iter=3, dim=8, engine="arrow").collect()))
+    assert a == b
+
+
 def test_kmeans_requires_k_rows(spark):
     import pytest
 

@@ -8647,6 +8647,147 @@ def _bpe_segment_oracle(n_merges: int = 4) -> str:
     )
 
 
+def _bpe_apply_chain(tag: str, src: str, pair: str, dst: str) -> list:
+    """One greedy merge application (the same window-function restatement as
+    _bpe_oracle_ctes) from vocab ``src`` to vocab ``dst`` using the 1-row
+    pair table ``pair`` — which may hold the ('','') sentinel, in which case
+    nothing marks and the vocab passes through unchanged."""
+    return [
+        f"""m{tag} AS (
+      SELECT v.word, v.freq, v.syms, t.pos,
+             (t.pos < len(v.syms) AND v.syms[t.pos] = b.lhs
+              AND v.syms[t.pos + 1] = b.rhs) AS mark
+      FROM {src} v CROSS JOIN {pair} b, unnest(range(1, len(v.syms) + 1)) AS t(pos)
+    )""",
+        f"""g{tag} AS (
+      SELECT *, CASE WHEN mark THEN pos - row_number() OVER
+                  (PARTITION BY word, mark ORDER BY pos) END AS grp
+      FROM m{tag}
+    )""",
+        f"""t{tag} AS (
+      SELECT word, freq, syms, pos, mark,
+             (mark AND ((pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0))
+               AS taken
+      FROM g{tag}
+    )""",
+        f"""u{tag} AS (
+      SELECT word, freq, syms, pos, taken,
+             coalesce(lag(taken) OVER (PARTITION BY word ORDER BY pos), false)
+               AS prev_taken
+      FROM t{tag}
+    )""",
+        f"""{dst} AS (
+      SELECT u.word, u.freq,
+             array_agg(CASE WHEN u.taken THEN b.lhs || b.rhs
+                            ELSE u.syms[u.pos] END ORDER BY u.pos) AS syms
+      FROM u{tag} u CROSS JOIN {pair} b
+      WHERE NOT u.prev_taken
+      GROUP BY u.word, u.freq
+    )""",
+    ]
+
+
+def _bpe_batched_oracle(n_merges: int = 6, batch: int = 3) -> str:
+    """Replay of operators/bpe.py bpe_train_batched: per STATIC round, pair
+    counts over the round's vocab, then a RECURSIVE greedy walk down the
+    (cnt DESC, lhs, rhs)-ranked pair list accepting each pair compatible
+    with the batch so far (the commutation conditions of _batch_compatible,
+    restated with list_contains), then the accepted merges applied in
+    selection order via sentinel-guarded apply chains, and one post-round
+    symbol total shared by the round's rows."""
+    ctes = [
+        """w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    )""",
+        """vb0 AS (
+      SELECT word, count(*)::BIGINT AS freq, regexp_extract_all(word, '.') AS syms
+      FROM w GROUP BY word
+    )""",
+    ]
+    n_rounds = -(-n_merges // batch)
+    selects = []
+    for r in range(n_rounds):
+        b_r = min(batch, n_merges - r * batch)
+        ok = (
+            "(NOT list_contains(s.used, n.lhs) AND NOT list_contains(s.used, n.rhs)"
+            " AND NOT list_contains(s.cats, n.lhs) AND NOT list_contains(s.cats, n.rhs)"
+            " AND NOT list_contains(s.used, n.lhs || n.rhs))"
+        )
+        ctes.append(f"""p{r} AS (
+      SELECT v.syms[t.pos] AS lhs, v.syms[t.pos + 1] AS rhs,
+             sum(v.freq)::BIGINT AS cnt
+      FROM vb{r} v, unnest(range(1, len(v.syms))) AS t(pos)
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""rk{r} AS (
+      SELECT lhs, rhs, cnt,
+             row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rk
+      FROM p{r}
+    )""")
+        ctes.append(f"""sel{r}(rk, acc, used, cats) AS (
+      SELECT 0::BIGINT,
+             CAST([] AS STRUCT(lhs VARCHAR, rhs VARCHAR, cnt BIGINT)[]),
+             CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[])
+      UNION ALL
+      SELECT n.rk,
+             CASE WHEN {ok} THEN list_append(s.acc,
+               {{'lhs': n.lhs, 'rhs': n.rhs, 'cnt': n.cnt}}) ELSE s.acc END,
+             CASE WHEN {ok} THEN list_append(list_append(s.used, n.lhs), n.rhs)
+                  ELSE s.used END,
+             CASE WHEN {ok} THEN list_append(s.cats, n.lhs || n.rhs) ELSE s.cats END
+      FROM sel{r} s JOIN rk{r} n ON n.rk = s.rk + 1
+      WHERE len(s.acc) < {b_r}
+    )""")
+        ctes.append(f"""acc{r} AS (
+      SELECT CAST(t.idx - 1 AS INTEGER) AS slot,
+             f.acc[t.idx].lhs AS lhs, f.acc[t.idx].rhs AS rhs,
+             f.acc[t.idx].cnt AS cnt
+      FROM (SELECT acc FROM sel{r} ORDER BY rk DESC LIMIT 1) f,
+           unnest(range(1, len(f.acc) + 1)) AS t(idx)
+    )""")
+        src = f"vb{r}"
+        for b in range(b_r):
+            ctes.append(f"""bb{r}_{b} AS (
+      SELECT coalesce(max(lhs), '') AS lhs, coalesce(max(rhs), '') AS rhs
+      FROM acc{r} WHERE slot = {b}
+    )""")
+            dst = f"vb{r + 1}" if b == b_r - 1 else f"vv{r}_{b}"
+            ctes.extend(_bpe_apply_chain(f"{r}_{b}", src, f"bb{r}_{b}", dst))
+            src = dst
+        selects.append(
+            f"""SELECT CAST({r} AS INTEGER) AS round, a.slot, a.lhs, a.rhs,
+             a.cnt AS pair_count,
+             (SELECT sum(freq * len(syms))::BIGINT FROM vb{r + 1}) AS total_syms
+      FROM acc{r} a"""
+        )
+    unions = "\n      UNION ALL\n      ".join(selects)
+    return (
+        "WITH RECURSIVE " + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM (\n      {unions}\n    ) ORDER BY round, slot"
+    )
+
+
+@register("bpe_train_batched", oracle=_bpe_batched_oracle())
+def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BPE training (operators/bpe.py bpe_train_batched — the
+    round-7 production-cadence fix): each round runs ONE pair-count scan
+    and greedily selects up to batch=3 mutually commuting merges from it
+    (symbol-disjointness conditions under which the shared scan's counts
+    are exact and application order is irrelevant — _batch_compatible),
+    so driver round-trips drop from O(n_merges) to O(n_merges/batch) and
+    a 32k-merge production vocab becomes ~hundreds of rounds instead of
+    ~64k sequential jobs. The oracle replays the full contract: per-round
+    pair counts, a RECURSIVE greedy walk down the ranked pair list with
+    the exact compatibility predicate, sentinel-guarded in-order batch
+    application, and the shared post-round symbol total. bpe_train_merges
+    is the classic sequential sibling (batch=1 ≡ it, asserted in
+    test_bpe)."""
+    from zio_analytics_spark.operators.bpe import bpe_train_batched
+
+    return bpe_train_batched(read_table(spark, sf_dir, "documents"), n_merges=6, batch=3)
+
+
 @register("bpe_train_merges", oracle=_bpe_oracle())
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge TRAINING (operators/bpe.py) — learns the first 4 merges

@@ -21,6 +21,16 @@ Determinism contract (what makes a DuckDB oracle replay possible):
 Iteration count is FIXED (like :func:`~zio_analytics_spark.operators.
 graph.pagerank`): convergence-threshold stopping would make the plan
 data-dependent and the oracle unreplayable.
+
+PRODUCTION-PARAMETER CEILING (round-7, shared with operators/pq.py): the
+literal-inlined assign expression is k·d literals; plan CONSTRUCTION
+(py4j Column building) is literal-count-linear and hits ~80 s around 65k
+literals. ``engine="auto"`` therefore routes to an arrow (mapInPandas +
+numpy argmin) assignment above the same 2048-literal threshold pq uses —
+centroids as closure state, O(1) plan nodes — while the shipped catalog
+shapes (k=10, d=64 → 640 literals) keep the codegen path and its
+bit-exact oracle replay. Engine equivalence is asserted in
+test_clustering.
 """
 
 from __future__ import annotations
@@ -39,16 +49,45 @@ def kmeans_assign(
     n_iter: int = 3,
     dim: int | None = None,
     round_dp: int = 6,
+    engine: str = "auto",
 ) -> DataFrame:
     """Lloyd's k-means for ``n_iter`` fixed iterations; returns
     ``(id_col, cluster)`` — every row's assignment under the final
     centroids. ``dim`` defaults to the length of the first vector."""
+    from zio_analytics_spark.operators.pq import _pick_engine
+
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    eng = _pick_engine(engine, k * dim)
     init = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     if len(init) < k:
         raise ValueError(f"need at least k={k} rows, got {len(init)}")
     cents = [[float(x) for x in r[vec_col]] for r in init]
+
+    def assign_arrow(frame):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents, dtype=np.float64)
+        id_type = frame.schema[id_col].dataType.simpleString()
+
+        def fn(pdfs):
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        vec_col: list(X),
+                        "cluster": d2.argmin(1).astype(np.int32),
+                    }
+                )
+
+        return frame.select(id_col, vec_col).mapInPandas(
+            fn, f"{id_col} {id_type}, {vec_col} array<double>, cluster int"
+        )
 
     def assign_expr():
         # ||x − c||² per centroid via zip_with + left-fold aggregate: the
@@ -69,7 +108,10 @@ def kmeans_assign(
 
     assigned = None
     for t in range(n_iter):
-        assigned = df.select(id_col, vec_col, assign_expr().alias("cluster"))
+        if eng == "arrow":
+            assigned = assign_arrow(df)
+        else:
+            assigned = df.select(id_col, vec_col, assign_expr().alias("cluster"))
         if t < n_iter - 1:
             rows = assigned.groupBy("cluster").agg(
                 *[
