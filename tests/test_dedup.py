@@ -335,3 +335,48 @@ def test_incremental_ingest_reingest_same_doc_id(spark):
     assert all(r.jaccard <= 1.0 for r in pairs)
     got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
     assert got == {(1, 2): 1.0}  # exactly once, exact jaccard
+
+
+def test_jaccard_chooser_flips_at_cost_model_boundary(spark):
+    """Round-7: the auto-strategy probe must agree with an INDEPENDENT
+    recomputation of its cost model (sufficient statistics recomputed in
+    Python from the collected shingle table) across a corpus family that
+    crosses the dense/sparse boundary — and the family must actually
+    produce both outcomes, so the flip point itself is exercised."""
+    import collections
+
+    from zio_analytics_spark.operators.dedup import (
+        _DENSE_COST_PER_OP,
+        _SPARSE_COST_PER_ROW,
+        _shingle_table,
+    )
+
+    def corpus(vocab_size, n_docs=60, words_per_doc=40):
+        rows = []
+        for d in range(n_docs):
+            if vocab_size is None:  # fully diverse: every shingle unique
+                ws = [f"w{d}x{i}" for i in range(words_per_doc)]
+            else:
+                ws = [f"w{(d * 7 + i * 13) % vocab_size}" for i in range(words_per_doc)]
+            rows.append((d, " ".join(ws)))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    outcomes = {}
+    for vocab in (8, 40, None):
+        df = corpus(vocab)
+        sh = _shingle_table(df, "text", "doc_id", (), 3, "word").collect()
+        dfreq = collections.Counter(t for r in sh for t in r["__sh"])
+        U, D = len(dfreq), len(sh)
+        sparse_rows = sum(c * c for c in dfreq.values())
+        dense_ops = D * D / 2.0 * (U / 64.0 + 8.0)
+        gated_out = U > (1 << 15) or float(D * U) > float(1 << 29)
+        expected = (
+            "dense"
+            if not gated_out
+            and dense_ops * _DENSE_COST_PER_OP < sparse_rows * _SPARSE_COST_PER_ROW
+            else "sparse"
+        )
+        got = dedup.jaccard_strategy(df)
+        assert got == expected, (vocab, got, expected, sparse_rows, dense_ops)
+        outcomes[vocab] = got
+    assert set(outcomes.values()) == {"dense", "sparse"}, outcomes
