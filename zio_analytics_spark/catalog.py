@@ -4841,10 +4841,12 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper="0 SECONDS",
     )
     out = joined.select("purchase_id", "click_id", "user_id")
-    # 8 state partitions at this volume — see streaming_interval_join_outer
-    # (per-partition state-store commits dominate at 32)
+    # 4 state partitions at this volume — see streaming_interval_join_outer
+    # (per-partition state-store commits dominate at 32; round-7 interleaved
+    # re-measure: 8 ≈ 4.1 s, 4 ≈ 3.6 s, 2 ≈ 3.5 s — 4 keeps join
+    # parallelism headroom for the ~1 s further win)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         return _run_append(out, "stream_ijoin")
     finally:
@@ -5075,17 +5077,27 @@ def q_streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFra
     # complete-mode memory table would be empty — the round-3 advisory).
     hold_pred = F.pmod(F.xxhash64("user_id", "value"), F.lit(4)) == 0
     recovery.split_into_files(ev.where(~hold_pred), src, n_files=3)
-    return recovery.run_kill_restart(
-        spark,
-        src,
-        "user_id long, value double",
-        lambda st: st.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
-        ),
-        ckpt,
-        stop_after_batches=2,
-        holdback=ev.where(hold_pred),
-    )
+    # State-partition sizing (round-7, same rationale as the interval-join
+    # entries): every micro-batch loads + commits one RocksDB instance per
+    # shuffle partition; at this volume 32 partitions is pure state-store
+    # lifecycle overhead across ~5 batches × 2 runs. The checkpoint pins
+    # the partitioning at first start, so both runs see the same value.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return recovery.run_kill_restart(
+            spark,
+            src,
+            "user_id long, value double",
+            lambda st: st.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+            ),
+            ckpt,
+            stop_after_batches=2,
+            holdback=ev.where(hold_pred),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 # =====================================================================
@@ -8134,11 +8146,13 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     every pending outer row. Result ≡ the batch LEFT JOIN (oracle); the
     matched subset doubles as streaming_interval_join's inner result.
 
-    Remaining ~4 s wall time is the floor of this design: ~0.7 s source
-    materialization + two stateful micro-batches committing 8×2 state
+    Remaining ~3.5 s wall time is the floor of this design: ~0.7 s source
+    materialization + two stateful micro-batches committing 4×2 state
     stores + the no-data finalization batch + ~1 s query start/stop —
     all fixed lifecycle costs; the round-6 single-sentinel trim removed
-    the only redundant stateful batch (5.7 → 4.2 s)."""
+    the only redundant stateful batch (5.7 → 4.2 s) and the round-7
+    state-partition re-size (8 → 4) shaved the commit overhead
+    (4.1 → 3.6 s interleaved medians)."""
     import os as _os
     import time as _time
 
@@ -8230,10 +8244,12 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     # State-partition sizing: every micro-batch commits one state-store
     # instance per shuffle partition per join side — at this data volume
     # 32 partitions is pure commit overhead (measured ~2 s/run), so the
-    # query runs at 8. Sizing state partitions to volume is the same
-    # decision a cluster deployment makes (upward, there).
+    # query runs at 4 (round-7 interleaved re-measure: 8 ≈ 4.1 s,
+    # 4 ≈ 3.6 s, 2 ≈ 3.5 s — 4 keeps parallelism headroom). Sizing state
+    # partitions to volume is the same decision a cluster deployment
+    # makes (upward, there).
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         res = _run_append(out, "stream_ojoin")
     finally:

@@ -106,32 +106,49 @@ def run_kill_restart(
     run1 = f"ckpt_run1_{uuid.uuid4().hex[:8]}"
     run2 = f"ckpt_run2_{uuid.uuid4().hex[:8]}"
 
+    # start_complete_query flips the session to the RocksDB provider; restore
+    # the caller's provider afterwards — the round-7 finding was this conf
+    # LEAKING into every later streaming query in the session (an interval
+    # join silently ran on RocksDB and paid ~1.5 s of extra state-store
+    # lifecycle per run).
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old_provider = spark.conf.get(_PROVIDER_KEY)
+    except Exception:
+        old_provider = None
+
     def start(name: str):
         return start_complete_query(spark, src_path, schema, build_agg, ckpt_path, name)
 
-    q1 = start(run1)
-    deadline = time.monotonic() + timeout_sec
     try:
-        while (
-            len([p for p in q1.recentProgress if p["numInputRows"] > 0])
-            < stop_after_batches
-        ):
-            if time.monotonic() > deadline:
-                raise TimeoutError("stream never reached the kill point")
-            time.sleep(0.1)
-    finally:
-        q1.stop()  # the "kill": mid-stream, uncommitted files remain
-    q1.awaitTermination()
+        q1 = start(run1)
+        deadline = time.monotonic() + timeout_sec
+        try:
+            while (
+                len([p for p in q1.recentProgress if p["numInputRows"] > 0])
+                < stop_after_batches
+            ):
+                if time.monotonic() > deadline:
+                    raise TimeoutError("stream never reached the kill point")
+                time.sleep(0.1)
+        finally:
+            q1.stop()  # the "kill": mid-stream, uncommitted files remain
+        q1.awaitTermination()
 
-    if holdback is not None:
-        # post-kill arrival: guaranteed-uncommitted input for the restart
-        holdback.repartition(1).write.mode("append").parquet(src_path)
+        if holdback is not None:
+            # post-kill arrival: guaranteed-uncommitted input for the restart
+            holdback.repartition(1).write.mode("append").parquet(src_path)
 
-    q2 = start(run2)
-    try:
-        q2.processAllAvailable()
+        q2 = start(run2)
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
     finally:
-        q2.stop()
+        if old_provider is not None:
+            spark.conf.set(_PROVIDER_KEY, old_provider)
+        else:
+            spark.conf.unset(_PROVIDER_KEY)
     out = spark.sql(f"SELECT * FROM {run2}")
     if holdback is not None and not [
         p for p in q2.recentProgress if p["numInputRows"] > 0
