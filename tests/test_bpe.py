@@ -286,3 +286,48 @@ def test_bpe_segment_releases_cache(spark):
     assert first == second
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after <= before, (before, after)
+
+
+def test_bpe_tokenize_matches_naive(spark):
+    """Token sequences (not just counts) must equal training + greedy
+    segmentation per document, in word order."""
+    from zio_analytics_spark.operators.bpe import bpe_tokenize
+
+    texts = ["low lower lowest", "new newest low low", "aaaa banana"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (list(r.tokens), r.n_tokens)
+        for r in bpe_tokenize(df, n_merges=4).collect()
+    }
+
+    words = collections.Counter()
+    for t in texts:
+        for w in re.findall("[a-z]+", t.lower()):
+            words[w] += 1
+    vocab = {w: list(w) for w in words}
+    for _ in range(4):
+        cnt = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += words[w]
+        if not cnt:
+            break
+        (l, r), _c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            vocab[w] = merged
+    expected = {}
+    for d, t in enumerate(texts):
+        ws = re.findall("[a-z]+", t.lower())
+        toks = [s for w in ws for s in vocab[w]]
+        expected[d] = (toks, len(toks))
+    assert got == expected

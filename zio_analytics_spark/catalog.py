@@ -8663,6 +8663,48 @@ def _bpe_segment_oracle(n_merges: int = 4) -> str:
     )
 
 
+def _bpe_tokenize_oracle(n_merges: int = 4) -> str:
+    """Serving-surface replay: each document's words (position-indexed) join
+    the FINAL segmented vocab and the per-word subword lists concatenate in
+    word order — the full token sequence, not just counts."""
+    ctes = _bpe_oracle_ctes(n_merges)
+    ctes.append("""dw AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    )""")
+    ctes.append("""dwp AS (
+      SELECT doc_id, t.pos, ws[t.pos] AS word
+      FROM dw, unnest(range(1, len(ws) + 1)) AS t(pos)
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT dwp.doc_id,
+           flatten(list(v.syms ORDER BY dwp.pos)) AS tokens,
+           CAST(sum(len(v.syms)) AS INTEGER) AS n_tokens
+    FROM dwp JOIN v{n_merges} v USING (word)
+    GROUP BY dwp.doc_id"""
+    )
+
+
+@register("bpe_tokenize_docs", oracle=_bpe_tokenize_oracle())
+def q_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's SERVING surface (operators/bpe.py bpe_tokenize):
+    train the merges, segment the Zipf-bounded vocab once, and emit each
+    document's actual subword sequence in word order — bpe_segment's
+    counting sibling completed to the token stream that sequence packing
+    consumes. Corpus pass = posexplode → broadcast word→syms join →
+    per-doc ordered reassembly (array_sort over (pos, syms) structs +
+    flatten, all codegen); output volume ≈ input volume, the shape you
+    write straight to training shards at 100 TB. The oracle replays the
+    trainer per iteration, then joins position-indexed words to the final
+    vocab and concatenates subword lists in word order — every token of
+    every document compared."""
+    from zio_analytics_spark.operators.bpe import bpe_tokenize
+
+    return bpe_tokenize(read_table(spark, sf_dir, "documents"), n_merges=4)
+
+
 def _bpe_apply_chain(tag: str, src: str, pair: str, dst: str) -> list:
     """One greedy merge application (the same window-function restatement as
     _bpe_oracle_ctes) from vocab ``src`` to vocab ``dst`` using the 1-row

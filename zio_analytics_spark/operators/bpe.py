@@ -35,7 +35,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_train", "bpe_train_batched", "bpe_segment", "WORD_PATTERN"]
+__all__ = [
+    "bpe_train",
+    "bpe_train_batched",
+    "bpe_segment",
+    "bpe_tokenize",
+    "WORD_PATTERN",
+]
 
 #: default pre-tokenizer: lowercase letter runs — identical in Java regex
 #: and RE2 so the catalog oracle replays the same words. The operator
@@ -336,3 +342,51 @@ def bpe_segment(
             F.sum("n_sub").alias("n_tokens"),
         )
     )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 4,
+    word_pattern: str = WORD_PATTERN,
+) -> DataFrame:
+    """Emit the actual SUBWORD SEQUENCE per document — the tokenizer's
+    serving surface (``bpe_segment`` emits only counts): train the merges,
+    segment the Zipf-bounded vocab once, then one corpus pass reassembles
+    each document's token stream in word order.
+
+    Returns ``(id, tokens array<string>, n_tokens)``. Scale shape matches
+    bpe_segment: the ``word → syms`` dimension broadcasts; the corpus pass
+    is posexplode → broadcast join → per-doc ordered reassembly
+    (array_sort over (pos, syms) structs + flatten — all codegen). The
+    output row carries the tokenized document, so this stage's output
+    volume ≈ input volume: at 100 TB you'd write it straight to the
+    training-shard sink (sequence packing consumes exactly this shape).
+    Documents with no word are excluded (no tokens), like bpe_segment.
+    """
+    from zio_analytics_spark.tmpdirs import materialize_table
+
+    vocab = _word_vocab(df, text_col, word_pattern)
+    _, seg = _train_loop(vocab, n_merges)
+    dim = materialize_table(
+        seg.select("word", "syms"), prefix="zas_bpe_tok_"
+    )
+    seg.unpersist()
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(_words(text_col, word_pattern)).alias("pos", "word"),
+    )
+    assembled = (
+        words.join(F.broadcast(dim), "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda s: s["syms"],
+                )
+            ).alias("tokens")
+        )
+    )
+    return assembled.select(id_col, "tokens", F.size("tokens").alias("n_tokens"))
