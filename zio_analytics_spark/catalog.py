@@ -3935,18 +3935,31 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_table(spark, sf_dir, "events")
 
 
-def _run_complete(out: DataFrame, prefix: str) -> DataFrame:
+def _run_complete(out: DataFrame, prefix: str, partitions: int = 8) -> DataFrame:
     """Drive a bounded aggregated stream to completion (complete mode →
-    batch-equivalent results) and return the materialized memory table."""
+    batch-equivalent results) and return the materialized memory table.
+
+    State-partition sizing (round-7): each micro-batch loads + commits one
+    state-store instance per shuffle partition, so a tiny local stream at
+    32 partitions pays 32× state lifecycle per batch for nothing — the
+    helper runs the query at ``partitions`` (the streaming plan captures
+    the value at query START) and restores the session conf after. A
+    cluster makes the same sizing decision upward."""
     import uuid
 
+    spark = out.sparkSession
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = out.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
-        q.processAllAvailable()
+        q = out.writeStream.outputMode("complete").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return out.sparkSession.sql(f"SELECT * FROM {name}")
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.sql(f"SELECT * FROM {name}")
 
 
 @register(
@@ -3979,18 +3992,25 @@ def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_complete(out, "stream_slide")
 
 
-def _run_append(out: DataFrame, prefix: str) -> DataFrame:
+def _run_append(out: DataFrame, prefix: str, partitions: int = 8) -> DataFrame:
     """Drive a bounded stateful stream to completion in APPEND mode (the
-    only mode applyInPandasWithState emits in) and return the memory table."""
+    only mode applyInPandasWithState emits in) and return the memory table.
+    State-partition sizing as in :func:`_run_complete`."""
     import uuid
 
+    spark = out.sparkSession
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
-        q.processAllAvailable()
+        q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return out.sparkSession.sql(f"SELECT * FROM {name}")
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.sql(f"SELECT * FROM {name}")
 
 
 @register(
@@ -4678,20 +4698,28 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(agg, [F.col("n_sessions").desc(), F.col("path")], 10)
 
 
-def _run_append(out: DataFrame, prefix: str) -> DataFrame:
+def _run_append(out: DataFrame, prefix: str, partitions: int = 8) -> DataFrame:
     """Drive a bounded non-aggregated stream (stateful map / join) to
     completion in append mode and return the materialized memory table.
     The bounded file source delivers everything in one trigger, so append
-    output over a single batch is deterministic."""
+    output over a single batch is deterministic. State-partition sizing as
+    in the aggregated helper: one state-store instance per shuffle
+    partition per micro-batch — size to volume, restore after."""
     import uuid
 
+    spark = out.sparkSession
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
-        q.processAllAvailable()
+        q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return out.sparkSession.sql(f"SELECT * FROM {name}")
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.sql(f"SELECT * FROM {name}")
 
 
 @register(
@@ -4842,15 +4870,10 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = joined.select("purchase_id", "click_id", "user_id")
     # 4 state partitions at this volume — see streaming_interval_join_outer
-    # (per-partition state-store commits dominate at 32; round-7 interleaved
+    # (per-partition state-store commits dominate; round-7 interleaved
     # re-measure: 8 ≈ 4.1 s, 4 ≈ 3.6 s, 2 ≈ 3.5 s — 4 keeps join
     # parallelism headroom for the ~1 s further win)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        return _run_append(out, "stream_ijoin")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return _run_append(out, "stream_ijoin", partitions=4)
 
 
 @register(
@@ -8248,12 +8271,7 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     # 4 ≈ 3.6 s, 2 ≈ 3.5 s — 4 keeps parallelism headroom). Sizing state
     # partitions to volume is the same decision a cluster deployment
     # makes (upward, there).
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        res = _run_append(out, "stream_ojoin")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    res = _run_append(out, "stream_ojoin", partitions=4)
     return res.where(F.col("user_id") >= 0)
 
 
