@@ -95,16 +95,12 @@ def kmeans_assign(
         # sum, but an O(k)-node expression tree instead of O(k·d) — the
         # explicit form made Catalyst analysis/codegen the dominant cost
         # (measured 19.5 s/entry; HOF form ~2 s, identical numerics).
-        v = F.col(vec_col)
-        dists = []
-        for c in cents:
-            lit_c = F.array(*[F.lit(x) for x in c])
-            sq = F.zip_with(
-                v, lit_c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-            )
-            dists.append(F.aggregate(sq, F.lit(0.0), lambda a, b: a + b))
-        arr = F.array(*dists)
-        return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        # Built as ONE F.expr SQL string (pq._argmin_sql): the Column-API
+        # form paid a py4j round-trip per literal — the round-7 plan-build
+        # finding.
+        from zio_analytics_spark.operators.pq import _argmin_expr
+
+        return _argmin_expr(f"`{vec_col}`", cents)
 
     assigned = None
     for t in range(n_iter):

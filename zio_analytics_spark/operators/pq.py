@@ -29,12 +29,15 @@ to the lowest code; centroids rounded after every update; empty clusters
 keep their previous centroid; fixed iteration count.
 
 PRODUCTION-PARAMETER CEILING (round-7): the codegen path inlines every
-codebook value as an ``F.lit`` — measured plan-CONSTRUCTION cost (py4j
-Column building, before Catalyst even sees it) is ~81 s at the real-world
-PQ shape k=256/m=8/d=256 (~65k literals) vs 3 s at the shipped toy
-k=16/m=4/d=64 (~1k literals). Catalyst analysis itself stays <50 ms; the
-cliff is literal-count-linear driver-side build time. Every entry point
-therefore takes ``engine``:
+codebook value as a literal — measured plan-CONSTRUCTION cost at the
+real-world PQ shape k=256/m=8/d=256 (~65k literals) was ~81 s with
+per-literal ``F.lit`` Column building (one py4j round-trip each), cut to
+~13 s by building each argmin as ONE ``F.expr`` SQL string
+(:func:`_argmin_sql` — the string assembles Python-side, the JVM parses
+it in one call; this also took the k=16 catalog entries from ~6-9 s to
+~2.5-4.4 s). Catalyst analysis itself stays <50 ms; what remains at
+production shape is SQL-parser time on a ~1.3 MB expression, still
+literal-count-linear. Every entry point therefore takes ``engine``:
 
 - ``"codegen"`` — the literal-inlined HOF path (whole-stage codegen, the
   oracle-replayed reference semantics).
@@ -108,18 +111,36 @@ def _np_subspace_codes(X, np_cbs) -> "object":
     return codes
 
 
-def _argmin_expr(sub: Column, cents: list) -> Column:
-    """Code = index of the nearest centroid (ties → lowest index), as an
-    O(k)-node HOF expression tree (the k-means codegen lesson)."""
-    dists = []
-    for c in cents:
-        lit_c = F.array(*[F.lit(x) for x in c])
-        sq = F.zip_with(
-            sub, lit_c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        )
-        dists.append(F.aggregate(sq, F.lit(0.0), lambda a, b: a + b))
-    arr = F.array(*dists)
-    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+def _sql_darr(vals) -> str:
+    """A double-array SQL literal; ``repr(float)`` is the shortest
+    round-trip decimal, and Spark's ``D`` suffix parses it back to the
+    identical double (asserted against CAST in a probe)."""
+    return "array(" + ", ".join(repr(float(v)) + "D" for v in vals) + ")"
+
+
+def _argmin_sql(sub_sql: str, cents: list) -> str:
+    """Argmin-over-centroids as ONE SQL string (round-7 plan-build fix):
+    the Column-API form paid one py4j round-trip per literal — ~1-2 s of
+    driver time per argmin build even at the toy k=16/d=64 shape, dominant
+    in the PQ catalog entries. Building the identical expression as text
+    (JVM parses it in one call) removes that cost; semantics byte-match
+    the old form: i-ascending (CAST(x AS DOUBLE) − c)² left-fold, ties to
+    the lowest index."""
+    dists = ", ".join(
+        f"aggregate(zip_with({sub_sql}, {_sql_darr(c)}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (a, b) -> a + b)"
+        for c in cents
+    )
+    arr = f"array({dists})"
+    return f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
+
+
+def _argmin_expr(sub_sql: str, cents: list) -> Column:
+    """Code = index of the nearest centroid (ties → lowest index).
+    ``sub_sql`` is a SQL fragment for the (sub)vector expression — see
+    :func:`_argmin_sql` for why text, not Columns."""
+    return F.expr(_argmin_sql(sub_sql, cents))
 
 
 def _explode_subcodes_arrow(df: DataFrame, codebooks: list, vec_col: str) -> DataFrame:
@@ -192,17 +213,14 @@ def pq_train(
         else:
             structs = []
             for j in range(m):
-                sub = F.slice(F.col(vec_col), j * sub_d + 1, sub_d)
+                sub_sql = f"slice(`{vec_col}`, {j * sub_d + 1}, {sub_d})"
                 structs.append(
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _argmin_expr(sub, codebooks[j]).alias("code"),
-                        sub.alias("sub"),
-                    )
+                    f"struct({j} AS j, {_argmin_sql(sub_sql, codebooks[j])} AS code, "
+                    f"{sub_sql} AS sub)"
                 )
-            exploded = df.select(F.explode(F.array(*structs)).alias("s")).select(
-                "s.j", "s.code", "s.sub"
-            )
+            exploded = df.select(
+                F.explode(F.expr("array(" + ", ".join(structs) + ")")).alias("s")
+            ).select("s.j", "s.code", "s.sub")
         rows = exploded.groupBy("j", "code").agg(
             *[
                 F.round(F.avg(F.col("sub")[i].cast("double")), round_dp).alias(f"x{i}")
@@ -256,11 +274,13 @@ def pq_encode(
         return df.select(*keep, vec_col).mapInPandas(
             fn, ", ".join(keep_types) + ", codes array<int>"
         )
-    codes = []
-    for j, cents in enumerate(codebooks):
-        sub = F.slice(F.col(vec_col), j * sub_d + 1, sub_d)
-        codes.append(_argmin_expr(sub, cents))
-    return df.select(id_col, *extra, F.array(*codes).alias("codes"))
+    codes_sql = ", ".join(
+        _argmin_sql(f"slice(`{vec_col}`, {j * sub_d + 1}, {sub_d})", cents)
+        for j, cents in enumerate(codebooks)
+    )
+    return df.select(
+        id_col, *extra, F.expr(f"array({codes_sql})").alias("codes")
+    )
 
 
 def pq_adc_topk(
@@ -281,16 +301,15 @@ def pq_adc_topk(
     sub_d = len(codebooks[0][0])
     if len(query) != m * sub_d:
         raise ValueError(f"query dim {len(query)} != {m * sub_d}")
-    dist = F.lit(0.0)
+    terms = ["0.0D"]
     for j, cents in enumerate(codebooks):
         qsub = [float(v) for v in query[j * sub_d : (j + 1) * sub_d]]
         lut = [
             sum((qv - cv) ** 2 for qv, cv in zip(qsub, cent)) for cent in cents
         ]
-        lut_arr = F.array(*[F.lit(v) for v in lut])
-        dist = dist + F.element_at(lut_arr, F.col("codes")[j] + 1)
+        terms.append(f"element_at({_sql_darr(lut)}, codes[{j}] + 1)")
     scored = encoded.select(
-        id_col, F.round(dist, round_dp).alias("adc_dist")
+        id_col, F.round(F.expr(" + ".join(terms)), round_dp).alias("adc_dist")
     )
     return scored.orderBy("adc_dist", id_col).limit(top_k)
 
@@ -336,7 +355,7 @@ def _lloyd_full(
         else:
             assigned = df.select(
                 F.col(vec_col).alias("__v"),
-                _argmin_expr(F.col(vec_col), cents).alias("__c"),
+                _argmin_expr(f"`{vec_col}`", cents).alias("__c"),
             )
         rows = assigned.groupBy("__c").agg(
             *[
@@ -384,7 +403,7 @@ def _assign_residual(
     if eng == "arrow":
         return _assign_residual_arrow(df, coarse, vec_col, id_col)
     assigned = df.select(
-        id_col, vec_col, _argmin_expr(F.col(vec_col), coarse).alias("cell")
+        id_col, vec_col, _argmin_expr(f"`{vec_col}`", coarse).alias("cell")
     )
     return assigned.select(id_col, "cell", _residual_expr(vec_col, coarse).alias("__res"))
 
@@ -468,11 +487,11 @@ def ivfpq_fit_encode(
 def _residual_expr(vec_col: str, cents: list) -> Column:
     """x − coarse_centroid[cell] as one Column expression: the per-cell
     centroid arrays inline as an array-of-arrays literal indexed by the
-    cell assignment (no join, no UDF)."""
-    table = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
-    chosen = F.element_at(table, F.col("cell") + 1)
-    return F.zip_with(
-        F.col(vec_col), chosen, lambda x, y: x.cast("double") - y
+    cell assignment (no join, no UDF; one F.expr — the plan-build fix)."""
+    table = "array(" + ", ".join(_sql_darr(c) for c in cents) + ")"
+    return F.expr(
+        f"zip_with(`{vec_col}`, element_at({table}, cell + 1), "
+        "(x, y) -> CAST(x AS DOUBLE) - y)"
     )
 
 
@@ -523,16 +542,17 @@ def ivfpq_encode(
             fn, f"{id_col} {id_type}, cell int, codes array<int>"
         )
     assigned = df.select(
-        id_col, vec_col, _argmin_expr(F.col(vec_col), coarse).alias("cell")
+        id_col, vec_col, _argmin_expr(f"`{vec_col}`", coarse).alias("cell")
     )
     sub_d = len(codebooks[0][0])
-    res = _residual_expr(vec_col, coarse)
-    with_res = assigned.withColumn("__res", res)
-    codes = [
-        _argmin_expr(F.slice(F.col("__res"), j * sub_d + 1, sub_d), cents)
+    with_res = assigned.withColumn("__res", _residual_expr(vec_col, coarse))
+    codes_sql = ", ".join(
+        _argmin_sql(f"slice(`__res`, {j * sub_d + 1}, {sub_d})", cents)
         for j, cents in enumerate(codebooks)
-    ]
-    return with_res.select(id_col, "cell", F.array(*codes).alias("codes"))
+    )
+    return with_res.select(
+        id_col, "cell", F.expr(f"array({codes_sql})").alias("codes")
+    )
 
 
 def ivfpq_search(
@@ -603,13 +623,17 @@ def ivfpq_search(
             id_col, F.round(F.col("__d"), round_dp).alias("adc_dist")
         )
         return scored.orderBy("adc_dist", id_col).limit(top_k)
-    dist_expr = F.lit(None).cast("double")
+    dist_sql = "CAST(NULL AS DOUBLE)"
     for cell in probed:
-        dist = F.lit(0.0)
-        for j in range(m):
-            dist = dist + F.element_at(
-                F.array(*[F.lit(v) for v in luts[cell][j]]), F.col("codes")[j] + 1
-            )
-        dist_expr = F.when(F.col("cell") == cell, dist).otherwise(dist_expr)
-    scored = pruned.select(id_col, F.round(dist_expr, round_dp).alias("adc_dist"))
+        terms = ["0.0D"] + [
+            f"element_at({_sql_darr(luts[cell][j])}, codes[{j}] + 1)"
+            for j in range(m)
+        ]
+        dist_sql = (
+            f"CASE WHEN cell = {cell} THEN {' + '.join(terms)} "
+            f"ELSE {dist_sql} END"
+        )
+    scored = pruned.select(
+        id_col, F.round(F.expr(dist_sql), round_dp).alias("adc_dist")
+    )
     return scored.orderBy("adc_dist", id_col).limit(top_k)
