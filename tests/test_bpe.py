@@ -331,3 +331,29 @@ def test_bpe_tokenize_matches_naive(spark):
         toks = [s for w in ws for s in vocab[w]]
         expected[d] = (toks, len(toks))
     assert got == expected
+
+
+def test_bpe_train_batched_randomized_equivalence(spark):
+    """Randomized overlap-heavy corpora: the Spark batched trainer must
+    equal the in-memory batched replay for every (corpus, batch) tried —
+    the selection filter, application order, and totals all pinned."""
+    rnd = random.Random(777)
+    for trial in range(2):
+        texts = [
+            " ".join(
+                "".join(rnd.choice("aabc") for _ in range(rnd.randint(1, 8)))
+                for _ in range(rnd.randint(3, 20))
+            )
+            for _ in range(10)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        from zio_analytics_spark.operators.bpe import bpe_train_batched
+
+        for batch in (2, 4):
+            got = [
+                tuple(r)
+                for r in bpe_train_batched(df, n_merges=6, batch=batch).collect()
+            ]
+            assert got == _naive_batched_bpe(texts, 6, batch), (trial, batch)

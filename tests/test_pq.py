@@ -189,3 +189,83 @@ def test_pq_production_parameter_plan_ceiling(spark):
     codes = enc.collect()[0]["codes"]
     assert len(codes) == m and all(0 <= c < k for c in codes)
     assert elapsed < 15.0, f"production-parameter encode took {elapsed:.1f}s"
+
+
+def test_pq_engines_equivalent_randomized(spark):
+    """Randomized dims/params: arrow and codegen engines must emit the
+    identical codes (the closest real argmin-tie stress available —
+    uniform random vectors with several (m, k, d) shapes)."""
+    import random
+
+    rnd = random.Random(99)
+    for m, k, d in ((2, 3, 8), (4, 5, 16), (1, 7, 6)):
+        rows = [
+            (i, [rnd.uniform(-3, 3) for _ in range(d)]) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cbs = pq_train(df, m=m, k=k, n_iter=2, dim=d, engine="codegen")
+        assert cbs == pq_train(df, m=m, k=k, n_iter=2, dim=d, engine="arrow"), (m, k, d)
+        a = {r.vec_id: list(r.codes) for r in pq_encode(df, cbs, engine="codegen").collect()}
+        b = {r.vec_id: list(r.codes) for r in pq_encode(df, cbs, engine="arrow").collect()}
+        assert a == b, (m, k, d)
+
+
+def test_ivfpq_recall_on_real_embeddings(spark, sf_dir):
+    """Retrieval QUALITY on the real embeddings table (not planted toys):
+    IVF-PQ recall@10 vs the exact L2 top-10, averaged over 5 query
+    vectors. Asserts an honest absolute floor for the shipped catalog
+    parameters at both probe widths. NOTE measured here: recall is NOT
+    strictly monotone in nprobe — probing more cells adds candidates whose
+    QUANTIZED distances can flatter them past true neighbors (ADC noise),
+    and on one sf0.001 query nprobe=8 scores 0.3 where nprobe=2 scored
+    0.4. The candidate SET grows monotonically; the top-k through an
+    approximate score does not. (Why production stacks re-rank the ADC
+    short-list with exact distances.)"""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.pq import ivfpq_fit_encode, ivfpq_search
+    from zio_analytics_spark.sources.parquet import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    coarse, cbs, enc = ivfpq_fit_encode(emb, n_cells=8, m=4, k=16, n_iter=2)
+    enc = enc.cache()
+    queries = [
+        [float(v) for v in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(5).collect()
+    ]
+
+    def exact_l2_top10(q):
+        qarr = F.array(*[F.lit(v) for v in q])
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                qarr,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        return {
+            r.vec_id
+            for r in emb.select("vec_id", d2.alias("d2"))
+            .orderBy("d2", "vec_id")
+            .limit(10)
+            .collect()
+        }
+
+    recalls = {2: [], 8: []}
+    for q in queries:
+        truth = exact_l2_top10(q)
+        for nprobe in (2, 8):
+            got = {
+                r.vec_id
+                for r in ivfpq_search(enc, coarse, cbs, q, nprobe=nprobe, top_k=10).collect()
+            }
+            recalls[nprobe].append(len(got & truth) / 10.0)
+    enc.unpersist()
+    mean2 = sum(recalls[2]) / len(recalls[2])
+    mean8 = sum(recalls[8]) / len(recalls[8])
+    # shipped parameters are toy-scale (m=4 -> 16x compression): the floors
+    # document what they actually deliver rather than flattering them
+    assert mean2 >= 0.3, recalls
+    assert mean8 >= 0.3, recalls
