@@ -380,3 +380,69 @@ def test_jaccard_chooser_flips_at_cost_model_boundary(spark):
         assert got == expected, (vocab, got, expected, sparse_rows, dense_ops)
         outcomes[vocab] = got
     assert set(outcomes.values()) == {"dense", "sparse"}, outcomes
+
+
+# ---------------------------------------------------------------------------
+# substring_span_pairs (ExactSubstr, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+_DISTINCT = (
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "!@#$%^&*()-_=+[]{};:,.<>/?|~`"
+)  # 91 distinct chars: slices have no internal repeats → single-diagonal runs
+
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_span_exact_length(spark):
+    shared = _DISTINCT[:80]
+    df = _span_docs(
+        spark,
+        [(0, "x" * 30 + shared + "x" * 30), (1, "y" * 30 + shared + "y" * 30)],
+    )
+    out = dedup.substring_span_pairs(df, gram_len=25, min_len=50).collect()
+    assert len(out) == 1
+    r = out[0]
+    # span length is EXACT: boundary chars differ, so the run is precisely 80
+    assert (r["doc_a"], r["doc_b"], r["max_span"], r["n_spans"]) == (0, 1, 80, 1)
+
+
+def test_substring_span_offset_diagonal(spark):
+    # same shared run at DIFFERENT offsets: nonzero diagonal, still one run
+    shared = _DISTINCT[:60]
+    df = _span_docs(
+        spark,
+        [(0, "x" * 5 + shared + "x" * 40), (1, "y" * 45 + shared + "y" * 3)],
+    )
+    out = dedup.substring_span_pairs(df, gram_len=25, min_len=50).collect()
+    assert len(out) == 1
+    assert (out[0]["max_span"], out[0]["n_spans"]) == (60, 1)
+
+
+def test_substring_span_two_runs_and_threshold(spark):
+    run1, run2 = _DISTINCT[:55], _DISTINCT[36:66][::-1]
+    df = _span_docs(
+        spark,
+        [
+            (0, "x" * 10 + run1 + "x" * 10 + run2 + "x" * 10),
+            (1, "y" * 10 + run1 + "y" * 10 + run2 + "y" * 10),
+            # pair (0,2) shares only a 40-char run: below min_len=50 → excluded
+            (2, "z" * 20 + _DISTINCT[:40] + "z" * 20),
+        ],
+    )
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           dedup.substring_span_pairs(df, gram_len=25, min_len=50).collect()}
+    assert set(out) == {(0, 1)}
+    assert out[(0, 1)]["max_span"] == 55
+    assert out[(0, 1)]["n_spans"] == 2
+
+
+def test_substring_span_short_docs_and_validation(spark):
+    import pytest
+
+    df = _span_docs(spark, [(0, "tiny"), (1, "tiny")])  # shorter than one gram
+    assert dedup.substring_span_pairs(df, gram_len=25, min_len=25).count() == 0
+    with pytest.raises(ValueError):
+        dedup.substring_span_pairs(df, gram_len=25, min_len=10)

@@ -9139,6 +9139,85 @@ def q_bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_segment(read_table(spark, sf_dir, "documents"), n_merges=4)
 
 
+@register(
+    "dedup_substring",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i, substr(text, CAST(i AS INT), 25) AS gram
+      FROM documents, LATERAL (SELECT unnest(range(1, greatest(length(text) - 25 + 2, 1))) AS i) t
+    ), m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, a.i - b.i AS diag
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT doc_a, doc_b, diag, ia,
+             ia - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY ia) AS grp
+      FROM m
+    ), spans AS (
+      SELECT doc_a, doc_b, count(*) + 24 AS span_len
+      FROM isl GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b,
+           CAST(max(span_len) AS BIGINT) AS max_span,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM spans GROUP BY doc_a, doc_b HAVING max(span_len) >= 50
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (operators/dedup.py substring_span_pairs — Lee et
+    al. 2022, arXiv:2107.06499): document pairs sharing a verbatim run of
+    >= 50 chars. The paper's suffix array becomes the engine's native
+    shapes — position-stamped 25-gram hashes (one linear pass, slim
+    (id, pos, hash) table materialized once), inverted-index equi-join on
+    the hash, gaps-and-islands window scan per match diagonal (consecutive
+    gram matches at offset ia-ib certify a span of run_len + 24 chars),
+    one aggregate. Exact, unlike the MinHash/SimHash tiers; the oracle
+    replays the identical diagonal-run construction joining on raw gram
+    strings."""
+    from zio_analytics_spark.operators.dedup import substring_span_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return substring_span_pairs(docs, gram_len=25, min_len=50)
+
+
+@register(
+    "join_bloom_filter",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join pre-filter (operators/bloom.py — Bloom
+    1970): the selective orders dimension aggregates into an 8 KiB bit
+    array (one narrow job), the lineitem scan drops non-members via a
+    pure-codegen k=3 bit-test conjunction BEFORE any shuffle, and the
+    exact broadcast join eliminates the filter's false positives — so the
+    result is row-identical to the plain join (no false negatives by
+    construction) while ~90% of fact rows never leave the scan stage.
+    Spark's own injected bloomFilter rule covers only shuffle-join
+    patterns; this is the explicit, reusable user-level form."""
+    from zio_analytics_spark.operators.bloom import bloom_prefilter_join
+
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 250000))
+        .select("o_orderkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        bloom_prefilter_join(li, orders, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -43,6 +43,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
+    "substring_span_pairs",
     "embedding_dup_pairs",
 ]
 
@@ -1103,4 +1104,100 @@ def embedding_dup_pairs(
         .select("id_a", "id_b", cos.alias("__c"))
         .where(F.col("__c") >= threshold)
         .select("id_a", "id_b", F.col("__c").alias("cosine"))
+    )
+
+
+def substring_span_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Sequence[str] = (),
+    gram_len: int = 25,
+    min_len: int = 50,
+) -> DataFrame:
+    """Exact duplicate-substring pairs: documents sharing a verbatim
+    character run of at least ``min_len`` chars (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the ExactSubstr criterion).
+
+    The paper builds a corpus-wide suffix array, which is inherently a
+    single-machine (or sorted-global-order) structure. The distributed
+    re-expression: a substring of length ``>= min_len`` is shared iff the
+    two documents share a *diagonal run* of position-stamped character
+    ``gram_len``-grams — grams matching at positions ``(ia, ib)`` and
+    ``(ia+1, ib+1)`` extend the same span, so runs are islands over the
+    match diagonal ``ia - ib``, and a run of ``c`` consecutive grams
+    certifies a shared span of exactly ``c + gram_len - 1`` chars. That
+    turns suffix-array intersection into the engine's native shapes: one
+    linear shingling pass, one equi-join on the gram hash, one window
+    scan per (pair, diagonal), one aggregate. Result is EXACT (up to
+    xxhash64 gram collisions, 2^-64 — same contract as
+    :func:`jaccard_pairs`), not approximate like MinHash/SimHash.
+
+    Scale shape (100 TB): the gram table is slim (id, pos, 8-byte hash) and
+    materialized once; the join is the same inverted-index equi-join as
+    ``jaccard_pairs`` — only colliding grams generate candidates, hot grams
+    (boilerplate) are the documented skew risk (AQE skew-join; rarest-first
+    prefix filtering does NOT apply here since every position matters, so
+    the escape hatch for pathological corpora is a df-capped gram blocklist,
+    which can only LOSE spans whose every gram is hot). The per-(pair,
+    diagonal) window partitions are tiny by construction — bounded by the
+    shorter document's length.
+
+    Requires ``min_len >= gram_len`` (a span shorter than one gram is
+    invisible to the index). Output: ``doc_a, doc_b (doc_a < doc_b),
+    max_span`` (chars of the longest shared run), ``n_spans`` (number of
+    distinct maximal shared runs, including those shorter than
+    ``min_len`` but at least ``gram_len``).
+    """
+    if min_len < gram_len:
+        raise ValueError(f"min_len ({min_len}) must be >= gram_len ({gram_len})")
+    L = int(gram_len)
+    text = F.col(text_col)
+    # Position-stamped gram hashes: docs shorter than one gram contribute
+    # nothing (an unguarded sequence(1, n-L+1) would DESCEND for n < L).
+    hashes = F.when(
+        F.length(text) >= L,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - (L - 1)),
+            lambda i: F.xxhash64(text.substr(i, F.lit(L))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = _materialize_table(
+        df.select(
+            *block_cols,
+            F.col(id_col).alias("__id"),
+            F.posexplode(hashes).alias("__pos0", "__h"),
+        ).select(*block_cols, "__id", (F.col("__pos0") + 1).alias("__i"), "__h"),
+        prefix="zas_substr_grams_",
+    )
+    a = grams.select(
+        *[F.col(c).alias(f"{c}__a") for c in block_cols],
+        F.col("__id").alias("doc_a"), F.col("__i").alias("__ia"), "__h",
+    )
+    b = grams.select(
+        *[F.col(c).alias(f"{c}__b") for c in block_cols],
+        F.col("__id").alias("doc_b"), F.col("__i").alias("__ib"), F.col("__h").alias("__hb"),
+    )
+    cond = (F.col("__h") == F.col("__hb")) & (F.col("doc_a") < F.col("doc_b"))
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}__a") == F.col(f"{c}__b"))
+    matches = a.join(b, cond).select(
+        "doc_a", "doc_b", "__ia", (F.col("__ia") - F.col("__ib")).alias("__diag")
+    )
+    # Islands over each match diagonal: consecutive __ia values share one
+    # (__ia - row_number) group — the standard gaps-and-islands scan.
+    w = W.partitionBy("doc_a", "doc_b", "__diag").orderBy("__ia")
+    spans = (
+        matches.withColumn("__grp", F.col("__ia") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "__diag", "__grp")
+        .agg((F.count(F.lit(1)) + (L - 1)).alias("__span_len"))
+    )
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("__span_len").cast("long").alias("max_span"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+        )
+        .where(F.col("max_span") >= int(min_len))
     )
