@@ -9218,6 +9218,110 @@ def q_join_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT l_suppkey AS suppkey,
+             l_orderkey * 10 + l_linenumber AS iid,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               + l_linenumber AS e
+      FROM lineitem
+    )
+    SELECT a.suppkey,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(max(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) AS max_overlap,
+           round(avg(least(a.e, b.e) - greatest(a.s, b.s)), 6) AS avg_overlap
+    FROM iv a JOIN iv b
+      ON a.suppkey = b.suppkey AND a.iid < b.iid AND a.s < b.e AND b.s < a.e
+    GROUP BY a.suppkey
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join (operators/intervals.py — grid blocking +
+    reference-point dedup, Patel & DeWitt 1996 / Dittrich & Seeger 2000):
+    per supplier, statistics over all pairs of shipments whose delivery
+    windows [shipdate, shipdate + linenumber days) intersect. The oracle
+    is the naive per-block theta join — quadratic, fine at sf0.01 —
+    while the engine plan is explode-to-cells → EQUI-join on
+    (supplier, cell) → owner-cell predicate: candidates per cell stay
+    O(1) at any corpus size and the join is AQE-skew-splittable, which is
+    what makes the operator viable at 100 TB where the theta join is a
+    per-block cartesian."""
+    from zio_analytics_spark.operators.intervals import interval_overlap_pairs
+
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iid"),
+        F.datediff(F.col("l_shipdate").cast("date"), epoch).cast("long").alias("s"),
+        (
+            F.datediff(F.col("l_shipdate").cast("date"), epoch).cast("long")
+            + F.col("l_linenumber")
+        ).alias("e"),
+    )
+    pairs = interval_overlap_pairs(
+        iv, "iid", "s", "e", block_cols=["suppkey"], cell_width=8
+    )
+    return pairs.groupBy("suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.max("overlap_len").cast("long").alias("max_overlap"),
+        F.round(F.avg("overlap_len"), 6).alias("avg_overlap"),
+    )
+
+
+@register(
+    "basket_association_rules",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), nb AS (SELECT count(DISTINCT bk) AS n FROM b),
+    supp AS (SELECT item, count(*) AS s FROM b GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, c.item AS item_b, count(*) AS pc
+      FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item
+      GROUP BY 1, 2
+    ), fp AS (
+      SELECT item_a, item_b, pc, n FROM pairs, nb WHERE pc >= 0.02 * n
+    ), directed AS (
+      SELECT item_a AS antecedent, item_b AS consequent, pc, n FROM fp
+      UNION ALL
+      SELECT item_b, item_a, pc, n FROM fp
+    )
+    SELECT d.antecedent, d.consequent,
+           round(d.pc / d.n, 6) AS support,
+           round(d.pc / sa.s, 6) AS confidence,
+           round(d.pc * d.n / (sa.s * sc.s), 6) AS lift
+    FROM directed d
+    JOIN supp sa ON sa.item = d.antecedent
+    JOIN supp sc ON sc.item = d.consequent
+    WHERE round(d.pc / sa.s, 6) >= 0.1
+    """,
+)
+def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/basket.py — Agrawal
+    1993/1994): brand co-purchase rules over order baskets with support,
+    confidence and lift. The oracle counts pairs by the naive basket
+    self-join WITHOUT the Apriori prune — the Apriori property
+    (supp(pair) <= supp(item)) guarantees the pruned and unpruned final
+    rule sets are identical, so the equality is itself evidence the prune
+    is sound. Engine shapes: itemset dedup first, frequent-item
+    broadcast semi-join, within-basket HOF pair expansion (Σ width² —
+    never cross-basket), map-side-combined pair counts."""
+    from zio_analytics_spark.operators.basket import association_rules
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("item"))
+    return association_rules(
+        baskets, "bk", "item", min_support=0.02, min_confidence=0.1
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
