@@ -9322,6 +9322,90 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ab_test_welch",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             (('0x' || substring(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+              % 2) AS arm
+      FROM events
+    ), a AS (
+      SELECT event_type,
+             count(value) FILTER (arm = 0) AS n0,
+             avg(value)   FILTER (arm = 0) AS m0,
+             var_samp(value) FILTER (arm = 0) AS s0,
+             count(value) FILTER (arm = 1) AS n1,
+             avg(value)   FILTER (arm = 1) AS m1,
+             var_samp(value) FILTER (arm = 1) AS s1
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n0 AS BIGINT) AS n_control,
+           CAST(n1 AS BIGINT) AS n_treat,
+           round(m0 - m1, 6) AS mean_diff,
+           round((m0 - m1) / sqrt(s0 / n0 + s1 / n1), 6) AS t_stat,
+           round(pow(s0 / n0 + s1 / n1, 2)
+                 / (pow(s0 / n0, 2) / (n0 - 1) + pow(s1 / n1, 2) / (n1 - 1)),
+                 6) AS df
+    FROM a
+    """,
+)
+def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (operators/stats.py — Welch 1947)
+    per event_type, arms assigned by the deterministic md5 cohort hash of
+    user_id (same salted-hash discipline as dataset splits: stable,
+    partition-invariant, engine-replayable). ONE hash aggregate produces
+    n/mean/var per arm via conditional aggregation; t and the
+    Welch–Satterthwaite df are closed-form arithmetic on those six
+    numbers — the 100 TB experiment readout never collects raw rows."""
+    from zio_analytics_spark.operators.stats import hash_cohort, welch_ttest
+
+    ev = read_table(spark, sf_dir, "events")
+    return welch_ttest(
+        ev, ["event_type"], "value", hash_cohort(F.col("user_id"))
+    )
+
+
+@register(
+    "ab_test_chi2",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             (('0x' || substring(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+              % 2) AS arm
+      FROM events
+    ), obs AS (
+      SELECT arm, event_type, count(*) AS o FROM e GROUP BY 1, 2
+    ), rt AS (SELECT arm, sum(o) AS rt FROM obs GROUP BY 1),
+    ct AS (SELECT event_type, sum(o) AS ct FROM obs GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM obs)
+    SELECT round(sum(pow(coalesce(obs.o, 0) - rt.rt * ct.ct / n.n, 2)
+                     / (rt.rt * ct.ct / n.n)), 6) AS chi2,
+           CAST((count(DISTINCT rt.arm) - 1)
+                * (count(DISTINCT ct.event_type) - 1) AS BIGINT) AS df,
+           CAST(max(n.n) AS BIGINT) AS n
+    FROM rt CROSS JOIN ct CROSS JOIN n
+    LEFT JOIN obs ON obs.arm = rt.arm AND obs.event_type = ct.event_type
+    """,
+)
+def q_ab_test_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test (operators/stats.py): is
+    event-type mix independent of the md5-hash cohort? One shuffle builds
+    the contingency table; marginals (R and C rows) cross-join into the
+    FULL R×C grid — including zero-observed cells, whose (0−exp)²/exp
+    terms the textbook statistic requires — and the statistic is one
+    arithmetic aggregate over R·C rows. A sound cohort hash should show
+    chi2 ≈ df here (no dependence) — the operator doubles as a splitter
+    health check."""
+    from zio_analytics_spark.operators.stats import chi2_independence, hash_cohort
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", hash_cohort(F.col("user_id")).alias("arm")
+    )
+    return chi2_independence(ev, "arm", "event_type")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -1,0 +1,114 @@
+"""[EXT] Experiment-analysis statistics: Welch's t-test and the chi-square
+independence test as pure distributed aggregates.
+
+The production A/B readout at 100 TB is NOT a stats-library call over
+collected data — it is moment aggregation (count / mean / sample variance
+per arm: map-side partials, exact merge) followed by driver-free closed-form
+arithmetic on those few numbers. Welch 1947 (Biometrika 34) for unequal
+variances — the safe default when arms differ in size/spread; Pearson 1900
+for categorical independence. Assignment is DETERMINISTIC (md5 bucket of
+the unit id — same salted-hash discipline as ``splits.py``): re-running the
+readout never reshuffles units between arms, and an md5-replaying SQL
+oracle can verify every statistic end-to-end.
+
+The reference has one aggregation primitive (Fold, DataStream.scala:47);
+this is [EXT] surface (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_cohort", "welch_ttest", "chi2_independence"]
+
+
+def hash_cohort(unit: Column, n_arms: int = 2, salt: str = "ab") -> Column:
+    """Deterministic arm assignment: md5(salt|unit) bucket mod ``n_arms``.
+    Engine-identical (DuckDB replays the same md5), partition-invariant,
+    stable under data growth — a unit never switches arms."""
+    h = F.md5(F.concat(F.lit(f"{salt}|"), unit.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_arms).cast("int")
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    cohort: Column,
+) -> DataFrame:
+    """Per group: Welch's unequal-variance t statistic and
+    Welch–Satterthwaite degrees of freedom between cohort 0 and cohort 1.
+
+    ONE hash aggregate computes n / mean / sample variance per arm via
+    conditional aggregation (no second scan, no pivot shuffle); t and df
+    are closed-form arithmetic on those six numbers. Rounded to 6 dp —
+    cross-row float aggregates merge in engine-specific order. Groups
+    where either arm has < 2 observations yield nulls (variance undefined).
+    """
+    c = cohort.alias("__arm")
+    v = F.col(value_col)
+    base = df.select(*group_cols, c, v.alias("__v"))
+    arm = lambda a, col: F.when(F.col("__arm") == a, col)  # noqa: E731
+    agg = base.groupBy(*group_cols).agg(
+        F.count(arm(0, F.col("__v"))).alias("__n0"),
+        F.avg(arm(0, F.col("__v"))).alias("__m0"),
+        F.var_samp(arm(0, F.col("__v"))).alias("__s0"),
+        F.count(arm(1, F.col("__v"))).alias("__n1"),
+        F.avg(arm(1, F.col("__v"))).alias("__m1"),
+        F.var_samp(arm(1, F.col("__v"))).alias("__s1"),
+    )
+    se0 = F.col("__s0") / F.col("__n0")
+    se1 = F.col("__s1") / F.col("__n1")
+    t = (F.col("__m0") - F.col("__m1")) / F.sqrt(se0 + se1)
+    dof = (se0 + se1) * (se0 + se1) / (
+        se0 * se0 / (F.col("__n0") - 1) + se1 * se1 / (F.col("__n1") - 1)
+    )
+    return agg.select(
+        *group_cols,
+        F.col("__n0").cast("long").alias("n_control"),
+        F.col("__n1").cast("long").alias("n_treat"),
+        F.round(F.col("__m0") - F.col("__m1"), 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("df"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-square statistic for independence of two categorical
+    columns: Σ (observed − expected)² / expected over the R×C contingency
+    table, expected = row_total · col_total / N. Returns one row:
+    ``(chi2, df, n)`` with df = (R−1)(C−1).
+
+    One shuffle builds the contingency table (map-side combined); the
+    row/column marginals are tiny (R and C rows), so the FULL R×C grid —
+    including combinations with zero observations, whose (0−exp)²/exp
+    terms the textbook statistic requires — is their cross product, with
+    observed counts left-joined in (everything downstream of the first
+    aggregate is R·C rows; the statistic never touches the raw rows
+    again). Exact integer counts make the oracle replay trivially
+    engine-identical; only the final ratio sum is rounded (6 dp)."""
+    obs = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("__o"))
+    row_tot = obs.groupBy(row_col).agg(F.sum("__o").alias("__rt"))
+    col_tot = obs.groupBy(col_col).agg(F.sum("__o").alias("__ct"))
+    n = obs.agg(F.sum("__o").alias("__n"))
+    grid = (
+        row_tot.crossJoin(F.broadcast(col_tot))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(obs), [row_col, col_col], "left")
+    )
+    o = F.coalesce(F.col("__o"), F.lit(0))
+    exp = F.col("__rt") * F.col("__ct") / F.col("__n")
+    cell = (o - exp) * (o - exp) / exp
+    return grid.agg(
+        F.round(F.sum(cell), 6).alias("chi2"),
+        (
+            (F.count_distinct(F.col(row_col)) - 1)
+            * (F.count_distinct(F.col(col_col)) - 1)
+        ).cast("long").alias("df"),
+        F.max("__n").cast("long").alias("n"),
+    )
