@@ -217,3 +217,78 @@ def test_ewma_null_partition_keys(spark):
         assert out[1] == 0.25 * 4.0 + 0.75 * 8.0, engine  # null key: one group
         assert out[4] == 0.25 * 0.0 + 0.75 * out[1], engine
         assert out[2] == 2.0 and out[3] == 0.25 * 6.0 + 0.75 * 2.0, engine
+
+
+# ---------------------------------------------------------------------------
+# cusum (Page 1954) — closed form vs the literal recurrence
+# ---------------------------------------------------------------------------
+
+
+def _cusum_recurrence(xs, target, slack):
+    hi = lo = 0.0
+    out = []
+    for x in xs:
+        hi = max(0.0, hi + ((x - target) - slack))
+        lo = max(0.0, lo + (-(x - target) - slack))
+        out.append((round(hi, 6), round(lo, 6)))
+    return out
+
+
+def test_cusum_closed_form_equals_recurrence_random_walks(spark):
+    import random
+
+    from zio_analytics_spark.operators.timeseries import cusum
+
+    rng = random.Random(13)
+    rows = []
+    series = {}
+    for k in ("a", "b", "c"):
+        xs = [round(rng.uniform(-5, 15), 3) for _ in range(200)]
+        series[k] = xs
+        rows += [(k, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, i long, x double")
+    got = {
+        (r["k"], r["i"]): (r["cusum_hi"], r["cusum_lo"])
+        for r in cusum(
+            df, "x", order_cols=["i"], key_cols=["k"], target=4.0, slack=1.0
+        ).collect()
+    }
+    for k, xs in series.items():
+        want = _cusum_recurrence(xs, 4.0, 1.0)
+        for i, w in enumerate(want):
+            assert got[(k, i)] == w, (k, i)
+
+
+def test_cusum_alarm_and_reset(spark):
+    from zio_analytics_spark.operators.timeseries import cusum
+
+    # in-control, then a level shift: hi side climbs and alarms; a
+    # below-target run resets it to zero (the clamp)
+    xs = [10.0, 10.0, 30.0, 30.0, 30.0, 0.0, 0.0, 10.0]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], "k string, i long, x double"
+    )
+    out = {
+        r["i"]: (r["cusum_hi"], r["alarm"])
+        for r in cusum(
+            df, "x", ["i"], ["k"], target=10.0, slack=2.0, threshold=30.0
+        ).collect()
+    }
+    # d_hi = x - 12: -2, -2, 18, 18, 18, -12, -12, -2 → clamped: 0,0,18,36,54,42,30,28
+    assert [out[i][0] for i in range(8)] == [0.0, 0.0, 18.0, 36.0, 54.0, 42.0, 30.0, 28.0]
+    assert [out[i][1] for i in range(8)] == [
+        False, False, False, True, True, True, False, False,
+    ]
+
+
+def test_cusum_keys_are_independent(spark):
+    from zio_analytics_spark.operators.timeseries import cusum
+
+    df = spark.createDataFrame(
+        [("a", 0, 100.0), ("b", 0, 0.0)], "k string, i long, x double"
+    )
+    out = {
+        r["k"]: r["cusum_hi"]
+        for r in cusum(df, "x", ["i"], ["k"], target=0.0).collect()
+    }
+    assert out == {"a": 100.0, "b": 0.0}

@@ -9406,6 +9406,50 @@ def q_ab_test_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(ev, "arm", "event_type")
 
 
+@register(
+    "changepoint_cusum",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             sum((value - 50.0) - 10.0) OVER w AS p_hi,
+             sum(-(value - 50.0) - 10.0) OVER w AS p_lo
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, event_id,
+           round(p_hi - least(0, min(p_hi) OVER w2), 6) AS cusum_hi,
+           round(p_lo - least(0, min(p_lo) OVER w2), 6) AS cusum_lo,
+           (round(p_hi - least(0, min(p_hi) OVER w2), 6) > 200.0
+            OR round(p_lo - least(0, min(p_lo) OVER w2), 6) > 200.0) AS alarm
+    FROM s
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scores (operators/timeseries.py cusum — Page
+    1954): per-user two-sided drift detection over the event stream. The
+    clamped recurrence max(0, prev + d) is restated via the reflection
+    identity as prefix-sum minus running-min — two cumulative window
+    expressions, parallel across users, codegen within a user, no
+    sequential state and no UDF (the literal-recurrence equality is
+    pytest-proven on random walks). The oracle replays the identical
+    closed form with the same float operation order."""
+    from zio_analytics_spark.operators.timeseries import cusum
+
+    ev = read_table(spark, sf_dir, "events")
+    return cusum(
+        ev,
+        "value",
+        order_cols=["ts", "event_id"],
+        key_cols=["user_id"],
+        target=50.0,
+        slack=10.0,
+        threshold=200.0,
+    ).select("user_id", "event_id", "cusum_hi", "cusum_lo", "alarm")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
