@@ -128,3 +128,61 @@ def test_quantize_int8_reconstruction_error_bounded(spark):
         assert codes[2] == 0  # constant dim -> code 0 by convention
     # extremes hit the rails exactly
     assert out[0][0] == 0 and out[8][0] == 255
+
+
+# ---------------------------------------------------------------------------
+# random_project (Achlioptas JL)
+# ---------------------------------------------------------------------------
+
+
+def test_rp_signs_deterministic_and_pm1():
+    from zio_analytics_spark.operators.similarity import rp_signs
+
+    a = rp_signs(8, 4)
+    assert a == rp_signs(8, 4)
+    assert a != rp_signs(8, 4, seed="other")
+    assert all(s in (-1, 1) for row in a for s in row)
+    assert len(a) == 4 and all(len(r) == 8 for r in a)
+
+
+def test_random_project_matches_numpy(spark):
+    import numpy as np
+
+    from zio_analytics_spark.operators.similarity import random_project, rp_signs
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(20, 32)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in random_project(df, "embedding", dim=32, k=8).collect()
+    }
+    R = np.array(rp_signs(32, 8), dtype="float64")
+    want = (vecs.astype("float64") @ R.T) / np.sqrt(8.0)
+    for i in range(20):
+        assert np.allclose(got[i], want[i], rtol=0, atol=1e-9), i
+
+
+def test_random_project_preserves_norms_on_average(spark):
+    import numpy as np
+
+    from zio_analytics_spark.operators.similarity import random_project
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(200, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = random_project(df, "embedding", dim=64, k=16).collect()
+    ratios = [
+        float(np.linalg.norm(r["proj"]) / np.linalg.norm(vecs[r["vec_id"]]))
+        for r in rows
+    ]
+    # JL: squared-norm ratio concentrates around 1; at k=16 allow wide but
+    # bounded spread, and the MEAN must be close to 1
+    assert 0.9 < float(np.mean(np.square(ratios))) < 1.1
+    assert all(0.3 < x < 2.0 for x in ratios)

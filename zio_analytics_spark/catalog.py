@@ -9450,6 +9450,41 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "cusum_hi", "cusum_lo", "alarm")
 
 
+def _rp_oracle(dim: int = 64, k: int = 16, seed: str = "rp") -> str:
+    """DuckDB replica of the JL random projection: the identical md5-pinned
+    ±1 sign rows baked in as literals (the ann_partitioned precedent),
+    list_dot_product accumulating left-to-right exactly like the engine's
+    aggregate fold — every output coordinate replays bitwise."""
+    from zio_analytics_spark.operators.similarity import rp_signs
+
+    rows = rp_signs(dim, k, seed)
+    comps = ",\n           ".join(
+        f"list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(f'{s:.1f}' for s in row)}]::DOUBLE[]) / sqrt({k}.0)"
+        for row in rows
+    )
+    return f"""
+    SELECT vec_id,
+           [{comps}] AS proj
+    FROM embeddings
+    """
+
+
+@register("embedding_random_projection", oracle=_rp_oracle())
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss reduction (operators/similarity.py
+    random_project — Achlioptas 2001 ±1 Rademacher projections): 64-dim
+    embeddings cut to 16 deterministic directions, 1/√k-scaled. The
+    dimensionality-reduction rung of the ANN ladder — one codegen scan
+    (k·d literal sign entries, no UDF, no shuffle); the sign matrix never
+    exists as data, it is pinned by the md5 derivation, so the oracle
+    rebuilds the exact matrix and replays every coordinate bitwise."""
+    from zio_analytics_spark.operators.similarity import random_project
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return random_project(emb, "embedding", dim=64, k=16).select("vec_id", "proj")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -31,6 +31,8 @@ __all__ = [
     "ivf_probes",
     "ivf_topk",
     "quantize_int8",
+    "rp_signs",
+    "random_project",
 ]
 
 
@@ -230,3 +232,65 @@ def quantize_int8(
             F.least(F.greatest(q, F.lit(0.0)), F.lit(255.0)).cast("int")
         )
     return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def rp_signs(dim: int, k: int, seed: str = "rp") -> list[list[int]]:
+    """Deterministic ±1 projection matrix rows (Achlioptas 2001, PODS:
+    Rademacher entries satisfy the Johnson–Lindenstrauss lemma with the
+    same distortion bounds as Gaussians — and, being ±1, the projection
+    is adds/subtracts only). Entry (j, i) is the parity of
+    ``md5('<seed>|i|j')`` — engine-identical, so a SQL oracle derives the
+    exact same matrix; no RNG state to ship."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}|{i}|{j}".encode()).hexdigest()[:8], 16) % 2
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int = 16,
+    seed: str = "rp",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project the
+    ``dim``-dim embedding column onto ``k`` deterministic ±1 directions,
+    scaled by 1/√k so expected norms (hence cosines, approximately) are
+    preserved. The dimensionality-REDUCTION rung of the ANN ladder —
+    upstream of LSH/IVF/PQ when the raw dimension is the cost driver
+    (e.g. 4096-dim model embeddings cut to 64 before indexing).
+
+    All codegen: each output component is one ``zip_with``/``aggregate``
+    dot product against a literal sign array (k·d literal numbers — well
+    under the round-7 plan-size ceiling for the shipped shapes; at
+    k·d ≳ 10⁵ use the same mapInPandas escape hatch as pq._pick_engine).
+    One scan, no shuffle, no UDF; the sign matrix never exists as data —
+    it is pinned by the md5 derivation (:func:`rp_signs`), which is what
+    lets the oracle replay every output coordinate exactly.
+    """
+    signs = rp_signs(dim, k, seed)
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scale = float(k) ** 0.5
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                x,
+                F.array(*[F.lit(float(s)) for s in row]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(scale)
+        for row in signs
+    ]
+    return df.withColumn(out_col, F.array(*comps))
