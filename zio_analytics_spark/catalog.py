@@ -9485,6 +9485,47 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     return random_project(emb, "embedding", dim=64, k=16).select("vec_id", "proj")
 
 
+@register(
+    "graph_bfs_khop",
+    oracle="""
+    WITH RECURSIVE eds AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), und AS (
+      SELECT src, dst FROM eds UNION SELECT dst, src FROM eds
+    ), bfs AS (
+      SELECT 'c1' AS node, 0 AS dist
+      UNION
+      SELECT u.dst, b.dist + 1
+      FROM bfs b JOIN und u ON u.src = b.node
+      WHERE b.dist < 4
+    )
+    SELECT node, CAST(min(dist) AS INTEGER) AS dist
+    FROM bfs GROUP BY node
+    """,
+)
+def q_graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop BFS shortest distances (operators/graph.py bfs_distances):
+    hop distance from customer c1 through the customer–supplier bipartite
+    purchase graph, max 4 hops. Level-synchronous frontier expansion —
+    each round joins only the NEWLY-reached frontier against the edge
+    list and anti-joins the visited set, so work is O(edges × rounds) and
+    per-path enumeration (exponential in dense graphs) never happens; the
+    oracle needs UNION (not UNION ALL) recursion for exactly the same
+    reason, then takes min(dist) per node. Completes the graph suite
+    alongside pagerank_fixed / graph_triangles / dedup_clusters."""
+    from zio_analytics_spark.operators.graph import bfs_distances
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    sources = spark.createDataFrame([("c1",)], "node string")
+    return bfs_distances(edges, sources, max_hops=4)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

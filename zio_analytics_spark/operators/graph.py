@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "count_triangles"]
+__all__ = ["pagerank", "count_triangles", "bfs_distances"]
 
 
 def pagerank(
@@ -146,3 +146,59 @@ def count_triangles(
     closing = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     tri = wedges.join(closing, ["x", "y"])
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: shortest hop-distance (<= ``max_hops``) from any
+    row of ``sources[node_col]`` to every reachable node. Returns
+    ``(node, dist)`` — sources themselves at dist 0.
+
+    Level-synchronous frontier expansion, the scalable BFS shape: each
+    round joins the CURRENT frontier (nodes first reached last round, the
+    only rows that can discover anything new) against the edge list and
+    anti-joins the visited set, so total work is O(edges × rounds) worst
+    case and each round's shuffle carries only the frontier. Per-path
+    enumeration — what a naive recursive expansion does — is exponential
+    in dense graphs; per-LEVEL dedup is what keeps this linear, and the
+    matching oracle needs ``UNION`` (not ``UNION ALL``) recursion for the
+    same reason. ``localCheckpoint`` truncates lineage each round (the
+    iterative-join discipline shared with pagerank / cluster_duplicates).
+    ``max_hops`` is fixed, not convergence-tested: deterministic plans,
+    oracle-replayable.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct()
+    visited = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        frontier = reached.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return visited
