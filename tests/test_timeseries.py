@@ -292,3 +292,38 @@ def test_cusum_keys_are_independent(spark):
         for r in cusum(df, "x", ["i"], ["k"], target=0.0).collect()
     }
     assert out == {"a": 100.0, "b": 0.0}
+
+
+def test_cusum_seeded_closed_form_across_batch_splits():
+    """The streaming twin (catalog streaming_cusum) advances each
+    micro-batch by P = state + cumsum(d); S = P - min(0, cummin P).
+    Prove that seeded form equals the literal recurrence for EVERY way of
+    splitting the series into batches (the state carry-over contract)."""
+    import itertools
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    rng = random.Random(21)
+    xs = [round(rng.uniform(-8, 12), 3) for _ in range(12)]
+    want = _cusum_recurrence(xs, 2.0, 1.0)
+
+    def run_split(cuts):
+        state = 0.0
+        out = []
+        parts = np.split(np.array(xs), cuts)
+        for part in parts:
+            if len(part) == 0:
+                continue
+            d = pd.Series(part) - 2.0 - 1.0
+            p = state + d.cumsum()
+            s = p - np.minimum(p.cummin(), 0.0)
+            out.extend(round(v, 6) for v in s)
+            state = float(s.iloc[-1])
+        return out
+
+    for r in (1, 2, 3):
+        for cuts in itertools.combinations(range(1, 12), r):
+            got = run_split(list(cuts))
+            assert got == [h for h, _ in want], cuts

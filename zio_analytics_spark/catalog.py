@@ -9526,6 +9526,77 @@ def q_graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, sources, max_hops=4)
 
 
+@register(
+    "streaming_cusum",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             sum((value - 50.0) - 10.0) OVER w AS p_hi,
+             sum(-(value - 50.0) - 10.0) OVER w AS p_lo
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, event_id,
+           round(p_hi - least(0, min(p_hi) OVER w2), 6) AS cusum_hi,
+           round(p_lo - least(0, min(p_lo) OVER w2), 6) AS cusum_lo,
+           (round(p_hi - least(0, min(p_hi) OVER w2), 6) > 200.0
+            OR round(p_lo - least(0, min(p_lo) OVER w2), 6) > 200.0) AS alarm
+    FROM s
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection on the STREAMING runtime — the monitoring
+    deployment shape: per-user (hi, lo) scores as custom keyed state in
+    ``applyInPandasWithState``, each micro-batch advanced by the SAME
+    reflection closed form as the batch operator but seeded with the
+    carried state (P = state + cumsum(d); S = P − min(0, cummin P)), so
+    per-batch work is vectorized numpy, never a per-row Python loop.
+    Same oracle as ``changepoint_cusum``: bounded input + deterministic
+    in-key ordering make the streamed scores batch-equivalent (float
+    regrouping across micro-batch boundaries is absorbed by the 6 dp
+    rounding both entries already carry)."""
+    import numpy as np
+
+    from zio_analytics_spark.streaming.stateful import map_accumulate_stream
+
+    st = _events_stream(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+
+    def fn(acc, pdf):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        d_hi = (pdf["value"] - 50.0) - 10.0
+        d_lo = -(pdf["value"] - 50.0) - 10.0
+        p_hi = acc[0] + d_hi.cumsum()
+        p_lo = acc[1] + d_lo.cumsum()
+        hi = p_hi - np.minimum(p_hi.cummin(), 0.0)
+        lo = p_lo - np.minimum(p_lo.cummin(), 0.0)
+        out = pdf[["user_id", "event_id"]].copy()
+        out["cusum_hi"] = hi
+        out["cusum_lo"] = lo
+        return ([float(hi.iloc[-1]), float(lo.iloc[-1])], out)
+
+    out = map_accumulate_stream(
+        st,
+        ["user_id"],
+        fn,
+        init_state=lambda: [0.0, 0.0],
+        output_schema="user_id long, event_id long, cusum_hi double, cusum_lo double",
+        state_schema="s array<double>",
+    )
+    result = _run_append(out, "stream_cusum")
+    hi6 = F.round("cusum_hi", 6)
+    lo6 = F.round("cusum_lo", 6)
+    return result.select(
+        "user_id",
+        "event_id",
+        hi6.alias("cusum_hi"),
+        lo6.alias("cusum_lo"),
+        ((hi6 > 200.0) | (lo6 > 200.0)).alias("alarm"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
