@@ -92,3 +92,60 @@ def test_chi2_independent_data_is_small(spark):
     df = spark.createDataFrame(rows, "arm int, cat string")
     out = chi2_independence(df, "arm", "cat").collect()[0]
     assert out["chi2"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# auc_roc (Mann–Whitney)
+# ---------------------------------------------------------------------------
+
+
+def test_auc_perfect_and_reversed(spark):
+    from zio_analytics_spark.operators.stats import auc_roc
+
+    rows = [(float(i), i >= 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "s double, lab boolean")
+    assert auc_roc(df, "s", "lab").collect()[0]["auc"] == 1.0
+    rev = spark.createDataFrame([(float(i), i < 5) for i in range(10)], "s double, lab boolean")
+    assert auc_roc(rev, "s", "lab").collect()[0]["auc"] == 0.0
+
+
+def test_auc_with_ties_matches_rank_sum_by_hand(spark):
+    from zio_analytics_spark.operators.stats import auc_roc
+
+    # scores: 1,1,2,3,3,3 labels: -,+,-,+,+,-
+    rows = [(1.0, 0), (1.0, 1), (2.0, 0), (3.0, 1), (3.0, 1), (3.0, 0)]
+    df = spark.createDataFrame(rows, "s double, lab int")
+    out = auc_roc(df, "s", "lab").collect()[0]
+    # avg ranks: score1 -> 1.5, score2 -> 3, score3 -> 5
+    # rank_sum over positives = 1.5 + 5 + 5 = 11.5; n+=3, n-=3
+    # AUC = (11.5 - 3*4/2) / 9 = 5.5/9
+    assert out["auc"] == round(5.5 / 9, 6)
+    assert (out["n_pos"], out["n_neg"]) == (3, 3)
+
+
+def test_auc_random_matches_sklearn_style_reference(spark):
+    import random
+
+    from zio_analytics_spark.operators.stats import auc_roc
+
+    rng = random.Random(17)
+    rows = [
+        (float(rng.randrange(0, 30)) / 2.0, rng.random() < 0.4) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "s double, lab boolean")
+    got = auc_roc(df, "s", "lab").collect()[0]["auc"]
+    # reference: explicit pairwise P(s+ > s-) + 0.5 P(=)
+    pos = [s for s, l in rows if l]
+    neg = [s for s, l in rows if not l]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert got == round(wins / (len(pos) * len(neg)), 6)
+
+
+def test_auc_single_class_is_null_and_groups_isolate(spark):
+    from zio_analytics_spark.operators.stats import auc_roc
+
+    rows = [("a", 1.0, 1), ("a", 2.0, 1), ("b", 1.0, 0), ("b", 2.0, 1)]
+    df = spark.createDataFrame(rows, "g string, s double, lab int")
+    out = {r["g"]: r["auc"] for r in auc_roc(df, "s", "lab", ["g"]).collect()}
+    assert out["a"] is None
+    assert out["b"] == 1.0

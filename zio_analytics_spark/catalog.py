@@ -9597,6 +9597,56 @@ def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "eval_auc_roc",
+    oracle="""
+    WITH e AS (
+      SELECT (('0x' || substring(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+              % 2) AS arm,
+             value AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+      FROM events
+    ), a AS (
+      SELECT arm, s, count(*) AS n, sum(lab) AS np FROM e GROUP BY arm, s
+    ), r AS (
+      SELECT arm, np,
+             sum(n) OVER (PARTITION BY arm ORDER BY s ROWS UNBOUNDED PRECEDING)
+               - n + (n + 1) / 2.0 AS avg_rank,
+             n
+      FROM a
+    ), o AS (
+      SELECT arm,
+             sum(np * avg_rank) AS rank_sum,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(n) - sum(np) AS BIGINT) AS n_neg
+      FROM r GROUP BY arm
+    )
+    SELECT arm,
+           round(CASE WHEN n_pos > 0 AND n_neg > 0
+                      THEN (rank_sum - n_pos * (n_pos + 1) / 2.0)
+                           / (n_pos * n_neg) END, 6) AS auc,
+           n_pos, n_neg
+    FROM o
+    """,
+)
+def q_eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC at scale (operators/stats.py auc_roc — the Mann–Whitney
+    rank-sum identity with average-rank tie handling): does event value
+    predict purchases, per md5 cohort arm? The naive rank window is a
+    single-partition total-order sort; here the order window runs over
+    the DISTINCT-SCORE aggregate (orders of magnitude smaller than rows),
+    because ranks only change at distinct values — the model-eval shape
+    that survives a 100 TB scored dataset."""
+    from zio_analytics_spark.operators.stats import auc_roc, hash_cohort
+
+    ev = read_table(spark, sf_dir, "events").select(
+        hash_cohort(F.col("user_id")).cast("long").alias("arm"),
+        "value",
+        (F.col("event_type") == "purchase").alias("lab"),
+    )
+    return auc_roc(ev, "value", "lab", group_cols=["arm"])
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -17,10 +17,13 @@ this is [EXT] surface (SURVEY.md §2.4).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["hash_cohort", "welch_ttest", "chi2_independence"]
+__all__ = ["hash_cohort", "welch_ttest", "chi2_independence", "auc_roc"]
 
 
 def hash_cohort(unit: Column, n_arms: int = 2, salt: str = "ab") -> Column:
@@ -111,4 +114,57 @@ def chi2_independence(
             * (F.count_distinct(F.col(col_col)) - 1)
         ).cast("long").alias("df"),
         F.max("__n").cast("long").alias("n"),
+    )
+
+
+def auc_roc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """ROC-AUC per group via the Mann–Whitney rank-sum identity (AUC =
+    P(score⁺ > score⁻) + ½P(=), i.e. U / (n⁺·n⁻)), with average ranks for
+    ties — exactly what a stats library computes, restated for scale:
+
+    The naive form ranks every raw row in one total order — a
+    single-partition sort, the classic cliff. But ranks only change at
+    distinct score values, so the pipeline aggregates FIRST
+    (``groupBy(group, score)`` → count + positive count; grain = distinct
+    scores, typically orders of magnitude smaller than rows), runs the
+    cumulative window over that aggregated table, and computes
+    avg_rank(s) = (#rows below s) + (count(s)+1)/2 per distinct score.
+    AUC = (Σ_s pos(s)·avg_rank(s) − n⁺(n⁺+1)/2) / (n⁺·n⁻), one more
+    aggregate. Groups lacking both classes yield NULL. Rounded 6 dp.
+
+    ``label_col`` must be boolean or 0/1."""
+    g = list(group_cols)
+    lab = F.col(label_col).cast("int")
+    agg = df.groupBy(*g, F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(lab).alias("__np")
+    )
+    w = (
+        W.partitionBy(*[F.col(c) for c in g])
+        .orderBy("__s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = agg.withColumn(
+        "__avg_rank",
+        (F.sum("__n").over(w) - F.col("__n")) + (F.col("__n") + 1) / 2.0,
+    )
+    out = ranked.groupBy(*g).agg(
+        F.sum(F.col("__np") * F.col("__avg_rank")).alias("__rank_sum"),
+        F.sum("__np").cast("long").alias("n_pos"),
+        (F.sum("__n") - F.sum("__np")).cast("long").alias("n_neg"),
+    )
+    auc = (
+        F.col("__rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return out.select(
+        *g,
+        F.round(
+            F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc), 6
+        ).alias("auc"),
+        "n_pos",
+        "n_neg",
     )
