@@ -153,3 +153,65 @@ def test_temperature_mix_deterministic(spark):
     a = sorted(r["doc_id"] for r in cleaning.temperature_mix(df, "src", ["doc_id"]).collect())
     b = sorted(r["doc_id"] for r in cleaning.temperature_mix(df, "src", ["doc_id"]).collect())
     assert a == b and a  # same membership on re-run
+
+
+# ---------------------------------------------------------------------------
+# sliding_distinct (day-bitmap merge)
+# ---------------------------------------------------------------------------
+
+
+def test_sliding_distinct_matches_naive_window(spark):
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.sketch import sliding_distinct
+
+    rng = random.Random(31)
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (base + dt.timedelta(days=rng.randrange(0, 20), seconds=rng.randrange(0, 86400)),
+         rng.randrange(0, 40))
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, uid long")
+    got = {
+        r["day"]: r["n_distinct"]
+        for r in sliding_distinct(df, "ts", "uid", window_days=7).collect()
+    }
+    days = sorted({t.date() for t, _ in rows})
+    want = {}
+    for d in days:
+        lo = d - dt.timedelta(days=6)
+        want[d] = len({u for t, u in rows if lo <= t.date() <= d})
+    assert got == want
+
+
+def test_sliding_distinct_window_one_is_daily_distinct(spark):
+    import datetime as dt
+
+    from zio_analytics_spark.operators.sketch import sliding_distinct
+
+    rows = [
+        (dt.datetime(2024, 3, 1, 5), 1),
+        (dt.datetime(2024, 3, 1, 6), 1),
+        (dt.datetime(2024, 3, 1, 7), 2),
+        (dt.datetime(2024, 3, 3, 5), 1),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, uid long")
+    got = {
+        str(r["day"]): r["n_distinct"]
+        for r in sliding_distinct(df, "ts", "uid", window_days=1).collect()
+    }
+    assert got == {"2024-03-01": 2, "2024-03-03": 1}
+
+
+def test_sliding_distinct_validation(spark):
+    import pytest
+
+    from zio_analytics_spark.operators.sketch import sliding_distinct
+
+    df = spark.createDataFrame([], "ts timestamp, uid long")
+    with pytest.raises(ValueError):
+        sliding_distinct(df, "ts", "uid", window_days=0)

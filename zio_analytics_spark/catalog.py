@@ -9647,6 +9647,33 @@ def q_eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc_roc(ev, "value", "lab", group_cols=["arm"])
 
 
+@register(
+    "sliding_distinct_users",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_distinct
+    FROM days d
+    JOIN events e
+      ON CAST(e.ts AS DATE) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day (operators/sketch.py
+    sliding_distinct): the aggregate a naive engine cannot make
+    incremental — count(DISTINCT) is not re-aggregable, so the oracle's
+    formulation re-scans 7 days of raw rows per output day. The engine
+    plan collapses raw rows ONCE into per-(day, bucket) exact bitmap
+    segments (fixed 4 KB partials, OR-mergeable, persistable), fans each
+    segment out to the ≤ 7 days it serves, and merges at day×bucket
+    grain. Exact — the plain windowed COUNT(DISTINCT) oracle must agree
+    row for row."""
+    from zio_analytics_spark.operators.sketch import sliding_distinct
+
+    ev = read_table(spark, sf_dir, "events")
+    return sliding_distinct(ev, "ts", "user_id", window_days=7)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
