@@ -564,3 +564,77 @@ def test_bpe_train_pair_count_is_partial_agg(spark, sf_dir):
     )
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan, plan[:800]
+
+
+def test_interval_overlap_is_equi_join_not_cartesian(spark, sf_dir):
+    """The grid-cell construction must plan as an EQUI join on
+    (block, cell) — a nested-loop plan would mean the overlap predicate
+    became the join condition (the per-block cartesian this operator
+    exists to avoid)."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    q = CATALOG["join_interval_overlap"].fn(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prefilter_sits_below_the_join(spark, sf_dir):
+    """The bit-test conjunction must be a Filter on the fact scan side,
+    UPSTREAM of the join — and the fact scan must not shuffle (broadcast
+    join): the rows the filter drops never pay an Exchange."""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.bloom import bloom_prefilter_join
+    from zio_analytics_spark.sources.parquet import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    dim = read_table(spark, sf_dir, "orders").limit(50).select("o_orderkey")
+    out = bloom_prefilter_join(li, dim, "l_orderkey", "o_orderkey")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:500]
+    # bitwiseAND bit tests fused into a Filter, not a UDF
+    assert "&" in plan and "element_at" in plan, plan[:1500]
+    assert "pythonUDF" not in plan.lower(), plan[:1500]
+
+
+def test_substring_span_shingling_is_linear(spark, sf_dir):
+    """The position-stamped gram expression must bind the text ONCE as an
+    HOF over sequence() — one substr per position, linear in document
+    length (the shingling discipline shared with word_shingles)."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    q = CATALOG["dedup_substring"].fn(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_auc_window_runs_over_distinct_score_grain(spark, sf_dir):
+    """The rank window's input must be the aggregated (group, score)
+    table — a HashAggregate BELOW the Window node — never raw rows (the
+    single-partition total-order cliff)."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    q = CATALOG["eval_auc_roc"].fn(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    w = plan.find("Window")
+    assert w != -1, plan[:800]
+    below = plan[w:]
+    assert "HashAggregate" in below, plan[:2000]
+
+
+def test_sliding_distinct_merges_at_day_bucket_grain(spark, sf_dir):
+    """The OR-merge aggregate's input is the (day, bucket) segment table
+    — the fan-out explode must sit ABOVE the first bitmap_construct_agg
+    (raw rows collapse once, segments replicate, never raw rows)."""
+    from zio_analytics_spark.catalog import CATALOG
+
+    q = CATALOG["sliding_distinct_users"].fn(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    gen = plan.find("Generate")  # the explode fan-out
+    agg = plan.find("bitmap_construct_agg")
+    assert gen != -1 and agg != -1, plan[:1500]
+    # physical plans print top-down: the explode (later stage) appears
+    # BEFORE the segment-construction aggregate it consumes
+    assert gen < agg, (gen, agg)
