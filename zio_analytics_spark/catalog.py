@@ -9674,6 +9674,56 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_distinct(ev, "ts", "user_id", window_days=7)
 
 
+def _neg_oracle(k: int = 4, seed: str = "neg") -> str:
+    """DuckDB replica of the contrastive-negatives ring: row_number over
+    the same md5 key rebuilds the ring, the same raw offset constants
+    (baked as literals, modded in-query by the oracle's own count) rebuild
+    the rotations — every (anchor, j, negative) triple replays exactly."""
+    import hashlib
+
+    raws = ", ".join(
+        f"({j}, {int(hashlib.md5(f'{seed}|off|{j}'.encode()).hexdigest()[:8], 16)})"
+        for j in range(k)
+    )
+    return f"""
+    WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+    nn AS (SELECT count(*) AS n FROM ids),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY ('0x' || substring(md5('{seed}|' || CAST(doc_id AS VARCHAR)),
+                                           1, 15))::BIGINT,
+                        doc_id) - 1 AS pos
+      FROM ids
+    ),
+    offs AS (SELECT * FROM (VALUES {raws}) AS t(j, raw)),
+    tgt AS (
+      SELECT r.doc_id AS anchor_id, o.j,
+             (r.pos + (o.raw % (nn.n - 1)) + 1) % nn.n AS tpos
+      FROM ranked r CROSS JOIN offs o CROSS JOIN nn
+    )
+    SELECT t.anchor_id, t.j, b.doc_id AS negative_id
+    FROM tgt t JOIN ranked b ON b.pos = t.tpos
+    """
+
+
+@register("contrastive_negatives", oracle=_neg_oracle())
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives (operators/pairs.py): 4
+    pseudo-random negatives per document via ring rotations over the
+    md5-hash order — reproducible across re-executions and corpus
+    re-partitioning (no RNG), balanced (each rotation is a bijection, so
+    every document serves as a negative exactly k times — no hot
+    negatives), and k·N cost via one position equi-join (never a cross
+    join). The ring rank comes from the distributed
+    assign_contiguous_ids, not a single-task row_number; the oracle IS
+    the naive row_number form, proving the distributed rank identical."""
+    from zio_analytics_spark.operators.pairs import contrastive_negatives
+
+    docs = read_table(spark, sf_dir, "documents")
+    return contrastive_negatives(docs, "doc_id", k=4)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
