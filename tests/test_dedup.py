@@ -446,3 +446,27 @@ def test_substring_span_short_docs_and_validation(spark):
     assert dedup.substring_span_pairs(df, gram_len=25, min_len=25).count() == 0
     with pytest.raises(ValueError):
         dedup.substring_span_pairs(df, gram_len=25, min_len=10)
+
+
+def test_substring_span_hot_gram_blocklist(spark):
+    import pytest
+
+    # one boilerplate run shared by ALL 6 docs (hot), one run shared by 2
+    boiler = _DISTINCT[:55]
+    rare = _DISTINCT[30:85][::-1]
+    rows = [(i, "x" * (i + 1) + boiler + "x" * 5) for i in range(4)]
+    rows += [
+        (4, "y" * 3 + boiler + "q" * 10 + rare + "y" * 3),
+        (5, "z" * 9 + boiler + "r" * 10 + rare + "z" * 2),
+    ]
+    df = _span_docs(spark, rows)
+    # uncapped: all 15 pairs share the boilerplate run
+    assert dedup.substring_span_pairs(df, gram_len=25, min_len=50).count() == 15
+    # capped at df<=3: the 6-doc boilerplate grams drop, the 2-doc rare
+    # run survives — exactly the (4,5) pair remains
+    capped = dedup.substring_span_pairs(
+        df, gram_len=25, min_len=50, max_gram_df=3
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["max_span"]) for r in capped] == [(4, 5, 55)]
+    with pytest.raises(ValueError):
+        dedup.substring_span_pairs(df, gram_len=25, min_len=50, max_gram_df=1)

@@ -1114,6 +1114,7 @@ def substring_span_pairs(
     block_cols: Sequence[str] = (),
     gram_len: int = 25,
     min_len: int = 50,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Exact duplicate-substring pairs: documents sharing a verbatim
     character run of at least ``min_len`` chars (Lee et al. 2022,
@@ -1171,6 +1172,27 @@ def substring_span_pairs(
         ).select(*block_cols, "__id", (F.col("__pos0") + 1).alias("__i"), "__h"),
         prefix="zas_substr_grams_",
     )
+    if max_gram_df is not None:
+        # The pathological-corpus hatch the module docstring promises:
+        # boilerplate grams shared by more than max_gram_df documents are
+        # dropped BEFORE the join (anti-join against a tiny hot-gram
+        # table), bounding candidates per gram at max_gram_df². CAN ONLY
+        # LOSE spans — and only those in which every covering gram is hot
+        # (a single sub-threshold gram inside the span keeps a shorter
+        # diagonal run alive); never fabricates one. Exactness is traded
+        # per the Lee et al. boilerplate discussion, not silently: the
+        # caller opts in.
+        if max_gram_df < 2:
+            raise ValueError("max_gram_df must be >= 2 (pairs need 2 docs)")
+        hot = (
+            grams.groupBy(*block_cols, "__h")
+            .agg(F.count_distinct("__id").alias("__df"))
+            .where(F.col("__df") > max_gram_df)
+            .select(*block_cols, "__h")
+        )
+        grams = grams.join(
+            F.broadcast(hot), [*block_cols, "__h"], "left_anti"
+        )
     a = grams.select(
         *[F.col(c).alias(f"{c}__a") for c in block_cols],
         F.col("__id").alias("doc_a"), F.col("__i").alias("__ia"), "__h",
