@@ -20,6 +20,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from zio_analytics_spark.tmpdirs import scratch_dir as _scratch_dir
@@ -9722,6 +9723,51 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return contrastive_negatives(docs, "doc_id", k=4)
+
+
+@register(
+    "rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           round(median(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 6) AS med7
+    FROM events
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row median per user — the robust smoother (50% breakdown
+    vs the mean's 0%: one spike corrupts a trailing average for its whole
+    window, the median shrugs it off; companion to anomaly_ewma_mad).
+    Spark refuses rank-based aggregates over window frames
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC — probed round 7), so the
+    frame's values collect into a bounded 7-element array and the median
+    is array_sort + middle-element arithmetic, all codegen HOFs in one
+    Window node — parallel across users, no UDF, per-row state bounded by
+    the frame width. Rounded 6 dp: even-length frames (each key's warm-up
+    rows) interpolate, and (a+b)/2 groupings can differ a ulp across
+    engines."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return ev.select(
+        "user_id", "event_id", F.round(med, 6).alias("med7")
+    )
 
 
 def queries() -> dict[str, QueryFn]:
