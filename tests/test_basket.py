@@ -107,3 +107,49 @@ def test_prune_equals_unpruned_randomized(spark):
 def test_min_support_validation(spark):
     with pytest.raises(ValueError):
         frequent_pairs(_baskets(spark, _ROWS), "bk", "item", 0.0)
+
+
+def test_frequent_triples_matches_brute_force(spark):
+    import random
+
+    from zio_analytics_spark.operators.basket import frequent_triples
+
+    rng = random.Random(5)
+    items = list("abcdefgh")
+    rows = []
+    for bk in range(80):
+        for it in rng.sample(items, rng.randrange(2, 6)):
+            rows.append((bk, it))
+    df = _baskets(spark, rows)
+    got = {
+        (r["item_a"], r["item_b"], r["item_c"]): r["triple_count"]
+        for r in frequent_triples(df, "bk", "item", 0.05).collect()
+    }
+    per_basket = {}
+    for bk, it in rows:
+        per_basket.setdefault(bk, set()).add(it)
+    counts = Counter(
+        t for s in per_basket.values() for t in itertools.combinations(sorted(s), 3)
+    )
+    bar = 0.05 * len(per_basket)
+    want = {t: c for t, c in counts.items() if c >= bar}
+    assert got == want
+
+
+def test_frequent_triples_hand_case(spark):
+    from zio_analytics_spark.operators.basket import frequent_triples
+
+    # abc in baskets 1,2,3 (3 >= bar=2); abd in baskets 3,4 (2 >= bar);
+    # acd/bcd only in basket 3 (1 < bar) — and cd is not even a frequent
+    # pair, so the level-2 prune drops those candidates before counting
+    rows = (
+        [(1, "a"), (1, "b"), (1, "c")]
+        + [(2, "a"), (2, "b"), (2, "c")]
+        + [(3, "a"), (3, "b"), (3, "c"), (3, "d")]
+        + [(4, "a"), (4, "b"), (4, "d")]
+    )
+    got = {
+        (r["item_a"], r["item_b"], r["item_c"]): r["triple_count"]
+        for r in frequent_triples(_baskets(spark, rows), "bk", "item", 0.5).collect()
+    }
+    assert got == {("a", "b", "c"): 3, ("a", "b", "d"): 2}

@@ -9770,6 +9770,41 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "basket_frequent_triples",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), nb AS (SELECT count(DISTINCT bk) AS n FROM b)
+    SELECT a.item AS item_a, c.item AS item_b, d.item AS item_c,
+           count(*) AS triple_count
+    FROM b a
+    JOIN b c ON a.bk = c.bk AND a.item < c.item
+    JOIN b d ON a.bk = d.bk AND c.item < d.item
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 0.004 * (SELECT n FROM nb)
+    """,
+)
+def q_basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level 3 (operators/basket.py frequent_triples): frequent
+    brand TRIPLES with the faithful level-wise prune — frequent pairs
+    mined first, per-basket arrays restricted to pair members, candidate
+    triples semi-joined against the frequent-pair set on all three
+    sub-pairs before counting. The oracle is the naive unpruned 3-way
+    self-join: the Apriori property (every sub-pair of a frequent triple
+    is frequent) makes pruned ≡ unpruned, so equality is the proof the
+    lattice climb loses nothing."""
+    from zio_analytics_spark.operators.basket import frequent_triples
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("item"))
+    return frequent_triples(baskets, "bk", "item", min_support=0.004)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

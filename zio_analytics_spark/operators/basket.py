@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["association_rules", "frequent_pairs"]
+__all__ = ["association_rules", "frequent_pairs", "frequent_triples"]
 
 
 def frequent_pairs(
@@ -146,4 +146,86 @@ def association_rules(
             ).alias("lift"),
         )
         .where(F.col("confidence") >= min_confidence)
+    )
+
+
+def frequent_triples(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float,
+) -> DataFrame:
+    """Level-3 of the Apriori lattice: unordered item TRIPLES with basket
+    co-occurrence ratio >= ``min_support`` — ``(item_a, item_b, item_c,
+    triple_count)``, items sorted ascending.
+
+    The faithful level-wise prune, all broadcast-sized: (1) frequent PAIRS
+    are mined first (level 2); (2) only items appearing in some frequent
+    pair enter the per-basket arrays (tighter than the frequent-item
+    prune); (3) candidate triples from the Σ width³ within-basket HOF
+    expansion are semi-joined against the frequent-pair set on ALL THREE
+    sub-pairs before counting — the Apriori property (every sub-pair of a
+    frequent triple is frequent) makes the pruned count set identical to
+    the naive 3-way self-join, which is what the oracle checks.
+    """
+    if not 0 < min_support <= 1:
+        raise ValueError("min_support must be in (0, 1]")
+    distinct = baskets.select(basket_col, item_col).distinct()
+    n_baskets = distinct.select(basket_col).distinct().count()
+    bar = min_support * n_baskets
+    pairs = _frequent_pairs(distinct, basket_col, item_col, bar)
+    pair_items = (
+        pairs.select(F.col("item_a").alias(item_col))
+        .unionByName(pairs.select(F.col("item_b").alias(item_col)))
+        .distinct()
+    )
+    pruned = distinct.join(F.broadcast(pair_items), item_col, "left_semi")
+    arr = (
+        pruned.groupBy(basket_col)
+        .agg(F.array_sort(F.collect_set(item_col)).alias("__items"))
+        .select("__items")
+    )
+    items = F.col("__items")
+    # all i<j<k index triples of the sorted array (0-based HOF indices;
+    # slice() positions are 1-based: y = absolute index i+1+j, so elements
+    # after y start at 1-based position i+j+3)
+    triples = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.flatten(
+                F.transform(
+                    F.slice(items, i + F.lit(2), F.size(items)),
+                    lambda y, j: F.transform(
+                        F.slice(items, i + j + F.lit(3), F.size(items)),
+                        lambda z: F.struct(
+                            x.alias("item_a"), y.alias("item_b"), z.alias("item_c")
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+    cand = arr.select(F.explode(triples).alias("__t")).select(
+        "__t.item_a", "__t.item_b", "__t.item_c"
+    )
+    pp = F.broadcast(pairs.select("item_a", "item_b"))
+    cand = (
+        cand.join(pp, ["item_a", "item_b"], "left_semi")
+        .join(
+            pp.select(F.col("item_a"), F.col("item_b").alias("item_c")),
+            ["item_a", "item_c"],
+            "left_semi",
+        )
+        .join(
+            pp.select(
+                F.col("item_a").alias("item_b"), F.col("item_b").alias("item_c")
+            ),
+            ["item_b", "item_c"],
+            "left_semi",
+        )
+    )
+    return (
+        cand.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).alias("triple_count"))
+        .where(F.col("triple_count") >= bar)
     )

@@ -200,5 +200,9 @@ def bfs_distances(
         frontier = reached.localCheckpoint(eager=True)
         if frontier.isEmpty():
             break
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier)
+        if hop < max_hops:
+            # truncate lineage only while further anti-joins will read it;
+            # the final union returns lazily (one fewer materialization)
+            visited = visited.localCheckpoint(eager=True)
     return visited
