@@ -149,3 +149,82 @@ def test_auc_single_class_is_null_and_groups_isolate(spark):
     out = {r["g"]: r["auc"] for r in auc_roc(df, "s", "lab", ["g"]).collect()}
     assert out["a"] is None
     assert out["b"] == 1.0
+
+
+# --- ols_simple / theil_sen_slope (round-7 batch 2) -----------------------
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from zio_analytics_spark.operators.stats import ols_simple
+
+    rng = np.random.RandomState(7)
+    x = rng.uniform(0, 10, 200)
+    y = 3.5 * x - 2.0 + rng.normal(0, 0.5, 200)
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(x, y)],
+        "grp string, x double, y double",
+    )
+    out = ols_simple(df, "x", "y", ["grp"]).collect()[0]
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert out["n"] == 200
+    assert abs(out["slope"] - slope) < 1e-6
+    assert abs(out["intercept"] - intercept) < 1e-6
+    assert abs(out["r2"] - r * r) < 1e-6
+
+
+def test_ols_degenerate_x_is_null_and_null_pairs_excluded(spark):
+    from zio_analytics_spark.operators.stats import ols_simple
+
+    rows = [("flat", 1.0, 2.0), ("flat", 1.0, 5.0), ("ok", 0.0, 1.0), ("ok", 2.0, 5.0), ("ok", None, 99.0)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    out = {r["grp"]: r for r in ols_simple(df, "x", "y", ["grp"]).collect()}
+    assert out["flat"]["slope"] is None  # var(x)=0
+    assert out["ok"]["n"] == 2  # null-x row never enters the fit
+    assert out["ok"]["slope"] == 2.0
+    assert out["ok"]["intercept"] == 1.0
+
+
+def test_theil_sen_resists_outlier_where_ols_breaks(spark):
+    from zio_analytics_spark.operators.stats import ols_simple, theil_sen_slope
+
+    # perfect slope-2 line with one wild outlier
+    rows = [("g", float(i), 2.0 * i) for i in range(10)]
+    rows[7] = ("g", 7.0, 1000.0)
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    ts = theil_sen_slope(df, "x", "y", ["grp"]).collect()[0]
+    ls = ols_simple(df, "x", "y", ["grp"]).collect()[0]
+    assert ts["n_pairs"] == 45
+    assert abs(ts["ts_slope"] - 2.0) < 1e-9  # median shrugs the outlier off
+    assert abs(ls["slope"] - 2.0) > 5  # OLS is dragged far away
+
+
+def test_theil_sen_matches_scipy_style_median_of_pairwise(spark):
+    import itertools
+    import statistics
+
+    from zio_analytics_spark.operators.stats import theil_sen_slope
+
+    xs = [0.0, 1.0, 2.0, 4.0, 7.0, 11.0]
+    ys = [1.0, 2.5, 2.0, 6.0, 9.5, 12.0]
+    expected = round(
+        statistics.median(
+            (ys[j] - ys[i]) / (xs[j] - xs[i])
+            for i, j in itertools.combinations(range(len(xs)), 2)
+        ),
+        6,
+    )
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "grp string, x double, y double"
+    )
+    out = theil_sen_slope(df, "x", "y", ["grp"]).collect()[0]
+    assert out["ts_slope"] == expected
+    # duplicate-x pairs are excluded: add a tie and pair count grows by
+    # (points paired with the tie that have distinct x) only
+    df2 = df.unionByName(
+        spark.createDataFrame([("g", 2.0, 3.0)], "grp string, x double, y double")
+    )
+    out2 = theil_sen_slope(df2, "x", "y", ["grp"]).collect()[0]
+    assert out2["n_pairs"] == out["n_pairs"] + 5  # 6 others, one shares x=2.0

@@ -327,3 +327,52 @@ def test_cusum_seeded_closed_form_across_batch_splits():
         for cuts in itertools.combinations(range(1, 12), r):
             got = run_split(list(cuts))
             assert got == [h for h, _ in want], cuts
+
+
+# --- autocorrelation (round-7 batch 2) ------------------------------------
+
+
+def test_autocorr_matches_numpy_lagged_corr(spark):
+    import numpy as np
+
+    from zio_analytics_spark.operators.timeseries import autocorrelation
+
+    rng = np.random.RandomState(11)
+    # AR(1)-ish series so lag-1 correlation is strongly positive
+    v = [0.0]
+    for _ in range(199):
+        v.append(0.8 * v[-1] + rng.normal())
+    df = spark.createDataFrame(
+        [("s", i, float(x)) for i, x in enumerate(v)],
+        "grp string, t int, v double",
+    )
+    out = {
+        r["lag"]: r
+        for r in autocorrelation(df, "t", "v", ["grp"], lags=(1, 2)).collect()
+    }
+    for k in (1, 2):
+        a = np.array(v[k:])
+        b = np.array(v[:-k])
+        expected = float(np.corrcoef(a, b)[0, 1])
+        assert out[k]["n_pairs"] == 200 - k
+        assert abs(out[k]["acf"] - expected) < 1e-6
+    assert out[1]["acf"] > 0.7  # the AR(1) signal is visible
+
+
+def test_autocorr_groups_isolate_and_lag_validation(spark):
+    import pytest
+
+    from zio_analytics_spark.operators.timeseries import autocorrelation
+
+    rows = [("a", i, float(i % 2)) for i in range(10)] + [
+        ("b", i, float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, t int, v double")
+    out = {
+        (r["grp"], r["lag"]): r["acf"]
+        for r in autocorrelation(df, "t", "v", ["grp"], lags=(1,)).collect()
+    }
+    assert out[("a", 1)] == -1.0  # alternating series: perfect anti-correlation
+    assert out[("b", 1)] == 1.0  # linear ramp: perfect correlation
+    with pytest.raises(ValueError):
+        autocorrelation(df, "t", "v", ["grp"], lags=(0,))

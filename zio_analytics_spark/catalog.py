@@ -9805,6 +9805,288 @@ def q_basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_triples(baskets, "bk", "item", min_support=0.004)
 
 
+# =====================================================================
+# [EXT] round-7 batch 2: distributed regression / robust slope / ACF /
+# skyline / sequence regex / generic connected components / Zipf fit
+# =====================================================================
+
+
+@register(
+    "regression_ols",
+    oracle="""
+    SELECT event_type,
+           regr_count(value, epoch_us(ts - TIMESTAMP '2024-01-01') / 86400e6)::BIGINT AS n,
+           round(regr_slope(value, epoch_us(ts - TIMESTAMP '2024-01-01') / 86400e6), 6) AS slope,
+           round(regr_intercept(value, epoch_us(ts - TIMESTAMP '2024-01-01') / 86400e6), 6) AS intercept,
+           round(regr_r2(value, epoch_us(ts - TIMESTAMP '2024-01-01') / 86400e6), 6) AS r2
+    FROM events GROUP BY event_type
+    """,
+)
+def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple OLS (operators/stats.py ols_simple): regress event
+    value on days-since-epoch-base, one closed-form fit per event_type from
+    ONE hash aggregate of sufficient statistics (n, x̄, ȳ, cov_pop, var_pop,
+    corr) — the trend readout a monitoring pipeline runs over 100 TB without
+    a solver. DuckDB's regr_slope/regr_intercept/regr_r2 replay the exact
+    ratios."""
+    from zio_analytics_spark.operators.stats import ols_simple
+
+    ev = read_table(spark, sf_dir, "events")
+    base = F.lit("2024-01-01").cast("timestamp")
+    days = (F.unix_micros(F.col("ts")) - F.unix_micros(base)) / 86400e6
+    return ols_simple(
+        ev.select("event_type", days.alias("x_days"), "value"),
+        x_col="x_days",
+        y_col="value",
+        group_cols=["event_type"],
+    )
+
+
+@register(
+    "regression_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS d,
+             round(avg(value), 9) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           count(*)::BIGINT AS n_pairs,
+           round(quantile_cont((b.v - a.v) / CAST(b.d - a.d AS DOUBLE), 0.5), 6) AS ts_slope
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.d < b.d
+    GROUP BY a.event_type
+    """,
+)
+def q_regression_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope (operators/stats.py theil_sen_slope; Sen 1968)
+    over the PRE-AGGREGATED daily series per event_type — the scale
+    contract: raw rows collapse to ≤31 points per group first, so the O(k²)
+    pairwise-slope join is block-local and bounded (≤465 pairs), and the
+    shuffle carries the daily series, never events. Daily means are rounded
+    to 9 dp BEFORE pairing so both engines feed bit-identical inputs into
+    the exact interpolating median."""
+    from zio_analytics_spark.operators.stats import theil_sen_slope
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("d"),
+    ).agg(F.round(F.avg("value"), 9).alias("v"))
+    return theil_sen_slope(daily, x_col="d", y_col="v", group_cols=["event_type"])
+
+
+@register(
+    "timeseries_autocorr",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, round(avg(value), 9) AS v
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, v,
+             lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2, lag(v, 3) OVER w AS l3
+      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    )
+    SELECT event_type, lag, n_pairs, acf FROM (
+      SELECT event_type, 1 AS lag, count(l1)::BIGINT AS n_pairs, round(corr(v, l1), 6) AS acf
+      FROM lagged GROUP BY event_type
+      UNION ALL
+      SELECT event_type, 2, count(l2)::BIGINT, round(corr(v, l2), 6) FROM lagged GROUP BY event_type
+      UNION ALL
+      SELECT event_type, 3, count(l3)::BIGINT, round(corr(v, l3), 6) FROM lagged GROUP BY event_type
+    )
+    """,
+)
+def q_timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation per event_type (operators/timeseries.py
+    autocorrelation) over the hourly mean series: ONE window pass (single
+    exchange + sort on the bounded hourly grain) builds every lag column,
+    one aggregate computes every corr, ``stack`` unpivots to long form.
+    Hourly means rounded to 9 dp pre-window: both engines correlate
+    bit-identical series. The seasonality fingerprint of the pipeline —
+    and the input a forecasting layer needs before choosing lags."""
+    from zio_analytics_spark.operators.timeseries import autocorrelation
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.round(F.avg("value"), 9).alias("v"))
+    return autocorrelation(
+        hourly, order_col="h", value_col="v",
+        group_cols=["event_type"], lags=(1, 2, 3),
+    )
+
+
+@register(
+    "sequence_pattern_match",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           length(path)::BIGINT AS path_len,
+           len(regexp_extract_all(path, 'v[ce]*p'))::BIGINT AS n_conversions
+    FROM paths
+    """,
+)
+def q_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-flavored sequence pattern counting: each user's
+    event history becomes an ordered symbol string (one char per event —
+    the alphabet is the event-type initial), and the journey pattern
+    ``view (click|error)* purchase`` is counted as non-overlapping regex
+    matches — left-to-right scan semantics that Java regex and RE2 share
+    (the pattern deliberately avoids lookaround/backrefs). The per-user
+    string is bounded by per-user event counts (same opt-in contract as
+    fold_group_collect); ``listagg WITHIN GROUP`` makes the concat order
+    deterministic, which is what lets an oracle replay it at all."""
+    ev = read_table(spark, sf_dir, "events")
+    paths = ev.groupBy("user_id").agg(
+        F.expr(
+            "listagg(substring(event_type, 1, 1), '') WITHIN GROUP (ORDER BY ts, event_id)"
+        ).alias("path")
+    )
+    return paths.select(
+        "user_id",
+        F.length("path").cast("long").alias("path_len"),
+        F.size(F.expr("regexp_extract_all(path, 'v[ce]*p', 0)"))
+        .cast("long")
+        .alias("n_conversions"),
+    )
+
+
+@register(
+    "pareto_frontier",
+    oracle="""
+    SELECT a.p_partkey, a.p_brand, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_brand = a.p_brand
+        AND b.p_retailprice <= a.p_retailprice
+        AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline per brand (operators/skyline.py pareto_frontier; Börzsönyi
+    2001): parts no brand-mate beats on BOTH cheaper price and larger size.
+    Runs the 2-criteria WINDOW strategy — pre-aggregate to one best-size
+    row per (brand, price), one ordered window computes the running best
+    over strictly-cheaper tiers, semi-join survivors back: no self-join
+    anywhere. The oracle is the naive NOT-EXISTS dominance join, so the
+    gate proves the sort-filter plan ≡ the quadratic definition."""
+    from zio_analytics_spark.operators.skyline import pareto_frontier
+
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+    return pareto_frontier(
+        part,
+        minimize=["p_retailprice"],
+        maximize=["p_size"],
+        block_cols=["p_brand"],
+    )
+
+
+@register(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE eds AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-01-08'
+    ), und AS (
+      SELECT src, dst FROM eds UNION SELECT dst, src FROM eds
+    ), walk (node, label) AS (
+      SELECT src, src FROM und
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN und e ON e.src = w.node
+    )
+    SELECT node, min(label) AS cluster FROM walk GROUP BY node
+    """,
+)
+def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic connected components on the week-one customer–supplier
+    purchase graph — the SAME iterative min-label propagation that powers
+    dedup_clusters (operators/dedup.py cluster_duplicates: per round one
+    shuffle over the edge list, localCheckpoint lineage truncation),
+    reused on an arbitrary string-node edge set: CC is CC whether the
+    edges are near-dup pairs or purchases. Labels are lexicographic string
+    minima on both engines, so the oracle's recursive min-label walk
+    replays the fixpoint exactly. Completes the graph suite (pagerank /
+    triangles / BFS / CC)."""
+    from zio_analytics_spark.operators.dedup import cluster_duplicates
+
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-08").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("doc_a"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("doc_b"),
+    )
+    return cluster_duplicates(pairs)
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), top AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+      FROM counts ORDER BY cnt DESC, tok LIMIT 500
+    )
+    SELECT count(*)::BIGINT AS n,
+           round(regr_slope(ln(cnt), ln(rank)), 6) AS slope,
+           round(regr_intercept(ln(cnt), ln(rank)), 6) AS intercept,
+           round(regr_r2(ln(cnt), ln(rank)), 6) AS r2
+    FROM top
+    """,
+)
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit for the corpus: OLS of ln(count) on ln(rank) over the
+    top-500 token frequencies — the one-row corpus-health fingerprint (a
+    natural-language corpus slopes ≈ −1; boilerplate/spam bends it). The
+    rank table is TakeOrdered (per-partition heap, 500-row driver merge,
+    never a full sort); ranking ties break on the token so both engines
+    rank identically; the fit is ols_simple's sufficient-statistics
+    aggregate over 500 rows. Composes two catalog operators (text.tokens →
+    ols_simple) into the kind of corpus diagnostic a pre-training pipeline
+    logs per snapshot."""
+    from zio_analytics_spark.operators.stats import ols_simple
+    from zio_analytics_spark.operators.topk import top_k
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = top_k(counts, [F.col("cnt").desc(), F.col("tok")], 500)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("tok")))
+    )
+    fit = ols_simple(
+        ranked.select(F.log("rank").alias("ln_rank"), F.log("cnt").alias("ln_cnt")),
+        x_col="ln_rank",
+        y_col="ln_cnt",
+    )
+    return fit
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -23,7 +23,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["hash_cohort", "welch_ttest", "chi2_independence", "auc_roc"]
+__all__ = [
+    "hash_cohort",
+    "welch_ttest",
+    "chi2_independence",
+    "auc_roc",
+    "ols_simple",
+    "theil_sen_slope",
+]
 
 
 def hash_cohort(unit: Column, n_arms: int = 2, salt: str = "ab") -> Column:
@@ -167,4 +174,102 @@ def auc_roc(
         ).alias("auc"),
         "n_pos",
         "n_neg",
+    )
+
+
+def ols_simple(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group simple linear regression ``y = intercept + slope·x`` as ONE
+    distributed aggregate over sufficient statistics — the 100 TB regression
+    is never a solver call, it is moment aggregation:
+
+        slope = cov_pop(x, y) / var_pop(x);  intercept = ȳ − slope·x̄;
+        r² = cov_pop(x, y)² / (var_pop(x) · var_pop(y))
+
+    All six moments (n, x̄, ȳ, cov, varx, vary) come from one hash aggregate
+    with map-side partials; the closed forms are per-group arithmetic on six
+    numbers. Engine parity: DuckDB's ``regr_slope / regr_intercept / regr_r2``
+    compute the identical ratios, so the oracle replays the whole fit.
+    Degenerate groups follow SQL ``regr_*`` semantics — var(x) = 0 (or < 2
+    rows) yields NULL slope/r², var(y) = 0 alone yields r² = 1 — guarded
+    explicitly because Spark's ``corr`` instead raises DIVIDE_BY_ZERO under
+    ANSI mode. Rounded 6 dp (cross-row float merges are order-sensitive).
+
+    Only rows where BOTH x and y are non-null enter the fit (SQL
+    ``regr_*`` semantics; Spark's covar_pop/corr skip null pairs the same
+    way)."""
+    g = list(group_cols)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    base = df.select(*g, F.when(both, x).alias("__x"), F.when(both, y).alias("__y"))
+    agg = base.groupBy(*g).agg(
+        F.count("__x").alias("__n"),
+        F.avg("__x").alias("__mx"),
+        F.avg("__y").alias("__my"),
+        F.covar_pop("__x", "__y").alias("__cxy"),
+        F.var_pop("__x").alias("__vx"),
+        F.var_pop("__y").alias("__vy"),
+    )
+    slope = F.when(F.col("__vx") > 0, F.col("__cxy") / F.col("__vx"))
+    # r² from the same moments (cov²/(vx·vy)) rather than corr(): Spark's
+    # corr raises DIVIDE_BY_ZERO under ANSI mode on a zero-variance group
+    # where SQL regr_r2 is defined — NULL for var(x)=0, 1 for var(y)=0.
+    r2 = F.when(
+        (F.col("__vx") > 0) & (F.col("__vy") > 0),
+        F.col("__cxy") * F.col("__cxy") / (F.col("__vx") * F.col("__vy")),
+    ).otherwise(F.when(F.col("__vx") > 0, F.lit(1.0)))
+    return agg.select(
+        *g,
+        F.col("__n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("__my") - slope * F.col("__mx"), 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Theil–Sen robust slope per group: the MEDIAN of all pairwise slopes
+    (yⱼ−yᵢ)/(xⱼ−xᵢ) over pairs with distinct x (Sen 1968, JASA 63 — public
+    algorithm). Breakdown point ~29%: a third of the points can be arbitrary
+    outliers before the estimate moves, where OLS breaks at one.
+
+    SCALE CONTRACT: pairwise slopes are O(k²) in the per-group series length
+    k, so the production shape is PRE-AGGREGATE FIRST — reduce raw rows to a
+    bounded per-group series (e.g. one point per day: k ≤ 365 → ≤ 66k pairs
+    per group, trivially block-local), then pair WITHIN the group via a
+    self-equi-join on the group key. The join shuffles the bounded series,
+    never raw rows; groups parallelize independently. Feeding unbounded raw
+    rows per group is the same deliberate cliff as ``fold_group_collect``
+    (documented there) — don't.
+
+    The median is the exact interpolating percentile (both engines: mean of
+    the two middle order statistics at even pair counts), so a
+    ``quantile_cont(0.5)`` oracle replays it. Rounded 6 dp. Returns
+    ``(group..., n_pairs, ts_slope)``; groups with zero distinct-x pairs
+    yield no row (a join produces nothing to aggregate)."""
+    g = list(group_cols)
+    a = df.select(*g, F.col(x_col).alias("__xa"), F.col(y_col).alias("__ya"))
+    b = df.select(*g, F.col(x_col).alias("__xb"), F.col(y_col).alias("__yb"))
+    pairs = a.join(b, on=g) if g else a.crossJoin(b)
+    pairs = pairs.where(F.col("__xa") < F.col("__xb"))
+    pair_slope = (F.col("__yb") - F.col("__ya")) / (
+        F.col("__xb").cast("double") - F.col("__xa").cast("double")
+    )
+    return (
+        pairs.select(*g, pair_slope.alias("__s"))
+        .groupBy(*g)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.percentile("__s", F.lit(0.5)), 6).alias("ts_slope"),
+        )
     )

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["cascade_rollup", "cusum", "ewma"]
+__all__ = ["cascade_rollup", "cusum", "ewma", "autocorrelation"]
 
 # name → (initial agg over raw, re-agg over finer level)
 _REAGG = {
@@ -312,3 +312,55 @@ def cusum(
             (F.col("cusum_hi") > threshold) | (F.col("cusum_lo") > threshold),
         )
     return out
+
+
+def autocorrelation(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    lags: Sequence[int] = (1, 2, 3),
+) -> DataFrame:
+    """Per-group autocorrelation of an ordered series at each requested lag:
+    acf(k) = corr(xₜ, xₜ₋ₖ) over the pairs where both sides exist — the
+    pairwise ("Pearson on lagged pairs") ACF estimator, the one a SQL
+    ``corr(x, lag(x, k))`` replays exactly.
+
+    One window pass builds all lag columns (single Exchange on the group
+    key + one in-partition sort serves EVERY lag), one hash aggregate
+    computes all corr pairs, and ``stack`` unpivots to the long
+    ``(group..., lag, n_pairs, acf)`` form — no per-lag scans, no
+    self-joins. The first k rows of each series have a null lagged partner
+    and drop out of corr on both engines identically.
+
+    SCALE: the series should be pre-aggregated to its natural grain
+    (hourly/daily buckets) before calling — the window sort is then over
+    bounded per-group series, and the aggregate state is a handful of
+    moments per (group, lag). Ordering ties in ``order_col`` make lag
+    nondeterministic; pass a unique bucket column (the pre-aggregation
+    grain guarantees this). Rounded 6 dp."""
+    g = list(group_cols)
+    lags = list(lags)
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError("lags must be >= 1")
+    w = W.partitionBy(*[F.col(c) for c in g]).orderBy(order_col)
+    lagged = df.select(
+        *g,
+        F.col(value_col).cast("double").alias("__v"),
+        *[F.lag(F.col(value_col).cast("double"), k).over(w).alias(f"__l{k}") for k in lags],
+    )
+    agg = lagged.groupBy(*g).agg(
+        *[F.corr("__v", f"__l{k}").alias(f"__c{k}") for k in lags],
+        *[F.count(F.when(F.col(f"__l{k}").isNotNull(), 1)).alias(f"__n{k}") for k in lags],
+    )
+    stack_args = ", ".join(f"{k}, __c{k}, __n{k}" for k in lags)
+    long = agg.select(
+        *g,
+        F.expr(f"stack({len(lags)}, {stack_args}) AS (lag, __acf, __n)"),
+    )
+    return long.select(
+        *g,
+        F.col("lag").cast("int").alias("lag"),
+        F.col("__n").cast("long").alias("n_pairs"),
+        F.round("__acf", 6).alias("acf"),
+    )
