@@ -152,3 +152,46 @@ def test_stratified_exact_split_validates(spark):
         stratified_exact_split(df, {"a": 0.5}, on="text", strata=["lang"])
     with _pytest.raises(ValueError, match="stratum column"):
         stratified_exact_split(df, {"a": 1.0}, on="text", strata=[])
+
+
+# --- oversample_balance (round-7 batch 3) ---------------------------------
+
+
+def test_oversample_exactly_uniform_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.splits import oversample_balance
+
+    rows = [(i, "maj") for i in range(50)] + [(100 + i, "mid") for i in range(20)] + [
+        (200 + i, "min") for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "id long, label string")
+    out = oversample_balance(df, "label", on="id")
+    counts = {r["label"]: r["c"] for r in out.groupBy("label").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"maj": 50, "mid": 50, "min": 50}
+    # copy 1 present for every original row; copies contiguous from 1
+    firsts = out.where(F.col("copy_id") == 1).count()
+    assert firsts == 77
+    per_row = {
+        (r["id"]): r["m"]
+        for r in out.groupBy("id").agg(F.max("copy_id").alias("m")).collect()
+    }
+    assert all(v >= 1 for v in per_row.values())
+    # deterministic: same input → identical multiset of (id, copy_id)
+    again = oversample_balance(df, "label", on="id")
+    a = sorted((r["id"], r["copy_id"]) for r in out.collect())
+    b = sorted((r["id"], r["copy_id"]) for r in again.collect())
+    assert a == b
+
+
+def test_oversample_majority_class_untouched(spark):
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.splits import oversample_balance
+
+    rows = [(i, "a") for i in range(10)] + [(50 + i, "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, label string")
+    out = oversample_balance(df, "label", on="id")
+    # already balanced: every row exactly once
+    assert out.count() == 20
+    assert out.agg(F.max("copy_id").alias("m")).collect()[0]["m"] == 1

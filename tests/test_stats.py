@@ -228,3 +228,90 @@ def test_theil_sen_matches_scipy_style_median_of_pairwise(spark):
     )
     out2 = theil_sen_slope(df2, "x", "y", ["grp"]).collect()[0]
     assert out2["n_pairs"] == out["n_pairs"] + 5  # 6 others, one shares x=2.0
+
+
+# --- skew_kurtosis / confusion_stats / calibration_bins (round-7 batch 3) --
+
+
+def test_skew_kurtosis_matches_spark_builtins_and_scipy_forms(spark):
+    import numpy as np
+
+    from zio_analytics_spark.operators.stats import skew_kurtosis
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([rng.normal(10, 2, 300), rng.exponential(5, 100)])
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "grp string, v double")
+    out = skew_kurtosis(df, "v", ["grp"]).collect()[0]
+    # population (biased) forms, same as scipy.stats.skew/kurtosis(bias=True)
+    m = vals.mean()
+    m2 = ((vals - m) ** 2).mean()
+    m3 = ((vals - m) ** 3).mean()
+    m4 = ((vals - m) ** 4).mean()
+    assert out["n"] == 400
+    assert abs(out["skewness"] - m3 / m2**1.5) < 1e-5
+    assert abs(out["kurtosis"] - (m4 / m2**2 - 3)) < 1e-5
+    # Spark's own builtins compute the identical population definitions
+    builtin = df.groupBy("grp").agg(
+        F.skewness("v").alias("sk"), F.kurtosis("v").alias("ku")
+    ).collect()[0]
+    assert abs(out["skewness"] - builtin["sk"]) < 1e-5
+    assert abs(out["kurtosis"] - builtin["ku"]) < 1e-5
+
+
+def test_skew_kurtosis_degenerate_group_is_null(spark):
+    from zio_analytics_spark.operators.stats import skew_kurtosis
+
+    df = spark.createDataFrame([("g", 5.0)] * 4, "grp string, v double")
+    out = skew_kurtosis(df, "v", ["grp"]).collect()[0]
+    assert out["var_pop"] == 0.0
+    assert out["skewness"] is None and out["kurtosis"] is None
+
+
+def test_confusion_stats_hand_checked(spark):
+    from zio_analytics_spark.operators.stats import confusion_stats
+
+    # true: a a a b b c ; pred: a b a b b a
+    rows = list(zip("aaabbc", "abab" + "ba"))
+    df = spark.createDataFrame(rows, "t string, p string")
+    out = {r["cls"]: r for r in confusion_stats(df, "t", "p").collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a["tp"], a["fp"], a["fn"]) == (2, 1, 1)
+    assert a["precision"] == round(2 / 3, 6) and a["recall"] == round(2 / 3, 6)
+    assert a["f1"] == round(2 / 3, 6)
+    assert (b["tp"], b["fp"], b["fn"]) == (2, 1, 0)
+    assert b["recall"] == 1.0
+    # class c never predicted: precision undefined, recall 0, f1 undefined
+    assert (c["tp"], c["fp"], c["fn"]) == (0, 0, 1)
+    assert c["precision"] is None and c["recall"] == 0.0 and c["f1"] is None
+
+
+def test_confusion_stats_pred_only_class_appears(spark):
+    from zio_analytics_spark.operators.stats import confusion_stats
+
+    df = spark.createDataFrame([("x", "y"), ("x", "x")], "t string, p string")
+    out = {r["cls"]: r for r in confusion_stats(df, "t", "p").collect()}
+    assert set(out) == {"x", "y"}
+    y = out["y"]
+    assert (y["tp"], y["fp"], y["fn"]) == (0, 1, 0)
+    assert y["precision"] == 0.0 and y["recall"] is None
+
+
+def test_calibration_bins_edges_and_rates(spark):
+    from zio_analytics_spark.operators.stats import calibration_bins
+
+    rows = [
+        (0.05, 0), (0.05, 0), (0.05, 0), (0.05, 1),  # bin 0: rate .25
+        (0.55, 1), (0.55, 0),                          # bin 5: rate .5
+        (1.0, 1),                                      # score exactly 1 → top bin
+        (0.999, 1),
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {r["bin"]: r for r in calibration_bins(df, "s", "y", n_bins=10).collect()}
+    assert set(out) == {0, 5, 9}
+    assert out[0]["n"] == 4 and out[0]["pos_rate"] == 0.25
+    assert out[5]["n"] == 2 and out[5]["pos_rate"] == 0.5
+    assert out[9]["n"] == 2  # 1.0 folded into bin 9, not a phantom bin 10
+    import pytest
+
+    with pytest.raises(ValueError):
+        calibration_bins(df, "s", "y", n_bins=0)

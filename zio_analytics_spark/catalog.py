@@ -10087,6 +10087,188 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit
 
 
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH ps AS (
+      SELECT event_type,
+             count(value) AS n,
+             avg(value) AS s1,
+             avg(value * value) AS s2,
+             avg(value * value * value) AS s3,
+             avg(value * value * value * value) AS s4
+      FROM events GROUP BY event_type
+    ), cm AS (
+      SELECT event_type, n, s1,
+             s2 - s1 * s1 AS m2,
+             s3 - 3 * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
+             s4 - 4 * s1 * s3 + 6 * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4
+      FROM ps
+    )
+    SELECT event_type, n::BIGINT AS n,
+           round(s1, 6) AS mean,
+           round(m2, 6) AS var_pop,
+           round(CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END, 6) AS skewness,
+           round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END, 6) AS kurtosis
+    FROM cm
+    """,
+)
+def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness + excess kurtosis per event_type
+    (operators/stats.py skew_kurtosis) from RAW POWER SUMS in one hash
+    aggregate — not the built-in skewness()/kurtosis(), whose DEFINITIONS
+    diverge across engines (DuckDB ships the sample-corrected g₁/g₂,
+    Spark the population forms) while avg(xᵏ) means the same thing
+    everywhere; test_stats asserts Spark's built-ins equal these binomial
+    expansions, so the catalog keys stay oracle-exact AND
+    builtin-faithful. The distribution-shape health check (heavy tails,
+    asymmetric drift) a feature store logs per column."""
+    from zio_analytics_spark.operators.stats import skew_kurtosis
+
+    ev = read_table(spark, sf_dir, "events")
+    return skew_kurtosis(ev, "value", ["event_type"])
+
+
+@register(
+    "dataset_rebalance_oversample",
+    oracle="""
+    WITH c AS (
+      SELECT label, count(*) AS cnt FROM embeddings GROUP BY label
+    ), t AS (SELECT max(cnt) AS target FROM c),
+    r AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5('ob' || CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+             ) AS rn
+      FROM embeddings
+    ), w AS (
+      SELECT r.vec_id, r.label,
+             (target // cnt) + CASE WHEN rn <= target % cnt THEN 1 ELSE 0 END AS nc
+      FROM r JOIN c USING (label) CROSS JOIN t
+    )
+    SELECT vec_id, label, CAST(unnest(generate_series(1, nc)) AS INT) AS copy_id
+    FROM w
+    """,
+)
+def q_dataset_rebalance_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing (operators/splits.py
+    oversample_balance): every label is oversampled to EXACTLY the
+    majority class's count — base multiplier ⌊target/cnt⌋ per class plus
+    a salted-md5-ranked remainder, exploded into one row per copy. No
+    RNG anywhere, so the oracle replays every single copy; the output
+    histogram is exactly uniform (the test asserts it). The standard
+    label-balancing pass before training on a skewed corpus."""
+    from zio_analytics_spark.operators.splits import oversample_balance
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return oversample_balance(emb, "label", on="vec_id")
+
+
+@register(
+    "eval_confusion_prf",
+    oracle="""
+    WITH scored AS (
+      SELECT label % 3 AS t,
+             CASE WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3] THEN 0
+                  WHEN embedding[2] >= embedding[3] THEN 1
+                  ELSE 2 END AS p
+      FROM embeddings
+    ), pairs AS (
+      SELECT t, p, count(*) AS c FROM scored GROUP BY t, p
+    ), classes AS (
+      SELECT DISTINCT t AS cls FROM pairs UNION SELECT DISTINCT p FROM pairs
+    ), per AS (
+      SELECT cls,
+             sum(CASE WHEN t = cls AND p = cls THEN c ELSE 0 END) AS tp,
+             sum(CASE WHEN p = cls AND t <> cls THEN c ELSE 0 END) AS fp,
+             sum(CASE WHEN t = cls AND p <> cls THEN c ELSE 0 END) AS fn
+      FROM classes CROSS JOIN pairs GROUP BY cls
+    ), ratios AS (
+      SELECT cls, tp, fp, fn,
+             CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END AS prec,
+             CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END AS rec
+      FROM per
+    )
+    SELECT cls, tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn,
+           round(prec, 6) AS precision,
+           round(rec, 6) AS recall,
+           round(CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec) END, 6) AS f1
+    FROM ratios
+    """,
+)
+def q_eval_confusion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class confusion matrix + precision/recall/F1
+    (operators/stats.py confusion_stats). The 'model' is a deterministic
+    argmax rule over the first three embedding dims (ties to the lowest
+    index, stated explicitly so both engines agree bit-for-bit on raw
+    floats) against truth label%3 — the classifier is a stand-in; the
+    operator under test is the eval: raw rows collapse to the (true,
+    pred) contingency table in ONE shuffle and every per-class statistic
+    is arithmetic over that tiny table, ANSI-guarded NULLs for undefined
+    ratios."""
+    from zio_analytics_spark.operators.stats import confusion_stats
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = lambda i: F.element_at(F.col("embedding"), i)  # noqa: E731
+    pred = (
+        F.when((e(1) >= e(2)) & (e(1) >= e(3)), 0)
+        .when(e(2) >= e(3), 1)
+        .otherwise(2)
+    )
+    scored = emb.select(
+        (F.col("label") % 3).alias("t"), pred.alias("p")
+    )
+    return confusion_stats(scored, true_col="t", pred_col="p")
+
+
+@register(
+    "eval_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT (('0x' || substring(md5('cal' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+              / 4294967296.0) AS s,
+             CASE WHEN (('0x' || substring(md5('out' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0)
+                  < (('0x' || substring(md5('cal' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                     / 4294967296.0)
+                  THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    )
+    SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin,
+           count(*)::BIGINT AS n,
+           round(avg(s), 6) AS avg_score,
+           round(avg(y), 6) AS pos_rate
+    FROM scored GROUP BY bin
+    """,
+)
+def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (operators/stats.py calibration_bins):
+    scores are a deterministic md5-derived unit uniform and outcomes a
+    SECOND independent md5 uniform thresholded at the score — i.e. a
+    perfectly calibrated synthetic model, Bernoulli(s) with hash
+    randomness — so per-bin pos_rate tracks avg_score by construction
+    and the oracle replays both hashes exactly. One hash aggregate over
+    the binned scan; the per-bin |avg_score − pos_rate| gaps are the ECE
+    terms, kept per-bin so the gate checks every bin."""
+    from zio_analytics_spark.operators.stats import calibration_bins
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    unit = lambda salt: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("vec_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    scored = emb.select(
+        unit("cal").alias("s"),
+        (unit("out") < unit("cal")).cast("int").alias("y"),
+    )
+    return calibration_bins(scored, "s", "y", n_bins=10)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

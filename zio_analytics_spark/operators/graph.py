@@ -39,14 +39,24 @@ def pagerank(
     Returns ``(node, rank)`` for every node appearing as src or dst.
     Ranks sum to 1 (dangling mass redistributed uniformly).
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # materialize the edge derivation once — nodes / out-degree / the
+    # per-round rank join all re-read it, and without the checkpoint each
+    # reference re-runs the full upstream plan (e.g. a fact-table join)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)  # re-read every round (rank join)
     )
     n_nodes = nodes.count()  # one scalar; bounds every uniform term below
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .localCheckpoint(eager=True)  # re-read every round (dangling mass)
+    )
     # edge table with out-degree attached, computed once and reused each
     # round (the join against ranks is the only per-iteration work on it)
     ed = e.join(out_deg, "src").localCheckpoint(eager=True)
@@ -181,7 +191,10 @@ def bfs_distances(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    e = e.distinct()
+    # materialize the (possibly expensive) edge derivation ONCE — every hop
+    # re-reads this relation, and without the checkpoint each round re-runs
+    # the full upstream plan (joins, distinct) from scratch
+    e = e.distinct().localCheckpoint(eager=True)
     visited = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()

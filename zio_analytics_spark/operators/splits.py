@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "split_bucket", "stratified_exact_split"]
+__all__ = ["hash_split", "split_bucket", "stratified_exact_split", "oversample_balance"]
 
 _BUCKETS = 10_000
 
@@ -119,3 +119,52 @@ def stratified_exact_split(
     last = F.lit(labels[-1][0])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, out)
+
+
+def oversample_balance(
+    df: DataFrame,
+    label_col: str,
+    on: Column | str,
+    salt: str = "ob",
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Deterministic class rebalancing by oversampling: replicate each
+    class's rows until every class reaches the MAJORITY class's count,
+    exactly. No RNG — replication counts come from a salted-md5 rank, so
+    the same corpus always yields the same resampled set and a SQL oracle
+    replays every copy.
+
+    Mechanics: per-class counts (one tiny aggregate, broadcast) give each
+    class a base multiplier ⌊target/cnt⌋; the remainder target mod cnt
+    goes to the first ``rem`` rows in (md5(salt||key), key) rank order.
+    Rows are then exploded ``sequence(1, n_copies)`` → one output row per
+    copy with ``copy_col`` ∈ [1, n_copies] (copy 1 = the original).
+    Output class counts are exactly uniform (asserted in tests).
+
+    SCALE: the rank window sorts within each class — the same exact-quota
+    discipline (and cost) as :func:`stratified_exact_split`; at unbounded
+    class sizes swap the remainder selection for a hash-threshold
+    approximation (membership ∝ md5 < rem/cnt), which loses exactness for
+    independence of class size. Explode multiplies bytes by the imbalance
+    ratio — that is the point, but budget the output side accordingly.
+    ``on`` must be unique within a class (the split-tiebreak contract)."""
+    from pyspark.sql import Window as W
+
+    key = F.col(on) if isinstance(on, str) else on
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    target = counts.agg(F.max("__cnt").alias("__target"))
+    sized = counts.crossJoin(F.broadcast(target))
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    rn = F.row_number().over(
+        W.partitionBy(label_col).orderBy(h, key.cast("string"))
+    )
+    base = F.floor(F.col("__target") / F.col("__cnt")).cast("long")
+    rem = F.col("__target") % F.col("__cnt")
+    n_copies = base + (F.col("__rn") <= rem).cast("long")
+    return (
+        df.withColumn("__rn", rn)
+        .join(F.broadcast(sized), label_col)
+        .withColumn("__nc", n_copies)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__nc").cast("int"))))
+        .drop("__rn", "__cnt", "__target", "__nc")
+    )

@@ -30,6 +30,9 @@ __all__ = [
     "auc_roc",
     "ols_simple",
     "theil_sen_slope",
+    "skew_kurtosis",
+    "confusion_stats",
+    "calibration_bins",
 ]
 
 
@@ -271,5 +274,129 @@ def theil_sen_slope(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
             F.round(F.percentile("__s", F.lit(0.5)), 6).alias("ts_slope"),
+        )
+    )
+
+
+def skew_kurtosis(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group higher central moments — population skewness g₁ = m₃/m₂^1.5
+    and excess kurtosis g₂ = m₄/m₂² − 3 — computed from RAW POWER SUMS
+    (E[x], E[x²], E[x³], E[x⁴]) in one hash aggregate, with the central
+    moments recovered by the binomial expansions:
+
+        m₂ = s₂ − s₁²;  m₃ = s₃ − 3s₁s₂ + 2s₁³;
+        m₄ = s₄ − 4s₁s₃ + 6s₁²s₂ − 3s₁⁴
+
+    Power sums (not built-in skewness/kurtosis) because cross-engine
+    DEFINITIONS diverge — DuckDB ships the sample-corrected g₁/g₂,
+    Spark the population forms — while ``avg(pow(x, k))`` means the same
+    thing everywhere, so an oracle replays the identical arithmetic.
+    Spark's own ``F.skewness``/``F.kurtosis`` equal these forms
+    (asserted in test_stats); zero-variance groups yield NULL (the
+    built-ins agree). Rounded 6 dp."""
+    g = list(group_cols)
+    x = F.col(value_col).cast("double")
+    agg = df.groupBy(*g).agg(
+        F.count(x).alias("__n"),
+        F.avg(x).alias("__s1"),
+        F.avg(x * x).alias("__s2"),
+        F.avg(x * x * x).alias("__s3"),
+        F.avg(x * x * x * x).alias("__s4"),
+    )
+    s1, s2, s3, s4 = (F.col(f"__s{i}") for i in (1, 2, 3, 4))
+    m2 = s2 - s1 * s1
+    m3 = s3 - 3 * s1 * s2 + 2 * s1 * s1 * s1
+    m4 = s4 - 4 * s1 * s3 + 6 * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+    return agg.select(
+        *g,
+        F.col("__n").cast("long").alias("n"),
+        F.round(s1, 6).alias("mean"),
+        F.round(m2, 6).alias("var_pop"),
+        F.round(F.when(m2 > 0, m3 / F.pow(m2, F.lit(1.5))), 6).alias("skewness"),
+        F.round(F.when(m2 > 0, m4 / (m2 * m2) - 3), 6).alias("kurtosis"),
+    )
+
+
+def confusion_stats(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Multi-class confusion readout: per class, true positives / false
+    positives / false negatives and precision / recall / F1.
+
+    The raw scan collapses to the (true, pred) CONTINGENCY table first
+    (one shuffle, grain = #classes², exact integer counts); every
+    per-class statistic is a conditional sum over that tiny table — the
+    eval never touches raw rows twice. Classes = every value observed in
+    either column. Undefined ratios (no predicted positives, no actual
+    positives, P+R = 0) are NULL, guarded explicitly for ANSI mode.
+    Ratios rounded 6 dp; counts exact."""
+    t, p = F.col("__t"), F.col("__p")
+    pairs = (
+        df.select(F.col(true_col).alias("__t"), F.col(pred_col).alias("__p"))
+        .groupBy("__t", "__p")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    classes = (
+        pairs.select(t.alias("cls"))
+        .unionByName(pairs.select(p.alias("cls")))
+        .distinct()
+    )
+    c = F.col("cls")
+    joined = classes.crossJoin(F.broadcast(pairs))
+    per = joined.groupBy("cls").agg(
+        F.sum(F.when((t == c) & (p == c), F.col("__c")).otherwise(0)).alias("tp"),
+        F.sum(F.when((p == c) & (t != c), F.col("__c")).otherwise(0)).alias("fp"),
+        F.sum(F.when((t == c) & (p != c), F.col("__c")).otherwise(0)).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
+    return per.select(
+        "cls",
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins: bucket scores ∈ [0, 1] into ``n_bins``
+    equal-width bins and report, per bin, the count, the mean predicted
+    score, and the empirical positive rate — a calibrated model tracks
+    the diagonal (|avg_score − pos_rate| small per bin), and the gap is
+    the per-bin term of Expected Calibration Error.
+
+    One hash aggregate over the binned scan; scores exactly 1.0 fold into
+    the top bin (the standard closed-right edge). ``label_col`` must be
+    boolean or 0/1. Mean/rate rounded 6 dp; ECE is the caller's weighted
+    sum over the returned rows — kept per-bin here so the oracle can
+    check every bin, not one scalar."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    bin_ = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.select(bin_.alias("bin"), s.alias("__s"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("__s"), 6).alias("avg_score"),
+            F.round(F.avg("__y"), 6).alias("pos_rate"),
         )
     )
