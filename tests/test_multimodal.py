@@ -547,3 +547,73 @@ def test_adpcm_malformed_rejected():
         decode_audio(bad)
     with _pytest.raises(ValueError, match="block_align"):
         decode_audio(wav(b"\x00\x00\x00\x00", 4))
+
+
+# --- perceptual_ahash (round-7) -------------------------------------------
+
+
+def test_ahash_hand_computed_grid2(spark):
+    from zio_analytics_spark.operators.multimodal import encode_bmp, perceptual_ahash
+
+    # 4x4 BMP, grid=2: left half black, right half white → bits 0110? no:
+    # blocks (by,bx): (0,0)=dark (0,1)=bright (1,0)=dark (1,1)=bright
+    payload = encode_bmp(4, 4, lambda x, y: (255, 255, 255) if x >= 2 else (0, 0, 0))
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = perceptual_ahash(df, grid=2).collect()[0]
+    # 4 bits row-major: 0 1 0 1 → halves of 2 bits: hi=0b01=1, lo=0b01=1
+    assert row["width"] == 4 and row["height"] == 4
+    assert row["n_bits_set"] == 2
+    assert row["ahash"] == "11"
+
+
+def test_ahash_uniform_image_all_bits_set(spark):
+    from zio_analytics_spark.operators.multimodal import encode_bmp, perceptual_ahash
+
+    # constant image: every block sum == mean exactly → ties are 1 (>=)
+    payload = encode_bmp(8, 8, lambda x, y: (7, 77, 177))
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = perceptual_ahash(df, grid=8).collect()[0]
+    assert row["n_bits_set"] == 64
+    assert row["ahash"] == "ffffffff" * 2
+
+
+def test_ahash_rejects_non_divisible_dims(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from zio_analytics_spark.operators.multimodal import encode_bmp, perceptual_ahash
+
+    payload = encode_bmp(5, 8, lambda x, y: (1, 2, 3))
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    with pytest.raises(Exception) as ei:
+        perceptual_ahash(df, grid=8).collect()
+    assert "divisible" in str(ei.value)
+
+
+def test_ahash_matches_analytic_png_pixels(spark):
+    import numpy as np
+
+    from zio_analytics_spark.operators.multimodal import encode_png, perceptual_ahash
+
+    # same formulas as the catalog entry, one image, hand-replicated in numpy
+    i = 13
+    w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+
+    def rgb(x, y):
+        return ((i + 3 * x + 7 * y) % 256, (2 * i + 5 * x + y) % 256, (i + x + 11 * y) % 256)
+
+    payload = encode_png(w, h, rgb)
+    df = spark.createDataFrame([(i, bytearray(payload))], "doc_id long, payload binary")
+    row = perceptual_ahash(df).collect()[0]
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    gray = (
+        299 * ((i + 3 * xs + 7 * ys) % 256)
+        + 587 * ((2 * i + 5 * xs + ys) % 256)
+        + 114 * ((i + xs + 11 * ys) % 256)
+    ).astype(np.int64)
+    blocks = gray.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+    bits = (blocks * 64 >= gray.sum()).flatten()
+    hi = sum(1 << (31 - k) for k in range(32) if bits[k])
+    lo = sum(1 << (31 - k) for k in range(32) if bits[32 + k])
+    assert row["ahash"] == f"{hi:08x}{lo:08x}"
+    assert row["n_bits_set"] == int(bits.sum())

@@ -10269,6 +10269,74 @@ def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(scored, "s", "y", n_bins=10)
 
 
+@register(
+    "multimodal_image_ahash",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+      FROM documents
+    ), xs AS (
+      SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+    ), xy AS (
+      SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+    ), g AS (
+      SELECT doc_id, w, h,
+             (x // (w // 8)) + 8 * (y // (h // 8)) AS k,
+             299 * ((doc_id + 3 * x + 7 * y) % 256)
+           + 587 * ((2 * doc_id + 5 * x + y) % 256)
+           + 114 * ((doc_id + x + 11 * y) % 256) AS lum
+      FROM xy
+    ), blocks AS (
+      SELECT doc_id, w, h, k, sum(lum) AS bs FROM g GROUP BY doc_id, w, h, k
+    ), tot AS (
+      SELECT doc_id, sum(bs) AS total FROM blocks GROUP BY doc_id
+    ), bits AS (
+      SELECT b.doc_id, b.w, b.h, b.k,
+             CASE WHEN 64 * b.bs >= t.total THEN 1 ELSE 0 END AS bit
+      FROM blocks b JOIN tot t USING (doc_id)
+    )
+    SELECT doc_id, max(w)::INT AS width, max(h)::INT AS height,
+           lower(lpad(to_hex(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << (31 - k)) ELSE 0 END)), 8, '0'))
+           || lower(lpad(to_hex(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (63 - k)) ELSE 0 END)), 8, '0')) AS ahash,
+           sum(bit)::BIGINT AS n_bits_set
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL PNG decode (operators/multimodal.py
+    perceptual_ahash): each doc gets a deterministic filter-cycled RGB PNG
+    whose dimensions are multiples of 8 (the exact-integer aHash contract),
+    the decode seam inflates + unfilters it, and the 64-bit fingerprint is
+    integer luma → 8×8 block sums → "≥ image mean" bits — every comparison
+    pure integer arithmetic, so the DuckDB oracle predicts the full hash
+    hex analytically from the pixel formulas. This is the IMAGE near-dup
+    fingerprint tier: downstream candidate blocking over these 64 bits is
+    exactly dedup_simhash's Hamming-band machinery."""
+    from zio_analytics_spark.operators.multimodal import encode_png, perceptual_ahash
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+
+                def rgb(x, y, i=i):
+                    return (
+                        (i + 3 * x + 7 * y) % 256,
+                        (2 * i + 5 * x + y) % 256,
+                        (i + x + 11 * y) % 256,
+                    )
+
+                payloads.append(encode_png(8 * (1 + i % 3), 8 * (1 + i % 2), rgb))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return perceptual_ahash(payloads)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -39,6 +39,7 @@ __all__ = [
     "decode_png",
     "decode_image",
     "decode_pixel_stats",
+    "perceptual_ahash",
     "decode_image_stub",
     "encode_wav",
     "encode_wav_g711",
@@ -892,4 +893,69 @@ def sample_frame_stats(
         f"{id_col} long, width int, height int, n_frames int, n_sampled int, "
         "mean_luma double, first_luma int"
     )
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def perceptual_ahash(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash (aHash — the classic 64-bit near-duplicate
+    image fingerprint): REAL decode via :func:`decode_image`, integer luma
+    (299·R + 587·G + 114·B — the scaled ITU-R BT.601 weights, no floats),
+    ``grid×grid`` block-mean downsample, one bit per cell = "cell at least
+    as bright as the image mean", packed row-major into a hex string.
+    Returns ``(id, width, height, ahash, n_bits_set)``.
+
+    EXACT-INTEGER CONTRACT: image dimensions must be multiples of ``grid``
+    (raises otherwise) so every block has equal area and the threshold
+    comparison ``grid²·block_sum ≥ total_sum`` is pure integer arithmetic —
+    bit-reproducible across numpy, Spark, and a SQL oracle, with ties
+    (exactly-average cells) deterministically 1. Arbitrary dimensions would
+    make cell means unequal-denominator rationals; resize first.
+
+    The hash packs as two 32-bit halves (bit k of 64 → half k//32, weight
+    2^(31−k%32)) so every intermediate fits a signed 64-bit integer in any
+    engine. Near-dup IMAGE candidates are then Hamming-distance bands over
+    these 64 bits — the same banded blocking machinery as ``dedup_simhash``
+    (operators/dedup.py), which this fingerprint feeds.
+
+    Scale shape: one mapInPandas scan, payload bytes never leave the task,
+    output is metadata-sized (the decode/feature-extract grain); everything
+    downstream (banding, joins) is plain relational work on 16-char keys.
+    """
+    if grid < 1:
+        raise ValueError("grid must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "width", "height", "ahash", "n_bits_set")}
+            for i, p in zip(pdf[id_col], pdf[bin_col]):
+                m = decode_image(p)
+                px = m["pixels"].astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                if h % grid or w % grid:
+                    raise ValueError(
+                        f"aHash exact-integer contract needs dims divisible by "
+                        f"{grid}, got {w}x{h} — resize upstream"
+                    )
+                gray = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                bh, bw = h // grid, w // grid
+                blocks = gray.reshape(grid, bh, grid, bw).sum(axis=(1, 3))
+                total = int(gray.sum())
+                bits = (blocks * (grid * grid) >= total).flatten()
+                half = (grid * grid) // 2
+                hi = sum(1 << (half - 1 - k) for k in range(half) if bits[k])
+                lo = sum(1 << (half - 1 - k) for k in range(half) if bits[half + k])
+                width_hex = (half + 3) // 4
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash"].append(f"{hi:0{width_hex}x}{lo:0{width_hex}x}")
+                out["n_bits_set"].append(int(bits.sum()))
+            yield pd.DataFrame({id_col if k == "id" else k: v for k, v in out.items()})
+
+    schema = f"{id_col} long, width int, height int, ahash string, n_bits_set long"
     return df.select(id_col, bin_col).mapInPandas(run, schema)
