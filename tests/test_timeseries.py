@@ -376,3 +376,30 @@ def test_autocorr_groups_isolate_and_lag_validation(spark):
     assert out[("b", 1)] == 1.0  # linear ramp: perfect correlation
     with pytest.raises(ValueError):
         autocorrelation(df, "t", "v", ["grp"], lags=(0,))
+
+
+def test_decayed_sum_closed_form(spark):
+    import math
+
+    from zio_analytics_spark.operators.timeseries import decayed_sum
+
+    rows = [
+        ("g", "2024-01-31 00:00:00", 10.0),  # age 0 → weight 1
+        ("g", "2024-01-24 00:00:00", 10.0),  # age 7d → weight 0.5
+        ("g", "2024-01-17 00:00:00", 10.0),  # age 14d → weight 0.25
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts string, value double").select(
+        "grp", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = decayed_sum(df, "ts", "value", as_of="2024-01-31", group_cols=["grp"]).collect()[0]
+    assert out["n"] == 3
+    assert out["decayed_sum"] == 17.5
+    assert out["decayed_weight"] == 1.75
+    # arbitrary half-life
+    out2 = decayed_sum(
+        df, "ts", "value", as_of="2024-01-31", half_life_days=14.0, group_cols=["grp"]
+    ).collect()[0]
+    assert abs(out2["decayed_sum"] - round(10 * (1 + 0.5**0.5 + 0.5), 6)) < 1e-9
+    assert math.isclose(
+        out2["decayed_weight"], round(1 + 0.5**0.5 + 0.5, 6), rel_tol=1e-9
+    )

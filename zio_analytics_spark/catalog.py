@@ -10337,6 +10337,159 @@ def q_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptual_ahash(payloads)
 
 
+@register(
+    "dedup_image_ahash",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+      FROM documents
+    ), xs AS (
+      SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+    ), xy AS (
+      SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+    ), g AS (
+      SELECT doc_id,
+             (x // (w // 8)) + 8 * (y // (h // 8)) AS k,
+             299 * ((doc_id + 3 * x + 7 * y) % 256)
+           + 587 * ((2 * doc_id + 5 * x + y) % 256)
+           + 114 * ((doc_id + x + 11 * y) % 256) AS lum
+      FROM xy
+    ), blocks AS (
+      SELECT doc_id, k, sum(lum) AS bs FROM g GROUP BY doc_id, k
+    ), tot AS (
+      SELECT doc_id, sum(bs) AS total FROM blocks GROUP BY doc_id
+    ), bits AS (
+      SELECT b.doc_id, b.k, CASE WHEN 64 * b.bs >= t.total THEN 1 ELSE 0 END AS bit
+      FROM blocks b JOIN tot t USING (doc_id)
+    ), hashes AS (
+      SELECT doc_id,
+             sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << (31 - k)) ELSE 0 END) AS hi,
+             sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (63 - k)) ELSE 0 END) AS lo
+      FROM bits GROUP BY doc_id
+    ), groups AS (
+      SELECT lower(lpad(to_hex(hi), 8, '0')) || lower(lpad(to_hex(lo), 8, '0')) AS ahash,
+             hi, lo, count(*) AS n_docs, min(doc_id) AS rep_doc
+      FROM hashes GROUP BY 1, 2, 3
+    )
+    SELECT a.ahash AS ahash_a, b.ahash AS ahash_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS dist,
+           a.n_docs::BIGINT AS n_docs_a, b.n_docs::BIGINT AS n_docs_b,
+           a.rep_doc AS rep_a, b.rep_doc AS rep_b
+    FROM groups a JOIN groups b ON a.ahash < b.ahash
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    """,
+)
+def q_dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate pairs over the aHash fingerprint — the full
+    image-dedup tier composed scale-first: (1) perceptual_ahash fingerprints
+    every image (one decode scan); (2) exact-hash GROUPS collapse first —
+    the distinct-hash table is bounded by fingerprint variety, NOT corpus
+    size, so everything downstream is corpus-growth-stable (the aggregate-
+    first discipline auc_roc uses for ranks); (3) Hamming ≤ 3 candidate
+    pairs BETWEEN distinct hashes come from a 4×16-bit banded equi-join
+    (pigeonhole: 3 flipped bits leave ≥1 of 4 bands intact — exact
+    completeness, same blocking theorem as dedup_simhash), verified by
+    bit_count(XOR) on the two 32-bit halves, all codegen. The oracle is
+    the naive all-pairs distance join over distinct hashes, so the gate
+    proves the banding loses nothing."""
+    from zio_analytics_spark.operators.multimodal import encode_png, perceptual_ahash
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+
+                def rgb(x, y, i=i):
+                    return (
+                        (i + 3 * x + 7 * y) % 256,
+                        (2 * i + 5 * x + y) % 256,
+                        (i + x + 11 * y) % 256,
+                    )
+
+                payloads.append(encode_png(8 * (1 + i % 3), 8 * (1 + i % 2), rgb))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = perceptual_ahash(docs.mapInPandas(encode, "doc_id long, payload binary"))
+    groups = hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_doc")
+    )
+    half = lambda col, part: F.conv(F.substring(col, 1 + 8 * part, 8), 16, 10).cast("long")  # noqa: E731
+    g = groups.select(
+        "ahash", "n_docs", "rep_doc",
+        half(F.col("ahash"), 0).alias("hi"),
+        half(F.col("ahash"), 1).alias("lo"),
+    )
+    bands = g.select(
+        "ahash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.substring("ahash", 1 + 4 * i, 4).alias("val"))
+                for i in range(4)
+            ])
+        ).alias("bv"),
+    ).select("ahash", "bv.band", "bv.val")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "val"])
+        .where(F.col("x.ahash") < F.col("y.ahash"))
+        .select(F.col("x.ahash").alias("ahash_a"), F.col("y.ahash").alias("ahash_b"))
+        .distinct()
+    )
+    ga = g.select(
+        F.col("ahash").alias("ahash_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"),
+        F.col("n_docs").alias("n_docs_a"), F.col("rep_doc").alias("rep_a"),
+    )
+    gb = g.select(
+        F.col("ahash").alias("ahash_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"),
+        F.col("n_docs").alias("n_docs_b"), F.col("rep_doc").alias("rep_b"),
+    )
+    dist = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return (
+        cand.join(F.broadcast(ga), "ahash_a")
+        .join(F.broadcast(gb), "ahash_b")
+        .withColumn("dist", dist)
+        .where((F.col("dist") >= 1) & (F.col("dist") <= 3))
+        .select("ahash_a", "ahash_b", "dist", "n_docs_a", "n_docs_b", "rep_a", "rep_b")
+    )
+
+
+@register(
+    "timeseries_decayed_sum",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value * pow(0.5, (epoch_us(TIMESTAMP '2024-01-31') - epoch_us(ts))
+                                      / 86400e6 / 7.0)), 6) AS decayed_sum,
+           round(sum(pow(0.5, (epoch_us(TIMESTAMP '2024-01-31') - epoch_us(ts))
+                              / 86400e6 / 7.0)), 6) AS decayed_weight
+    FROM events GROUP BY event_type
+    """,
+)
+def q_timeseries_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decayed counters as of a fixed instant
+    (operators/timeseries.py decayed_sum; half-life 7 d): the feature-store
+    snapshot aggregate. The crucial contrast with EWMA (a sequential
+    recurrence needing per-key ordered state): a FIXED-as-of decay weight
+    is a pure function of each row's own timestamp, so the whole thing is
+    an ordinary weighted hash aggregate — map-side partials, no ordering,
+    no state, bytes shuffled ∝ #groups — which is exactly why production
+    feature stores snapshot decayed counters this way."""
+    from zio_analytics_spark.operators.timeseries import decayed_sum
+
+    ev = read_table(spark, sf_dir, "events")
+    return decayed_sum(
+        ev, ts_col="ts", value_col="value", as_of="2024-01-31",
+        half_life_days=7.0, group_cols=["event_type"],
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

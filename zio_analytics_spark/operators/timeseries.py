@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["cascade_rollup", "cusum", "ewma", "autocorrelation"]
+__all__ = ["cascade_rollup", "cusum", "ewma", "autocorrelation", "decayed_sum"]
 
 # name → (initial agg over raw, re-agg over finer level)
 _REAGG = {
@@ -363,4 +363,40 @@ def autocorrelation(
         F.col("lag").cast("int").alias("lag"),
         F.col("__n").cast("long").alias("n_pairs"),
         F.round("__acf", 6).alias("acf"),
+    )
+
+
+def decayed_sum(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    as_of: str,
+    half_life_days: float = 7.0,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exponential time-decayed aggregate as of a fixed instant — the
+    feature-store "decayed counter": each observation contributes
+    ``value · 2^(−age/half_life)``, so yesterday's events matter ~10%
+    less (at 7 d half-life) and last month's barely at all.
+
+    Unlike EWMA (a sequential per-key recurrence — see :func:`ewma`),
+    the fixed-as-of decayed sum is a PLAIN WEIGHTED AGGREGATE: the weight
+    is a pure function of the row's own timestamp, so it parallelizes
+    like any sum — map-side partials, bytes shuffled ∝ #groups — and
+    needs no ordering, no state, no window. That associativity is why
+    production feature stores snapshot decayed counters this way at any
+    scale. Returns ``(group..., n, decayed_sum, decayed_weight)`` —
+    weight is the decayed row count, so sum/weight is the decayed mean.
+    Rounded 6 dp (cross-row float merge order)."""
+    g = list(group_cols)
+    age_days = (
+        F.unix_micros(F.lit(as_of).cast("timestamp"))
+        - F.unix_micros(F.col(ts_col))
+    ) / 86400e6
+    w = F.pow(F.lit(0.5), age_days / F.lit(half_life_days))
+    v = F.col(value_col).cast("double")
+    return df.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(v * w), 6).alias("decayed_sum"),
+        F.round(F.sum(w), 6).alias("decayed_weight"),
     )
