@@ -10490,6 +10490,112 @@ def q_timeseries_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hilbert_layout",
+    oracle="""
+    SELECT count(*)::BIGINT AS n, round(sum(value), 2) AS total
+    FROM events
+    WHERE user_id BETWEEN 40 AND 60 AND value BETWEEN 100 AND 200
+    """,
+)
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustered layout (operators/layout.py hilbert_value —
+    the locality-stronger sibling of zorder_layout: consecutive curve
+    indices are ALWAYS grid neighbors, asserted exhaustively in
+    test_layout, where the Z-curve jumps at every power-of-two boundary;
+    what Delta/Iceberg ship as Hilbert clustering). Events are written
+    range-partitioned + sorted by the curve index of (user_id,
+    value-bucket) — the index is pure Column math, the xy2d quadrant walk
+    as a 4-state table-driven FSM folded over Morton digits by one
+    ``aggregate`` HOF (O(bits) plan nodes, exhaustively verified against
+    the reference walk in test_layout) — then read back through a
+    conjunctive 2-D range predicate and
+    aggregated: values must survive the re-layout exactly (the oracle
+    filters the original table). test_layout measures per-file footer
+    rectangles and asserts the clustered layout beats an unsorted write
+    by 3×+."""
+    import shutil
+    import tempfile
+
+    from zio_analytics_spark.operators.layout import hilbert_write
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("user_id").cast("long").alias("ub"),
+        F.least(F.lit(255), F.floor(F.col("value") / 2)).cast("long").alias("vb"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="zas_hilbert_")
+    try:
+        hilbert_write(ev, out_dir, "ub", "vb", bits=8, n_files=8)
+        back = spark.read.parquet(out_dir).where(
+            F.col("user_id").between(40, 60) & F.col("value").between(100, 200)
+        )
+        result = back.agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH s AS (SELECT doc_id, 192 + doc_id % 129 AS n FROM documents),
+    v AS (SELECT doc_id, n, unnest(range(0, n)) AS k FROM s),
+    x AS (
+      SELECT doc_id, n, k, k // 64 AS frame,
+             ((doc_id * 31 + k * 7) % 2003) - 1001 AS amp,
+             CASE WHEN k % 64 > 0
+                  THEN ((doc_id * 31 + k * 7) % 2003 - 1001)
+                     * ((doc_id * 31 + (k - 1) * 7) % 2003 - 1001)
+                  ELSE 1 END AS adj_prod
+      FROM v
+    )
+    SELECT doc_id, CAST(frame AS INT) AS frame,
+           sum(amp * amp)::BIGINT AS energy,
+           sum(CASE WHEN adj_prod < 0 THEN 1 ELSE 0 END)::INT AS zcr,
+           max(abs(amp))::INT AS peak
+    FROM x
+    WHERE frame < n // 64
+    GROUP BY doc_id, frame
+    """,
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed audio features over REAL WAV decode (operators/multimodal.py
+    audio_frame_features): 64-sample frames of per-frame energy / zero
+    crossings / peak — the VAD/loudness front end of a speech pipeline,
+    all INTEGER arithmetic on int16 PCM so the DuckDB oracle predicts
+    every frame analytically from the synthetic sample formula
+    (((31·id + 7k) mod 2003) − 1001), including the strict-sign
+    zero-crossing rule and the dropped trailing partial frame."""
+    from zio_analytics_spark.operators.multimodal import (
+        audio_frame_features,
+        encode_wav,
+    )
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 192 + i % 129
+                k = np.arange(n, dtype=np.int64)
+                amp = ((i * 31 + k * 7) % 2003) - 1001
+                payloads.append(encode_wav(amp, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return audio_frame_features(payloads, frame_len=64)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

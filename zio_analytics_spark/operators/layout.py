@@ -33,7 +33,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_value", "zorder_write", "assign_contiguous_ids"]
+__all__ = [
+    "zorder_value",
+    "zorder_write",
+    "hilbert_value",
+    "hilbert_write",
+    "assign_contiguous_ids",
+]
 
 
 def zorder_value(cols: Sequence[Column | str], bits: int = 16) -> Column:
@@ -160,3 +166,98 @@ def assign_contiguous_ids(
     )
     rank = F.row_number().over(W.partitionBy("__bkt").orderBy(c, *tb))
     return with_b.withColumn(id_name, off + rank.cast("long") - 1).drop("__bkt")
+
+
+#: The 2-D Hilbert curve as a 4-state transducer over quadrant digits
+#: (MSB first): state = the dihedral transform the quadrant walk has
+#: accumulated so far (only 4 of the 8 square symmetries are reachable).
+#: Derived by composing the Wikipedia ``xy2d`` rotation per level and
+#: verified EXHAUSTIVELY against that reference for every point up to a
+#: 64×64 grid (test_layout re-asserts at 32×32). Indexed by
+#: ``state·4 + q`` with ``q = 2·x_bit + y_bit``.
+_HILBERT_OUT = [0, 1, 3, 2, 0, 3, 1, 2, 2, 1, 3, 0, 2, 3, 1, 0]
+_HILBERT_TRANS = [1, 0, 2, 0, 0, 3, 1, 1, 2, 2, 0, 3, 3, 1, 3, 2]
+
+
+def hilbert_value(x_col: Column | str, y_col: Column | str, bits: int = 8) -> Column:
+    """Hilbert-curve index of a 2-D point on a ``2^bits × 2^bits`` grid —
+    pure Column math (no UDF), the locality-stronger sibling of
+    :func:`zorder_value`: consecutive Hilbert indices are ALWAYS grid
+    neighbors (step distance exactly 1 — asserted exhaustively in
+    test_layout), where a Z-curve jumps across the key space at every
+    power-of-two boundary. Tighter runs → tighter per-file min/max
+    rectangles → better pruning on range predicates (what Delta/Iceberg
+    ship as Hilbert clustering).
+
+    Implementation: the table-driven Hilbert FSM (the standard encoding of
+    Wikipedia's ``xy2d`` quadrant walk as a 4-state transducer —
+    :data:`_HILBERT_OUT` / :data:`_HILBERT_TRANS`): first Morton-interleave
+    the bits (x in the high bit of each pair — O(bits) independent terms),
+    then fold ``(digit, state, window)`` through the base-4 digits MSB
+    first with ONE ``F.aggregate(sequence(...))`` HOF. The window trick
+    keeps every shift a CONSTANT (the DSL cannot shift by the lambda
+    variable): the state carries the remaining Morton value ``w`` and each
+    step reads ``w >> 2·(bits−1)`` then slides ``w ← (w mod 4^(bits−1))·4``.
+
+    Why a runtime fold and not unrolled Columns: unrolling the walk
+    level-by-level duplicates the (x, y) rotation state ~3× per level — an
+    O(3^bits) Catalyst tree that took MINUTES to analyze at bits=8. The
+    fold is O(bits) expression nodes (the interleave) + an O(1) lambda, so
+    the ceiling is the coordinate domain, not the plan: ``bits ≤ 31``
+    (2·bits ≤ 62 result bits).
+
+    Inputs are clamped into range like :func:`zorder_value`. Determinism
+    makes the index (and the layout it drives) oracle-replayable.
+    """
+    if bits < 1 or bits > 31:
+        raise ValueError("hilbert_value supports 1..31 bits")
+    cap = (1 << bits) - 1
+    xc = F.col(x_col) if isinstance(x_col, str) else x_col
+    yc = F.col(y_col) if isinstance(y_col, str) else y_col
+    x = F.least(F.greatest(xc.cast("long"), F.lit(0)), F.lit(cap))
+    y = F.least(F.greatest(yc.cast("long"), F.lit(0)), F.lit(cap))
+    z = F.lit(0).cast("long")
+    for level in range(bits):
+        xb = F.shiftright(x, level).bitwiseAND(F.lit(1))
+        yb = F.shiftright(y, level).bitwiseAND(F.lit(1))
+        z = z + (xb * 2 + yb).cast("long") * F.lit(1 << (2 * level))
+    out_arr = F.array(*[F.lit(v).cast("long") for v in _HILBERT_OUT])
+    trans_arr = F.array(*[F.lit(v) for v in _HILBERT_TRANS])
+    div = 1 << (2 * (bits - 1))  # the MSB base-4 digit's place value
+
+    def step(acc: Column, _l: Column) -> Column:
+        digit = F.shiftright(acc["w"], 2 * (bits - 1)).cast("int")
+        idx = acc["s"] * 4 + digit + 1
+        return F.struct(
+            (acc["d"] * 4 + F.element_at(out_arr, idx)).alias("d"),
+            F.element_at(trans_arr, idx).alias("s"),
+            (acc["w"].bitwiseAND(F.lit(div - 1)) * 4).alias("w"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("d"), F.lit(0).alias("s"), z.alias("w")
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(bits)), init, step, lambda acc: acc["d"]
+    )
+
+
+def hilbert_write(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    n_files: int | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered by Hilbert index — same
+    range-partition + in-partition sort shape as :func:`zorder_write`,
+    with the curve's stronger locality driving the file rectangles."""
+    h = hilbert_value(x_col, y_col, bits).alias("__h")
+    clustered = df.withColumn("__h", h)
+    parts = (
+        clustered.repartitionByRange(n_files, "__h")
+        if n_files
+        else clustered.repartitionByRange("__h")
+    )
+    parts.sortWithinPartitions("__h").drop("__h").write.mode("overwrite").parquet(path)
