@@ -617,3 +617,45 @@ def test_ahash_matches_analytic_png_pixels(spark):
     lo = sum(1 << (31 - k) for k in range(32) if bits[32 + k])
     assert row["ahash"] == f"{hi:08x}{lo:08x}"
     assert row["n_bits_set"] == int(bits.sum())
+
+
+def test_dtmf_detect_margins_and_keys(spark):
+    import numpy as np
+
+    from zio_analytics_spark.operators.multimodal import (
+        DTMF_COL_HZ,
+        DTMF_ROW_HZ,
+        _DTMF_KEYPAD,
+        dtmf_detect,
+        encode_wav,
+    )
+
+    k = np.arange(320, dtype=np.int64)
+    rows = []
+    expected = {}
+    for i in range(12):
+        f1 = DTMF_ROW_HZ[i % 4]
+        f2 = DTMF_COL_HZ[(i // 4) % 3]
+        amp = (
+            np.floor(3000 * np.sin(2 * np.pi * f1 * k / 8000.0))
+            + np.floor(3000 * np.sin(2 * np.pi * f2 * k / 8000.0))
+            + ((31 * i + 7 * k) % 201)
+            - 100
+        ).astype(np.int64)
+        rows.append((i, bytearray(encode_wav(amp))))
+        expected[i] = (f1, f2, _DTMF_KEYPAD[(i % 4) * 4 + (i // 4) % 3])
+        # decision-margin assertion (docstring contract): the true band
+        # carries >20x the energy of the runner-up in its group
+        w = 2.0 * np.pi * k / 8000.0
+        for freqs, true_f in ((DTMF_ROW_HZ, f1), (DTMF_COL_HZ, f2)):
+            pw = {
+                f: float((amp * np.cos(f * w)).sum()) ** 2
+                + float((amp * np.sin(f * w)).sum()) ** 2
+                for f in freqs
+            }
+            others = max(v for f, v in pw.items() if f != true_f)
+            assert pw[true_f] > 20 * others, (i, true_f, pw)
+
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["row_hz"], r["col_hz"], r["digit"]) for r in dtmf_detect(df).collect()}
+    assert got == expected

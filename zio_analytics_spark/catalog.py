@@ -10596,6 +10596,92 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_features(payloads, frame_len=64)
 
 
+@register(
+    "multimodal_dtmf_detect",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             [697, 770, 852, 941][(doc_id % 4) + 1] AS f1,
+             [1209, 1336, 1477][((doc_id // 4) % 3) + 1] AS f2
+      FROM documents
+    ),
+    s AS (SELECT doc_id, f1, f2, unnest(range(0, 320)) AS k FROM d),
+    x AS (
+      SELECT doc_id, k,
+             floor(3000 * sin(2 * pi() * f1 * k / 8000.0))
+           + floor(3000 * sin(2 * pi() * f2 * k / 8000.0))
+           + ((31 * doc_id + 7 * k) % 201) - 100 AS amp
+      FROM s
+    ),
+    p AS (
+      SELECT doc_id, f.hz, f.grp,
+             pow(sum(amp * cos(2 * pi() * f.hz * k / 8000.0)), 2)
+           + pow(sum(amp * sin(2 * pi() * f.hz * k / 8000.0)), 2) AS pw
+      FROM x
+      CROSS JOIN (VALUES (697, 'r'), (770, 'r'), (852, 'r'), (941, 'r'),
+                         (1209, 'c'), (1336, 'c'), (1477, 'c')) f(hz, grp)
+      GROUP BY doc_id, f.hz, f.grp
+    ),
+    best AS (
+      SELECT doc_id, grp, hz,
+             row_number() OVER (PARTITION BY doc_id, grp
+                                ORDER BY pw DESC, hz ASC) AS rn
+      FROM p
+    ),
+    det AS (
+      SELECT r.doc_id, r.hz AS row_hz, c.hz AS col_hz
+      FROM best r JOIN best c ON r.doc_id = c.doc_id
+      WHERE r.grp = 'r' AND r.rn = 1 AND c.grp = 'c' AND c.rn = 1
+    )
+    SELECT doc_id, CAST(row_hz AS INT) AS row_hz, CAST(col_hz AS INT) AS col_hz,
+           ['1','2','3','A','4','5','6','B','7','8','9','C','*','0','#','D']
+           [(list_position([697,770,852,941], row_hz) - 1) * 4
+            + list_position([1209,1336,1477], col_hz)] AS digit
+    FROM det
+    """,
+)
+def q_multimodal_dtmf_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTMF key decoding over REAL WAV clips (operators/multimodal.py
+    dtmf_detect): each document carries a two-tone telephony clip (row
+    tone by doc_id mod 4, column tone by doc_id div 4 mod 3, plus
+    deterministic integer noise); the operator decodes the WAV and
+    recovers the dialed key from single-bin DFT band powers (the Goertzel
+    closed form — a (clips × samples) · (samples × 7 bands) matrix product
+    per Arrow batch, no FFT library). The DuckDB oracle replays the SAME
+    physics: it synthesizes the identical samples analytically (sin/floor
+    produce bit-identical doubles across numpy and DuckDB — probed), runs
+    the same 7 band-power sums in SQL, and argmaxes per band group.
+    Output is integer/text only, so ulp-scale summation drift (vs ≥40 dB
+    tone margins) can never flip a compared value."""
+    from zio_analytics_spark.operators.multimodal import dtmf_detect, encode_wav
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows_hz = (697, 770, 852, 941)
+        cols_hz = (1209, 1336, 1477)
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                f1 = rows_hz[i % 4]
+                f2 = cols_hz[(i // 4) % 3]
+                k = np.arange(320, dtype=np.int64)
+                amp = (
+                    np.floor(3000 * np.sin(2 * np.pi * f1 * k / 8000.0))
+                    + np.floor(3000 * np.sin(2 * np.pi * f2 * k / 8000.0))
+                    + ((31 * i + 7 * k) % 201)
+                    - 100
+                ).astype(np.int64)
+                payloads.append(encode_wav(amp, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return dtmf_detect(payloads)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

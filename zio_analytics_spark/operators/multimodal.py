@@ -46,6 +46,7 @@ __all__ = [
     "decode_audio",
     "decode_audio_stats",
     "audio_frame_features",
+    "dtmf_detect",
     "encode_y4m",
     "decode_video",
     "sample_frame_stats",
@@ -1009,4 +1010,67 @@ def audio_frame_features(
             )
 
     schema = f"{id_col} long, frame int, energy long, zcr int, peak int"
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+#: DTMF keypad: row tones × column tones → dialed symbol (ITU-T Q.23 —
+#: public spec; the frequencies are chosen so no tone is a harmonic of
+#: another, which is why per-band energy separates them cleanly).
+DTMF_ROW_HZ = (697, 770, 852, 941)
+DTMF_COL_HZ = (1209, 1336, 1477)
+_DTMF_KEYPAD = "123A456B789C*0#D"
+
+
+def dtmf_detect(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DTMF tone detection — per-band spectral energy via the single-bin
+    DFT (the Goertzel filter's closed form: ``P_f = (Σ x_k·cos ω_f k)² +
+    (Σ x_k·sin ω_f k)²``), the classic telephony-decoding / tone-keying
+    task and the simplest REAL spectral front end: no FFT library, just a
+    (n_clips × n_samples) · (n_samples × 7-band) matrix product per Arrow
+    batch.
+
+    REAL decode via :func:`decode_audio` (mono channel 0, the clip's own
+    sample rate), then the 4 row-tone + 3 column-tone band powers; the
+    detected key is the argmax row band × argmax column band mapped
+    through the Q.23 keypad (ties → lower frequency, ``np.argmax`` first-
+    hit). Output is INTEGER/VARCHAR only — ``(id, row_hz, col_hz, digit)``
+    — so cross-engine float-summation drift in the band powers (ulp-scale,
+    vs ≥40 dB decision margins for any real tone) can never flip a
+    compared value; the raw powers stay a pytest concern (test_multimodal
+    asserts the detected band carries >20× the energy of its runner-up).
+
+    One mapInPandas scan, payload bytes never leave the task — the same
+    decode-grain seam as :func:`audio_frame_features`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, row_hz, col_hz, digits = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[bin_col]):
+                m = decode_audio(p)
+                s = m["samples"][:, 0].astype(np.float64)
+                k = np.arange(len(s), dtype=np.float64)
+                w = 2.0 * np.pi * k / float(m["sample_rate"])
+                basis = np.concatenate(
+                    [
+                        np.stack([fn(f * w) for f in DTMF_ROW_HZ + DTMF_COL_HZ])
+                        for fn in (np.cos, np.sin)
+                    ]
+                )  # (14, n): 7 cos rows then 7 sin rows
+                proj = basis @ s
+                powers = proj[:7] ** 2 + proj[7:] ** 2
+                r = int(np.argmax(powers[:4]))
+                c = int(np.argmax(powers[4:]))
+                ids.append(i)
+                row_hz.append(DTMF_ROW_HZ[r])
+                col_hz.append(DTMF_COL_HZ[c])
+                digits.append(_DTMF_KEYPAD[r * 4 + c])
+            yield pd.DataFrame(
+                {id_col: ids, "row_hz": row_hz, "col_hz": col_hz, "digit": digits}
+            )
+
+    schema = f"{id_col} long, row_hz int, col_hz int, digit string"
     return df.select(id_col, bin_col).mapInPandas(run, schema)
