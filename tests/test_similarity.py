@@ -186,3 +186,41 @@ def test_random_project_preserves_norms_on_average(spark):
     # bounded spread, and the MEAN must be close to 1
     assert 0.9 < float(np.mean(np.square(ratios))) < 1.1
     assert all(0.3 < x < 2.0 for x in ratios)
+
+
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    import numpy as np
+
+    from zio_analytics_spark.operators.similarity import brute_force_topk, mmr_select
+
+    # query axis e0; ids 1-4: near-duplicates of the query (cos ~0.999);
+    # id 10: a distinct but still-relevant direction (cos ~0.80)
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(1, 5):
+        v = np.array([1.0, 0.0, 0.0, 0.0]) + 0.02 * rng.standard_normal(4)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((10, [0.8, 0.6, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.0, 0.0, 0.0]
+
+    plain = [r["vec_id"] for r in brute_force_topk(df, q, k=3).collect()]
+    assert 10 not in plain  # pure relevance drowns in duplicates
+
+    mmr = mmr_select(df, q, k=3, pool=5, lam=0.5)
+    picked = [r["vec_id"] for r in mmr.orderBy("step").collect()]
+    assert picked[0] in (1, 2, 3, 4)  # step 1 = pure relevance
+    assert 10 in picked[:2]  # redundancy penalty promotes the diverse doc
+    # steps are distinct docs and mmr scores are finite
+    assert len(set(picked)) == 3
+
+
+def test_mmr_step1_is_relevance_argmax(spark):
+    from zio_analytics_spark.operators.similarity import brute_force_topk, mmr_select
+
+    rows = [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.5, 0.25]
+    top1 = brute_force_topk(df, q, k=1).collect()[0]["vec_id"]
+    first = mmr_select(df, q, k=4, pool=10).orderBy("step").collect()[0]
+    assert first["vec_id"] == top1 and first["step"] == 1

@@ -10724,6 +10724,61 @@ def q_join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_radius_join(pts, radius_km=150.0, max_abs_lat=16.0)
 
 
+def _mmr_oracle(k: int = 6, pool: int = 40, lam: float = 0.7) -> str:
+    """DuckDB replay of the greedy MMR walk, one CTE per step (the
+    unrolled-argmax pattern established by the BPE oracles): step r picks
+    the pool row maximizing ``λ·rel − (1−λ)·max cos-sim to steps 1..r−1``
+    (ties → lowest id). Scores stay raw doubles — numpy and DuckDB agree
+    at ulp level, and the SQL spells the penalty weight ``(1.0 − λ)`` the
+    way Python computes it so even the constant bits match."""
+    ctes = [
+        """q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)""",
+        f"""pool AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_cosine_similarity(embedding::DOUBLE[], qe) AS rel
+      FROM embeddings, q WHERE vec_id <> 0
+      ORDER BY rel DESC, vec_id LIMIT {pool}
+    )""",
+        f"""s1 AS (
+      SELECT vec_id, rel, {lam} * rel AS mmr
+      FROM pool ORDER BY mmr DESC, vec_id LIMIT 1
+    )""",
+    ]
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM s{j}" for j in range(1, r))
+        ctes.append(f"""s{r} AS (
+      SELECT p.vec_id, p.rel,
+             {lam} * p.rel - (1.0 - {lam}) * (
+               SELECT max(list_cosine_similarity(p.e, x.e))
+               FROM pool x WHERE x.vec_id IN ({prev})) AS mmr
+      FROM pool p
+      WHERE p.vec_id NOT IN ({prev})
+      ORDER BY mmr DESC, p.vec_id LIMIT 1
+    )""")
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST({r} AS INTEGER) AS step, vec_id, rel, mmr FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT * FROM (\n      {unions}\n    ) ORDER BY step"
+
+
+@register("similarity_mmr_rerank", oracle=_mmr_oracle())
+def q_similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval (operators/
+    similarity.py mmr_select — Carbonell & Goldstein 1998): the standard
+    redundancy fix for RAG context assembly. The distributed stage scores
+    the whole corpus against query vec 0 with the codegen cosine HOF and
+    TakeOrdered-cuts a 40-candidate pool; the greedy λ·rel − (1−λ)·maxsim
+    walk then runs over the pool's bounded matrix on the driver (k-means-
+    codebook discipline). The oracle replays the exact walk as unrolled
+    per-step argmax CTEs."""
+    from zio_analytics_spark.operators.similarity import mmr_select
+
+    qv = _query_vec(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return mmr_select(emb, qv, k=6, pool=40, lam=0.7)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
