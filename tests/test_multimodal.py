@@ -659,3 +659,39 @@ def test_dtmf_detect_margins_and_keys(spark):
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r["doc_id"]: (r["row_hz"], r["col_hz"], r["digit"]) for r in dtmf_detect(df).collect()}
     assert got == expected
+
+
+def test_scene_cuts_one_cut_per_clip(spark):
+    import numpy as np
+
+    from zio_analytics_spark.operators.multimodal import encode_y4m, scene_cuts
+
+    rows = []
+    for i in range(8):
+        s = 3 + i % 4
+        fr = np.zeros((8, 4, 6, 3), dtype=np.uint8)
+        yy, xx = np.mgrid[0:4, 0:6]
+        for f in range(8):
+            fr[f, :, :, 0] = (i + 3 * xx + 5 * yy + 2 * f) % 100 + (120 if f >= s else 0)
+        rows.append((i, bytearray(encode_y4m(fr, 6, 4))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = scene_cuts(df, threshold=1000).collect()
+    assert len(out) == 8 * 7  # one row per transition
+    cuts = {r["doc_id"]: r["frame"] for r in out if r["is_cut"]}
+    assert cuts == {i: 3 + i % 4 for i in range(8)}  # exactly one cut, at s
+    # within-scene transitions carry small but NONZERO sad (texture drift)
+    for r in out:
+        if not r["is_cut"]:
+            assert 0 < r["sad"] < 1000
+
+
+def test_scene_cuts_short_clip_emits_nothing(spark):
+    import numpy as np
+
+    from zio_analytics_spark.operators.multimodal import encode_y4m, scene_cuts
+
+    one = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_y4m(one, 2, 2)))], "doc_id long, payload binary"
+    )
+    assert scene_cuts(df).count() == 0

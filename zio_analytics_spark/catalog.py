@@ -10779,6 +10779,61 @@ def q_similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select(emb, qv, k=6, pool=40, lam=0.7)
 
 
+@register(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS s FROM documents),
+    fr AS (SELECT doc_id, s, unnest(range(1, 8)) AS f FROM d),
+    px AS (
+      SELECT doc_id, f,
+             abs(((doc_id + 3 * x.x + 5 * y.y + 2 * f) % 100
+                    + CASE WHEN f >= s THEN 120 ELSE 0 END)
+                 - ((doc_id + 3 * x.x + 5 * y.y + 2 * (f - 1)) % 100
+                    + CASE WHEN f - 1 >= s THEN 120 ELSE 0 END)) AS ad
+      FROM fr, range(0, 6) x(x), range(0, 4) y(y)
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame, sum(ad)::BIGINT AS sad,
+           sum(ad) >= 1000 AS is_cut
+    FROM px GROUP BY doc_id, f
+    """,
+)
+def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL y4m decode (operators/
+    multimodal.py scene_cuts): every document carries an 8-frame 6×4 clip
+    whose luma jumps +120 at a per-doc cut frame (3 + id mod 4), with a
+    drifting mod-100 texture underneath; the luma-SAD detector flags the
+    transition whose Sum of Absolute Differences crosses the threshold.
+    All integer arithmetic, so the oracle predicts every SAD — including
+    the mod-wraparound pixels that make within-scene SAD nonzero —
+    analytically per (doc, transition). Exactly one cut per clip by
+    construction (asserted in test_multimodal)."""
+    from zio_analytics_spark.operators.multimodal import encode_y4m, scene_cuts
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                s = 3 + i % 4
+                fr = np.zeros((8, 4, 6, 3), dtype=np.uint8)
+                yy, xx = np.mgrid[0:4, 0:6]
+                for f in range(8):
+                    fr[f, :, :, 0] = (i + 3 * xx + 5 * yy + 2 * f) % 100 + (
+                        120 if f >= s else 0
+                    )
+                    fr[f, :, :, 1] = (i + f) % 256
+                    fr[f, :, :, 2] = (2 * i) % 256
+                payloads.append(encode_y4m(fr, 6, 4))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return scene_cuts(payloads, threshold=1000)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
