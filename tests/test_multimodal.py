@@ -695,3 +695,44 @@ def test_scene_cuts_short_clip_emits_nothing(spark):
         [(1, bytearray(encode_y4m(one, 2, 2)))], "doc_id long, payload binary"
     )
     assert scene_cuts(df).count() == 0
+
+
+def test_image_resize_box_exact_block_average(spark):
+    import numpy as np
+
+    from zio_analytics_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+        image_resize_box,
+    )
+
+    w, h = 12, 8
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 256, size=(h, w, 3))
+
+    def rgb(x, y):
+        return tuple(int(v) for v in src[y, x])
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(w, h, rgb)))], "doc_id long, payload binary"
+    )
+    row = image_resize_box(df, factor=4).collect()[0]
+    assert (row["width"], row["height"]) == (3, 2)
+    out = decode_image(bytes(row["payload"]))["pixels"]
+    want = src.reshape(2, 4, 3, 4, 3).sum(axis=(1, 3)) // 16
+    assert np.array_equal(out.astype(np.int64), want)
+
+
+def test_image_resize_box_drops_partial_blocks_and_tiny_images(spark):
+    from zio_analytics_spark.operators.multimodal import encode_png, image_resize_box
+
+    def rgb(x, y):
+        return (x, y, 0)
+
+    rows = [
+        (1, bytearray(encode_png(5, 3, rgb))),  # 5x3 at factor 2 -> 2x1
+        (2, bytearray(encode_png(1, 1, rgb))),  # smaller than a block: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["width"], r["height"]) for r in image_resize_box(df, factor=2).collect()}
+    assert got == {1: (2, 1)}

@@ -10834,6 +10834,81 @@ def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scene_cuts(payloads, threshold=1000)
 
 
+@register(
+    "multimodal_image_resize",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, (8 * (1 + doc_id % 3)) // 2 AS nw,
+             (8 * (1 + doc_id % 2)) // 2 AS nh
+      FROM documents
+    ),
+    xs AS (SELECT doc_id, nw, nh, unnest(range(0, nw)) AS x FROM g),
+    cells AS (SELECT doc_id, nw, nh, x, unnest(range(0, nh)) AS y FROM xs),
+    px AS (
+      SELECT doc_id, nw, nh, x, y,
+        ((doc_id + 3*(2*x)   + 7*(2*y))   % 256
+       + (doc_id + 3*(2*x+1) + 7*(2*y))   % 256
+       + (doc_id + 3*(2*x)   + 7*(2*y+1)) % 256
+       + (doc_id + 3*(2*x+1) + 7*(2*y+1)) % 256) // 4 AS rp,
+        ((2*doc_id + 5*(2*x)   + (2*y))   % 256
+       + (2*doc_id + 5*(2*x+1) + (2*y))   % 256
+       + (2*doc_id + 5*(2*x)   + (2*y+1)) % 256
+       + (2*doc_id + 5*(2*x+1) + (2*y+1)) % 256) // 4 AS gp,
+        ((doc_id + (2*x)   + 11*(2*y))   % 256
+       + (doc_id + (2*x+1) + 11*(2*y))   % 256
+       + (doc_id + (2*x)   + 11*(2*y+1)) % 256
+       + (doc_id + (2*x+1) + 11*(2*y+1)) % 256) // 4 AS bp
+      FROM cells
+    )
+    SELECT doc_id, CAST(max(nw) AS INT) AS width, CAST(max(nh) AS INT) AS height,
+           (max(nw) * max(nh))::BIGINT AS n_pixels,
+           sum(rp + gp + bp)::DOUBLE / (max(nw) * max(nh) * 3) AS mean_byte,
+           min(least(rp, gp, bp))::INT AS min_byte,
+           max(greatest(rp, gp, bp))::INT AS max_byte,
+           max(CASE WHEN x = 0 AND y = 0 THEN rp END)::INT AS first_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE round-trip (operators/multimodal.py image_resize_box —
+    the north-star 'resize' stage made real): synthetic RGB PNGs are
+    decoded, 2× box-filter downsampled (each output pixel the exact
+    floor-average of its 2×2 block), RE-ENCODED to PNG inside the task,
+    and the smaller payloads flow unchanged into decode_pixel_stats — a
+    full decode → resize → encode → decode chain through the pure-Python
+    codec. Integer arithmetic end to end, so the DuckDB oracle predicts
+    every stat of the RESIZED image (mean/min/max byte, top-left red)
+    analytically from the source pixel formulas."""
+    from zio_analytics_spark.operators.multimodal import (
+        decode_pixel_stats,
+        encode_png,
+        image_resize_box,
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+
+                def rgb(x, y, i=i):
+                    return (
+                        (i + 3 * x + 7 * y) % 256,
+                        (2 * i + 5 * x + y) % 256,
+                        (i + x + 11 * y) % 256,
+                    )
+
+                payloads.append(encode_png(w, h, rgb))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_pixel_stats(image_resize_box(payloads, factor=2))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -51,6 +51,7 @@ __all__ = [
     "decode_video",
     "sample_frame_stats",
     "scene_cuts",
+    "image_resize_box",
     "map_decode",
 ]
 
@@ -1115,4 +1116,63 @@ def scene_cuts(
             yield out
 
     schema = f"{id_col} long, frame int, sad long, is_cut boolean"
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def image_resize_box(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    factor: int = 2,
+) -> DataFrame:
+    """Image RESIZE as a real pipeline stage — the thumbnail/downsample
+    step every vision-data pipeline runs before hashing or feature
+    extraction: decode (:func:`decode_image` — real PNG/BMP/PPM parsing),
+    box-filter downsample by an integer ``factor`` (each output pixel is
+    the FLOOR-average of its factor×factor block — integer arithmetic, so
+    the result is bit-reproducible and analytically predictable), then
+    RE-ENCODE to PNG, proving the encode half of the codec round-trips
+    inside the task. Trailing rows/columns that don't fill a block are
+    dropped (the standard crop-to-multiple convention).
+
+    Output: ``(id, width, height, payload)`` with the NEW dimensions and
+    the resized PNG bytes — a drop-in replacement column, so downstream
+    stages (:func:`decode_pixel_stats`, :func:`perceptual_ahash`) run
+    unchanged on the smaller payloads. One ``mapInPandas`` scan; at 100 TB
+    this is the stage that shrinks shuffle width for everything after it.
+    Images smaller than one block emit no row."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, payloads = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[bin_col]):
+                m = decode_image(p)
+                px = m["pixels"].astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                nh, nw = h // factor, w // factor
+                if nh == 0 or nw == 0:
+                    continue
+                blocks = px[: nh * factor, : nw * factor].reshape(
+                    nh, factor, nw, factor, px.shape[2]
+                )
+                small = (blocks.sum(axis=(1, 3)) // (factor * factor)).astype(np.uint8)
+                ids.append(i)
+                ws.append(nw)
+                hs.append(nh)
+                payloads.append(
+                    encode_png(
+                        nw,
+                        nh,
+                        lambda x, y, s=small: tuple(int(v) for v in s[y, x, :3]),
+                        color_type=2,
+                        filter_cycle=False,
+                    )
+                )
+            yield pd.DataFrame(
+                {id_col: ids, "width": ws, "height": hs, "payload": payloads}
+            )
+
+    schema = f"{id_col} long, width int, height int, payload binary"
     return df.select(id_col, bin_col).mapInPandas(run, schema)
