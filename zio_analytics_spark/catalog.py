@@ -5547,7 +5547,7 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT count(*)::BIGINT AS n, round(sum(value), 2) AS total
     FROM events
-    WHERE user_id BETWEEN 40 AND 60 AND value BETWEEN 100 AND 200
+    WHERE user_id BETWEEN 2 AND 60 AND value BETWEEN 50 AND 200
     """,
 )
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5576,7 +5576,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         zorder_write(ev, out_dir, cols=["ub", "vb"], bits=8, n_files=8)
         back = spark.read.parquet(out_dir).where(
-            F.col("user_id").between(40, 60) & F.col("value").between(100, 200)
+            F.col("user_id").between(2, 60) & F.col("value").between(50, 200)
         )
         result = back.agg(
             F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
@@ -10495,7 +10495,7 @@ def q_timeseries_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT count(*)::BIGINT AS n, round(sum(value), 2) AS total
     FROM events
-    WHERE user_id BETWEEN 40 AND 60 AND value BETWEEN 100 AND 200
+    WHERE user_id BETWEEN 2 AND 60 AND value BETWEEN 50 AND 200
     """,
 )
 def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10530,7 +10530,7 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         hilbert_write(ev, out_dir, "ub", "vb", bits=8, n_files=8)
         back = spark.read.parquet(out_dir).where(
-            F.col("user_id").between(40, 60) & F.col("value").between(100, 200)
+            F.col("user_id").between(2, 60) & F.col("value").between(50, 200)
         )
         result = back.agg(
             F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
