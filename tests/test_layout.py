@@ -307,3 +307,64 @@ def test_hilbert_write_locality_beats_unsorted(spark, tmp_path):
     back = spark.read.parquet(hpath)
     assert back.count() == 20_000
     assert back.agg(F.sum("a")).collect()[0][0] == sum(r[1] for r in rows)
+
+
+# --- global_cumsum / plan_compaction (round-7) -----------------------------
+
+
+def test_global_cumsum_matches_naive_window(spark):
+    import random
+
+    from zio_analytics_spark.operators.layout import global_cumsum
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(1, 500)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    # tiny bucket sketch to force the multi-bucket path
+    out = global_cumsum(df, "k", "v", out_name="run", n_buckets=16)
+    got = {r["k"]: r["run"] for r in out.collect()}
+    acc = 0
+    for k, v in sorted(rows):
+        acc += v
+        assert got[k] == acc, k
+
+
+def test_global_cumsum_empty_input(spark):
+    from zio_analytics_spark.operators.layout import global_cumsum
+
+    df = spark.createDataFrame([], "k long, v long")
+    assert global_cumsum(df, "k", "v").count() == 0
+
+
+def test_plan_compaction_bins_respect_target(spark):
+    import random
+
+    from zio_analytics_spark.operators.layout import plan_compaction
+
+    rng = random.Random(23)
+    rows = [(i, rng.randrange(100, 3000)) for i in range(300)]
+    df = spark.createDataFrame(rows, "file_id long, bytes long")
+    target = 10_000
+    plan = plan_compaction(df, target, n_buckets=16).collect()
+    assert len(plan) == 300
+    bins = {}
+    for r in sorted(plan, key=lambda r: r["file_id"]):
+        bins.setdefault(r["bin"], []).append(r["bytes"])
+    # bins are contiguous 0..max and each overflows target by at most its
+    # LAST file (the split-packing contract); all but the last bin reach it
+    assert sorted(bins) == list(range(len(bins)))
+    for b, sizes in bins.items():
+        total = sum(sizes)
+        assert total - sizes[-1] < target, b
+        if b < len(bins) - 1:
+            assert total >= target - 3000, b  # next file would have overflowed
+
+
+def test_plan_compaction_validates(spark):
+    import pytest
+
+    from zio_analytics_spark.operators.layout import plan_compaction
+
+    df = spark.createDataFrame([(1, 10)], "file_id long, bytes long")
+    with pytest.raises(ValueError):
+        plan_compaction(df, 0)

@@ -10909,6 +10909,35 @@ def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_pixel_stats(image_resize_box(payloads, factor=2))
 
 
+@register(
+    "layout_compaction_plan",
+    oracle="""
+    SELECT doc_id AS file_id, length(text)::BIGINT AS bytes,
+           CAST(floor((sum(length(text)) OVER (ORDER BY doc_id)
+                       - length(text)) / 8192.0) AS BIGINT) AS bin
+    FROM documents
+    """,
+)
+def q_layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner (operators/layout.py
+    plan_compaction): walk files in id order and start a new output bin
+    every 8 KiB of cumulative size — Spark's own maxPartitionBytes split-
+    packing rule applied to the write side, the fix for the 100 TB
+    small-file problem. The running total comes from global_cumsum (the
+    value-generalization of assign_contiguous_ids: quantile buckets +
+    per-bucket sums + in-bucket window — an EXACT global cumsum with no
+    single-task sort), and the oracle IS that single-task window the
+    operator avoids. Documents stand in as files with bytes =
+    length(text)."""
+    from zio_analytics_spark.operators.layout import plan_compaction
+
+    files = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id"),
+        F.length("text").cast("long").alias("bytes"),
+    )
+    return plan_compaction(files, target_bytes=8192)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -39,6 +39,8 @@ __all__ = [
     "hilbert_value",
     "hilbert_write",
     "assign_contiguous_ids",
+    "global_cumsum",
+    "plan_compaction",
 ]
 
 
@@ -261,3 +263,107 @@ def hilbert_write(
         else clustered.repartitionByRange("__h")
     )
     parts.sortWithinPartitions("__h").drop("__h").write.mode("overwrite").parquet(path)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_num: Column | str,
+    value_col: str,
+    tiebreak: Sequence[Column | str] = (),
+    out_name: str = "running_total",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """EXACT global running total of ``value_col`` in ``(order_num,
+    *tiebreak)`` order without a single-task global sort — the
+    generalization of :func:`assign_contiguous_ids` (which is the cumsum
+    of 1s): (1) approximate-quantile boundaries bucket the order key
+    (ties share a bucket, so bucket order respects value order — skewed
+    boundaries cost balance, never correctness); (2) one tiny aggregate
+    sums ``value_col`` per bucket → cumulative VALUE offsets inlined as a
+    literal map; (3) running total = bucket offset + in-bucket window
+    cumsum, each bucket sorting only its own slice in parallel.
+
+    The naive ``sum() OVER (ORDER BY ...)`` funnels 100 TB through ONE
+    window task; this is the standard two-pass replacement. Values should
+    be integral (exact offsets); ``(order_num, *tiebreak)`` must be a
+    total order for a deterministic result."""
+    c = F.col(order_num) if isinstance(order_num, str) else order_num
+    tb = [F.col(t) if isinstance(t, str) else t for t in tiebreak]
+    key = df.select(c.alias("__k"))
+    if n_buckets is None:
+        n_rows = key.count()
+        n_buckets = max(16, min(4096, -(-n_rows // 2_000_000)))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = key.agg(
+        F.expr(f"approx_percentile(__k, array({', '.join(map(str, qs))}))")
+    ).first()[0]
+    if bounds is None:
+        return df.withColumn(out_name, F.lit(None).cast("long"))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (c > F.lit(float(b))).cast("int")
+    with_b = df.withColumn("__bkt", bucket)
+    sums = {
+        r["__bkt"]: r["s"]
+        for r in with_b.groupBy("__bkt")
+        .agg(F.sum(F.col(value_col)).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for bk in sorted(sums):
+        offsets[bk] = acc
+        acc += sums[bk] or 0
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(b) for b in sorted(offsets)]),
+            F.array(*[F.lit(offsets[b]).cast("long") for b in sorted(offsets)]),
+        ),
+        F.col("__bkt"),
+    )
+    win = (
+        W.partitionBy("__bkt")
+        .orderBy(c, *tb)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = off + F.sum(F.col(value_col)).over(win).cast("long")
+    return with_b.withColumn(out_name, running).drop("__bkt")
+
+
+def plan_compaction(
+    files: DataFrame,
+    target_bytes: int,
+    size_col: str = "bytes",
+    id_col: str = "file_id",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Small-files compaction PLANNER: assign each input file to an output
+    bin by walking the files in ``id_col`` order and starting a new bin
+    every ``target_bytes`` of cumulative size — exactly how Spark's own
+    file-scan packs splits into tasks under ``files.maxPartitionBytes``,
+    applied to the write side (the small-file problem: a 100 TB table
+    ingested in 10 MB increments pays per-file open/footer costs on every
+    scan until someone compacts).
+
+    ``bin = floor((running_total − size) / target)`` over the EXACT
+    distributed cumsum of :func:`global_cumsum` — no single-task sort, no
+    driver loop; a bin may overflow ``target_bytes`` by at most its last
+    file (the same overflow contract as Spark's split packing).
+    Deterministic given unique ids, so a SQL window replays it. Returns
+    ``(id, size, bin)``; the actual rewrite is then one
+    ``repartition(bin)``-style shuffle reading each bin's files."""
+    if target_bytes < 1:
+        raise ValueError("target_bytes must be >= 1")
+    run = global_cumsum(
+        files.select(id_col, size_col),
+        F.col(id_col),
+        size_col,
+        out_name="__run",
+        n_buckets=n_buckets,
+    )
+    return run.select(
+        id_col,
+        size_col,
+        F.floor((F.col("__run") - F.col(size_col)) / F.lit(target_bytes))
+        .cast("long")
+        .alias("bin"),
+    )
