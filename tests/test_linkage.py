@@ -84,3 +84,70 @@ def test_max_edit_3_documented_unsupported(spark):
     df = _df(spark, [(1, "x")])
     with pytest.raises(NotImplementedError):
         fuzzy_pairs_symspell(df, "name", "id", max_edit=3)
+
+
+# --- sorted_neighborhood_pairs / str_rank_key (round-7) ---------------------
+
+
+def test_sorted_neighborhood_matches_bruteforce(spark):
+    import random
+
+    from zio_analytics_spark.operators.linkage import sorted_neighborhood_pairs
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 10_000)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        (r["a_id"], r["b_id"]): r["gap"]
+        for r in sorted_neighborhood_pairs(df, "v", "id", window=4).collect()
+    }
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {}
+    for i, (ai, _) in enumerate(order):
+        for d in range(1, 5):
+            if i + d < len(order):
+                want[(ai, order[i + d][0])] = d
+    assert got == want
+
+
+def test_sorted_neighborhood_window_and_validation(spark):
+    import pytest
+
+    from zio_analytics_spark.operators.linkage import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(6)], "id long, v long")
+    out = sorted_neighborhood_pairs(df, "v", "id", window=1).collect()
+    assert {(r["a_id"], r["b_id"]) for r in out} == {(i, i + 1) for i in range(5)}
+    assert all(r["gap"] == 1 for r in out)
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "v", "id", window=0)
+
+
+def test_str_rank_key_orders_like_strings(spark):
+    import pytest
+
+    from zio_analytics_spark.operators.linkage import str_rank_key
+
+    words = ["", "a", "aa", "ab", "abcdefgh", "abcdefgi", "b", "zebra", "Customer#1"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    rows = df.select("s", str_rank_key("s").alias("k")).collect()
+    by_key = [r["s"] for r in sorted(rows, key=lambda r: (r["k"], r["s"]))]
+    assert by_key == sorted(words)
+    with pytest.raises(ValueError):
+        str_rank_key("s", nbytes=9)
+
+
+def test_sorted_neighborhood_on_string_keys(spark):
+    from zio_analytics_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+        str_rank_key,
+    )
+
+    names = ["smith", "smyth", "smithe", "jones", "jonas", "brown"]
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    pairs = sorted_neighborhood_pairs(
+        df, str_rank_key("name"), "id", window=1, tiebreak=["name"]
+    ).collect()
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    want = {(order[i], order[i + 1]) for i in range(len(order) - 1)}
+    assert {(r["a_id"], r["b_id"]) for r in pairs} == want

@@ -10938,6 +10938,44 @@ def q_layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_compaction(files, target_bytes=8192)
 
 
+@register(
+    "linkage_sorted_neighborhood",
+    oracle="""
+    WITH r AS (
+      SELECT c_custkey AS id, c_acctbal AS bal,
+             row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS seq
+      FROM customer
+    )
+    SELECT a.id AS a_id, b.id AS b_id, (b.seq - a.seq)::INT AS gap,
+           round(abs(b.bal - a.bal), 2) AS bal_diff
+    FROM r a JOIN r b ON b.seq BETWEEN a.seq + 1 AND a.seq + 3
+    """,
+)
+def q_linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record-linkage blocking (operators/linkage.py
+    sorted_neighborhood_pairs — Hernández & Stolfo 1995, the classic
+    complement to SymSpell deletion blocking): customers sorted by account
+    balance, every pair within 3 rank positions emitted as a linkage
+    candidate with its balance gap — O(N·w) candidates, records with
+    near-identical balances always adjacent no matter the absolute value
+    (what fixed-grid blocking splits at bucket edges). Rank comes from
+    the distributed assign_contiguous_ids, candidates from an equi-join
+    on rank+offset; the oracle IS the single-task row_number + band join
+    the operator re-expresses."""
+    from zio_analytics_spark.operators.linkage import sorted_neighborhood_pairs
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("bal")
+    )
+    pairs = sorted_neighborhood_pairs(cust, "bal", "id", window=3)
+    return pairs.select(
+        "a_id",
+        "b_id",
+        "gap",
+        F.round(F.abs(F.col("b_key") - F.col("a_key")), 2).alias("bal_diff"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
