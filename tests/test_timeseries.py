@@ -403,3 +403,68 @@ def test_decayed_sum_closed_form(spark):
     assert math.isclose(
         out2["decayed_weight"], round(1 + 0.5**0.5 + 0.5, 6), rel_tol=1e-9
     )
+
+
+# --- holt (round-7) ---------------------------------------------------------
+
+
+def test_holt_matches_python_replay(spark):
+    import random
+
+    from zio_analytics_spark.operators.timeseries import holt
+
+    rng = random.Random(13)
+    rows = [(k, i, float(rng.randrange(-500, 500))) for k in range(5) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    got = {
+        (r["k"], r["i"]): (r["level"], r["trend"])
+        for r in holt(df, "v", order_by=["i"], partition_by=["k"]).collect()
+    }
+    for k in range(5):
+        l = t = None
+        for i in range(40):
+            x = dict(((a, b), v) for a, b, v in rows)[(k, i)]
+            if l is None:
+                l, t = x, 0.0
+            else:
+                ln = 0.5 * x + 0.5 * (l + t)
+                t = 0.25 * (ln - l) + 0.75 * t
+                l = ln
+            assert got[(k, i)] == (l, t), (k, i)  # bit-identical
+
+
+def test_holt_tracks_linear_trend_where_ewma_lags(spark):
+    from zio_analytics_spark.operators.timeseries import ewma, holt
+
+    rows = [(1, i, float(10 * i)) for i in range(60)]  # pure trend
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    h = holt(df, "v", order_by=["i"], partition_by=["k"]).orderBy("i").collect()
+    e = ewma(df, "v", order_by=["i"], partition_by=["k"], alpha=0.5).orderBy("i").collect()
+    # after burn-in, holt's one-step forecast is near-exact; ewma lags
+    last_h = h[-1]
+    assert abs((last_h["level"] + last_h["trend"]) - 10 * 60) < 1.0
+    assert e[-1]["ewma"] < 10 * 59 - 5  # ewma sits measurably behind
+
+
+def test_holt_bucketed_equals_per_key(spark):
+    import random
+
+    from zio_analytics_spark.operators.timeseries import holt
+
+    rng = random.Random(29)
+    rows = [(k, i, float(rng.randrange(1000))) for k in range(12) for i in range(15)]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    a = holt(df, "v", order_by=["i"], partition_by=["k"]).collect()
+    b = holt(df, "v", order_by=["i"], partition_by=["k"], n_buckets=4).collect()
+    key = lambda r: (r["k"], r["i"])
+    assert sorted(map(tuple, a), key=lambda t: t[:2]) == sorted(map(tuple, b), key=lambda t: t[:2])
+
+
+def test_holt_requires_keys(spark):
+    import pytest
+
+    from zio_analytics_spark.operators.timeseries import holt
+
+    df = spark.createDataFrame([(1, 1.0)], "i long, v double")
+    with pytest.raises(ValueError):
+        holt(df, "v", order_by=["i"], partition_by=[])

@@ -10976,6 +10976,51 @@ def q_linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "timeseries_holt",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, value, rn,
+             value AS level, CAST(0.0 AS DOUBLE) AS trend
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.value, s.rn,
+             0.5 * s.value + 0.5 * (r.level + r.trend),
+             0.25 * ((0.5 * s.value + 0.5 * (r.level + r.trend)) - r.level)
+               + 0.75 * r.trend
+      FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value, level, trend FROM r
+    """,
+)
+def q_timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per user (operators/
+    timeseries.py holt — Holt 1957): the trend-aware forecaster EWMA
+    can't be (EWMA lags any drifting signal by construction; Holt tracks
+    level AND slope, one-step forecast = level + trend). A TWO-state
+    linear recurrence on the same per-key sequential-scan shape as ewma —
+    parallel across keys, Arrow-batched within. α=0.5/β=0.25 are dyadic,
+    and both engines evaluate the two update expressions literally, so
+    the recursive-CTE oracle stepping row_number chains is bit-identical
+    with zero rounding."""
+    from zio_analytics_spark.operators.timeseries import holt
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = holt(
+        ev, "value", order_by=["ts", "event_id"], partition_by=["user_id"],
+        alpha=0.5, beta=0.25, n_buckets=64,
+    )
+    return out.select("user_id", "event_id", "value", "level", "trend")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["cascade_rollup", "cusum", "ewma", "autocorrelation", "decayed_sum"]
+__all__ = ["cascade_rollup", "cusum", "ewma", "holt", "autocorrelation", "decayed_sum"]
 
 # name → (initial agg over raw, re-agg over finer level)
 _REAGG = {
@@ -400,3 +400,93 @@ def decayed_sum(
         F.round(F.sum(v * w), 6).alias("decayed_sum"),
         F.round(F.sum(w), 6).alias("decayed_weight"),
     )
+
+
+def holt(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    level_col: str = "level",
+    trend_col: str = "trend",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Holt double exponential smoothing per key (Holt 1957 — public
+    algorithm): the trend-aware sibling of :func:`ewma`, the standard
+    short-horizon forecaster for drifting series (EWMA lags a trending
+    signal by design; Holt tracks level AND slope)::
+
+        l₁ = x₁                       b₁ = 0
+        lₜ = α·xₜ + (1−α)·(lₜ₋₁ + bₜ₋₁)
+        bₜ = β·(lₜ − lₜ₋₁) + (1−β)·bₜ₋₁
+
+    Same scale shape as :func:`ewma`: a true two-state linear recurrence
+    — not an associative aggregate — so each key's slice runs one
+    sequential Arrow scan (``applyInPandas``), parallel across keys;
+    ``n_buckets`` hashes keys into cogroups so Python invocations scale
+    with cores, not keys. Each step is evaluated LITERALLY as the two
+    expressions above in float64, so a recursive-CTE oracle replaying the
+    identical expression sequence is bit-identical when α and β are
+    exactly representable (the defaults 0.5/0.25 are dyadic). One-step
+    forecasts are ``level + trend`` downstream.
+
+    Returns ``partition_by + order_by + (value_col, level_col,
+    trend_col)``. Requires a NaN-free value column (the loop would
+    propagate NaN into all later state — matching EWMA's loop engine)."""
+    import numpy as np
+
+    part = list(partition_by)
+    order = list(order_by)
+    if not part:
+        raise ValueError("holt requires partition_by keys (per-key recurrence)")
+    a, one_a = float(alpha), 1.0 - float(alpha)
+    g, one_g = float(beta), 1.0 - float(beta)
+    out_cols = part + order + [value_col, level_col, trend_col]
+
+    def scan(pdf):
+        pdf = pdf.sort_values(part + order, kind="mergesort").reset_index(drop=True)
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        lvl = np.empty(len(vals), dtype=np.float64)
+        trd = np.empty(len(vals), dtype=np.float64)
+        keys = list(
+            zip(
+                *(
+                    pdf[c].astype(object).where(pdf[c].notna(), None).tolist()
+                    for c in part
+                )
+            )
+        )
+        l = t = 0.0
+        prev = object()
+        for i in range(len(vals)):
+            k = keys[i]
+            if k != prev:
+                l, t, prev = vals[i], 0.0, k
+            else:
+                l_new = a * vals[i] + one_a * (l + t)
+                t = g * (l_new - l) + one_g * t
+                l = l_new
+            lvl[i] = l
+            trd[i] = t
+        pdf = pdf.copy()
+        pdf[level_col] = lvl
+        pdf[trend_col] = trd
+        return pdf[out_cols]
+
+    schema_parts = [
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in part + order + [value_col]
+    ]
+    schema_parts += [f"{level_col} double", f"{trend_col} double"]
+    schema = ", ".join(schema_parts)
+    if n_buckets:
+        bkt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in part]), F.lit(n_buckets)
+        ).cast("int")
+        return (
+            df.withColumn("__bkt", bkt)
+            .groupBy("__bkt")
+            .applyInPandas(lambda pdf: scan(pdf.drop(columns="__bkt")), schema)
+        )
+    return df.groupBy(*part).applyInPandas(scan, schema)
