@@ -431,3 +431,66 @@ def test_update_mode_emits_only_changed_keys(spark, tmp_path):
     # batch1 emits k=1 and k=2; batch2 emits ONLY the changed k=2 (revised)
     # and the new k=3 — k=1 is NOT re-emitted
     assert sorted(rows) == [(1, 10.0), (2, 20.0), (2, 25.0), (3, 30.0)]
+
+
+def test_streaming_holt_state_across_batches(spark):
+    """Two-state Holt recurrence threaded across micro-batches via the
+    multi-field state helper: the final (level, trend) for a key must
+    equal the single-pass batch replay over the concatenated input."""
+    from zio_analytics_spark.streaming.stateful import map_accumulate_stream_multi
+
+    d = tempfile.mkdtemp(prefix="stream_holt_")
+    _publish_parquet(
+        spark.createDataFrame([(1, 0, 10.0), (1, 1, 20.0)], "k long, i long, v double"), d, "b0"
+    )
+    _publish_parquet(
+        spark.createDataFrame([(1, 2, 30.0), (1, 3, 40.0)], "k long, i long, v double"), d, "b1"
+    )
+    stream = (
+        spark.readStream.schema("k long, i long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+
+    def fn(acc, pdf):
+        import numpy as np
+
+        lvl, trd, seen = acc
+        pdf = pdf.sort_values(["i"])
+        vals = pdf["v"].to_numpy(dtype=np.float64)
+        out_l = np.empty(len(vals))
+        out_t = np.empty(len(vals))
+        for j in range(len(vals)):
+            if not seen:
+                lvl, trd, seen = vals[j], 0.0, 1
+            else:
+                ln = 0.5 * vals[j] + 0.5 * (lvl + trd)
+                trd = 0.25 * (ln - lvl) + 0.75 * trd
+                lvl = ln
+            out_l[j] = lvl
+            out_t[j] = trd
+        o = pdf[["k", "i"]].copy()
+        o["level"] = out_l
+        o["trend"] = out_t
+        return ((float(lvl), float(trd), int(seen)), o)
+
+    out = map_accumulate_stream_multi(
+        stream, ["k"], fn, init_state=lambda: (0.0, 0.0, 0),
+        output_schema="k long, i long, level double, trend double",
+        state_schema="lvl double, trd double, seen int",
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName("holt_mb").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["i"]: (r["level"], r["trend"]) for r in spark.sql("SELECT * FROM holt_mb").collect()}
+    l = t = None
+    for i, x in enumerate([10.0, 20.0, 30.0, 40.0]):
+        if l is None:
+            l, t = x, 0.0
+        else:
+            ln = 0.5 * x + 0.5 * (l + t)
+            t = 0.25 * (ln - l) + 0.75 * t
+            l = ln
+        assert got[i] == (l, t), i

@@ -11021,6 +11021,75 @@ def q_timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "value", "level", "trend")
 
 
+@register(
+    "streaming_holt",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, value, rn,
+             value AS level, CAST(0.0 AS DOUBLE) AS trend
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.value, s.rn,
+             0.5 * s.value + 0.5 * (r.level + r.trend),
+             0.25 * ((0.5 * s.value + 0.5 * (r.level + r.trend)) - r.level)
+               + 0.75 * r.trend
+      FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, level, trend FROM r
+    """,
+)
+def q_streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing on the STREAMING runtime — batch/
+    streaming parity for timeseries_holt with the SAME bit-identical
+    recursive-CTE oracle: per-user (level, trend, seen) state carried by
+    ``applyInPandasWithState`` across micro-batches via the multi-field
+    state helper (streaming/stateful.py map_accumulate_stream_multi — no
+    NaN-flag packing). The production forecasting shape: state survives
+    batch boundaries in the state store, so a restart resumes the
+    recurrence."""
+    from zio_analytics_spark.streaming.stateful import map_accumulate_stream_multi
+
+    st = _events_stream(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+
+    def fn(acc, pdf):
+        import numpy as np
+
+        lvl, trd, seen = acc
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        out_l = np.empty(len(vals), dtype=np.float64)
+        out_t = np.empty(len(vals), dtype=np.float64)
+        for i in range(len(vals)):
+            if not seen:
+                lvl, trd, seen = vals[i], 0.0, 1
+            else:
+                l_new = 0.5 * vals[i] + 0.5 * (lvl + trd)
+                trd = 0.25 * (l_new - lvl) + 0.75 * trd
+                lvl = l_new
+            out_l[i] = lvl
+            out_t[i] = trd
+        o = pdf[["user_id", "event_id"]].copy()
+        o["level"] = out_l
+        o["trend"] = out_t
+        return ((float(lvl), float(trd), int(seen)), o)
+
+    out = map_accumulate_stream_multi(
+        st,
+        ["user_id"],
+        fn,
+        init_state=lambda: (0.0, 0.0, 0),
+        output_schema="user_id long, event_id long, level double, trend double",
+        state_schema="lvl double, trd double, seen int",
+    )
+    return _run_append(out, "stream_holt")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

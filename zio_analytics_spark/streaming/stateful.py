@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["map_accumulate_stream", "running_sum_stream"]
+__all__ = ["map_accumulate_stream", "map_accumulate_stream_multi", "running_sum_stream"]
 
 
 def map_accumulate_stream(
@@ -84,4 +84,36 @@ def running_sum_stream(stream: DataFrame, key_cols: list[str], value_col: str) -
         init_state=lambda: 0.0,
         output_schema=f"{key_schema}, running_sum double",
         state_schema="acc double",
+    )
+
+
+def map_accumulate_stream_multi(
+    stream: DataFrame,
+    key_cols: list[str],
+    fn: Callable[[tuple, pd.DataFrame], tuple[tuple, pd.DataFrame]],
+    init_state: Callable[[], tuple],
+    output_schema: str,
+    state_schema: str,
+) -> DataFrame:
+    """:func:`map_accumulate_stream` for MULTI-FIELD state: ``fn`` takes
+    and returns the whole state TUPLE (one element per ``state_schema``
+    field) instead of a single packed value — what two-state recurrences
+    like Holt need without NaN-flag packing tricks."""
+
+    def step(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        acc = tuple(state.get) if state.exists else tuple(init_state())
+        outs = []
+        for pdf in pdfs:
+            acc, out = fn(acc, pdf)
+            outs.append(out)
+        state.update(tuple(acc))
+        for out in outs:
+            yield out
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        step,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
