@@ -315,3 +315,49 @@ def test_calibration_bins_edges_and_rates(spark):
 
     with pytest.raises(ValueError):
         calibration_bins(df, "s", "y", n_bins=0)
+
+
+# --- kaplan_meier (round-7) --------------------------------------------------
+
+
+def test_kaplan_meier_hand_computed(spark):
+    from zio_analytics_spark.operators.stats import kaplan_meier
+
+    # classic toy: durations (event=1 observed, 0 censored)
+    # t=1: d=1 n=6 -> S=5/6; t=3: d=1 n=4 -> S=5/6*3/4; t=5: d=1 n=2 -> *1/2
+    rows = [(1, 1), (2, 0), (3, 1), (4, 0), (5, 1), (6, 0)]
+    df = spark.createDataFrame(rows, "t long, ev int")
+    got = {r["t"]: r for r in kaplan_meier(df, "t", "ev").collect()}
+    assert set(got) == {1, 3, 5}
+    assert (got[1]["n_risk"], got[1]["n_events"]) == (6, 1)
+    assert (got[3]["n_risk"], got[3]["n_events"]) == (4, 1)
+    assert (got[5]["n_risk"], got[5]["n_events"]) == (2, 1)
+    assert abs(got[1]["survival"] - 5 / 6) < 1e-6
+    assert abs(got[3]["survival"] - 5 / 6 * 3 / 4) < 1e-6
+    assert abs(got[5]["survival"] - 5 / 6 * 3 / 4 * 1 / 2) < 1e-6
+
+
+def test_kaplan_meier_censoring_matters(spark):
+    from zio_analytics_spark.operators.stats import kaplan_meier
+
+    # same event times; censored subjects keep n_risk high -> higher survival
+    with_cens = [(2, 1), (4, 1)] + [(5, 0)] * 8
+    without = [(2, 1), (4, 1)]
+    df1 = spark.createDataFrame(with_cens, "t long, ev int")
+    df2 = spark.createDataFrame(without, "t long, ev int")
+    s1 = {r["t"]: r["survival"] for r in kaplan_meier(df1, "t", "ev").collect()}
+    s2 = {r["t"]: r["survival"] for r in kaplan_meier(df2, "t", "ev").collect()}
+    assert s1[4] > 0.7 and s2[4] == 0.0  # naive (no censored) curve hits 0
+
+
+def test_kaplan_meier_all_die_hits_zero_and_groups(spark):
+    from zio_analytics_spark.operators.stats import kaplan_meier
+
+    rows = [("a", 1, 1), ("a", 2, 1), ("b", 1, 1), ("b", 9, 0)]
+    df = spark.createDataFrame(rows, "g string, t long, ev int")
+    got = {
+        (r["g"], r["t"]): r["survival"]
+        for r in kaplan_meier(df, "t", "ev", group_cols=["g"]).collect()
+    }
+    assert got[("a", 2)] == 0.0  # final event kills the whole risk set
+    assert got[("b", 1)] == 0.5  # censored subject holds the curve up

@@ -11090,6 +11090,62 @@ def q_streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_append(out, "stream_holt")
 
 
+@register(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH subj AS (
+      SELECT user_id,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS t,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev
+      FROM events GROUP BY user_id
+    ),
+    per_t AS (
+      SELECT t, sum(ev)::BIGINT AS n_events, count(*)::BIGINT AS tot
+      FROM subj GROUP BY t
+    ),
+    risk AS (
+      SELECT t, n_events,
+             sum(tot) OVER (ORDER BY t DESC
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS n_risk
+      FROM per_t
+    ),
+    terms AS (
+      SELECT t, n_events, n_risk, 1.0 - n_events / n_risk AS term
+      FROM risk WHERE n_events > 0
+    )
+    SELECT t, n_risk, n_events,
+           round(CASE WHEN min(term) OVER w = 0 THEN 0.0
+                      ELSE exp(sum(ln(CASE WHEN term = 0 THEN 1.0 ELSE term END))
+                               OVER w) END, 6) AS survival
+    FROM terms
+    WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve (operators/stats.py kaplan_meier —
+    Kaplan & Meier 1958): time-to-purchase per user in whole hours of
+    observed activity span, users who never purchase CENSORED at their
+    span end — the censoring-aware churn curve a naive event histogram
+    gets wrong. Aggregate-first discipline: subjects collapse to the
+    distinct-duration grain before any window, the risk set is a reverse
+    cumulative sum and the product runs as exp(Σ ln(1 − d/n)) with a
+    zero-term guard. The oracle replays the identical expression chain,
+    so the doubles agree at ulp level under 6 dp rounding."""
+    from zio_analytics_spark.operators.stats import kaplan_meier
+
+    ev = read_table(spark, sf_dir, "events")
+    subj = ev.groupBy("user_id").agg(
+        (
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+            / F.lit(3_600_000_000)
+        )
+        .cast("long")
+        .alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("ev"),
+    )
+    return kaplan_meier(subj, "t", "ev")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

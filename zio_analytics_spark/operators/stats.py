@@ -33,6 +33,7 @@ __all__ = [
     "skew_kurtosis",
     "confusion_stats",
     "calibration_bins",
+    "kaplan_meier",
 ]
 
 
@@ -399,4 +400,70 @@ def calibration_bins(
             F.round(F.avg("__s"), 6).alias("avg_score"),
             F.round(F.avg("__y"), 6).alias("pos_rate"),
         )
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator (Kaplan & Meier 1958, JASA — the
+    standard churn/retention/time-to-event curve, censoring-aware):
+    ``Ŝ(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)`` over event times, where ``dᵢ`` =
+    events at tᵢ and ``nᵢ`` = subjects still at risk (duration ≥ tᵢ;
+    censored subjects count toward risk until their censoring time — the
+    whole point vs a naive event-only histogram, which overstates churn
+    by dropping survivors-so-far).
+
+    Scale shape (the auc_roc discipline): raw subjects aggregate FIRST to
+    one row per (group, duration) — ``d`` and total leaving ``t`` — so
+    the risk set is a REVERSE cumulative window and the product is a
+    forward one over the bounded distinct-duration grain, never the raw
+    rows. The cumulative product runs as ``exp(Σ ln(1 − d/n))`` with a
+    ``min(term) = 0`` guard (a time where everyone at risk dies sends the
+    curve to exactly 0; ln would −inf). Windows order the aggregated
+    table within each group — single-partition per group at distinct-
+    duration grain, bounded by construction.
+
+    ``event_col`` is 1 = observed, 0 = censored. Returns one row per
+    EVENT time: ``(group_cols..., t, n_risk, n_events, survival)``."""
+    grp = list(group_cols)
+    per_t = (
+        df.groupBy(*grp, F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(F.col(event_col).cast("long")).alias("n_events"),
+            F.count(F.lit(1)).alias("__tot"),
+        )
+    )
+    w_desc = (
+        W.partitionBy(*grp)
+        .orderBy(F.col("t").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    at_risk = per_t.withColumn("n_risk", F.sum("__tot").over(w_desc))
+    ev_times = at_risk.where(F.col("n_events") > 0).withColumn(
+        "__term", F.lit(1.0) - F.col("n_events") / F.col("n_risk")
+    )
+    w_asc = (
+        W.partitionBy(*grp)
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # ln argument guarded at 0 (a time where everyone at risk dies):
+    # DuckDB raises on ln(0) even under a CASE, because the window
+    # aggregate evaluates for every row — the outer min-guard then emits
+    # the exact 0 the sentinel 1.0 skipped.
+    safe_term = F.when(F.col("__term") == 0.0, F.lit(1.0)).otherwise(F.col("__term"))
+    surv = F.when(F.min("__term").over(w_asc) == 0.0, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log(safe_term)).over(w_asc))
+    )
+    return ev_times.select(
+        *grp,
+        "t",
+        "n_risk",
+        "n_events",
+        F.round(surv, round_dp).alias("survival"),
     )
