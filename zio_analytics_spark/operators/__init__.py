@@ -17,7 +17,12 @@ Reference core:
 - :mod:`graph` — PageRank (edge-list message passing).
 - :mod:`robust` — winsorization, MAD outliers.
 - :mod:`profiling` — one-pass table profiles, PSI drift.
-- :mod:`layout` — Z-order clustered writes, contiguous ids.
+- :mod:`layout` — Z-order + Hilbert clustered writes, contiguous ids,
+  exact global cumsum, small-files compaction planning.
+- :mod:`geo` — haversine radius join via grid-cell blocking.
+- :mod:`linkage` — SymSpell fuzzy join + sorted-neighborhood blocking.
+- :mod:`stats` — Welch/chi²/AUC/OLS/Theil–Sen/moments/confusion/
+  calibration/Kaplan–Meier.
 
 [EXT] LLM-data pipeline:
 
@@ -34,5 +39,6 @@ Reference core:
 - :mod:`cleaning` — PII redaction, normalization, weighted source mixing.
 - :mod:`splits` — content-hash dataset splits.
 - :mod:`multimodal` — binary columns + real BMP/PPM/PNG (full depth/color
-  matrix)/WAV (PCM, G.711, IMA ADPCM)/Y4M decode.
+  matrix)/WAV (PCM, G.711, IMA ADPCM)/Y4M decode; resize + re-encode,
+  perceptual hash, framed audio features, DTMF detection, scene cuts.
 """
