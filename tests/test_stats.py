@@ -361,3 +361,53 @@ def test_kaplan_meier_all_die_hits_zero_and_groups(spark):
     }
     assert got[("a", 2)] == 0.0  # final event kills the whole risk set
     assert got[("b", 1)] == 0.5  # censored subject holds the curve up
+
+
+def test_logrank_identical_groups_near_zero(spark):
+    from zio_analytics_spark.operators.stats import logrank_test
+
+    # two identical survival experiences -> observed == expected, chi2 = 0
+    rows = [("a", t, e) for t, e in [(1, 1), (2, 1), (3, 0), (4, 1)]] + [
+        ("b", t, e) for t, e in [(1, 1), (2, 1), (3, 0), (4, 1)]
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, ev int")
+    r = logrank_test(df, "t", "ev", "g").collect()[0]
+    assert r["observed_1"] == r["expected_1"]
+    assert r["chi2"] == 0.0
+
+
+def test_logrank_separated_groups_large_chi2(spark):
+    from zio_analytics_spark.operators.stats import logrank_test
+
+    # group a dies early, group b survives long: curves clearly differ
+    rows = [("a", t, 1) for t in range(1, 11)] + [("b", t, 1) for t in range(20, 30)]
+    df = spark.createDataFrame(rows, "g string, t long, ev int")
+    r = logrank_test(df, "t", "ev", "g").collect()[0]
+    assert r["chi2"] > 10.0  # p << 0.01 at 1 df
+    assert r["observed_1"] == 10.0
+    assert r["expected_1"] < 6.0
+
+
+def test_logrank_hand_computed_two_times(spark):
+    from zio_analytics_spark.operators.stats import logrank_test
+
+    # t=1: group a's subject dies (n1=1... use concrete small case):
+    # a: durations [1 (event), 3 (censored)]; b: [2 (event), 3 (censored)]
+    rows = [("a", 1, 1), ("a", 3, 0), ("b", 2, 1), ("b", 3, 0)]
+    df = spark.createDataFrame(rows, "g string, t long, ev int")
+    r = logrank_test(df, "t", "ev", "g").collect()[0]
+    # t=1: d=1, n1=2, n=4 -> E1 += 0.5, V += 1*(0.5)(0.5)(3)/3 = 0.25
+    # t=2: d=1, n1=1, n=3 -> E1 += 1/3, V += (1/3)(2/3)(2)/2 = 2/9
+    assert r["observed_1"] == 1.0
+    assert abs(r["expected_1"] - (0.5 + 1 / 3)) < 1e-6
+    assert abs(r["variance"] - (0.25 + 2 / 9)) < 1e-6
+
+
+def test_logrank_requires_two_groups(spark):
+    import pytest
+
+    from zio_analytics_spark.operators.stats import logrank_test
+
+    df = spark.createDataFrame([("a", 1, 1)], "g string, t long, ev int")
+    with pytest.raises(ValueError):
+        logrank_test(df, "t", "ev", "g")

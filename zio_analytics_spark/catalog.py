@@ -11146,6 +11146,81 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(subj, "t", "ev")
 
 
+@register(
+    "survival_logrank",
+    oracle="""
+    WITH subj AS (
+      SELECT user_id,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS t,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ev,
+             (('0x' || substring(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+              % 2) AS arm
+      FROM events GROUP BY user_id
+    ),
+    per_gt AS (
+      SELECT arm, t, sum(ev)::BIGINT AS d, count(*)::BIGINT AS tot
+      FROM subj GROUP BY arm, t
+    ),
+    grid AS (
+      SELECT ts.t,
+             coalesce(o.d, 0) AS d1, coalesce(o.tot, 0) AS tot1,
+             coalesce(w.d, 0) AS d2, coalesce(w.tot, 0) AS tot2
+      FROM (SELECT DISTINCT t FROM per_gt) ts
+      LEFT JOIN (SELECT t, d, tot FROM per_gt WHERE arm = 0) o USING (t)
+      LEFT JOIN (SELECT t, d, tot FROM per_gt WHERE arm = 1) w USING (t)
+    ),
+    at_risk AS (
+      SELECT t, d1, d2,
+             sum(tot1) OVER wd AS n1,
+             sum(tot1) OVER wd + sum(tot2) OVER wd AS n
+      FROM grid
+      WINDOW wd AS (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+    ),
+    terms AS (
+      SELECT CAST(d1 AS DOUBLE) AS d1, CAST(d1 + d2 AS DOUBLE) AS d,
+             CAST(n1 AS DOUBLE) AS n1, CAST(n AS DOUBLE) AS n
+      FROM at_risk WHERE d1 + d2 > 0
+    ),
+    agg AS (
+      SELECT sum(d1) AS observed_1,
+             sum(d * (n1 / n)) AS expected_1,
+             sum(CASE WHEN n > 1.0
+                      THEN d * (n1 / n) * (1.0 - n1 / n) * (n - d) / (n - 1.0)
+                      ELSE 0.0 END) AS variance
+      FROM terms
+    )
+    SELECT round(observed_1, 6) AS observed_1,
+           round(expected_1, 6) AS expected_1,
+           round(variance, 6) AS variance,
+           round(pow(observed_1 - expected_1, 2) / variance, 6) AS chi2
+    FROM agg
+    """,
+)
+def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (operators/stats.py logrank_test — Mantel
+    1966): do the A/B cohorts' time-to-purchase curves differ? Arms come
+    from the deterministic md5 cohort hash (splitter discipline —
+    replayable in SQL), durations/censoring as in survival_kaplan_meier.
+    Observed-vs-expected events accumulate over the pooled distinct-
+    duration grid with reverse-cumsum risk sets and the hypergeometric
+    variance; since the splitter assigns arms at random w.r.t. behavior,
+    χ² ≈ 0–4 doubles as a splitter health check (the ab_test_chi2
+    pattern). The oracle replays the identical expression chain."""
+    from zio_analytics_spark.operators.stats import hash_cohort, logrank_test
+
+    ev = read_table(spark, sf_dir, "events")
+    subj = ev.groupBy("user_id").agg(
+        (
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+            / F.lit(3_600_000_000)
+        )
+        .cast("long")
+        .alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("ev"),
+    ).withColumn("arm", hash_cohort(F.col("user_id")))
+    return logrank_test(subj, "t", "ev", "arm")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

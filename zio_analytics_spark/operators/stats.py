@@ -34,6 +34,7 @@ __all__ = [
     "confusion_stats",
     "calibration_bins",
     "kaplan_meier",
+    "logrank_test",
 ]
 
 
@@ -466,4 +467,90 @@ def kaplan_meier(
         "n_risk",
         "n_events",
         F.round(surv, round_dp).alias("survival"),
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966 / Peto 1972 — the standard
+    significance test for "do these two survival curves differ?", the
+    inferential partner of :func:`kaplan_meier`): at each pooled event
+    time, compare group 1's OBSERVED events against the EXPECTED count
+    under the null (events distribute proportionally to the at-risk
+    sets), with the hypergeometric variance::
+
+        E₁ₜ = dₜ·n₁ₜ/nₜ      V₁ₜ = dₜ·(n₁ₜ/nₜ)·(1−n₁ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1)
+        χ² = (Σ(d₁ₜ − E₁ₜ))² / ΣV₁ₜ          (1 df; V term 0 when nₜ = 1)
+
+    Scale shape: subjects aggregate to the per-(group, duration) grain,
+    the pooled time grid left-joins each group's leave counts (absent →
+    0), at-risk sets are reverse cumulative sums over the bounded
+    distinct-duration grid, and the statistic is one tiny aggregate over
+    it — raw rows are touched exactly once. Exactly two groups (the
+    lexicographically smaller is "group 1"); returns ONE row
+    ``(observed_1, expected_1, variance, chi2)``, all rounded."""
+    grp = F.col(group_col).cast("string")
+    per_gt = (
+        df.groupBy(grp.alias("g"), F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(F.col(event_col).cast("long")).alias("d"),
+            F.count(F.lit(1)).alias("tot"),
+        )
+    )
+    groups = [r["g"] for r in per_gt.select("g").distinct().orderBy("g").collect()]
+    if len(groups) != 2:
+        raise ValueError(f"logrank_test needs exactly 2 groups, got {groups}")
+    g1, g2 = groups
+    times = per_gt.select("t").distinct()
+    one = per_gt.where(F.col("g") == g1).select(
+        "t", F.col("d").alias("d1"), F.col("tot").alias("tot1")
+    )
+    two = per_gt.where(F.col("g") == g2).select(
+        "t", F.col("d").alias("d2"), F.col("tot").alias("tot2")
+    )
+    grid = (
+        times.join(one, "t", "left")
+        .join(two, "t", "left")
+        .na.fill({"d1": 0, "tot1": 0, "d2": 0, "tot2": 0})
+    )
+    w_desc = W.orderBy(F.col("t").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    at_risk = grid.select(
+        "t",
+        "d1",
+        "d2",
+        F.sum("tot1").over(w_desc).alias("n1"),
+        (F.sum("tot1").over(w_desc) + F.sum("tot2").over(w_desc)).alias("n"),
+    )
+    terms = at_risk.where((F.col("d1") + F.col("d2")) > 0).select(
+        F.col("d1").cast("double").alias("d1"),
+        (F.col("d1") + F.col("d2")).cast("double").alias("d"),
+        F.col("n1").cast("double").alias("n1"),
+        F.col("n").cast("double").alias("n"),
+    )
+    p = F.col("n1") / F.col("n")
+    var = F.when(
+        F.col("n") > 1.0,
+        F.col("d") * p * (F.lit(1.0) - p) * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1.0),
+    ).otherwise(F.lit(0.0))
+    agg = terms.agg(
+        F.sum("d1").alias("observed_1"),
+        F.sum(F.col("d") * p).alias("expected_1"),
+        F.sum(var).alias("variance"),
+    )
+    return agg.select(
+        F.round("observed_1", round_dp).alias("observed_1"),
+        F.round("expected_1", round_dp).alias("expected_1"),
+        F.round("variance", round_dp).alias("variance"),
+        F.round(
+            F.pow(F.col("observed_1") - F.col("expected_1"), 2) / F.col("variance"),
+            round_dp,
+        ).alias("chi2"),
     )
