@@ -335,6 +335,10 @@ def test_kaplan_meier_hand_computed(spark):
     assert abs(got[1]["survival"] - 5 / 6) < 1e-6
     assert abs(got[3]["survival"] - 5 / 6 * 3 / 4) < 1e-6
     assert abs(got[5]["survival"] - 5 / 6 * 3 / 4 * 1 / 2) < 1e-6
+    # Nelson-Aalen cumulative hazard: sum of d/n up to t
+    assert abs(got[1]["cum_hazard"] - 1 / 6) < 1e-6
+    assert abs(got[3]["cum_hazard"] - (1 / 6 + 1 / 4)) < 1e-6
+    assert abs(got[5]["cum_hazard"] - (1 / 6 + 1 / 4 + 1 / 2)) < 1e-6
 
 
 def test_kaplan_meier_censoring_matters(spark):

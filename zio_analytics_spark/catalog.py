@@ -11116,7 +11116,8 @@ def q_streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t, n_risk, n_events,
            round(CASE WHEN min(term) OVER w = 0 THEN 0.0
                       ELSE exp(sum(ln(CASE WHEN term = 0 THEN 1.0 ELSE term END))
-                               OVER w) END, 6) AS survival
+                               OVER w) END, 6) AS survival,
+           round(sum(n_events / n_risk) OVER w, 6) AS cum_hazard
     FROM terms
     WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
     """,

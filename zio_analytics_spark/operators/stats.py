@@ -430,7 +430,9 @@ def kaplan_meier(
     duration grain, bounded by construction.
 
     ``event_col`` is 1 = observed, 0 = censored. Returns one row per
-    EVENT time: ``(group_cols..., t, n_risk, n_events, survival)``."""
+    EVENT time: ``(group_cols..., t, n_risk, n_events, survival,
+    cum_hazard)`` — the last is the Nelson–Aalen estimator ``Σ dᵢ/nᵢ``,
+    the additive sibling the log-rank variance is built from."""
     grp = list(group_cols)
     per_t = (
         df.groupBy(*grp, F.col(duration_col).alias("t"))
@@ -461,12 +463,17 @@ def kaplan_meier(
     surv = F.when(F.min("__term").over(w_asc) == 0.0, F.lit(0.0)).otherwise(
         F.exp(F.sum(F.log(safe_term)).over(w_asc))
     )
+    # Nelson–Aalen cumulative hazard rides along for free: H(t) = Σ d/n
+    # over the same event-time grain (its exp(−H) is the Fleming–
+    # Harrington survival variant; emitting both costs one more window sum)
+    hazard = F.sum(F.col("n_events") / F.col("n_risk")).over(w_asc)
     return ev_times.select(
         *grp,
         "t",
         "n_risk",
         "n_events",
         F.round(surv, round_dp).alias("survival"),
+        F.round(hazard, round_dp).alias("cum_hazard"),
     )
 
 
