@@ -415,3 +415,50 @@ def test_logrank_requires_two_groups(spark):
     df = spark.createDataFrame([("a", 1, 1)], "g string, t long, ev int")
     with pytest.raises(ValueError):
         logrank_test(df, "t", "ev", "g")
+
+
+# --- poisson bootstrap (round-7) ---------------------------------------------
+
+
+def test_poisson_weights_distribution(spark):
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.stats import poisson_weight
+
+    df = spark.range(20_000)
+    stats = df.select(poisson_weight(F.col("id"), 0).alias("w")).agg(
+        F.avg("w").alias("m"), F.avg(F.when(F.col("w") == 0, 1.0).otherwise(0.0)).alias("p0")
+    ).collect()[0]
+    assert abs(stats["m"] - 1.0) < 0.03  # Poisson(1) mean
+    assert abs(stats["p0"] - 0.3679) < 0.02  # P(0) = 1/e
+    # different resamples draw different weights, same resample is stable
+    a = df.select(poisson_weight(F.col("id"), 0).alias("w")).collect()
+    b = df.select(poisson_weight(F.col("id"), 1).alias("w")).collect()
+    a2 = df.select(poisson_weight(F.col("id"), 0).alias("w")).collect()
+    assert [r["w"] for r in a] == [r["w"] for r in a2]
+    assert [r["w"] for r in a] != [r["w"] for r in b]
+
+
+def test_bootstrap_ci_covers_mean_and_narrows(spark):
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.stats import bootstrap_mean_ci
+
+    small = spark.range(200).select(F.col("id"), (F.col("id") % 50).cast("double").alias("v"))
+    big = spark.range(20_000).select(F.col("id"), (F.col("id") % 50).cast("double").alias("v"))
+    rs = bootstrap_mean_ci(small, "v", "id").collect()[0]
+    rb = bootstrap_mean_ci(big, "v", "id").collect()[0]
+    for r in (rs, rb):
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    # 100x more data -> much narrower interval (sqrt-n shrinkage)
+    assert (rb["ci_hi"] - rb["ci_lo"]) < (rs["ci_hi"] - rs["ci_lo"]) / 3
+
+
+def test_bootstrap_validates(spark):
+    import pytest
+
+    from zio_analytics_spark.operators.stats import bootstrap_mean_ci
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci(df, "v", "id", n_resamples=2)

@@ -11222,6 +11222,54 @@ def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logrank_test(subj, "t", "ev", "arm")
 
 
+def _bootstrap_oracle(n_resamples: int = 40, salt: str = "boot") -> str:
+    """DuckDB replay of the Poisson bootstrap: identical md5 uniforms,
+    identical Poisson(1) CDF thresholds, identical weighted means, same
+    2nd-smallest/2nd-largest percentile cut."""
+    from zio_analytics_spark.operators.stats import _POISSON1_CUM
+
+    def w(b: int) -> str:
+        u = (
+            f"(('0x' || substring(md5('{salt}|{b}|' || CAST(event_id AS VARCHAR)), 1, 8))"
+            "::BIGINT / 4294967296.0)"
+        )
+        expr = "6.0"
+        for k in reversed(range(6)):
+            expr = f"CASE WHEN {u} < {_POISSON1_CUM[k]!r} THEN {float(k)!r} ELSE {expr} END"
+        return expr
+
+    mcols = ", ".join(
+        f"sum(({w(b)}) * value) / sum({w(b)}) AS m{b}" for b in range(n_resamples)
+    )
+    marr = ", ".join(f"m{b}" for b in range(n_resamples))
+    return f"""
+    WITH agg AS (
+      SELECT count(*)::BIGINT AS n, avg(value) AS mean, {mcols}
+      FROM events
+    )
+    SELECT n, round(mean, 4) AS mean,
+           round(list_sort([{marr}])[2], 4) AS ci_lo,
+           round(list_sort([{marr}])[{n_resamples - 1}], 4) AS ci_hi
+    FROM agg
+    """
+
+
+@register("stats_bootstrap_ci", oracle=_bootstrap_oracle())
+def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for the mean event value (operators/stats.py
+    bootstrap_mean_ci — Chamandy 2012, the bootstrap that distributes):
+    classic with-replacement resampling is a global operation; per-row
+    independent Poisson(1) weights from a deterministic md5 hash need no
+    coordination, so all 40 resample means come out of ONE scan as
+    conditional weighted aggregates (map-side combinable). The oracle
+    draws the identical weights — same hash, same CDF thresholds — and
+    replays the same percentile cut."""
+    from zio_analytics_spark.operators.stats import bootstrap_mean_ci
+
+    ev = read_table(spark, sf_dir, "events")
+    return bootstrap_mean_ci(ev, "value", "event_id")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

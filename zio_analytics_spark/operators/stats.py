@@ -35,6 +35,8 @@ __all__ = [
     "calibration_bins",
     "kaplan_meier",
     "logrank_test",
+    "poisson_weight",
+    "bootstrap_mean_ci",
 ]
 
 
@@ -560,4 +562,72 @@ def logrank_test(
             F.pow(F.col("observed_1") - F.col("expected_1"), 2) / F.col("variance"),
             round_dp,
         ).alias("chi2"),
+    )
+
+
+#: cumulative Poisson(1) probabilities for k = 0..5 (weights cap at 6);
+#: shared verbatim with SQL oracles so both engines draw identical weights
+_POISSON1_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def poisson_weight(key: Column, b: int, salt: str = "boot") -> Column:
+    """Deterministic Poisson(1) resample weight for row ``key`` in
+    resample ``b``: an md5-derived uniform inverted through the Poisson(1)
+    CDF (:data:`_POISSON1_CUM`, capped at 6). The distributed-bootstrap
+    trick (Poisson bootstrap — Chamandy et al. 2012, public): a
+    with-replacement resample of N rows is ~ per-row independent
+    Poisson(1) multiplicities, which needs NO global coordination — each
+    row computes its own weight from a hash, exactly once, in any
+    partitioning. Deterministic → SQL-replayable."""
+    h = F.md5(F.concat(F.lit(f"{salt}|{b}|"), key.cast("string")))
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+    w = F.lit(6)
+    for k in reversed(range(6)):
+        w = F.when(u < F.lit(_POISSON1_CUM[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_resamples: int = 40,
+    salt: str = "boot",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Bootstrap confidence interval for the mean via the POISSON
+    bootstrap — the resampling scheme that actually distributes: classic
+    bootstrap draws N rows WITH replacement (a global operation); the
+    Poisson bootstrap replaces that with per-row independent Poisson(1)
+    weights (:func:`poisson_weight`), so ALL ``n_resamples`` resample
+    means come out of ONE scan as conditional weighted aggregates —
+    map-side combinable, no shuffle beyond the single aggregate, no RNG
+    state (hash-deterministic, replayable).
+
+    The CI is the percentile method over the resample means: sorted
+    ascending, ``lo`` = 2nd smallest and ``hi`` = 2nd largest (with the
+    default B=40 a ~95% interval; the driver-side step is an
+    arithmetic-on-B-numbers projection, not a collect). Returns one row
+    ``(n, mean, ci_lo, ci_hi)``."""
+    if n_resamples < 4:
+        raise ValueError("n_resamples must be >= 4")
+    x = F.col(value_col).cast("double")
+    aggs = [F.count(F.lit(1)).alias("n"), F.avg(x).alias("mean")]
+    for b in range(n_resamples):
+        w = poisson_weight(F.col(key_col), b, salt).cast("double")
+        aggs.append((F.sum(w * x) / F.sum(w)).alias(f"__m{b}"))
+    one = df.agg(*aggs)
+    means = F.array_sort(F.array(*[F.col(f"__m{b}") for b in range(n_resamples)]))
+    return one.select(
+        "n",
+        F.round("mean", round_dp).alias("mean"),
+        F.round(F.element_at(means, 2), round_dp).alias("ci_lo"),
+        F.round(F.element_at(means, n_resamples - 1), round_dp).alias("ci_hi"),
     )
