@@ -266,3 +266,35 @@ def test_bm25_ranks_and_zero_excluded(spark):
     assert 3 not in out                      # no query term -> excluded
     assert out[1] > out[2]                   # more tf -> higher
     assert out[2] > out[4]                   # same tf, longer doc -> damped
+
+
+def test_readability_hand_computed(spark):
+    from zio_analytics_spark.operators.text import readability
+
+    # "the cat sat. it ran away!" -> 6 words, 2 sentences,
+    # syllables: the=1 cat=1 sat=1 it=1 ran=1 away=2 (a, ay) -> 7
+    df = spark.createDataFrame(
+        [(1, "the cat sat. it ran away!"), (2, "   "), (3, "xyz")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in readability(df).collect()}
+    assert 2 not in rows  # zero words dropped
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 7)
+    expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (7 / 6)
+    assert abs(r1["flesch"] - expected) < 1e-3
+    # no vowels: syllable floor of 1 per word, one sentence floor
+    r3 = rows[3]
+    assert (r3["n_words"], r3["n_sentences"], r3["n_syllables"]) == (1, 1, 1)
+
+
+def test_readability_orders_simple_before_complex(spark):
+    from zio_analytics_spark.operators.text import readability
+
+    simple = "the dog ran. the cat sat. we go now."
+    complex_ = "extraordinary bureaucratic installations necessitate comprehensive organizational responsibilities."
+    df = spark.createDataFrame(
+        [(1, simple), (2, complex_)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["flesch"] for r in readability(df).collect()}
+    assert got[1] > 80 and got[2] < 10  # easy reads high, dense reads low

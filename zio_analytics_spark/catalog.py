@@ -11270,6 +11270,50 @@ def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_mean_ci(ev, "value", "event_id")
 
 
+@register(
+    "text_readability",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, replace(text, ' batch', ' batch.') AS txt
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, txt,
+             list_filter(string_split_regex(trim(txt), '\\s+'), x -> x <> '') AS words
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id,
+             len(words)::BIGINT AS n_words,
+             greatest(1, len(regexp_extract_all(txt, '[.!?]+')))::BIGINT AS n_sentences,
+             list_sum(list_transform(words,
+               word -> greatest(1, len(regexp_extract_all(lower(word), '[aeiouy]+')))
+             ))::BIGINT AS n_syllables
+      FROM w
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+    FROM c WHERE n_words > 0
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease per document (operators/text.py readability —
+    Flesch 1948): the classic curation-filter readability score from
+    words/sentences/vowel-group syllables, all codegen regex with exact
+    integer counts (cross-engine agreement reduces to two double
+    divisions). The corpus text carries no punctuation, so sentence
+    breaks are synthesized deterministically (' batch' → ' batch.') to
+    exercise the terminator-run counter; the oracle applies the identical
+    replace."""
+    from zio_analytics_spark.operators.text import readability
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", F.lit(" batch"), F.lit(" batch.")).alias("text")
+    )
+    return readability(docs)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -18,6 +18,7 @@ __all__ = [
     "bpe_token_stats",
     "BPE_TOKEN_PATTERN",
     "quality_stats",
+    "readability",
     "repetition_stats",
     "language_id",
     "fingerprint",
@@ -502,3 +503,55 @@ def bm25_scores(
         score = term if score is None else score + term
     out = base.select(F.col(id_col), F.round(score, 6).alias("bm25"))
     return out.where(F.col("bm25") > 0)
+
+
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Flesch Reading Ease (Flesch 1948 — the standard readability signal
+    a curation pipeline filters on: too-easy text is often boilerplate/
+    spam, too-hard text is often OCR garbage or code):
+
+        206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    All codegen Column regex — no UDF: words are the shared whitespace
+    tokenization (:func:`tokens`), sentences count ``[.!?]+`` terminator
+    runs (min 1), syllables approximate as VOWEL-GROUP runs per word
+    (``[aeiouy]+``, min 1 per word — the classic heuristic; a dictionary
+    syllabifier plugs into the same per-word slot) summed by an
+    ``aggregate`` HOF over the token array. Every count is an exact
+    integer, so cross-engine agreement reduces to two double divisions.
+    Rows with zero words are dropped (the score is undefined)."""
+    w = tokens(text_col)
+    text = F.col(text_col)
+    n_words = F.size(w)
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0))
+    )
+    n_syll = F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda acc, word: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.lower(word), F.lit(r"[aeiouy]+"), 0)),
+        ).cast("long"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return (
+        df.select(
+            id_col,
+            n_words.cast("long").alias("n_words"),
+            n_sent.cast("long").alias("n_sentences"),
+            n_syll.alias("n_syllables"),
+            F.round(score, round_dp).alias("flesch"),
+        )
+        .where(F.col("n_words") > 0)
+    )
