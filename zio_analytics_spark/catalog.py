@@ -11314,6 +11314,43 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability(docs)
 
 
+@register(
+    "window_trailing_corr",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+             round(sum(value), 6) AS revenue, count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT day, revenue, n_events,
+           round(corr(revenue, n_events) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS corr_7d
+    FROM d
+    """,
+)
+def q_window_trailing_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day Pearson correlation between daily revenue and daily
+    event volume — the metric co-drift monitor (a correlation break
+    between volume and revenue is a classic incident signal). Aggregate-
+    first: events collapse to the day grain, then corr runs as a window
+    aggregate over a 7-row frame — Pearson r is scale-invariant, so the
+    sample/population normalization distinction cancels and both engines
+    produce the same coefficient. Daily inputs round 6 dp before the
+    window so both engines correlate identical values."""
+    ev = read_table(spark, sf_dir, "events")
+    day = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return day.select(
+        "day",
+        "revenue",
+        "n_events",
+        F.round(F.corr("revenue", "n_events").over(w), 4).alias("corr_7d"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
