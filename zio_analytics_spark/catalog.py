@@ -11351,6 +11351,85 @@ def q_window_trailing_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_topk_serving",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n,
+           row_number() OVER (ORDER BY count(*) DESC, event_type) AS rank
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, event_type LIMIT 3
+    """,
+)
+def q_streaming_topk_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TOP-K SERVING table — the leaderboard pattern: Structured
+    Streaming forbids LIMIT/rank on a streaming Dataset, so the ranking
+    runs INSIDE foreachBatch where the micro-batch is a plain DataFrame:
+    each trigger merges batch counts into a running parquet count table,
+    re-ranks it, and atomically swaps a 3-row serving table (what a
+    dashboard/cache reads — always complete, always consistent, never a
+    partial rank). Events stream in 4-file micro-batches; after the drain
+    the serving table must equal the batch top-3, proving the merge loop
+    neither drops nor double-counts rank state across triggers."""
+    import shutil
+
+    from zio_analytics_spark.streaming.recovery import split_into_files
+
+    ev = read_table(spark, sf_dir, "events").select("event_type")
+    src = _scratch_dir(prefix="zas_topk_src_")
+    ckpt = _scratch_dir(prefix="zas_topk_ck_")
+    counts = _scratch_dir(prefix="zas_topk_cnt_")
+    serve = _scratch_dir(prefix="zas_topk_srv_")
+    split_into_files(ev, src, n_files=4)
+    cnt_schema = "event_type string, n bigint"
+
+    def rank_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_counts = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        current = s.read.schema(cnt_schema).parquet(counts)
+        merged = (
+            current.unionByName(batch_counts)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"))
+        )
+        stage = counts + f"_stage{batch_id}"
+        merged.write.mode("overwrite").parquet(stage)
+        shutil.rmtree(counts, ignore_errors=True)
+        shutil.move(stage, counts)
+        top = (
+            s.read.schema(cnt_schema)
+            .parquet(counts)
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    W.orderBy(F.col("n").desc(), "event_type")
+                ),
+            )
+            .where(F.col("rank") <= 3)
+        )
+        sstage = serve + f"_stage{batch_id}"
+        top.write.mode("overwrite").parquet(sstage)
+        shutil.rmtree(serve, ignore_errors=True)
+        shutil.move(sstage, serve)
+
+    st = spark.readStream.schema("event_type string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        st.writeStream.foreachBatch(rank_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.read.schema(cnt_schema + ", rank int").parquet(serve)
+    rows = final.orderBy("rank").collect()
+    return spark.createDataFrame(rows, final.schema)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
