@@ -11,6 +11,7 @@ Run: python examples/forecasting_and_ops.py [sf_dir]
    (operators/layout.py)
 5. Sorted-neighborhood linkage candidates by account balance
    (operators/linkage.py)
+6. Poisson-bootstrap CI for the mean (operators/stats.py)
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from zio_analytics_spark.operators.layout import plan_compaction  # noqa: E402
 from zio_analytics_spark.operators.linkage import sorted_neighborhood_pairs  # noqa: E402
 from zio_analytics_spark.operators.stats import (  # noqa: E402
+    bootstrap_mean_ci,
     hash_cohort,
     kaplan_meier,
     logrank_test,
@@ -62,6 +64,10 @@ def main() -> None:
     kaplan_meier(subj, "t", "ev").orderBy("t").show(8)
     arms = subj.withColumn("arm", hash_cohort(F.col("user_id")))
     logrank_test(arms, "t", "ev", "arm").show()
+
+    # 3b. Poisson-bootstrap CI for the mean event value: 40 resample means
+    # from ONE scan (per-row hash Poisson weights - no global resampling)
+    bootstrap_mean_ci(events, "value", "event_id").show()
 
     # 4. compaction plan: bin document "files" at 8 KiB of cumulative size
     files = read_table(spark, sf_dir, "documents").select(
