@@ -11223,16 +11223,23 @@ def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bootstrap_oracle(n_resamples: int = 40, salt: str = "boot") -> str:
-    """DuckDB replay of the Poisson bootstrap: identical md5 uniforms,
-    identical Poisson(1) CDF thresholds, identical weighted means, same
-    2nd-smallest/2nd-largest percentile cut."""
+    """DuckDB replay of the Poisson bootstrap: the identical md5-derived
+    32-bit seed (ONE per row), the identical 3-round Lehmer mix per
+    resample (modulus 2^31−1, MINSTD multipliers — every product < 2^48,
+    exact BIGINT in both engines), the identical Poisson(1) CDF
+    thresholds, weighted means, and 2nd-smallest/2nd-largest cut."""
     from zio_analytics_spark.operators.stats import _POISSON1_CUM
 
+    m = 2147483647
+    seed = (
+        f"(('0x' || substring(md5('{salt}|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT)"
+    )
+
     def w(b: int) -> str:
-        u = (
-            f"(('0x' || substring(md5('{salt}|{b}|' || CAST(event_id AS VARCHAR)), 1, 8))"
-            "::BIGINT / 4294967296.0)"
-        )
+        z1 = f"(({seed} % {m} + 1 + {b * 48271}) % {m})"
+        z2 = f"(({z1} * 69621) % {m})"
+        z3 = f"(({z2} * 48271) % {m})"
+        u = f"(CAST({z3} AS DOUBLE) / {float(m)!r})"
         expr = "6.0"
         for k in reversed(range(6)):
             expr = f"CASE WHEN {u} < {_POISSON1_CUM[k]!r} THEN {float(k)!r} ELSE {expr} END"
