@@ -11437,6 +11437,68 @@ def q_streaming_topk_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, final.schema)
 
 
+@register(
+    "agg_hll_intersection",
+    oracle="""
+    WITH a AS (SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_orderkey % 2 = 0),
+    b AS (SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_orderkey % 3 = 0)
+    SELECT (SELECT count(*) FROM a) AS exact_a,
+           (SELECT count(*) FROM b) AS exact_b,
+           (SELECT count(*) FROM a JOIN b USING (k)) AS exact_both,
+           TRUE AS inter_ok
+    """,
+)
+def q_agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set-INTERSECTION estimate via inclusion–exclusion — the sketch
+    algebra HLL does not support natively (sketches union losslessly but
+    cannot intersect), recovered as |A∩B| ≈ Ê(A) + Ê(B) − Ê(A∪B): the
+    audience-overlap / cross-segment question a 100 TB pipeline answers
+    from stored per-segment sketches with NO re-scan. Error compounds —
+    each term carries HLL's relative error against the UNION size, so the
+    band here is ±10% of the union (the documented weakness of
+    inclusion–exclusion on small overlaps; Theta sketches fix it, HLL
+    users live with it). Tolerance-banded oracle like
+    agg_hll_sketch_union: exact counts from DISTINCT joins, the boolean
+    asserts the estimate lands in band."""
+    li = read_table(spark, sf_dir, "lineitem")
+    tagged = li.select(
+        "l_partkey",
+        (F.col("l_orderkey") % 2 == 0).alias("__in_a"),
+        (F.col("l_orderkey") % 3 == 0).alias("__in_b"),
+    )
+    sk = tagged.agg(
+        F.hll_sketch_agg(F.when(F.col("__in_a"), F.col("l_partkey"))).alias("__sa"),
+        F.hll_sketch_agg(F.when(F.col("__in_b"), F.col("l_partkey"))).alias("__sb"),
+        F.hll_sketch_agg(
+            F.when(F.col("__in_a") | F.col("__in_b"), F.col("l_partkey"))
+        ).alias("__su"),
+    )
+    est = sk.select(
+        F.hll_sketch_estimate("__sa").alias("__ea"),
+        F.hll_sketch_estimate("__sb").alias("__eb"),
+        F.hll_sketch_estimate("__su").alias("__eu"),
+    )
+    # membership is per SET, not per row: a part can reach A and B through
+    # DIFFERENT orders — collapse to per-key membership flags first
+    member = tagged.groupBy("l_partkey").agg(
+        F.max("__in_a").alias("__a"), F.max("__in_b").alias("__b")
+    )
+    exact = member.agg(
+        F.sum(F.col("__a").cast("long")).alias("exact_a"),
+        F.sum(F.col("__b").cast("long")).alias("exact_b"),
+        F.sum((F.col("__a") & F.col("__b")).cast("long")).alias("exact_both"),
+    )
+    inter = F.col("__ea") + F.col("__eb") - F.col("__eu")
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_a",
+        "exact_b",
+        "exact_both",
+        (
+            F.abs(inter - F.col("exact_both")) / F.col("__eu") < 0.10
+        ).alias("inter_ok"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
