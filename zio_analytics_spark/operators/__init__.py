@@ -22,7 +22,7 @@ Reference core:
 - :mod:`geo` — haversine radius join via grid-cell blocking.
 - :mod:`linkage` — SymSpell fuzzy join + sorted-neighborhood blocking.
 - :mod:`stats` — Welch/chi²/AUC/OLS/Theil–Sen/moments/confusion/
-  calibration/Kaplan–Meier.
+  calibration/Kaplan–Meier/log-rank/Poisson-bootstrap CI.
 
 [EXT] LLM-data pipeline:
 
