@@ -11499,6 +11499,66 @@ def q_agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_oracle(n_iter: int = 3, damping: float = 0.85, seeds=(0, 1, 2)) -> str:
+    """Chained-CTE replay of personalized PageRank: identical graph
+    derivation to _pagerank_oracle, restart/dangling mass to the seed set
+    (p(v) = 1/|S| on seeds, 0 elsewhere)."""
+    sl = ", ".join(str(s) for s in seeds)
+    pv = f"CASE WHEN nodes.node IN ({sl}) THEN {1.0 / len(seeds)!r} ELSE 0.0 END"
+    cte = [
+        f"""e AS (
+      SELECT DISTINCT user_id AS src, (user_id * 7 + event_id % 11) % 150 AS dst
+      FROM events WHERE user_id != (user_id * 7 + event_id % 11) % 150
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+    r0 AS (SELECT nodes.node, {pv} AS rank FROM nodes)"""
+    ]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        cte.append(f"""dm{k} AS (
+      SELECT coalesce(sum(r.rank), 0) AS dm
+      FROM r{p} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL
+    ),
+    c{k} AS (
+      SELECT e.dst, sum(r.rank / deg.d) AS c
+      FROM e JOIN deg USING (src) JOIN r{p} r ON r.node = e.src GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT nodes.node,
+             {1.0 - damping} * ({pv})
+             + {damping} * (coalesce(c.c, 0) + d.dm * ({pv})) AS rank
+      FROM nodes CROSS JOIN dm{k} d
+      LEFT JOIN c{k} c ON c.dst = nodes.node
+    )""")
+    return (
+        "WITH " + ",\n    ".join(cte)
+        + f"\n    SELECT node, round(rank, 9) AS rank FROM r{n_iter}"
+    )
+
+
+@register("pagerank_personalized", oracle=_ppr_oracle())
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / random walk with restart (operators/
+    graph.py pagerank_personalized — Haveliwala 2002): same synthetic
+    graph as pagerank_fixed, but ALL restart and dangling mass returns to
+    seeds {0, 1, 2} — the similarity-to-these-nodes ranking behind
+    related-items recommendations, where global PageRank only measures
+    generic importance. Fixed 3 iterations keep it deterministic; the
+    oracle chains one CTE per round with the identical seed restart
+    vector. Nodes outside the seeds' reach end at exactly 0 — itself a
+    checked signal."""
+    from zio_analytics_spark.operators.graph import pagerank_personalized
+
+    ev = read_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id") % 11) % 150).alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+    out = pagerank_personalized(edges, seeds=[0, 1, 2], n_iter=3)
+    return out.select("node", F.round("rank", 9).alias("rank"))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
