@@ -298,3 +298,40 @@ def test_readability_orders_simple_before_complex(spark):
     )
     got = {r["doc_id"]: r["flesch"] for r in readability(df).collect()}
     assert got[1] > 80 and got[2] < 10  # easy reads high, dense reads low
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from zio_analytics_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert 4 not in got  # empty doc emits no row
+    assert got[1]["entropy_bits"] == 0.0  # single symbol: zero entropy
+    assert abs(got[2]["entropy_bits"] - 1.0) < 1e-9  # two equiprobable
+    assert abs(got[3]["entropy_bits"] - 2.0) < 1e-9  # four equiprobable
+    assert got[3]["n_chars"] == 4
+    # skewed: p = (3/4, 1/4)
+    df2 = spark.createDataFrame([(9, "aaab")], "doc_id long, text string")
+    h = char_entropy(df2).collect()[0]["entropy_bits"]
+    want = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert abs(h - want) < 1e-6
+
+
+def test_char_entropy_separates_junk_from_language(spark):
+    from zio_analytics_spark.operators.text import char_entropy
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away"),
+        (2, "xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"),
+        (3, "aGVsbG8gd29ybGQhIHRoaXMgaXMgYmFzZTY0IG5vaXNlIDAxMjM0NTY3ODk="),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["entropy_bits"] for r in char_entropy(df).collect()}
+    assert got[2] < 0.5          # repetitive junk
+    assert 3.0 < got[1] < 4.8    # natural language band
+    assert got[3] > got[1]       # base64 noise runs hotter

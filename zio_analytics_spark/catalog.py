@@ -11559,6 +11559,33 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 9).alias("rank"))
 
 
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents
+    ),
+    cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY doc_id)
+    SELECT doc_id, CAST(t AS BIGINT) AS n_chars,
+           round(-sum((n / t) * log2(n / t)), 6) AS entropy_bits
+    FROM cnt JOIN tot USING (doc_id)
+    GROUP BY doc_id, t
+    """,
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (operators/text.py
+    char_entropy): the repetition/noise curation signal — near-zero flags
+    template junk, abnormally high flags base64/binary masquerading as
+    text — the exact-replayable stand-in for a gzip-ratio filter. One
+    shuffle to (doc, char) counts; the entropy sum runs over the bounded
+    alphabet grain. Both engines' '.' excludes newlines identically
+    (Java regex and RE2)."""
+    from zio_analytics_spark.operators.text import char_entropy
+
+    return char_entropy(read_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 

@@ -19,6 +19,7 @@ __all__ = [
     "BPE_TOKEN_PATTERN",
     "quality_stats",
     "readability",
+    "char_entropy",
     "repetition_stats",
     "language_id",
     "fingerprint",
@@ -554,4 +555,42 @@ def readability(
             F.round(score, round_dp).alias("flesch"),
         )
         .where(F.col("n_words") > 0)
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    curation signal the length/stopword heuristics miss: near-zero
+    entropy flags repetitive junk (scraped padding, base-cases of
+    template spam), abnormally HIGH entropy flags base64/binary noise
+    dressed as text; natural language sits in a stable mid band. The
+    cheap stand-in for a compression-ratio filter (gzip ratio ≈ entropy),
+    with an exact SQL replay instead of a codec dependency.
+
+    Shape: explode to (doc, char) → one shuffle groupBy for counts →
+    per-doc ``−Σ (n/t)·log₂(n/t)``. Alphabet size bounds the post-
+    aggregate grain (≤ distinct chars per doc). Documents with no
+    characters emit no row. Rounded — the Σ over the alphabet merges in
+    engine-specific order."""
+    ch = df.select(
+        id_col,
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit("."), 0)).alias("__c"),
+    )
+    cnt = ch.groupBy(id_col, "__c").agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    tot = cnt.groupBy(id_col).agg(F.sum("__n").alias("__t"))
+    p = F.col("__n") / F.col("__t")
+    return (
+        cnt.join(tot, id_col)
+        .groupBy(id_col, "__t")
+        .agg(F.round(-F.sum(p * F.log2(p)), round_dp).alias("entropy_bits"))
+        .select(
+            id_col,
+            F.col("__t").cast("long").alias("n_chars"),
+            "entropy_bits",
+        )
     )
