@@ -54,9 +54,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
+    attempted = 0
     for name, spec in catalog.CATALOG.items():
         if only and name not in only:
             continue
+        attempted += 1
         try:
             sdf = spec.fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -93,7 +95,7 @@ def main() -> int:
         else:
             print(f"PASS  {name} ({len(s_rows)} rows)")
 
-    print(f"\n{len(catalog.CATALOG) - len(failures)}/{len(catalog.CATALOG)} passing")
+    print(f"\n{attempted - len(failures)}/{attempted} attempted entries passing")
     return 1 if failures else 0
 
 

@@ -81,3 +81,30 @@ def test_haversine_known_distance(spark):
         haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
     ).collect()[0]["km"]
     assert abs(d - 343.5) < 1.5
+
+
+def test_radius_join_wraps_antimeridian(spark):
+    # Points 0.2 deg of longitude apart but straddling +/-180: ~22 km at
+    # the equator -- must pair despite living at opposite ends of the raw
+    # floor(lon/s) cell axis. A third point far away must not pair.
+    df = spark.createDataFrame(
+        [(1, 0.0, 179.95), (2, 0.0, -179.85), (3, 0.0, 0.0)],
+        "id long, lat double, lon double",
+    )
+    rows = geo_radius_join(df, radius_km=150.0).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in rows}
+    assert pairs == {(1, 2)}
+    (r,) = rows
+    assert abs(r["dist_km"] - _hav(0.0, 179.95, 0.0, -179.85)) < 0.01
+
+
+def test_radius_join_huge_radius_degenerate_cells(spark):
+    # radius so large the longitude cells span the globe (n_lon < 3):
+    # duplicate wrapped cells must not duplicate pairs.
+    df = spark.createDataFrame(
+        [(1, 10.0, -170.0), (2, 11.0, 170.0), (3, -20.0, 5.0)],
+        "id long, lat double, lon double",
+    )
+    rows = geo_radius_join(df, radius_km=20000.0, max_abs_lat=30.0).collect()
+    pairs = sorted((r["a_id"], r["b_id"]) for r in rows)
+    assert pairs == [(1, 2), (1, 3), (2, 3)]  # each unordered pair exactly once

@@ -151,3 +151,24 @@ def test_sorted_neighborhood_on_string_keys(spark):
     order = sorted(range(len(names)), key=lambda i: names[i])
     want = {(order[i], order[i + 1]) for i in range(len(order) - 1)}
     assert {(r["a_id"], r["b_id"]) for r in pairs} == want
+
+
+def test_str_rank_key_clamps_non_ascii(spark):
+    # ascii() yields full code points (up to 0x10FFFF); unclamped they
+    # would misorder vs ASCII tails and overflow int64 at nbytes=8. The
+    # clamp keeps every key in signed-long range and preserves
+    # ASCII-vs-non-ASCII order; clamped characters tie and fall through.
+    from zio_analytics_spark.operators.linkage import str_rank_key
+
+    words = ["abc", "abĀ", "ab\U0010ffff", "\U0010ffff" * 8, "zzz"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    rows = df.select("s", str_rank_key("s").alias("k")).collect()
+    ks = {r["s"]: r["k"] for r in rows}
+    imax = (1 << 63) - 1
+    assert all(0 <= k <= imax for k in ks.values())
+    # all-clamped string hits the exact int64 ceiling, no overflow wrap
+    assert ks["\U0010ffff" * 8] == imax
+    # ASCII strings stay below any non-ASCII-leading comparison point;
+    # code points at/above the clamp tie (both -> 255 at position 3)
+    assert ks["abc"] < ks["abĀ"] == ks["ab\U0010ffff"]
+    assert ks["zzz"] < ks["\U0010ffff" * 8]

@@ -736,3 +736,13 @@ def test_image_resize_box_drops_partial_blocks_and_tiny_images(spark):
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r["doc_id"]: (r["width"], r["height"]) for r in image_resize_box(df, factor=2).collect()}
     assert got == {1: (2, 1)}
+
+
+def test_ahash_rejects_odd_bit_count(spark):
+    # grid*grid odd -> the two-halves hex packing would drop the last bit
+    # while n_bits_set still counted it; rejected up front.
+    from zio_analytics_spark.operators.multimodal import perceptual_ahash
+
+    df = spark.createDataFrame([(1, b"")], "doc_id long, payload binary")
+    with pytest.raises(ValueError, match="even"):
+        perceptual_ahash(df, grid=3)

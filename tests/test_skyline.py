@@ -139,7 +139,47 @@ def test_validation_and_window_plan_has_no_self_join(spark):
     plan = pareto_frontier(
         big, minimize=["price"], maximize=["size"], block_cols=["blk"]
     )._jdf.queryExecution().executedPlan().toString()
-    # window strategy: the only join is the final broadcast SEMI probe —
-    # no dominance self-join (SortMergeJoin/inner) anywhere
+    # window strategy: the only join is the final SEMI probe (no forced
+    # broadcast — AQE sizes it at runtime) — no dominance INNER self-join
+    import re
+
     assert "Window" in plan
-    assert "SortMergeJoin" not in plan
+    joins = re.findall(
+        r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)[^\n]*", plan
+    )
+    assert joins and all("LeftSemi" in j for j in joins), joins
+
+
+def test_null_block_rows_agree_across_engines(spark):
+    # NULL block values form a regular group in BOTH engines (eqNullSafe):
+    # the null-block frontier is computed, not silently dropped (window)
+    # or trivially kept whole (join).
+    rows = [
+        (1, None, 10.0, 5),   # null-block frontier (cheapest)
+        (2, None, 20.0, 9),   # null-block frontier
+        (3, None, 30.0, 7),   # dominated by 2 within the null block
+        (4, "x", 50.0, 1),    # alone in x
+    ]
+    df = _rows(spark, rows)
+    got = {}
+    for engine in ("window", "join"):
+        got[engine] = _frontier_ids(
+            pareto_frontier(
+                df, minimize=["price"], maximize=["size"],
+                block_cols=["blk"], engine=engine,
+            )
+        )
+    assert got["window"] == got["join"] == [1, 2, 4]
+
+
+def test_window_engine_no_forced_broadcast(spark):
+    # The frontier tier table is unbounded (anti-correlated criteria), so
+    # the semi-join must not carry an explicit broadcast hint.
+    rows = [(i, "x", float(i), 100 - i) for i in range(20)]
+    df = _rows(spark, rows)
+    plan = (
+        pareto_frontier(df, minimize=["price"], maximize=["size"],
+                        block_cols=["blk"], engine="window")
+        ._jdf.queryExecution().logical().toString()
+    )
+    assert "ResolvedHint" not in plan

@@ -76,17 +76,31 @@ def geo_radius_join(
     ``a_id < b_id`` and ``dist_km`` rounded to 4 dp. Points beyond
     ``max_abs_lat`` break the longitude-cell guarantee (cells keep
     widening toward the poles) — keep the band honest for polar data by
-    passing a larger value, at the cost of wider cells everywhere."""
+    passing a larger value, at the cost of wider cells everywhere.
+
+    Longitude cells WRAP at the ±180° antimeridian: the globe is cut into
+    ``n_lon = floor(360/s_lon)`` equal-width cells (each ≥ the required
+    ``s_lon``, so the ±1-neighbor guarantee still holds) and neighbor
+    offsets are taken modulo ``n_lon`` — a pair straddling the seam lands
+    in adjacent cells, not silently dropped."""
     if not 0 < max_abs_lat < 90:
         raise ValueError("max_abs_lat must be in (0, 90)")
     s_lat = radius_km / 111.0  # ≥ arc °/km ⇒ conservative (wider) cells
     s_lon = s_lat / math.cos(math.radians(max_abs_lat))
+    # Equal-width cells that divide 360° exactly: every cell is ≥ s_lon
+    # wide (n_lon = floor(360/s_lon) ⇒ 360/n_lon ≥ s_lon), so two points
+    # within radius are never more than one wrapped cell index apart.
+    n_lon = max(1, int(360.0 // s_lon)) if s_lon <= 360.0 else 1
+    s_lon_eff = 360.0 / n_lon
     pts = points.select(
         F.col(id_col).alias("pid"),
         F.col(lat_col).cast("double").alias("plat"),
         F.col(lon_col).cast("double").alias("plon"),
         F.floor(F.col(lat_col) / s_lat).cast("int").alias("clat"),
-        F.floor(F.col(lon_col) / s_lon).cast("int").alias("clon"),
+        F.pmod(
+            F.floor((F.col(lon_col) + F.lit(180.0)) / s_lon_eff).cast("int"),
+            F.lit(n_lon),
+        ).cast("int").alias("clon"),
     )
     offsets = F.expr(
         "array(" + ", ".join(f"struct({dy} AS dy, {dx} AS dx)" for dy in (-1, 0, 1) for dx in (-1, 0, 1)) + ")"
@@ -98,9 +112,13 @@ def geo_radius_join(
             F.col("plat").alias("a_lat"),
             F.col("plon").alias("a_lon"),
             (F.col("clat") + F.col("o.dy")).alias("clat"),
-            (F.col("clon") + F.col("o.dx")).alias("clon"),
+            F.pmod(F.col("clon") + F.col("o.dx"), F.lit(n_lon)).cast("int").alias("clon"),
         )
     )
+    if n_lon < 3:
+        # Degenerate globe-spanning cells: dx ∈ {-1,0,1} collide mod n_lon,
+        # which would emit the same (a, cell) key twice → duplicate pairs.
+        left = left.dropDuplicates(["a_id", "clat", "clon"])
     right = pts.select(
         F.col("pid").alias("b_id"),
         F.col("plat").alias("b_lat"),

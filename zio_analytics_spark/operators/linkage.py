@@ -93,16 +93,25 @@ def str_rank_key(col, nbytes: int = 8):
     the strings' first ``nbytes`` chars, which is exactly what
     :func:`sorted_neighborhood_pairs` needs for its bucket boundaries —
     the FULL string then tie-breaks inside buckets, so the composite
-    (key, string) order is the true lexicographic order. Non-ASCII bytes
-    still order correctly per byte (ascii() returns the code point;
-    multi-byte chars compare by first code point — fine for blocking,
-    where the window absorbs near-miss ordering)."""
+    (key, string) order is the true lexicographic order for printable
+    ASCII. Non-ASCII characters are CLAMPED (``ascii()`` returns the full
+    code point, up to 0x10FFFF, which would both misorder digits and
+    overflow int64 at nbytes=8): every position clamps to 255, and the
+    leading position to 127, so the key always fits a signed long
+    (max = 127·256⁷ + Σ 255·256^i = 2⁶³−1 exactly). All code points above
+    the clamp tie at that position and fall through to later characters /
+    the caller's tie-break — ASCII-vs-non-ASCII order is preserved, order
+    AMONG clamped characters is not, so non-ASCII-heavy data loses some
+    blocking recall (never correctness: the neighborhood window still
+    bounds candidates)."""
     if not 1 <= nbytes <= 8:
         raise ValueError("nbytes must be 1..8 (fits a signed long)")
     c = F.col(col) if isinstance(col, str) else col
     key = F.lit(0).cast("long")
     for i in range(nbytes):
-        ch = F.ascii(F.substring(c, i + 1, 1))
+        ch = F.least(
+            F.ascii(F.substring(c, i + 1, 1)), F.lit(127 if i == 0 else 255)
+        )
         key = key * 256 + F.coalesce(ch, F.lit(0)).cast("long")
     return key
 

@@ -932,6 +932,11 @@ def perceptual_ahash(
     """
     if grid < 1:
         raise ValueError("grid must be >= 1")
+    if (grid * grid) % 2:
+        # The two-halves hex packing carries exactly 2*(grid²//2) bits; an
+        # odd cell count would silently drop the final bit from the hash
+        # while n_bits_set still counted it — reject rather than corrupt.
+        raise ValueError("grid*grid must be even (odd bit counts don't pack)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -101,11 +101,20 @@ def _frontier_window(
         .select(*blocks, "__u", F.col("__best_v").alias("__v"))
     )
     # semi-join raw rows back: a row survives iff its (u, v) tier point is
-    # a frontier point (equal-on-both duplicates all survive).
-    probe = df.withColumn("__u", u).withColumn("__v", v)
-    keep = probe.join(
-        F.broadcast(front_tiers), on=[*blocks, "__u", "__v"], how="left_semi"
+    # a frontier point (equal-on-both duplicates all survive). Block keys
+    # compare null-safely — NULL is a regular group, matching the groupBy
+    # above and the join engine. No broadcast hint: the frontier is
+    # unbounded in the worst case (anti-correlated criteria put every
+    # distinct-u tier on it), so let AQE pick the strategy from measured
+    # size instead of forcing a driver-side materialization.
+    probe = df.withColumn("__u", u).withColumn("__v", v).alias("p")
+    ft = front_tiers.alias("t")
+    cond = F.col("p.__u").eqNullSafe(F.col("t.__u")) & F.col("p.__v").eqNullSafe(
+        F.col("t.__v")
     )
+    for b in blocks:
+        cond = cond & F.col(f"p.{b}").eqNullSafe(F.col(f"t.{b}"))
+    keep = probe.join(ft, on=cond, how="left_semi")
     return keep.drop("__u", "__v")
 
 
@@ -125,7 +134,9 @@ def _frontier_join(
         else (F.col(f"b.{c}") > F.col(f"a.{c}"))
         for c, _ in dirs
     ]
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in blocks]
+    # Null-safe: NULL block values form a regular group (same contract as
+    # the window engine's groupBy), instead of silently never matching.
+    cond = [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in blocks]
     dominates = ge[0]
     for g in ge[1:]:
         dominates = dominates & g
