@@ -9,7 +9,11 @@
 round-over-round comparison metric) as per-query MEDIANS over
 ``$SPARK_GRAFT_HEADLINE_RUNS`` (default 3) executions, with per-query
 minima and the summed max−min band alongside — single-shot wall time on a
-shared host is contention-bound (round-5 lesson). The full-catalog per-entry sweep is
+shared host is contention-bound (round-5 lesson). A fixed-work pure-CPU
+calibration probe interleaved with the headline reps yields ``calib``
+(host speed during THIS run vs the pinned reference) and
+``value_normalized`` (the contention-corrected total) — raw numbers stay
+primary, the normalized one tells code changes from co-tenant noise. The full-catalog per-entry sweep is
 written to ``BENCH_FULL.json`` NEXT TO this file, never to stdout: the
 driver's tail capture parses the last stdout line, and a 107-entry JSON
 blob overflows it (round 2's official record was lost that way). Set
@@ -88,6 +92,34 @@ def main() -> None:
         "n_shards", 2
     ).load().write.format("noop").mode("overwrite").save()
 
+    # --- fixed-work calibration probe (round-8) -----------------------------
+    # Two rounds of co-tenancy noise (r5: 14.2 vs 16.0 s identical code;
+    # r7: +36% on byte-identical code) made the round-over-round trend
+    # unreadable. This probe is a constant-size pure-CPU Spark job (no I/O,
+    # no Python workers, 64 tasks saturating all cores) timed in the same
+    # process, interleaved with the headline reps. `calib_sec` (median of
+    # the samples) measures HOST SPEED DURING THIS RUN; the normalized
+    # total `value_normalized = value * (CALIB_REF_SEC / calib_sec)` is
+    # comparable across rounds regardless of co-tenant load. Raw numbers
+    # stay primary. bit_xor can't overflow under ANSI mode; the triple
+    # xxhash64 keeps the loop memory-free and JIT-saturated after the two
+    # discard reps below (measured: steady state ~1.0 s by rep 3-4 at this
+    # size; smaller probes drift for ~15 reps).
+    # CALIB_REF_SEC pinned 2026-08-15 from two independent sessions' steady
+    # state medians (0.99 s, 1.17 s) on the build host near-idle. Do not
+    # re-pin casually: the constant IS the cross-round comparability.
+    CALIB_REF_SEC = 1.0
+
+    def calib_probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(1_600_000_000, numPartitions=64).selectExpr(
+            "bit_xor(xxhash64(xxhash64(xxhash64(id)))) as s"
+        ).collect()
+        return time.perf_counter() - t0
+
+    for _ in range(2):  # discard: JIT warm-up of the probe's codegen loop
+        calib_probe()
+
     def run_timed(names_fns, isolate: bool = False) -> dict[str, float]:
         out: dict[str, float] = {}
         for name, fn in names_fns:
@@ -121,10 +153,12 @@ def main() -> None:
     import statistics
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_HEADLINE_RUNS", "3")))
-    head_runs = [
-        run_timed(catalog.bench_queries().items(), isolate=True)
-        for _ in range(n_runs)
-    ]
+    head_runs = []
+    calib_samples = []
+    for _ in range(n_runs):
+        calib_samples.append(round(calib_probe(), 3))
+        head_runs.append(run_timed(catalog.bench_queries().items(), isolate=True))
+    calib_samples.append(round(calib_probe(), 3))
     timings = {
         name: round(statistics.median([r[name] for r in head_runs]), 3)
         for name in head_runs[0]
@@ -173,6 +207,15 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    calib_now = statistics.median(calib_samples)
+    calib = {
+        "probe": "range(1.6e9,64p) bit_xor(xxhash64^3)",
+        "samples_sec": calib_samples,
+        "median_sec": round(calib_now, 3),
+        "ref_sec": CALIB_REF_SEC,
+        "host_slowdown": round(calib_now / CALIB_REF_SEC, 3),
+    }
+    value_normalized = round(total * (CALIB_REF_SEC / calib_now), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Per-entry budget gate: any single entry slower than this at the bench
     # SF is an O(L²)-class regression (round 2 shipped 38 s/40 s entries that
@@ -221,6 +264,8 @@ def main() -> None:
                 "value_min": round(sum(timings_min.values()), 3),
                 "queries_min": timings_min,
                 "spread_sec": spread,
+                "value_normalized": value_normalized,
+                "calib": calib,
                 "sf": sf_val,
             }
         )
