@@ -11586,6 +11586,192 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(read_table(spark, sf_dir, "documents"))
 
 
+def _unigram_viterbi_ctes(t) -> list:
+    """One Viterbi pass (DP + backtrace) over the piece table ``l{t}``,
+    emitting one row per chosen token in ``bt{t}``. The forward DP is a
+    ``list_reduce`` over positions whose lambda touches ONE outer column
+    (the match list) — the only shape DuckDB 1.0 evaluates correctly at
+    full vector width (lambdas with ≥2 outer column refs misalign rows;
+    found while building this oracle, hence the lambda-free backtrace:
+    the per-(word, pos) optimal predecessor is a plain aggregation
+    ``ch{t}``, and the walk is a RECURSIVE CTE producing one token per
+    step — no lists, no lambdas)."""
+    return [
+        f"""m{t} AS MATERIALIZED (
+      SELECT s.word, s.freq,
+             list({{'s': s.s, 'e': s.e, 'lp': l.ilogp}}) AS ms
+      FROM sub s JOIN l{t} l USING (piece)
+      GROUP BY s.word, s.freq
+    )""",
+        f"""d{t} AS MATERIALIZED (
+      SELECT word, freq, ms,
+             list_reduce(
+               list_prepend([0::BIGINT],
+                 list_transform(range(1, len(word) + 1), x -> [x::BIGINT])),
+               (acc, x) -> list_append(acc,
+                 list_max(list_transform(
+                   list_filter(ms, mm -> mm.e = x[1]),
+                   mm -> acc[(mm.s + 1)::INTEGER] + mm.lp)))) AS best
+      FROM m{t}
+    )""",
+        f"""bb{t} AS MATERIALIZED (
+      SELECT d.word, t.e - 1 AS e, d.best[t.e::INTEGER] AS best
+      FROM d{t} d, unnest(range(1, len(d.best) + 1)) AS t(e)
+    )""",
+        f"""ch{t} AS MATERIALIZED (
+      SELECT s.word, s.e, min(s.s) AS s
+      FROM sub s
+      JOIN l{t} l USING (piece)
+      JOIN bb{t} bs ON bs.word = s.word AND bs.e = s.s
+      JOIN bb{t} be ON be.word = s.word AND be.e = s.e
+      WHERE bs.best + l.ilogp = be.best
+      GROUP BY s.word, s.e
+    )""",
+        f"""bt{t}(word, freq, pos, piece) AS (
+      SELECT word, freq, len(word)::BIGINT, CAST(NULL AS VARCHAR) FROM d{t}
+      UNION ALL
+      SELECT b.word, b.freq, c.s,
+             substring(b.word, (c.s + 1)::INTEGER, (b.pos - c.s)::INTEGER)
+      FROM bt{t} b JOIN ch{t} c ON c.word = b.word AND c.e = b.pos
+      WHERE b.pos > 0
+    )""",
+    ]
+
+
+def _unigram_oracle_ctes(n_iters: int, L: int, top_k: int) -> list:
+    """Shared CTE chain replaying operators/unigram.py hard-EM training:
+    seed substring candidates (singles + top-k multis), then per round the
+    fixed-point scores, the per-word integer Viterbi DP + backtrace
+    (:func:`_unigram_viterbi_ctes`), and the recount/prune step."""
+    ctes = [
+        """w AS MATERIALIZED (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    )""",
+        "v AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM w GROUP BY word)",
+        f"""sub AS MATERIALIZED (
+      SELECT v.word, v.freq, t.s::BIGINT AS s, (t.s + u.l)::BIGINT AS e,
+             substring(v.word, (t.s + 1)::INTEGER, u.l::INTEGER) AS piece
+      FROM v, unnest(range(0, len(v.word))) AS t(s),
+           unnest(range(1, {L} + 1)) AS u(l)
+      WHERE t.s + u.l <= len(v.word)
+    )""",
+        "cand AS MATERIALIZED (SELECT piece, sum(freq)::BIGINT AS cnt FROM sub GROUP BY piece)",
+        "alpha AS MATERIALIZED (SELECT piece FROM cand WHERE len(piece) = 1)",
+        f"""p0 AS MATERIALIZED (
+      SELECT piece, cnt FROM cand WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+        FROM cand WHERE len(piece) > 1)
+      WHERE rk <= {top_k}
+    )""",
+    ]
+    for t in range(n_iters):
+        ctes.append(f"""l{t} AS MATERIALIZED (
+      SELECT piece, cnt,
+             CAST(round((ln(cnt::DOUBLE) - ln((SELECT sum(cnt) FROM p{t})::DOUBLE))
+                        * 1000000.0) AS BIGINT) AS ilogp
+      FROM p{t}
+    )""")
+        ctes.extend(_unigram_viterbi_ctes(t))
+        ctes.append(f"""c{t} AS (
+      SELECT piece, sum(freq)::BIGINT AS cnt
+      FROM bt{t} WHERE piece IS NOT NULL GROUP BY piece
+    )""")
+        ctes.append(f"""p{t + 1} AS MATERIALIZED (
+      SELECT piece, cnt FROM c{t} WHERE len(piece) > 1
+      UNION ALL
+      SELECT a.piece, greatest(coalesce(c.cnt, 0), 1)::BIGINT AS cnt
+      FROM alpha a LEFT JOIN (SELECT piece, cnt FROM c{t} WHERE len(piece) = 1) c
+        USING (piece)
+    )""")
+    return ctes
+
+
+def _unigram_train_oracle(n_iters: int = 2, L: int = 3, top_k: int = 64) -> str:
+    n = n_iters
+    return (
+        "WITH RECURSIVE " + ",\n    ".join(_unigram_oracle_ctes(n, L, top_k))
+        + f""",
+    lf AS MATERIALIZED (
+      SELECT piece, cnt,
+             CAST(round((ln(cnt::DOUBLE) - ln((SELECT sum(cnt) FROM p{n})::DOUBLE))
+                        * 1000000.0) AS BIGINT) AS ilogp
+      FROM p{n}
+    )
+    SELECT piece, cnt, ilogp FROM lf"""
+    )
+
+
+def _unigram_segment_oracle(n_iters: int = 2, L: int = 3, top_k: int = 64) -> str:
+    n = n_iters
+    ctes = _unigram_oracle_ctes(n, L, top_k)
+    ctes.append(f"""lf AS MATERIALIZED (
+      SELECT piece, cnt,
+             CAST(round((ln(cnt::DOUBLE) - ln((SELECT sum(cnt) FROM p{n})::DOUBLE))
+                        * 1000000.0) AS BIGINT) AS ilogp
+      FROM p{n}
+    )""")
+    ctes.extend(_unigram_viterbi_ctes("f"))
+    ctes.append(
+        "dim AS MATERIALIZED (SELECT word, count(*)::BIGINT AS n_tok FROM btf "
+        "WHERE piece IS NOT NULL GROUP BY word)"
+    )
+    ctes.append("""dw AS MATERIALIZED (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    )""")
+    return (
+        "WITH RECURSIVE " + ",\n    ".join(ctes)
+        + """
+    SELECT dw.doc_id, count(*)::BIGINT AS n_words, sum(dim.n_tok)::BIGINT AS n_tokens
+    FROM dw JOIN dim USING (word)
+    GROUP BY dw.doc_id"""
+    )
+
+
+@register("unigram_train", oracle=_unigram_train_oracle())
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer TRAINING
+    (operators/unigram.py — Kudo 2018, the second production tokenizer
+    family next to BPE): seed a substring candidate vocab (all singles +
+    top-64 multis by weighted count), then 2 rounds of deterministic
+    hard-EM — score pieces with INTEGER fixed-point log-probs
+    (round((ln c − ln Σc)·10⁶)), Viterbi-segment the Zipf-bounded word
+    vocab with a pure Column HOF DP (integer scores, smallest-start
+    tie-break), recount pieces on the best paths, prune multis that fell
+    out of use, floor singles at 1. Scale shape: one corpus scan builds
+    the vocab; every EM round is vocab × broadcast-pieces work — corpus-
+    size-independent, like bpe_train. The oracle replays every round:
+    the same DP as a list_reduce over positions, the same backtrace
+    path, the same prune rule — final (piece, cnt, ilogp) compared
+    exactly."""
+    from zio_analytics_spark.operators.unigram import unigram_train
+
+    return unigram_train(
+        read_table(spark, sf_dir, "documents"), n_iters=2, max_piece_len=3, top_k=64
+    )
+
+
+@register("unigram_segment", oracle=_unigram_segment_oracle())
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply side of the unigram-LM trainer (operators/unigram.py
+    unigram_segment — bpe_segment's sibling): train the piece model, then
+    Viterbi-segment the Zipf-bounded vocab ONCE into a word → token-count
+    dimension, materialize it, and run one corpus pass (explode +
+    broadcast join + per-doc sum) for (doc, n_words, n_tokens). Corpus
+    cost stays one scan regardless of vocab size or EM rounds — with a
+    real 32k-piece tokenizer only the dimension's segmentation deepens.
+    Wordless documents are excluded (inner join), like bpe_segment. The
+    oracle replays training AND the final segmentation pass."""
+    from zio_analytics_spark.operators.unigram import unigram_segment
+
+    return unigram_segment(
+        read_table(spark, sf_dir, "documents"), n_iters=2, max_piece_len=3, top_k=64
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
