@@ -185,3 +185,38 @@ def test_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "Cartesian" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tokenize_matches_naive(spark):
+    from zio_analytics_spark.operators.unigram import unigram_tokenize
+
+    rng = random.Random(11)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(1, 8))
+        )
+        for _ in range(15)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in unigram_tokenize(df, n_iters=2, max_piece_len=3, top_k=10).collect()
+    }
+    final = _naive_unigram(texts, 2, 3, 10)
+    tot = sum(c for c, _ in final.values())
+    ilogp = {
+        p: round((math.log(c) - math.log(tot)) * 1e6) for p, (c, _) in final.items()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        ws = re.findall("[a-z]+", t.lower())
+        if not ws:
+            continue
+        toks = []
+        for w in ws:
+            toks.extend(reversed(_naive_viterbi(w, ilogp, 3)))  # to word order
+        want[i] = (toks, len(toks))
+    assert got == want

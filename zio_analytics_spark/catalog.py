@@ -11731,6 +11731,62 @@ def _unigram_segment_oracle(n_iters: int = 2, L: int = 3, top_k: int = 64) -> st
     )
 
 
+def _unigram_tokenize_oracle(n_iters: int = 2, L: int = 3, top_k: int = 64) -> str:
+    """Serving-surface replay: the final Viterbi pass's backtrace rows carry
+    each token's START offset in ``pos``, so ordering by it rebuilds the
+    word-order piece list; documents' position-indexed words then join the
+    dimension and concatenate in word order."""
+    n = n_iters
+    ctes = _unigram_oracle_ctes(n, L, top_k)
+    ctes.append(f"""lf AS MATERIALIZED (
+      SELECT piece, cnt,
+             CAST(round((ln(cnt::DOUBLE) - ln((SELECT sum(cnt) FROM p{n})::DOUBLE))
+                        * 1000000.0) AS BIGINT) AS ilogp
+      FROM p{n}
+    )""")
+    ctes.extend(_unigram_viterbi_ctes("f"))
+    ctes.append(
+        "dimtok AS MATERIALIZED (SELECT word, list(piece ORDER BY pos) AS pieces "
+        "FROM btf WHERE piece IS NOT NULL GROUP BY word)"
+    )
+    ctes.append("""dw AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    )""")
+    ctes.append("""dwp AS MATERIALIZED (
+      SELECT doc_id, t.pos, ws[t.pos] AS word
+      FROM dw, unnest(range(1, len(ws) + 1)) AS t(pos)
+    )""")
+    return (
+        "WITH RECURSIVE " + ",\n    ".join(ctes)
+        + """
+    SELECT dwp.doc_id,
+           flatten(list(d.pieces ORDER BY dwp.pos)) AS tokens,
+           CAST(sum(len(d.pieces)) AS INTEGER) AS n_tokens
+    FROM dwp JOIN dimtok d USING (word)
+    GROUP BY dwp.doc_id"""
+    )
+
+
+@register("unigram_tokenize_docs", oracle=_unigram_tokenize_oracle())
+def q_unigram_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram tokenizer's SERVING surface (operators/unigram.py
+    unigram_tokenize — bpe_tokenize_docs' sibling): train the piece model,
+    Viterbi-segment the Zipf-bounded vocab once into a word → pieces
+    dimension (backtrace reversed to word order), and emit each document's
+    actual piece sequence via posexplode → broadcast join → ordered
+    reassembly (array_sort + flatten, all codegen). Output volume ≈ input
+    volume — the shape sequence packing consumes at the training-shard
+    sink. The oracle replays training AND rebuilds per-word piece order
+    from the backtrace rows' start offsets — every token of every document
+    compared."""
+    from zio_analytics_spark.operators.unigram import unigram_tokenize
+
+    return unigram_tokenize(
+        read_table(spark, sf_dir, "documents"), n_iters=2, max_piece_len=3, top_k=64
+    )
+
+
 @register("unigram_train", oracle=_unigram_train_oracle())
 def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) tokenizer TRAINING

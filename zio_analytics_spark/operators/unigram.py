@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 
 from zio_analytics_spark.operators.bpe import WORD_PATTERN
 
-__all__ = ["unigram_train", "unigram_segment"]
+__all__ = ["unigram_train", "unigram_segment", "unigram_tokenize"]
 
 
 def _word_freqs(df: DataFrame, text_col: str, word_pattern: str) -> DataFrame:
@@ -320,3 +320,54 @@ def unigram_segment(
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+def unigram_tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_iters: int = 2,
+    max_piece_len: int = 3,
+    top_k: int = 64,
+    word_pattern: str = WORD_PATTERN,
+) -> DataFrame:
+    """Serving surface (``bpe_tokenize``'s sibling): emit each document's
+    actual PIECE SEQUENCE in word order. Train, Viterbi-segment the
+    Zipf-bounded vocab once into a ``word → pieces`` dimension (backtrace
+    pieces reversed into word order), then one corpus pass reassembles
+    each document: posexplode → broadcast join → per-doc ordered
+    reassembly (array_sort over (pos, pieces) structs + flatten — all
+    codegen). Returns ``(id, tokens array<string>, n_tokens)``; output
+    volume ≈ input volume — at 100 TB this writes straight to the
+    training-shard sink (sequence packing consumes exactly this shape).
+    Wordless documents are excluded, like unigram_segment."""
+    from zio_analytics_spark.tmpdirs import materialize_table
+
+    vocab = _word_freqs(df, text_col, word_pattern)
+    pieces0, alphabet = _seed_pieces(vocab, max_piece_len, top_k)
+    final = _em_iterations(vocab, pieces0, alphabet, n_iters, max_piece_len)
+    seg = _viterbi_paths(vocab, _with_ilogp(final), max_piece_len)
+    dim = materialize_table(
+        seg.select("word", F.reverse("toks").alias("pieces")),
+        prefix="zas_unigram_tok_",
+    )
+    final.unpersist()
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(word_pattern), 0)
+        ).alias("pos", "word"),
+    )
+    assembled = (
+        words.join(F.broadcast(dim), "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                    lambda s: s["pieces"],
+                )
+            ).alias("tokens")
+        )
+    )
+    return assembled.select(id_col, "tokens", F.size("tokens").alias("n_tokens"))
