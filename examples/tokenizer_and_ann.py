@@ -33,6 +33,20 @@ def main(sf_dir: str) -> None:
     print("== per-document subword counts (sample) ==")
     bpe_segment(docs, n_merges=8).orderBy("doc_id").show(5)
 
+    # --- unigram-LM (SentencePiece-style), the second tokenizer family --
+    # Top-down: seed a substring candidate vocab, hard-EM prunes it; the
+    # Viterbi DP is integer fixed-point so training is fully deterministic.
+    from zio_analytics_spark.operators.unigram import unigram_tokenize, unigram_train
+
+    print("== unigram-LM piece vocabulary (top by count) ==")
+    unigram_train(docs, n_iters=2, max_piece_len=3, top_k=64).orderBy(
+        "cnt", ascending=False
+    ).show(12, truncate=False)
+    print("== per-document piece sequences (sample) ==")
+    unigram_tokenize(docs, n_iters=2, max_piece_len=3, top_k=64).orderBy(
+        "doc_id"
+    ).show(3, truncate=80)
+
     # --- ANN: coarse cells + residual PQ codes + probed ADC search -------
     # 64-dim float vectors become (cell, 4 codes): 64x smaller; search
     # probes 2 of 8 cells and scores via lookup tables, no decompression.
