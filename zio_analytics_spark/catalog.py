@@ -11731,6 +11731,132 @@ def _unigram_segment_oracle(n_iters: int = 2, L: int = 3, top_k: int = 64) -> st
     )
 
 
+def _logreg_oracle_ctes(n_iters: int, lr: float) -> list:
+    """Chained-CTE replay of operators/classify.py logreg_train on the
+    documents quality features: per round, ONE aggregate computes the
+    6-dp-rounded mean-gradient components against the previous round's
+    weight literals, and the next weight row is w + lr·g rounded to 10 dp
+    — the same rounded-update discipline as the kmeans/PQ Lloyd replays,
+    so the weight vector is an exact short decimal in both engines."""
+    ctes = [
+        """f AS MATERIALIZED (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             length(text) / 1000.0 AS x1,
+             (length(text) - length(replace(text, ' ', ''))) / 100.0 AS x2
+      FROM documents
+    )""",
+        "wt0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)",
+    ]
+    for t in range(n_iters):
+        ctes.append(f"""s{t} AS (
+      SELECT f.y, f.x1, f.x2,
+             f.y - 1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2))) AS e
+      FROM f, wt{t} w
+    )""")
+        ctes.append(f"""g{t} AS (
+      SELECT round(avg(e), 6) AS g0,
+             round(avg(x1 * e), 6) AS g1,
+             round(avg(x2 * e), 6) AS g2
+      FROM s{t}
+    )""")
+        ctes.append(f"""wt{t + 1} AS (
+      SELECT round(w.w0 + {lr} * g.g0, 10) AS w0,
+             round(w.w1 + {lr} * g.g1, 10) AS w1,
+             round(w.w2 + {lr} * g.g2, 10) AS w2
+      FROM wt{t} w, g{t} g
+    )""")
+    return ctes
+
+
+def _logreg_train_oracle(n_iters: int = 4, lr: float = 0.5) -> str:
+    ctes = _logreg_oracle_ctes(n_iters, lr)
+    selects = []
+    for t in range(n_iters):
+        for j in range(3):
+            selects.append(
+                f"SELECT CAST({t} AS INTEGER) AS iter, CAST({j} AS INTEGER) AS j, "
+                f"g.g{j} AS grad, w.w{j} AS w FROM g{t} g, wt{t + 1} w"
+            )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n    SELECT * FROM (\n      "
+        + "\n      UNION ALL\n      ".join(selects)
+        + "\n    ) ORDER BY iter, j"
+    )
+
+
+def _logreg_score_oracle(n_iters: int = 4, lr: float = 0.5, cut: float = 0.5) -> str:
+    ctes = _logreg_oracle_ctes(n_iters, lr)
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f""",
+    sc AS (
+      SELECT d.doc_id, d.lang,
+             round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * (length(d.text) / 1000.0)
+                   + w.w2 * ((length(d.text) - length(replace(d.text, ' ', ''))) / 100.0)))), 6)
+               AS score
+      FROM documents d, wt{n_iters} w
+    )
+    SELECT doc_id, lang, score, CAST(score >= {cut} AS BOOLEAN) AS keep FROM sc"""
+    )
+
+
+@register("quality_logreg_train", oracle=_logreg_train_oracle())
+def q_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering, the TRAINING side
+    (operators/classify.py logreg_train — the fastText/FineWeb-Edu-style
+    quality-model stage of a pre-training pipeline, public algorithm):
+    logistic regression by fixed-iteration full-batch gradient ascent on
+    two cheap per-document signals (scaled length, scaled space count)
+    against the lang='en' seed label. Determinism contract: 4 fixed
+    rounds, lr literal, gradient components ROUNDED to 6 dp before the
+    10-dp-rounded weight update — so the weight vector is an exact short
+    decimal both engines agree on and the oracle replays every round.
+    Scale shape: one aggregate job per round (map-side combinable, d+1
+    doubles out), weight vector is the only driver state; at 100 TB the
+    labeled seed set is tiny and iteration cost is seed-set-bound."""
+    from zio_analytics_spark.operators.classify import logreg_train
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("label"),
+        (F.length("text") / 1000.0).alias("x1"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", " ", ""))) / 100.0
+        ).alias("x2"),
+    )
+    return logreg_train(docs, ["x1", "x2"], n_iters=4, lr=0.5)
+
+
+@register("quality_logreg_score", oracle=_logreg_score_oracle())
+def q_quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCORING side of classifier-based quality filtering: train the
+    weights (same contract as quality_logreg_train), then score every
+    document with σ(w·x) as ONE pure Column expression — weights enter as
+    literals, so the corpus pass has no join, no UDF, no shuffle (plan-
+    asserted in test_classify) and fuses into the feature scan; `keep` is
+    the threshold decision a pipeline would filter on. The oracle replays
+    training AND the scoring expression."""
+    from zio_analytics_spark.operators.classify import logreg_score, logreg_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("label"),
+        (F.length("text") / 1000.0).alias("x1"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", " ", ""))) / 100.0
+        ).alias("x2"),
+    )
+    trained = logreg_train(feats, ["x1", "x2"], n_iters=4, lr=0.5).collect()
+    n_last = max(r["iter"] for r in trained)
+    w = [r["w"] for r in sorted(trained, key=lambda r: r["j"]) if r["iter"] == n_last]
+    scored = logreg_score(feats, w, ["x1", "x2"])
+    return scored.select(
+        "doc_id", "lang", "score", (F.col("score") >= 0.5).alias("keep")
+    )
+
+
 def _unigram_tokenize_oracle(n_iters: int = 2, L: int = 3, top_k: int = 64) -> str:
     """Serving-surface replay: the final Viterbi pass's backtrace rows carry
     each token's START offset in ``pos``, so ordering by it rebuilds the
