@@ -3858,6 +3858,51 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "pack_id", "n_frag_tokens")
 
 
+@register(
+    "sequence_packing_sharded",
+    oracle="""
+    WITH nt AS (
+      SELECT doc_id, lang, doc_id % 8 AS shard,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, lang, shard, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+      FROM nt WHERE n_tokens > 0
+    ), frags AS (
+      SELECT doc_id, lang, shard, n_tokens, cum,
+             unnest(range((cum - n_tokens) // 256, (cum - 1) // 256 + 1)) AS pack_id
+      FROM spans
+    )
+    SELECT doc_id, lang, shard, pack_id,
+           least(cum, (pack_id + 1) * 256) - greatest(cum - n_tokens, pack_id * 256)
+             AS n_frag_tokens
+    FROM frags
+    """,
+)
+def q_sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing with the HASH-SHARD partition key — the exact
+    100 TB spelling the SCALE.md worked example prescribes: a dominant
+    language would serialize `partition_by=("lang",)` into one giant
+    window partition, so the pack key becomes (lang, doc_id % 8) and the
+    cumsum windows run fully parallel per shard (at scale: % 4096).
+    Packs stay deterministic per (lang, shard) — the training-shard
+    grain — and each shard's stream is independently resumable. Same
+    operator, same oracle algebra, one extra key column."""
+    docs = read_table(spark, sf_dir, "documents")
+    nt = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(text.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    out = text.pack_sequences(
+        nt, max_len=256, order_by="doc_id", partition_by=("lang", "shard")
+    )
+    return out.select("doc_id", "lang", "shard", "pack_id", "n_frag_tokens")
+
+
 @register("udtf_chunk_text", oracle=_CHUNK_ORACLE)
 def q_udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same chunking expressed as a Python UDTF (one input row → many
