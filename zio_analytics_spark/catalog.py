@@ -6234,12 +6234,12 @@ def q_fuzzy_join_symspell_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs_symspell(cust, "c_name", "c_custkey", max_edit=2)
 
 
-def _kmeans_oracle(k: int = 10, d: int = 64, n_iter: int = 3) -> str:
-    """Chained-CTE replay of Lloyd's k-means: init = k smallest vec_ids,
-    per-iteration assignment (argmin L2², ties to lowest j) and centroid
-    update (per-dim avg rounded to 6 dp, empty clusters keep their old
-    centroid via COALESCE) — the exact contract of
-    operators/clustering.py."""
+def _kmeans_oracle_ctes(k: int, d: int, n_iter: int) -> list:
+    """CTE chain replaying Lloyd's k-means (shared by the kmeans entry and
+    the SemDeDup tier): init = k smallest vec_ids, per-iteration
+    assignment (argmin L2², ties to lowest j) and centroid update
+    (per-dim avg rounded to 6 dp, empty clusters keep their old centroid
+    via COALESCE) — the exact contract of operators/clustering.py."""
     dims = f"(SELECT unnest(range(1, {d + 1})) AS i) i"
     ctes = [
         f"""c0 AS (
@@ -6270,10 +6270,59 @@ def _kmeans_oracle(k: int = 10, d: int = 64, n_iter: int = 3) -> str:
            (SELECT j, list(x ORDER BY i) AS emb FROM u{t} GROUP BY j) nu
       USING (j)
     )""")
+    return ctes
+
+
+def _kmeans_oracle(k: int = 10, d: int = 64, n_iter: int = 3) -> str:
     return (
-        "WITH " + ",\n    ".join(ctes)
+        "WITH " + ",\n    ".join(_kmeans_oracle_ctes(k, d, n_iter))
         + f"\n    SELECT vec_id, j AS cluster FROM a{n_iter}"
     )
+
+
+def _semdedup_oracle(
+    k: int = 10, d: int = 64, n_iter: int = 2, threshold: float = 0.2
+) -> str:
+    """k-means replay + within-cluster pairwise cosine — the SemDeDup
+    composition, every surviving pair value-compared."""
+    ctes = _kmeans_oracle_ctes(k, d, n_iter)
+    ctes.append(
+        f"asg AS MATERIALIZED (SELECT vec_id, embedding, j AS cluster FROM a{n_iter})"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               AS cosine
+      FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ) WHERE cosine >= {threshold}"""
+    )
+
+
+@register("dedup_semantic", oracle=_semdedup_oracle())
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" — public algorithm): cluster
+    the embedding space with k-means, then find near-duplicate pairs ONLY
+    within clusters — the composition that turns the O(N²) semantic-dedup
+    join into Σ per-cluster work, exactly the blocking role lang/LSH
+    buckets play in the text tiers. Built by COMPOSING two existing
+    verified operators: clustering.kmeans_assign (deterministic Lloyd, 2
+    fixed rounds) supplies the block key, dedup.embedding_dup_pairs
+    (JVM-side zip_with cosine, norms computed once per row) emits the
+    pairs. At 100 TB: k scales to ~√N cells so cluster populations stay
+    bounded, the cluster key partitions the pair join (AQE-splittable),
+    and candidates grow linearly at constant density like every measured
+    tier in SCALE.md. The oracle replays the full k-means AND every
+    surviving pair's cosine."""
+    from zio_analytics_spark.operators.clustering import kmeans_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    clusters = kmeans_assign(emb, "embedding", "vec_id", k=10, n_iter=2, dim=64)
+    tagged = emb.select("vec_id", "embedding").join(clusters, "vec_id")
+    return dedup.embedding_dup_pairs(tagged, block_cols=["cluster"], threshold=0.2)
 
 
 @register("kmeans_clusters", oracle=_kmeans_oracle())
