@@ -468,3 +468,79 @@ def test_holt_requires_keys(spark):
     df = spark.createDataFrame([(1, 1.0)], "i long, v double")
     with pytest.raises(ValueError):
         holt(df, "v", order_by=["i"], partition_by=[])
+
+
+def test_holt_winters_matches_python_replay(spark):
+    import random
+
+    from zio_analytics_spark.operators.timeseries import holt_winters
+
+    rng = random.Random(31)
+    m = 4
+    rows = [
+        (k, i, float(rng.randrange(-500, 500)) + 50.0 * (i % m))
+        for k in range(4)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    got = {
+        (r["k"], r["i"]): (r["level"], r["trend"], r["seasonal"])
+        for r in holt_winters(
+            df, "v", order_by=["i"], partition_by=["k"], season_length=m
+        ).collect()
+    }
+    vals = dict(((a, b), v) for a, b, v in rows)
+    for k in range(4):
+        l = t = None
+        buf = []
+        for i in range(30):
+            x = vals[(k, i)]
+            if l is None:
+                l, t, s = x, 0.0, 0.0
+                buf = [0.0] * (m - 1) + [s]
+            else:
+                sm = buf[0]
+                ln = 0.5 * (x - sm) + 0.5 * (l + t)
+                t = 0.25 * (ln - l) + 0.75 * t
+                l = ln
+                s = 0.25 * (x - l) + 0.75 * sm
+                buf = buf[1:] + [s]
+            assert got[(k, i)] == (l, t, s), (k, i)  # bit-identical
+
+
+def test_holt_winters_learns_pure_seasonal_pattern(spark):
+    from zio_analytics_spark.operators.timeseries import holt_winters
+
+    m = 4
+    pattern = [0.0, 100.0, -50.0, 10.0]
+    rows = [(1, i, 500.0 + pattern[i % m]) for i in range(160)]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    out = (
+        holt_winters(df, "v", order_by=["i"], partition_by=["k"], season_length=m)
+        .orderBy("i")
+        .collect()
+    )
+    # after burn-in the one-step forecast level+trend+s_{t+1-m} is near-exact
+    for r in out[-m:]:
+        i = r["i"]
+        nxt = 500.0 + pattern[(i + 1) % m]
+        s_next = next(x["seasonal"] for x in out if x["i"] == i + 1 - m)
+        assert abs((r["level"] + r["trend"] + s_next) - nxt) < 2.0, i  # noqa: E501
+
+
+def test_holt_winters_bucketed_and_validation(spark):
+    import pytest
+
+    from zio_analytics_spark.operators.timeseries import holt_winters
+
+    rows = [(k, i, float((k * 7 + i * 13) % 100)) for k in range(8) for i in range(12)]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    a = holt_winters(df, "v", order_by=["i"], partition_by=["k"], season_length=3).collect()
+    b = holt_winters(
+        df, "v", order_by=["i"], partition_by=["k"], season_length=3, n_buckets=3
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError):
+        holt_winters(df, "v", order_by=["i"], partition_by=[], season_length=3)
+    with pytest.raises(ValueError):
+        holt_winters(df, "v", order_by=["i"], partition_by=["k"], season_length=1)

@@ -11070,6 +11070,65 @@ def q_linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _holt_winters_oracle(m: int = 4) -> str:
+    """Recursive-CTE replay of additive Holt-Winters: the recursion state
+    carries the rotating m-slot seasonal buffer as a DOUBLE[] column
+    (seas[1] is s_{t−m}; each step drops the head and appends the new
+    seasonal), and every update expression is the literal dyadic-
+    coefficient recurrence of operators/timeseries.py holt_winters — so
+    the replay is bit-identical, zero rounding."""
+    lv = "0.5 * (s.value - r.seas[1]) + 0.5 * (r.level + r.trend)"
+    tr = f"0.25 * (({lv}) - r.level) + 0.75 * r.trend"
+    sn = f"0.25 * (s.value - ({lv})) + 0.75 * r.seas[1]"
+    zeros = ", ".join(["CAST(0.0 AS DOUBLE)"] * m)
+    return f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, value, rn,
+             value AS level, CAST(0.0 AS DOUBLE) AS trend,
+             CAST(0.0 AS DOUBLE) AS seasonal,
+             [{zeros}] AS seas
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.value, s.rn,
+             {lv},
+             {tr},
+             {sn},
+             r.seas[2:{m}] || [{sn}]
+      FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value, level, trend, seasonal FROM r"""
+
+
+@register("timeseries_holt_winters", oracle=_holt_winters_oracle())
+def q_timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing per user
+    (operators/timeseries.py holt_winters — Winters 1960): the SEASONAL
+    completion of the forecasting family (ewma → holt → holt_winters) for
+    series with a repeating period; one-step forecast = level + trend +
+    next seasonal index. Zero-initialized seasonal state and x₁ level
+    make every step the literal textbook recurrence with dyadic
+    α=0.5/β=0.25/γ=0.25, season m=4. Same per-key sequential-scan shape
+    as holt (applyInPandas, parallel across keys); the oracle's recursion
+    carries the rotating m-slot seasonal buffer as a list column and
+    replays bit-identically — zero rounding anywhere."""
+    from zio_analytics_spark.operators.timeseries import holt_winters
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = holt_winters(
+        ev, "value", order_by=["ts", "event_id"], partition_by=["user_id"],
+        season_length=4,
+    )
+    return out.select("user_id", "event_id", "value", "level", "trend", "seasonal")
+
+
 @register(
     "timeseries_holt",
     oracle="""

@@ -22,7 +22,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["cascade_rollup", "cusum", "ewma", "holt", "autocorrelation", "decayed_sum"]
+__all__ = [
+    "cascade_rollup",
+    "cusum",
+    "ewma",
+    "holt",
+    "holt_winters",
+    "autocorrelation",
+    "decayed_sum",
+]
 
 # name → (initial agg over raw, re-agg over finer level)
 _REAGG = {
@@ -479,6 +487,118 @@ def holt(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in part + order + [value_col]
     ]
     schema_parts += [f"{level_col} double", f"{trend_col} double"]
+    schema = ", ".join(schema_parts)
+    if n_buckets:
+        bkt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in part]), F.lit(n_buckets)
+        ).cast("int")
+        return (
+            df.withColumn("__bkt", bkt)
+            .groupBy("__bkt")
+            .applyInPandas(lambda pdf: scan(pdf.drop(columns="__bkt")), schema)
+        )
+    return df.groupBy(*part).applyInPandas(scan, schema)
+
+
+def holt_winters(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    season_length: int,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    level_col: str = "level",
+    trend_col: str = "trend",
+    seasonal_col: str = "seasonal",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing per key
+    (Winters 1960 — public algorithm): the seasonal completion of
+    :func:`holt` for series with a repeating period (daily load curves,
+    weekly traffic). Exactly-replayable state initialization — seasonal
+    indices start at ZERO (the first season learns them on the fly) and
+    the level starts at x₁ — so every step is the literal textbook
+    recurrence with ``m = season_length``::
+
+        t = 1:  l₁ = x₁        b₁ = 0        s₁ = 0
+        t ≥ 2:  lₜ = α·(xₜ − sₜ₋ₘ) + (1−α)·(lₜ₋₁ + bₜ₋₁)
+                bₜ = β·(lₜ − lₜ₋₁) + (1−β)·bₜ₋₁
+                sₜ = γ·(xₜ − lₜ) + (1−γ)·sₜ₋ₘ       (sₜ₋ₘ = 0 while t ≤ m)
+
+    One-step forecast downstream = ``level + trend + s_{t+1−m}``. Same
+    scale shape as :func:`holt`/:func:`ewma`: a true (m+2)-state linear
+    recurrence, one sequential Arrow scan per key (``applyInPandas``),
+    parallel across keys, ``n_buckets`` for many-key corpora. The
+    defaults α=0.5/β=0.25/γ=0.25 are dyadic, each step evaluates the
+    expressions literally in float64, and the seasonal look-back is a
+    rotating m-slot buffer — a recursive-CTE oracle carrying the same
+    buffer as a list column replays bit-identically.
+
+    Returns ``partition_by + order_by + (value_col, level_col, trend_col,
+    seasonal_col)``. NaN-free values required (state would poison)."""
+    import numpy as np
+
+    part = list(partition_by)
+    order = list(order_by)
+    if not part:
+        raise ValueError("holt_winters requires partition_by keys")
+    m = int(season_length)
+    if m < 2:
+        raise ValueError(f"season_length must be >= 2, got {season_length}")
+    a, one_a = float(alpha), 1.0 - float(alpha)
+    g, one_g = float(beta), 1.0 - float(beta)
+    gs, one_gs = float(gamma), 1.0 - float(gamma)
+    out_cols = part + order + [value_col, level_col, trend_col, seasonal_col]
+
+    def scan(pdf):
+        pdf = pdf.sort_values(part + order, kind="mergesort").reset_index(drop=True)
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        lvl = np.empty(len(vals), dtype=np.float64)
+        trd = np.empty(len(vals), dtype=np.float64)
+        sea = np.empty(len(vals), dtype=np.float64)
+        keys = list(
+            zip(
+                *(
+                    pdf[c].astype(object).where(pdf[c].notna(), None).tolist()
+                    for c in part
+                )
+            )
+        )
+        l = t = 0.0
+        buf: list = []
+        prev = object()
+        for i in range(len(vals)):
+            k = keys[i]
+            if k != prev:
+                l, t, prev = vals[i], 0.0, k
+                s = 0.0
+                buf = [0.0] * (m - 1) + [s]
+            else:
+                sm = buf[0]
+                l_new = a * (vals[i] - sm) + one_a * (l + t)
+                t = g * (l_new - l) + one_g * t
+                l = l_new
+                s = gs * (vals[i] - l) + one_gs * sm
+                buf = buf[1:] + [s]
+            lvl[i] = l
+            trd[i] = t
+            sea[i] = s
+        pdf = pdf.copy()
+        pdf[level_col] = lvl
+        pdf[trend_col] = trd
+        pdf[seasonal_col] = sea
+        return pdf[out_cols]
+
+    schema_parts = [
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in part + order + [value_col]
+    ]
+    schema_parts += [
+        f"{level_col} double",
+        f"{trend_col} double",
+        f"{seasonal_col} double",
+    ]
     schema = ", ".join(schema_parts)
     if n_buckets:
         bkt = F.pmod(
