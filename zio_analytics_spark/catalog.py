@@ -11243,6 +11243,79 @@ def q_streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_append(out, "stream_holt")
 
 
+def _holt_winters_stream_oracle(m: int = 4) -> str:
+    sql = _holt_winters_oracle(m)
+    return sql.replace(
+        "SELECT user_id, event_id, value, level, trend, seasonal FROM r",
+        "SELECT user_id, event_id, level, trend, seasonal FROM r",
+    )
+
+
+@register("streaming_holt_winters", oracle=_holt_winters_stream_oracle())
+def q_streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters on the STREAMING runtime — batch/streaming
+    parity for timeseries_holt_winters with the same bit-identical
+    recursive-CTE oracle (the recursion carries the rotating seasonal
+    buffer): per-user state = (level, trend, seen, 4 seasonal slots)
+    carried across micro-batches by ``applyInPandasWithState`` via the
+    multi-field state helper. The production seasonal-forecasting shape:
+    a restart resumes the (m+2)-state recurrence from the state store
+    mid-season."""
+    from zio_analytics_spark.streaming.stateful import map_accumulate_stream_multi
+
+    st = _events_stream(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    m = 4
+
+    def fn(acc, pdf):
+        import numpy as np
+
+        lvl, trd, seen = acc[0], acc[1], acc[2]
+        buf = list(acc[3:])
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        out_l = np.empty(len(vals), dtype=np.float64)
+        out_t = np.empty(len(vals), dtype=np.float64)
+        out_s = np.empty(len(vals), dtype=np.float64)
+        for i in range(len(vals)):
+            if not seen:
+                lvl, trd, seen = vals[i], 0.0, 1
+                s = 0.0
+                buf = [0.0] * (m - 1) + [s]
+            else:
+                sm = buf[0]
+                l_new = 0.5 * (vals[i] - sm) + 0.5 * (lvl + trd)
+                trd = 0.25 * (l_new - lvl) + 0.75 * trd
+                lvl = l_new
+                s = 0.25 * (vals[i] - lvl) + 0.75 * sm
+                buf = buf[1:] + [s]
+            out_l[i] = lvl
+            out_t[i] = trd
+            out_s[i] = s
+        o = pdf[["user_id", "event_id"]].copy()
+        o["level"] = out_l
+        o["trend"] = out_t
+        o["seasonal"] = out_s
+        return (
+            (float(lvl), float(trd), int(seen), *[float(x) for x in buf]),
+            o,
+        )
+
+    out = map_accumulate_stream_multi(
+        st,
+        ["user_id"],
+        fn,
+        init_state=lambda: (0.0, 0.0, 0, 0.0, 0.0, 0.0, 0.0),
+        output_schema=(
+            "user_id long, event_id long, level double, trend double, seasonal double"
+        ),
+        state_schema=(
+            "lvl double, trd double, seen int, "
+            "s1 double, s2 double, s3 double, s4 double"
+        ),
+    )
+    return _run_append(out, "stream_holt_winters")
+
+
 @register(
     "survival_kaplan_meier",
     oracle="""
