@@ -2625,6 +2625,86 @@ def q_llm_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h FROM documents
+    ), xs AS (
+      SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+    ), px AS (
+      SELECT doc_id, w, h,
+             (doc_id + 11 * x + 17 * unnest(range(0, h))) % 256 AS i
+      FROM xs
+    ), rgb AS (
+      SELECT doc_id, w, h, i,
+             i AS r, (2 * i + 85) % 256 AS g, (5 * i + 171) % 256 AS b
+      FROM px
+    )
+    SELECT doc_id,
+           max(w)::INT AS width, max(h)::INT AS height,
+           sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+           sum(b)::BIGINT AS sum_b,
+           sum(299 * r + 587 * g + 114 * b)::BIGINT AS sum_luma,
+           (doc_id % 256)::INT AS first_r
+    FROM rgb GROUP BY doc_id
+    """,
+)
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, oracle-checked end to end (round 8 — the third
+    still-image codec after BMP/PPM and full-matrix PNG, and the first
+    with a DICTIONARY compressor): each document gets a deterministic
+    GIF87a payload — 256-entry palette (r=i, g=(2i+85)%256,
+    b=(5i+171)%256), pixel index (doc_id + 11x + 17y) mod 256 — written
+    by the pure-Python encoder (spec LZW: 9→12-bit code growth, clear-
+    code table resets, sub-block framing) and parsed back by the pure-
+    Python decoder in one Arrow mapInPandas stage. The DuckDB oracle
+    predicts every stat analytically (exact integer channel sums + BT.601
+    luma); ``first_r`` pins orientation. The decoder is additionally
+    validated against EXTERNALLY-authored GIF bytes in test_multimodal
+    (the canonical 1×1 GIF89a), so encoder/decoder mirror-bugs can't
+    self-certify. Scale shape: one decode scan, payloads never leave the
+    task — the image-decode grain of a multimodal pipeline."""
+    from zio_analytics_spark.operators.multimodal import decode_image, encode_gif
+
+    pal = [(i, (2 * i + 85) % 256, (5 * i + 171) % 256) for i in range(256)]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                "sum_luma", "first_r",
+            )}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 5 + i % 6, 4 + i % 5
+                payload = encode_gif(
+                    w, h, lambda x, y, i=i: (i + 11 * x + 17 * y) % 256, pal
+                )
+                m = decode_image(payload)
+                px = m["pixels"].astype("int64")
+                out["doc_id"].append(i)
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["sum_r"].append(int(px[:, :, 0].sum()))
+                out["sum_g"].append(int(px[:, :, 1].sum()))
+                out["sum_b"].append(int(px[:, :, 2].sum()))
+                out["sum_luma"].append(
+                    int((299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]).sum())
+                )
+                out["first_r"].append(int(px[0, 0, 0]))
+            yield pd.DataFrame(out)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width int, height int, sum_r long, sum_g long, "
+        "sum_b long, sum_luma long, first_r int",
+    )
+
+
+@register(
     "multimodal_decode",
     oracle="""
     WITH dims AS (

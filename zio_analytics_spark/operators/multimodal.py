@@ -2,9 +2,11 @@
 with typed metadata (SURVEY.md §2.4 tail).
 
 The decode stage is REAL for the formats a pure-Python parser can own:
-uncompressed 24-bit BMP (BI_RGB), binary PPM (P6), and — compression
-included — PNG (stdlib ``zlib`` inflate + the five scanline unfilters,
-8-bit gray/RGB/RGBA), inside the Arrow-batched ``mapInPandas`` seam.
+uncompressed 24-bit BMP (BI_RGB), binary PPM (P6), GIF87a/89a (palette +
+REAL spec LZW: 9→12-bit code growth, clear-code resets, sub-block
+framing), and — compression included — PNG (stdlib ``zlib`` inflate + the
+five scanline unfilters, 8-bit gray/RGB/RGBA), inside the Arrow-batched
+``mapInPandas`` seam.
 Codecs that genuinely need external libraries (JPEG/MP3/H.264) stay
 behind the same seam as a documented ``ValueError``: swap ``decode_image``
 for a PIL/libvips call and nothing else changes.
@@ -39,6 +41,8 @@ __all__ = [
     "decode_png",
     "decode_image",
     "decode_pixel_stats",
+    "encode_gif",
+    "decode_gif",
     "perceptual_ahash",
     "decode_image_stub",
     "encode_wav",
@@ -442,6 +446,8 @@ def decode_image(payload: bytes) -> dict:
         raise ValueError("empty payload")
     if bytes(payload[:8]) == _PNG_SIG:
         return decode_png(payload)
+    if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     magic = bytes(payload[:2])
     if magic == b"BM":
         if len(payload) < 54:
@@ -1181,3 +1187,194 @@ def image_resize_box(
 
     schema = f"{id_col} long, width int, height int, payload binary"
     return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+# --- GIF (round-8): palette + LZW, the third real still-image codec ---------
+
+def _lzw_compress_gif(indices, mcs: int) -> bytes:
+    """GIF-variant LZW compression of an index stream (LSB-first bit
+    packing, clear/end codes, code width grows 9→12 bits as the table
+    fills, table reset via CLEAR at 4096 entries — the spec behavior)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    bitbuf = 0
+    bitlen = 0
+    out = bytearray()
+
+    def emit(code: int, nbits: int) -> None:
+        nonlocal bitbuf, bitlen
+        bitbuf |= code << bitlen
+        bitlen += nbits
+        while bitlen >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitlen -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(1 << mcs)}, end + 1, mcs + 1
+
+    table, next_code, nbits = fresh()
+    emit(clear, nbits)
+    w = b""
+    for k in bytes(indices):
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], nbits)
+        table[wk] = next_code
+        next_code += 1
+        # WIDTH TIMING: the decoder's mirrored insert happens one code
+        # LATER than ours (it reconstructs entry i upon reading code i+1),
+        # so its width bump for reading code j fires when our next_code
+        # is one PAST the power of two — hence the +1 in both conditions.
+        if next_code == (1 << nbits) + 1 and nbits < 12:
+            nbits += 1
+        if next_code == 4095:  # near-full: clear before any 13-bit state
+            emit(clear, nbits)
+            table, next_code, nbits = fresh()
+        w = bytes([k])
+    if w:
+        emit(table[w], nbits)
+    emit(end, nbits)
+    if bitlen:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress_gif(data: bytes, mcs: int, n_expected: int) -> bytes:
+    """GIF-variant LZW decompression (the mirror of
+    :func:`_lzw_compress_gif`, including the K-omega 'code == next_code'
+    case and the post-insert width bump)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    pos = 0
+
+    def read(nbits: int) -> int:
+        nonlocal pos
+        val = 0
+        for i in range(nbits):
+            byte = data[(pos + i) >> 3]
+            val |= ((byte >> ((pos + i) & 7)) & 1) << i
+        pos += nbits
+        return val
+
+    def fresh():
+        return {i: bytes([i]) for i in range(1 << mcs)}, end + 1, mcs + 1
+
+    table, next_code, nbits = fresh()
+    prev = None
+    while len(out) < n_expected:
+        code = read(nbits)
+        if code == clear:
+            table, next_code, nbits = fresh()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW stream (code={code})")
+        out.extend(entry)
+        if prev is not None:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << nbits) and nbits < 12:
+                nbits += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    index_of: Callable[[int, int], int],
+    palette: list,
+) -> bytes:
+    """Minimal-but-REAL GIF87a writer: logical screen descriptor, a
+    256-entry global color table, one non-interlaced image, spec LZW
+    image data in ≤255-byte sub-blocks. ``index_of(x, y)`` yields the
+    palette index per pixel; ``palette`` is 256 (r, g, b) tuples."""
+    if len(palette) != 256:
+        raise ValueError("palette must have exactly 256 entries")
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])  # GCT present, 8-bit, bg=0, aspect=0
+    for r, g, b in palette:
+        out += bytes([r & 0xFF, g & 0xFF, b & 0xFF])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    mcs = 8
+    out.append(mcs)
+    idx = bytes(
+        index_of(x, y) & 0xFF for y in range(height) for x in range(width)
+    )
+    comp = _lzw_compress_gif(idx, mcs)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL pure-Python GIF decode (87a and 89a): logical screen
+    descriptor, global/local color tables, extension-block skipping
+    (graphic control etc.), spec LZW decompression of the FIRST image,
+    palette lookup to an (h, w, 3) uint8 RGB array. Interlaced images
+    raise (route to a codec library behind the same seam); later frames
+    of an animation are ignored — frame SAMPLING belongs to the video
+    tier (sample_frame_stats)."""
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", b, 6)
+    packed, _bg, _aspect = b[10], b[11], b[12]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    while pos < len(b):
+        marker = b[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+        left, top, w, h = struct.unpack_from("<HHHH", b, pos)
+        ipacked = b[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported in the stdlib tier")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without any color table")
+        mcs = b[pos]
+        pos += 1
+        comp = bytearray()
+        while b[pos]:
+            ln = b[pos]
+            comp += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decompress_gif(bytes(comp), mcs, w * h)
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF image data")
+        pal_arr = np.array(pal, dtype=np.uint8)
+        px = pal_arr[np.frombuffer(idx[: w * h], dtype=np.uint8)].reshape(h, w, 3)
+        return {"width": w, "height": h, "mode": "RGB", "pixels": px}
+    raise ValueError("GIF contains no image block")
