@@ -64,3 +64,55 @@ def test_g711_decode_monotone_within_positive_half():
     assert (np.diff(vals) < 0).all()
     assert vals[0] == 32124 and vals[-1] == 0
     assert len(np.unique(vals)) == 128
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    alphabet=st.sampled_from([2, 7, 256]),
+)
+def test_gif_roundtrip_any_shape(w, h, seed, alphabet):
+    """Arbitrary index images round-trip through the hand-written GIF LZW
+    exactly: tiny alphabets exercise long-match compression, full-byte
+    alphabets exercise fast table growth, and 1-pixel images the
+    degenerate single-code stream."""
+    import random
+
+    from zio_analytics_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = random.Random(seed)
+    pal = [(i, (2 * i + 85) % 256, (5 * i + 171) % 256) for i in range(256)]
+    idx = [[rng.randrange(alphabet) for _ in range(w)] for _ in range(h)]
+    m = decode_gif(encode_gif(w, h, lambda x, y: idx[y][x], pal))
+    assert (m["width"], m["height"]) == (w, h)
+    for y in range(h):
+        for x in range(w):
+            assert tuple(m["pixels"][y, x]) == pal[idx[y][x]], (x, y)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(0, 6000),
+    seed=st.integers(0, 2**31 - 1),
+    alphabet=st.sampled_from([1, 3, 256]),
+    mcs=st.sampled_from([2, 5, 8]),
+)
+def test_gif_lzw_stream_roundtrip(n, seed, alphabet, mcs):
+    """The raw LZW layer round-trips ANY byte stream whose symbols fit the
+    min-code-size alphabet — including streams long enough to drive the
+    code width to 12 bits and through clear-code table resets, and the
+    empty stream."""
+    import random
+
+    from zio_analytics_spark.operators.multimodal import (
+        _lzw_compress_gif,
+        _lzw_decompress_gif,
+    )
+
+    rng = random.Random(seed)
+    k = min(alphabet, 1 << mcs)
+    data = bytes(rng.randrange(k) for _ in range(n))
+    out = _lzw_decompress_gif(_lzw_compress_gif(data, mcs), mcs, len(data))
+    assert out == data
