@@ -91,6 +91,8 @@ def logreg_train(
             for j, c in enumerate(cols)
         ]
         g = slim.agg(*aggs).collect()[0]
+        if g["g0"] is None:
+            raise ValueError("logreg_train needs at least one row")
         for j in range(d + 1):
             gj = float(g[f"g{j}"])
             # lr is a short decimal and gj has 6 dp: round the product to

@@ -298,7 +298,12 @@ def unigram_segment(
     join."""
     from zio_analytics_spark.tmpdirs import materialize_table
 
-    vocab = _word_freqs(df, text_col, word_pattern)
+    # materialize the Zipf-bounded vocab once: training AND the final
+    # segmentation pass read it (at 100 TB this is the slim intermediate
+    # table the pipeline persists anyway — one corpus scan total)
+    vocab = materialize_table(
+        _word_freqs(df, text_col, word_pattern), prefix="zas_unigram_voc_"
+    )
     pieces0, alphabet = _seed_pieces(vocab, max_piece_len, top_k)
     final = _em_iterations(vocab, pieces0, alphabet, n_iters, max_piece_len)
     seg = _viterbi_paths(vocab, _with_ilogp(final), max_piece_len)
@@ -343,7 +348,9 @@ def unigram_tokenize(
     Wordless documents are excluded, like unigram_segment."""
     from zio_analytics_spark.tmpdirs import materialize_table
 
-    vocab = _word_freqs(df, text_col, word_pattern)
+    vocab = materialize_table(
+        _word_freqs(df, text_col, word_pattern), prefix="zas_unigram_voc_"
+    )
     pieces0, alphabet = _seed_pieces(vocab, max_piece_len, top_k)
     final = _em_iterations(vocab, pieces0, alphabet, n_iters, max_piece_len)
     seg = _viterbi_paths(vocab, _with_ilogp(final), max_piece_len)
