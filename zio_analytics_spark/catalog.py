@@ -12163,6 +12163,43 @@ def q_quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_quality_score", oracle=_logreg_score_oracle())
+def q_streaming_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN-OFFLINE / SERVE-ONLINE quality filtering — the production
+    deployment shape of the classifier (operators/classify.py): weights
+    are learned batch-side (same 4-round deterministic contract as
+    quality_logreg_train), then the document STREAM is scored with
+    σ(w·x) as a STATELESS append-mode map — weights are literals in the
+    streaming plan, so serving needs no state store, no join, no Python
+    worker, and scales with plain stream parallelism. The oracle is the
+    identical batch replay (a stateless map over a bounded stream is
+    batch-equivalent by construction)."""
+    from zio_analytics_spark.operators.classify import logreg_score, logreg_train
+    from zio_analytics_spark.sources.streaming import stream_table
+
+    def feats(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "lang",
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("label"),
+            (F.length("text") / 1000.0).alias("x1"),
+            (
+                (F.length("text") - F.length(F.regexp_replace("text", " ", ""))) / 100.0
+            ).alias("x2"),
+        )
+
+    trained = logreg_train(
+        feats(read_table(spark, sf_dir, "documents")), ["x1", "x2"], n_iters=4, lr=0.5
+    ).collect()
+    n_last = max(r["iter"] for r in trained)
+    w = [r["w"] for r in sorted(trained, key=lambda r: r["j"]) if r["iter"] == n_last]
+    st = stream_table(spark, sf_dir, "documents")
+    scored = logreg_score(feats(st), w, ["x1", "x2"]).select(
+        "doc_id", "lang", "score", (F.col("score") >= 0.5).alias("keep")
+    )
+    return _run_append(scored, "stream_quality")
+
+
 def _unigram_tokenize_oracle(n_iters: int = 2, L: int = 3, top_k: int = 64) -> str:
     """Serving-surface replay: the final Viterbi pass's backtrace rows carry
     each token's START offset in ``pos``, so ordering by it rebuilds the
