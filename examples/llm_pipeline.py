@@ -31,6 +31,23 @@ def main(sf_dir: str, out_dir: str) -> None:
     )
     docs_q = docs.join(quality.select("doc_id"), "doc_id", "left_semi")
 
+    # 1b. TRAINED quality model (round-8): learn a logistic classifier on
+    #     cheap signals from a labeled seed, score the corpus in one fused
+    #     expression — the fastText/FineWeb-Edu-style stage
+    from zio_analytics_spark.operators.classify import logreg_score, logreg_train
+
+    feats = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("label"),
+        (F.length("text") / 1000.0).alias("x1"),
+        ((F.length("text") - F.length(F.regexp_replace("text", " ", ""))) / 100.0).alias("x2"),
+    )
+    trained = logreg_train(feats, ["x1", "x2"], n_iters=4).collect()
+    last = max(r["iter"] for r in trained)
+    w = [r["w"] for r in sorted(trained, key=lambda r: r["j"]) if r["iter"] == last]
+    print("== learned quality weights (bias, len, spaces) ==", [round(x, 4) for x in w])
+    logreg_score(feats, w, ["x1", "x2"]).orderBy(F.desc("score")).show(3)
+
     # 2. exact dedup: keep the smallest doc_id per identical content
     keepers = docs_q.groupBy(F.sha2("text", 256)).agg(F.min("doc_id").alias("doc_id"))
     docs_e = docs_q.join(keepers, "doc_id", "left_semi")
@@ -39,6 +56,18 @@ def main(sf_dir: str, out_dir: str) -> None:
     #    drop the higher doc_id of each surviving pair
     near = dedup.minhash_lsh_pairs(docs_e, threshold=0.7)
     docs_n = docs_e.join(near.select(F.col("doc_b").alias("doc_id")), "doc_id", "left_anti")
+
+    # 3b. SEMANTIC dedup (round-8, SemDeDup): k-means cells block the
+    #     embedding-cosine pair search — never an all-pairs join
+    from zio_analytics_spark.operators.clustering import kmeans_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cells = kmeans_assign(emb, "embedding", "vec_id", k=10, n_iter=2, dim=64)
+    sem = dedup.embedding_dup_pairs(
+        emb.select("vec_id", "embedding").join(cells, "vec_id"),
+        block_cols=["cluster"], threshold=0.2,
+    )
+    print(f"semantic near-dup pairs (within k-means cells): {sem.count()}")
 
     # 4. enrich: language id + token stats
     enriched = (

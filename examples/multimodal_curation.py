@@ -72,6 +72,16 @@ def main() -> None:
     thumbs = image_resize_box(images, factor=2)
     perceptual_ahash(thumbs.select("doc_id", "payload")).show(4)
 
+    # 1b. GIF tier (round-8): palette + real spec LZW — decode_image
+    #     dispatches on the magic bytes, same seam as PNG/BMP/PPM
+    from zio_analytics_spark.operators.multimodal import decode_gif, encode_gif
+
+    pal = [(i, (2 * i + 85) % 256, (5 * i + 171) % 256) for i in range(256)]
+    gif = encode_gif(16, 8, lambda x, y: (3 * x + 7 * y) % 256, pal)
+    m = decode_gif(gif)
+    print(f"GIF round-trip: {m['width']}x{m['height']}, "
+          f"{len(gif)} bytes, top-left {tuple(m['pixels'][0, 0])}")
+
     # 2. audio VAD features: flag low-energy frames
     def encode_clips(batches):
         for pdf in batches:
