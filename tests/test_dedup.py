@@ -470,3 +470,66 @@ def test_substring_span_hot_gram_blocklist(spark):
     assert [(r["doc_a"], r["doc_b"], r["max_span"]) for r in capped] == [(4, 5, 55)]
     with pytest.raises(ValueError):
         dedup.substring_span_pairs(df, gram_len=25, min_len=50, max_gram_df=1)
+
+
+def test_semantic_dedup_blocks_by_cluster(spark):
+    # Two well-separated clusters, each containing a near-duplicate pair;
+    # one near-dup pair straddles the boundary region. Within-cluster
+    # pairs are found; the cross-cluster pair is deliberately missed —
+    # that is SemDeDup's documented trade (blocking recall bound), and
+    # this pins it.
+    import numpy as np
+
+    from zio_analytics_spark.operators.clustering import kmeans_assign
+    from zio_analytics_spark.operators.dedup import embedding_dup_pairs
+
+    rng = np.random.RandomState(5)
+    d = 8
+
+    def unit(v):
+        v = np.asarray(v, dtype=float)
+        return (v / np.linalg.norm(v)).tolist()
+
+    a = rng.randn(d)
+    b = rng.randn(d)
+    b -= a * (a @ b) / (a @ a)  # orthogonalize: clusters far apart
+    rows = []
+    # cluster A: ids 0-3, with 0/1 nearly identical
+    rows.append((0, unit(a)))
+    rows.append((1, unit(a + 0.01 * rng.randn(d))))
+    rows.append((2, unit(a + 0.6 * rng.randn(d))))
+    rows.append((3, unit(a + 0.6 * rng.randn(d))))
+    # cluster B: ids 10-13, with 10/11 nearly identical
+    rows.append((10, unit(b)))
+    rows.append((11, unit(b + 0.01 * rng.randn(d))))
+    rows.append((12, unit(b + 0.6 * rng.randn(d))))
+    rows.append((13, unit(b + 0.6 * rng.randn(d))))
+    # the straddling pair: 20 near A+B midpoint, 21 its near-dup
+    mid = unit(a + b)
+    rows.append((20, mid))
+    rows.append((21, unit(np.asarray(mid) + 0.01 * rng.randn(d))))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    cells = kmeans_assign(df, "embedding", "vec_id", k=2, n_iter=3, dim=d)
+    tagged = df.join(cells, "vec_id")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(
+            tagged, block_cols=["cluster"], threshold=0.95
+        ).collect()
+    }
+    assert (0, 1) in pairs and (10, 11) in pairs
+    # the mid-point pair is only found if both landed in the SAME cell —
+    # verify the pair set is exactly the within-cell cosine>=0.95 pairs
+    cl = {r["vec_id"]: r["cluster"] for r in cells.collect()}
+    vecs = dict(rows)
+    import itertools
+
+    expect = set()
+    for (i, vi), (j, vj) in itertools.combinations(sorted(vecs.items()), 2):
+        if cl[i] == cl[j]:
+            cos = float(np.dot(vi, vj))
+            if cos >= 0.95:
+                expect.add((i, j))
+    assert pairs == expect
