@@ -824,3 +824,30 @@ def test_gif_rejects_interlace_and_garbage():
         decode_gif(bytes(payload))
     with pytest.raises(ValueError):
         decode_gif(b"NOTAGIF")
+
+
+def test_gif_animation_frames_roundtrip():
+    from zio_analytics_spark.operators.multimodal import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = _gif_pal()
+    fns = [
+        lambda x, y: (x + 2 * y) % 256,
+        lambda x, y: (3 * x + y + 1) % 256,
+        lambda x, y: (7 * x + 5 * y + 2) % 256,
+    ]
+    payload = encode_gif_animation(10, 6, [(f, 10 * (k + 1)) for k, f in enumerate(fns)], pal)
+    fr = decode_gif_frames(payload)
+    assert [f["delay_cs"] for f in fr] == [10, 20, 30]
+    for f, fn in zip(fr, fns):
+        for y in range(6):
+            for x in range(10):
+                assert tuple(f["pixels"][y, x]) == pal[fn(x, y)]
+    # decode_gif (single-frame surface) returns the first frame
+    m = decode_gif(payload)
+    assert (m["pixels"] == fr[0]["pixels"]).all()
+    with pytest.raises(ValueError):
+        encode_gif_animation(4, 4, [], pal)

@@ -2705,6 +2705,81 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+    ), fr AS (
+      SELECT doc_id, w, h, unnest(range(0, 3)) AS frame FROM dims
+    ), xs AS (
+      SELECT doc_id, w, h, frame, unnest(range(0, w)) AS x FROM fr
+    ), px AS (
+      SELECT doc_id, w, h, frame,
+             (doc_id + 11 * x + 17 * unnest(range(0, h)) + 29 * frame) % 256 AS i
+      FROM xs
+    )
+    SELECT doc_id, frame::INT AS frame,
+           max(w)::INT AS width, max(h)::INT AS height,
+           (10 * (frame + 1))::INT AS delay_cs,
+           sum(i)::BIGINT AS sum_r,
+           sum((2 * i + 85) % 256)::BIGINT AS sum_g
+    FROM px GROUP BY doc_id, frame
+    """,
+)
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF frame extraction (round 8 — the frame-sampling grain
+    for the web's most common animation container): each document gets a
+    deterministic 3-frame GIF89a (graphic-control delays 10/20/30 cs,
+    frame k's pixel index = (doc_id + 11x + 17y + 29k) mod 256) written
+    by the pure-Python animation encoder and pulled apart by
+    decode_gif_frames — per-frame LZW streams, per-frame delays, shared
+    global palette — in one Arrow mapInPandas stage emitting one row per
+    (doc, frame). The oracle predicts every per-frame stat analytically.
+    No compositing (disposal/transparency) — deliberately the same
+    independent-frame grain as the Y4M video tier's sample_frame_stats."""
+    from zio_analytics_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = [(i, (2 * i + 85) % 256, (5 * i + 171) % 256) for i in range(256)]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame", "width", "height", "delay_cs", "sum_r", "sum_g",
+            )}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 4 + i % 5, 3 + i % 4
+                frames = [
+                    (lambda x, y, i=i, k=k: (i + 11 * x + 17 * y + 29 * k) % 256,
+                     10 * (k + 1))
+                    for k in range(3)
+                ]
+                payload = encode_gif_animation(w, h, frames, pal)
+                for k, f in enumerate(decode_gif_frames(payload)):
+                    px = f["pixels"].astype("int64")
+                    out["doc_id"].append(i)
+                    out["frame"].append(k)
+                    out["width"].append(f["width"])
+                    out["height"].append(f["height"])
+                    out["delay_cs"].append(f["delay_cs"])
+                    out["sum_r"].append(int(px[:, :, 0].sum()))
+                    out["sum_g"].append(int(px[:, :, 1].sum()))
+            yield pd.DataFrame(out)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id long, frame int, width int, height int, delay_cs int, "
+        "sum_r long, sum_g long",
+    )
+
+
+@register(
     "multimodal_decode",
     oracle="""
     WITH dims AS (

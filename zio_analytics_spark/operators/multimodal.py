@@ -43,6 +43,8 @@ __all__ = [
     "decode_pixel_stats",
     "encode_gif",
     "decode_gif",
+    "decode_gif_frames",
+    "encode_gif_animation",
     "perceptual_ahash",
     "decode_image_stub",
     "encode_wav",
@@ -1319,32 +1321,35 @@ def encode_gif(
     return bytes(out)
 
 
-def decode_gif(payload: bytes) -> dict:
-    """REAL pure-Python GIF decode (87a and 89a): logical screen
-    descriptor, global/local color tables, extension-block skipping
-    (graphic control etc.), spec LZW decompression of the FIRST image,
-    palette lookup to an (h, w, 3) uint8 RGB array. Interlaced images
-    raise (route to a codec library behind the same seam); later frames
-    of an animation are ignored — frame SAMPLING belongs to the video
-    tier (sample_frame_stats)."""
+def _iter_gif_frames(payload: bytes):
+    """Walk every block of a GIF87a/89a stream, yielding one dict per
+    image block: ``{left, top, width, height, delay_cs, pixels}`` — each
+    frame decoded INDEPENDENTLY against its own (local or global) color
+    table, with the preceding graphic-control extension's delay attached.
+    No compositing (disposal/transparency) — that is deliberately out of
+    scope for the stdlib tier: the frame grain here is what frame
+    SAMPLING consumes, same as the Y4M video tier."""
     b = bytes(payload)
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    sw, sh = struct.unpack_from("<HH", b, 6)
-    packed, _bg, _aspect = b[10], b[11], b[12]
     pos = 13
+    packed = b[10]
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         gct = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
         pos += 3 * n
+    delay_cs = 0
     while pos < len(b):
         marker = b[pos]
         pos += 1
         if marker == 0x3B:  # trailer
-            break
+            return
         if marker == 0x21:  # extension: label + sub-blocks
+            label = b[pos]
             pos += 1
+            if label == 0xF9 and b[pos] >= 4:  # graphic control: read delay
+                delay_cs = struct.unpack_from("<H", b, pos + 2)[0]
             while b[pos]:
                 pos += 1 + b[pos]
             pos += 1
@@ -1376,5 +1381,67 @@ def decode_gif(payload: bytes) -> dict:
             raise ValueError("truncated GIF image data")
         pal_arr = np.array(pal, dtype=np.uint8)
         px = pal_arr[np.frombuffer(idx[: w * h], dtype=np.uint8)].reshape(h, w, 3)
-        return {"width": w, "height": h, "mode": "RGB", "pixels": px}
-    raise ValueError("GIF contains no image block")
+        yield {
+            "left": left, "top": top, "width": w, "height": h,
+            "delay_cs": delay_cs, "mode": "RGB", "pixels": px,
+        }
+        delay_cs = 0
+
+
+def decode_gif_frames(payload: bytes) -> list:
+    """All frames of a (possibly animated) GIF — see
+    :func:`_iter_gif_frames` for the per-frame contract."""
+    frames = list(_iter_gif_frames(payload))
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    return frames
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL pure-Python GIF decode (87a and 89a): logical screen
+    descriptor, global/local color tables, extension-block handling, spec
+    LZW decompression, palette lookup to an (h, w, 3) uint8 RGB array —
+    the FIRST frame (animations: :func:`decode_gif_frames`). Interlaced
+    images raise (route to a codec library behind the same seam)."""
+    f = next(_iter_gif_frames(payload), None)
+    if f is None:
+        raise ValueError("GIF contains no image block")
+    return {"width": f["width"], "height": f["height"], "mode": "RGB",
+            "pixels": f["pixels"]}
+
+
+def encode_gif_animation(
+    width: int,
+    height: int,
+    frames: list,
+    palette: list,
+) -> bytes:
+    """Animated GIF89a writer: one graphic-control extension + full-size
+    image block per frame. ``frames`` is a list of ``(index_of,
+    delay_cs)`` tuples — per-frame pixel-index functions and centisecond
+    delays; ``palette`` is 256 (r, g, b) tuples (global table)."""
+    if len(palette) != 256:
+        raise ValueError("palette must have exactly 256 entries")
+    if not frames:
+        raise ValueError("need at least one frame")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])
+    for r, g, b in palette:
+        out += bytes([r & 0xFF, g & 0xFF, b & 0xFF])
+    mcs = 8
+    for index_of, delay_cs in frames:
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out.append(mcs)
+        idx = bytes(
+            index_of(x, y) & 0xFF for y in range(height) for x in range(width)
+        )
+        comp = _lzw_compress_gif(idx, mcs)
+        for i in range(0, len(comp), 255):
+            chunk = comp[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
