@@ -172,3 +172,101 @@ def test_str_rank_key_clamps_non_ascii(spark):
     # code points at/above the clamp tie (both -> 255 at position 3)
     assert ks["abc"] < ks["abĀ"] == ks["ab\U0010ffff"]
     assert ks["zzz"] < ks["\U0010ffff" * 8]
+
+
+# --- Fellegi-Sunter (round-8) -----------------------------------------------
+
+def _naive_fs_em(rows, K, n_iters, p0=0.1, m0=0.8, u0=0.2):
+    p, m, u = round(p0, 6), [round(m0, 6)] * K, [round(u0, 6)] * K
+    out = []
+    for it in range(n_iters):
+        sg = 0.0
+        sgj = [0.0] * K
+        suj = [0.0] * K
+        for g in rows:
+            pm, pu = p, 1.0 - p
+            for j in range(K):
+                pm *= m[j] * g[j] + (1.0 - m[j]) * (1.0 - g[j])
+                pu *= u[j] * g[j] + (1.0 - u[j]) * (1.0 - g[j])
+            r = pm / (pm + pu)
+            sg += r
+            for j in range(K):
+                sgj[j] += r * g[j]
+                suj[j] += (1.0 - r) * g[j]
+        n = len(rows)
+        p = round(sg / n, 6)
+        for j in range(K):
+            m[j] = round(sgj[j] / sg, 6)
+            u[j] = round(suj[j] / (n - sg), 6)
+        out.append((it, p, tuple(m), tuple(u)))
+    return out
+
+
+def test_fellegi_sunter_matches_naive(spark):
+    import random
+
+    import pytest
+
+    from zio_analytics_spark.operators.linkage import fellegi_sunter_em
+
+    rng = random.Random(23)
+    # a mixture: 30% true matches (fields mostly agree), 70% non-matches
+    rows = []
+    for _ in range(400):
+        if rng.random() < 0.3:
+            g = tuple(1.0 if rng.random() < 0.9 else 0.0 for _ in range(3))
+        else:
+            g = tuple(1.0 if rng.random() < 0.15 else 0.0 for _ in range(3))
+        rows.append(g)
+    df = spark.createDataFrame(rows, "g1 double, g2 double, g3 double")
+    got = fellegi_sunter_em(df, ["g1", "g2", "g3"], n_iters=3).collect()
+    want = _naive_fs_em(rows, 3, 3)
+    by_iter = {}
+    for r in got:
+        by_iter.setdefault(r["iter"], {})[(r["param"], r["j"])] = r["value"]
+    for it, p, m, u in want:
+        d = by_iter[it]
+        assert d[("p", 0)] == pytest.approx(p, abs=2e-6)
+        for j in range(3):
+            assert d[("m", j + 1)] == pytest.approx(m[j], abs=2e-6)
+            assert d[("u", j + 1)] == pytest.approx(u[j], abs=2e-6)
+    # the model must actually separate: matches agree far more often
+    final = by_iter[2]
+    for j in range(3):
+        assert final[("m", j + 1)] > final[("u", j + 1)] + 0.3
+
+
+def test_fellegi_sunter_score_weights(spark):
+    import math
+
+    import pytest
+
+    from zio_analytics_spark.operators.linkage import fellegi_sunter_score
+
+    df = spark.createDataFrame(
+        [(1.0, 0.0), (0.0, 1.0), (1.0, 1.0)], "g1 double, g2 double"
+    )
+    m, u = [0.9, 0.8], [0.1, 0.2]
+    got = {
+        (r["g1"], r["g2"]): r["score"]
+        for r in fellegi_sunter_score(df, ["g1", "g2"], m, u).collect()
+    }
+    w1a, w1d = math.log2(0.9 / 0.1), math.log2(0.1 / 0.9)
+    w2a, w2d = math.log2(0.8 / 0.2), math.log2(0.2 / 0.8)
+    assert got[(1.0, 0.0)] == round(w1a + w2d, 6)
+    assert got[(0.0, 1.0)] == round(w1d + w2a, 6)
+    assert got[(1.0, 1.0)] == round(w1a + w2a, 6)
+    with pytest.raises(ValueError):
+        fellegi_sunter_score(df, ["g1", "g2"], [0.5], [0.5])
+
+
+def test_fellegi_sunter_validation(spark):
+    import pytest
+
+    from zio_analytics_spark.operators.linkage import fellegi_sunter_em
+
+    df = spark.createDataFrame([(1.0,)], "g1 double")
+    with pytest.raises(ValueError):
+        fellegi_sunter_em(df, [], n_iters=1)
+    with pytest.raises(ValueError):
+        fellegi_sunter_em(df, ["g1"], n_iters=0)

@@ -11225,6 +11225,192 @@ def q_linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_FS_PAIR_CTES = [
+    """r AS MATERIALIZED (
+      SELECT c_custkey AS id, c_acctbal AS bal, c_nationkey AS nat,
+             c_mktsegment AS seg,
+             row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS seq
+      FROM customer
+    )""",
+    """gp AS MATERIALIZED (
+      SELECT a.id AS a_id, b.id AS b_id,
+             CASE WHEN a.nat = b.nat THEN 1.0 ELSE 0.0 END AS g1,
+             CASE WHEN a.seg = b.seg THEN 1.0 ELSE 0.0 END AS g2,
+             CASE WHEN abs(b.bal - a.bal) < 50.0 THEN 1.0 ELSE 0.0 END AS g3
+      FROM r a JOIN r b ON b.seq BETWEEN a.seq + 1 AND a.seq + 3
+    )""",
+]
+
+
+def _fs_em_ctes(n_iters: int) -> list:
+    """Chained-CTE replay of linkage.fellegi_sunter_em on the
+    sorted-neighborhood customer pairs: per round, per-pair match
+    responsibilities from the previous round's (6-dp rounded) parameters,
+    then one aggregate and the rounded M-step — the logreg/kmeans rounded-
+    update discipline applied to the Fellegi-Sunter model."""
+    ctes = list(_FS_PAIR_CTES)
+    ctes.append(
+        "w0 AS (SELECT 0.1 AS p, 0.8 AS m1, 0.8 AS m2, 0.8 AS m3, "
+        "0.2 AS u1, 0.2 AS u2, 0.2 AS u3)"
+    )
+    for t in range(n_iters):
+        ctes.append(f"""e{t} AS (
+      SELECT g.g1, g.g2, g.g3,
+             (w.p * (w.m1 * g.g1 + (1.0 - w.m1) * (1.0 - g.g1))
+                  * (w.m2 * g.g2 + (1.0 - w.m2) * (1.0 - g.g2))
+                  * (w.m3 * g.g3 + (1.0 - w.m3) * (1.0 - g.g3)))
+             / ((w.p * (w.m1 * g.g1 + (1.0 - w.m1) * (1.0 - g.g1))
+                     * (w.m2 * g.g2 + (1.0 - w.m2) * (1.0 - g.g2))
+                     * (w.m3 * g.g3 + (1.0 - w.m3) * (1.0 - g.g3)))
+                + ((1.0 - w.p) * (w.u1 * g.g1 + (1.0 - w.u1) * (1.0 - g.g1))
+                              * (w.u2 * g.g2 + (1.0 - w.u2) * (1.0 - g.g2))
+                              * (w.u3 * g.g3 + (1.0 - w.u3) * (1.0 - g.g3))))
+               AS resp
+      FROM gp g, w{t} w
+    )""")
+        ctes.append(f"""a{t} AS (
+      SELECT sum(resp) AS sg, count(*) AS n,
+             sum(resp * g1) AS sgj1, sum((1.0 - resp) * g1) AS suj1,
+             sum(resp * g2) AS sgj2, sum((1.0 - resp) * g2) AS suj2,
+             sum(resp * g3) AS sgj3, sum((1.0 - resp) * g3) AS suj3
+      FROM e{t}
+    )""")
+        ctes.append(f"""w{t + 1} AS (
+      SELECT round(sg / n, 6) AS p,
+             round(sgj1 / sg, 6) AS m1, round(sgj2 / sg, 6) AS m2,
+             round(sgj3 / sg, 6) AS m3,
+             round(suj1 / (n - sg), 6) AS u1, round(suj2 / (n - sg), 6) AS u2,
+             round(suj3 / (n - sg), 6) AS u3
+      FROM a{t}
+    )""")
+    return ctes
+
+
+def _fs_em_oracle(n_iters: int = 3) -> str:
+    ctes = _fs_em_ctes(n_iters)
+    selects = []
+    for t in range(n_iters):
+        selects.append(
+            f"SELECT CAST({t} AS INTEGER) AS iter, 'p' AS param, "
+            f"CAST(0 AS INTEGER) AS j, p AS value FROM w{t + 1}"
+        )
+        for j in (1, 2, 3):
+            selects.append(
+                f"SELECT CAST({t} AS INTEGER), 'm', CAST({j} AS INTEGER), m{j} FROM w{t + 1}"
+            )
+            selects.append(
+                f"SELECT CAST({t} AS INTEGER), 'u', CAST({j} AS INTEGER), u{j} FROM w{t + 1}"
+            )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n    SELECT * FROM (\n      "
+        + "\n      UNION ALL\n      ".join(selects)
+        + "\n    ) ORDER BY iter, param, j"
+    )
+
+
+def _fs_score_oracle(n_iters: int = 3) -> str:
+    ctes = _fs_em_ctes(n_iters)
+    n = n_iters
+    terms = " + ".join(
+        f"log2(w.m{j} / w.u{j}) * g.g{j}"
+        f" + log2((1.0 - w.m{j}) / (1.0 - w.u{j})) * (1.0 - g.g{j})"
+        for j in (1, 2, 3)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT g.a_id, g.b_id,
+           g.g1::INT AS g1, g.g2::INT AS g2, g.g3::INT AS g3,
+           round({terms}, 6) AS score
+    FROM gp g, w{n} w"""
+    )
+
+
+def _fs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zio_analytics_spark.operators.linkage import sorted_neighborhood_pairs
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    pairs = sorted_neighborhood_pairs(
+        cust.select("id", "bal"), "bal", "id", window=3
+    )
+    a = cust.select(
+        F.col("id").alias("a_id"), F.col("nat").alias("a_nat"), F.col("seg").alias("a_seg")
+    )
+    b = cust.select(
+        F.col("id").alias("b_id"), F.col("nat").alias("b_nat"), F.col("seg").alias("b_seg")
+    )
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.when(F.col("a_nat") == F.col("b_nat"), 1.0).otherwise(0.0).alias("g1"),
+            F.when(F.col("a_seg") == F.col("b_seg"), 1.0).otherwise(0.0).alias("g2"),
+            F.when(F.abs(F.col("b_key") - F.col("a_key")) < 50.0, 1.0)
+            .otherwise(0.0)
+            .alias("g3"),
+        )
+    )
+
+
+@register("linkage_fellegi_sunter_em", oracle=_fs_em_oracle())
+def q_linkage_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage, PARAMETER ESTIMATION
+    (operators/linkage.py fellegi_sunter_em — Fellegi & Sunter 1969,
+    JASA): the scoring layer on top of the blocking families (sorted-
+    neighborhood supplies the candidate pairs here; SymSpell/LSH are the
+    other feeders). Three binary agreement fields over customer pairs —
+    same nation, same market segment, balance within 50 — and 3 rounds of
+    deterministic EM: per-pair match responsibilities from the previous
+    round's 6-dp-rounded (p, m_j, u_j) literals (a pure Column
+    expression, no UDF), then ONE aggregate and the rounded M-step.
+    The oracle replays every round. Scale shape: pair-table size is
+    bounded by the blocking stage, E-step is fused map work, driver state
+    is the 7-number parameter vector."""
+    from zio_analytics_spark.operators.linkage import fellegi_sunter_em
+
+    return fellegi_sunter_em(
+        _fs_pairs(spark, sf_dir), ["g1", "g2", "g3"], n_iters=3
+    )
+
+
+@register("linkage_fellegi_sunter_score", oracle=_fs_score_oracle())
+def q_linkage_fellegi_sunter_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECISION side of Fellegi-Sunter: score every candidate pair
+    with the log₂ likelihood-ratio weight (agreement on field j →
+    log2(m_j/u_j), disagreement → log2((1−m_j)/(1−u_j))) under the
+    EM-estimated parameters — the number a linkage threshold turns into
+    link / possible / non-link. Pure Column expression with literal
+    weights; the oracle replays EM and the weight algebra."""
+    from zio_analytics_spark.operators.linkage import (
+        fellegi_sunter_em,
+        fellegi_sunter_score,
+    )
+
+    pairs = _fs_pairs(spark, sf_dir)
+    est = fellegi_sunter_em(pairs, ["g1", "g2", "g3"], n_iters=3).collect()
+    last = max(r["iter"] for r in est)
+    m = [r["value"] for r in sorted(est, key=lambda r: r["j"])
+         if r["iter"] == last and r["param"] == "m"]
+    u = [r["value"] for r in sorted(est, key=lambda r: r["j"])
+         if r["iter"] == last and r["param"] == "u"]
+    scored = fellegi_sunter_score(pairs, ["g1", "g2", "g3"], m, u)
+    return scored.select(
+        "a_id", "b_id",
+        F.col("g1").cast("int").alias("g1"),
+        F.col("g2").cast("int").alias("g2"),
+        F.col("g3").cast("int").alias("g3"),
+        "score",
+    )
+
+
 def _holt_winters_oracle(m: int = 4) -> str:
     """Recursive-CTE replay of additive Holt-Winters: the recursion state
     carries the rotating m-slot seasonal buffer as a DOUBLE[] column

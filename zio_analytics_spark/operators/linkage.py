@@ -22,10 +22,18 @@ pipeline — neighborhood, blocking, verification — is oracle-replayable.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fuzzy_pairs_symspell", "sorted_neighborhood_pairs", "str_rank_key"]
+__all__ = [
+    "fuzzy_pairs_symspell",
+    "sorted_neighborhood_pairs",
+    "str_rank_key",
+    "fellegi_sunter_em",
+    "fellegi_sunter_score",
+]
 
 
 def fuzzy_pairs_symspell(
@@ -177,3 +185,101 @@ def sorted_neighborhood_pairs(
         "a_key",
         "b_key",
     )
+
+
+def fellegi_sunter_em(
+    pairs: DataFrame,
+    gamma_cols: Sequence[str],
+    n_iters: int = 3,
+    init_p: float = 0.1,
+    init_m: float = 0.8,
+    init_u: float = 0.2,
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage parameter estimation (Fellegi &
+    Sunter 1969, JASA — the classic probabilistic-linkage model; public
+    algorithm): given candidate pairs with BINARY agreement indicators
+    ``γ_j`` (same nation? balance within tolerance? …), estimate by EM
+    the match proportion ``p`` and the per-field conditional agreement
+    rates ``m_j = P(γ_j=1 | match)`` and ``u_j = P(γ_j=1 | non-match)``
+    under the model's conditional-independence assumption.
+
+    Deterministic by the same contract as classify.logreg_train: FIXED
+    iteration count, literal initial values, and every parameter ROUNDED
+    to 6 dp at the end of each M-step — so the parameter vector is an
+    exact short decimal both engines agree on, and a SQL oracle replays
+    every round (per-pair responsibilities are re-derived from the same
+    literals). Scale shape: the E-step is a pure Column expression over
+    the pair table (params enter as literals — no join, no UDF); the
+    M-step is ONE map-side-combinable aggregate producing 2K+1 doubles;
+    driver state per round = the parameter vector. Pair-table size is
+    bounded by the upstream BLOCKING stage (sorted-neighborhood /
+    SymSpell / LSH), never O(N²).
+
+    Returns one row per (iteration, parameter): ``(iter, param, j, value)``
+    with ``param ∈ {'p','m','u'}`` and ``j = 0`` for ``p``, 1-based field
+    index otherwise.
+    """
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    if not gamma_cols:
+        raise ValueError("need at least one gamma column")
+    spark = pairs.sparkSession
+    K = len(gamma_cols)
+    g = [F.col(c).cast("double") for c in gamma_cols]
+    p = round(float(init_p), 6)
+    m = [round(float(init_m), 6)] * K
+    u = [round(float(init_u), 6)] * K
+    rows = []
+    for it in range(n_iters):
+        pm = F.lit(p)
+        pu = F.lit(1.0 - p)
+        for j in range(K):
+            pm = pm * (F.lit(m[j]) * g[j] + F.lit(1.0 - m[j]) * (1.0 - g[j]))
+            pu = pu * (F.lit(u[j]) * g[j] + F.lit(1.0 - u[j]) * (1.0 - g[j]))
+        resp = pm / (pm + pu)
+        aggs = [
+            F.sum(resp).alias("sg"),
+            F.count(F.lit(1)).alias("n"),
+        ]
+        for j in range(K):
+            aggs.append(F.sum(resp * g[j]).alias(f"sgj{j}"))
+            aggs.append(F.sum((1.0 - resp) * g[j]).alias(f"suj{j}"))
+        r = pairs.agg(*aggs).collect()[0]
+        if r["n"] == 0:
+            raise ValueError("fellegi_sunter_em needs at least one pair")
+        sg = float(r["sg"])
+        p = round(sg / r["n"], 6)
+        for j in range(K):
+            m[j] = round(float(r[f"sgj{j}"]) / sg, 6)
+            u[j] = round(float(r[f"suj{j}"]) / (r["n"] - sg), 6)
+        rows.append((it, "p", 0, p))
+        for j in range(K):
+            rows.append((it, "m", j + 1, m[j]))
+            rows.append((it, "u", j + 1, u[j]))
+    return spark.createDataFrame(rows, "iter int, param string, j int, value double")
+
+
+def fellegi_sunter_score(
+    pairs: DataFrame,
+    gamma_cols: Sequence[str],
+    m: Sequence[float],
+    u: Sequence[float],
+    score_col: str = "score",
+    digits: int = 6,
+) -> DataFrame:
+    """Score candidate pairs with the Fellegi-Sunter log-likelihood-ratio
+    weight: agreement on field j contributes ``log2(m_j/u_j)``,
+    disagreement ``log2((1−m_j)/(1−u_j))`` — the classic linkage weight a
+    threshold then turns into link / possible / non-link decisions. Pure
+    Column expression (parameters are literals), rounded to ``digits``."""
+    if len(m) != len(gamma_cols) or len(u) != len(gamma_cols):
+        raise ValueError("m and u must match gamma_cols length")
+    import math as _math
+
+    s = F.lit(0.0)
+    for j, c in enumerate(gamma_cols):
+        gj = F.col(c).cast("double")
+        wa = _math.log2(m[j] / u[j])
+        wd = _math.log2((1.0 - m[j]) / (1.0 - u[j]))
+        s = s + F.lit(wa) * gj + F.lit(wd) * (1.0 - gj)
+    return pairs.withColumn(score_col, F.round(s, digits))
