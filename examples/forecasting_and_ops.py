@@ -54,6 +54,17 @@ def main() -> None:
         .show(5)
     )
 
+    # 1b. Holt-Winters (round-8): the seasonal completion — level + trend
+    #     + m-periodic seasonal indices; forecast adds the next index
+    from zio_analytics_spark.operators.timeseries import holt_winters
+
+    hw = holt_winters(
+        events.select("user_id", "event_id", "ts", "value"),
+        "value", order_by=["ts", "event_id"], partition_by=["user_id"],
+        season_length=4, n_buckets=16,
+    )
+    hw.orderBy("user_id", "event_id").show(5)
+
     # 2-3. survival: hours-of-activity until first purchase, censored else
     subj = events.groupBy("user_id").agg(
         ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / F.lit(3_600_000_000))
