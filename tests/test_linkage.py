@@ -194,10 +194,11 @@ def _naive_fs_em(rows, K, n_iters, p0=0.1, m0=0.8, u0=0.2):
                 sgj[j] += r * g[j]
                 suj[j] += (1.0 - r) * g[j]
         n = len(rows)
-        p = round(sg / n, 6)
+        cl = lambda x: min(max(x, 0.000001), 0.999999)  # noqa: E731
+        p = cl(round(sg / n, 6))
         for j in range(K):
-            m[j] = round(sgj[j] / sg, 6)
-            u[j] = round(suj[j] / (n - sg), 6)
+            m[j] = cl(round(sgj[j] / sg, 6))
+            u[j] = cl(round(suj[j] / (n - sg), 6))
         out.append((it, p, tuple(m), tuple(u)))
     return out
 

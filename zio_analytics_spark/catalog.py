@@ -11275,12 +11275,13 @@ def _fs_em_ctes(n_iters: int) -> list:
              sum(resp * g3) AS sgj3, sum((1.0 - resp) * g3) AS suj3
       FROM e{t}
     )""")
+        cl = lambda x: f"least(greatest(round({x}, 6), 0.000001), 0.999999)"  # noqa: E731
         ctes.append(f"""w{t + 1} AS (
-      SELECT round(sg / n, 6) AS p,
-             round(sgj1 / sg, 6) AS m1, round(sgj2 / sg, 6) AS m2,
-             round(sgj3 / sg, 6) AS m3,
-             round(suj1 / (n - sg), 6) AS u1, round(suj2 / (n - sg), 6) AS u2,
-             round(suj3 / (n - sg), 6) AS u3
+      SELECT {cl('sg / n')} AS p,
+             {cl('sgj1 / sg')} AS m1, {cl('sgj2 / sg')} AS m2,
+             {cl('sgj3 / sg')} AS m3,
+             {cl('suj1 / (n - sg)')} AS u1, {cl('suj2 / (n - sg)')} AS u2,
+             {cl('suj3 / (n - sg)')} AS u3
       FROM a{t}
     )""")
     return ctes

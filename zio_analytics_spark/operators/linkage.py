@@ -247,11 +247,21 @@ def fellegi_sunter_em(
         r = pairs.agg(*aggs).collect()[0]
         if r["n"] == 0:
             raise ValueError("fellegi_sunter_em needs at least one pair")
+        def clamp(x: float) -> float:
+            # keep every estimate strictly inside (0, 1): a field that all
+            # (or no) pairs agree on would otherwise converge to exactly
+            # 0/1 after rounding and blow up the log-likelihood-ratio
+            # weights (measured at sf0.1: dense balances push u₃ → 1.0).
+            # The bounds are the 6-dp grid's end points as DECIMAL
+            # literals (0.000001 / 0.999999) so the clamped double is
+            # bit-identical to the SQL oracle's least/greatest literals.
+            return min(max(x, 0.000001), 0.999999)
+
         sg = float(r["sg"])
-        p = round(sg / r["n"], 6)
+        p = clamp(round(sg / r["n"], 6))
         for j in range(K):
-            m[j] = round(float(r[f"sgj{j}"]) / sg, 6)
-            u[j] = round(float(r[f"suj{j}"]) / (r["n"] - sg), 6)
+            m[j] = clamp(round(float(r[f"sgj{j}"]) / sg, 6))
+            u[j] = clamp(round(float(r[f"suj{j}"]) / (r["n"] - sg), 6))
         rows.append((it, "p", 0, p))
         for j in range(K):
             rows.append((it, "m", j + 1, m[j]))
@@ -274,6 +284,9 @@ def fellegi_sunter_score(
     Column expression (parameters are literals), rounded to ``digits``."""
     if len(m) != len(gamma_cols) or len(u) != len(gamma_cols):
         raise ValueError("m and u must match gamma_cols length")
+    if any(not 0.0 < x < 1.0 for x in list(m) + list(u)):
+        raise ValueError("m and u must lie strictly in (0, 1) — "
+                         "fellegi_sunter_em clamps its estimates for this")
     import math as _math
 
     s = F.lit(0.0)
