@@ -851,3 +851,29 @@ def test_gif_animation_frames_roundtrip():
     assert (m["pixels"] == fr[0]["pixels"]).all()
     with pytest.raises(ValueError):
         encode_gif_animation(4, 4, [], pal)
+
+
+def test_gif_scene_cuts(spark):
+    from zio_analytics_spark.operators.multimodal import (
+        encode_gif_animation,
+        gif_scene_cuts,
+    )
+
+    pal = _gif_pal()
+    # frames 0,1 identical; frame 2 hard-shifted — one cut at transition 2
+    frames = [
+        (lambda x, y: (x + y) % 256, 5),
+        (lambda x, y: (x + y) % 256, 5),
+        (lambda x, y: (x + y + 97) % 256, 5),
+    ]
+    df = spark.createDataFrame(
+        [(1, encode_gif_animation(6, 4, frames, pal))], "doc_id long, payload binary"
+    )
+    rows = {r["frame"]: r for r in gif_scene_cuts(df, threshold=1000).collect()}
+    assert rows[1]["sad"] == 0 and not rows[1]["is_cut"]
+    assert rows[2]["sad"] > 1000 and rows[2]["is_cut"]
+    # single-frame GIF: no transitions
+    one = spark.createDataFrame(
+        [(2, encode_gif_animation(4, 4, [frames[0]], pal))], "doc_id long, payload binary"
+    )
+    assert gif_scene_cuts(one).count() == 0

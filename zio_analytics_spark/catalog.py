@@ -2780,6 +2780,72 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_scene_cuts",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h FROM documents
+    ), fr AS (
+      SELECT doc_id, w, h, unnest(range(0, 3)) AS k FROM dims
+    ), xs AS (
+      SELECT doc_id, w, h, k, unnest(range(0, w)) AS x FROM fr
+    ), px AS (
+      SELECT doc_id, w, h, k, x, unnest(range(0, h)) AS y FROM xs
+    ), lm AS (
+      SELECT doc_id, k, x, y,
+             299 * ((doc_id + 11 * x + 17 * y + 97 * (k // 2)) % 256)
+             + 587 * ((2 * ((doc_id + 11 * x + 17 * y + 97 * (k // 2)) % 256) + 85) % 256)
+             + 114 * ((5 * ((doc_id + 11 * x + 17 * y + 97 * (k // 2)) % 256) + 171) % 256)
+               AS luma
+      FROM px
+    )
+    SELECT a.doc_id, (a.k + 1)::INT AS frame,
+           sum(abs(b.luma - a.luma))::BIGINT AS sad,
+           sum(abs(b.luma - a.luma)) >= 1000 AS is_cut
+    FROM lm a JOIN lm b
+      ON b.doc_id = a.doc_id AND b.k = a.k + 1 AND b.x = a.x AND b.y = a.y
+    GROUP BY a.doc_id, a.k
+    """,
+)
+def q_multimodal_gif_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection on ANIMATED GIFs (multimodal.py
+    gif_scene_cuts — the luma-SAD detector of multimodal_scene_cuts
+    composed with the round-8 GIF frame iterator): each document gets a
+    3-frame GIF whose pixel index depends on floor(k/2) — frames 0 and 1
+    are IDENTICAL (sad 0, no cut), frame 2 shifts the whole field by 97
+    (a designed hard cut) — so the detector must emit exactly one cut per
+    document at transition 2. Integer BT.601 luma keeps every SAD exact;
+    the oracle predicts each transition analytically from the palette
+    formulas. The curation point: cut detection decides which animation
+    frames deserve downstream image models."""
+    from zio_analytics_spark.operators.multimodal import (
+        encode_gif_animation,
+        gif_scene_cuts,
+    )
+
+    pal = [(i, (2 * i + 85) % 256, (5 * i + 171) % 256) for i in range(256)]
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 4 + i % 4, 3 + i % 3
+                frames = [
+                    (lambda x, y, i=i, k=k: (i + 11 * x + 17 * y + 97 * (k // 2)) % 256,
+                     10)
+                    for k in range(3)
+                ]
+                payloads.append(encode_gif_animation(w, h, frames, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    gifs = docs.mapInPandas(enc, "doc_id long, payload binary")
+    return gif_scene_cuts(gifs, threshold=1000)
+
+
+@register(
     "multimodal_decode",
     oracle="""
     WITH dims AS (

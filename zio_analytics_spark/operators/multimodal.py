@@ -45,6 +45,7 @@ __all__ = [
     "decode_gif",
     "decode_gif_frames",
     "encode_gif_animation",
+    "gif_scene_cuts",
     "perceptual_ahash",
     "decode_image_stub",
     "encode_wav",
@@ -1445,3 +1446,47 @@ def encode_gif_animation(
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+def gif_scene_cuts(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    threshold: int = 1000,
+) -> DataFrame:
+    """Scene-cut detection over ANIMATED GIFs — :func:`scene_cuts`'
+    luma-SAD detector applied to :func:`decode_gif_frames`: per
+    consecutive frame pair, the Sum of Absolute Differences of the
+    scaled integer luma (299·R + 587·G + 114·B — exact int64, the
+    ahash/BT.601 convention), flagged when ``sad >= threshold``. Web GIFs
+    are the animation container scraped corpora actually contain; cut
+    detection decides which frames deserve the (expensive) downstream
+    image models. One ``mapInPandas`` scan, frames never leave the task;
+    one row per transition ``(id, frame, sad, is_cut)``; single-frame
+    GIFs emit no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, sads = [], [], []
+            for i, p in zip(pdf[id_col], pdf[bin_col]):
+                fs = decode_gif_frames(p)
+                if len(fs) < 2:
+                    continue
+                luma = np.stack(
+                    [
+                        299 * f["pixels"][:, :, 0].astype(np.int64)
+                        + 587 * f["pixels"][:, :, 1].astype(np.int64)
+                        + 114 * f["pixels"][:, :, 2].astype(np.int64)
+                        for f in fs
+                    ]
+                )
+                sad = np.abs(np.diff(luma, axis=0)).sum(axis=(1, 2))
+                ids.extend([i] * len(sad))
+                frames.extend(range(1, len(sad) + 1))
+                sads.extend(sad.tolist())
+            out = pd.DataFrame({id_col: ids, "frame": frames, "sad": sads})
+            out["is_cut"] = out["sad"] >= threshold
+            yield out
+
+    schema = f"{id_col} long, frame int, sad long, is_cut boolean"
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
