@@ -284,7 +284,39 @@ def measure_ivf(sf_dir):
     return out
 
 
+def measure_semdedup():
+    """SemDeDup cell-candidate scaling: Σ C(cell_size, 2) over k-means
+    cells at 1× and 10× vectors, with k FIXED (the density regime — cells
+    fill up, candidates go ~quadratic) vs k scaled ∝ N (the operating
+    contract — per-cell populations stay constant, candidates ~linear)."""
+    from zio_analytics_spark.operators.clustering import kmeans_assign
+
+    out = []
+    for sf, k_fixed, k_scaled in (("sf0.01", 10, 10), ("sf0.1", 10, 40)):
+        emb = read_table(spark, f"/root/testdata/{sf}", "embeddings")
+        n = emb.count()
+        for label, k in (("k_fixed", k_fixed), ("k_propN", k_scaled)):
+            cells = kmeans_assign(emb, "embedding", "vec_id", k=k, n_iter=2, dim=64)
+            cands = pairs_c2(cells, "cluster")
+            rec = {
+                "family": "semdedup_cells", "corpus": sf, "n_rows": n,
+                "k": k, "mode": label, "candidates": cands,
+            }
+            print(json.dumps(rec))
+            out.append(rec)
+    return out
+
+
 def main() -> None:
+    if "--semdedup-only" in sys.argv:
+        rows = measure_semdedup()
+        print("\n| corpus | vectors | mode | k | candidates |")
+        print("|---|---|---|---|---|")
+        for r in rows:
+            print(f"| {r['corpus']} | {r['n_rows']:,} | {r['mode']} | {r['k']} "
+                  f"| {r['candidates']:,} |")
+        spark.stop()
+        return
     results = []
     results.append(measure_interval("sf0.01", iv_table("/root/testdata/sf0.01")))
     iv1 = iv_table("/root/testdata/sf0.1")

@@ -494,3 +494,91 @@ def test_streaming_holt_state_across_batches(spark):
             t = 0.25 * (ln - l) + 0.75 * t
             l = ln
         assert got[i] == (l, t), i
+
+
+def test_streaming_holt_winters_state_across_batches(spark):
+    """The (m+2)-state Holt-Winters recurrence — level, trend, AND the
+    rotating m-slot seasonal buffer — threaded across micro-batches: the
+    per-row outputs must equal the single-pass replay over the
+    concatenated input, with the season boundary (m=3) straddling the
+    batch boundary so the buffer rotation itself is what's under test."""
+    from zio_analytics_spark.streaming.stateful import map_accumulate_stream_multi
+
+    m = 3
+    vals = [10.0, 40.0, 20.0, 12.0, 44.0, 18.0, 11.0]
+    d = tempfile.mkdtemp(prefix="stream_hw_")
+    _publish_parquet(
+        spark.createDataFrame(
+            [(1, i, v) for i, v in enumerate(vals[:4])], "k long, i long, v double"
+        ), d, "b0",
+    )
+    _publish_parquet(
+        spark.createDataFrame(
+            [(1, i + 4, v) for i, v in enumerate(vals[4:])], "k long, i long, v double"
+        ), d, "b1",
+    )
+    stream = (
+        spark.readStream.schema("k long, i long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+
+    def fn(acc, pdf):
+        import numpy as np
+
+        lvl, trd, seen = acc[0], acc[1], acc[2]
+        buf = list(acc[3:])
+        pdf = pdf.sort_values(["i"])
+        xs = pdf["v"].to_numpy(dtype=np.float64)
+        out_l = np.empty(len(xs))
+        out_t = np.empty(len(xs))
+        out_s = np.empty(len(xs))
+        for j in range(len(xs)):
+            if not seen:
+                lvl, trd, seen = xs[j], 0.0, 1
+                s = 0.0
+                buf = [0.0] * (m - 1) + [s]
+            else:
+                sm = buf[0]
+                ln = 0.5 * (xs[j] - sm) + 0.5 * (lvl + trd)
+                trd = 0.25 * (ln - lvl) + 0.75 * trd
+                lvl = ln
+                s = 0.25 * (xs[j] - lvl) + 0.75 * sm
+                buf = buf[1:] + [s]
+            out_l[j] = lvl
+            out_t[j] = trd
+            out_s[j] = s
+        o = pdf[["k", "i"]].copy()
+        o["level"] = out_l
+        o["trend"] = out_t
+        o["seasonal"] = out_s
+        return ((float(lvl), float(trd), int(seen), *[float(x) for x in buf]), o)
+
+    out = map_accumulate_stream_multi(
+        stream, ["k"], fn, init_state=lambda: (0.0, 0.0, 0, 0.0, 0.0, 0.0),
+        output_schema="k long, i long, level double, trend double, seasonal double",
+        state_schema="lvl double, trd double, seen int, s1 double, s2 double, s3 double",
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName("hw_mb").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["i"]: (r["level"], r["trend"], r["seasonal"])
+        for r in spark.sql("SELECT * FROM hw_mb").collect()
+    }
+    l = t = None
+    buf = []
+    for i, x in enumerate(vals):
+        if l is None:
+            l, t, s = x, 0.0, 0.0
+            buf = [0.0] * (m - 1) + [s]
+        else:
+            sm = buf[0]
+            ln = 0.5 * (x - sm) + 0.5 * (l + t)
+            t = 0.25 * (ln - l) + 0.75 * t
+            l = ln
+            s = 0.25 * (x - l) + 0.75 * sm
+            buf = buf[1:] + [s]
+        assert got[i] == (l, t, s), i  # bit-identical across the batch boundary
