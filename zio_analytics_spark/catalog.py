@@ -6533,11 +6533,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified operators: clustering.kmeans_assign (deterministic Lloyd, 2
     fixed rounds) supplies the block key, dedup.embedding_dup_pairs
     (JVM-side zip_with cosine, norms computed once per row) emits the
-    pairs. At 100 TB: k scales to ~√N cells so cluster populations stay
-    bounded, the cluster key partitions the pair join (AQE-splittable),
-    and candidates grow linearly at constant density like every measured
-    tier in SCALE.md. The oracle replays the full k-means AND every
-    surviving pair's cosine."""
+    pairs. At 100 TB: k scales ∝ N (FIXED target cell size) so cluster
+    populations stay constant and candidates grow linearly — measured
+    (SCALE.md round-8): 4× vectors with k fixed grows candidates 16.1×
+    (quadratic), with k ∝ N exactly 4.02×. The cluster key partitions
+    the pair join (AQE-splittable). The oracle replays the full k-means
+    AND every surviving pair's cosine."""
     from zio_analytics_spark.operators.clustering import kmeans_assign
 
     emb = read_table(spark, sf_dir, "embeddings")
