@@ -230,6 +230,10 @@ def main() -> None:
         if budget > 0 and t > budget
     }
     if all_timings:
+        # one more probe sample AFTER the sweep: the full catalog runs much
+        # longer than the headline window, so bracket it too
+        calib_samples.append(round(calib_probe(), 3))
+        full_calib = statistics.median(calib_samples)
         full_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
         )
@@ -238,9 +242,15 @@ def main() -> None:
                 {
                     "all_queries": all_timings,
                     "all_total_sec": round(sum(all_timings.values()), 3),
+                    "all_total_sec_normalized": round(
+                        sum(all_timings.values()) * (CALIB_REF_SEC / full_calib), 3
+                    ),
                     "streaming_queries": stream_timings,
                     "streaming_total_sec": round(sum(stream_timings.values()), 3),
                     "extras": extras,
+                    "calib_median_sec": round(full_calib, 3),
+                    "calib_ref_sec": CALIB_REF_SEC,
+                    "host_slowdown": round(full_calib / CALIB_REF_SEC, 3),
                     "budget_sec": budget,
                     "budget_breaches": breaches,
                     "sf": sf_val,
