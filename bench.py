@@ -210,7 +210,10 @@ def main() -> None:
     calib_now = statistics.median(calib_samples)
     calib = {
         "probe": "range(1.6e9,64p) bit_xor(xxhash64^3)",
-        "samples_sec": calib_samples,
+        # copy: the post-sweep probe appends to calib_samples AFTER this
+        # dict is built — aliasing would list a sample the headline
+        # median/host_slowdown exclude
+        "samples_sec": list(calib_samples),
         "median_sec": round(calib_now, 3),
         "ref_sec": CALIB_REF_SEC,
         "host_slowdown": round(calib_now / CALIB_REF_SEC, 3),

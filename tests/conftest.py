@@ -1,7 +1,6 @@
 from __future__ import annotations
 
 import sys
-import tempfile
 from pathlib import Path
 
 import pytest
@@ -26,14 +25,15 @@ def sf_dir() -> str:
 
 @pytest.fixture(scope="session", autouse=True)
 def _sweep_stream_tmpdirs():
-    """Remove the mkdtemp stream-source/staging dirs the streaming tests
-    create (they outlive the queries that read them, so per-test cleanup
-    would race the stream; a session-end sweep keeps /tmp clean)."""
-    yield
-    import glob
-    import shutil
+    """Session-end sweep of the scratch dirs the streaming tests create.
 
-    for pat in ("stream_src_*", "stream_holt_*", "stream_hw_*",
-                "stream_ewma_*", "stage_*", "llm_out_*"):
-        for d in glob.glob(f"{tempfile.gettempdir()}/{pat}"):
-            shutil.rmtree(d, ignore_errors=True)
+    The dirs outlive the queries that read them, so per-test cleanup would
+    race the stream. Tests create them via ``tmpdirs.scratch_dir`` — every
+    one lives under the pid-namespaced ``zas_p<pid>/`` parent and is
+    registered, so removing *exactly the registered set* cannot touch
+    directories owned by other processes (the round-8 ADVICE finding:
+    a generic ``stage_*`` glob over the shared temp root could)."""
+    yield
+    from zio_analytics_spark import tmpdirs
+
+    tmpdirs.cleanup()

@@ -1,0 +1,232 @@
+"""Baseline JPEG codec (operators/jpeg.py): ITU T.81 parity.
+
+Anti-mirror-bug strategy (same as the GIF tier): the decoder is checked
+against (a) a SPEC-ASSEMBLED payload built byte-by-byte in this file from
+the T.81 marker layout and Annex K tables — not via the encoder's writer —
+and (b) a naive quadruple-loop IDCT evaluated straight from the A.3.3
+cosine sum, an independent math path from the codec's matrix product.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from zio_analytics_spark.operators.jpeg import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    ZIGZAG,
+    _D,
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_coefficients,
+    quality_tables,
+)
+
+Q1 = np.ones((8, 8), dtype=np.int32)
+Q8 = np.full((8, 8), 8, dtype=np.int32)
+
+
+def test_tables_and_basis_sanity():
+    # zigzag: the canonical order's first diagonal runs
+    assert ZIGZAG[:6] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2)]
+    assert len(set(ZIGZAG)) == 64
+    # Annex K table shapes: 12 DC categories, 162 AC run/size symbols
+    assert sum(DC_LUMA_BITS) == len(DC_LUMA_VALS) == 12
+    assert sum(AC_LUMA_BITS) == len(AC_LUMA_VALS) == 162
+    # DCT basis orthonormal → FDCT/IDCT are exact inverses in float64
+    assert np.allclose(_D @ _D.T, np.eye(8), atol=1e-12)
+    ql, qc = quality_tables(50)
+    assert ql[0, 0] == 16 and qc[0, 0] == 17  # scale 100 = identity
+    assert (quality_tables(100)[0] == 1).all()
+    with pytest.raises(ValueError):
+        quality_tables(0)
+
+
+def test_gray_block_constant_lossless_with_crop():
+    """Block-constant gray + uniform-8 DC quant is LOSSLESS (DC = 8·(v-128)
+    quantizes exactly), including non-multiple-of-8 dims (crop path)."""
+    rng = np.random.default_rng(9)
+    for _ in range(6):
+        nby, nbx = int(rng.integers(1, 4)), int(rng.integers(1, 5))
+        vals = rng.integers(0, 256, (nby, nbx))
+        img = np.kron(vals, np.ones((8, 8), dtype=int)).astype(np.uint8)
+        h = nby * 8 - int(rng.integers(0, 6))
+        w = nbx * 8 - int(rng.integers(0, 6))
+        img = img[:h, :w]
+        m = decode_jpeg(encode_jpeg(img, quant_luma=Q8))
+        assert (m["width"], m["height"], m["mode"]) == (w, h, "L")
+        assert (m["pixels"][:, :, 0] == img).all()
+        assert (m["pixels"][:, :, 0] == m["pixels"][:, :, 2]).all()
+
+
+def test_random_roundtrip_error_bounds():
+    """Unit quant isolates the float FDCT→round→IDCT path: error ≤1 gray,
+    ≤3 through the lossy YCbCr int conversion."""
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (24, 17)).astype(np.uint8)
+    m = decode_jpeg(encode_jpeg(img, quant_luma=Q1))
+    assert np.abs(m["pixels"][:, :, 0].astype(int) - img.astype(int)).max() <= 1
+    img3 = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+    m = decode_jpeg(
+        encode_jpeg(img3, subsampling="4:4:4", quant_luma=Q1, quant_chroma=Q1)
+    )
+    assert np.abs(m["pixels"].astype(int) - img3.astype(int)).max() <= 3
+
+
+def test_quality_scaled_psnr_on_gradient():
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    img = np.stack([(2 * xx) % 256, (3 * yy) % 256, (xx + yy) % 256], axis=2)
+    img = img.astype(np.uint8)
+    m = decode_jpeg(encode_jpeg(img, quality=95, subsampling="4:2:0"))
+    mse = ((m["pixels"].astype(float) - img.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255.0**2 / mse) > 35.0
+
+
+def _rgb_roundtrip_expected(r, g, b):
+    fl = np.floor
+    y = fl(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = fl(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+    cr = fl(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+    clamp = lambda v: min(max(v, 0.0), 255.0)
+    return (
+        clamp(fl(y + 1.402 * (cr - 128) + 0.5)),
+        clamp(fl(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)),
+        clamp(fl(y + 1.772 * (cb - 128) + 0.5)),
+    )
+
+
+def test_420_mcu_constant_color_exact():
+    """MCU-constant color through the FULL 4:2:0 path (subsample, dequant,
+    IDCT, box upsample, color convert) reconstructs EXACTLY the analytic
+    YCbCr round-trip — the identity the catalog oracle relies on. Odd dims
+    exercise pad + crop."""
+    rng = np.random.default_rng(11)
+    img = np.zeros((21, 29, 3), dtype=np.uint8)
+    colors = {}
+    for my in range(2):
+        for mx in range(2):
+            c = tuple(int(v) for v in rng.integers(0, 256, 3))
+            colors[my, mx] = c
+            img[my * 16 : (my + 1) * 16, mx * 16 : (mx + 1) * 16] = c
+    m = decode_jpeg(
+        encode_jpeg(img, subsampling="4:2:0", quant_luma=Q8, quant_chroma=Q8)
+    )
+    for y in range(21):
+        for x in range(29):
+            exp = _rgb_roundtrip_expected(*map(float, colors[y // 16, x // 16]))
+            assert tuple(map(float, m["pixels"][y, x])) == exp
+
+
+def test_coefficient_injection_matches_naive_idct():
+    """encode_jpeg_coefficients writes CHOSEN quantized coefficients; the
+    decode must equal the A.3.3 cosine sum evaluated naively (independent
+    of the codec's matrix-product IDCT). Two blocks exercise the DC diff
+    chain; the (5,3)/(7,7) placements exercise AC runs and ZRL."""
+    coef = np.zeros((1, 2, 8, 8), dtype=np.int32)
+    coef[0, 0, 0, 0] = 13
+    coef[0, 0, 0, 1] = 7
+    coef[0, 0, 2, 0] = -5
+    coef[0, 0, 5, 3] = 4
+    coef[0, 0, 7, 7] = 3
+    coef[0, 1, 0, 0] = -21  # DC diff -34 (category 6)
+    coef[0, 1, 1, 1] = -9
+    m = decode_jpeg(encode_jpeg_coefficients(16, 8, coef, Q1))
+    for bx in range(2):
+        f = coef[0, bx].astype(float)
+        naive = np.zeros((8, 8))
+        for yy in range(8):
+            for xx in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (cu * cv * f[u, v]
+                              * np.cos((2 * yy + 1) * u * np.pi / 16)
+                              * np.cos((2 * xx + 1) * v * np.pi / 16))
+                naive[yy, xx] = s / 4.0
+        exp = np.clip(np.floor(naive + 128 + 0.5), 0, 255)
+        assert (m["pixels"][:, 8 * bx : 8 * bx + 8, 0] == exp).all()
+
+
+def test_restart_interval_roundtrip_and_error():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+    with_rst = encode_jpeg(img, quality=85, restart_interval=1)
+    without = encode_jpeg(img, quality=85)
+    assert len(with_rst) > len(without)  # RST markers actually emitted
+    a = decode_jpeg(with_rst)
+    b = decode_jpeg(without)
+    assert (a["pixels"] == b["pixels"]).all()
+    # corrupting an RST marker id is a hard scan error, not silence
+    broken = bytearray(with_rst)
+    i = broken.find(b"\xff\xd0")
+    assert i > 0
+    broken[i + 1] = 0xD4
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg(bytes(broken))
+
+
+def test_rejects_non_baseline_and_garbage():
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img, quant_luma=Q8))
+    i = payload.find(b"\xff\xc0")
+    for sof, label in ((0xC2, "progressive"), (0xC9, "SOF9")):
+        p = bytearray(payload)
+        p[i + 1] = sof
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(bytes(p))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"NOTAJPEG")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(bytes(payload[: len(payload) // 2]))
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload[:20]))  # header only, no SOS
+
+
+def test_spec_assembled_minimal_jpeg_decodes():
+    """A JPEG assembled BYTE-BY-BYTE from the T.81 marker layout in this
+    test (not via the encoder's writer): 8×8 gray, uniform quant, Annex K
+    luma tables, scan = DC category 0 ('00') + EOB ('1010') padded with
+    1-bits → 0b00101011 = 0x2B. Expected: DC pred 0, all coefficients 0 →
+    every pixel exactly 128."""
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    payload = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+               + bytes([0x2B]) + b"\xff\xd9")
+    m = decode_jpeg(payload)
+    assert (m["width"], m["height"], m["mode"]) == (8, 8, "L")
+    assert (m["pixels"] == 128).all()
+
+
+def test_decode_image_dispatches_jpeg():
+    from zio_analytics_spark.operators.multimodal import decode_image
+
+    img = np.kron(np.array([[7, 200], [90, 33]]), np.ones((8, 8), dtype=int))
+    payload = encode_jpeg(img.astype(np.uint8), quant_luma=Q8)
+    m = decode_image(payload)
+    assert m["width"] == m["height"] == 16
+    assert int(m["pixels"][0, 0, 0]) == 7 and int(m["pixels"][8, 8, 0]) == 33
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError, match="pixels"):
+        encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="4:2:2")
+    with pytest.raises(ValueError, match="grid"):
+        encode_jpeg_coefficients(16, 16, np.zeros((1, 1, 8, 8)), Q1)
+    with pytest.raises(ValueError, match="coef_blocks"):
+        encode_jpeg_coefficients(8, 8, np.zeros((8, 8)), Q1)

@@ -271,3 +271,10 @@ def test_fellegi_sunter_validation(spark):
         fellegi_sunter_em(df, [], n_iters=1)
     with pytest.raises(ValueError):
         fellegi_sunter_em(df, ["g1"], n_iters=0)
+    # degenerate initial params fail fast, BEFORE any Spark aggregate —
+    # init_p=0/1 would make every responsibility exactly 0/1 and the
+    # M-step divide by zero
+    for bad in ({"init_p": 0.0}, {"init_p": 1.0}, {"init_m": 0.0},
+                {"init_u": 1.0}, {"init_m": -0.2}, {"init_u": 1.5}):
+        with pytest.raises(ValueError, match="strictly inside"):
+            fellegi_sunter_em(df, ["g1"], n_iters=1, **bad)

@@ -826,6 +826,55 @@ def test_gif_rejects_interlace_and_garbage():
         decode_gif(b"NOTAGIF")
 
 
+def test_gif_lzw_truncated_stream_raises_valueerror():
+    """A stream cut mid-code is the documented corrupt-payload ValueError,
+    not an IndexError out of the bit reader."""
+    from zio_analytics_spark.operators.multimodal import (
+        _lzw_compress_gif,
+        _lzw_decompress_gif,
+    )
+
+    data = bytes(range(200)) * 3
+    comp = _lzw_compress_gif(data, 8)
+    # (cutting only the final byte may still succeed: once n_expected
+    # bytes are out the END code is never read — so cut well short)
+    for cut in (0, 1, len(comp) // 2):
+        with pytest.raises(ValueError, match="truncated LZW"):
+            _lzw_decompress_gif(comp[:cut], 8, len(data))
+
+
+def test_gif_scene_cuts_rejects_subrectangle_frames(spark):
+    """Optimized GIFs with sub-rectangle frames (nonzero offset or smaller
+    than frame 0) raise the documented stdlib-tier ValueError instead of a
+    silently misaligned SAD or an opaque np.stack crash."""
+    import struct
+
+    from zio_analytics_spark.operators.multimodal import (
+        encode_gif_animation,
+        gif_scene_cuts,
+    )
+
+    pal = _gif_pal()
+    frames = [(lambda x, y: (x + y) % 256, 5), (lambda x, y: (2 * x) % 256, 5)]
+    payload = bytearray(encode_gif_animation(6, 4, frames, pal))
+    # walk to the SECOND image descriptor: header 6 + LSD 7 + GCT 768,
+    # then per frame GCE(8) + descriptor(10) + mcs(1) + sub-blocks + 0x00
+    pos = 781 + 8  # skip first GCE
+    assert payload[pos] == 0x2C
+    pos += 10 + 1  # descriptor + mcs
+    while payload[pos]:
+        pos += 1 + payload[pos]
+    pos += 1  # block terminator
+    pos += 8  # second GCE
+    assert payload[pos] == 0x2C
+    struct.pack_into("<HH", payload, pos + 1, 1, 0)  # left=1 offset
+    df = spark.createDataFrame(
+        [(1, bytes(payload))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="sub-rectangle"):
+        gif_scene_cuts(df).collect()
+
+
 def test_gif_animation_frames_roundtrip():
     from zio_analytics_spark.operators.multimodal import (
         decode_gif,

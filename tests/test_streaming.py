@@ -5,12 +5,12 @@ plus keyed stateful MapAccumulate (applyInPandasWithState)."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pytest
 from pyspark.sql import functions as F
 
 from zio_analytics_spark.sources.streaming import stream_parquet
+from zio_analytics_spark.tmpdirs import scratch_dir
 from zio_analytics_spark.streaming.stateful import running_sum_stream
 from zio_analytics_spark.streaming.windowed import run_windowed_stream, windowed_counts
 from zio_analytics_spark.windows import tumbling
@@ -28,7 +28,7 @@ def _publish_parquet(df, src_dir: str, name: str) -> None:
     import glob
     import shutil
 
-    tmp = tempfile.mkdtemp(prefix="stage_")
+    tmp = scratch_dir(prefix="stage_")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
     shutil.move(part, os.path.join(src_dir, f"{name}.parquet"))
@@ -36,7 +36,7 @@ def _publish_parquet(df, src_dir: str, name: str) -> None:
 
 
 def _write_batches(spark, batches) -> str:
-    d = tempfile.mkdtemp(prefix="stream_src_")
+    d = scratch_dir(prefix="stream_src_")
     for i, rows in enumerate(batches):
         df = spark.createDataFrame(
             [(f"2024-01-01 00:00:{s:02d}", w) for s, w in rows], "ts_s string, word string"
@@ -78,7 +78,7 @@ def test_streaming_windowed_counts_and_late_drop(spark):
 
 def test_streaming_running_sum_stateful(spark):
     """Keyed MapAccumulate over a stream: state persists across micro-batches."""
-    d = tempfile.mkdtemp(prefix="stream_state_")
+    d = scratch_dir(prefix="stream_state_")
     _publish_parquet(spark.createDataFrame([(1, 2.0), (2, 3.0)], "k long, v double"), d, "b0")
     _publish_parquet(spark.createDataFrame([(1, 5.0)], "k long, v double"), d, "b1")
 
@@ -111,7 +111,7 @@ def test_stream_stream_interval_join(spark):
     """Watermarked interval join: clicks matched to purchases within 30s."""
     from zio_analytics_spark.streaming.joins import interval_join
 
-    d = tempfile.mkdtemp(prefix="ssj_")
+    d = scratch_dir(prefix="ssj_")
     clicks = spark.createDataFrame(
         [("2024-01-01 00:00:05", 1), ("2024-01-01 00:01:40", 2)], "c_ts_s string, c_uid long"
     ).select(F.col("c_ts_s").cast("timestamp").alias("c_ts"), "c_uid")
@@ -119,7 +119,7 @@ def test_stream_stream_interval_join(spark):
         [("2024-01-01 00:00:20", 1), ("2024-01-01 00:03:00", 2)], "b_ts_s string, b_uid long"
     ).select(F.col("b_ts_s").cast("timestamp").alias("b_ts"), "b_uid")
     _publish_parquet(clicks, d, "clicks")
-    d2 = tempfile.mkdtemp(prefix="ssj2_")
+    d2 = scratch_dir(prefix="ssj2_")
     _publish_parquet(buys, d2, "buys")
 
     cs = spark.readStream.schema("c_ts timestamp, c_uid long").parquet(d)
@@ -182,7 +182,7 @@ def test_streaming_exact_dedup(spark):
     across micro-batches (state-backed)."""
     from zio_analytics_spark.streaming.dedup import streaming_exact_dedup
 
-    d = tempfile.mkdtemp(prefix="sdedup_")
+    d = scratch_dir(prefix="sdedup_")
     _publish_parquet(
         spark.createDataFrame([(1, "same text"), (2, "other text")], "id long, text string"), d, "b0"
     )
@@ -439,7 +439,7 @@ def test_streaming_holt_state_across_batches(spark):
     equal the single-pass batch replay over the concatenated input."""
     from zio_analytics_spark.streaming.stateful import map_accumulate_stream_multi
 
-    d = tempfile.mkdtemp(prefix="stream_holt_")
+    d = scratch_dir(prefix="stream_holt_")
     _publish_parquet(
         spark.createDataFrame([(1, 0, 10.0), (1, 1, 20.0)], "k long, i long, v double"), d, "b0"
     )
@@ -506,7 +506,7 @@ def test_streaming_holt_winters_state_across_batches(spark):
 
     m = 3
     vals = [10.0, 40.0, 20.0, 12.0, 44.0, 18.0, 11.0]
-    d = tempfile.mkdtemp(prefix="stream_hw_")
+    d = scratch_dir(prefix="stream_hw_")
     _publish_parquet(
         spark.createDataFrame(
             [(1, i, v) for i, v in enumerate(vals[:4])], "k long, i long, v double"

@@ -223,6 +223,13 @@ def fellegi_sunter_em(
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
     if not gamma_cols:
         raise ValueError("need at least one gamma column")
+    for name, val in (("init_p", init_p), ("init_m", init_m), ("init_u", init_u)):
+        # init_p=0 or 1 makes every responsibility exactly 0/1 and the
+        # M-step divides by sg (or n-sg) — fail fast with the same strict
+        # open-(0,1) contract fellegi_sunter_score enforces, instead of a
+        # ZeroDivisionError after a full Spark aggregate.
+        if not 0.0 < float(val) < 1.0:
+            raise ValueError(f"{name} must be strictly inside (0, 1), got {val}")
     spark = pairs.sparkSession
     K = len(gamma_cols)
     g = [F.col(c).cast("double") for c in gamma_cols]

@@ -435,8 +435,11 @@ def decode_png(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> dict:
-    """REAL pure-Python image decode for BMP (BI_RGB 24bpp), PPM (P6), and
-    PNG (via :func:`decode_png` — DEFLATE + per-scanline unfiltering).
+    """REAL pure-Python image decode for BMP (BI_RGB 24bpp), PPM (P6),
+    PNG (via :func:`decode_png` — DEFLATE + per-scanline unfiltering),
+    GIF87a/89a (spec LZW), and baseline sequential JPEG/JFIF (via
+    :func:`~zio_analytics_spark.operators.jpeg.decode_jpeg` — Huffman +
+    dequant + IDCT + 4:2:0 upsample + YCbCr→RGB).
 
     Returns ``{width, height, mode, pixels}`` where ``pixels`` is an
     (height, width, 3) uint8 RGB array in TOP-LEFT-origin order — i.e. the
@@ -451,6 +454,10 @@ def decode_image(payload: bytes) -> dict:
         return decode_png(payload)
     if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if bytes(payload[:2]) == b"\xff\xd8":
+        from zio_analytics_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     magic = bytes(payload[:2])
     if magic == b"BM":
         if len(payload) < 54:
@@ -529,14 +536,21 @@ def decode_pixel_stats(
 
 
 def decode_image_stub(payload: bytes) -> dict:
-    """STUB: image decode (no codec libs in this container).
+    """STUB: decode seam for the formats still OUTSIDE the stdlib tier.
 
-    A real deployment replaces this with PIL/libvips decode returning
-    ``{width, height, mode, pixels}``. The deterministic fake below keys off
-    the payload bytes so tests are stable.
+    The pure-Python tier now covers BMP, PPM, the full PNG matrix, GIF
+    (spec LZW), and baseline sequential JPEG — the remaining gap behind
+    this seam is progressive/arithmetic/12-bit JPEG plus the compressed
+    A/V codecs (MP3, AAC, H.264, VP9, …). A real deployment replaces this
+    with PIL/libvips/ffmpeg decode returning ``{width, height, mode,
+    pixels}``. The deterministic fake below keys off the payload bytes so
+    tests are stable.
     """
     if payload is None:
-        raise NotImplementedError("image decode requires codec libraries not present here")
+        raise NotImplementedError(
+            "progressive/arithmetic JPEG and compressed A/V codecs (MP3, "
+            "H.264, ...) require codec libraries not present here"
+        )
     # Deterministic fake: pretend dimensions derived from the digest.
     import hashlib
 
@@ -1254,6 +1268,10 @@ def _lzw_decompress_gif(data: bytes, mcs: int, n_expected: int) -> bytes:
 
     def read(nbits: int) -> int:
         nonlocal pos
+        if (pos + nbits - 1) >> 3 >= len(data):
+            # a stream cut mid-code must surface as the documented
+            # corrupt-payload ValueError, not a bit-reader IndexError
+            raise ValueError("truncated LZW stream")
         val = 0
         for i in range(nbits):
             byte = data[(pos + i) >> 3]
@@ -1472,6 +1490,19 @@ def gif_scene_cuts(
                 fs = decode_gif_frames(p)
                 if len(fs) < 2:
                     continue
+                for f in fs:
+                    # SAD compares frames POSITIONALLY: an optimized GIF
+                    # whose frame is a sub-rectangle (nonzero offset or
+                    # smaller than frame 0) would either misalign silently
+                    # or crash np.stack — reject up front, same
+                    # stdlib-tier contract as interlaced GIFs.
+                    if (f["left"], f["top"]) != (0, 0) or (
+                        f["width"], f["height"]
+                    ) != (fs[0]["width"], fs[0]["height"]):
+                        raise ValueError(
+                            "sub-rectangle GIF frames not supported in the "
+                            "stdlib tier (offset or non-uniform frame size)"
+                        )
                 luma = np.stack(
                     [
                         299 * f["pixels"][:, :, 0].astype(np.int64)
