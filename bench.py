@@ -244,6 +244,14 @@ def main() -> None:
             json.dump(
                 {
                     "all_queries": all_timings,
+                    # per-entry normalized seconds (raw × ref/median-probe):
+                    # a single entry regressing on a quiet host can't hide
+                    # inside a normal total — scripts/bench_compare.py diffs
+                    # these against the previous round's BENCH_FULL
+                    "all_queries_normalized": {
+                        n: round(t * (CALIB_REF_SEC / full_calib), 3)
+                        for n, t in all_timings.items()
+                    },
                     "all_total_sec": round(sum(all_timings.values()), 3),
                     "all_total_sec_normalized": round(
                         sum(all_timings.values()) * (CALIB_REF_SEC / full_calib), 3

@@ -533,3 +533,80 @@ def test_semantic_dedup_blocks_by_cluster(spark):
             if cos >= 0.95:
                 expect.add((i, j))
     assert pairs == expect
+
+
+def test_dedup_paragraphs_planted_cross_doc(spark):
+    """Planted corpus: a boilerplate paragraph shared by every doc, a
+    cross-doc duplicate body paragraph, blanks, an intra-doc repeat, an
+    all-struck doc and an empty doc — pins keep-first policy, byte-exact
+    reassembly and the empty-document contract."""
+    from zio_analytics_spark.operators.dedup import dedup_paragraphs
+
+    S = "\n\n"
+    docs = [
+        (1, S.join(["BOILER", "alpha beta", "gamma delta"])),
+        (2, S.join(["BOILER", "alpha beta", "unique two"])),
+        (3, S.join(["   ", "gamma delta", "BOILER"])),
+        (4, "BOILER"),
+        (5, ""),
+        (6, S.join(["zeta", "zeta"])),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+        for r in dedup_paragraphs(df).collect()
+    }
+    assert out == {
+        1: (S.join(["BOILER", "alpha beta", "gamma delta"]), 3, 0),
+        2: ("unique two", 1, 2),
+        3: ("", 0, 2),
+        4: ("", 0, 1),
+        5: ("", 0, 0),
+        6: ("zeta", 1, 1),
+    }
+
+
+def test_dedup_paragraphs_custom_separator_and_bytes(spark):
+    """Untrimmed reassembly is byte-exact (inner whitespace preserved) and
+    a regex-metachar separator is treated literally."""
+    from zio_analytics_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "a  b|.|c d|.|a  b"), (2, "c d|.|x")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+        for r in dedup_paragraphs(df, sep="|.|").collect()
+    }
+    assert out[1] == ("a  b|.|c d", 2, 1)  # doubled space survives verbatim
+    assert out[2] == ("x", 1, 1)
+
+
+def test_paragraph_grain_neardup_composition(spark):
+    """The paragraph table composes with the existing near-dup tiers: an
+    exact-tier strike leaves near-identical (not byte-equal) paragraphs
+    for the MinHash/Jaccard grain to catch across docs."""
+    from zio_analytics_spark.operators.dedup import jaccard_pairs
+
+    S = "\n\n"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and once"
+    df = spark.createDataFrame(
+        [(1, S.join([base, "filler one here"])), (2, S.join([near, "other filler two"]))],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    paras = df.select(
+        "doc_id", F.posexplode(F.split("text", "\n\n")).alias("idx", "ptext")
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("idx")).alias("para_id"), "ptext"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(
+            paras, text_col="ptext", id_col="para_id", n=3, threshold=0.5
+        ).collect()
+    }
+    assert (1000, 2000) in pairs  # the near-dup paragraph pair, cross-doc
+    assert all({a // 1000, b // 1000} == {1, 2} for a, b in pairs)

@@ -248,6 +248,57 @@ def test_bigram_logprob_short_docs_drop(spark):
     assert out == {2}  # <2 tokens -> no transitions -> absent
 
 
+def test_trigram_logprob_hand_computed(spark):
+    """Corpus small enough to work every count by hand:
+    docs 'a b c' ×2 and 'a b d'. T=9; c(a)=c(b)=3, c(c)=2, c(d)=1.
+    Bigrams: c(ab)=3, c(bc)=2, c(bd)=1. Trigrams: c(abc)=2, c(abd)=1.
+    Each doc has exactly ONE trigram (context ab, c_ctx=3):
+      doc 1/2: P = 0.6*(2/3) + 0.3*(2/3) + 0.1*(2/9)
+      doc 3:   P = 0.6*(1/3) + 0.3*(1/3) + 0.1*(1/9)."""
+    import math
+
+    from zio_analytics_spark.operators.text import trigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in trigram_logprob(df).collect()}
+    p12 = 0.6 * (2 / 3) + 0.3 * (2 / 3) + 0.1 * (2 / 9)
+    p3 = 0.6 * (1 / 3) + 0.3 * (1 / 3) + 0.1 * (1 / 9)
+    assert out[1]["n_trigrams"] == 1
+    assert out[1]["avg_neg_logprob"] == round(-math.log(p12), 6)
+    assert out[2]["avg_neg_logprob"] == out[1]["avg_neg_logprob"]
+    assert out[3]["avg_neg_logprob"] == round(-math.log(p3), 6)
+
+
+def test_trigram_logprob_orders_fluency(spark):
+    """The trigram score separates locally-fluent bigram chains from real
+    phrases: both docs reuse the same BIGRAMS, but only one repeats full
+    trigrams."""
+    from zio_analytics_spark.operators.text import trigram_logprob
+
+    phrases = "a b c a b c a b c a b c"
+    chains = "a b c b c a c a b a b c"  # same bigram multiset flavor, mixed
+    df = spark.createDataFrame(
+        [(1, phrases), (2, chains)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in trigram_logprob(df).collect()}
+    assert out[2]["avg_neg_logprob"] > out[1]["avg_neg_logprob"]
+
+
+def test_trigram_logprob_short_docs_drop_and_validation(spark):
+    import pytest
+
+    from zio_analytics_spark.operators.text import trigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two three")], "doc_id long, text string"
+    )
+    assert {r["doc_id"] for r in trigram_logprob(df).collect()} == {2}
+    with pytest.raises(ValueError, match="sum to 1"):
+        trigram_logprob(df, lam3=0.5, lam2=0.3, lam1=0.1)
+
+
 def test_bm25_ranks_and_zero_excluded(spark):
     """Higher tf of a rare term scores higher; docs with no query term are
     absent; length normalization damps long documents."""

@@ -1,0 +1,138 @@
+"""WordPiece trainer (operators/wordpiece.py): naive-equivalence against a
+direct dict-based reimplementation of Schuster & Nakajima's merge rule,
+plus the ``##`` continuation-alphabet contract."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from zio_analytics_spark.operators.wordpiece import (
+    wordpiece_segment,
+    wordpiece_tokenize,
+    wordpiece_train,
+)
+
+
+def naive_wordpiece(texts, n_merges):
+    """Reference trainer: literal Counter loops, greedy leftmost merge
+    application, (score DESC, lhs, rhs) argmax with the exact double
+    division the Spark side computes."""
+    vocab = Counter()
+    for t in texts:
+        for w in re.findall("[a-z]+", t.lower()):
+            vocab[w] += 1
+    segs = {w: [w[0]] + ["##" + c for c in w[1:]] for w in vocab}
+    rows = []
+    for it in range(n_merges):
+        pc, sc = Counter(), Counter()
+        for w, f in vocab.items():
+            s = segs[w]
+            for sym in s:
+                sc[sym] += f
+            for a, b in zip(s, s[1:]):
+                pc[a, b] += f
+        if not pc:
+            break
+        best = min(pc, key=lambda p: (-(pc[p] / (sc[p[0]] * sc[p[1]])), p[0], p[1]))
+        l, r = best
+        merged = l + (r[2:] if r.startswith("##") else r)
+        for w in segs:
+            s, ns, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            segs[w] = ns
+        total = sum(f * len(segs[w]) for w, f in vocab.items())
+        rows.append((it, l, r, pc[best], sc[l], sc[r], total))
+    return rows, segs
+
+
+CORPORA = [
+    ["the cat sat on the mat", "the mats were catty", "a cat and a hat",
+     "banana bandana", "sat mat cat hat that", "the the the theme"],
+    ["low lower lowest", "new newer newest", "wide wider widest",
+     "old older oldest bold bolder"],
+    ["aaa aa a aaaa", "bab abab baba", "zzz zz z"],  # lhs==rhs overlap runs
+]
+
+
+@pytest.mark.parametrize("corpus_i", range(len(CORPORA)))
+def test_wordpiece_train_matches_naive(spark, corpus_i):
+    texts = CORPORA[corpus_i]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in wordpiece_train(df, n_merges=5).orderBy("iter").collect()]
+    exp, _ = naive_wordpiece(texts, 5)
+    assert got == exp
+
+
+def test_wordpiece_segment_and_tokenize_match_naive(spark):
+    texts = CORPORA[0]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    _, segs = naive_wordpiece(texts, 5)
+    got_seg = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in wordpiece_segment(df, n_merges=5).collect()
+    }
+    got_tok = {
+        r["doc_id"]: r["tokens"] for r in wordpiece_tokenize(df, n_merges=5).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = re.findall("[a-z]+", t.lower())
+        assert got_seg[i] == (len(ws), sum(len(segs[w]) for w in ws))
+        assert got_tok[i] == [p for w in ws for p in segs[w]]
+
+
+def test_wordpiece_score_beats_raw_frequency(spark):
+    """The defining WordPiece property: a frequent pair with VERY frequent
+    parts loses to a rarer pair with rare parts. 'th' dominates raw counts
+    (BPE would pick it) but score = cnt/(cnt_l·cnt_r) prefers the pair
+    whose parts occur nowhere else."""
+    texts = ["the this that then them"] * 10 + ["qux qux"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    first = wordpiece_train(df, n_merges=1).collect()[0]
+    # naive check: same corpus through the reference trainer
+    exp, _ = naive_wordpiece(texts, 1)
+    assert (first["lhs"], first["rhs"]) == (exp[0][1], exp[0][2])
+    assert (first["lhs"], first["rhs"]) != ("t", "##h")  # not the BPE pick
+
+
+def test_wordpiece_alphabet_convention(spark):
+    """Continuation symbols carry ##; merging a + ##b strips the prefix;
+    ##a + ##b keeps it. Single-char words segment to one bare symbol."""
+    df = spark.createDataFrame([(0, "ab ab ab a b x")], "doc_id long, text string")
+    r = wordpiece_train(df, n_merges=1).collect()[0]
+    assert (r["lhs"], r["rhs"]) == ("a", "##b")
+    tok = {
+        row["doc_id"]: row["tokens"]
+        for row in wordpiece_tokenize(df, n_merges=1).collect()
+    }
+    assert tok[0] == ["ab", "ab", "ab", "a", "b", "x"]
+
+
+def test_wordpiece_validation(spark):
+    df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        wordpiece_train(df, n_merges=0)
+
+
+def test_wordpiece_wordless_docs_excluded(spark):
+    df = spark.createDataFrame(
+        [(0, "some words here"), (1, "12345 !!!"), (2, "")],
+        "doc_id long, text string",
+    )
+    ids = [r["doc_id"] for r in wordpiece_segment(df, n_merges=2).collect()]
+    assert ids == [0]

@@ -5635,6 +5635,60 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_trigram_logprob",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS L
+      FROM documents
+    ),
+    pos AS (SELECT doc_id, unnest(range(0, len(L))) AS i, L FROM base),
+    tk AS MATERIALIZED (
+      SELECT doc_id, L[i + 1] AS tok,
+             CASE WHEN i > 0 THEN L[i] END AS prev,
+             CASE WHEN i > 1 THEN L[i - 1] END AS prev2
+      FROM pos
+    ),
+    uni AS MATERIALIZED (SELECT tok, count(*)::DOUBLE AS c1 FROM tk GROUP BY tok),
+    tot AS (SELECT sum(c1) AS t FROM uni),
+    bi AS MATERIALIZED (
+      SELECT prev, tok, count(*)::DOUBLE AS c2
+      FROM tk WHERE prev IS NOT NULL GROUP BY prev, tok
+    ),
+    tri AS MATERIALIZED (
+      SELECT prev2, prev, tok, count(*)::DOUBLE AS c3
+      FROM tk WHERE prev2 IS NOT NULL GROUP BY prev2, prev, tok
+    )
+    SELECT tk.doc_id, count(*)::BIGINT AS n_trigrams,
+           round(avg(-ln(0.6 * (tri.c3 / cx.c2)
+                         + 0.3 * (bi.c2 / up.c1)
+                         + 0.1 * (ut.c1 / tot.t))), 6) AS avg_neg_logprob
+    FROM tk
+    JOIN tri ON tk.prev2 = tri.prev2 AND tk.prev = tri.prev AND tk.tok = tri.tok
+    JOIN bi cx ON cx.prev = tk.prev2 AND cx.tok = tk.prev
+    JOIN bi ON bi.prev = tk.prev AND bi.tok = tk.tok
+    JOIN uni up ON up.tok = tk.prev
+    JOIN uni ut ON ut.tok = tk.tok, tot
+    WHERE tk.prev2 IS NOT NULL
+    GROUP BY tk.doc_id
+    """,
+)
+def q_text_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-TRIGRAM LM quality score (operators/text.py
+    trigram_logprob) — rung three of the cheap-perplexity ladder
+    (unigram → bigram → trigram): Jelinek–Mercer mixture
+    0.6·trigram-MLE + 0.3·bigram-MLE + 0.1·unigram-MLE of the corpus
+    itself, catching locally fluent bigram chains that never form real
+    phrases. Both lag windows come from ONE Window node (same single
+    shuffle as the bigram scorer); the three count tables are Heaps-law
+    vocabulary-sized and broadcast. λ₁ is an explicit 0.1 literal in both
+    engines (1−0.6−0.3 in IEEE is NOT 0.1 — the operator refuses implicit
+    remainders for exactly this reason). Oracle rebuilds the full model."""
+    return text.trigram_logprob(read_table(spark, sf_dir, "documents"))
+
+
+@register(
     "payload_decompress",
     oracle="""
     SELECT doc_id, md5(text) AS gzip_md5, md5(text) AS zstd_md5,
@@ -12946,6 +13000,262 @@ def q_multimodal_jpeg_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id").repartition(32))
     return docs.mapInPandas(
         run, "doc_id long, sum_px long, min_px int, max_px int"
+    )
+
+
+def _wordpiece_oracle_ctes(n_merges: int) -> list:
+    """Chained-CTE replay of WordPiece training (operators/wordpiece.py) —
+    the BPE replay (see _bpe_oracle_ctes) with (a) the ``##`` continuation
+    alphabet in v0, (b) the likelihood-gain argmax
+    cnt::DOUBLE/(lhs_cnt·rhs_cnt) with (score DESC, lhs, rhs) tiebreak —
+    one IEEE-double division of exact integers, bit-identical across
+    engines — and (c) the ##-stripping merged-symbol spelling. The greedy
+    application restatement (even offset within runs of consecutive
+    sites) carries over verbatim: overlaps still only arise when
+    lhs == rhs. Every per-iteration CTE is MATERIALIZED: DuckDB inlines
+    plain CTEs, and this chain references v{k} three times per level
+    (pairs, symbol counts, merge application) — inline replay is
+    exponential in n_merges (measured: 0.16 s at 1 iter, >120 s at 3),
+    materialized it is linear."""
+    ctes = [
+        """w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    )""",
+        """v0 AS MATERIALIZED (
+      SELECT word, count(*)::BIGINT AS freq,
+             list_prepend(word[1:1],
+               list_transform(regexp_extract_all(word[2:], '.'),
+                              c -> '##' || c)) AS syms
+      FROM w GROUP BY word
+    )""",
+    ]
+    for k in range(n_merges):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+      SELECT v.syms[t.pos] AS lhs, v.syms[t.pos + 1] AS rhs,
+             sum(v.freq)::BIGINT AS cnt
+      FROM v{k} v, unnest(range(1, len(v.syms))) AS t(pos)
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""s{k} AS MATERIALIZED (
+      SELECT t.sym, sum(v.freq)::BIGINT AS scnt
+      FROM v{k} v, unnest(v.syms) AS t(sym)
+      GROUP BY 1
+    )""")
+        ctes.append(f"""b{k} AS MATERIALIZED (
+      SELECT p.lhs, p.rhs, p.cnt, sl.scnt AS lcnt, sr.scnt AS rcnt,
+             p.lhs || CASE WHEN p.rhs LIKE '##%' THEN p.rhs[3:]
+                           ELSE p.rhs END AS merged
+      FROM p{k} p
+      JOIN s{k} sl ON sl.sym = p.lhs
+      JOIN s{k} sr ON sr.sym = p.rhs
+      ORDER BY p.cnt::DOUBLE / (sl.scnt * sr.scnt) DESC, p.lhs, p.rhs
+      LIMIT 1
+    )""")
+        ctes.append(f"""m{k} AS MATERIALIZED (
+      SELECT v.word, v.freq, v.syms, t.pos,
+             (t.pos < len(v.syms) AND v.syms[t.pos] = b.lhs
+              AND v.syms[t.pos + 1] = b.rhs) AS mark
+      FROM v{k} v CROSS JOIN b{k} b, unnest(range(1, len(v.syms) + 1)) AS t(pos)
+    )""")
+        ctes.append(f"""g{k} AS MATERIALIZED (
+      SELECT *, CASE WHEN mark THEN pos - row_number() OVER
+                  (PARTITION BY word, mark ORDER BY pos) END AS grp
+      FROM m{k}
+    )""")
+        ctes.append(f"""t{k} AS MATERIALIZED (
+      SELECT word, freq, syms, pos, mark,
+             (mark AND ((pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0))
+               AS taken
+      FROM g{k}
+    )""")
+        ctes.append(f"""u{k} AS MATERIALIZED (
+      SELECT word, freq, syms, pos, taken,
+             coalesce(lag(taken) OVER (PARTITION BY word ORDER BY pos), false)
+               AS prev_taken
+      FROM t{k}
+    )""")
+        ctes.append(f"""v{k + 1} AS MATERIALIZED (
+      SELECT u.word, u.freq,
+             array_agg(CASE WHEN u.taken THEN b.merged
+                            ELSE u.syms[u.pos] END ORDER BY u.pos) AS syms
+      FROM u{k} u CROSS JOIN b{k} b
+      WHERE NOT u.prev_taken
+      GROUP BY u.word, u.freq
+    )""")
+    return ctes
+
+
+def _wordpiece_oracle(n_merges: int = 4) -> str:
+    """Training replay: per-round argmax pair + BOTH score denominators +
+    post-merge symbol total."""
+    ctes = _wordpiece_oracle_ctes(n_merges)
+    unions = "\n      UNION ALL\n      ".join(
+        f"""SELECT {k} AS iter, b{k}.lhs, b{k}.rhs, b{k}.cnt AS pair_count,
+             b{k}.lcnt AS lhs_count, b{k}.rcnt AS rhs_count,
+             (SELECT sum(freq * len(syms))::BIGINT FROM v{k + 1}) AS total_syms
+      FROM b{k}"""
+        for k in range(n_merges)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM (\n      {unions}\n    ) ORDER BY iter"
+    )
+
+
+def _wordpiece_segment_oracle(n_merges: int = 4) -> str:
+    ctes = _wordpiece_oracle_ctes(n_merges)
+    ctes.append("""dw AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+           sum(len(v.syms))::BIGINT AS n_tokens
+    FROM dw JOIN v{n_merges} v USING (word)
+    GROUP BY dw.doc_id"""
+    )
+
+
+def _wordpiece_tokenize_oracle(n_merges: int = 4) -> str:
+    ctes = _wordpiece_oracle_ctes(n_merges)
+    ctes.append("""dw AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    )""")
+    ctes.append("""dwp AS (
+      SELECT doc_id, t.pos, ws[t.pos] AS word
+      FROM dw, unnest(range(1, len(ws) + 1)) AS t(pos)
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT dwp.doc_id,
+           flatten(list(v.syms ORDER BY dwp.pos)) AS tokens,
+           CAST(sum(len(v.syms)) AS INTEGER) AS n_tokens
+    FROM dwp JOIN v{n_merges} v USING (word)
+    GROUP BY dwp.doc_id"""
+    )
+
+
+@register("wordpiece_train", oracle=_wordpiece_oracle())
+def q_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge TRAINING (operators/wordpiece.py; Schuster &
+    Nakajima 2012, the BERT-lineage tokenizer) — the third production
+    tokenizer family beside BPE (frequency argmax) and unigram-LM (EM
+    pruning): each round merges the pair maximizing the unigram-model
+    likelihood gain cnt(ab)/(cnt(a)·cnt(b)) over the ``##``-continuation
+    alphabet. Scale shape identical to bpe_train_merges: one corpus scan
+    → Zipf-bounded vocab, two map-side-combinable aggregates + one-row
+    argmax per round (corpus-size-independent), merge application a pure
+    Column stack HOF. The oracle replays every round — argmax with both
+    score denominators pinned, deterministic double-division tiebreak,
+    and the post-merge symbol total; naive-equivalence vs a dict-based
+    reference trainer is asserted over three corpora in test_wordpiece."""
+    from zio_analytics_spark.operators.wordpiece import wordpiece_train
+
+    return wordpiece_train(read_table(spark, sf_dir, "documents"), n_merges=4)
+
+
+@register("wordpiece_segment", oracle=_wordpiece_segment_oracle())
+def q_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY side of the WordPiece trainer: segment every document with
+    the learned merges → (doc, n_words, n_tokens). Same one-corpus-scan
+    shape as bpe_segment: the trained segmentation is computed once on
+    the Zipf-bounded vocab, materialized as a word → piece-count
+    dimension, and the corpus pass is explode + broadcast join + per-doc
+    sum. Wordless documents are excluded (inner join). The oracle replays
+    training AND the final join."""
+    from zio_analytics_spark.operators.wordpiece import wordpiece_segment
+
+    return wordpiece_segment(read_table(spark, sf_dir, "documents"), n_merges=4)
+
+
+@register("wordpiece_tokenize_docs", oracle=_wordpiece_tokenize_oracle())
+def q_wordpiece_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING surface of WordPiece: the actual ``##``-prefixed piece
+    sequence per document (bpe_tokenize_docs' sibling) — posexplode →
+    broadcast word→pieces dimension → ordered reassembly. Output volume ≈
+    input volume: at 100 TB this writes straight to the training-shard
+    sink; sequence packing consumes exactly this shape."""
+    from zio_analytics_spark.operators.wordpiece import wordpiece_tokenize
+
+    return wordpiece_tokenize(read_table(spark, sf_dir, "documents"), n_merges=4)
+
+
+@register(
+    "dedup_paragraph",
+    oracle="""
+    WITH d2 AS (
+      SELECT doc_id,
+             list_prepend('shared boilerplate header',
+               list_transform(
+                 range(0, greatest((len(string_split(text, ' ')) + 5) // 6, 1)),
+                 i -> array_to_string(string_split(text, ' ')[i*6+1 : i*6+6], ' ')
+               )) AS paras
+      FROM documents
+    ), p AS (
+      SELECT doc_id, t.pos AS idx, paras[t.pos] AS para
+      FROM d2, unnest(range(1, len(paras) + 1)) AS t(pos)
+    ), nb AS (
+      SELECT doc_id, idx, para FROM p WHERE trim(para) <> ''
+    ), rn AS (
+      SELECT doc_id, idx, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+      FROM nb
+    ), agg AS (
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN rn = 1 THEN para END, '
+
+' ORDER BY idx), '') AS text,
+             count(*) FILTER (WHERE rn = 1) AS n_kept,
+             count(*) FILTER (WHERE rn > 1) AS n_dropped
+      FROM rn GROUP BY doc_id
+    )
+    SELECT d.doc_id, md5(coalesce(a.text, '')) AS text_md5,
+           coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(a.n_dropped, 0)::BIGINT AS n_dropped
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain dedup WITH document reassembly (operators/dedup.py
+    dedup_paragraphs) — the pipeline stage between line-level boilerplate
+    removal and doc-level dedup. The corpus has no natural paragraph
+    marks, so the entry synthesizes the realistic structure the operator
+    exists for: each document becomes a corpus-wide boilerplate header
+    paragraph + its words re-chunked six at a time, then duplicate
+    paragraphs are struck corpus-wide (keep-first by (doc_id, idx)) and
+    documents reassemble from their survivors in order — the boilerplate
+    survives in exactly ONE document, and planted exact-duplicate docs
+    lose all their paragraphs to their keepers. The oracle replays split,
+    strike and byte-exact reassembly (compared via md5), including the
+    empty-document contract. Scale shape: keeper selection is a map-side-
+    combinable min-struct aggregate over sha2 digests (a boilerplate
+    paragraph repeated 10^9 times partially aggregates on every mapper —
+    no hot-key reducer), join-back skew handled by AQE."""
+    from zio_analytics_spark.operators.dedup import dedup_paragraphs
+
+    docs = read_table(spark, sf_dir, "documents")
+    d2 = docs.select(
+        "doc_id",
+        F.array_join(
+            F.concat(
+                F.array(F.lit("shared boilerplate header")),
+                F.expr(
+                    "transform(sequence(0, greatest(cast(ceil(size(split(text, ' ')) / 6) AS INT), 1) - 1),"
+                    " i -> array_join(slice(split(text, ' '), i * 6 + 1, 6), ' '))"
+                ),
+            ),
+            "\n\n",
+        ).alias("text"),
+    )
+    out = dedup_paragraphs(d2)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_kept", "n_dropped"
     )
 
 

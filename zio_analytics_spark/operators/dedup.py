@@ -44,6 +44,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "substring_span_pairs",
+    "dedup_paragraphs",
     "embedding_dup_pairs",
 ]
 
@@ -1222,4 +1223,88 @@ def substring_span_pairs(
             F.count(F.lit(1)).cast("long").alias("n_spans"),
         )
         .where(F.col("max_span") >= int(min_len))
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-grain exact dedup WITH document reassembly — the real
+    pipeline stage between line-level boilerplate removal (cleaning.py)
+    and doc-level dedup: split every document into paragraphs on ``sep``
+    (stable ``(doc_id, idx)`` keys), strike duplicate paragraphs
+    CORPUS-WIDE keeping the first occurrence (min ``(doc_id, idx)`` per
+    content digest — the deterministic keep-first policy), and reassemble
+    each document from its surviving paragraphs in original order.
+
+    Returns one row per input document:
+    ``(id, text, n_kept, n_dropped)`` — ``text`` is the surviving
+    paragraphs re-joined with ``sep`` (byte-exact: paragraphs are hashed
+    and reassembled UNTRIMMED), ``n_dropped`` counts struck duplicates.
+    Whitespace-only paragraphs are removed unconditionally (they carry no
+    content and would otherwise all collapse onto one global keeper); the
+    EMPTY-DOCUMENT CONTRACT is explicit: a document whose every paragraph
+    was blank or struck still emits its row with ``text = ''`` and
+    ``n_kept = 0``, so downstream length filters see it rather than
+    silently losing the id.
+
+    Scale shape: keeper selection is a map-side-combinable
+    ``min(struct(id, idx))`` AGGREGATE over 32-byte sha2 digests — a
+    corpus-wide boilerplate paragraph repeated 10^9 times partially
+    aggregates on every mapper instead of sorting on one hot reducer
+    (why this is an agg + join, not a row_number window over the digest).
+    The join back is 1-keeper-row × N-occurrences per digest; AQE's skew
+    split handles the hot digests. Reassembly is one groupBy(id) whose
+    shuffle carries each surviving paragraph exactly once.
+    """
+    import re as _re
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "__idx", "__para"
+        ),
+    ).where(F.trim(F.col("__para")) != "")
+    hashed = paras.select(
+        F.col(id_col),
+        "__idx",
+        "__para",
+        F.sha2(F.col("__para"), 256).alias("__digest"),
+    )
+    keepers = hashed.groupBy("__digest").agg(
+        F.min(F.struct(F.col(id_col).alias("kid"), F.col("__idx").alias("kidx"))).alias(
+            "__keep"
+        )
+    )
+    marked = hashed.join(keepers, "__digest").withColumn(
+        "__kept",
+        (F.col(id_col) == F.col("__keep.kid")) & (F.col("__idx") == F.col("__keep.kidx")),
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__kept"), F.struct("__idx", "__para"))
+                    )
+                ),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias("__text"),
+        F.sum(F.col("__kept").cast("long")).alias("n_kept"),
+        F.sum((~F.col("__kept")).cast("long")).alias("n_dropped"),
+    )
+    all_ids = df.select(id_col).distinct()
+    return (
+        all_ids.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+        )
     )

@@ -24,6 +24,7 @@ __all__ = [
     "language_id",
     "fingerprint",
     "bigram_logprob",
+    "trigram_logprob",
     "bm25_scores",
     "word_shingles",
     "char_shingles",
@@ -367,6 +368,92 @@ def bigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def trigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam3: float = 0.6,
+    lam2: float = 0.3,
+    lam1: float = 0.1,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document average negative log-probability under a Jelinek–Mercer
+    interpolated TRIGRAM model of the corpus itself — rung three of the
+    cheap-perplexity quality ladder after :func:`unigram_logprob` and
+    :func:`bigram_logprob`:
+
+        P(wᵢ | wᵢ₋₂wᵢ₋₁) = λ₃·c(wᵢ₋₂wᵢ₋₁wᵢ)/c(wᵢ₋₂wᵢ₋₁)
+                         + λ₂·c(wᵢ₋₁wᵢ)/c(wᵢ₋₁) + λ₁·c(wᵢ)/T
+
+    (the classic JM back-off mixture; every trigram scored HAS counts in
+    all three tables because the model is the corpus's own MLE, so no
+    zero-probability guard is needed). The extra order separates locally
+    fluent bigram chains that never form real phrases — the next thing a
+    quality filter misses after word salad.
+
+    Plan: one positional token scan, transitions via TWO lag windows over
+    the same (id, pos) sort — Catalyst computes both lags in ONE Window
+    node, so the trigram model costs the same single shuffle as the
+    bigram one; the trigram/bigram/unigram count tables are all
+    vocabulary-sized (Heaps' law) and BROADCAST by default (the Zipf-skew
+    escape). Documents with < 3 tokens have no trigram and drop out.
+
+    Returns ``(id_col, n_trigrams, avg_neg_logprob)`` rounded to 6 dp.
+    λ₁ is an explicit parameter (not ``1−λ₃−λ₂``, whose IEEE value differs
+    from the literal 0.1 the SQL oracle writes); the three must sum to 1.
+    """
+    if abs(lam3 + lam2 + lam1 - 1.0) > 1e-9:
+        raise ValueError(f"lambdas must sum to 1, got {lam3}+{lam2}+{lam1}")
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    seq = toks.select(
+        id_col,
+        "tok",
+        F.lag("tok", 1).over(w).alias("prev"),
+        F.lag("tok", 2).over(w).alias("prev2"),
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    total = uni.agg(F.sum("c1").alias("t"))
+    pairs = seq.where(F.col("prev").isNotNull())
+    bi = pairs.groupBy("prev", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    )
+    triples = seq.where(F.col("prev2").isNotNull())
+    tri = triples.groupBy("prev2", "prev", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c3")
+    )
+    # context table: c(wᵢ₋₂wᵢ₋₁) IS the bigram table under renamed keys
+    ctx = bi.select(
+        F.col("prev").alias("prev2"), F.col("tok").alias("prev"),
+        F.col("c2").alias("c_ctx"),
+    )
+    u_prev = uni.select(F.col("tok").alias("prev"), F.col("c1").alias("c1_prev"))
+    u_tok = uni.select("tok", F.col("c1").alias("c1_tok"))
+    if broadcast_vocab:
+        tri, bi, ctx = F.broadcast(tri), F.broadcast(bi), F.broadcast(ctx)
+        u_prev, u_tok = F.broadcast(u_prev), F.broadcast(u_tok)
+    p = (
+        F.lit(lam3) * (F.col("c3") / F.col("c_ctx"))
+        + F.lit(lam2) * (F.col("c2") / F.col("c1_prev"))
+        + F.lit(lam1) * (F.col("c1_tok") / F.col("t"))
+    )
+    return (
+        triples.join(tri, ["prev2", "prev", "tok"])
+        .join(ctx, ["prev2", "prev"])
+        .join(bi, ["prev", "tok"])
+        .join(u_prev, "prev")
+        .join(u_tok, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
             F.round(F.avg(-F.log(p)), 6).alias("avg_neg_logprob"),
         )
     )
