@@ -164,3 +164,60 @@ def test_symspell_candidates_linear(spark):
     r1 = fuzzy_pairs_symspell(names, "s", "id", max_edit=1).count()
     r3 = fuzzy_pairs_symspell(big, "s", "id", max_edit=1).count()
     assert r3 == 3 * r1
+
+
+def test_llm_pipeline_stage_counts_linear(spark, sf_dir):
+    """×N tiling receipt for the flagship pipeline (scripts/
+    measure_pipeline.py holds the measured sf0.1 curve): every stage's
+    row count grows ~linearly under constant-density growth — copies
+    shift doc_id by a multiple of 10 (same bench-split class) and append
+    a per-copy tag token (no cross-copy dedup collapse, no cross-copy
+    contamination). A blocking/keying regression that made any stage
+    superlinear (or collapsed the copies) breaks the ratio band."""
+    from functools import reduce
+
+    from zio_analytics_spark import catalog
+    from zio_analytics_spark.operators import dedup, text
+    from zio_analytics_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    copies = 4
+
+    def tile(d):
+        parts = [
+            d.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                "lang",
+                F.concat(F.col("text"), F.lit(f" copytag{i}")).alias("text"),
+            )
+            for i in range(copies)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def stages(d):
+        toks = d.select(
+            "doc_id", "lang", "text",
+            F.size(text.tokens("text")).cast("long").alias("n_tokens"),
+        )
+        quality = toks.where(F.col("n_tokens") >= 20)
+        bench = d.where(F.col("doc_id") % 10 == 0)
+        corpus = quality.where(F.col("doc_id") % 10 != 0)
+        clean = dedup.decontaminate(corpus, bench, n=5)
+        keepers = clean.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        return {
+            "quality": quality.count(),
+            "clean": clean.count(),
+            "keepers": keepers.count(),
+            "packs": catalog.llm_pipeline(d).count(),
+        }
+
+    base = stages(docs)
+    big = stages(tile(docs))
+    for k in base:
+        assert base[k] > 0, k
+        ratio = big[k] / base[k]
+        # the tag token can push a doc over the >=20-token quality
+        # threshold, so per-copy counts sit slightly ABOVE base — the band
+        # is [N·0.95, N·1.15]; superlinear blowup or copy collapse
+        # (ratio ≈ 1) both land far outside it
+        assert copies * 0.95 <= ratio <= copies * 1.15, (k, ratio, base[k], big[k])

@@ -2596,11 +2596,19 @@ def q_llm_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic 90/10 content-hash split → GPT-style sequence packing of
     the train split into 256-token packs per language. Catalyst sees a
     single plan and optimizes across stages; the oracle composes the same
-    five verified SQL pieces."""
+    five verified SQL pieces. The body lives in :func:`llm_pipeline` so
+    scripts/measure_pipeline.py can run the SAME plan on tiled corpora
+    for the ×10 scaling receipt (SCALE.md)."""
+    return llm_pipeline(read_table(spark, sf_dir, "documents"))
+
+
+def llm_pipeline(docs: DataFrame) -> DataFrame:
+    """The llm_pipeline_full plan over an arbitrary documents frame
+    (columns: doc_id, lang, text) — see q_llm_pipeline_full for the
+    stage story."""
     from zio_analytics_spark.operators.splits import hash_split
     from zio_analytics_spark.operators.text import pack_sequences
 
-    docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", "text", F.size(text.tokens("text")).cast("long").alias("n_tokens")
     )
