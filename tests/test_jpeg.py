@@ -172,15 +172,22 @@ def test_restart_interval_roundtrip_and_error():
         decode_jpeg(bytes(broken))
 
 
-def test_rejects_non_baseline_and_garbage():
+def test_rejects_unsupported_frames_and_garbage():
     img = np.full((8, 8), 100, dtype=np.uint8)
     payload = bytearray(encode_jpeg(img, quant_luma=Q8))
     i = payload.find(b"\xff\xc0")
-    for sof, label in ((0xC2, "progressive"), (0xC9, "SOF9")):
+    for sof in (0xC9, 0xC3, 0xC7):  # arithmetic / lossless / differential
         p = bytearray(payload)
         p[i + 1] = sof
-        with pytest.raises(ValueError, match="baseline"):
+        with pytest.raises(ValueError, match="SOF"):
             decode_jpeg(bytes(p))
+    # SOF2 is now SUPPORTED — but a baseline scan header mislabeled as
+    # progressive is malformed (a DC scan with Se=63) and must still fail
+    # loudly, not decode garbage
+    p = bytearray(payload)
+    p[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(bytes(p))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"NOTAJPEG")
     with pytest.raises(ValueError, match="truncated"):
@@ -230,3 +237,58 @@ def test_encoder_input_validation():
         encode_jpeg_coefficients(16, 16, np.zeros((1, 1, 8, 8)), Q1)
     with pytest.raises(ValueError, match="coef_blocks"):
         encode_jpeg_coefficients(8, 8, np.zeros((8, 8)), Q1)
+
+
+def test_progressive_decodes_bit_identical_to_baseline():
+    """The progressive scan script re-encodes the SAME quantized
+    coefficients, so decode(progressive) must equal decode(baseline)
+    BIT-FOR-BIT across grayscale, both subsamplings, odd dims and a
+    quality sweep (each quality shifts which EOBn/ZRL/refinement paths
+    fire)."""
+    rng = np.random.default_rng(21)
+    for dims in [(8, 8), (24, 17), (40, 33)]:
+        img = rng.integers(0, 256, dims).astype(np.uint8)
+        a = decode_jpeg(encode_jpeg(img, quant_luma=Q1))
+        p = decode_jpeg(encode_jpeg(img, quant_luma=Q1, progressive=True))
+        assert (a["pixels"] == p["pixels"]).all(), dims
+    for sub in ("4:4:4", "4:2:0"):
+        for dims in [(16, 16, 3), (21, 29, 3)]:
+            img = rng.integers(0, 256, dims).astype(np.uint8)
+            a = decode_jpeg(encode_jpeg(img, subsampling=sub, quality=85))
+            p = decode_jpeg(
+                encode_jpeg(img, subsampling=sub, quality=85, progressive=True)
+            )
+            assert (a["pixels"] == p["pixels"]).all(), (sub, dims)
+    for q in (30, 75, 100):
+        img = rng.integers(0, 256, (48, 56, 3)).astype(np.uint8)
+        a = decode_jpeg(encode_jpeg(img, quality=q))
+        p = decode_jpeg(encode_jpeg(img, quality=q, progressive=True))
+        assert (a["pixels"] == p["pixels"]).all(), q
+
+
+def test_progressive_long_eob_runs_and_structure():
+    """A blocky low-frequency image at low quality yields multi-block EOB
+    runs (the EOBn path with appended run-length bits); also pin the
+    container structure: SOF2 marker, >2 SOS segments, and refusal of
+    restart intervals with progressive."""
+    xx, yy = np.meshgrid(np.arange(64), np.arange(64))
+    img = np.stack(
+        [(xx // 8 * 8) % 256, (yy // 8 * 8) % 256, ((xx + yy) // 16 * 16) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    payload = encode_jpeg(img, quality=40, progressive=True)
+    assert b"\xff\xc2" in payload and payload.count(b"\xff\xda") >= 6
+    a = decode_jpeg(encode_jpeg(img, quality=40))
+    p = decode_jpeg(payload)
+    assert (a["pixels"] == p["pixels"]).all()
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg(img, progressive=True, restart_interval=2)
+
+
+def test_progressive_partial_stream_truncation_raises():
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    payload = encode_jpeg(img, quant_luma=Q1, progressive=True)
+    # cut inside the last scan: no EOI -> truncated error, not silence
+    with pytest.raises(ValueError, match="truncated|EOI"):
+        decode_jpeg(payload[: len(payload) - 4])

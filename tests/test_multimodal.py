@@ -64,8 +64,12 @@ def test_ppm_p6_decode_with_comments():
 def test_decode_image_rejects_unknown_formats():
     import pytest
 
+    with pytest.raises(ValueError, match="truncated"):
+        # JPEG is SUPPORTED now (operators/jpeg.py) — an SOI+APP0 fragment
+        # is corrupt/truncated, not unknown
+        multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF....")
     with pytest.raises(ValueError, match="unsupported image format"):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF....")  # JPEG: real codec seam
+        multimodal.decode_image(b"II*\x00....")  # TIFF: still the codec seam
     with pytest.raises(ValueError, match="IHDR"):
         # PNG is SUPPORTED now — a valid signature with no chunks is corrupt,
         # not unknown

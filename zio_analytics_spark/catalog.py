@@ -12935,6 +12935,96 @@ def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_progressive",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 13 + doc_id % 9 AS w, 11 + doc_id % 7 AS h FROM documents
+    ), xs AS (
+      SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+    ), px AS (
+      SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+    ), src AS (
+      SELECT doc_id, x, y,
+             ((doc_id + 83 * (x // 16) + 29 * (y // 16)) % 256)::DOUBLE AS r0,
+             ((2 * doc_id + 53 * (x // 16) + 97 * (y // 16)) % 256)::DOUBLE AS g0,
+             ((3 * doc_id + 41 * (x // 16) + 13 * (y // 16)) % 256)::DOUBLE AS b0
+      FROM px
+    ), ycc AS (
+      SELECT doc_id, x, y,
+             floor(0.299 * r0 + 0.587 * g0 + 0.114 * b0 + 0.5) AS yv,
+             floor(128 - 0.168736 * r0 - 0.331264 * g0 + 0.5 * b0 + 0.5) AS cb,
+             floor(128 + 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0 + 0.5) AS cr
+      FROM src
+    ), rgb AS (
+      SELECT doc_id, x, y,
+        least(greatest(floor(yv + 1.402 * (cr - 128) + 0.5), 0), 255) AS r,
+        least(greatest(floor(yv - 0.344136 * (cb - 128)
+                             - 0.714136 * (cr - 128) + 0.5), 0), 255) AS g,
+        least(greatest(floor(yv + 1.772 * (cb - 128) + 0.5), 0), 255) AS b
+      FROM ycc
+    )
+    SELECT doc_id,
+           sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+           sum(b)::BIGINT AS sum_b,
+           max(r * (x = 0 AND y = 0)::INT)::INT AS first_r
+    FROM rgb GROUP BY doc_id
+    """,
+)
+def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2, T.81 Annex G) end to end: the same
+    MCU-constant 4:2:0 color construction as multimodal_jpeg_color, but
+    every payload is written with the full successive-approximation scan
+    script — interleaved DC first at Al=1, DC refinement, per-component
+    AC first (EOBn run coding over the all-zero AC bands — multi-block
+    EOB runs on every doc) and AC refinement — and decoded through the
+    multi-scan coefficient-accumulation path. Progressive re-encodes the
+    IDENTICAL quantized coefficients, so the analytic oracle is the same
+    YCbCr round-trip; nonzero-AC progressive equivalence (ZRL,
+    correction bits, newly-significant runs) is pinned bit-for-bit
+    against baseline across a quality sweep in test_jpeg. Closes the
+    web-corpus ingest gap the round-8 seam left: progressive is the
+    default output of many web image processors."""
+    import numpy as np
+
+    from zio_analytics_spark.operators.jpeg import encode_jpeg
+    from zio_analytics_spark.operators.multimodal import decode_image
+
+    q8 = np.full((8, 8), 8, dtype=np.int32)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sum_r", "sum_g", "sum_b", "first_r")}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 13 + i % 9, 11 + i % 7
+                mx, my = np.meshgrid(np.arange(w) // 16, np.arange(h) // 16)
+                img = np.stack([
+                    (i + 83 * mx + 29 * my) % 256,
+                    (2 * i + 53 * mx + 97 * my) % 256,
+                    (3 * i + 41 * mx + 13 * my) % 256,
+                ], axis=2).astype(np.uint8)
+                m = decode_image(encode_jpeg(
+                    img, subsampling="4:2:0", quant_luma=q8, quant_chroma=q8,
+                    progressive=True,
+                ))
+                px = m["pixels"].astype("int64")
+                out["doc_id"].append(i)
+                out["sum_r"].append(int(px[:, :, 0].sum()))
+                out["sum_g"].append(int(px[:, :, 1].sum()))
+                out["sum_b"].append(int(px[:, :, 2].sum()))
+                out["first_r"].append(int(px[0, 0, 0]))
+            yield pd.DataFrame(out)
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .select("doc_id").repartition(32))
+    return docs.mapInPandas(
+        run, "doc_id long, sum_r long, sum_g long, sum_b long, first_r int"
+    )
+
+
+@register(
     "multimodal_jpeg_coeffs",
     oracle="""
     WITH xs AS (

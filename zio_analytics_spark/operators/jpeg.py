@@ -1,13 +1,15 @@
-"""Baseline sequential JPEG (JFIF) — pure numpy/stdlib codec.
+"""JPEG (JFIF) — pure numpy/stdlib codec, baseline AND progressive.
 
 The dominant image format of any web-scraped corpus, implemented from the
 PUBLIC ITU-T T.81 spec (same discipline as the PNG inflate/unfilter matrix
-and the GIF LZW tier in :mod:`multimodal`): baseline DCT, Huffman entropy
-coding with the Annex K "typical" tables, 8-bit samples, grayscale or
-YCbCr with 4:4:4 / 4:2:0 sampling, optional restart intervals.
-Deliberately OUT of the stdlib tier (raise ``ValueError`` → route to a
-codec library behind the same seam): progressive (SOF2) and any other
-non-SOF0 frame type, arithmetic coding (DAC), 12-bit precision,
+and the GIF LZW tier in :mod:`multimodal`): baseline sequential (SOF0)
+AND progressive (SOF2, Annex G — spectral selection + successive
+approximation, DC/AC first and refinement scans, EOBn run coding,
+correction bits) DCT coding, Huffman entropy coding with the Annex K
+"typical" tables, 8-bit samples, grayscale or YCbCr with 4:4:4 / 4:2:0
+sampling, optional restart intervals. Deliberately OUT of the stdlib tier
+(raise ``ValueError`` → route to a codec library behind the same seam):
+arithmetic coding (DAC), lossless/hierarchical frames, 12-bit precision,
 sampling grids other than 1×1 and the 2×2-luma 4:2:0 layout.
 
 Both directions are DETERMINISTIC and share one rounding convention —
@@ -295,8 +297,12 @@ def _headers(
     quants: list[tuple[int, np.ndarray]],
     hufftabs: list[tuple[int, int, list[int], list[int]]],
     restart_interval: int,
+    sof_marker: int = 0xC0,
+    emit_sos: bool = True,
 ) -> bytearray:
-    """SOI + APP0(JFIF) + DQTs + SOF0 + DHTs (+DRI) + SOS-prefix."""
+    """SOI + APP0(JFIF) + DQTs + SOF (baseline 0xC0 / progressive 0xC2) +
+    DHTs (+DRI) + optionally the baseline single-scan SOS prefix
+    (progressive callers emit one SOS per scan instead)."""
     out = bytearray(b"\xff\xd8")
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid, tbl in quants:
@@ -304,17 +310,35 @@ def _headers(
     sof = bytearray(struct.pack(">BHHB", 8, height, width, len(components)))
     for cid, hv, _dc, tq in components:
         sof += bytes([cid, hv, tq])
-    out += _seg(0xC0, bytes(sof))
+    out += _seg(sof_marker, bytes(sof))
     for tclass, tid, bits, vals in hufftabs:
         out += _dht_segment(tclass, tid, bits, vals)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytearray([len(components)])
-    for cid, _hv, dcac, _tq in components:
-        sos += bytes([cid, dcac])
-    sos += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0 (baseline)
-    out += _seg(0xDA, bytes(sos))
+    if emit_sos:
+        out += _sos_segment([(cid, dcac) for cid, _hv, dcac, _tq in components],
+                            0, 63, 0, 0)
     return out
+
+
+def _sos_segment(comps: list[tuple[int, int]], ss: int, se: int,
+                 ah: int, al: int) -> bytes:
+    """SOS marker segment: component selectors + spectral selection
+    (Ss..Se) + successive approximation (Ah, Al)."""
+    body = bytearray([len(comps)])
+    for cid, dcac in comps:
+        body += bytes([cid, dcac])
+    body += bytes([ss, se, (ah << 4) | al])
+    return _seg(0xDA, bytes(body))
+
+
+# Progressive AC scans emit symbols the Annex K tables lack (EOBn codes
+# (r<<4)|0 for r=1..14): a FLAT canonical table covering all 256 symbols —
+# 128 at 8 bits + 128 at 9 bits (Kraft sum 0.75 < 1) — is embedded in the
+# progressive DHT instead. Compression suffers a little; correctness and
+# simplicity win (real encoders build custom tables per scan).
+AC_FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0]
+AC_FLAT_VALS = list(range(256))
 
 
 def encode_jpeg(
@@ -324,8 +348,9 @@ def encode_jpeg(
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline sequential JFIF encoder.
+    """Baseline sequential (or progressive, T.81 Annex G) JFIF encoder.
 
     ``pixels`` is (h, w, 3) uint8 RGB or (h, w) grayscale. ``subsampling``
     is ``'4:2:0'`` (2×2 luma sampling) or ``'4:4:4'``; grayscale input
@@ -333,7 +358,14 @@ def encode_jpeg(
     (int, 8×8) override the quality-scaled Annex K tables — the catalog
     oracles pass a uniform-8 DC table so block-constant input decodes
     losslessly. ``restart_interval`` > 0 emits DRI + RSTn markers every
-    that many MCUs (the parallel-decode grain real encoders use)."""
+    that many MCUs (the parallel-decode grain real encoders use).
+
+    ``progressive=True`` writes SOF2 with the full successive-approximation
+    scan script — interleaved DC first at Al=1, DC refinement, then per
+    component AC first (Ss=1..63, Al=1, EOBn run coding) and AC refinement
+    (correction bits) — exercising every progressive decode path; the
+    quantized coefficients are IDENTICAL to the baseline encoding, so the
+    decoded pixels are bit-identical too (asserted in test_jpeg)."""
     px = np.asarray(pixels)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
@@ -407,6 +439,75 @@ def encode_jpeg(
         planes = {"y": (cy, dc_l, ac_l), "cb": (ccb, dc_c, ac_c),
                   "cr": (ccr, dc_c, ac_c)}
 
+    if progressive:
+        if restart_interval:
+            raise ValueError("restart_interval is not supported with progressive=True")
+        if gray:
+            names = ["y"]
+            quants = [(0, ql)]
+            comp_meta = {"y": (1, dc_l, 0)}  # cid, dc codes, dc table id
+            ceil_dims = {"y": (cy.shape[0], cy.shape[1])}
+        else:
+            names = ["y", "cb", "cr"]
+            quants = [(0, ql), (1, qc)]
+            comp_meta = {"y": (1, dc_l, 0), "cb": (2, dc_c, 1), "cr": (3, dc_c, 1)}
+            if subsampling == "4:2:0":
+                # non-interleaved AC scans cover only ceil(comp/8) blocks —
+                # the luma pad blocks beyond that exist only in the MCU grid
+                ceil_dims = {"y": (-(-h // 8), -(-w // 8)),
+                             "cb": ccb.shape[:2], "cr": ccr.shape[:2]}
+            else:
+                ceil_dims = {n: cy.shape[:2] for n in names}
+        hufftabs = [(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)]
+        if not gray:
+            hufftabs.append((0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+        hufftabs.append((1, 0, AC_FLAT_BITS, AC_FLAT_VALS))
+        out = _headers(w, h, comps, quants, hufftabs, 0,
+                       sof_marker=0xC2, emit_sos=False)
+        ac_flat = _build_codes(AC_FLAT_BITS, AC_FLAT_VALS)
+        AL = 1
+        # scan 1: DC first (interleaved), point transform Al=1
+        out += _sos_segment(
+            [(comp_meta[n][0], comp_meta[n][2] << 4) for n in names], 0, 0, 0, AL
+        )
+        wtr = _BitWriter()
+        preds = {n: 0 for n in names}
+        for mcu in mcus:
+            for name, by, bx in mcu:
+                v = int(planes[name][0][by, bx][0, 0]) >> AL  # arithmetic
+                s, bits = _magnitude(v - preds[name])
+                code, ln = comp_meta[name][1][s]
+                wtr.put(code, ln)
+                if s:
+                    wtr.put(bits, s)
+                preds[name] = v
+        wtr.flush()
+        out += wtr.out
+        # scan 2: DC refinement (Ah=1, Al=0): one raw bit per block
+        out += _sos_segment(
+            [(comp_meta[n][0], comp_meta[n][2] << 4) for n in names], 0, 0, AL, 0
+        )
+        wtr = _BitWriter()
+        for mcu in mcus:
+            for name, by, bx in mcu:
+                wtr.put(int(planes[name][0][by, bx][0, 0]) & 1, 1)
+        wtr.flush()
+        out += wtr.out
+        # per-component AC first, then per-component AC refinement
+        for phase in ("first", "refine"):
+            for n in names:
+                nby, nbx = ceil_dims[n]
+                wtr = _BitWriter()
+                if phase == "first":
+                    out += _sos_segment([(comp_meta[n][0], 0)], 1, 63, 0, AL)
+                    _encode_ac_first(wtr, planes[n][0], nby, nbx, AL, ac_flat)
+                else:
+                    out += _sos_segment([(comp_meta[n][0], 0)], 1, 63, AL, 0)
+                    _encode_ac_refine(wtr, planes[n][0], nby, nbx, AL, 0, ac_flat)
+                wtr.flush()
+                out += wtr.out
+        return bytes(out) + b"\xff\xd9"
+
     writer = _BitWriter()
     preds = {name: 0 for name in planes}
     rst = 0
@@ -423,6 +524,131 @@ def encode_jpeg(
             )
     writer.flush()
     return bytes(out) + bytes(writer.out) + b"\xff\xd9"
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.2): division by 2^Al toward ZERO
+    (DC uses the arithmetic shift instead)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _encode_ac_first(w: _BitWriter, blocks: np.ndarray, nby: int, nbx: int,
+                     al: int, ac_codes: dict) -> None:
+    """Progressive AC first scan (Ah=0) for ONE component: spectral band
+    1..63 at point transform Al, with EOBn run coding (G.1.2.2)."""
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            code, ln = ac_codes[nb << 4]
+            w.put(code, ln)
+            if nb:
+                w.put(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for by in range(nby):
+        for bx in range(nbx):
+            c = blocks[by, bx]
+            vals = [_pt_ac(int(c[ZIGZAG[k]]), al) for k in range(1, 64)]
+            last = max((i for i, v in enumerate(vals) if v), default=-1)
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            r = 0
+            for i in range(last + 1):
+                v = vals[i]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    w.put(code, ln)
+                    r -= 16
+                s, bits = _magnitude(v)
+                code, ln = ac_codes[(r << 4) | s]
+                w.put(code, ln)
+                w.put(bits, s)
+                r = 0
+            if last < 62:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _encode_ac_refine(w: _BitWriter, blocks: np.ndarray, nby: int, nbx: int,
+                      ah: int, al: int, ac_codes: dict) -> None:
+    """Progressive AC refinement scan (Ah>0, G.1.2.3): newly-significant
+    coefficients as (run, 1) codes + sign bit, correction bits for
+    already-nonzero coefficients BUFFERED and emitted after the next
+    Huffman code (the bit-embedding discipline the decoder's advance walk
+    consumes in position order)."""
+    eobrun = 0
+    be: list[int] = []
+
+    def emit_buffered() -> None:
+        for bit in be:
+            w.put(bit, 1)
+        be.clear()
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            code, ln = ac_codes[nb << 4]
+            w.put(code, ln)
+            if nb:
+                w.put(eobrun - (1 << nb), nb)
+            emit_buffered()
+            eobrun = 0
+
+    for by in range(nby):
+        for bx in range(nbx):
+            c = blocks[by, bx]
+            raw = [int(c[ZIGZAG[k]]) for k in range(1, 64)]
+            now = [_pt_ac(v, al) for v in raw]
+            hist = [_pt_ac(v, ah) != 0 for v in raw]
+            newly = [i for i in range(63) if now[i] != 0 and not hist[i]]
+            last_new = newly[-1] if newly else -1
+            if last_new < 0:
+                for i in range(63):
+                    if hist[i]:
+                        be.append((abs(raw[i]) >> al) & 1)
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            r = 0
+            for i in range(last_new + 1):
+                if hist[i]:
+                    be.append((abs(raw[i]) >> al) & 1)
+                elif now[i] == 0:
+                    r += 1
+                    if r == 16:
+                        code, ln = ac_codes[0xF0]
+                        w.put(code, ln)
+                        emit_buffered()
+                        r = 0
+                else:
+                    code, ln = ac_codes[(r << 4) | 1]
+                    w.put(code, ln)
+                    w.put(1 if now[i] > 0 else 0, 1)
+                    emit_buffered()
+                    r = 0
+            if last_new < 62:
+                for i in range(last_new + 1, 63):
+                    if hist[i]:
+                        be.append((abs(raw[i]) >> al) & 1)
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
 
 
 def encode_jpeg_coefficients(
@@ -561,14 +787,236 @@ def _decode_block(r: _BitReader, dc_tree: dict, ac_tree: dict,
     return coefs, dc
 
 
+def _frame_layout(frame: dict) -> tuple[int, int, int, int]:
+    """Validate the sampling layout and annotate each frame component with
+    its ALLOCATED block grid (MCU-padded — what interleaved scans cover)
+    and its CEIL block grid (ceil(comp_samples/8) — what non-interleaved
+    progressive scans cover; smaller for 4:2:0 luma when dims aren't MCU
+    multiples). Returns (hmax, vmax, mcus_x, mcus_y)."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    ok = len(comps) == 1 and (hmax, vmax) == (1, 1)
+    ok = ok or (len(comps) == 3 and all(
+        (c["h"], c["v"]) == ((hmax, vmax) if c is comps[0] else (1, 1))
+        for c in comps
+    ) and (hmax, vmax) in ((1, 1), (2, 2)))
+    if not ok:
+        raise ValueError("unsupported JPEG sampling layout (only 1×1 grids "
+                         "and 2×2-luma 4:2:0 supported)")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["alloc"] = (mcus_y * c["v"], mcus_x * c["h"])
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        c["ceil"] = (-(-ch // 8), -(-cw // 8))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _reconstruct(frame: dict, quant: dict, coefs: dict,
+                 hmax: int, vmax: int) -> dict:
+    """Dequantize + batched IDCT + level shift + (chroma upsample +
+    YCbCr→RGB) — shared by the baseline and progressive paths."""
+    w, h = frame["w"], frame["h"]
+    planes = {}
+    for c in frame["comps"]:
+        deq = coefs[c["id"]].astype(np.float64) * quant[c["tq"]]
+        blocks = np.einsum("uy,bcuv,vx->bcyx", _D, deq, _D, optimize=True)
+        nby, nbx = blocks.shape[:2]
+        planes[c["id"]] = np.clip(
+            _round_half_up(
+                blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8) + 128.0
+            ),
+            0, 255,
+        )
+    comps = frame["comps"]
+    if len(comps) == 1:
+        gray = planes[comps[0]["id"]][:h, :w]
+        return {"width": w, "height": h, "mode": "L",
+                "pixels": np.repeat(gray[:, :, None], 3, axis=2).astype(np.uint8)}
+    yid, cbid, crid = (c["id"] for c in comps)
+    yp, cbp, crp = planes[yid], planes[cbid], planes[crid]
+    if (hmax, vmax) == (2, 2):  # box upsample (sample replication)
+        cbp = cbp.repeat(2, axis=0).repeat(2, axis=1)
+        crp = crp.repeat(2, axis=0).repeat(2, axis=1)
+    yp, cbp, crp = yp[:h, :w], cbp[:h, :w], crp[:h, :w]
+    r = np.clip(_round_half_up(yp + 1.402 * (crp - 128.0)), 0, 255)
+    g = np.clip(_round_half_up(
+        yp - 0.344136 * (cbp - 128.0) - 0.714136 * (crp - 128.0)), 0, 255)
+    bl = np.clip(_round_half_up(yp + 1.772 * (cbp - 128.0)), 0, 255)
+    return {"width": w, "height": h, "mode": "RGB",
+            "pixels": np.stack([r, g, bl], axis=2).astype(np.uint8)}
+
+
+def _apply_correction(reader: "_BitReader", blk: np.ndarray, z, p1: int) -> None:
+    """One AC-refinement correction bit for an already-nonzero coefficient
+    (G.2): if set (and the bit isn't already present), move the value one
+    quantum away from zero."""
+    if reader.bit():
+        if abs(int(blk[z])) & p1 == 0:
+            blk[z] += p1 if blk[z] > 0 else -p1
+
+
+def _dec_ac_first(reader: "_BitReader", blk: np.ndarray, ss: int, se: int,
+                  al: int, ac_tree: dict, eobrun: int) -> int:
+    """Progressive AC first-scan decode for one block; returns the new
+    EOB-run counter."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huff(reader, ac_tree)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) + (reader.receive(r) if r else 0)
+            return eobrun - 1  # this block is the first of the run
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC run past band end")
+        blk[ZIGZAG[k]] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _dec_ac_refine(reader: "_BitReader", blk: np.ndarray, ss: int, se: int,
+                   al: int, ac_tree: dict, eobrun: int) -> int:
+    """Progressive AC refinement decode for one block (G.2): the advance
+    walk consumes correction bits for already-nonzero coefficients in
+    position order, interleaved with the zero-history skips the run
+    lengths count."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_huff(reader, ac_tree)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) + (reader.receive(r) if r else 0)
+                    break
+                # r == 15: ZRL — 16 zero-history positions, no new coef
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement magnitude must be 1")
+                val = p1 if reader.bit() else -p1
+            while k <= se:
+                z = ZIGZAG[k]
+                if blk[z] != 0:
+                    _apply_correction(reader, blk, z, p1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("JPEG progressive refinement run past band end")
+                blk[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if blk[z] != 0:
+                _apply_correction(reader, blk, z, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(b: bytes, pos: int, scan: list, ss: int, se: int,
+                      ah: int, al: int, coefs: dict, huff_dc: dict,
+                      huff_ac: dict, restart_interval: int,
+                      mcus_x: int, mcus_y: int) -> int:
+    """Decode ONE progressive scan's entropy segment into the coefficient
+    store; returns the byte position of the next marker."""
+    reader = _BitReader(b, pos)
+    rst = 0
+
+    def maybe_restart(i: int, reset) -> None:
+        nonlocal rst
+        if restart_interval and i and i % restart_interval == 0:
+            reader.align_and_expect_rst(rst)
+            rst = (rst + 1) % 8
+            reset()
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        preds = {c["id"]: 0 for c in scan}
+
+        def reset():
+            for cid in preds:
+                preds[cid] = 0
+
+        if len(scan) > 1:  # interleaved MCU order
+            for i in range(mcus_x * mcus_y):
+                maybe_restart(i, reset)
+                my, mx = divmod(i, mcus_x)
+                for c in scan:
+                    for v in range(c["v"]):
+                        for u in range(c["h"]):
+                            blk = coefs[c["id"]][my * c["v"] + v, mx * c["h"] + u]
+                            if ah == 0:
+                                s = _read_huff(reader, huff_dc[c["dc"]])
+                                preds[c["id"]] += _extend(reader.receive(s), s)
+                                blk[0, 0] = preds[c["id"]] << al
+                            elif reader.bit():
+                                blk[0, 0] |= 1 << al
+        else:  # single component: its own ceil-dims block raster
+            c = scan[0]
+            nby, nbx = c["ceil"]
+            for i in range(nby * nbx):
+                maybe_restart(i, reset)
+                by, bx = divmod(i, nbx)
+                blk = coefs[c["id"]][by, bx]
+                if ah == 0:
+                    s = _read_huff(reader, huff_dc[c["dc"]])
+                    preds[c["id"]] += _extend(reader.receive(s), s)
+                    blk[0, 0] = preds[c["id"]] << al
+                elif reader.bit():
+                    blk[0, 0] |= 1 << al
+        return reader.pos
+
+    # AC scan: exactly one component (T.81 G.1.1.1.1)
+    if len(scan) != 1:
+        raise ValueError("progressive AC scans must be single-component")
+    c = scan[0]
+    tree = huff_ac[c["ac"]]
+    nby, nbx = c["ceil"]
+    eobrun = 0
+
+    def reset_ac():
+        nonlocal eobrun
+        eobrun = 0
+
+    for i in range(nby * nbx):
+        maybe_restart(i, reset_ac)
+        by, bx = divmod(i, nbx)
+        blk = coefs[c["id"]][by, bx]
+        if ah == 0:
+            eobrun = _dec_ac_first(reader, blk, ss, se, al, tree, eobrun)
+        else:
+            eobrun = _dec_ac_refine(reader, blk, ss, se, al, tree, eobrun)
+    return reader.pos
+
+
 def decode_jpeg(payload: bytes) -> dict:
-    """Baseline sequential JFIF decode → ``{width, height, mode, pixels}``
-    with (h, w, 3) uint8 RGB pixels (grayscale replicated to 3 channels,
-    ``mode='L'``). Supports 1-component and 3-component 4:4:4 / 4:2:0
-    scans, restart intervals, byte stuffing. Progressive (SOF2),
-    extended/lossless/arithmetic frames, 12-bit precision, and other
-    sampling grids raise ``ValueError`` — route those to a codec library
-    behind the same seam."""
+    """JFIF decode → ``{width, height, mode, pixels}`` with (h, w, 3)
+    uint8 RGB pixels (grayscale replicated to 3 channels, ``mode='L'``).
+
+    Supports baseline sequential (SOF0) AND progressive (SOF2, T.81
+    Annex G: spectral selection + successive approximation — DC/AC first
+    and refinement scans, EOBn run coding, correction bits), 1-component
+    and 3-component 4:4:4 / 4:2:0 layouts, restart intervals, byte
+    stuffing. Extended/lossless/arithmetic frames, 12-bit precision, and
+    other sampling grids raise ``ValueError`` — route those to a codec
+    library behind the same seam."""
     b = bytes(payload)
     if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -577,23 +1025,32 @@ def decode_jpeg(payload: bytes) -> dict:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    layout = None
+    coefs: dict[int, np.ndarray] = {}
     restart_interval = 0
+    progressive = False
+    saw_scan = False
     while True:
-        if pos + 4 > len(b):
-            raise ValueError("truncated JPEG (no SOS)")
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG (no EOI)" if progressive
+                             else "truncated JPEG (no SOS)")
         if b[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker byte at {pos}")
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             continue  # standalone
+        if marker == 0xD9:  # EOI
+            if progressive and saw_scan:
+                break
+            raise ValueError("unexpected EOI before scan data")
         if pos + 2 > len(b):
             raise ValueError("truncated JPEG segment header")
         seglen = struct.unpack_from(">H", b, pos)[0]
         seg = b[pos + 2 : pos + seglen]
         if len(seg) != seglen - 2:
             raise ValueError("truncated JPEG segment")
-        if marker == 0xC0:  # SOF0 baseline
+        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"only 8-bit JPEG supported, got {prec}")
@@ -602,11 +1059,11 @@ def decode_jpeg(payload: bytes) -> dict:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"w": width, "h": height, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = {0xC2: "progressive"}.get(marker, f"SOF{marker - 0xC0}")
             raise ValueError(
-                f"only baseline sequential JPEG supported (got {kind}); "
+                f"only baseline/progressive JPEG supported (got SOF{marker - 0xC0}); "
                 "route to a codec library behind this seam"
             )
         elif marker == 0xCC:
@@ -635,38 +1092,48 @@ def decode_jpeg(payload: bytes) -> dict:
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
-        elif marker == 0xDA:  # SOS — scan follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
+            if layout is None:
+                layout = _frame_layout(frame)
+                for c in frame["comps"]:
+                    coefs[c["id"]] = np.zeros((*c["alloc"], 8, 8), dtype=np.int32)
+            hmax, vmax, mcus_x, mcus_y = layout
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({**comp, "dc": tt >> 4, "ac": tt & 15})
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            aa = seg[3 + 2 * ns]
+            ah, al = aa >> 4, aa & 15
             pos += seglen
-            break
+            saw_scan = True
+            if not progressive:
+                pos = _decode_baseline_scan(
+                    b, pos, scan, coefs, huff_dc, huff_ac,
+                    restart_interval, mcus_x, mcus_y,
+                )
+                return _reconstruct(frame, quant, coefs, hmax, vmax)
+            pos = _decode_prog_scan(
+                b, pos, scan, ss, se, ah, al, coefs, huff_dc, huff_ac,
+                restart_interval, mcus_x, mcus_y,
+            )
+            continue
         pos += seglen
 
-    w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    ok = len(scan) == 1 and (hmax, vmax) == (1, 1)
-    ok = ok or (len(scan) == 3 and all(
-        (c["h"], c["v"]) == ((hmax, vmax) if c is scan[0] else (1, 1))
-        for c in scan
-    ) and (hmax, vmax) in ((1, 1), (2, 2)))
-    if not ok:
-        raise ValueError("unsupported JPEG sampling layout (only 1×1 grids "
-                         "and 2×2-luma 4:2:0 supported)")
-    mcw, mch = 8 * hmax, 8 * vmax
-    mcus_x, mcus_y = -(-w // mcw), -(-h // mch)
-    planes = {}
-    for c in scan:
-        pw = mcus_x * 8 * c["h"]
-        ph = mcus_y * 8 * c["v"]
-        planes[c["id"]] = np.zeros((ph, pw), dtype=np.float64)
+    hmax, vmax, mcus_x, mcus_y = layout
+    return _reconstruct(frame, quant, coefs, hmax, vmax)
 
+
+def _decode_baseline_scan(b: bytes, pos: int, scan: list, coefs: dict,
+                          huff_dc: dict, huff_ac: dict,
+                          restart_interval: int,
+                          mcus_x: int, mcus_y: int) -> int:
+    """The baseline sequential entropy scan: all coefficients of every
+    block, interleaved MCU order, into the coefficient store."""
     reader = _BitReader(b, pos)
     preds = {c["id"]: 0 for c in scan}
     rst = 0
@@ -679,34 +1146,8 @@ def decode_jpeg(payload: bytes) -> dict:
         for c in scan:
             for v in range(c["v"]):
                 for u in range(c["h"]):
-                    coefs, preds[c["id"]] = _decode_block(
+                    blk, preds[c["id"]] = _decode_block(
                         reader, huff_dc[c["dc"]], huff_ac[c["ac"]], preds[c["id"]]
                     )
-                    deq = coefs * quant[c["tq"]]
-                    block = _D.T @ (deq.astype(np.float64)) @ _D
-                    y0 = (my * c["v"] + v) * 8
-                    x0 = (mx * c["h"] + u) * 8
-                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
-
-    def finish(plane: np.ndarray) -> np.ndarray:
-        return np.clip(_round_half_up(plane + 128.0), 0, 255)
-
-    if len(scan) == 1:
-        gray = finish(planes[scan[0]["id"]])[:h, :w]
-        return {"width": w, "height": h, "mode": "L",
-                "pixels": np.repeat(gray[:, :, None], 3, axis=2).astype(np.uint8)}
-
-    yid, cbid, crid = (c["id"] for c in scan)
-    yp = finish(planes[yid])
-    cbp = finish(planes[cbid])
-    crp = finish(planes[crid])
-    if (hmax, vmax) == (2, 2):  # box upsample (sample replication)
-        cbp = cbp.repeat(2, axis=0).repeat(2, axis=1)
-        crp = crp.repeat(2, axis=0).repeat(2, axis=1)
-    yp, cbp, crp = yp[:h, :w], cbp[:h, :w], crp[:h, :w]
-    r = np.clip(_round_half_up(yp + 1.402 * (crp - 128.0)), 0, 255)
-    g = np.clip(_round_half_up(
-        yp - 0.344136 * (cbp - 128.0) - 0.714136 * (crp - 128.0)), 0, 255)
-    bl = np.clip(_round_half_up(yp + 1.772 * (cbp - 128.0)), 0, 255)
-    return {"width": w, "height": h, "mode": "RGB",
-            "pixels": np.stack([r, g, bl], axis=2).astype(np.uint8)}
+                    coefs[c["id"]][my * c["v"] + v, mx * c["h"] + u] = blk
+    return reader.pos

@@ -437,9 +437,9 @@ def decode_png(payload: bytes) -> dict:
 def decode_image(payload: bytes) -> dict:
     """REAL pure-Python image decode for BMP (BI_RGB 24bpp), PPM (P6),
     PNG (via :func:`decode_png` — DEFLATE + per-scanline unfiltering),
-    GIF87a/89a (spec LZW), and baseline sequential JPEG/JFIF (via
-    :func:`~zio_analytics_spark.operators.jpeg.decode_jpeg` — Huffman +
-    dequant + IDCT + 4:2:0 upsample + YCbCr→RGB).
+    GIF87a/89a (spec LZW), and JPEG/JFIF — baseline sequential AND
+    progressive (via :func:`~zio_analytics_spark.operators.jpeg.decode_jpeg`
+    — Huffman + dequant + IDCT + 4:2:0 upsample + YCbCr→RGB).
 
     Returns ``{width, height, mode, pixels}`` where ``pixels`` is an
     (height, width, 3) uint8 RGB array in TOP-LEFT-origin order — i.e. the
@@ -539,16 +539,16 @@ def decode_image_stub(payload: bytes) -> dict:
     """STUB: decode seam for the formats still OUTSIDE the stdlib tier.
 
     The pure-Python tier now covers BMP, PPM, the full PNG matrix, GIF
-    (spec LZW), and baseline sequential JPEG — the remaining gap behind
-    this seam is progressive/arithmetic/12-bit JPEG plus the compressed
-    A/V codecs (MP3, AAC, H.264, VP9, …). A real deployment replaces this
-    with PIL/libvips/ffmpeg decode returning ``{width, height, mode,
-    pixels}``. The deterministic fake below keys off the payload bytes so
-    tests are stable.
+    (spec LZW), and both baseline-sequential AND progressive JPEG — the
+    remaining gap behind this seam is arithmetic-coded/12-bit/lossless
+    JPEG plus the compressed A/V codecs (MP3, AAC, H.264, VP9, …). A real
+    deployment replaces this with PIL/libvips/ffmpeg decode returning
+    ``{width, height, mode, pixels}``. The deterministic fake below keys
+    off the payload bytes so tests are stable.
     """
     if payload is None:
         raise NotImplementedError(
-            "progressive/arithmetic JPEG and compressed A/V codecs (MP3, "
+            "arithmetic-coded JPEG and compressed A/V codecs (MP3, "
             "H.264, ...) require codec libraries not present here"
         )
     # Deterministic fake: pretend dimensions derived from the digest.
