@@ -292,3 +292,30 @@ def test_progressive_partial_stream_truncation_raises():
     # cut inside the last scan: no EOI -> truncated error, not silence
     with pytest.raises(ValueError, match="truncated|EOI"):
         decode_jpeg(payload[: len(payload) - 4])
+
+
+def test_parse_jpeg_meta_header_only():
+    """Marker-walk metadata without entropy decode: every field, both
+    frame types, all samplings, DRI, and hard errors on truncation."""
+    from zio_analytics_spark.operators.jpeg import parse_jpeg_meta
+
+    img = np.full((17, 20, 3), 100, dtype=np.uint8)
+    m = parse_jpeg_meta(encode_jpeg(img, quality=70, subsampling="4:2:0"))
+    assert (m["width"], m["height"], m["n_components"]) == (20, 17, 3)
+    assert m["sampling"] == "4:2:0" and not m["progressive"] and m["n_scans"] == 1
+    # dqt00 = clamp((16*scale+50)//100) with scale = 200-2*70 = 60 -> 10
+    assert m["dqt00"] == 10
+    m = parse_jpeg_meta(encode_jpeg(img, quality=70, subsampling="4:4:4",
+                                    progressive=True))
+    assert m["sampling"] == "4:4:4" and m["progressive"] and m["n_scans"] == 8
+    g = np.full((10, 12), 55, dtype=np.uint8)
+    m = parse_jpeg_meta(encode_jpeg(g, quality=40, progressive=True))
+    assert m["sampling"] == "gray" and m["n_scans"] == 4
+    assert m["dqt00"] == (16 * (5000 // 40) + 50) // 100  # q<50 branch
+    m = parse_jpeg_meta(encode_jpeg(g, quality=40, restart_interval=2))
+    assert m["restart_interval"] == 2
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg_meta(b"NOTAJPEG")
+    full = encode_jpeg(g, quality=40)
+    with pytest.raises(ValueError):
+        parse_jpeg_meta(full[:30])

@@ -930,3 +930,39 @@ def test_gif_scene_cuts(spark):
         [(2, encode_gif_animation(4, 4, [frames[0]], pal))], "doc_id long, payload binary"
     )
     assert gif_scene_cuts(one).count() == 0
+
+
+def test_decode_quarantine_isolates_corrupt_rows(spark):
+    """One flipped byte quarantines ONE row: good BMP/PNG/GIF rows decode,
+    a truncated GIF and an unknown magic become ok=false rows with the
+    reason, and genuine non-ValueError bugs are NOT swallowed."""
+    from zio_analytics_spark.operators.multimodal import (
+        decode_quarantine,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+
+    pal = [(i, i, i) for i in range(256)]
+    gif = encode_gif(4, 4, lambda x, y: (x + y) % 256, pal)
+    rows = [
+        (1, encode_bmp(3, 2, lambda x, y: (10, 20, 30))),
+        (2, encode_png(2, 2, lambda x, y: (x * 50, y * 50, 100))),
+        (3, gif),
+        (4, gif[: len(gif) // 2]),          # truncated mid-LZW
+        (5, b"II*\x00garbage"),             # unknown magic (TIFF seam)
+        (6, b"\x89PNG\r\n\x1a\n...."),      # PNG signature, corrupt body
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_quarantine(df).collect()}
+    assert [out[i]["ok"] for i in range(1, 7)] == [True, True, True, False, False, False]
+    assert (out[1]["width"], out[1]["height"]) == (3, 2)
+    assert out[1]["mean_byte"] == 20.0
+    assert out[4]["error"] and "GIF" in out[4]["error"]
+    assert out[5]["error"] and "unsupported" in out[5]["error"]
+    assert all(out[i]["error"] is None for i in (1, 2, 3))
+    # NULL payload is the documented "empty payload" ValueError → one
+    # quarantine row, not a task failure
+    bad = spark.createDataFrame([(9, None)], "doc_id long, payload binary")
+    r9 = decode_quarantine(bad).collect()[0]
+    assert r9["ok"] is False and "empty" in r9["error"]

@@ -299,6 +299,67 @@ def test_trigram_logprob_short_docs_drop_and_validation(spark):
         trigram_logprob(df, lam3=0.5, lam2=0.3, lam1=0.1)
 
 
+def test_kneser_ney_hand_computed(spark):
+    """Corpus 'a b', 'a b', 'c b', 'a d' — every model quantity by hand:
+    bigram types (a,b):2 (c,b):1 (a,d):1; c(a·)=3 N₁₊(a·)=2; c(c·)=1
+    N₁₊(c·)=1; N₁₊(·b)=2 N₁₊(·d)=1; N₁₊(··)=3, D=0.75:
+      P(b|a) = 1.25/3 + (0.75·2/3)·(2/3) = 0.75
+      P(b|c) = 0.25/1 + (0.75·1/1)·(2/3) = 0.75
+      P(d|a) = 0.25/3 + (0.75·2/3)·(1/3) = 0.25"""
+    import math
+
+    from zio_analytics_spark.operators.text import kneser_ney_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c b"), (4, "a d")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in kneser_ney_logprob(df).collect()}
+    p_ab = max(2 - 0.75, 0.0) / 3 + (0.75 * 2 / 3) * (2 / 3)
+    p_cb = max(1 - 0.75, 0.0) / 1 + (0.75 * 1 / 1) * (2 / 3)
+    p_ad = max(1 - 0.75, 0.0) / 3 + (0.75 * 2 / 3) * (1 / 3)
+    assert out[1]["avg_neg_logprob"] == round(-math.log(p_ab), 6)
+    assert out[3]["avg_neg_logprob"] == round(-math.log(p_cb), 6)
+    assert out[4]["avg_neg_logprob"] == round(-math.log(p_ad), 6)
+    assert out[1]["n_bigrams"] == 1
+
+
+def test_kneser_ney_continuation_beats_captive_frequency(spark):
+    """The KN signature: 'francisco' is FREQUENT but follows only 'san';
+    'lake' is rarer but follows many contexts. In a novel context, KN's
+    continuation back-off must score the diverse word HIGHER than the
+    captive one — the distinction a JM unigram back-off cannot make."""
+    from zio_analytics_spark.operators.text import kneser_ney_logprob
+
+    corpus = ["san francisco"] * 8 + ["blue lake", "cold lake", "deep lake"]
+    # two probe docs: novel context 'the' followed by each word — appended
+    # to the corpus so both probe bigrams exist exactly once
+    docs = corpus + ["the francisco", "the lake"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["avg_neg_logprob"] for r in kneser_ney_logprob(df).collect()}
+    i_fr, i_lk = len(docs) - 2, len(docs) - 1
+    # same discounted count (1 each), same context 'the' — only the
+    # continuation term differs: lake (3 predecessors incl 'the') beats
+    # francisco (2) despite francisco's 8x unigram frequency
+    assert out[i_lk] < out[i_fr]
+
+
+def test_kneser_ney_validation_and_short_docs(spark):
+    import pytest
+
+    from zio_analytics_spark.operators.text import kneser_ney_logprob
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words")], "doc_id long, text string"
+    )
+    assert {r["doc_id"] for r in kneser_ney_logprob(df).collect()} == {2}
+    for bad in (0.0, 1.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="discount"):
+            kneser_ney_logprob(df, discount=bad)
+
+
 def test_bm25_ranks_and_zero_excluded(spark):
     """Higher tf of a rare term scores higher; docs with no query term are
     absent; length normalization damps long documents."""

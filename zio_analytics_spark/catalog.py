@@ -5697,6 +5697,59 @@ def q_text_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_kneser_ney_logprob",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS L
+      FROM documents
+    ),
+    pos AS (SELECT doc_id, unnest(range(0, len(L))) AS i, L FROM base),
+    tk AS MATERIALIZED (
+      SELECT doc_id, L[i + 1] AS tok,
+             CASE WHEN i > 0 THEN L[i] END AS prev
+      FROM pos
+    ),
+    bi AS MATERIALIZED (
+      SELECT prev, tok, count(*)::DOUBLE AS c2
+      FROM tk WHERE prev IS NOT NULL GROUP BY prev, tok
+    ),
+    ctx AS MATERIALIZED (
+      SELECT prev, sum(c2) AS c_ctx, count(*)::DOUBLE AS n_follow
+      FROM bi GROUP BY prev
+    ),
+    pred AS MATERIALIZED (
+      SELECT tok, count(*)::DOUBLE AS n_pred FROM bi GROUP BY tok
+    ),
+    tot AS (SELECT count(*)::DOUBLE AS n_types FROM bi)
+    SELECT tk.doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(-ln(
+             greatest(bi.c2 - 0.75, 0.0) / ctx.c_ctx
+             + (0.75 * ctx.n_follow / ctx.c_ctx) * (pred.n_pred / tot.n_types)
+           )), 6) AS avg_neg_logprob
+    FROM tk
+    JOIN bi ON tk.prev = bi.prev AND tk.tok = bi.tok
+    JOIN ctx ON ctx.prev = tk.prev
+    JOIN pred ON pred.tok = tk.tok, tot
+    WHERE tk.prev IS NOT NULL
+    GROUP BY tk.doc_id
+    """,
+)
+def q_text_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram quality score (operators/text.py
+    kneser_ney_logprob) — the second production smoothing FAMILY beside
+    Jelinek-Mercer interpolation: absolute discounting D=0.75 plus the
+    continuation-probability back-off N₁₊(·w)/N₁₊(··), which discounts
+    words that are frequent but contextually captive ('Francisco') — a
+    distinction no JM mixture can express. All model tables are
+    vocabulary-sized aggregates over the bigram-TYPE table and broadcast;
+    corpus-side scoring stays shuffle-free. The oracle rebuilds the exact
+    discount/continuation algebra with the same literals."""
+    return text.kneser_ney_logprob(read_table(spark, sf_dir, "documents"))
+
+
+@register(
     "payload_decompress",
     oracle="""
     SELECT doc_id, md5(text) AS gzip_md5, md5(text) AS zstd_md5,
@@ -12932,6 +12985,158 @@ def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run, "doc_id long, sum_r long, sum_g long, sum_b long, first_r int"
     )
+
+
+@register(
+    "multimodal_jpeg_meta",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             16 + doc_id % 9 AS w, 16 + doc_id % 7 AS h,
+             40 + (doc_id % 6) * 10 AS q,
+             (doc_id % 3 = 0) AS prog,
+             (doc_id % 7 = 0) AS gray,
+             (doc_id % 2 = 0) AS s420
+      FROM documents
+    ), sc AS (
+      SELECT *, CASE WHEN q < 50 THEN 5000 // q ELSE 200 - 2 * q END AS scale
+      FROM d
+    )
+    SELECT doc_id, w::INT AS width, h::INT AS height,
+           (CASE WHEN gray THEN 1 ELSE 3 END)::INT AS n_components,
+           prog AS progressive,
+           CASE WHEN gray THEN 'gray'
+                WHEN s420 THEN '4:2:0' ELSE '4:4:4' END AS sampling,
+           least(greatest((16 * scale + 50) // 100, 1), 255)::INT AS dqt00,
+           (CASE WHEN NOT prog THEN 1
+                 WHEN gray THEN 4 ELSE 8 END)::INT AS n_scans
+    FROM sc
+    """,
+)
+def q_multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only JPEG metadata harvest (jpeg.parse_jpeg_meta): the
+    filter-BEFORE-decode pass a 100 TB image corpus runs first — marker
+    walk only, entropy segments skipped by boundary scan, so cost is
+    O(header) not O(coefficients); tiny/wrong-format/over-compressed
+    images are dropped ~100× cheaper than a decode would be. Payload mix
+    varies EVERY header field from doc_id (quality 40–90 → the DQT DC
+    step via the exact IJG scaling formula, baseline vs progressive →
+    scan counts 1/4/8, gray vs 4:2:0 vs 4:4:4), and the oracle predicts
+    each field analytically — including dqt00 through the same
+    clamp((16·scale+50)//100) integer algebra."""
+    import numpy as np
+
+    from zio_analytics_spark.operators.jpeg import encode_jpeg, parse_jpeg_meta
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "n_components", "progressive",
+                "sampling", "dqt00", "n_scans",
+            )}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 16 + i % 9, 16 + i % 7
+                q = 40 + (i % 6) * 10
+                prog = i % 3 == 0
+                if i % 7 == 0:
+                    img = np.full((h, w), (i * 5) % 256, dtype=np.uint8)
+                    payload = encode_jpeg(img, quality=q, progressive=prog)
+                else:
+                    img = np.full((h, w, 3), (i * 5) % 256, dtype=np.uint8)
+                    payload = encode_jpeg(
+                        img, quality=q, progressive=prog,
+                        subsampling="4:2:0" if i % 2 == 0 else "4:4:4",
+                    )
+                m = parse_jpeg_meta(payload)
+                out["doc_id"].append(i)
+                for k in ("width", "height", "n_components", "progressive",
+                          "sampling", "dqt00", "n_scans"):
+                    out[k].append(m[k])
+            yield pd.DataFrame(out)
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .select("doc_id").repartition(32))
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width int, height int, n_components int, "
+        "progressive boolean, sampling string, dqt00 int, n_scans int",
+    )
+
+
+@register(
+    "multimodal_decode_quarantine",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 5 AS cls,
+             5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h,
+             (doc_id * 7) % 256 AS r, (doc_id * 11) % 256 AS g,
+             (doc_id * 13) % 256 AS b
+      FROM documents
+    )
+    SELECT doc_id,
+           (cls < 3) AS ok,
+           CASE WHEN cls < 3 THEN w END::INT AS width,
+           CASE WHEN cls < 3 THEN h END::INT AS height,
+           CASE WHEN cls < 3
+                THEN ((w * h) * (r + g + b))::DOUBLE / ((w * h) * 3)
+           END AS mean_byte
+    FROM d
+    """,
+)
+def q_multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-isolating ingest decode (multimodal.decode_quarantine): the
+    operator a 100 TB scrape actually needs — corrupt or unsupported
+    payloads become quarantine ROWS (id + reason), never task failures
+    (Spark retries a poisoned task ×4 then kills the stage; per-row
+    isolation is the difference between losing one row and losing the
+    job). Payload mix per doc_id%5: three good constant-color BMPs
+    (stats predicted analytically, the exact-integer mean division
+    mirrored term-for-term), one GIF TRUNCATED mid-LZW (the corrupt
+    class — exercises the round-8 advice fix that turned the bit
+    reader's IndexError into the documented ValueError), one unknown
+    magic (the codec-seam class). Only ValueError is caught — real bugs
+    still fail loudly. One Arrow scan; error text kept in the operator
+    output but projected off here (message wording is not part of the
+    cross-engine contract)."""
+    import numpy as np  # noqa: F401
+
+    from zio_analytics_spark.operators.multimodal import (
+        decode_quarantine,
+        encode_bmp,
+        encode_gif,
+    )
+
+    pal = [(i, i, i) for i in range(256)]
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                cls = i % 5
+                if cls < 3:
+                    w, h = 5 + i % 6, 4 + i % 5
+                    color = ((i * 7) % 256, (i * 11) % 256, (i * 13) % 256)
+                    p = encode_bmp(w, h, lambda x, y, c=color: c)
+                elif cls == 3:
+                    full = encode_gif(6, 5, lambda x, y, i=i: (x + y + i) % 256, pal)
+                    p = full[: len(full) // 2]  # cut mid-LZW: corrupt
+                else:
+                    p = b"II*\x00" + bytes([i % 256]) * 8  # unknown magic
+                ids.append(i)
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .select("doc_id").repartition(32))
+    payloads = docs.mapInPandas(build, "doc_id long, payload binary")
+    out = decode_quarantine(payloads)
+    return out.select("doc_id", "ok", "width", "height", "mean_byte")
 
 
 @register(

@@ -40,6 +40,7 @@ __all__ = [
     "encode_jpeg",
     "encode_jpeg_coefficients",
     "decode_jpeg",
+    "parse_jpeg_meta",
     "quality_tables",
 ]
 
@@ -1151,3 +1152,80 @@ def _decode_baseline_scan(b: bytes, pos: int, scan: list, coefs: dict,
                     )
                     coefs[c["id"]][my * c["v"] + v, mx * c["h"] + u] = blk
     return reader.pos
+
+
+def parse_jpeg_meta(payload: bytes) -> dict:
+    """Marker-walk metadata WITHOUT entropy decode — the header-only pass
+    a real pipeline runs to filter (dimensions, format, quality class)
+    before spending decode cycles: at 100 TB, dropping tiny/duplicate/
+    wrong-format images from the 20-byte header instead of the full
+    Huffman+IDCT path is a ~100× saving on the rejected fraction.
+
+    Returns ``{width, height, n_components, progressive, sampling,
+    dqt00, n_scans, restart_interval}`` where ``sampling`` is '4:2:0',
+    '4:4:4' or 'gray' and ``dqt00`` is the luma table's DC quant step —
+    the standard quality-class proxy (monotone in the IJG quality knob).
+    Entropy segments are SKIPPED by scanning for the next marker (0xFF +
+    non-stuffing, non-RST byte), so cost is O(header + scan-boundary
+    scan), never O(coefficients)."""
+    b = bytes(payload)
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    meta = {"width": None, "height": None, "n_components": None,
+            "progressive": False, "sampling": None, "dqt00": None,
+            "n_scans": 0, "restart_interval": 0}
+    quant0 = None
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker byte at {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        if marker == 0xD9:  # EOI
+            if meta["n_scans"] == 0:
+                raise ValueError("JPEG with no scan")
+            return meta
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG segment header")
+        seglen = struct.unpack_from(">H", b, pos)[0]
+        seg = b[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker in (0xC0, 0xC2):
+            prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
+            meta.update(width=width, height=height, n_components=nc,
+                        progressive=marker == 0xC2)
+            hvs = [(seg[6 + 3 * i + 1] >> 4, seg[6 + 3 * i + 1] & 15)
+                   for i in range(nc)]
+            if nc == 1:
+                meta["sampling"] = "gray"
+            elif hvs[0] == (2, 2):
+                meta["sampling"] = "4:2:0"
+            elif hvs[0] == (1, 1):
+                meta["sampling"] = "4:4:4"
+            else:
+                meta["sampling"] = f"{hvs[0][0]}x{hvs[0][1]}"
+        elif marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                if seg[p] & 15 == 0 and quant0 is None:
+                    quant0 = seg[p + 1]  # zigzag position 0 = DC step
+                    meta["dqt00"] = int(quant0)
+                p += 65 if seg[p] >> 4 == 0 else 129
+        elif marker == 0xDD:
+            meta["restart_interval"] = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:
+            meta["n_scans"] += 1
+            pos += seglen
+            # skip entropy data: next 0xFF followed by a real marker
+            while pos + 1 < len(b):
+                if b[pos] == 0xFF and b[pos + 1] != 0x00 and not (
+                    0xD0 <= b[pos + 1] <= 0xD7
+                ):
+                    break
+                pos += 1
+            continue
+        pos += seglen
+    raise ValueError("truncated JPEG (no EOI)")

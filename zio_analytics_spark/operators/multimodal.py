@@ -499,6 +499,66 @@ def decode_image(payload: bytes) -> dict:
     raise ValueError(f"unsupported image format (magic={magic!r}); plug a codec decoder into this seam")
 
 
+def decode_quarantine(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fault-isolating decode: parse every payload with
+    :func:`decode_image`, but route corrupt/unsupported payloads to an
+    ERROR column instead of failing the task — the contract a real ingest
+    needs, where one flipped byte in a 100 TB scrape must quarantine ONE
+    row, not kill a 6-hour job (Spark retries the whole task ×4 and then
+    fails the stage; without this seam a single bad payload poisons every
+    retry).
+
+    Returns one row per input:
+    ``(id, ok, width, height, mode, mean_byte, error)`` — decode stats for
+    good payloads (NULLs in ``error``), ``ok = false`` + the ValueError
+    text (NULL stats) for quarantined ones. Downstream: ``WHERE ok`` is
+    the clean lane; the quarantine lane keeps the id + reason for triage.
+    Only ``ValueError`` (the documented corrupt/unsupported contract of
+    every codec in this module) is caught — genuine bugs (TypeError,
+    IndexError, …) still fail loudly.
+
+    Scale shape: identical to :func:`decode_pixel_stats` — one Arrow
+    ``mapInPandas`` scan, payload bytes never leave the task, output is
+    metadata-sized either way."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "id", "ok", "width", "height", "mode", "mean_byte", "error",
+            )}
+            for i, p in zip(pdf[id_col], pdf[bin_col]):
+                out["id"].append(i)
+                try:
+                    m = decode_image(p)
+                    px = m["pixels"]
+                    out["ok"].append(True)
+                    out["width"].append(m["width"])
+                    out["height"].append(m["height"])
+                    out["mode"].append(m["mode"])
+                    out["mean_byte"].append(
+                        float(int(px.sum(dtype=np.int64))) / px.size
+                    )
+                    out["error"].append(None)
+                except ValueError as e:
+                    out["ok"].append(False)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mode"].append(None)
+                    out["mean_byte"].append(None)
+                    out["error"].append(str(e))
+            yield pd.DataFrame({id_col if k == "id" else k: v for k, v in out.items()})
+
+    schema = (
+        f"{id_col} long, ok boolean, width int, height int, mode string, "
+        "mean_byte double, error string"
+    )
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
 def decode_pixel_stats(
     df: DataFrame,
     bin_col: str = "payload",

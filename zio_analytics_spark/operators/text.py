@@ -25,6 +25,7 @@ __all__ = [
     "fingerprint",
     "bigram_logprob",
     "trigram_logprob",
+    "kneser_ney_logprob",
     "bm25_scores",
     "word_shingles",
     "char_shingles",
@@ -454,6 +455,81 @@ def trigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def kneser_ney_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document average negative log-probability under an INTERPOLATED
+    KNESER–NEY bigram model of the corpus itself (Kneser & Ney 1995; the
+    Chen & Goodman 1998 interpolated formulation — public algorithm) —
+    the OTHER production smoothing family beside Jelinek–Mercer
+    (:func:`bigram_logprob` / :func:`trigram_logprob`):
+
+        P(w | w') = max(c(w'w) − D, 0)/c(w'·)
+                  + [D · N₁₊(w'·)/c(w'·)] · N₁₊(·w)/N₁₊(··)
+
+    where ``N₁₊(w'·)`` counts DISTINCT followers of w', ``N₁₊(·w)``
+    distinct predecessors of w, and ``N₁₊(··)`` distinct bigram types.
+    The continuation probability is KN's insight: back-off weight goes to
+    words that appear in MANY contexts ('Francisco' is frequent but
+    follows only 'San' — KN discounts it, JM cannot). Every scored
+    transition has c(w'w) ≥ 1 (corpus-self model), so no zero guard is
+    needed.
+
+    All model tables derive from the bigram-TYPE table: c(w'·) is the sum
+    of follower counts, the N₁₊ terms are row counts per prev / per tok /
+    total — three vocabulary-sized aggregates over one table, BROADCAST
+    into the scoring pass (the Zipf-skew escape, as in the JM scorers).
+    One positional scan + lag window; documents with < 2 tokens drop out.
+
+    Returns ``(id_col, n_bigrams, avg_neg_logprob)`` rounded to 6 dp.
+    ``discount`` must sit in (0, 1); the classic 0.75 default is written
+    as the same short literal in both engines.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    pairs = toks.select(
+        id_col, "tok", F.lag("tok").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    bi = pairs.groupBy("prev", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    )
+    ctx = bi.groupBy("prev").agg(
+        F.sum("c2").alias("c_ctx"),
+        F.count(F.lit(1)).cast("double").alias("n_follow"),
+    )
+    pred = bi.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("n_pred")
+    )
+    total = bi.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    if broadcast_vocab:
+        bi, ctx, pred = F.broadcast(bi), F.broadcast(ctx), F.broadcast(pred)
+    d = F.lit(discount)
+    p = (
+        F.greatest(F.col("c2") - d, F.lit(0.0)) / F.col("c_ctx")
+        + (d * F.col("n_follow") / F.col("c_ctx"))
+        * (F.col("n_pred") / F.col("n_types"))
+    )
+    return (
+        pairs.join(bi, ["prev", "tok"])
+        .join(ctx, "prev")
+        .join(pred, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.avg(-F.log(p)), 6).alias("avg_neg_logprob"),
         )
     )
