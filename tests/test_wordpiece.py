@@ -136,3 +136,83 @@ def test_wordpiece_wordless_docs_excluded(spark):
     )
     ids = [r["doc_id"] for r in wordpiece_segment(df, n_merges=2).collect()]
     assert ids == [0]
+
+
+def naive_munch(word, bare, cont, unk="[UNK]"):
+    bs, cs = set(bare), set(cont)
+    ml = max(len(p) for p in bs | cs)
+    pieces, pos = [], 0
+    while pos < len(word):
+        table = bs if pos == 0 else cs
+        ln = min(ml, len(word) - pos)
+        while ln > 0 and word[pos : pos + ln] not in table:
+            ln -= 1
+        if ln == 0:
+            return [unk]
+        pieces.append(word[pos : pos + ln] if pos == 0 else "##" + word[pos : pos + ln])
+        pos += ln
+    return pieces
+
+
+def test_wordpiece_apply_matches_naive_munch(spark):
+    """The serving tokenizer (longest-match-first over the trained piece
+    vocab) equals a direct Python maximal-munch over the same pieces."""
+    import re
+
+    from zio_analytics_spark.operators.wordpiece import (
+        wordpiece_apply,
+        wordpiece_vocab_pieces,
+    )
+
+    texts = CORPORA[0]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bare, cont = wordpiece_vocab_pieces(df, n_merges=5)
+    out = {r["doc_id"]: r["tokens"] for r in wordpiece_apply(df, n_merges=5).collect()}
+    for i, t in enumerate(texts):
+        ws = re.findall("[a-z]+", t.lower())
+        assert out[i] == [p for w in ws for p in naive_munch(w, bare, cont)]
+
+
+def test_wordpiece_apply_unk_on_foreign_corpus(spark):
+    """[UNK] fires only cross-corpus: a word starting with a character
+    never seen word-initially in training has no bare piece to start
+    from — the whole word collapses to [UNK] (BERT convention)."""
+    from zio_analytics_spark.operators.wordpiece import wordpiece_apply
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPORA[0])], "doc_id long, text string"
+    )
+    apply = spark.createDataFrame(
+        [(100, "xylophone the cat")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["tokens"]
+           for r in wordpiece_apply(train, n_merges=5, apply_df=apply).collect()}
+    assert out[100][0] == "[UNK]"
+    assert "[UNK]" not in out[100][1:]  # the known words still tokenize
+
+
+def test_wordpiece_apply_can_diverge_from_merge_replay(spark):
+    """The two segmentations are DIFFERENT algorithms: maximal munch takes
+    the longest vocab piece, merge replay applies training history. With
+    pieces {'a','ab','##b','##c'} learned from 'ab' merges, the word
+    'abc' munches to [ab, ##c]-style greedy splits while replay follows
+    the merge order — assert both run and agree on token COUNTS for this
+    corpus or differ only in split points, never in concatenation."""
+    from zio_analytics_spark.operators.wordpiece import (
+        wordpiece_apply,
+        wordpiece_tokenize,
+    )
+
+    texts = ["abc abd ab ab ab", "abc abc abd"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    munch = {r["doc_id"]: r["tokens"] for r in wordpiece_apply(df, n_merges=3).collect()}
+    replay = {r["doc_id"]: r["tokens"] for r in wordpiece_tokenize(df, n_merges=3).collect()}
+    for i in munch:
+        # both must spell the same text back (## stripped, concatenated)
+        def respell(toks):
+            return "".join(t[2:] if t.startswith("##") else t for t in toks)
+        assert respell(munch[i]) == respell(replay[i])

@@ -13443,6 +13443,110 @@ def _wordpiece_tokenize_oracle(n_merges: int = 4) -> str:
     )
 
 
+def _wordpiece_apply_oracle(n_merges: int = 4) -> str:
+    """Maximal-munch serving replay: the trained piece vocabulary (final
+    alphabet + every round's lhs/rhs/merged symbol) drives a RECURSIVE
+    longest-prefix-match walk per DISTINCT word — LATERAL picks the
+    longest matching piece at each position (bare at pos 1, continuation
+    after), an unmatchable position collapses the word to ['[UNK]'] —
+    then the per-word segmentations reassemble each document in word
+    order, exactly like the tokenize oracle."""
+    ctes = _wordpiece_oracle_ctes(n_merges)
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT lhs AS sym FROM b{k} UNION ALL SELECT rhs FROM b{k} "
+        f"UNION ALL SELECT merged FROM b{k}"
+        for k in range(n_merges)
+    )
+    ctes.append(f"""pieces AS MATERIALIZED (
+      SELECT DISTINCT
+             CASE WHEN sym LIKE '##%' THEN sym[3:] ELSE sym END AS spell,
+             (sym LIKE '##%') AS cont,
+             len(CASE WHEN sym LIKE '##%' THEN sym[3:] ELSE sym END) AS l
+      FROM (
+        SELECT t.sym FROM v{n_merges} v, unnest(v.syms) AS t(sym)
+        UNION ALL
+        {union}
+      )
+    )""")
+    ctes.append("""dwords AS MATERIALIZED (
+      SELECT DISTINCT word FROM w
+    )""")
+    # the longest match per (word, position) is computed NON-recursively
+    # (unique by construction: two equal-length pieces matching the same
+    # substring would be the same spell), so the recursion is a plain
+    # LEFT JOIN cursor walk — a LATERAL inside the recursive half
+    # silently matched nothing against this windowed CTE chain in
+    # DuckDB 1.0 (same family as the round-8 multi-outer-ref lambda
+    # misalignment; found by probing, routed around the same way).
+    ctes.append("""matches AS MATERIALIZED (
+      SELECT d.word, t.pos, max(p.l) AS l,
+             max_by(p.spell, p.l) AS spell
+      FROM dwords d, unnest(range(1, len(d.word) + 1)) AS t(pos)
+      JOIN pieces p ON p.cont = (t.pos > 1)
+                   AND p.spell = d.word[t.pos : t.pos + p.l - 1]
+      GROUP BY d.word, t.pos
+    )""")
+    ctes.append("""seg AS (
+      SELECT word, 1::BIGINT AS pos, CAST([] AS VARCHAR[]) AS pieces,
+             false AS failed
+      FROM dwords
+      UNION ALL
+      SELECT s.word,
+             s.pos + coalesce(m.l, 0),
+             CASE WHEN m.l IS NULL THEN CAST(['[UNK]'] AS VARCHAR[])
+                  ELSE list_append(s.pieces,
+                         CASE WHEN s.pos = 1 THEN m.spell
+                              ELSE '##' || m.spell END)
+             END,
+             (m.l IS NULL)
+      FROM seg s
+      LEFT JOIN matches m ON m.word = s.word AND m.pos = s.pos
+      WHERE s.pos <= len(s.word) AND NOT s.failed
+    )""")
+    ctes.append("""segfinal AS MATERIALIZED (
+      SELECT word, pieces AS syms
+      FROM seg WHERE failed OR pos > len(word)
+    )""")
+    ctes.append("""dw AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    )""")
+    ctes.append("""dwp AS (
+      SELECT doc_id, t.pos, ws[t.pos] AS word
+      FROM dw, unnest(range(1, len(ws) + 1)) AS t(pos)
+    )""")
+    return (
+        "WITH RECURSIVE " + ",\n    ".join(ctes)
+        + """
+    SELECT dwp.doc_id,
+           flatten(list(v.syms ORDER BY dwp.pos)) AS tokens,
+           CAST(sum(len(v.syms)) AS INTEGER) AS n_tokens
+    FROM dwp JOIN segfinal v USING (word)
+    GROUP BY dwp.doc_id"""
+    )
+
+
+@register("wordpiece_apply_docs", oracle=_wordpiece_apply_oracle())
+def q_wordpiece_apply_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING-algorithm WordPiece tokenizer (wordpiece.wordpiece_apply):
+    greedy LONGEST-MATCH-FIRST against the trained piece vocabulary — the
+    algorithm BERT's tokenizer actually runs at inference, shipped BESIDE
+    the merge-replay segmentation (wordpiece_tokenize_docs) so the
+    difference between the two is testable rather than assumed. Piece
+    vocab = final alphabet + every merge round's lhs/rhs/product (bounded
+    driver state, broadcast as a set); maximal munch runs once per
+    DISTINCT word inside one Arrow scan; the corpus pass is the standard
+    posexplode + broadcast dim + ordered reassembly. The oracle replays
+    the walk with a RECURSIVE longest-prefix CTE (LATERAL argmax per
+    position) — the [UNK] contract included, though corpus-self
+    application never triggers it (every word's own characters are in the
+    alphabet; the UNK path is pinned on a foreign corpus in
+    test_wordpiece)."""
+    from zio_analytics_spark.operators.wordpiece import wordpiece_apply
+
+    return wordpiece_apply(read_table(spark, sf_dir, "documents"), n_merges=4)
+
+
 @register("wordpiece_train", oracle=_wordpiece_oracle())
 def q_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece merge TRAINING (operators/wordpiece.py; Schuster &

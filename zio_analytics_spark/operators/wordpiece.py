@@ -42,7 +42,8 @@ from pyspark.sql import functions as F
 
 from zio_analytics_spark.operators.bpe import WORD_PATTERN, _words
 
-__all__ = ["wordpiece_train", "wordpiece_segment", "wordpiece_tokenize"]
+__all__ = ["wordpiece_train", "wordpiece_segment", "wordpiece_tokenize",
+           "wordpiece_vocab_pieces", "wordpiece_apply"]
 
 
 def _strip_cont(sym: str) -> str:
@@ -247,6 +248,124 @@ def wordpiece_tokenize(
     )
     assembled = (
         words.join(F.broadcast(dim), "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda s: s["syms"],
+                )
+            ).alias("tokens")
+        )
+    )
+    return assembled.select(id_col, "tokens", F.size("tokens").alias("n_tokens"))
+
+
+def wordpiece_vocab_pieces(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 4,
+    word_pattern: str = WORD_PATTERN,
+) -> tuple[list, list]:
+    """Train and return the PIECE VOCABULARY as two driver-side lists:
+    ``(bare_pieces, cont_pieces)`` — the initial alphabet (first-position
+    chars bare, word-internal chars ##-prefixed) plus every merged symbol
+    from the ``n_merges`` rounds. Bounded by |alphabet| + n_merges (a real
+    30k-piece vocab is still broadcast-scale), which is what lets the
+    serving tokenizer hold it as one broadcast set."""
+    vocab = _wp_vocab(df, text_col, word_pattern).select("freq", "syms")
+    results, cur = _wp_train_loop(vocab, n_merges)
+    alphabet = {
+        r["sym"]
+        for r in cur.select(F.explode("syms").alias("sym")).distinct().collect()
+    }
+    cur.unpersist()
+    # merged symbols from the training rows; the surviving alphabet plus
+    # ALL merge products is the standard WordPiece vocab (a merge's parts
+    # stay in the vocab — serving may still need them)
+    pieces = set(alphabet)
+    for _it, lhs, rhs, _pc, _lc, _rc, _tot in results:
+        pieces.add(lhs)
+        pieces.add(rhs)
+        pieces.add(lhs + _strip_cont(rhs))
+    bare = sorted(p for p in pieces if not p.startswith("##"))
+    cont = sorted(p[2:] for p in pieces if p.startswith("##"))
+    return bare, cont
+
+
+def wordpiece_apply(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 4,
+    word_pattern: str = WORD_PATTERN,
+    unk: str = "[UNK]",
+    apply_df: DataFrame | None = None,
+) -> DataFrame:
+    """SERVING-algorithm WordPiece tokenization: greedy LONGEST-MATCH-FIRST
+    (maximal munch) against the trained piece vocabulary — the algorithm
+    BERT's WordPieceTokenizer actually runs, as opposed to the
+    merge-replay segmentation :func:`wordpiece_tokenize` derives from
+    training (the two coincide on merge-closed vocabularies but can
+    differ in general; shipping BOTH makes the difference testable). A
+    word with an unmatchable position maps to the single ``unk`` piece
+    (the BERT convention).
+
+    ``apply_df`` lets a vocab trained on one corpus tokenize ANOTHER —
+    the train-offline/serve-online shape; this is where ``unk`` actually
+    fires (corpus-self application never does: every word's own chars
+    are in the alphabet).
+
+    Scale shape: the piece vocab is a broadcast Python set; maximal munch
+    runs ONCE per DISTINCT word of the apply corpus (Zipf-bounded) inside
+    one Arrow ``mapInPandas``, and the corpus pass is posexplode +
+    broadcast dimension join + ordered reassembly — identical plan shape
+    to wordpiece_tokenize. Returns ``(id, tokens array<string>,
+    n_tokens)``; wordless documents are excluded."""
+    import pandas as pd
+
+    from zio_analytics_spark.tmpdirs import materialize_table
+
+    bare, cont = wordpiece_vocab_pieces(df, text_col, n_merges, word_pattern)
+    bare_set, cont_set = set(bare), set(cont)
+    max_len = max((len(p) for p in bare_set | cont_set), default=1)
+    target = apply_df if apply_df is not None else df
+
+    words = target.select(
+        F.explode(_words(text_col, word_pattern)).alias("word")
+    ).distinct()
+
+    def munch(batches):
+        for pdf in batches:
+            out_w, out_p = [], []
+            for word in pdf["word"]:
+                pieces: list[str] = []
+                pos = 0
+                while pos < len(word):
+                    table = bare_set if pos == 0 else cont_set
+                    ln = min(max_len, len(word) - pos)
+                    while ln > 0 and word[pos : pos + ln] not in table:
+                        ln -= 1
+                    if ln == 0:
+                        pieces = [unk]
+                        break
+                    frag = word[pos : pos + ln]
+                    pieces.append(frag if pos == 0 else "##" + frag)
+                    pos += ln
+                out_w.append(word)
+                out_p.append(pieces)
+            yield pd.DataFrame({"word": out_w, "syms": out_p})
+
+    dim = materialize_table(
+        words.repartition(32).mapInPandas(munch, "word string, syms array<string>"),
+        prefix="zas_wp_mm_",
+    )
+    toks = target.select(
+        F.col(id_col),
+        F.posexplode(_words(text_col, word_pattern)).alias("pos", "word"),
+    )
+    assembled = (
+        toks.join(F.broadcast(dim), "word")
         .groupBy(id_col)
         .agg(
             F.flatten(
