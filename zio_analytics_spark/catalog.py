@@ -13140,6 +13140,76 @@ def q_multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "streaming_decode_quarantine",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 5 AS cls,
+             5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h,
+             (doc_id * 7) % 256 AS r, (doc_id * 11) % 256 AS g,
+             (doc_id * 13) % 256 AS b
+      FROM documents
+    )
+    SELECT doc_id,
+           (cls < 3) AS ok,
+           CASE WHEN cls < 3 THEN w END::INT AS width,
+           CASE WHEN cls < 3 THEN h END::INT AS height,
+           CASE WHEN cls < 3
+                THEN ((w * h) * (r + g + b))::DOUBLE / ((w * h) * 3)
+           END AS mean_byte
+    FROM d
+    """,
+)
+def q_streaming_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine decode on the STREAMING runtime — the first
+    multimodal streaming entry, and the shape a live scrape-ingest
+    actually runs: payloads arrive on the document stream, the
+    fault-isolating decode (multimodal.decode_quarantine) runs as a
+    STATELESS append-mode Arrow map — no state store, no watermark, plain
+    stream parallelism — and corrupt payloads flow to the quarantine lane
+    without ever failing a micro-batch (the streaming stakes are higher
+    than batch: a poisoned task would kill the QUERY, not one job).
+    Same planted payload mix and analytic oracle as
+    multimodal_decode_quarantine; a stateless map over a bounded stream
+    is batch-equivalent by construction."""
+    from zio_analytics_spark.operators.multimodal import (
+        decode_quarantine,
+        encode_bmp,
+        encode_gif,
+    )
+    from zio_analytics_spark.sources.streaming import stream_table
+
+    pal = [(i, i, i) for i in range(256)]
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                cls = i % 5
+                if cls < 3:
+                    w, h = 5 + i % 6, 4 + i % 5
+                    color = ((i * 7) % 256, (i * 11) % 256, (i * 13) % 256)
+                    p = encode_bmp(w, h, lambda x, y, c=color: c)
+                elif cls == 3:
+                    full = encode_gif(6, 5, lambda x, y, i=i: (x + y + i) % 256, pal)
+                    p = full[: len(full) // 2]
+                else:
+                    p = b"II*\x00" + bytes([i % 256]) * 8
+                ids.append(i)
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    st = stream_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = st.mapInPandas(build, "doc_id long, payload binary")
+    out = decode_quarantine(payloads).select(
+        "doc_id", "ok", "width", "height", "mean_byte"
+    )
+    return _run_append(out, "stream_quarantine")
+
+
+@register(
     "multimodal_jpeg_progressive",
     oracle="""
     WITH dims AS (
