@@ -2633,6 +2633,113 @@ def llm_pipeline(docs: DataFrame) -> DataFrame:
 
 
 @register(
+    "llm_pipeline_v2",
+    oracle="""
+    WITH d2 AS (
+      SELECT doc_id,
+             list_prepend('shared boilerplate header',
+               list_transform(
+                 range(0, greatest((len(string_split(text, ' ')) + 5) // 6, 1)),
+                 i -> array_to_string(string_split(text, ' ')[i*6+1 : i*6+6], ' ')
+               )) AS paras
+      FROM documents
+    ), p AS (
+      SELECT doc_id, t.pos AS idx, paras[t.pos] AS para
+      FROM d2, unnest(range(1, len(paras) + 1)) AS t(pos)
+    ), nb AS (
+      SELECT doc_id, idx, para FROM p WHERE trim(para) <> ''
+    ), rn AS (
+      SELECT doc_id, idx, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+      FROM nb
+    ), agg AS (
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN rn = 1 THEN para END, '
+
+' ORDER BY idx), '') AS text,
+             count(*) FILTER (WHERE rn = 1) AS n_kept
+      FROM rn GROUP BY doc_id
+    ), docs2 AS (
+      SELECT doc.doc_id, doc.lang,
+             coalesce(a.text, '') AS text, coalesce(a.n_kept, 0) AS n_kept
+      FROM documents doc LEFT JOIN agg a USING (doc_id)
+    ), kept AS (
+      SELECT * FROM docs2 WHERE n_kept >= 2
+    ), keepers AS (
+      SELECT min(doc_id) AS doc_id FROM kept GROUP BY text
+    ), dd AS (
+      SELECT k.* FROM kept k JOIN keepers USING (doc_id)
+    ), tk AS (
+      SELECT doc_id, lang, text,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> ''))::BIGINT AS n_tokens
+      FROM dd
+    ), train AS (
+      SELECT doc_id, lang, n_tokens FROM tk
+      WHERE (('0x' || substring(md5('pipe-v2' || text), 1, 8))::BIGINT % 10000)
+            < 9000
+    ), spans AS (
+      SELECT doc_id, lang, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+      FROM train WHERE n_tokens > 0
+    ), frags AS (
+      SELECT doc_id, lang, n_tokens, cum,
+             unnest(range((cum - n_tokens) // 128, (cum - 1) // 128 + 1)) AS pack_id
+      FROM spans
+    )
+    SELECT doc_id, lang, pack_id,
+           least(cum, (pack_id + 1) * 128) - greatest(cum - n_tokens, pack_id * 128)
+             AS n_frag_tokens
+    FROM frags
+    """,
+)
+def q_llm_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 CAPSTONE pipeline — the paragraph grain composed into
+    the flagship flow: synthesize paragraph structure (corpus-wide
+    boilerplate + 6-word chunks, the dedup_paragraph construction) →
+    PARAGRAPH-grain strike + byte-exact document REASSEMBLY
+    (dedup.dedup_paragraphs) → paragraph-count quality gate (n_kept ≥ 2
+    drops boilerplate-only and fully-struck docs, incl. every planted
+    exact-duplicate doc, whose paragraphs all lose to their keeper) →
+    exact doc dedup on the REASSEMBLED text → deterministic 90/10
+    content-hash split (salt pipe-v2) → GPT-style packing of the train
+    split into 128-token packs per language. One lazy Catalyst plan;
+    the oracle composes the verified SQL pieces of every stage. Scale
+    shape inherits each stage's receipt: digest-aggregate keeper
+    selection, AQE-covered join-back, distributed packing."""
+    from zio_analytics_spark.operators.dedup import dedup_paragraphs
+    from zio_analytics_spark.operators.splits import hash_split
+    from zio_analytics_spark.operators.text import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    d2 = docs.select(
+        "doc_id",
+        F.array_join(
+            F.concat(
+                F.array(F.lit("shared boilerplate header")),
+                F.expr(
+                    "transform(sequence(0, greatest(cast(ceil(size(split(text, ' ')) / 6) AS INT), 1) - 1),"
+                    " i -> array_join(slice(split(text, ' '), i * 6 + 1, 6), ' '))"
+                ),
+            ),
+            "\n\n",
+        ).alias("text"),
+    )
+    pdd = dedup_paragraphs(d2)
+    kept = pdd.where(F.col("n_kept") >= 2)
+    keepers = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    deduped = kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    withlang = deduped.join(docs.select("doc_id", "lang"), "doc_id")
+    split = hash_split(withlang, {"train": 0.9, "val": 0.1}, on="text", salt="pipe-v2")
+    train = split.where(F.col("split") == "train").select(
+        "doc_id", "lang", F.size(text.tokens("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(train, max_len=128, order_by="doc_id", partition_by=("lang",))
+    return packed.select("doc_id", "lang", "pack_id", "n_frag_tokens")
+
+
+@register(
     "multimodal_gif_decode",
     oracle="""
     WITH dims AS (
