@@ -68,8 +68,12 @@ def test_decode_image_rejects_unknown_formats():
         # JPEG is SUPPORTED now (operators/jpeg.py) — an SOI+APP0 fragment
         # is corrupt/truncated, not unknown
         multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF....")
+    with pytest.raises(ValueError, match="truncated TIFF"):
+        # TIFF is SUPPORTED now — a magic with a garbage IFD offset is
+        # corrupt, not unknown
+        multimodal.decode_image(b"II*\x00....")
     with pytest.raises(ValueError, match="unsupported image format"):
-        multimodal.decode_image(b"II*\x00....")  # TIFF: still the codec seam
+        multimodal.decode_image(b"8BPSjunk....")  # Photoshop: codec seam
     with pytest.raises(ValueError, match="IHDR"):
         # PNG is SUPPORTED now — a valid signature with no chunks is corrupt,
         # not unknown
@@ -950,7 +954,7 @@ def test_decode_quarantine_isolates_corrupt_rows(spark):
         (2, encode_png(2, 2, lambda x, y: (x * 50, y * 50, 100))),
         (3, gif),
         (4, gif[: len(gif) // 2]),          # truncated mid-LZW
-        (5, b"II*\x00garbage"),             # unknown magic (TIFF seam)
+        (5, b"8BPSgarbage!"),               # unknown magic (PSD seam)
         (6, b"\x89PNG\r\n\x1a\n...."),      # PNG signature, corrupt body
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
@@ -966,3 +970,63 @@ def test_decode_quarantine_isolates_corrupt_rows(spark):
     bad = spark.createDataFrame([(9, None)], "doc_id long, payload binary")
     r9 = decode_quarantine(bad).collect()[0]
     assert r9["ok"] is False and "empty" in r9["error"]
+
+
+def test_tiff_roundtrip_matrix():
+    """TIFF 6.0 writer/parser: BOTH byte orders × single/multi-strip ×
+    RGB/gray — the endianness matrix is the whole point (a SHORT read out
+    of a right-justified LONG value field yields 0 on big-endian, the
+    classic II-only decoder bug, pinned here by MM passing)."""
+    import numpy as np
+
+    def px(x, y):
+        return ((x * 10) % 256, (y * 20 + 1) % 256, (x + y + 2) % 256)
+
+    want = np.array([[px(x, y) for x in range(5)] for y in range(7)], dtype=np.uint8)
+    for bo in ("II", "MM"):
+        for rps in (0, 2, 3):
+            m = multimodal.decode_image(
+                multimodal.encode_tiff(5, 7, px, byte_order=bo, rows_per_strip=rps)
+            )
+            assert (m["width"], m["height"], m["mode"]) == (5, 7, "RGB")
+            assert np.array_equal(m["pixels"], want), (bo, rps)
+        g = multimodal.decode_tiff(
+            multimodal.encode_tiff(4, 3, lambda x, y: (x * 30 + y) % 256,
+                                   byte_order=bo, gray=True, rows_per_strip=2)
+        )
+        assert g["mode"] == "L" and int(g["pixels"][1, 2, 0]) == (2 * 30 + 1) % 256
+
+
+def test_tiff_photometric_zero_inverts():
+    """WhiteIsZero grayscale must invert — a spec-assembled payload (the
+    encoder only writes photometric 1, so this cannot self-certify)."""
+    import struct as st
+
+    base = bytearray(multimodal.encode_tiff(
+        2, 2, lambda x, y: 10 * (x + 2 * y), gray=True))
+    i = base.find(st.pack("<HHI", 262, 3, 1))  # photometric tag
+    assert i > 0
+    base[i + 8] = 0  # 1 -> 0 (WhiteIsZero)
+    m = multimodal.decode_tiff(bytes(base))
+    assert int(m["pixels"][0, 0, 0]) == 255 - 0
+    assert int(m["pixels"][1, 1, 0]) == 255 - 30
+
+
+def test_tiff_rejects_unsupported():
+    import struct as st
+
+    payload = bytearray(multimodal.encode_tiff(3, 3, lambda x, y: (1, 2, 3)))
+    i = payload.find(st.pack("<HHI", 259, 3, 1))
+    p = bytearray(payload)
+    st.pack_into("<H", p, i + 8, 5)  # Compression = LZW
+    with pytest.raises(ValueError, match="compressed"):
+        multimodal.decode_tiff(bytes(p))
+    p = bytearray(payload)
+    i = p.find(st.pack("<HHI", 284, 3, 1))
+    st.pack_into("<H", p, i + 8, 2)  # planar
+    with pytest.raises(ValueError, match="planar"):
+        multimodal.decode_tiff(bytes(p))
+    with pytest.raises(ValueError, match="not a TIFF"):
+        multimodal.decode_tiff(b"XXXX")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_tiff(bytes(payload[:20]))

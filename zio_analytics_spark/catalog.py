@@ -13095,6 +13095,86 @@ def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_tiff_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h FROM documents
+    ), xs AS (
+      SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+    ), px AS (
+      SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+    ), rgb AS (
+      SELECT doc_id, w, h, x, y,
+             (doc_id + 11 * x + 17 * y) % 256 AS r,
+             (2 * doc_id + 5 * x + 3 * y) % 256 AS g,
+             (3 * doc_id + 7 * x + y) % 256 AS b
+      FROM px
+    )
+    SELECT doc_id,
+           max(w)::INT AS width, max(h)::INT AS height,
+           sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+           sum(b)::BIGINT AS sum_b,
+           (doc_id % 256)::INT AS first_r
+    FROM rgb GROUP BY doc_id
+    """,
+)
+def q_multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline TIFF decode, oracle-checked end to end — the fifth
+    still-image container after BMP/PPM, PNG, GIF and JPEG, and the one
+    that pins ENDIANNESS handling: each document's payload alternates
+    little- ('II') and big-endian ('MM') by doc parity and varies the
+    strip layout (rows_per_strip 1-3), so every doc exercises the IFD
+    walk, value-field justification (a SHORT in a big-endian value field
+    is LEFT-justified — the classic II-only decoder bug, caught in-round
+    by the MM matrix), and multi-strip assembly. Analytic per-pixel
+    oracle; photometric-0 inversion and reject paths pinned by
+    spec-assembled payloads in test_multimodal (the encoder never writes
+    them, so they cannot self-certify)."""
+    import numpy as np  # noqa: F401
+
+    from zio_analytics_spark.operators.multimodal import decode_image, encode_tiff
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "first_r",
+            )}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 5 + i % 6, 4 + i % 5
+                payload = encode_tiff(
+                    w, h,
+                    lambda x, y, i=i: (
+                        (i + 11 * x + 17 * y) % 256,
+                        (2 * i + 5 * x + 3 * y) % 256,
+                        (3 * i + 7 * x + y) % 256,
+                    ),
+                    byte_order="II" if i % 2 == 0 else "MM",
+                    rows_per_strip=1 + i % 3,
+                )
+                m = decode_image(payload)
+                px = m["pixels"].astype("int64")
+                out["doc_id"].append(i)
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["sum_r"].append(int(px[:, :, 0].sum()))
+                out["sum_g"].append(int(px[:, :, 1].sum()))
+                out["sum_b"].append(int(px[:, :, 2].sum()))
+                out["first_r"].append(int(px[0, 0, 0]))
+            yield pd.DataFrame(out)
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .select("doc_id").repartition(32))
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width int, height int, sum_r long, sum_g long, "
+        "sum_b long, first_r int",
+    )
+
+
+@register(
     "multimodal_jpeg_meta",
     oracle="""
     WITH d AS (
@@ -13204,7 +13284,7 @@ def q_multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
     mirrored term-for-term), one GIF TRUNCATED mid-LZW (the corrupt
     class — exercises the round-8 advice fix that turned the bit
     reader's IndexError into the documented ValueError), one unknown
-    magic (the codec-seam class). Only ValueError is caught — real bugs
+    magic (Photoshop PSD — the codec-seam class). Only ValueError is caught — real bugs
     still fail loudly. One Arrow scan; error text kept in the operator
     output but projected off here (message wording is not part of the
     cross-engine contract)."""
@@ -13234,7 +13314,7 @@ def q_multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
                     full = encode_gif(6, 5, lambda x, y, i=i: (x + y + i) % 256, pal)
                     p = full[: len(full) // 2]  # cut mid-LZW: corrupt
                 else:
-                    p = b"II*\x00" + bytes([i % 256]) * 8  # unknown magic
+                    p = b"8BPS" + bytes([i % 256]) * 8  # unknown magic (PSD)
                 ids.append(i)
                 payloads.append(p)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
@@ -13303,7 +13383,7 @@ def q_streaming_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame
                     full = encode_gif(6, 5, lambda x, y, i=i: (x + y + i) % 256, pal)
                     p = full[: len(full) // 2]
                 else:
-                    p = b"II*\x00" + bytes([i % 256]) * 8
+                    p = b"8BPS" + bytes([i % 256]) * 8  # unknown magic (PSD)
                 ids.append(i)
                 payloads.append(p)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})

@@ -458,6 +458,8 @@ def decode_image(payload: bytes) -> dict:
         from zio_analytics_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if bytes(payload[:2]) in (b"II", b"MM") and len(payload) >= 4 and bytes(payload[2:4]) in (b"*\x00", b"\x00*"):
+        return decode_tiff(payload)
     magic = bytes(payload[:2])
     if magic == b"BM":
         if len(payload) < 54:
@@ -1581,3 +1583,166 @@ def gif_scene_cuts(
 
     schema = f"{id_col} long, frame int, sad long, is_cut boolean"
     return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    pixel_of: Callable[[int, int], tuple[int, int, int]],
+    byte_order: str = "II",
+    rows_per_strip: int = 0,
+    gray: bool = False,
+) -> bytes:
+    """Minimal-but-valid baseline TIFF 6.0 writer (public Adobe/ITU spec):
+    uncompressed, chunky, 8-bit, RGB or grayscale (photometric 1), with a
+    REAL strip layout (``rows_per_strip`` 0 = single strip) and BOTH byte
+    orders (``'II'`` little / ``'MM'`` big endian) — the endianness matrix
+    is exactly what a decoder must prove it handles."""
+    if byte_order not in ("II", "MM"):
+        raise ValueError(f"byte_order must be 'II' or 'MM', got {byte_order!r}")
+    e = "<" if byte_order == "II" else ">"
+    spp = 1 if gray else 3
+    rps = rows_per_strip or height
+    strips = []
+    for y0 in range(0, height, rps):
+        rows = bytearray()
+        for y in range(y0, min(y0 + rps, height)):
+            for x in range(width):
+                px = pixel_of(x, y)
+                rows += bytes([px & 0xFF] if gray else
+                              [px[0] & 0xFF, px[1] & 0xFF, px[2] & 0xFF])
+        strips.append(bytes(rows))
+    n_strips = len(strips)
+
+    def entry(tag, typ, count, value):
+        head = struct.pack(f"{e}HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            # values shorter than 4 bytes are LEFT-justified in the value
+            # field (TIFF 6.0 §2) — reading a big-endian SHORT out of a
+            # right-justified LONG yields 0, the classic II-only bug
+            return head + struct.pack(f"{e}H", value) + b"\x00\x00"
+        return head + struct.pack(f"{e}I", value)
+
+    # layout: header(8) + pixel strips + [strip offset/count arrays +
+    # bits-per-sample array if RGB] + IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    extra = bytearray()
+
+    def put_array(fmt_char, values):
+        nonlocal pos
+        off = pos
+        extra_bytes = b"".join(struct.pack(f"{e}{fmt_char}", v) for v in values)
+        extra.extend(extra_bytes)
+        pos += len(extra_bytes)
+        return off
+
+    if n_strips > 1:
+        off_offsets = put_array("I", strip_offsets)
+        off_counts = put_array("I", [len(s) for s in strips])
+    if spp == 3:
+        off_bps = put_array("H", [8, 8, 8])
+    ifd_off = pos
+    tags = [
+        entry(256, 4, 1, width),                       # ImageWidth  LONG
+        entry(257, 4, 1, height),                      # ImageLength LONG
+    ]
+    if spp == 3:
+        tags.append(entry(258, 3, 3, off_bps))         # BitsPerSample
+    else:
+        # SHORT value fits in the value field — left-justified per spec
+        v = struct.pack(f"{e}H", 8) + b"\x00\x00"
+        tags.append(struct.pack(f"{e}HHI", 258, 3, 1) + v)
+    tags += [
+        entry(259, 3, 1, 1),                           # Compression = none
+        entry(262, 3, 1, 1 if gray else 2),            # Photometric
+        entry(273, 4, n_strips,
+              strip_offsets[0] if n_strips == 1 else off_offsets),
+        entry(277, 3, 1, spp),                         # SamplesPerPixel
+        entry(278, 4, 1, rps),                         # RowsPerStrip
+        entry(279, 4, n_strips,
+              len(strips[0]) if n_strips == 1 else off_counts),
+        entry(284, 3, 1, 1),                           # PlanarConfig chunky
+    ]
+    tags.sort(key=lambda t: struct.unpack(f"{e}H", t[:2])[0])  # spec: ascending
+    header = (byte_order.encode() + struct.pack(f"{e}H", 42)
+              + struct.pack(f"{e}I", ifd_off))
+    ifd = (struct.pack(f"{e}H", len(tags)) + b"".join(tags)
+           + struct.pack(f"{e}I", 0))
+    return header + b"".join(strips) + bytes(extra) + ifd
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """Baseline TIFF 6.0 decode (public spec): both byte orders, IFD walk,
+    uncompressed chunky 8-bit grayscale (photometric 0 inverted / 1) and
+    RGB, multi-strip assembly. Anything else — compression (incl. LZW/
+    packbits), planar, tiles, other depths — raises ``ValueError`` →
+    the codec-library seam."""
+    b = bytes(payload)
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    e = "<" if b[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(f"{e}HI", b, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    if ifd_off + 2 > len(b):
+        raise ValueError("truncated TIFF (IFD)")
+    n = struct.unpack_from(f"{e}H", b, ifd_off)[0]
+    tags = {}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4}
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(f"{e}HHI", b, off)
+        if typ not in type_size:
+            continue
+        total = type_size[typ] * count
+        voff = off + 8 if total <= 4 else struct.unpack_from(f"{e}I", b, off + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ, "B")
+        vals = list(struct.unpack_from(f"{e}{count}{fmt}", b, voff)) if typ != 2 else []
+        tags[tag] = vals
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if not v:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+    width, height = one(256), one(257)
+    if one(259, 1) != 1:
+        raise ValueError("compressed TIFF not supported; route to a codec library")
+    if one(284, 1) != 1:
+        raise ValueError("planar TIFF not supported")
+    photometric = one(262)
+    spp = one(277, 1)
+    bps = tags.get(258, [8])
+    if any(x != 8 for x in bps):
+        raise ValueError(f"only 8-bit TIFF supported, got {bps}")
+    if (photometric, spp) not in ((0, 1), (1, 1), (2, 3)):
+        raise ValueError(f"unsupported TIFF layout (photometric={photometric}, spp={spp})")
+    offsets = tags.get(273) or []
+    counts = tags.get(279) or []
+    if not offsets or len(offsets) != len(counts):
+        raise ValueError("TIFF strip tables missing/mismatched")
+    raw = bytearray()
+    for o, c in zip(offsets, counts):
+        if o + c > len(b):
+            raise ValueError("truncated TIFF strip")
+        raw += b[o : o + c]
+    need = width * height * spp
+    if len(raw) < need:
+        raise ValueError("TIFF strip data shorter than image")
+    px = np.frombuffer(bytes(raw), dtype=np.uint8, count=need)
+    if spp == 3:
+        pixels = px.reshape(height, width, 3)
+        mode = "RGB"
+    else:
+        g = px.reshape(height, width)
+        if photometric == 0:  # WhiteIsZero: invert
+            g = 255 - g
+        pixels = np.repeat(g[:, :, None], 3, axis=2)
+        mode = "L"
+    return {"width": int(width), "height": int(height), "mode": mode,
+            "pixels": pixels}
