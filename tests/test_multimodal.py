@@ -1030,3 +1030,31 @@ def test_tiff_rejects_unsupported():
         multimodal.decode_tiff(b"XXXX")
     with pytest.raises(ValueError, match="truncated"):
         multimodal.decode_tiff(bytes(payload[:20]))
+
+
+def test_mp3_meta_header_walk():
+    """ID3v2 syncsafe skip, all-field extraction, padding-aware frame
+    lengths, and hard errors on non-MPEG1-L3 / free-format / VBR /
+    lost sync — the header-tier contract."""
+    from zio_analytics_spark.operators.multimodal import (
+        encode_mp3_frames,
+        parse_mp3_meta,
+    )
+
+    m = parse_mp3_meta(encode_mp3_frames(9, 0, 5, padding=True, id3_size=200))
+    assert m == {"bitrate_kbps": 128, "sample_rate": 44100, "n_frames": 5,
+                 "duration_ms": (5 * 1152 * 1000.0) / 44100, "has_id3": True}
+    m = parse_mp3_meta(encode_mp3_frames(14, 2, 3))
+    assert (m["bitrate_kbps"], m["sample_rate"], m["has_id3"]) == (320, 32000, False)
+    with pytest.raises(ValueError, match="MPEG-1 Layer III"):
+        parse_mp3_meta(b"\xff\xf3\x90\x00")  # MPEG-2 header
+    with pytest.raises(ValueError, match="free-format"):
+        parse_mp3_meta(b"\xff\xfb\x00\x00")
+    with pytest.raises(ValueError, match="sync"):
+        parse_mp3_meta(encode_mp3_frames(9, 0, 1) + b"junkjunk")
+    # VBR: two frames with different bitrate indexes
+    two = encode_mp3_frames(9, 0, 1) + encode_mp3_frames(10, 0, 1)
+    with pytest.raises(ValueError, match="VBR"):
+        parse_mp3_meta(two)
+    with pytest.raises(ValueError, match="no MP3 frames"):
+        parse_mp3_meta(encode_mp3_frames(9, 0, 1, id3_size=5)[:15])

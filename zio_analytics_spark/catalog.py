@@ -13095,6 +13095,70 @@ def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp3_meta",
+    oracle="""
+    SELECT doc_id,
+      ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[1 + doc_id % 14]::INT
+        AS bitrate_kbps,
+      ([44100,48000,32000])[1 + doc_id % 3]::INT AS sample_rate,
+      (3 + doc_id % 5)::INT AS n_frames,
+      ((3 + doc_id % 5) * 1152 * 1000.0)
+        / ([44100,48000,32000])[1 + doc_id % 3] AS duration_ms,
+      (doc_id % 3 = 0) AS has_id3
+    FROM documents
+    """,
+)
+def q_multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-tier MP3 metadata (multimodal.parse_mp3_meta) — the AUDIO
+    sibling of multimodal_jpeg_meta: ID3v2 skip (syncsafe size) + a
+    frame-header walk using the ISO/IEC 11172-3 length formula
+    (144·bitrate/samplerate + padding), O(frames) never O(samples) —
+    bitrate/duration filtering of a scraped audio corpus at header cost,
+    while actual MP3 DECODE stays behind the codec seam (the container
+    is spec-valid with garbage audio payload, exactly what a header
+    parser may rely on). Payload mix varies every field: all 14 bitrate
+    indexes, all 3 sample rates, frame counts, padding bit, and ID3
+    presence/size; the oracle predicts each analytically, duration as
+    the same (n·1152·1000.0)/rate double division."""
+    from zio_analytics_spark.operators.multimodal import (
+        encode_mp3_frames,
+        parse_mp3_meta,
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "bitrate_kbps", "sample_rate", "n_frames",
+                "duration_ms", "has_id3",
+            )}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                payload = encode_mp3_frames(
+                    bitrate_index=1 + i % 14,
+                    samplerate_index=i % 3,
+                    n_frames=3 + i % 5,
+                    padding=i % 2 == 1,
+                    id3_size=(10 + i % 7) if i % 3 == 0 else 0,
+                )
+                m = parse_mp3_meta(payload)
+                out["doc_id"].append(i)
+                for k in ("bitrate_kbps", "sample_rate", "n_frames",
+                          "duration_ms", "has_id3"):
+                    out[k].append(m[k])
+            yield pd.DataFrame(out)
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .select("doc_id").repartition(32))
+    return docs.mapInPandas(
+        run,
+        "doc_id long, bitrate_kbps int, sample_rate int, n_frames int, "
+        "duration_ms double, has_id3 boolean",
+    )
+
+
+@register(
     "multimodal_tiff_decode",
     oracle="""
     WITH dims AS (

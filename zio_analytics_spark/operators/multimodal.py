@@ -1746,3 +1746,112 @@ def decode_tiff(payload: bytes) -> dict:
         mode = "L"
     return {"width": int(width), "height": int(height), "mode": mode,
             "pixels": pixels}
+
+
+#: MPEG-1 Layer III bitrate table (kbps, index 1..14) and sample rates —
+#: ISO/IEC 11172-3 public constants.
+_MP3_BITRATES = [None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def encode_mp3_frames(
+    bitrate_index: int,
+    samplerate_index: int,
+    n_frames: int,
+    padding: bool = False,
+    id3_size: int = 0,
+) -> bytes:
+    """Spec-valid MPEG-1 Layer III CONTAINER: real frame headers + computed
+    frame lengths (144·bitrate/samplerate + padding) with zero-filled
+    audio payload, optionally preceded by an ID3v2 tag (syncsafe size).
+    The audio DATA is deliberately garbage — this feeds the header-tier
+    parser (:func:`parse_mp3_meta`); actual MP3 DECODE stays behind the
+    codec seam. Public ISO/IEC 11172-3 header layout."""
+    if not 1 <= bitrate_index <= 14:
+        raise ValueError(f"bitrate_index must be 1..14, got {bitrate_index}")
+    if not 0 <= samplerate_index <= 2:
+        raise ValueError(f"samplerate_index must be 0..2, got {samplerate_index}")
+    if n_frames < 1:
+        raise ValueError("need at least one frame")
+    out = bytearray()
+    if id3_size:
+        if id3_size < 0 or id3_size >= (1 << 28):
+            raise ValueError("bad id3_size")
+        sync = bytes(((id3_size >> s) & 0x7F) for s in (21, 14, 7, 0))
+        out += b"ID3\x04\x00\x00" + sync + b"\x00" * id3_size
+    kbps = _MP3_BITRATES[bitrate_index]
+    rate = _MP3_RATES[samplerate_index]
+    pad = 1 if padding else 0
+    # header: FF FB = sync + MPEG1 + Layer III + no CRC
+    hdr = bytearray([0xFF, 0xFB, (bitrate_index << 4) | (samplerate_index << 2)
+                     | (pad << 1), 0x00])  # stereo, no emphasis
+    frame_len = (144 * kbps * 1000) // rate + pad
+    for _ in range(n_frames):
+        out += hdr + b"\x00" * (frame_len - 4)
+    return bytes(out)
+
+
+def parse_mp3_meta(payload: bytes) -> dict:
+    """Header-tier MP3 metadata WITHOUT audio decode — the audio sibling
+    of :func:`~zio_analytics_spark.operators.jpeg.parse_jpeg_meta`:
+    optional ID3v2 skip (syncsafe size), then a frame-header walk using
+    the spec length formula, so cost is O(frames), never O(samples) —
+    bitrate/duration filtering of a scraped audio corpus at header cost.
+
+    Returns ``{bitrate_kbps, sample_rate, n_frames, duration_ms,
+    has_id3}`` for CBR MPEG-1 Layer III streams; other versions/layers,
+    free-format bitrate, and mid-stream bitrate changes (VBR) raise
+    ``ValueError`` → the codec-library seam (a real deployment points
+    this at mutagen/ffprobe)."""
+    b = bytes(payload)
+    pos = 0
+    has_id3 = False
+    if b[:3] == b"ID3":
+        if len(b) < 10:
+            raise ValueError("truncated ID3v2 header")
+        size = 0
+        for i in range(6, 10):
+            if b[i] & 0x80:
+                raise ValueError("bad ID3v2 syncsafe size")
+            size = (size << 7) | b[i]
+        pos = 10 + size
+        has_id3 = True
+    first = None
+    n_frames = 0
+    while pos < len(b):
+        if pos + 4 > len(b):
+            raise ValueError("truncated MP3 frame header")
+        h0, h1, h2 = b[pos], b[pos + 1], b[pos + 2]
+        if h0 != 0xFF or (h1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MP3 frame sync at byte {pos}")
+        version = (h1 >> 3) & 0x03
+        layer = (h1 >> 1) & 0x03
+        if version != 0b11 or layer != 0b01:
+            raise ValueError("only MPEG-1 Layer III supported; route to a "
+                             "codec library behind this seam")
+        bi = (h2 >> 4) & 0x0F
+        si = (h2 >> 2) & 0x03
+        pad = (h2 >> 1) & 0x01
+        if bi == 0 or bi == 15:
+            raise ValueError("free-format/bad MP3 bitrate not supported")
+        if si == 3:
+            raise ValueError("reserved MP3 sample-rate index")
+        kbps, rate = _MP3_BITRATES[bi], _MP3_RATES[si]
+        if first is None:
+            first = (kbps, rate)
+        elif first != (kbps, rate):
+            raise ValueError("VBR / mid-stream rate change not supported; "
+                             "route to a codec library behind this seam")
+        n_frames += 1
+        pos += (144 * kbps * 1000) // rate + pad
+    if first is None:
+        raise ValueError("no MP3 frames")
+    kbps, rate = first
+    return {
+        "bitrate_kbps": kbps,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_ms": (n_frames * 1152 * 1000.0) / rate,
+        "has_id3": has_id3,
+    }
