@@ -116,3 +116,92 @@ def test_gif_lzw_stream_roundtrip(n, seed, alphabet, mcs):
     data = bytes(rng.randrange(k) for _ in range(n))
     out = _lzw_decompress_gif(_lzw_compress_gif(data, mcs), mcs, len(data))
     assert out == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+    byte_order=st.sampled_from(["II", "MM"]),
+    rps=st.integers(0, 5),
+    gray=st.booleans(),
+)
+def test_tiff_roundtrip_property(w, h, seed, byte_order, rps, gray):
+    """Random dims × pixels × byte order × strip layout × gray/RGB:
+    encode_tiff → decode_tiff is exact (uncompressed 8-bit is lossless
+    by construction; the property pins IFD/strip/endianness plumbing)."""
+    import numpy as np
+
+    from zio_analytics_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    if gray:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        payload = encode_tiff(w, h, lambda x, y: int(img[y, x]),
+                              byte_order=byte_order, rows_per_strip=rps,
+                              gray=True)
+        m = decode_tiff(payload)
+        assert m["mode"] == "L"
+        assert (m["pixels"][:, :, 0] == img).all()
+    else:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        payload = encode_tiff(w, h, lambda x, y: tuple(int(v) for v in img[y, x]),
+                              byte_order=byte_order, rows_per_strip=rps)
+        m = decode_tiff(payload)
+        assert (m["pixels"] == img).all()
+    assert (m["width"], m["height"]) == (w, h)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.integers(25, 100),
+    layout=st.sampled_from(["gray", "4:4:4", "4:2:0"]),
+)
+def test_jpeg_progressive_equals_baseline_property(w, h, seed, quality, layout):
+    """Random images × dims × quality × layout: the progressive scan
+    script re-encodes identical quantized coefficients, so decode is
+    BIT-IDENTICAL to baseline — every EOBn/ZRL/refinement path some
+    random draw exercises must agree."""
+    import numpy as np
+
+    from zio_analytics_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    if layout == "gray":
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        kw = {}
+    else:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        kw = {"subsampling": layout}
+    a = decode_jpeg(encode_jpeg(img, quality=quality, **kw))
+    p = decode_jpeg(encode_jpeg(img, quality=quality, progressive=True, **kw))
+    assert (a["pixels"] == p["pixels"]).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 6),
+    bi=st.integers(1, 14),
+    si=st.integers(0, 2),
+    pad=st.booleans(),
+    id3=st.integers(0, 300),
+)
+def test_mp3_meta_property(n, bi, si, pad, id3):
+    """Random frame counts × all bitrate/rate indexes × padding × ID3
+    sizes: the header walk recovers every field exactly."""
+    from zio_analytics_spark.operators.multimodal import (
+        _MP3_BITRATES,
+        _MP3_RATES,
+        encode_mp3_frames,
+        parse_mp3_meta,
+    )
+
+    m = parse_mp3_meta(encode_mp3_frames(bi, si, n, padding=pad, id3_size=id3))
+    assert m["bitrate_kbps"] == _MP3_BITRATES[bi]
+    assert m["sample_rate"] == _MP3_RATES[si]
+    assert m["n_frames"] == n and m["has_id3"] == (id3 > 0)
+    assert m["duration_ms"] == (n * 1152 * 1000.0) / _MP3_RATES[si]
