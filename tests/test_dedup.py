@@ -610,3 +610,31 @@ def test_paragraph_grain_neardup_composition(spark):
     }
     assert (1000, 2000) in pairs  # the near-dup paragraph pair, cross-doc
     assert all({a // 1000, b // 1000} == {1, 2} for a, b in pairs)
+
+
+def test_dedup_paragraphs_whitespace_class_paragraphs_removed(spark):
+    """Round-9 ADVICE (low): F.trim strips only ASCII spaces, so a tab/
+    newline/NBSP-only paragraph was kept as CONTENT — and collapsed
+    corpus-wide onto one keeper, the exact blank-paragraph hot key the
+    filter documents preventing. Now the filter removes the whole
+    whitespace class (explicit char class, identical in Java regex and
+    the oracle's RE2)."""
+    from zio_analytics_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\n\n\t\n\nbravo"),       # tab-only paragraph
+            (2, "charlie\n\n \n\ndelta"),  # NBSP-only paragraph
+            (3, "echo\n\n \n\nfoxtrot"),        # space-only (old behavior kept)
+            (4, "\t"),                           # whole doc is one tab paragraph
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    # whitespace-class paragraphs vanish: not kept, not counted as dropped
+    assert out[1]["text"] == "alpha\n\nbravo" and out[1]["n_kept"] == 2
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "charlie\n\ndelta" and out[2]["n_dropped"] == 0
+    assert out[3]["text"] == "echo\n\nfoxtrot" and out[3]["n_dropped"] == 0
+    # empty-document contract still explicit
+    assert out[4]["text"] == "" and out[4]["n_kept"] == 0

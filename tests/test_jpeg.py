@@ -319,3 +319,26 @@ def test_parse_jpeg_meta_header_only():
     full = encode_jpeg(g, quality=40)
     with pytest.raises(ValueError):
         parse_jpeg_meta(full[:30])
+
+
+def test_baseline_requires_eoi_after_scan():
+    """Round-9 ADVICE (low): a spec-legal MULTI-scan (non-interleaved)
+    baseline JPEG previously decoded silently with zeroed chroma because
+    decode returned at the first SOS. Now: anything but EOI after the
+    baseline scan raises; fill bytes (B.1.1.2) before EOI stay legal."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    Q8 = np.full((8, 8), 8)
+    good = encode_jpeg(img, quant_luma=Q8)
+    assert good.endswith(b"\xff\xd9")
+
+    with pytest.raises(ValueError, match="no EOI after scan"):
+        decode_jpeg(good[:-2])
+
+    # a DHT segment where EOI should be = the multi-scan shape
+    tail = b"\xff\xc4" + struct.pack(">H", 3) + b"\x00" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="multi-scan baseline"):
+        decode_jpeg(good[:-2] + tail)
+
+    # optional 0xFF fill bytes before the marker are spec-legal
+    m = decode_jpeg(good[:-2] + b"\xff\xff\xd9")
+    assert (m["width"], m["height"]) == (8, 8)

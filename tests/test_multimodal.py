@@ -1058,3 +1058,67 @@ def test_mp3_meta_header_walk():
         parse_mp3_meta(two)
     with pytest.raises(ValueError, match="no MP3 frames"):
         parse_mp3_meta(encode_mp3_frames(9, 0, 1, id3_size=5)[:15])
+
+
+def test_corrupt_guard_converts_byte_walk_escapes_to_valueerror():
+    """Round-9 ADVICE (medium): corrupt headers in the byte-walking
+    decoders surfaced as struct.error/IndexError and ESCAPED the
+    quarantine lane's ValueError catch — a single flipped byte killed the
+    stage. The corrupt_guard seam (_codec_guard.py) converts both
+    corruption signatures to the documented ValueError. Pinned on the
+    three verified escapes: flipped TIFF IFD entry count, out-of-range
+    TIFF value offset, truncated JPEG SOF."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from zio_analytics_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    base = bytearray(
+        multimodal.encode_tiff(4, 3, lambda x, y: (x * 30 + y) % 256, gray=True)
+    )
+    e = "<" if base[:2] == b"II" else ">"
+    ifd_off = st.unpack_from(f"{e}I", base, 4)[0]
+
+    flipped = bytearray(base)
+    st.pack_into(f"{e}H", flipped, ifd_off, 0xFFFF)  # IFD count -> 65535 tags
+    with pytest.raises(ValueError, match="corrupt payload"):
+        multimodal.decode_tiff(bytes(flipped))
+
+    wild = bytearray(base)
+    off = ifd_off + 2  # first IFD entry
+    st.pack_into(f"{e}I", wild, off + 4, 1000)  # count forces out-of-line value
+    st.pack_into(f"{e}I", wild, off + 8, 2**31)  # value offset past the buffer
+    with pytest.raises(ValueError, match="corrupt payload"):
+        multimodal.decode_tiff(bytes(wild))
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = encode_jpeg(img, quant_luma=np.full((8, 8), 8))
+    i = good.find(b"\xff\xc0")
+    seglen = st.unpack_from(">H", good, i + 2)[0]
+    # SOF body shorter than its fixed header, with a CONSISTENT seglen so
+    # the generic truncation check passes and the unpack itself trips
+    trunc = good[: i + 2] + st.pack(">H", 4) + good[i + 4 : i + 6] + good[i + 2 + seglen :]
+    with pytest.raises(ValueError, match="corrupt payload"):
+        decode_jpeg(trunc)
+
+
+def test_decode_quarantine_catches_corrupt_tiff(spark):
+    """The quarantine LANE contract end-to-end for the round-9 escape
+    class: a flipped-IFD TIFF payload lands in the error column instead
+    of failing the task."""
+    import struct as st
+
+    from zio_analytics_spark.operators.multimodal import decode_quarantine
+
+    good = multimodal.encode_tiff(4, 3, lambda x, y: (x * 30 + y) % 256, gray=True)
+    bad = bytearray(good)
+    e = "<" if bad[:2] == b"II" else ">"
+    st.pack_into(f"{e}H", bad, st.unpack_from(f"{e}I", bad, 4)[0], 0xFFFF)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bad)], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r for r in decode_quarantine(df).collect()}
+    assert out[1]["ok"] and out[1]["width"] == 4
+    assert not out[2]["ok"] and "corrupt payload" in out[2]["error"]

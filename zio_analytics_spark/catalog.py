@@ -2705,7 +2705,7 @@ def llm_pipeline(docs: DataFrame) -> DataFrame:
       SELECT doc_id, t.pos AS idx, paras[t.pos] AS para
       FROM d2, unnest(range(1, len(paras) + 1)) AS t(pos)
     ), nb AS (
-      SELECT doc_id, idx, para FROM p WHERE trim(para) <> ''
+      SELECT doc_id, idx, para FROM p WHERE regexp_replace(para, '[ \t\n\r\f\x0B\xA0]', '', 'g') <> ''
     ), rn AS (
       SELECT doc_id, idx, para,
              row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
@@ -13991,7 +13991,7 @@ def q_wordpiece_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, t.pos AS idx, paras[t.pos] AS para
       FROM d2, unnest(range(1, len(paras) + 1)) AS t(pos)
     ), nb AS (
-      SELECT doc_id, idx, para FROM p WHERE trim(para) <> ''
+      SELECT doc_id, idx, para FROM p WHERE regexp_replace(para, '[ \t\n\r\f\x0B\xA0]', '', 'g') <> ''
     ), rn AS (
       SELECT doc_id, idx, para,
              row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn

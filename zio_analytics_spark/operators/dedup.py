@@ -1267,7 +1267,16 @@ def dedup_paragraphs(
         F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
             "__idx", "__para"
         ),
-    ).where(F.trim(F.col("__para")) != "")
+    ).where(
+        # whole whitespace CLASS, not F.trim (ASCII space only): a tab/
+        # newline/NBSP-only paragraph carries no content and would
+        # otherwise collapse corpus-wide onto one hot keeper digest —
+        # the exact blank-paragraph hot key this filter exists to prevent
+        # (round-9 ADVICE). Explicit char class so Java regex and the
+        # oracle's RE2 agree byte-for-byte (\s differs between them on
+        # vertical tab).
+        F.regexp_replace(F.col("__para"), r"[ \t\n\r\f\x0B\u00A0]", "") != ""
+    )
     hashed = paras.select(
         F.col(id_col),
         "__idx",

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import struct
 
+from zio_analytics_spark.operators._codec_guard import corrupt_guard
+
 import numpy as np
 
 __all__ = [
@@ -1007,6 +1009,7 @@ def _decode_prog_scan(b: bytes, pos: int, scan: list, ss: int, se: int,
     return reader.pos
 
 
+@corrupt_guard
 def decode_jpeg(payload: bytes) -> dict:
     """JFIF decode → ``{width, height, mode, pixels}`` with (h, w, 3)
     uint8 RGB pixels (grayscale replicated to 3 channels, ``mode='L'``).
@@ -1117,6 +1120,22 @@ def decode_jpeg(payload: bytes) -> dict:
                     b, pos, scan, coefs, huff_dc, huff_ac,
                     restart_interval, mcus_x, mcus_y,
                 )
+                # T.81 permits a MULTI-scan (non-interleaved) baseline
+                # frame; this decoder handles only the single interleaved
+                # scan, so returning here on anything but EOI would emit
+                # a silently chroma-less image (round-9 ADVICE). The bit
+                # reader stops exactly at the next marker; skip optional
+                # 0xFF fill bytes (B.1.1.2) and require EOI.
+                q = pos
+                while q + 1 < len(b) and b[q] == 0xFF and b[q + 1] == 0xFF:
+                    q += 1
+                if q + 2 > len(b):
+                    raise ValueError("truncated JPEG (no EOI after scan)")
+                if b[q] != 0xFF or b[q + 1] != 0xD9:
+                    raise ValueError(
+                        "multi-scan baseline JPEG not supported; route to "
+                        "the codec seam"
+                    )
                 return _reconstruct(frame, quant, coefs, hmax, vmax)
             pos = _decode_prog_scan(
                 b, pos, scan, ss, se, ah, al, coefs, huff_dc, huff_ac,
@@ -1154,6 +1173,7 @@ def _decode_baseline_scan(b: bytes, pos: int, scan: list, coefs: dict,
     return reader.pos
 
 
+@corrupt_guard
 def parse_jpeg_meta(payload: bytes) -> dict:
     """Marker-walk metadata WITHOUT entropy decode — the header-only pass
     a real pipeline runs to filter (dimensions, format, quality class)

@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from zio_analytics_spark.operators._codec_guard import corrupt_guard
+
 __all__ = [
     "attach_binary",
     "binary_meta",
@@ -280,6 +282,7 @@ def encode_png(
     )
 
 
+@corrupt_guard
 def decode_png(payload: bytes) -> dict:
     """REAL pure-Python PNG decode — stdlib ``zlib`` inflate + per-scanline
     unfiltering (None/Sub/Up/Average/Paeth), no codec libraries.
@@ -434,6 +437,7 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+@corrupt_guard
 def decode_image(payload: bytes) -> dict:
     """REAL pure-Python image decode for BMP (BI_RGB 24bpp), PPM (P6),
     PNG (via :func:`decode_png` — DEFLATE + per-scanline unfiltering),
@@ -521,7 +525,14 @@ def decode_quarantine(
     the clean lane; the quarantine lane keeps the id + reason for triage.
     Only ``ValueError`` (the documented corrupt/unsupported contract of
     every codec in this module) is caught — genuine bugs (TypeError,
-    IndexError, …) still fail loudly.
+    KeyError, …) still fail loudly. The decoders themselves normalize the
+    two exception classes corrupt bytes produce from raw byte-walking
+    (``struct.error`` on an out-of-range unpack, ``IndexError`` on direct
+    indexing past the buffer) into that ValueError via
+    :func:`~zio_analytics_spark.operators._codec_guard.corrupt_guard`, so
+    a flipped byte anywhere in a header cannot escape the lane (round-9
+    ADVICE: a flipped TIFF IFD count or truncated JPEG SOF previously
+    raised struct.error and killed the stage).
 
     Scale shape: identical to :func:`decode_pixel_stats` — one Arrow
     ``mapInPandas`` scan, payload bytes never leave the task, output is
@@ -809,6 +820,7 @@ def _alaw_to_linear(a8: "np.ndarray") -> "np.ndarray":
     return np.where(a & 0x80, mag, -mag).astype(np.int32)
 
 
+@corrupt_guard
 def decode_audio(payload: bytes) -> dict:
     """REAL pure-Python audio decode for WAV: 16-bit PCM (fmt 1), the
     COMPRESSED telephony codecs G.711 μ-law (fmt 7) and A-law (fmt 6)
@@ -911,6 +923,7 @@ def encode_y4m(
     return b"".join(out)
 
 
+@corrupt_guard
 def decode_video(payload: bytes) -> dict:
     """REAL pure-Python video decode for YUV4MPEG2 C444: parse the stream
     header tags (W/H/F/C), then walk ``FRAME`` markers reading raw planes.
@@ -1469,6 +1482,7 @@ def _iter_gif_frames(payload: bytes):
         delay_cs = 0
 
 
+@corrupt_guard
 def decode_gif_frames(payload: bytes) -> list:
     """All frames of a (possibly animated) GIF — see
     :func:`_iter_gif_frames` for the per-frame contract."""
@@ -1478,6 +1492,7 @@ def decode_gif_frames(payload: bytes) -> list:
     return frames
 
 
+@corrupt_guard
 def decode_gif(payload: bytes) -> dict:
     """REAL pure-Python GIF decode (87a and 89a): logical screen
     descriptor, global/local color tables, extension-block handling, spec
@@ -1675,6 +1690,7 @@ def encode_tiff(
     return header + b"".join(strips) + bytes(extra) + ifd
 
 
+@corrupt_guard
 def decode_tiff(payload: bytes) -> dict:
     """Baseline TIFF 6.0 decode (public spec): both byte orders, IFD walk,
     uncompressed chunky 8-bit grayscale (photometric 0 inverted / 1) and
@@ -1792,6 +1808,7 @@ def encode_mp3_frames(
     return bytes(out)
 
 
+@corrupt_guard
 def parse_mp3_meta(payload: bytes) -> dict:
     """Header-tier MP3 metadata WITHOUT audio decode — the audio sibling
     of :func:`~zio_analytics_spark.operators.jpeg.parse_jpeg_meta`:
