@@ -1,0 +1,137 @@
+"""HTML → text extraction contract (operators/html.py — round-9 verdict #2).
+
+The extraction spec is deterministic (module docstring, 6 numbered steps);
+these tests pin each step on crafted fixtures: nested tags, script/style
+with hostile contents, comments, the entity layer (named core set, decimal
+numerics, the &amp;amp; double-decode pitfall, out-of-range/hex
+pass-through), malformed markup degrading to text, and whitespace
+collapse semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zio_analytics_spark.operators.html import html_extract_text
+
+
+def _extract(spark, cases):
+    df = spark.createDataFrame(cases, "doc_id long, html string")
+    return {r["doc_id"]: r["text"] for r in html_extract_text(df).collect()}
+
+
+def test_full_document_shell(spark):
+    got = _extract(
+        spark,
+        [
+            (
+                1,
+                "<!DOCTYPE html><html><head><title>T</title>"
+                "<style>p { color: red; }</style>"
+                '<script type="text/javascript">if (a < b && c > d) { go(); }'
+                "</script></head><body><!-- hidden --><h1>Hello</h1>"
+                "<p>world &amp; friends</p></body></html>",
+            )
+        ],
+    )
+    # title text survives (not display-filtered — spec step 3), script/
+    # style/comment contents do not; &amp; decodes
+    assert got[1] == "T Hello world & friends"
+
+
+def test_nested_tags_and_unterminated_lt(spark):
+    got = _extract(
+        spark,
+        [
+            (1, "nested <div><span>deep <b>bold</b></span></div> text"),
+            # malformed: unterminated '<' stays literal text (total
+            # extraction — no quarantine lane needed, nothing decodes)
+            (2, "malformed <unclosed tag and 3 < 5 stays"),
+            (3, "a <b>b</b><i>c</i> d"),
+        ],
+    )
+    assert got[1] == "nested deep bold text"
+    assert got[2] == "malformed <unclosed tag and 3 < 5 stays"
+    assert got[3] == "a b c d"
+
+
+def test_entity_layer(spark):
+    got = _extract(
+        spark,
+        [
+            # decimal numerics in the engine-agreeing 1..255 range decode;
+            # larger codepoints and hex entities pass through literally
+            (1, "caf&#233; &#65;&#66;&#67; big &#70000; hex &#x41; end"),
+            # named core set + the double-decode pitfall: &amp;lt; must
+            # yield the literal text '&lt;', never '<'
+            (2, "&lt;tag&gt; &amp;lt; &quot;q&quot; &apos;a&apos; x&nbsp;y"),
+            # out-of-set named entity passes through
+            (3, "&copy; 2026 &amp;amp; co"),
+            # '&#' with no digits/semicolon is restored verbatim
+            (4, "tail &# loose and a&#zz;b"),
+        ],
+    )
+    assert got[1] == "café ABC big &#70000; hex &#x41; end"
+    assert got[2] == "<tag> &lt; \"q\" 'a' x y"
+    assert got[3] == "&copy; 2026 &amp; co"
+    assert got[4] == "tail &# loose and a&#zz;b"
+
+
+def test_script_style_blocks_removed_with_contents(spark):
+    got = _extract(
+        spark,
+        [
+            # '<' and '&&' inside JS; '>' inside a CSS selector
+            (1, "<script>var i = 0; while (i < 9 && f(i)) i++;</script>keep"),
+            (2, "<style>p > em { color: #333; }</style>keep"),
+            # SCRIPT in caps — case-insensitive
+            (3, "<SCRIPT>x</SCRIPT>keep"),
+            # spec-level simplification: a '</script>' literal inside a JS
+            # string ends the block (documented)
+            (4, '<script>var s = "</script>"; tail</script> after'),
+        ],
+    )
+    assert got[1] == "keep"
+    assert got[2] == "keep"
+    assert got[3] == "keep"
+    assert got[4] == '"; tail after'
+
+
+def test_comments_and_whitespace_collapse(spark):
+    got = _extract(
+        spark,
+        [
+            (1, "a<!-- multi\nline\ncomment -->b"),
+            (2, "ws\t\n\r\f run   collapse"),
+            # NBSP (what &nbsp; decodes from, via &#160;) collapses too
+            (3, "x&#160;&#160;y"),
+            (4, ""),
+            (5, "   "),
+        ],
+    )
+    assert got[1] == "a b"
+    assert got[2] == "ws run collapse"
+    assert got[3] == "x y"
+    assert got[4] == ""
+    assert got[5] == ""
+
+
+def test_n_chars_matches_text(spark):
+    df = spark.createDataFrame(
+        [(1, "<p>abc</p>"), (2, "caf&#233;")], "doc_id long, html string"
+    )
+    rows = {r["doc_id"]: r for r in html_extract_text(df).collect()}
+    assert rows[1]["n_chars"] == len(rows[1]["text"]) == 3
+    # é is ONE character (length counts codepoints, not bytes)
+    assert rows[2]["n_chars"] == len(rows[2]["text"]) == 4
+
+
+def test_plan_is_map_only(spark):
+    """Scale contract: extraction is a single projection — no Exchange,
+    no Python UDF nodes in the plan."""
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+    plan = html_extract_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan

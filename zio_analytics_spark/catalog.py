@@ -9154,6 +9154,213 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HTML_SYNTH_SQL = (
+    "'<!DOCTYPE html><html><head><title>Doc ' || doc_id || '</title>"
+    "<style>body { font: 12px serif; } p > em { color: #333; }</style>"
+    '<script type="text/javascript">if (n < 3 && m > 4) { track("\' || lang || \'"); }</script>'
+    "</head><body><!-- crawler: doc ' || doc_id || ' --><h1>Doc ' || doc_id || "
+    "' &#91;' || lang || '&#93;</h1><p>' || replace(text, 'e', '&#101;') || "
+    "'</p><footer>&copy; corp &amp;amp; co&nbsp;2026</footer></body></html>'"
+)
+
+# the oracle-side mirror of operators/html.py html_text_expr — every regex
+# uses only syntax with identical semantics in Java regex and RE2 (explicit
+# whitespace class, no \s; (?is) flags; non-greedy dot)
+_HTML_EXTRACT_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents
+    ), s1 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<[^>]*>', ' ', 'g') AS s
+      FROM h
+    ), s2 AS (
+      SELECT doc_id,
+             string_split(s, '&#')[1] ||
+             list_reduce(list_prepend('', list_transform(string_split(s, '&#')[2:],
+               p -> CASE WHEN TRY_CAST(regexp_extract(p, '^([0-9]{{1,3}});', 1) AS INT) BETWEEN 1 AND 255
+                         THEN chr(CAST(regexp_extract(p, '^([0-9]{{1,3}});', 1) AS INT)) || regexp_replace(p, '^[0-9]{{1,3}};', '')
+                         ELSE '&#' || p END)),
+               (a, b) -> a || b) AS s
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(s,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+               '&nbsp;', ' '), '&amp;', '&') AS s
+      FROM s2
+    ), ext AS (
+      SELECT doc_id,
+             trim(regexp_replace(s, '[ \\t\\n\\r\\f\\x0B\\xA0]+', ' ', 'g')) AS text
+      FROM s3
+    )
+    SELECT doc_id, md5(text) AS text_md5, length(text)::BIGINT AS n_chars
+    FROM ext
+"""
+
+
+@register("html_extract_text", oracle=_HTML_EXTRACT_ORACLE)
+def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (operators/html.py — round-9 verdict #2):
+    the stage UPSTREAM of every text operator, where a web-scrape pipeline
+    actually starts. Each document is wrapped in a deterministic HTML
+    shell (the payload-synthesis discipline of the codec entries): title,
+    a <style> block with a '>' inside a selector, a <script> block with
+    '<' and '&&' inside JS, an HTML comment, an <h1>, the body text with
+    every 'e' re-encoded as the decimal entity &#101;, and a footer
+    exercising named entities, NBSP, the &amp;amp; double-decode pitfall,
+    and an out-of-set &copy; that must pass through literally. Extraction
+    is ONE chain of regexp_replace Columns + a single aggregate HOF for
+    numeric entities — whole-stage codegen, zero UDFs, zero shuffles (a
+    map-only stage that fuses into the scan at 100 TB). The md5 makes the
+    oracle byte-exact over the full extracted text of every document."""
+    from zio_analytics_spark.operators.html import html_extract_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<!DOCTYPE html><html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                "</title><style>body { font: 12px serif; } p > em { color: #333; }"
+                '</style><script type="text/javascript">if (n < 3 && m > 4) { track("'
+            ),
+            F.col("lang"),
+            F.lit('"); }</script></head><body><!-- crawler: doc '),
+            F.col("doc_id").cast("string"),
+            F.lit(" --><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" &#91;"),
+            F.col("lang"),
+            F.lit("&#93;</h1><p>"),
+            F.replace(F.col("text"), F.lit("e"), F.lit("&#101;")),
+            F.lit("</p><footer>&copy; corp &amp;amp; co&nbsp;2026</footer></body></html>"),
+        ).alias("html"),
+    )
+    out = html_extract_text(synth)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+_HTML_SYNTH_V3_SQL = (
+    "'<html><head><title>Corpus page</title>"
+    "<style>a > b { x: y; }</style>"
+    '<script>if (i < 2 && j > 1) { t("\' || lang || \'"); }</script>'
+    "</head><body><!-- crawl --><h1>&#91;' || lang || '&#93;</h1><p>' || "
+    "replace(text, 'e', '&#101;') || "
+    "'</p><footer>&copy; corp &amp;amp; co&nbsp;2026</footer></body></html>'"
+)
+
+_LLM_V3_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, lang, {_HTML_SYNTH_V3_SQL} AS html FROM documents
+    ), s1 AS (
+      SELECT doc_id, lang,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<[^>]*>', ' ', 'g') AS s
+      FROM h
+    ), s2 AS (
+      SELECT doc_id, lang,
+             string_split(s, '&#')[1] ||
+             list_reduce(list_prepend('', list_transform(string_split(s, '&#')[2:],
+               p -> CASE WHEN TRY_CAST(regexp_extract(p, '^([0-9]{{1,3}});', 1) AS INT) BETWEEN 1 AND 255
+                         THEN chr(CAST(regexp_extract(p, '^([0-9]{{1,3}});', 1) AS INT)) || regexp_replace(p, '^[0-9]{{1,3}};', '')
+                         ELSE '&#' || p END)),
+               (a, b) -> a || b) AS s
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, lang,
+             replace(replace(replace(replace(replace(replace(s,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+               '&nbsp;', ' '), '&amp;', '&') AS s
+      FROM s2
+    ), ext AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(s, '[ \\t\\n\\r\\f\\x0B\\xA0]+', ' ', 'g')) AS text
+      FROM s3
+    ), gate AS (
+      SELECT * FROM ext WHERE length(text) >= 40
+    ), kid AS (
+      SELECT text, min(doc_id) AS kid FROM gate GROUP BY text
+    ), kept AS (
+      SELECT g.* FROM gate g JOIN kid k ON g.text = k.text AND g.doc_id = k.kid
+    ), sp AS (
+      SELECT lang,
+             CASE WHEN (('0x' || substring(md5('pipe-v3' || text), 1, 8))::BIGINT % 10000) < 9000
+                  THEN 'train' ELSE 'val' END AS split,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_toks
+      FROM kept
+    )
+    SELECT lang, split,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+    FROM sp GROUP BY lang, split
+"""
+
+
+@register("llm_pipeline_v3", oracle=_LLM_V3_ORACLE)
+def q_llm_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 CAPSTONE: the HTML lane composed as STAGE 0 of the
+    pipeline (round-9 verdict #2) — the pipeline now starts where a real
+    web scrape starts. Synthesize an HTML shell per document (content-
+    identical for duplicate docs: no doc_id in visible text, so the
+    planted exact duplicates still collide after extraction) →
+    html_text_expr extraction (tags/script/style/comments stripped,
+    entities decoded — all codegen, fuses into the scan) → length-gate
+    quality filter → exact dedup on the EXTRACTED text (min-id keeper) →
+    deterministic 90/10 content-hash split (salt pipe-v3) → per-(lang,
+    split) doc and whitespace-token totals. One lazy Catalyst plan; the
+    oracle composes the verified extraction chain with the established
+    split/dedup SQL pieces."""
+    from zio_analytics_spark.operators.html import html_text_expr
+    from zio_analytics_spark.operators.splits import hash_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit(
+                "<html><head><title>Corpus page</title><style>a > b { x: y; }"
+                '</style><script>if (i < 2 && j > 1) { t("'
+            ),
+            F.col("lang"),
+            F.lit('"); }</script></head><body><!-- crawl --><h1>&#91;'),
+            F.col("lang"),
+            F.lit("&#93;</h1><p>"),
+            F.replace(F.col("text"), F.lit("e"), F.lit("&#101;")),
+            F.lit("</p><footer>&copy; corp &amp;amp; co&nbsp;2026</footer></body></html>"),
+        ).alias("html"),
+    )
+    ext = synth.select(
+        "doc_id", "lang", html_text_expr(F.col("html")).alias("text")
+    )
+    gate = ext.where(F.length("text") >= 40)
+    keepers = gate.groupBy("text").agg(F.min("doc_id").alias("__kid"))
+    kept = gate.join(keepers, "text").where(F.col("doc_id") == F.col("__kid"))
+    split = hash_split(kept, {"train": 0.9, "val": 0.1}, on="text", salt="pipe-v3")
+    return (
+        split.select(
+            "lang", "split", F.size(text.tokens("text")).alias("__n_toks")
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_toks").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
 _DEDUP_SURVIVORS_ORACLE = (
     CATALOG["dedup_clusters"].oracle.replace(
         "SELECT node, min(label) AS cluster FROM walk GROUP BY node",
