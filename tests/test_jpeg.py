@@ -342,3 +342,117 @@ def test_baseline_requires_eoi_after_scan():
     # optional 0xFF fill bytes before the marker are spec-legal
     m = decode_jpeg(good[:-2] + b"\xff\xff\xd9")
     assert (m["width"], m["height"]) == (8, 8)
+
+
+def test_exif_roundtrip_both_endians():
+    """EXIF writer/parser pair (round-9 verdict #3): APP1 body is a TIFF
+    IFD — Orientation (SHORT inline), DateTime/Make (ASCII out-of-line),
+    both byte orders."""
+    from zio_analytics_spark.operators.jpeg import encode_exif_app1, parse_exif
+
+    for bo in ("II", "MM"):
+        app1 = encode_exif_app1(
+            orientation=6, datetime="2026:08:15 12:00:00",
+            make="camcorp", byte_order=bo,
+        )
+        assert app1[:2] == b"\xff\xe1"
+        got = parse_exif(app1[4:])
+        assert got == {
+            "orientation": 6,
+            "datetime": "2026:08:15 12:00:00",
+            "make": "camcorp",
+        }, bo
+    # orientation-only APP1: the optional tags stay None
+    got = parse_exif(encode_exif_app1(orientation=2)[4:])
+    assert got == {"orientation": 2, "datetime": None, "make": None}
+    with pytest.raises(ValueError):
+        encode_exif_app1(orientation=9)
+    # out-of-range orientation VALUE in the IFD raises
+    b = bytearray(encode_exif_app1(orientation=1)[4:])
+    # entry value field: preamble 6 + tiff header 8 + count 2 + (tag,typ,cnt) 8
+    struct.pack_into("<H", b, 6 + 8 + 2 + 8, 0)
+    with pytest.raises(ValueError, match="orientation out of range"):
+        parse_exif(bytes(b))
+
+
+def test_exif_in_meta_walk_default_and_corrupt_ignored():
+    """parse_jpeg_meta: APP1 harvested when present, orientation defaults
+    to 1 without EXIF, and a CORRUPT EXIF block is ignored (advisory
+    metadata — the walk must still deliver dimensions)."""
+    from zio_analytics_spark.operators.jpeg import (
+        encode_exif_app1,
+        insert_app1,
+        parse_jpeg_meta,
+    )
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    Q8 = np.full((8, 8), 8)
+    plain = encode_jpeg(img, quant_luma=Q8)
+    m0 = parse_jpeg_meta(plain)
+    assert m0["orientation"] == 1
+    assert m0["exif_datetime"] is None and m0["exif_make"] is None
+
+    tagged = insert_app1(
+        plain, encode_exif_app1(orientation=3, datetime="2026:01:02 03:04:05")
+    )
+    m1 = parse_jpeg_meta(tagged)
+    assert m1["orientation"] == 3
+    assert m1["exif_datetime"] == "2026:01:02 03:04:05"
+    assert m1["width"] == 8  # the rest of the walk is unaffected
+    # decode also tolerates the APP1 segment
+    assert decode_jpeg(tagged)["width"] == 8
+
+    bad = bytearray(encode_exif_app1(orientation=6))
+    bad[12] = 0x99  # wreck the TIFF magic inside the APP1 body
+    m2 = parse_jpeg_meta(insert_app1(plain, bytes(bad)))
+    assert m2["orientation"] == 1 and m2["width"] == 8
+
+
+def test_exif_upright_all_orientations_pixel_identical():
+    """The eight EXIF orientation transforms normalize a stored-rotated
+    image back to display pixels — constant 8x8 blocks at Q8 decode
+    losslessly, so equality is exact."""
+    from zio_analytics_spark.operators.jpeg import encode_exif_app1, insert_app1
+    from zio_analytics_spark.operators.multimodal import _exif_upright
+
+    Q8 = np.full((8, 8), 8)
+    D = np.zeros((16, 16), dtype=np.uint8)
+    D[:8, :8], D[:8, 8:], D[8:, :8], D[8:, 8:] = 10, 80, 160, 240
+    pay_up = encode_jpeg(D, quant_luma=Q8)
+    up = _exif_upright(decode_jpeg(pay_up)["pixels"], pay_up)
+    stored_by_o = {
+        2: D[:, ::-1], 3: D[::-1, ::-1], 4: D[::-1],
+        5: D.T, 6: np.rot90(D, k=1), 7: np.rot90(D, 2).T, 8: np.rot90(D, k=-1),
+    }
+    for o, stored in stored_by_o.items():
+        pay = insert_app1(
+            encode_jpeg(np.ascontiguousarray(stored), quant_luma=Q8),
+            encode_exif_app1(orientation=o),
+        )
+        rot = _exif_upright(decode_jpeg(pay)["pixels"], pay)
+        assert np.array_equal(up, rot), f"orientation {o}"
+
+
+def test_rotated_pair_ahash_identical(spark):
+    """ROTATED-PAIR CONTRACT (the round-9 verdict's 'done' check): a JPEG
+    stored rotated with the matching EXIF Orientation tag produces the
+    SAME perceptual aHash as its upright duplicate — and without the tag
+    it does NOT (pinning that the normalization is what makes them
+    collide)."""
+    from zio_analytics_spark.operators.jpeg import encode_exif_app1, insert_app1
+    from zio_analytics_spark.operators.multimodal import perceptual_ahash
+
+    Q8 = np.full((8, 8), 8)
+    D = np.zeros((16, 16), dtype=np.uint8)
+    D[:8, :8], D[:8, 8:], D[8:, :8], D[8:, 8:] = 10, 80, 160, 240
+    upright = encode_jpeg(D, quant_luma=Q8)
+    stored = encode_jpeg(np.ascontiguousarray(np.rot90(D, k=1)), quant_luma=Q8)
+    tagged = insert_app1(stored, encode_exif_app1(orientation=6))
+    df = spark.createDataFrame(
+        [(1, bytearray(upright)), (2, bytearray(tagged)), (3, bytearray(stored))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in perceptual_ahash(df, grid=8).collect()}
+    assert rows[1]["ahash"] == rows[2]["ahash"]
+    assert (rows[2]["width"], rows[2]["height"]) == (16, 16)  # display dims
+    assert rows[1]["ahash"] != rows[3]["ahash"]  # untagged rotation differs

@@ -13581,6 +13581,86 @@ def q_multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_exif",
+    oracle="""
+    SELECT doc_id,
+           (CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN 1
+                 ELSE 1 + doc_id % 8 END)::INT AS orientation,
+           CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+                ELSE '2026:08:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                     || ' 12:34:56' END AS exif_datetime,
+           CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+                ELSE 'cam-' || CAST(doc_id % 5 AS VARCHAR) END AS exif_make,
+           (16 + doc_id % 9)::INT AS width,
+           (16 + doc_id % 7)::INT AS height
+    FROM documents
+    """,
+)
+def q_multimodal_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF (APP1) metadata harvest (jpeg.parse_exif via parse_jpeg_meta —
+    round-9 verdict #3): the APP1 body IS a TIFF IFD, walked both-endian
+    for the three tags a 100 TB image pipeline needs — Orientation (the
+    correctness input to every perceptual hash), DateTime and Make (dedup
+    /provenance block keys). Payload mix: per-doc JPEG with a synthesized
+    APP1 alternating II/MM byte order and varying all three tags from
+    doc_id; every 11th doc has NO EXIF (defaults: orientation 1, NULLs)
+    and every 13th a CORRUPT TIFF header inside APP1 — which the walk
+    must IGNORE (advisory metadata), not fail on. The oracle predicts
+    every field analytically from the generation formulas. Cost is
+    O(header) per image, same as the meta entry this extends."""
+    import numpy as np
+
+    from zio_analytics_spark.operators.jpeg import (
+        encode_exif_app1,
+        encode_jpeg,
+        insert_app1,
+        parse_jpeg_meta,
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "orientation", "exif_datetime", "exif_make",
+                "width", "height",
+            )}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 16 + i % 9, 16 + i % 7
+                img = np.full((h, w), (i * 5) % 256, dtype=np.uint8)
+                payload = encode_jpeg(img, quality=80)
+                if i % 11 != 0:
+                    app1 = encode_exif_app1(
+                        orientation=1 + i % 8,
+                        datetime=f"2026:08:{1 + i % 28:02d} 12:34:56",
+                        make=f"cam-{i % 5}",
+                        byte_order="II" if i % 2 == 0 else "MM",
+                    )
+                    if i % 13 == 0:  # corrupt the TIFF magic inside APP1
+                        app1 = bytearray(app1)
+                        app1[12] = 0x99
+                        app1 = bytes(app1)
+                    payload = insert_app1(payload, app1)
+                m = parse_jpeg_meta(payload)
+                out["doc_id"].append(i)
+                out["orientation"].append(m["orientation"])
+                out["exif_datetime"].append(m["exif_datetime"])
+                out["exif_make"].append(m["exif_make"])
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+            yield pd.DataFrame(out)
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .select("doc_id").repartition(32))
+    return docs.mapInPandas(
+        run,
+        "doc_id long, orientation int, exif_datetime string, "
+        "exif_make string, width int, height int",
+    )
+
+
+@register(
     "multimodal_decode_quarantine",
     oracle="""
     WITH d AS (

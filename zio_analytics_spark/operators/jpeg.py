@@ -41,8 +41,11 @@ import numpy as np
 __all__ = [
     "encode_jpeg",
     "encode_jpeg_coefficients",
+    "encode_exif_app1",
+    "insert_app1",
     "decode_jpeg",
     "parse_jpeg_meta",
+    "parse_exif",
     "quality_tables",
 ]
 
@@ -1173,6 +1176,116 @@ def _decode_baseline_scan(b: bytes, pos: int, scan: list, coefs: dict,
     return reader.pos
 
 
+# ---------------------------------------------------------------------------
+# EXIF (APP1) — a TIFF IFD embedded in a JPEG marker segment
+# ---------------------------------------------------------------------------
+# EXIF metadata IS a TIFF 6.0 image-file directory: the APP1 body is the
+# 6-byte "Exif\0\0" preamble followed by a complete TIFF header (both byte
+# orders legal) whose IFD0 carries the camera tags. The three harvested
+# here are the ones a 100 TB dedup/fingerprint pipeline actually needs:
+# Orientation (0x0112) — a CORRECTNESS input to every perceptual hash
+# (a phone photo stored rotated fingerprints differently from its upright
+# duplicate unless the hash normalizes orientation first); DateTime
+# (0x0132) and Make (0x010F) — the dedup/provenance block keys.
+# (Round-9 verdict #2/#3: parse_jpeg_meta walked markers but skipped APP1;
+# the both-endian IFD walk mirrors multimodal.decode_tiff:1690.)
+
+_EXIF_TAG_MAKE = 0x010F
+_EXIF_TAG_ORIENTATION = 0x0112
+_EXIF_TAG_DATETIME = 0x0132
+
+
+def encode_exif_app1(
+    orientation: int = 1,
+    datetime: str | None = None,
+    make: str | None = None,
+    byte_order: str = "II",
+) -> bytes:
+    """Build a complete APP1 segment (marker + length + ``Exif\\0\\0`` +
+    TIFF IFD) carrying Orientation and optional DateTime/Make — the test
+    and payload-synthesis sibling of :func:`parse_exif`, in either byte
+    order. Entries are emitted in ascending tag order (TIFF 6.0 §2);
+    ASCII values are NUL-terminated and stored out-of-line."""
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"EXIF orientation must be 1..8, got {orientation}")
+    if byte_order not in ("II", "MM"):
+        raise ValueError(f"byte_order must be 'II' or 'MM', got {byte_order!r}")
+    e = "<" if byte_order == "II" else ">"
+    entries: list[tuple[int, int, int, bytes | int]] = []
+    data: list[bytes] = []  # out-of-line values, appended after the IFD
+    if make is not None:
+        entries.append((_EXIF_TAG_MAKE, 2, len(make) + 1, make.encode() + b"\x00"))
+    entries.append((_EXIF_TAG_ORIENTATION, 3, 1, orientation))
+    if datetime is not None:
+        entries.append(
+            (_EXIF_TAG_DATETIME, 2, len(datetime) + 1, datetime.encode() + b"\x00")
+        )
+    n = len(entries)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4  # after count + entries + next-IFD
+    body = bytearray()
+    body += byte_order.encode() + struct.pack(f"{e}HI", 42, ifd_off)
+    body += struct.pack(f"{e}H", n)
+    for tag, typ, count, val in entries:
+        body += struct.pack(f"{e}HHI", tag, typ, count)
+        if typ == 3:  # SHORT, inline, left-justified in the 4-byte field
+            body += struct.pack(f"{e}H", val) + b"\x00\x00"
+        else:  # ASCII out-of-line (all our strings exceed 4 bytes)
+            body += struct.pack(f"{e}I", data_off + sum(len(d) for d in data))
+            data.append(val)
+    body += struct.pack(f"{e}I", 0)  # next-IFD pointer
+    for d in data:
+        body += d
+    payload = b"Exif\x00\x00" + bytes(body)
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def insert_app1(payload: bytes, app1: bytes) -> bytes:
+    """Splice a complete APP1 segment right after SOI — how a camera
+    writes it and where :func:`parse_jpeg_meta`'s marker walk finds it."""
+    b = bytes(payload)
+    if len(b) < 2 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    return b[:2] + bytes(app1) + b[2:]
+
+
+@corrupt_guard
+def parse_exif(seg: bytes) -> dict:
+    """Parse an APP1 BODY (``Exif\\0\\0`` + TIFF) → ``{orientation,
+    datetime, make}`` (None where absent; orientation defaults to 1, the
+    spec's 'upright'). Both byte orders; unknown tags are skipped. The
+    walk is bounds-checked by corrupt_guard: corrupt EXIF raises the
+    documented ValueError (callers inside the meta walk treat it as
+    advisory and ignore it — see parse_jpeg_meta)."""
+    b = bytes(seg)
+    if b[:6] != b"Exif\x00\x00":
+        raise ValueError("not an EXIF APP1 body")
+    t = b[6:]
+    if len(t) < 8 or t[:2] not in (b"II", b"MM"):
+        raise ValueError("bad EXIF TIFF header")
+    e = "<" if t[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(f"{e}HI", t, 2)
+    if magic != 42:
+        raise ValueError("bad EXIF TIFF magic")
+    n = struct.unpack_from(f"{e}H", t, ifd_off)[0]
+    out: dict = {"orientation": 1, "datetime": None, "make": None}
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(f"{e}HHI", t, off)
+        if tag == _EXIF_TAG_ORIENTATION and typ == 3 and count == 1:
+            v = struct.unpack_from(f"{e}H", t, off + 8)[0]
+            if not 1 <= v <= 8:
+                raise ValueError(f"EXIF orientation out of range: {v}")
+            out["orientation"] = int(v)
+        elif tag in (_EXIF_TAG_DATETIME, _EXIF_TAG_MAKE) and typ == 2:
+            voff = off + 8 if count <= 4 else struct.unpack_from(f"{e}I", t, off + 8)[0]
+            if voff + count > len(t):
+                raise ValueError("EXIF ASCII value out of range")
+            s = t[voff : voff + count].split(b"\x00", 1)[0].decode("ascii", "replace")
+            out["datetime" if tag == _EXIF_TAG_DATETIME else "make"] = s
+    return out
+
+
 @corrupt_guard
 def parse_jpeg_meta(payload: bytes) -> dict:
     """Marker-walk metadata WITHOUT entropy decode — the header-only pass
@@ -1182,19 +1295,25 @@ def parse_jpeg_meta(payload: bytes) -> dict:
     Huffman+IDCT path is a ~100× saving on the rejected fraction.
 
     Returns ``{width, height, n_components, progressive, sampling,
-    dqt00, n_scans, restart_interval}`` where ``sampling`` is '4:2:0',
-    '4:4:4' or 'gray' and ``dqt00`` is the luma table's DC quant step —
-    the standard quality-class proxy (monotone in the IJG quality knob).
-    Entropy segments are SKIPPED by scanning for the next marker (0xFF +
-    non-stuffing, non-RST byte), so cost is O(header + scan-boundary
-    scan), never O(coefficients)."""
+    dqt00, n_scans, restart_interval, orientation, exif_datetime,
+    exif_make}`` where ``sampling`` is '4:2:0', '4:4:4' or 'gray' and
+    ``dqt00`` is the luma table's DC quant step — the standard
+    quality-class proxy (monotone in the IJG quality knob). The EXIF
+    fields come from the APP1 IFD walk (:func:`parse_exif`); orientation
+    defaults to 1 (upright) when no EXIF is present, and a CORRUPT APP1
+    is ignored rather than failing the walk — camera metadata is
+    advisory, and a scrape pipeline must not lose an image's dimensions
+    because its EXIF block is mangled. Entropy segments are SKIPPED by
+    scanning for the next marker (0xFF + non-stuffing, non-RST byte), so
+    cost is O(header + scan-boundary scan), never O(coefficients)."""
     b = bytes(payload)
     if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     meta = {"width": None, "height": None, "n_components": None,
             "progressive": False, "sampling": None, "dqt00": None,
-            "n_scans": 0, "restart_interval": 0}
+            "n_scans": 0, "restart_interval": 0,
+            "orientation": 1, "exif_datetime": None, "exif_make": None}
     quant0 = None
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
@@ -1236,6 +1355,15 @@ def parse_jpeg_meta(payload: bytes) -> dict:
                 p += 65 if seg[p] >> 4 == 0 else 129
         elif marker == 0xDD:
             meta["restart_interval"] = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            try:
+                ex = parse_exif(seg)
+            except ValueError:
+                pass  # advisory metadata: corrupt EXIF never fails the walk
+            else:
+                meta["orientation"] = ex["orientation"]
+                meta["exif_datetime"] = ex["datetime"]
+                meta["exif_make"] = ex["make"]
         elif marker == 0xDA:
             meta["n_scans"] += 1
             pos += seglen

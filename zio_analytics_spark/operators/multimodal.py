@@ -998,6 +998,39 @@ def sample_frame_stats(
     return df.select(id_col, bin_col).mapInPandas(run, schema)
 
 
+def _exif_upright(px: "np.ndarray", payload: bytes) -> "np.ndarray":
+    """Normalize decoded pixels to DISPLAY orientation using the JPEG
+    EXIF Orientation tag (1..8) — the correctness input every perceptual
+    fingerprint needs: a phone photo stored rotated must hash identically
+    to its upright duplicate (round-9 verdict #3). Non-JPEG payloads and
+    JPEGs without (or with corrupt) EXIF pass through unchanged; the
+    transforms are the eight standard view mappings (TIFF 6.0 / EXIF 2.3
+    Orientation)."""
+    if bytes(payload[:2]) != b"\xff\xd8":
+        return px
+    from zio_analytics_spark.operators.jpeg import parse_jpeg_meta
+
+    try:
+        o = parse_jpeg_meta(payload)["orientation"]
+    except ValueError:
+        return px
+    if o == 2:
+        return px[:, ::-1]
+    if o == 3:
+        return px[::-1, ::-1]
+    if o == 4:
+        return px[::-1]
+    if o == 5:  # transpose (main diagonal)
+        return np.transpose(px, (1, 0, 2))
+    if o == 6:  # stored needs 90° CW to display
+        return np.rot90(px, k=-1)
+    if o == 7:  # transverse (anti-diagonal)
+        return np.transpose(px[::-1, ::-1], (1, 0, 2))
+    if o == 8:  # stored needs 90° CCW to display
+        return np.rot90(px, k=1)
+    return px
+
+
 def perceptual_ahash(
     df: DataFrame,
     bin_col: str = "payload",
@@ -1041,7 +1074,9 @@ def perceptual_ahash(
             out = {k: [] for k in ("id", "width", "height", "ahash", "n_bits_set")}
             for i, p in zip(pdf[id_col], pdf[bin_col]):
                 m = decode_image(p)
-                px = m["pixels"].astype(np.int64)
+                # EXIF-orientation normalization BEFORE hashing: rotated
+                # duplicates must fingerprint identically (verdict r9 #3)
+                px = _exif_upright(m["pixels"], p).astype(np.int64)
                 h, w = px.shape[0], px.shape[1]
                 if h % grid or w % grid:
                     raise ValueError(
