@@ -820,16 +820,22 @@ def test_gif_decodes_external_bytes():
     assert tuple(m["pixels"][0, 0]) == (255, 255, 255)
 
 
-def test_gif_rejects_interlace_and_garbage():
+def test_gif_interlaced_roundtrip_and_garbage():
+    """Interlaced GIFs de-shuffle through the spec 4-pass row order
+    (round-9 verdict #4): an interlace-encoded image decodes to exactly
+    the same pixels as its sequential encoding — across heights that
+    exercise every pass boundary (1..10 covers passes that are empty,
+    single-row, and multi-row)."""
+    import numpy as np
+
     from zio_analytics_spark.operators.multimodal import decode_gif, encode_gif
 
     pal = _gif_pal()
-    payload = bytearray(encode_gif(4, 4, lambda x, y: 0, pal))
-    # set the interlace flag: header 6 + LSD 7 + GCT 768 puts the image
-    # descriptor at 781 (0x2C); its packed byte is the 10th descriptor byte
-    payload[781 + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_gif(bytes(payload))
+    for h in range(1, 11):
+        f = lambda x, y: (7 * x + 31 * y) % 256
+        seq = decode_gif(encode_gif(5, h, f, pal))
+        lace = decode_gif(encode_gif(5, h, f, pal, interlace=True))
+        assert np.array_equal(seq["pixels"], lace["pixels"]), h
     with pytest.raises(ValueError):
         decode_gif(b"NOTAGIF")
 
@@ -851,36 +857,94 @@ def test_gif_lzw_truncated_stream_raises_valueerror():
             _lzw_decompress_gif(comp[:cut], 8, len(data))
 
 
-def test_gif_scene_cuts_rejects_subrectangle_frames(spark):
-    """Optimized GIFs with sub-rectangle frames (nonzero offset or smaller
-    than frame 0) raise the documented stdlib-tier ValueError instead of a
-    silently misaligned SAD or an opaque np.stack crash."""
-    import struct
+def test_gif_composited_subrect_disposal_transparency():
+    """The GIF rendering model (round-9 verdict #4): sub-rectangle frames
+    paint onto the logical screen, transparent pixels leave the canvas
+    unchanged, disposal 2 restores the rect to background afterwards —
+    each composited canvas checked against a numpy reference."""
+    import numpy as np
 
+    from zio_analytics_spark.operators.multimodal import (
+        decode_gif_composited,
+        encode_gif_animation,
+    )
+
+    pal = _gif_pal()
+    W, H, BG = 6, 4, 17
+    frames = [
+        # frame 0: full canvas, constant 40
+        {"index_of": lambda x, y: 40, "delay_cs": 5},
+        # frame 1: 2x2 rect at (3, 1), disposal 2, with index 9 transparent
+        # on its right column -> those pixels keep the underlying 40
+        {"index_of": lambda x, y: 80 if x == 0 else 9, "delay_cs": 5,
+         "left": 3, "top": 1, "width": 2, "height": 2,
+         "disposal": 2, "transparent": 9},
+        # frame 2: 1x1 rect at (0, 0) after frame 1's rect reset to BG
+        {"index_of": lambda x, y: 200, "delay_cs": 5,
+         "left": 0, "top": 0, "width": 1, "height": 1},
+    ]
+    payload = encode_gif_animation(W, H, frames, pal, bg_index=BG)
+    fs = decode_gif_composited(payload)
+    assert len(fs) == 3
+    rgb = lambda i: np.array(pal[i], dtype=np.uint8)
+    c0 = np.tile(rgb(40), (H, W, 1))
+    assert np.array_equal(fs[0]["pixels"], c0)
+    c1 = c0.copy()
+    c1[1:3, 3] = rgb(80)  # left column painted; right column transparent
+    assert np.array_equal(fs[1]["pixels"], c1)
+    c2 = c0.copy()
+    c2[1:3, 3:5] = rgb(BG)  # disposal 2 restored the whole rect
+    c2[0, 0] = rgb(200)
+    assert np.array_equal(fs[2]["pixels"], c2)
+    assert (fs[2]["width"], fs[2]["height"]) == (W, H)
+
+
+def test_gif_composited_rejects_exotic():
+    from zio_analytics_spark.operators.multimodal import (
+        decode_gif_composited,
+        encode_gif_animation,
+    )
+
+    pal = _gif_pal()
+    with pytest.raises(ValueError, match="restore to previous"):
+        decode_gif_composited(encode_gif_animation(
+            4, 4, [{"index_of": lambda x, y: 1, "disposal": 3}], pal))
+    # a frame rect past the logical screen is corrupt, not composable
+    payload = bytearray(encode_gif_animation(
+        4, 4, [{"index_of": lambda x, y: 1, "left": 2, "width": 2}], pal))
+    import struct as st
+    # widen the frame in-place so left + width > screen width
+    pos = 781 + 8
+    assert payload[pos] == 0x2C
+    st.pack_into("<H", payload, pos + 5, 3)
+    with pytest.raises(ValueError):
+        decode_gif_composited(bytes(payload))
+
+
+def test_gif_scene_cuts_composites_subrectangle_frames(spark):
+    """gif_scene_cuts on an OPTIMIZED GIF: a small sub-rect change yields
+    a small SAD (no cut), a full-frame change a large one (cut) — the
+    composited canvases make SAD well-defined where the old positional
+    grain had to reject."""
     from zio_analytics_spark.operators.multimodal import (
         encode_gif_animation,
         gif_scene_cuts,
     )
 
-    pal = _gif_pal()
-    frames = [(lambda x, y: (x + y) % 256, 5), (lambda x, y: (2 * x) % 256, 5)]
-    payload = bytearray(encode_gif_animation(6, 4, frames, pal))
-    # walk to the SECOND image descriptor: header 6 + LSD 7 + GCT 768,
-    # then per frame GCE(8) + descriptor(10) + mcs(1) + sub-blocks + 0x00
-    pos = 781 + 8  # skip first GCE
-    assert payload[pos] == 0x2C
-    pos += 10 + 1  # descriptor + mcs
-    while payload[pos]:
-        pos += 1 + payload[pos]
-    pos += 1  # block terminator
-    pos += 8  # second GCE
-    assert payload[pos] == 0x2C
-    struct.pack_into("<HH", payload, pos + 1, 1, 0)  # left=1 offset
-    df = spark.createDataFrame(
-        [(1, bytes(payload))], "doc_id long, payload binary"
-    )
-    with pytest.raises(Exception, match="sub-rectangle"):
-        gif_scene_cuts(df).collect()
+    pal = [(i, i, i) for i in range(256)]  # luma == 1000*i exactly
+    frames = [
+        {"index_of": lambda x, y: 10, "delay_cs": 5},                  # full 8x4
+        {"index_of": lambda x, y: 60, "delay_cs": 5,                   # 1x1 patch
+         "left": 2, "top": 1, "width": 1, "height": 1},
+        {"index_of": lambda x, y: 200, "delay_cs": 5},                 # full flip
+    ]
+    payload = encode_gif_animation(8, 4, frames, pal)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    rows = {r["frame"]: r for r in gif_scene_cuts(df, threshold=100_000).collect()}
+    # transition 1: one pixel 10 -> 60: SAD = 50 * (299+587+114) = 50_000
+    assert rows[1]["sad"] == 50 * 1000 and not rows[1]["is_cut"]
+    # transition 2: 31 pixels 10 -> 200 and 1 pixel 60 -> 200
+    assert rows[2]["sad"] == (31 * 190 + 140) * 1000 and rows[2]["is_cut"]
 
 
 def test_gif_animation_frames_roundtrip():

@@ -2882,6 +2882,172 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_interlaced",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h FROM documents
+    ), xs AS (
+      SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+    ), px AS (
+      SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+    ), rgb AS (
+      SELECT doc_id, w, h, x, y,
+             (doc_id + 11 * x + 17 * y) % 256 AS r
+      FROM px
+    )
+    SELECT doc_id,
+           max(w)::INT AS width, max(h)::INT AS height,
+           sum(r)::BIGINT AS sum_r,
+           sum((y + 1) * r)::BIGINT AS wsum_r,
+           (doc_id % 256)::INT AS first_r,
+           ((doc_id + 17) % 256)::INT AS row1_r,
+           ((doc_id + 17 * (max(h) - 1)) % 256)::INT AS last_r
+    FROM rgb GROUP BY doc_id
+    """,
+)
+def q_multimodal_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERLACED GIF decode (round-9 verdict #4): the same deterministic
+    payload as multimodal_gif_decode, but written in the spec's 4-pass
+    interlace row order with the flag set — real optimized web GIFs use
+    it, and the decoder must de-shuffle rows (the PNG Adam7 discipline
+    restricted to rows) instead of raising as it did through round 9.
+    The pins are ROW-ORDER-SENSITIVE on purpose: ``wsum_r`` weights every
+    pixel by its display row, and ``row1_r``/``last_r`` probe rows that
+    interlacing stores LAST and in the middle — a decoder that returns
+    storage order matches none of them. Oracle fully analytic."""
+    from zio_analytics_spark.operators.multimodal import decode_gif, encode_gif
+
+    pal = [(i, (2 * i + 85) % 256, (5 * i + 171) % 256) for i in range(256)]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "sum_r", "wsum_r",
+                "first_r", "row1_r", "last_r",
+            )}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 5 + i % 6, 4 + i % 5
+                payload = encode_gif(
+                    w, h, lambda x, y, i=i: (i + 11 * x + 17 * y) % 256, pal,
+                    interlace=True,
+                )
+                m = decode_gif(payload)
+                px = m["pixels"].astype("int64")
+                import numpy as np
+
+                rows_w = np.arange(1, h + 1, dtype="int64")[:, None]
+                out["doc_id"].append(i)
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["sum_r"].append(int(px[:, :, 0].sum()))
+                out["wsum_r"].append(int((rows_w * px[:, :, 0]).sum()))
+                out["first_r"].append(int(px[0, 0, 0]))
+                out["row1_r"].append(int(px[1, 0, 0]))
+                out["last_r"].append(int(px[h - 1, 0, 0]))
+            yield pd.DataFrame(out)
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .select("doc_id").repartition(32))
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width int, height int, sum_r long, wsum_r long, "
+        "first_r int, row1_r int, last_r int",
+    )
+
+
+@register(
+    "multimodal_gif_composited",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             6 + doc_id % 5 AS w, 5 + doc_id % 4 AS h,
+             (doc_id * 3) % 256 AS bg,
+             (doc_id * 5) % 256 AS c0,
+             (doc_id * 7) % 256 AS a,
+             (doc_id * 11) % 256 AS bb,
+             doc_id % 3 AS l1, doc_id % 2 AS t1
+      FROM documents
+    )
+    SELECT doc_id,
+           3::INT AS n_frames, w::INT AS width, h::INT AS height,
+           (w * h * c0)::BIGINT AS s0,
+           (w * h * c0 - 2 * c0 + 2 * a)::BIGINT AS s1,
+           (w * h * c0 - 5 * c0 + 4 * bg + bb)::BIGINT AS s2,
+           c0::INT AS probe_transparent,
+           bg::INT AS probe_restored
+    FROM d
+    """,
+)
+def q_multimodal_gif_composited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF COMPOSITING (round-9 verdict #4): the rendering model
+    real optimized web GIFs need — sub-rectangle frames painted onto the
+    logical screen, transparent pixels preserving the canvas, disposal 2
+    restoring the rect to the descriptor background. Payload per doc
+    (gray identity palette, so channel sums equal index sums): frame 0
+    full-canvas constant c0; frame 1 a 2×2 rect at (l1, t1) painting
+    constant ``a`` in its even column and TRANSPARENT in its odd column,
+    disposal 2; frame 2 a 1×1 rect at the far corner (never overlapping
+    rect 1) constant ``b``. The oracle derives each composited canvas sum
+    in closed form — s1 proves partial paint + transparency, s2 proves
+    the disposal-2 restore (4·bg enters the sum) — plus two single-pixel
+    probes: the transparent cell still showing c0, the restored cell
+    showing bg."""
+    from zio_analytics_spark.operators.multimodal import (
+        decode_gif_composited,
+        encode_gif_animation,
+    )
+
+    pal = [(i, i, i) for i in range(256)]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_frames", "width", "height", "s0", "s1", "s2",
+                "probe_transparent", "probe_restored",
+            )}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 6 + i % 5, 5 + i % 4
+                bg, c0 = (i * 3) % 256, (i * 5) % 256
+                a, bb = (i * 7) % 256, (i * 11) % 256
+                l1, t1 = i % 3, i % 2
+                frames = [
+                    {"index_of": lambda x, y, c0=c0: c0, "delay_cs": 4},
+                    {"index_of": lambda x, y, a=a, bg=bg: a if x % 2 == 0 else (a + 1) % 256,
+                     "delay_cs": 4, "left": l1, "top": t1, "width": 2,
+                     "height": 2, "disposal": 2, "transparent": (a + 1) % 256},
+                    {"index_of": lambda x, y, bb=bb: bb, "delay_cs": 4,
+                     "left": w - 1, "top": h - 1, "width": 1, "height": 1},
+                ]
+                payload = encode_gif_animation(w, h, frames, pal, bg_index=bg)
+                fs = decode_gif_composited(payload)
+                px = [f["pixels"][:, :, 0].astype("int64") for f in fs]
+                out["doc_id"].append(i)
+                out["n_frames"].append(len(fs))
+                out["width"].append(fs[0]["width"])
+                out["height"].append(fs[0]["height"])
+                out["s0"].append(int(px[0].sum()))
+                out["s1"].append(int(px[1].sum()))
+                out["s2"].append(int(px[2].sum()))
+                out["probe_transparent"].append(int(px[1][t1, l1 + 1]))
+                out["probe_restored"].append(int(px[2][t1, l1]))
+            yield pd.DataFrame(out)
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .select("doc_id").repartition(32))
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_frames int, width int, height int, s0 long, "
+        "s1 long, s2 long, probe_transparent int, probe_restored int",
+    )
+
+
+@register(
     "multimodal_gif_frames",
     oracle="""
     WITH dims AS (

@@ -46,6 +46,7 @@ __all__ = [
     "encode_gif",
     "decode_gif",
     "decode_gif_frames",
+    "decode_gif_composited",
     "encode_gif_animation",
     "gif_scene_cuts",
     "perceptual_ahash",
@@ -1418,15 +1419,30 @@ def _lzw_decompress_gif(data: bytes, mcs: int, n_expected: int) -> bytes:
     return bytes(out)
 
 
+#: GIF interlace passes (89a spec appendix E): (first row, row step)
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(height: int) -> list[int]:
+    """Display-row order in which an interlaced GIF STORES its rows —
+    the same 4-pass progressive discipline as PNG Adam7 (multimodal
+    decode_png), restricted to rows."""
+    return [
+        y for start, step in _GIF_INTERLACE_PASSES for y in range(start, height, step)
+    ]
+
+
 def encode_gif(
     width: int,
     height: int,
     index_of: Callable[[int, int], int],
     palette: list,
+    interlace: bool = False,
 ) -> bytes:
     """Minimal-but-REAL GIF87a writer: logical screen descriptor, a
-    256-entry global color table, one non-interlaced image, spec LZW
-    image data in ≤255-byte sub-blocks. ``index_of(x, y)`` yields the
+    256-entry global color table, one image (optionally INTERLACED: rows
+    stored in the spec's 4-pass order with the interlace flag set), spec
+    LZW image data in ≤255-byte sub-blocks. ``index_of(x, y)`` yields the
     palette index per pixel; ``palette`` is 256 (r, g, b) tuples."""
     if len(palette) != 256:
         raise ValueError("palette must have exactly 256 entries")
@@ -1435,12 +1451,12 @@ def encode_gif(
     out += bytes([0xF7, 0, 0])  # GCT present, 8-bit, bg=0, aspect=0
     for r, g, b in palette:
         out += bytes([r & 0xFF, g & 0xFF, b & 0xFF])
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out.append(0x40 if interlace else 0x00)
     mcs = 8
     out.append(mcs)
-    idx = bytes(
-        index_of(x, y) & 0xFF for y in range(height) for x in range(width)
-    )
+    rows = _gif_interlace_order(height) if interlace else range(height)
+    idx = bytes(index_of(x, y) & 0xFF for y in rows for x in range(width))
     comp = _lzw_compress_gif(idx, mcs)
     for i in range(0, len(comp), 255):
         chunk = comp[i : i + 255]
@@ -1452,12 +1468,16 @@ def encode_gif(
 
 def _iter_gif_frames(payload: bytes):
     """Walk every block of a GIF87a/89a stream, yielding one dict per
-    image block: ``{left, top, width, height, delay_cs, pixels}`` — each
-    frame decoded INDEPENDENTLY against its own (local or global) color
-    table, with the preceding graphic-control extension's delay attached.
-    No compositing (disposal/transparency) — that is deliberately out of
-    scope for the stdlib tier: the frame grain here is what frame
-    SAMPLING consumes, same as the Y4M video tier."""
+    image block: ``{left, top, width, height, delay_cs, pixels, disposal,
+    transparent_mask}`` — each frame decoded INDEPENDENTLY against its
+    own (local or global) color table; INTERLACED images are de-shuffled
+    through the spec's 4-pass row order (round-9 verdict #4 — the PNG
+    Adam7 discipline restricted to rows). ``disposal`` is the graphic-
+    control disposal method (0..3) and ``transparent_mask`` an (h, w)
+    bool array of pixels the frame does NOT paint (None when the frame
+    has no transparency) — the inputs :func:`decode_gif_composited`
+    needs; this iterator itself never composites (the independent-frame
+    grain is what frame SAMPLING consumes, same as the Y4M video tier)."""
     b = bytes(payload)
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
@@ -1469,6 +1489,8 @@ def _iter_gif_frames(payload: bytes):
         gct = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
         pos += 3 * n
     delay_cs = 0
+    disposal = 0
+    transparent = None  # transparent color index, per graphic control
     while pos < len(b):
         marker = b[pos]
         pos += 1
@@ -1477,8 +1499,11 @@ def _iter_gif_frames(payload: bytes):
         if marker == 0x21:  # extension: label + sub-blocks
             label = b[pos]
             pos += 1
-            if label == 0xF9 and b[pos] >= 4:  # graphic control: read delay
+            if label == 0xF9 and b[pos] >= 4:  # graphic control
+                gflags = b[pos + 1]
                 delay_cs = struct.unpack_from("<H", b, pos + 2)[0]
+                disposal = (gflags >> 2) & 0x07
+                transparent = b[pos + 4] if gflags & 0x01 else None
             while b[pos]:
                 pos += 1 + b[pos]
             pos += 1
@@ -1488,8 +1513,6 @@ def _iter_gif_frames(payload: bytes):
         left, top, w, h = struct.unpack_from("<HHHH", b, pos)
         ipacked = b[pos + 8]
         pos += 9
-        if ipacked & 0x40:
-            raise ValueError("interlaced GIF not supported in the stdlib tier")
         pal = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
@@ -1508,13 +1531,21 @@ def _iter_gif_frames(payload: bytes):
         idx = _lzw_decompress_gif(bytes(comp), mcs, w * h)
         if len(idx) < w * h:
             raise ValueError("truncated GIF image data")
+        grid = np.frombuffer(idx[: w * h], dtype=np.uint8).reshape(h, w)
+        if ipacked & 0x40:  # de-interlace: stored pass order -> row order
+            out = np.empty_like(grid)
+            out[_gif_interlace_order(h)] = grid
+            grid = out
         pal_arr = np.array(pal, dtype=np.uint8)
-        px = pal_arr[np.frombuffer(idx[: w * h], dtype=np.uint8)].reshape(h, w, 3)
         yield {
             "left": left, "top": top, "width": w, "height": h,
-            "delay_cs": delay_cs, "mode": "RGB", "pixels": px,
+            "delay_cs": delay_cs, "mode": "RGB", "pixels": pal_arr[grid],
+            "disposal": disposal,
+            "transparent_mask": (grid == transparent) if transparent is not None else None,
         }
         delay_cs = 0
+        disposal = 0
+        transparent = None
 
 
 @corrupt_guard
@@ -1541,33 +1572,121 @@ def decode_gif(payload: bytes) -> dict:
             "pixels": f["pixels"]}
 
 
+@corrupt_guard
+def decode_gif_composited(payload: bytes) -> list:
+    """Animated-GIF COMPOSITING (round-9 verdict #4): real optimized web
+    GIFs store each frame as a SUB-RECTANGLE painted onto the logical
+    screen, with per-frame disposal and a transparent index — the
+    positional frame grain :func:`decode_gif_frames` yields is wrong for
+    them. This decoder replays the spec's rendering model and returns one
+    FULL-CANVAS frame per image block:
+
+    ``{width, height, delay_cs, pixels}`` with (H, W, 3) uint8 pixels,
+    where (W, H) is the logical screen from the descriptor.
+
+    - canvas initialized to the descriptor's background color (global
+      table entry of the bg index; black without a global table);
+    - each frame paints its rect at (left, top); transparent pixels
+      leave the canvas unchanged;
+    - disposal 0/1 (unspecified / do not dispose): canvas persists;
+      disposal 2 (restore to background): the frame's rect resets to the
+      background color after the frame is shown;
+    - disposal 3 (restore to previous) raises ``ValueError`` — genuinely
+      exotic (needs a saved-canvas stack; route to a codec library).
+
+    Full-size non-transparent frames compose to exactly their own pixels,
+    so this is a strict generalization of the positional grain."""
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", b, 6)
+    packed, bg_idx = b[10], b[11]
+    bg = (0, 0, 0)
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if bg_idx < n:
+            bg = tuple(b[13 + 3 * bg_idx : 13 + 3 * bg_idx + 3])
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:, :] = bg
+    frames = []
+    for f in _iter_gif_frames(b):
+        if f["disposal"] == 3:
+            raise ValueError(
+                "GIF disposal 'restore to previous' not supported in the "
+                "stdlib tier; route to a codec library"
+            )
+        t, l, h, w = f["top"], f["left"], f["height"], f["width"]
+        if t + h > sh or l + w > sw:
+            raise ValueError("GIF frame rectangle exceeds the logical screen")
+        region = canvas[t : t + h, l : l + w]
+        mask = f["transparent_mask"]
+        if mask is None:
+            region[:, :] = f["pixels"]
+        else:
+            region[~mask] = f["pixels"][~mask]
+        frames.append(
+            {"width": sw, "height": sh, "delay_cs": f["delay_cs"],
+             "pixels": canvas.copy()}
+        )
+        if f["disposal"] == 2:
+            canvas[t : t + h, l : l + w] = bg
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    return frames
+
+
 def encode_gif_animation(
     width: int,
     height: int,
     frames: list,
     palette: list,
+    bg_index: int = 0,
 ) -> bytes:
-    """Animated GIF89a writer: one graphic-control extension + full-size
-    image block per frame. ``frames`` is a list of ``(index_of,
-    delay_cs)`` tuples — per-frame pixel-index functions and centisecond
-    delays; ``palette`` is 256 (r, g, b) tuples (global table)."""
+    """Animated GIF89a writer: one graphic-control extension + image
+    block per frame. Each entry of ``frames`` is either the legacy
+    ``(index_of, delay_cs)`` tuple (full-size frame, no disposal, no
+    transparency) or a dict — the OPTIMIZED-web-GIF shape the round-10
+    compositing decoder consumes:
+
+    ``{"index_of", "delay_cs", "left", "top", "width", "height",
+    "disposal", "transparent"}`` — a sub-rectangle at (left, top) of the
+    given size (defaults: full canvas), a disposal method (0..3), and an
+    optional transparent color index. ``index_of(x, y)`` receives
+    FRAME-LOCAL coordinates; ``palette`` is 256 (r, g, b) tuples (global
+    table); ``bg_index`` sets the logical-screen background the
+    compositor restores to under disposal 2."""
     if len(palette) != 256:
         raise ValueError("palette must have exactly 256 entries")
     if not frames:
         raise ValueError("need at least one frame")
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", width, height)
-    out += bytes([0xF7, 0, 0])
+    out += bytes([0xF7, bg_index & 0xFF, 0])
     for r, g, b in palette:
         out += bytes([r & 0xFF, g & 0xFF, b & 0xFF])
     mcs = 8
-    for index_of, delay_cs in frames:
-        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
-        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    for spec in frames:
+        if isinstance(spec, dict):
+            index_of = spec["index_of"]
+            delay_cs = spec.get("delay_cs", 0)
+            left, top = spec.get("left", 0), spec.get("top", 0)
+            fw = spec.get("width", width - left)
+            fh = spec.get("height", height - top)
+            disposal = spec.get("disposal", 0)
+            transparent = spec.get("transparent")
+        else:
+            index_of, delay_cs = spec
+            left = top = disposal = 0
+            fw, fh = width, height
+            transparent = None
+        if left + fw > width or top + fh > height:
+            raise ValueError("frame rectangle exceeds the logical screen")
+        gflags = ((disposal & 0x07) << 2) | (1 if transparent is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([gflags]) + struct.pack("<H", delay_cs)
+        out += bytes([transparent or 0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh) + b"\x00"
         out.append(mcs)
-        idx = bytes(
-            index_of(x, y) & 0xFF for y in range(height) for x in range(width)
-        )
+        idx = bytes(index_of(x, y) & 0xFF for y in range(fh) for x in range(fw))
         comp = _lzw_compress_gif(idx, mcs)
         for i in range(0, len(comp), 255):
             chunk = comp[i : i + 255]
@@ -1591,30 +1710,21 @@ def gif_scene_cuts(
     ahash/BT.601 convention), flagged when ``sad >= threshold``. Web GIFs
     are the animation container scraped corpora actually contain; cut
     detection decides which frames deserve the (expensive) downstream
-    image models. One ``mapInPandas`` scan, frames never leave the task;
-    one row per transition ``(id, frame, sad, is_cut)``; single-frame
-    GIFs emit no rows."""
+    image models. Frames come from :func:`decode_gif_composited` (round-9
+    verdict #4): an OPTIMIZED GIF's sub-rectangle/transparent/disposal-2
+    frames render onto the logical screen first, so SAD always compares
+    full canvases — for plain full-size frames the composition is the
+    identity, preserving every previous result. One ``mapInPandas`` scan,
+    frames never leave the task; one row per transition ``(id, frame,
+    sad, is_cut)``; single-frame GIFs emit no rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, frames, sads = [], [], []
             for i, p in zip(pdf[id_col], pdf[bin_col]):
-                fs = decode_gif_frames(p)
+                fs = decode_gif_composited(p)
                 if len(fs) < 2:
                     continue
-                for f in fs:
-                    # SAD compares frames POSITIONALLY: an optimized GIF
-                    # whose frame is a sub-rectangle (nonzero offset or
-                    # smaller than frame 0) would either misalign silently
-                    # or crash np.stack — reject up front, same
-                    # stdlib-tier contract as interlaced GIFs.
-                    if (f["left"], f["top"]) != (0, 0) or (
-                        f["width"], f["height"]
-                    ) != (fs[0]["width"], fs[0]["height"]):
-                        raise ValueError(
-                            "sub-rectangle GIF frames not supported in the "
-                            "stdlib tier (offset or non-uniform frame size)"
-                        )
                 luma = np.stack(
                     [
                         299 * f["pixels"][:, :, 0].astype(np.int64)
