@@ -38,6 +38,9 @@ __all__ = [
     "mix_sources",
     "temperature_mix",
     "remove_boilerplate_lines",
+    "SLOPPY_CP1252_HIGH",
+    "fix_mojibake_expr",
+    "fix_encoding",
 ]
 
 #: Pattern set kept deliberately in the regex subset valid in BOTH Java
@@ -224,4 +227,112 @@ def remove_boilerplate_lines(
     # left join back: all-boilerplate docs return empty, never vanish
     return df.select(F.col(id_col)).join(assembled, id_col, "left").select(
         F.col(id_col), F.coalesce("cleaned", F.lit("")).alias("cleaned")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Encoding repair (round-9 verdict #5): CP1252-in-UTF-8 mojibake fix
+# ---------------------------------------------------------------------------
+# The standard web-corpus defect: UTF-8 bytes decoded as Windows-1252
+# somewhere upstream, so "café" arrives as "cafÃ©" and "it’s" as "itâ€™s".
+# The repair inverts that mis-decode for the three dominant sequence
+# classes — deterministic byte-table mapping, the ftfy idea restated as
+# pure Column expressions so a DuckDB oracle replays it byte-for-byte:
+#
+# - 2-byte UTF-8 (C2/C3 xx, Latin-1 supplement): 'Â'/'Ã' followed by the
+#   CP1252 rendering of a continuation byte -> the original codepoint;
+# - 3-byte UTF-8 E2 80 xx (general punctuation — curly quotes, dashes,
+#   ellipsis): 'â€' + one table char;
+# - the euro special case E2 82 AC -> 'â‚¬'.
+#
+# The byte<->char table is "sloppy CP1252": the five bytes CP1252 leaves
+# undefined (81 8D 8F 90 9D) map to their own C1 codepoints — the
+# Windows-API best-fit convention real mojibake exhibits, and what keeps
+# the 64-entry table CONTIGUOUS so a char's position IS its byte value.
+#
+# The repair is intentionally conservative: a marker char ('Ã', 'Â', 'â')
+# whose follower is NOT in the table passes through untouched, so
+# legitimate text ("São Paulo" has ã, not Ã; "â" followed by a space)
+# is never rewritten. Single-pass per class, classes applied longest-
+# sequence-first (euro, then 3-byte, then Ã, then Â) — re-decoding output
+# of an earlier class is out of scope (double-encoded mojibake needs the
+# iterated fix; documented seam).
+
+
+def _sloppy_cp1252(b: int) -> str:
+    try:
+        return bytes([b]).decode("cp1252")
+    except UnicodeDecodeError:  # 81 8D 8F 90 9D: best-fit to the C1 point
+        return chr(b)
+
+
+#: CP1252 renderings of bytes 0x80..0xBF, position k = byte 0x80+k
+SLOPPY_CP1252_HIGH = "".join(_sloppy_cp1252(b) for b in range(0x80, 0xC0))
+#: repair targets: 'Ã'+c -> U+00C0+k (2-byte lead C3)
+_TO_C3 = "".join(chr(0xC0 + k) for k in range(64))
+#: repair targets: 'Â'+c -> U+0080+k (2-byte lead C2)
+_TO_C2 = "".join(chr(0x80 + k) for k in range(64))
+#: repair targets: 'â€'+c -> U+2000+k (3-byte lead E2, mid 80)
+_TO_E280 = "".join(chr(0x2000 + k) for k in range(64))
+
+
+def _repair_class(col: Column, marker: str, prefix: str, to_table: str) -> Column:
+    """One repair class as a split/aggregate HOF (the entity-decode shape
+    from operators/html.py): split on ``marker``; each later fragment
+    whose text starts with ``prefix`` + a table char is rewritten through
+    ``translate``; anything else gets its marker restored verbatim."""
+    parts = F.split(col, marker)
+    plen = len(prefix)
+    probe = lambda p: F.substring(p, plen + 1, 1)  # noqa: E731
+
+    def step(acc: Column, p: Column) -> Column:
+        ok = (F.length(p) >= plen + 1) & (
+            F.instr(F.lit(SLOPPY_CP1252_HIGH), probe(p)) > 0
+        )
+        if plen:
+            ok = ok & (F.substring(p, 1, plen) == prefix)
+        return F.concat(
+            acc,
+            F.when(
+                ok,
+                F.concat(
+                    F.translate(probe(p), SLOPPY_CP1252_HIGH, to_table),
+                    F.substring(p, plen + 2, 0x7FFFFFFF),
+                ),
+            ).otherwise(F.concat(F.lit(marker), p)),
+        )
+
+    tail = F.aggregate(
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+        F.lit("").cast("string"),
+        step,
+    )
+    return F.concat(F.element_at(parts, 1), tail)
+
+
+def fix_mojibake_expr(col: Column) -> Column:
+    """The full CP1252-in-UTF-8 repair as one Column expression (see the
+    section comment for the spec). Whole-stage codegen, zero UDFs."""
+    s = F.replace(col, F.lit("â‚¬"), F.lit("€"))  # â‚¬ -> €
+    s = _repair_class(s, "â", "€", _TO_E280)  # â€x (E2 80 xx)
+    s = _repair_class(s, "Ã", "", _TO_C3)          # Ãx  (C3 xx)
+    s = _repair_class(s, "Â", "", _TO_C2)          # Âx  (C2 xx)
+    return s
+
+
+def fix_encoding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encoding-repair stage → ``(id, text, n_repaired)`` where
+    ``n_repaired`` counts repaired characters (each fix shrinks the text
+    by the sequence length minus one, so it is the length delta). One
+    narrow projection — map-only, fuses into the scan at 100 TB, sits
+    between HTML extraction and normalization in the cleaning chain."""
+    fixed = fix_mojibake_expr(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        fixed.alias("text"),
+        (F.length(F.col(text_col)) - F.length(fixed)).cast("long").alias("n_repaired"),
     )
