@@ -11,6 +11,17 @@ scheduler jitter dominates there and ratios are meaningless).
 
 Usage:
     python scripts/bench_compare.py OLD.json NEW.json [--ratio 1.3] [--floor 0.5]
+    python scripts/bench_compare.py --at-risk NEW.json [--remeasure] [--at-risk-sec 10]
+
+AT-RISK MODE (round-10, the r9 lesson): a 13 s committed median against a
+15 s driver gate ships a coin flip — r9's unigram_segment measured 13.2 s
+on the builder's quiet host and 23.1 s in the driver's run (rc=1). Any
+entry whose committed normalized time exceeds 2/3 of the budget (10 s) is
+therefore AT RISK and must be adjudicated before round close:
+``--at-risk`` lists them; ``--remeasure`` re-runs each ISOLATED (one warm
+discard + 3 timed reps, medians are the truth — the BENCH_COMPARE_r8_r9
+burst-adjudication protocol) and writes the committed record
+``BENCH_ATRISK.json`` that tests/test_bench_guard.py gates on.
 
 Old-format files (round <= 8) carry only raw `all_queries` +
 `host_slowdown`; per-entry normalized values are derived as
@@ -24,7 +35,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def normalized_entries(path: str) -> dict[str, float]:
@@ -36,14 +50,90 @@ def normalized_entries(path: str) -> dict[str, float]:
     return {n: t / slow for n, t in d.get("all_queries", {}).items()}
 
 
+def at_risk_entries(path: str, threshold: float) -> dict[str, float]:
+    return {
+        n: t for n, t in normalized_entries(path).items() if t > threshold
+    }
+
+
+def remeasure(names: list[str], sf_dir: str, reps: int = 3) -> dict:
+    """Isolated warm re-measure: per entry, one discard rep (fresh-session
+    mapInPandas worker spawn is ~7 s of session cost, never entry cost)
+    then ``reps`` timed reps; the MEDIAN is the committed adjudication
+    value. Cache cleared between reps so one rep cannot subsidize the
+    next."""
+    import statistics
+    import time
+
+    from zio_analytics_spark import catalog
+    from zio_analytics_spark.session import get_spark
+
+    spark = get_spark("bench_atrisk")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    out = {}
+    qs = catalog.queries()
+    for name in names:
+        fn = qs[name]
+        times = []
+        for rep in range(reps + 1):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+            if rep:  # rep 0 is the warm-up discard
+                times.append(dt)
+        out[name] = {"median": round(statistics.median(times), 3), "reps": times}
+        print(f"# at-risk remeasure {name}: median {out[name]['median']}s "
+              f"reps {times}", file=sys.stderr)
+    return out
+
+
+def run_at_risk(args) -> None:
+    threshold = args.at_risk_sec
+    risky = at_risk_entries(args.new, threshold)
+    print(f"# at-risk entries (> {threshold}s normalized) in {args.new}: "
+          f"{len(risky)}")
+    for n, t in sorted(risky.items(), key=lambda x: -x[1]):
+        print(f"  {n}: {t:.3f}s")
+    if not args.remeasure:
+        return
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    measured = remeasure(sorted(risky), sf_dir)
+    record = {
+        "source": args.new,
+        "threshold_sec": threshold,
+        "sf_dir": sf_dir,
+        "measured": measured,
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_ATRISK.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"# wrote {out_path}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("old")
+    ap.add_argument("old", nargs="?")
     ap.add_argument("new")
     ap.add_argument("--ratio", type=float, default=1.3)
     ap.add_argument("--floor", type=float, default=0.5,
                     help="ignore entries faster than this in both rounds")
+    ap.add_argument("--at-risk", action="store_true",
+                    help="list entries over --at-risk-sec in NEW (single file)")
+    ap.add_argument("--remeasure", action="store_true",
+                    help="with --at-risk: isolated 3-rep re-measure, write "
+                         "BENCH_ATRISK.json")
+    ap.add_argument("--at-risk-sec", type=float, default=10.0,
+                    help="at-risk threshold (2/3 of the 15s budget)")
     args = ap.parse_args()
+    if args.at_risk:
+        run_at_risk(args)
+        sys.exit(0)
+    if args.old is None:
+        ap.error("OLD and NEW are both required outside --at-risk mode")
     old = normalized_entries(args.old)
     new = normalized_entries(args.new)
     regressions, improvements = [], []
