@@ -61,21 +61,21 @@ def test_entity_layer(spark):
     got = _extract(
         spark,
         [
-            # decimal numerics in the engine-agreeing 1..255 range decode;
-            # larger codepoints and hex entities pass through literally
-            (1, "caf&#233; &#65;&#66;&#67; big &#70000; hex &#x41; end"),
+            # decimal AND hex numerics in the engine-agreeing 1..255
+            # range decode; larger codepoints pass through literally
+            (1, "caf&#233; &#65;&#66;&#67; big &#70000; hex &#x41;&#xe9; end"),
             # named core set + the double-decode pitfall: &amp;lt; must
             # yield the literal text '&lt;', never '<'
             (2, "&lt;tag&gt; &amp;lt; &quot;q&quot; &apos;a&apos; x&nbsp;y"),
-            # out-of-set named entity passes through
-            (3, "&copy; 2026 &amp;amp; co"),
+            # curated named set decodes; out-of-set &alpha; passes through
+            (3, "&copy; 2026 &amp;amp; co &mdash; &alpha; &euro;5 &#x1F600;"),
             # '&#' with no digits/semicolon is restored verbatim
             (4, "tail &# loose and a&#zz;b"),
         ],
     )
-    assert got[1] == "café ABC big &#70000; hex &#x41; end"
+    assert got[1] == "café ABC big &#70000; hex Aé end"
     assert got[2] == "<tag> &lt; \"q\" 'a' x y"
-    assert got[3] == "&copy; 2026 &amp; co"
+    assert got[3] == "© 2026 &amp; co — &alpha; €5 &#x1F600;"
     assert got[4] == "tail &# loose and a&#zz;b"
 
 

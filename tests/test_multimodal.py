@@ -899,16 +899,31 @@ def test_gif_composited_subrect_disposal_transparency():
     assert (fs[2]["width"], fs[2]["height"]) == (W, H)
 
 
-def test_gif_composited_rejects_exotic():
+def test_gif_composited_disposal3_and_corrupt_rect():
+    import numpy as np
+
     from zio_analytics_spark.operators.multimodal import (
         decode_gif_composited,
         encode_gif_animation,
     )
 
     pal = _gif_pal()
-    with pytest.raises(ValueError, match="restore to previous"):
-        decode_gif_composited(encode_gif_animation(
-            4, 4, [{"index_of": lambda x, y: 1, "disposal": 3}], pal))
+    # disposal 3 (restore to previous): the painted rect reverts to its
+    # PRE-PAINT pixels before the next frame renders
+    frames = [
+        {"index_of": lambda x, y: 40, "delay_cs": 1},                  # full
+        {"index_of": lambda x, y: 90, "delay_cs": 1, "left": 1,
+         "top": 1, "width": 2, "height": 2, "disposal": 3},
+        {"index_of": lambda x, y: 200, "delay_cs": 1, "left": 0,
+         "top": 0, "width": 1, "height": 1},
+    ]
+    fs = decode_gif_composited(encode_gif_animation(4, 4, frames, pal))
+    rgb = lambda i: np.array(pal[i], dtype=np.uint8)
+    assert np.array_equal(fs[1]["pixels"][1:3, 1:3], np.tile(rgb(90), (2, 2, 1)))
+    want = np.tile(rgb(40), (4, 4, 1))
+    want[0, 0] = rgb(200)  # frame 1's rect restored, only frame 2 differs
+    assert np.array_equal(fs[2]["pixels"], want)
+
     # a frame rect past the logical screen is corrupt, not composable
     payload = bytearray(encode_gif_animation(
         4, 4, [{"index_of": lambda x, y: 1, "left": 2, "width": 2}], pal))

@@ -9320,13 +9320,64 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _html_named_chain_sql(expr: str) -> str:
+    """The named-entity replace chain, GENERATED from the same
+    operators/html.py NAMED_ENTITIES list the Spark expression uses —
+    the two engines cannot drift (amp stays last by list order)."""
+    from zio_analytics_spark.operators.html import NAMED_ENTITIES
+
+    for name, ch in NAMED_ENTITIES:
+        lit = ch.replace("'", "''")
+        expr = f"replace({expr}, '&{name};', '{lit}')"
+    return expr
+
+
+#: numeric-entity value (decimal or hex, engine-agreeing 1..255 range)
+_HTML_NUM_VAL = (
+    "COALESCE(TRY_CAST(regexp_extract(p, '^([0-9]{1,3});', 1) AS INT), "
+    "TRY_CAST('0x' || regexp_extract(p, '^[xX]([0-9a-fA-F]{1,2});', 1) AS INT))"
+)
+
+
+def _html_extract_ctes(carry: str) -> str:
+    """The s1→ext CTE chain mirroring html.html_text_expr for the given
+    carried columns (must include doc_id). Named chain generated from the
+    shared table; numeric decode covers decimal AND hex."""
+    return f"""s1 AS (
+      SELECT {carry},
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<[^>]*>', ' ', 'g') AS s
+      FROM h
+    ), s2 AS (
+      SELECT {carry},
+             string_split(s, '&#')[1] ||
+             list_reduce(list_prepend('', list_transform(string_split(s, '&#')[2:],
+               p -> CASE WHEN {_HTML_NUM_VAL} BETWEEN 1 AND 255
+                         THEN chr({_HTML_NUM_VAL})
+                              || regexp_replace(p, '^([0-9]{{1,3}}|[xX][0-9a-fA-F]{{1,2}});', '')
+                         ELSE '&#' || p END)),
+               (a, b) -> a || b) AS s
+      FROM s1
+    ), s3 AS (
+      SELECT {carry}, {_html_named_chain_sql('s')} AS s
+      FROM s2
+    ), ext AS (
+      SELECT {carry},
+             trim(regexp_replace(s, '[ \\t\\n\\r\\f\\x0B\\xA0]+', ' ', 'g')) AS text
+      FROM s3
+    )"""
+
+
 _HTML_SYNTH_SQL = (
     "'<!DOCTYPE html><html><head><title>Doc ' || doc_id || '</title>"
     "<style>body { font: 12px serif; } p > em { color: #333; }</style>"
     '<script type="text/javascript">if (n < 3 && m > 4) { track("\' || lang || \'"); }</script>'
     "</head><body><!-- crawler: doc ' || doc_id || ' --><h1>Doc ' || doc_id || "
     "' &#91;' || lang || '&#93;</h1><p>' || replace(text, 'e', '&#101;') || "
-    "'</p><footer>&copy; corp &amp;amp; co&nbsp;2026</footer></body></html>'"
+    "'</p><footer>&copy; &alpha; corp &amp;amp; co&nbsp;2026</footer></body></html>'"
 )
 
 # the oracle-side mirror of operators/html.py html_text_expr — every regex
@@ -9335,34 +9386,7 @@ _HTML_SYNTH_SQL = (
 _HTML_EXTRACT_ORACLE = f"""
     WITH h AS (
       SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents
-    ), s1 AS (
-      SELECT doc_id,
-             regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-               '(?s)<!--.*?-->', ' ', 'g'),
-               '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-               '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-               '(?s)<[^>]*>', ' ', 'g') AS s
-      FROM h
-    ), s2 AS (
-      SELECT doc_id,
-             string_split(s, '&#')[1] ||
-             list_reduce(list_prepend('', list_transform(string_split(s, '&#')[2:],
-               p -> CASE WHEN TRY_CAST(regexp_extract(p, '^([0-9]{{1,3}});', 1) AS INT) BETWEEN 1 AND 255
-                         THEN chr(CAST(regexp_extract(p, '^([0-9]{{1,3}});', 1) AS INT)) || regexp_replace(p, '^[0-9]{{1,3}};', '')
-                         ELSE '&#' || p END)),
-               (a, b) -> a || b) AS s
-      FROM s1
-    ), s3 AS (
-      SELECT doc_id,
-             replace(replace(replace(replace(replace(replace(s,
-               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
-               '&nbsp;', ' '), '&amp;', '&') AS s
-      FROM s2
-    ), ext AS (
-      SELECT doc_id,
-             trim(regexp_replace(s, '[ \\t\\n\\r\\f\\x0B\\xA0]+', ' ', 'g')) AS text
-      FROM s3
-    )
+    ), {_html_extract_ctes('doc_id')}
     SELECT doc_id, md5(text) AS text_md5, length(text)::BIGINT AS n_chars
     FROM ext
 """
@@ -9377,8 +9401,9 @@ def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     a <style> block with a '>' inside a selector, a <script> block with
     '<' and '&&' inside JS, an HTML comment, an <h1>, the body text with
     every 'e' re-encoded as the decimal entity &#101;, and a footer
-    exercising named entities, NBSP, the &amp;amp; double-decode pitfall,
-    and an out-of-set &copy; that must pass through literally. Extraction
+    exercising named entities (incl. &copy; from the curated table), NBSP,
+    the &amp;amp; double-decode pitfall, and an out-of-set &alpha; that
+    must pass through literally. Extraction
     is ONE chain of regexp_replace Columns + a single aggregate HOF for
     numeric entities — whole-stage codegen, zero UDFs, zero shuffles (a
     map-only stage that fuses into the scan at 100 TB). The md5 makes the
@@ -9404,7 +9429,7 @@ def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang"),
             F.lit("&#93;</h1><p>"),
             F.replace(F.col("text"), F.lit("e"), F.lit("&#101;")),
-            F.lit("</p><footer>&copy; corp &amp;amp; co&nbsp;2026</footer></body></html>"),
+            F.lit("</p><footer>&copy; &alpha; corp &amp;amp; co&nbsp;2026</footer></body></html>"),
         ).alias("html"),
     )
     out = html_extract_text(synth)
@@ -9497,46 +9522,62 @@ def q_text_utf8_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_html_extract", oracle=_HTML_EXTRACT_ORACLE)
+def q_streaming_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HTML lane on the STREAMING runtime — how a live crawl actually
+    consumes it: the same synthesized shell + html_text_expr chain as
+    html_extract_text, run as a STATELESS append-mode map over the
+    document stream. No state store, no watermark, no Python worker —
+    the extraction chain is pure codegen Columns, so serving scales with
+    plain stream parallelism (the streaming_quality_score deployment
+    shape). The oracle is the identical batch replay: a stateless map
+    over a bounded stream is batch-equivalent by construction."""
+    from zio_analytics_spark.operators.html import html_text_expr
+    from zio_analytics_spark.sources.streaming import stream_table
+
+    st = stream_table(spark, sf_dir, "documents")
+    synth = st.select(
+        "doc_id",
+        F.concat(
+            F.lit("<!DOCTYPE html><html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                "</title><style>body { font: 12px serif; } p > em { color: #333; }"
+                '</style><script type="text/javascript">if (n < 3 && m > 4) { track("'
+            ),
+            F.col("lang"),
+            F.lit('"); }</script></head><body><!-- crawler: doc '),
+            F.col("doc_id").cast("string"),
+            F.lit(" --><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" &#91;"),
+            F.col("lang"),
+            F.lit("&#93;</h1><p>"),
+            F.replace(F.col("text"), F.lit("e"), F.lit("&#101;")),
+            F.lit("</p><footer>&copy; &alpha; corp &amp;amp; co&nbsp;2026</footer></body></html>"),
+        ).alias("html"),
+    )
+    out = synth.select(
+        "doc_id",
+        F.md5(html_text_expr(F.col("html"))).alias("text_md5"),
+        F.length(html_text_expr(F.col("html"))).cast("long").alias("n_chars"),
+    )
+    return _run_append(out, "stream_html_extract")
+
+
 _HTML_SYNTH_V3_SQL = (
     "'<html><head><title>Corpus page</title>"
     "<style>a > b { x: y; }</style>"
     '<script>if (i < 2 && j > 1) { t("\' || lang || \'"); }</script>'
     "</head><body><!-- crawl --><h1>&#91;' || lang || '&#93;</h1><p>' || "
     "replace(text, 'e', '&#101;') || "
-    "'</p><footer>&copy; corp &amp;amp; co&nbsp;2026</footer></body></html>'"
+    "'</p><footer>&copy; &alpha; corp &amp;amp; co&nbsp;2026</footer></body></html>'"
 )
 
 _LLM_V3_ORACLE = f"""
     WITH h AS (
       SELECT doc_id, lang, {_HTML_SYNTH_V3_SQL} AS html FROM documents
-    ), s1 AS (
-      SELECT doc_id, lang,
-             regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-               '(?s)<!--.*?-->', ' ', 'g'),
-               '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-               '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-               '(?s)<[^>]*>', ' ', 'g') AS s
-      FROM h
-    ), s2 AS (
-      SELECT doc_id, lang,
-             string_split(s, '&#')[1] ||
-             list_reduce(list_prepend('', list_transform(string_split(s, '&#')[2:],
-               p -> CASE WHEN TRY_CAST(regexp_extract(p, '^([0-9]{{1,3}});', 1) AS INT) BETWEEN 1 AND 255
-                         THEN chr(CAST(regexp_extract(p, '^([0-9]{{1,3}});', 1) AS INT)) || regexp_replace(p, '^[0-9]{{1,3}};', '')
-                         ELSE '&#' || p END)),
-               (a, b) -> a || b) AS s
-      FROM s1
-    ), s3 AS (
-      SELECT doc_id, lang,
-             replace(replace(replace(replace(replace(replace(s,
-               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
-               '&nbsp;', ' '), '&amp;', '&') AS s
-      FROM s2
-    ), ext AS (
-      SELECT doc_id, lang,
-             trim(regexp_replace(s, '[ \\t\\n\\r\\f\\x0B\\xA0]+', ' ', 'g')) AS text
-      FROM s3
-    ), gate AS (
+    ), {_html_extract_ctes('doc_id, lang')}, gate AS (
       SELECT * FROM ext WHERE length(text) >= 40
     ), kid AS (
       SELECT text, min(doc_id) AS kid FROM gate GROUP BY text
@@ -9587,7 +9628,7 @@ def q_llm_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang"),
             F.lit("&#93;</h1><p>"),
             F.replace(F.col("text"), F.lit("e"), F.lit("&#101;")),
-            F.lit("</p><footer>&copy; corp &amp;amp; co&nbsp;2026</footer></body></html>"),
+            F.lit("</p><footer>&copy; &alpha; corp &amp;amp; co&nbsp;2026</footer></body></html>"),
         ).alias("html"),
     )
     ext = synth.select(

@@ -28,13 +28,14 @@ Extraction spec (deterministic, documented — the contract tests pin):
    decode here, so unlike the codecs there is no corrupt-payload lane to
    route to — the worst malformed case is stray text, which the
    downstream quality filters are built to score down);
-4. decode DECIMAL numeric entities ``&#N;`` for 1 ≤ N ≤ 255 (the Latin-1
-   range where Spark ``char`` and DuckDB ``chr`` agree character-for-
-   character; larger codepoints and hex entities pass through literally —
-   documented seam, same class as the codec-library seams);
-5. decode the named core set: ``&lt; &gt; &quot; &apos; &nbsp;`` then
-   ``&amp;`` LAST (the classic double-decode pitfall: ``&amp;lt;`` must
-   yield the literal text ``&lt;``, not ``<``);
+4. decode NUMERIC entities — decimal ``&#N;`` and hex ``&#xHH;`` — for
+   1 ≤ value ≤ 255 (the Latin-1 range where Spark ``char`` and DuckDB
+   ``chr`` agree character-for-character; larger codepoints pass through
+   literally — documented seam, same class as the codec-library seams);
+5. decode the curated NAMED set (:data:`NAMED_ENTITIES` — structural +
+   punctuation/symbol entities) with ``&amp;`` LAST (the classic
+   double-decode pitfall: ``&amp;lt;`` must yield the literal text
+   ``&lt;``, not ``<``);
 6. collapse whitespace runs (explicit class — Java regex and RE2 disagree
    on ``\\s``'s vertical tab; NBSP, what ``&nbsp;`` decodes to, collapses
    like a space) to one space and trim.
@@ -49,10 +50,51 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["html_text_expr", "html_extract_text"]
+__all__ = ["html_text_expr", "html_extract_text", "NAMED_ENTITIES"]
 
 #: whitespace-collapse class shared with the oracle (explicit — no \s)
 _WS = r"[ \t\n\r\f\x0B\u00A0]+"
+
+#: the curated NAMED entity set, decoded in this exact order — ``amp``
+#: strictly LAST (the double-decode pitfall: ``&amp;lt;`` must yield the
+#: literal text ``&lt;``, never ``<``; every other entry's output
+#: contains no '&', so their relative order is immaterial). The catalog
+#: oracle generates its replace chain from THIS list, so the two engines
+#: cannot drift. Latin-letter entities (``&eacute;`` …) stay out of
+#: scope — real corpora reach those codepoints via the numeric forms the
+#: decoder covers; the documented seam.
+NAMED_ENTITIES: list[tuple[str, str]] = [
+    ("lt", "<"),
+    ("gt", ">"),
+    ('quot', '"'),
+    ("apos", "'"),
+    ("nbsp", " "),
+    ("mdash", "—"),
+    ("ndash", "–"),
+    ("hellip", "…"),
+    ("lsquo", "‘"),
+    ("rsquo", "’"),
+    ("ldquo", "“"),
+    ("rdquo", "”"),
+    ("bull", "•"),
+    ("middot", "·"),
+    ("copy", "©"),
+    ("reg", "®"),
+    ("trade", "™"),
+    ("deg", "°"),
+    ("plusmn", "±"),
+    ("sect", "§"),
+    ("para", "¶"),
+    ("laquo", "«"),
+    ("raquo", "»"),
+    ("times", "×"),
+    ("divide", "÷"),
+    ("euro", "€"),
+    ("pound", "£"),
+    ("yen", "¥"),
+    ("cent", "¢"),
+    ("amp", "&"),
+]
 
 
 def html_text_expr(col: Column) -> Column:
@@ -68,32 +110,37 @@ def html_text_expr(col: Column) -> Column:
     # 3: every complete tag (incl. DOCTYPE/PI) -> one space; a lone
     # unterminated '<' stays literal text
     s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
-    # 4: decimal numeric entities via ONE aggregate over the '&#'-split
-    # fragments: fragment "233;rest" -> char(233) + "rest" when in the
-    # engine-agreeing 1..255 range, else the '&#' is restored verbatim
+    # 4: numeric entities (decimal AND hex) via ONE aggregate over the
+    # '&#'-split fragments: "233;rest" -> char(233)+"rest", "xE9;rest" ->
+    # char(0xE9)+"rest" when in the engine-agreeing 1..255 range, else
+    # the '&#' is restored verbatim
     parts = F.split(s, r"&#")
-    # try_cast: a fragment with no leading entity extracts '' (ANSI cast
-    # would throw); NULL falls through to the otherwise branch
-    ent = lambda p: F.regexp_extract(p, r"^([0-9]{1,3});", 1).try_cast("int")  # noqa: E731
+
+    def _val(p: Column) -> Column:
+        # try_cast: a fragment with no leading entity extracts '' (ANSI
+        # cast would throw); NULL falls through to the otherwise branch
+        dec = F.regexp_extract(p, r"^([0-9]{1,3});", 1).try_cast("int")
+        hxs = F.regexp_extract(p, r"^[xX]([0-9a-fA-F]{1,2});", 1)
+        return F.coalesce(
+            dec, F.when(hxs != "", F.conv(hxs, 16, 10).cast("int"))
+        )
+
+    _strip = r"^([0-9]{1,3}|[xX][0-9a-fA-F]{1,2});"
     decoded_tail = F.aggregate(
         F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
         F.lit("").cast("string"),
         lambda acc, p: F.concat(
             acc,
             F.when(
-                ent(p).between(1, 255),
-                F.concat(F.char(ent(p)), F.regexp_replace(p, r"^[0-9]{1,3};", "")),
+                _val(p).between(1, 255),
+                F.concat(F.char(_val(p)), F.regexp_replace(p, _strip, "")),
             ).otherwise(F.concat(F.lit("&#"), p)),
         ),
     )
     s = F.concat(F.element_at(parts, 1), decoded_tail)
-    # 5: named core set; &amp; strictly last (double-decode pitfall)
-    s = F.replace(s, F.lit("&lt;"), F.lit("<"))
-    s = F.replace(s, F.lit("&gt;"), F.lit(">"))
-    s = F.replace(s, F.lit("&quot;"), F.lit('"'))
-    s = F.replace(s, F.lit("&apos;"), F.lit("'"))
-    s = F.replace(s, F.lit("&nbsp;"), F.lit(" "))
-    s = F.replace(s, F.lit("&amp;"), F.lit("&"))
+    # 5: the curated named set, amp strictly last (double-decode pitfall)
+    for name, ch in NAMED_ENTITIES:
+        s = F.replace(s, F.lit(f"&{name};"), F.lit(ch))
     # 6: collapse + trim (the collapse emits only ASCII spaces, which is
     # exactly what trim strips)
     return F.trim(F.regexp_replace(s, _WS, " "))

@@ -1591,8 +1591,10 @@ def decode_gif_composited(payload: bytes) -> list:
     - disposal 0/1 (unspecified / do not dispose): canvas persists;
       disposal 2 (restore to background): the frame's rect resets to the
       background color after the frame is shown;
-    - disposal 3 (restore to previous) raises ``ValueError`` — genuinely
-      exotic (needs a saved-canvas stack; route to a codec library).
+    - disposal 3 (restore to previous): the frame's rect resets to its
+      pre-paint pixels — ONE saved region per such frame (the spec's
+      restore point is the state before THIS frame rendered, so no
+      canvas stack is needed; state stays bounded by the rect size).
 
     Full-size non-transparent frames compose to exactly their own pixels,
     so this is a strict generalization of the positional grain."""
@@ -1610,15 +1612,11 @@ def decode_gif_composited(payload: bytes) -> list:
     canvas[:, :] = bg
     frames = []
     for f in _iter_gif_frames(b):
-        if f["disposal"] == 3:
-            raise ValueError(
-                "GIF disposal 'restore to previous' not supported in the "
-                "stdlib tier; route to a codec library"
-            )
         t, l, h, w = f["top"], f["left"], f["height"], f["width"]
         if t + h > sh or l + w > sw:
             raise ValueError("GIF frame rectangle exceeds the logical screen")
         region = canvas[t : t + h, l : l + w]
+        saved = region.copy() if f["disposal"] == 3 else None
         mask = f["transparent_mask"]
         if mask is None:
             region[:, :] = f["pixels"]
@@ -1630,6 +1628,8 @@ def decode_gif_composited(payload: bytes) -> list:
         )
         if f["disposal"] == 2:
             canvas[t : t + h, l : l + w] = bg
+        elif f["disposal"] == 3:
+            canvas[t : t + h, l : l + w] = saved
     if not frames:
         raise ValueError("GIF contains no image block")
     return frames
