@@ -135,3 +135,27 @@ def test_plan_is_map_only(spark):
     plan = html_extract_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_extract_links_and_title(spark):
+    """Crawl-frontier extraction: anchor hrefs in both quote styles
+    (double-quoted pass first, then single-quoted), &amp; decoding inside
+    URLs, non-anchor href-bearing tags excluded, title collapsed."""
+    from zio_analytics_spark.operators.html import html_extract_links
+
+    df = spark.createDataFrame(
+        [
+            (1, '<html><head><title>  My\n  Page </title></head><body>'
+                '<a class="z" href="/a">x</a> <A HREF="/b?x=1&amp;y=2">y</A> '
+                "<link href=\"/style.css\"> <a href='/c'>z</a></body></html>"),
+            (2, "no links here"),
+            (3, '<a href="">empty</a><a name="anchor">no href</a>'),
+        ],
+        "doc_id long, html string",
+    )
+    got = {r["doc_id"]: r for r in html_extract_links(df).collect()}
+    assert got[1]["title"] == "My Page"
+    assert got[1]["links"] == ["/a", "/b?x=1&y=2", "/c"]
+    assert got[1]["n_links"] == 3
+    assert got[2]["title"] == "" and got[2]["links"] == [] and got[2]["n_links"] == 0
+    assert got[3]["links"] == [""]  # empty href is still an anchor href

@@ -9522,6 +9522,53 @@ def q_text_utf8_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "html_extract_links",
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || doc_id || ' — ' || lang AS title,
+           ['/page/' || doc_id,
+            'https://ex.org/q?a=' || doc_id || '&b=' || (doc_id % 7),
+            '/' || lang || '/next'] AS links,
+           3::INT AS n_links
+    FROM documents
+    """,
+)
+def q_html_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier extraction (html.html_extract_links): the OTHER
+    consumer of raw HTML beside visible text — the next-hop href list
+    that feeds a crawler's frontier, plus the <title> for provenance.
+    Synthesis per doc: a title with collapse-needing whitespace, one
+    double-quoted relative href, one double-quoted absolute href whose
+    query string carries the &amp; that must decode, one single-quoted
+    href, and a non-anchor tag with an href-looking attribute that must
+    NOT match. Pure regexp Columns, map-only; analytic oracle."""
+    from zio_analytics_spark.operators.html import html_extract_links
+
+    docs = read_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>  Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("\n —  "),
+            F.col("lang"),
+            F.lit('  </title></head><body><a class="x" href="/page/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">p</a> <a href="https://ex.org/q?a='),
+            F.col("doc_id").cast("string"),
+            F.lit("&amp;b="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\">q</a> <link href=\"/style.css\"> <a href='/"),
+            F.col("lang"),
+            F.lit("/next'>n</a></body></html>"),
+        ).alias("html"),
+    )
+    return html_extract_links(synth).select(
+        "doc_id", "title", "links", F.col("n_links").cast("int").alias("n_links")
+    )
+
+
 @register("streaming_html_extract", oracle=_HTML_EXTRACT_ORACLE)
 def q_streaming_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HTML lane on the STREAMING runtime — how a live crawl actually

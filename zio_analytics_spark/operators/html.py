@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["html_text_expr", "html_extract_text", "NAMED_ENTITIES"]
+__all__ = ["html_text_expr", "html_extract_text", "html_extract_links", "NAMED_ENTITIES"]
 
 #: whitespace-collapse class shared with the oracle (explicit — no \s)
 _WS = r"[ \t\n\r\f\x0B\u00A0]+"
@@ -161,4 +161,53 @@ def html_extract_text(
         F.col(id_col),
         out.alias("text"),
         F.length(out).alias("n_chars"),
+    )
+
+
+def html_extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-frontier extraction → ``(id, title, links array<string>,
+    n_links)`` — the OTHER consumer of raw HTML beside visible text: the
+    next-hop URL list that feeds a crawler's frontier, plus the page
+    title for provenance/ranking.
+
+    Spec (deterministic, oracle-replayable):
+
+    - ``links``: every ``href`` value of an ``<a …>`` tag —
+      double-quoted values in document order, then single-quoted ones
+      (two extraction passes; a crawler's frontier is a SET, so relative
+      order across quote styles is immaterial and keeping the passes
+      separate keeps both regexes trivially cross-engine); ``&amp;``
+      inside URLs decodes (the one entity that legitimately appears in
+      query strings);
+    - ``title``: the first ``<title>`` element's contents,
+      whitespace-collapsed and trimmed (same class as html_text_expr's
+      step 6).
+
+    Same scale shape as :func:`html_extract_text`: pure regexp Column
+    expressions, map-only, fuses into the scan."""
+    dq = F.regexp_extract_all(
+        F.col(html_col), F.lit(r'(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"'), 1
+    )
+    sq = F.regexp_extract_all(
+        F.col(html_col), F.lit(r"(?is)<a\b[^>]*?href\s*=\s*'([^']*)'"), 1
+    )
+    links = F.transform(
+        F.concat(dq, sq), lambda u: F.replace(u, F.lit("&amp;"), F.lit("&"))
+    )
+    title = F.trim(
+        F.regexp_replace(
+            F.regexp_extract(F.col(html_col), r"(?is)<title[^>]*>(.*?)</title>", 1),
+            _WS,
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        title.alias("title"),
+        links.alias("links"),
+        F.size(links).alias("n_links"),
     )
