@@ -265,3 +265,55 @@ def test_fix_encoding_plan_is_map_only(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     plan = fix_encoding(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_fix_encoding_double_encoded_needs_two_passes(spark):
+    """DOUBLE-encoded 2-byte mojibake ('ÃƒÂ©' — Latin-1 text mis-decoded
+    twice) unpeels one layer per pass; extra passes on clean or
+    singly-encoded text are no-ops (the conservative-follower contract
+    makes iteration safe). Iterated 3-byte punctuation is the documented
+    seam — pinned here as NOT fully repairing (the euro shortcut fires
+    inside the outer layer, so the inner form is no longer canonical)."""
+    from zio_analytics_spark.operators.cleaning import fix_encoding
+
+    double = _mojibake(_mojibake("café résumé naïve ±3 °C"))
+    single = _mojibake("café")
+    seam = _mojibake(_mojibake("it’s"))  # 3-byte class, twice
+    df = spark.createDataFrame(
+        [(1, double), (2, single), (3, "plain"), (4, seam)],
+        "doc_id long, text string",
+    )
+    one = {r["doc_id"]: r["text"] for r in fix_encoding(df).collect()}
+    two = {r["doc_id"]: r["text"] for r in fix_encoding(df, passes=2).collect()}
+    assert one[1] == _mojibake("café résumé naïve ±3 °C")  # one layer peeled
+    assert two[1] == "café résumé naïve ±3 °C"             # both layers peeled
+    assert one[2] == two[2] == "café"                       # pass 2 is a no-op
+    assert one[3] == two[3] == "plain"
+    assert two[4] != "it’s"  # the documented 3-byte iterated seam
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fix_encoding(df, passes=0).collect()
+
+
+def test_decode_text_quarantine(spark):
+    """Binary→text gate: valid UTF-8 decodes byte-exactly (multi-byte
+    chars included), invalid payloads land in the quarantine lane with
+    NULL text — never replacement characters, never task failure."""
+    from zio_analytics_spark.operators.cleaning import decode_text_quarantine
+
+    rows = [
+        (1, bytearray("plain ascii".encode())),
+        (2, bytearray("café — naïve".encode())),
+        (3, bytearray(b"broken \xc3\x28 lead")),      # 2-byte lead + non-cont
+        (4, bytearray(b"truncated tail \xe2\x82")),   # cut 3-byte sequence
+        (5, bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_text_quarantine(df).collect()}
+    assert got[1]["ok"] and got[1]["text"] == "plain ascii"
+    assert got[2]["ok"] and got[2]["text"] == "café — naïve"
+    for i in (3, 4):
+        assert not got[i]["ok"]
+        assert got[i]["text"] is None and got[i]["error"] == "invalid UTF-8"
+    assert got[5]["ok"] and got[5]["text"] == ""  # empty is valid UTF-8

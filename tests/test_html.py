@@ -159,3 +159,53 @@ def test_extract_links_and_title(spark):
     assert got[1]["n_links"] == 3
     assert got[2]["title"] == "" and got[2]["links"] == [] and got[2]["n_links"] == 0
     assert got[3]["links"] == [""]  # empty href is still an anchor href
+
+
+def test_extract_paragraphs_structure(spark):
+    """Paragraph-preserving extraction: block-end tags/<br> become
+    newline separators, adjacent breaks fold to one, inline tags stay
+    spaces, entities decode, leading/trailing breaks trim."""
+    from zio_analytics_spark.operators.html import html_extract_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "<body><h1>Head</h1><div>one <b>two</b></div>"
+                "<p>tail &amp; fin</p><br>last</body>"),
+            (2, "<p>a</p><p></p><p>b</p>"),   # empty paragraph folds away
+            (3, "<br><br>only<br>"),           # leading/trailing breaks trim
+            (4, ""),
+            (5, "inline <b>bold</b> no blocks"),
+        ],
+        "doc_id long, html string",
+    )
+    got = {r["doc_id"]: r for r in html_extract_paragraphs(df).collect()}
+    assert got[1]["text"] == "Head\none two\ntail & fin\nlast"
+    assert got[1]["n_paragraphs"] == 4
+    assert got[2]["text"] == "a\nb" and got[2]["n_paragraphs"] == 2
+    assert got[3]["text"] == "only" and got[3]["n_paragraphs"] == 1
+    assert got[4]["text"] == "" and got[4]["n_paragraphs"] == 0
+    assert got[5]["text"] == "inline bold no blocks"
+    assert got[5]["n_paragraphs"] == 1
+
+
+def test_extract_paragraphs_feeds_dedup_paragraphs(spark):
+    """The composition the lane exists for: extracted paragraphs flow
+    straight into dedup_paragraphs(sep='\\n') — a paragraph shared by two
+    pages is struck from the later one."""
+    from zio_analytics_spark.operators.dedup import dedup_paragraphs
+    from zio_analytics_spark.operators.html import html_extract_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>shared footer</p><p>unique one</p>"),
+            (2, "<p>unique two</p><p>shared footer</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    paras = html_extract_paragraphs(df)
+    out = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs(paras, sep="\n").collect()
+    }
+    assert out[1]["text"] == "shared footer\nunique one"
+    assert out[2]["text"] == "unique two" and out[2]["n_dropped"] == 1

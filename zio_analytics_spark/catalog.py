@@ -9371,6 +9371,62 @@ def _html_extract_ctes(carry: str) -> str:
     )"""
 
 
+def _html_paragraph_ctes(carry: str) -> str:
+    """The paragraph-preserving mirror of :func:`_html_extract_ctes`
+    (html.html_paragraphs_expr): block-end tags/<br> become newlines
+    before the generic tag strip, and the whitespace collapse keeps
+    them."""
+    return f"""s1 AS (
+      SELECT {carry},
+             regexp_replace(regexp_replace(regexp_replace(html,
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS s
+      FROM h
+    ), sB AS (
+      SELECT {carry},
+             regexp_replace(regexp_replace(s,
+               '(?is)</(p|div|h[1-6]|li|tr|td|table|ul|ol|blockquote|section|article)\\s*>|<br\\s*/?\\s*>',
+               chr(10), 'g'),
+               '(?s)<[^>]*>', ' ', 'g') AS s
+      FROM s1
+    ), s2 AS (
+      SELECT {carry},
+             string_split(s, '&#')[1] ||
+             list_reduce(list_prepend('', list_transform(string_split(s, '&#')[2:],
+               p -> CASE WHEN {_HTML_NUM_VAL} BETWEEN 1 AND 255
+                         THEN chr({_HTML_NUM_VAL})
+                              || regexp_replace(p, '^([0-9]{{1,3}}|[xX][0-9a-fA-F]{{1,2}});', '')
+                         ELSE '&#' || p END)),
+               (a, b) -> a || b) AS s
+      FROM sB
+    ), s3 AS (
+      SELECT {carry}, {_html_named_chain_sql('s')} AS s
+      FROM s2
+    ), ext AS (
+      SELECT {carry},
+             regexp_replace(regexp_replace(regexp_replace(s,
+               '[ \\t\\r\\f\\x0B\\xA0]+', ' ', 'g'),
+               ' *\\n[\\n ]*', chr(10), 'g'),
+               '^[\\n ]+|[\\n ]+$', '', 'g') AS text
+      FROM s3
+    )"""
+
+
+_HTML_PARAGRAPH_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id,
+             '<body><h1>Head ' || doc_id || '</h1><div>' || text ||
+             '</div><p>tail &amp; fin</p><br>last chunk</body>' AS html
+      FROM documents
+    ), {_html_paragraph_ctes('doc_id')}
+    SELECT doc_id, md5(text) AS text_md5,
+           CASE WHEN text = '' THEN 0
+                ELSE len(string_split(text, chr(10))) END::INT AS n_paragraphs
+    FROM ext
+"""
+
+
 _HTML_SYNTH_SQL = (
     "'<!DOCTYPE html><html><head><title>Doc ' || doc_id || '</title>"
     "<style>body { font: 12px serif; } p > em { color: #333; }</style>"
@@ -9566,6 +9622,38 @@ def q_html_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return html_extract_links(synth).select(
         "doc_id", "title", "links", F.col("n_links").cast("int").alias("n_links")
+    )
+
+
+@register("html_extract_paragraphs", oracle=_HTML_PARAGRAPH_ORACLE)
+def q_html_extract_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-preserving HTML extraction (html.html_paragraphs_expr):
+    block-structure end tags and <br> become newline separators before
+    the generic tag strip, so the output's paragraph structure feeds
+    dedup_paragraphs(sep='\\n') and line-level boilerplate removal
+    directly — the composition html_extract_text flattens away. Shell per
+    doc: an <h1> head, the body text in a <div>, a <p> footer, and a
+    trailing <br> segment (the </p><br> adjacency pins newline-run
+    folding). Oracle mirrors the chain; byte-exact md5 + paragraph
+    count."""
+    from zio_analytics_spark.operators.html import html_extract_paragraphs
+
+    docs = read_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<body><h1>Head "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><div>"),
+            F.col("text"),
+            F.lit("</div><p>tail &amp; fin</p><br>last chunk</body>"),
+        ).alias("html"),
+    )
+    out = html_extract_paragraphs(synth)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.col("n_paragraphs").cast("int").alias("n_paragraphs"),
     )
 
 

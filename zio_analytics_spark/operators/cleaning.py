@@ -41,6 +41,7 @@ __all__ = [
     "SLOPPY_CP1252_HIGH",
     "fix_mojibake_expr",
     "fix_encoding",
+    "decode_text_quarantine",
 ]
 
 #: Pattern set kept deliberately in the regex subset valid in BOTH Java
@@ -310,13 +311,29 @@ def _repair_class(col: Column, marker: str, prefix: str, to_table: str) -> Colum
     return F.concat(F.element_at(parts, 1), tail)
 
 
-def fix_mojibake_expr(col: Column) -> Column:
+def fix_mojibake_expr(col: Column, passes: int = 1) -> Column:
     """The full CP1252-in-UTF-8 repair as one Column expression (see the
-    section comment for the spec). Whole-stage codegen, zero UDFs."""
-    s = F.replace(col, F.lit("â‚¬"), F.lit("€"))  # â‚¬ -> €
-    s = _repair_class(s, "â", "€", _TO_E280)  # â€x (E2 80 xx)
-    s = _repair_class(s, "Ã", "", _TO_C3)          # Ãx  (C3 xx)
-    s = _repair_class(s, "Â", "", _TO_C2)          # Âx  (C2 xx)
+    section comment for the spec). Whole-stage codegen, zero UDFs.
+
+    ``passes`` applies the repair that many times: DOUBLE-encoded
+    2-byte mojibake ("ÃƒÂ©" — Latin-1 text that went through the
+    mis-decode twice, the second-most-common real-world corruption)
+    unpeels one layer per pass; each pass is conservative, so extra
+    passes on clean or singly-encoded text are no-ops. Scope note:
+    ITERATED 3-byte punctuation ("Ã¢â‚¬â„¢") does NOT unpeel layer-wise —
+    the euro shortcut legitimately fires inside the outer layer, so the
+    inner sequence is no longer the exact single-encoded form; that tail
+    is the documented seam (an offline ftfy-class pass), pinned in
+    test_cleaning. The expression nests linearly in ``passes`` — keep it
+    small."""
+    if passes < 1:
+        raise ValueError(f"passes must be >= 1, got {passes}")
+    s = col
+    for _ in range(passes):
+        s = F.replace(s, F.lit("â‚¬"), F.lit("€"))  # â‚¬ -> €
+        s = _repair_class(s, "â", "€", _TO_E280)  # â€x (E2 80 xx)
+        s = _repair_class(s, "Ã", "", _TO_C3)          # Ãx  (C3 xx)
+        s = _repair_class(s, "Â", "", _TO_C2)          # Âx  (C2 xx)
     return s
 
 
@@ -324,15 +341,41 @@ def fix_encoding(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passes: int = 1,
 ) -> DataFrame:
     """Encoding-repair stage → ``(id, text, n_repaired)`` where
     ``n_repaired`` counts repaired characters (each fix shrinks the text
     by the sequence length minus one, so it is the length delta). One
     narrow projection — map-only, fuses into the scan at 100 TB, sits
     between HTML extraction and normalization in the cleaning chain."""
-    fixed = fix_mojibake_expr(F.col(text_col))
+    fixed = fix_mojibake_expr(F.col(text_col), passes=passes)
     return df.select(
         F.col(id_col),
         fixed.alias("text"),
         (F.length(F.col(text_col)) - F.length(fixed)).cast("long").alias("n_repaired"),
+    )
+
+
+def decode_text_quarantine(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Binary → text ingest gate with the QUARANTINE-row contract of
+    multimodal.decode_quarantine: payloads that are not valid UTF-8
+    become ``(id, ok=false, text=NULL, error)`` rows instead of failing
+    the task or silently decoding with replacement characters.
+
+    Returns ``(id, ok, text, error)``. Both the validity test
+    (``is_valid_utf8`` — a JVM intrinsic) and the decode are pure Column
+    expressions; the decode sits under the CaseWhen's taken branch only,
+    so invalid bytes never reach it. Map-only: at 100 TB the gate runs
+    inside the scan projection and rejected rows die map-side."""
+    raw = F.col(bin_col)
+    ok = F.is_valid_utf8(raw)
+    return df.select(
+        F.col(id_col),
+        ok.alias("ok"),
+        F.when(ok, F.decode(raw, "UTF-8")).alias("text"),
+        F.when(~ok, F.lit("invalid UTF-8")).alias("error"),
     )

@@ -50,7 +50,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["html_text_expr", "html_extract_text", "html_extract_links", "NAMED_ENTITIES"]
+__all__ = ["html_text_expr", "html_paragraphs_expr", "html_extract_text",
+           "html_extract_paragraphs", "html_extract_links", "NAMED_ENTITIES"]
 
 #: whitespace-collapse class shared with the oracle (explicit — no \s)
 _WS = r"[ \t\n\r\f\x0B\u00A0]+"
@@ -97,16 +98,28 @@ NAMED_ENTITIES: list[tuple[str, str]] = [
 ]
 
 
+#: block-structure END tags (and <br>) — what separates PARAGRAPHS in
+#: the paragraph-preserving chain; same regex subset in Java and RE2
+BLOCK_END_PATTERN = (
+    r"(?is)</(p|div|h[1-6]|li|tr|td|table|ul|ol|blockquote|section|article)"
+    r"\s*>|<br\s*/?\s*>"
+)
+
+
+def _strip_noise(col: Column) -> Column:
+    """Steps 1-2: comments, then script/style with their contents ((?s):
+    dot spans newlines; (?i): case-insensitive — both flags identical in
+    Java regex and the oracle's RE2)."""
+    s = F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    return F.regexp_replace(s, r"(?is)<style\b[^>]*>.*?</style>", " ")
+
+
 def html_text_expr(col: Column) -> Column:
     """The full extraction chain as one Column expression (module
     docstring spec). Compose it anywhere a text column is born from
     HTML — e.g. as stage 0 ahead of cleaning.boilerplate_removal."""
-    # 1-2: comments, then script/style with their contents ((?s): dot
-    # spans newlines; (?i): case-insensitive — both flags identical in
-    # Java regex and the oracle's RE2)
-    s = F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
-    s = F.regexp_replace(s, r"(?is)<script\b[^>]*>.*?</script>", " ")
-    s = F.regexp_replace(s, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    s = _strip_noise(col)
     # 3: every complete tag (incl. DOCTYPE/PI) -> one space; a lone
     # unterminated '<' stays literal text
     s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
@@ -114,6 +127,35 @@ def html_text_expr(col: Column) -> Column:
     # '&#'-split fragments: "233;rest" -> char(233)+"rest", "xE9;rest" ->
     # char(0xE9)+"rest" when in the engine-agreeing 1..255 range, else
     # the '&#' is restored verbatim
+    s = _decode_entities(s)
+    # 6: collapse + trim (the collapse emits only ASCII spaces, which is
+    # exactly what trim strips)
+    return F.trim(F.regexp_replace(s, _WS, " "))
+
+
+def html_paragraphs_expr(col: Column) -> Column:
+    """PARAGRAPH-preserving extraction: identical to
+    :func:`html_text_expr` except block-structure END tags (and ``<br>``,
+    :data:`BLOCK_END_PATTERN`) become NEWLINES before the generic tag
+    strip, and whitespace collapse keeps them — so the output's ``\n``
+    separators carry the document's paragraph structure straight into
+    ``dedup.dedup_paragraphs(sep='\n')`` and the line-level cleaning
+    tier. Literal newlines in source text count as breaks too (they ARE
+    line structure). Same engine story: pure codegen Columns, map-only."""
+    s = _strip_noise(col)
+    s = F.regexp_replace(s, BLOCK_END_PATTERN, "\n")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    s = _decode_entities(s)
+    # collapse non-newline whitespace, then fold newline runs (with any
+    # surrounding spaces) to ONE newline, then trim both kinds at ends
+    s = F.regexp_replace(s, r"[ \t\r\f\x0B\u00A0]+", " ")
+    s = F.regexp_replace(s, r" *\n[\n ]*", "\n")
+    return F.regexp_replace(s, r"^[\n ]+|[\n ]+$", "")
+
+
+def _decode_entities(s: Column) -> Column:
+    """Steps 4-5: numeric (decimal + hex, 1..255) then the curated named
+    set, amp strictly last."""
     parts = F.split(s, r"&#")
 
     def _val(p: Column) -> Column:
@@ -138,12 +180,9 @@ def html_text_expr(col: Column) -> Column:
         ),
     )
     s = F.concat(F.element_at(parts, 1), decoded_tail)
-    # 5: the curated named set, amp strictly last (double-decode pitfall)
     for name, ch in NAMED_ENTITIES:
         s = F.replace(s, F.lit(f"&{name};"), F.lit(ch))
-    # 6: collapse + trim (the collapse emits only ASCII spaces, which is
-    # exactly what trim strips)
-    return F.trim(F.regexp_replace(s, _WS, " "))
+    return s
 
 
 def html_extract_text(
@@ -210,4 +249,24 @@ def html_extract_links(
         title.alias("title"),
         links.alias("links"),
         F.size(links).alias("n_links"),
+    )
+
+
+def html_extract_paragraphs(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-preserving extraction → ``(id, text, n_paragraphs)``
+    with ``\n``-separated paragraphs (:func:`html_paragraphs_expr`) —
+    the shape ``dedup_paragraphs(sep='\n')`` and line-level boilerplate
+    removal consume directly. Map-only, like the text lane."""
+    out = html_paragraphs_expr(F.col(html_col))
+    n = F.when(out == "", F.lit(0)).otherwise(
+        F.size(F.split(out, r"\n"))
+    )
+    return df.select(
+        F.col(id_col),
+        out.alias("text"),
+        n.cast("int").alias("n_paragraphs"),
     )
