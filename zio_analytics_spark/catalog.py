@@ -12524,7 +12524,7 @@ def q_timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = holt_winters(
         ev, "value", order_by=["ts", "event_id"], partition_by=["user_id"],
-        season_length=4,
+        season_length=4, n_buckets=64,
     )
     return out.select("user_id", "event_id", "value", "level", "trend", "seasonal")
 
