@@ -209,3 +209,29 @@ def test_extract_paragraphs_feeds_dedup_paragraphs(spark):
     }
     assert out[1]["text"] == "shared footer\nunique one"
     assert out[2]["text"] == "unique two" and out[2]["n_dropped"] == 1
+
+
+def test_vertical_tab_in_tag_cross_engine(spark):
+    """Round-10 ADVICE (low): Java \\s includes U+000B, RE2's does not —
+    a '</p\\x0B>' block-end tag extracted differently across engines while
+    BLOCK_END_PATTERN used \\s. Both sides now use the explicit class
+    [ \\t\\n\\r\\f\\x0B]; this fixture runs the SAME html through the Spark
+    chain AND the catalog's DuckDB paragraph CTEs and asserts byte-equal
+    output (the tag is a paragraph break on both engines)."""
+    import duckdb
+
+    from zio_analytics_spark.catalog import _html_paragraph_ctes
+    from zio_analytics_spark.operators.html import html_extract_paragraphs
+
+    html = "<p>one</p\x0b><p>two</p>after <br\x0b/>break"
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = html_extract_paragraphs(df).collect()[0]
+    assert got["text"] == "one\ntwo\nafter\nbreak"
+
+    sql = f"""
+    WITH h AS (SELECT 1 AS doc_id, ?::VARCHAR AS html),
+    {_html_paragraph_ctes("doc_id")}
+    SELECT text FROM ext
+    """
+    oracle = duckdb.sql(sql.replace("?::VARCHAR", f"'{html}'")).fetchone()[0]
+    assert oracle == got["text"]

@@ -1201,3 +1201,26 @@ def test_decode_quarantine_catches_corrupt_tiff(spark):
     out = {r["doc_id"]: r for r in decode_quarantine(df).collect()}
     assert out[1]["ok"] and out[1]["width"] == 4
     assert not out[2]["ok"] and "corrupt payload" in out[2]["error"]
+
+
+def test_corrupt_guard_narrowing_no_bytes_no_reclassify():
+    """Round-10 ADVICE (low): corrupt_guard must reclassify IndexError/
+    struct.error ONLY for calls that actually carried a bytes-like
+    payload — an IndexError from non-payload code (a genuine logic bug)
+    propagates loudly instead of being silently quarantined."""
+    import pytest
+
+    from zio_analytics_spark.operators._codec_guard import corrupt_guard
+
+    @corrupt_guard
+    def logic_bug(xs):
+        return xs[99]
+
+    @corrupt_guard
+    def payload_walk(b):
+        return b[99]
+
+    with pytest.raises(IndexError):
+        logic_bug([1, 2, 3])  # list arg: NOT a payload -> raw escape
+    with pytest.raises(ValueError, match="corrupt payload"):
+        payload_walk(b"\x00\x01")  # bytes arg: the documented signal

@@ -72,8 +72,14 @@ _TRAINED_MEMO: dict = {}
 
 
 def _trained(spark: SparkSession, key: tuple, build: Callable):
-    k = (spark.sparkContext.applicationId, *key)
+    app = spark.sparkContext.applicationId
+    k = (app, *key)
     if k not in _TRAINED_MEMO:
+        # evict entries from ended sessions: their scratch-dir-backed
+        # DataFrames are dead weight once the owning session is gone, and
+        # a long-lived process cycling sessions must not accumulate them
+        for stale in [mk for mk in _TRAINED_MEMO if mk[0] != app]:
+            del _TRAINED_MEMO[stale]
         _TRAINED_MEMO[k] = build()
     return _TRAINED_MEMO[k]
 
@@ -9386,7 +9392,7 @@ def _html_paragraph_ctes(carry: str) -> str:
     ), sB AS (
       SELECT {carry},
              regexp_replace(regexp_replace(s,
-               '(?is)</(p|div|h[1-6]|li|tr|td|table|ul|ol|blockquote|section|article)\\s*>|<br\\s*/?\\s*>',
+               '(?is)</(p|div|h[1-6]|li|tr|td|table|ul|ol|blockquote|section|article)[ \\t\\n\\r\\f\\x0B]*>|<br[ \\t\\n\\r\\f\\x0B]*/?[ \\t\\n\\r\\f\\x0B]*>',
                chr(10), 'g'),
                '(?s)<[^>]*>', ' ', 'g') AS s
       FROM s1
@@ -14770,14 +14776,26 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # measured time is the cost it actually owns: train entries pay training,
 # serving entries pay serving. Pure reordering — same keys, same results.
 _TRAIN_FIRST = ("bpe_train_merges", "unigram_train", "wordpiece_train")
-for _name in reversed(_TRAIN_FIRST):
-    _spec = CATALOG.pop(_name)
-    _family = _name.split("_")[0]
-    _items = list(CATALOG.items())
-    _idx = next(i for i, (n, _) in enumerate(_items) if n.startswith(_family + "_"))
-    _items.insert(_idx, (_name, _spec))
+
+
+def _reorder_train_first() -> None:
+    """One rebuild pass; a renamed family entry degrades to append-at-end
+    (next(..., default)) instead of a StopIteration at import time."""
+    items = [(n, s) for n, s in CATALOG.items() if n not in _TRAIN_FIRST]
+    for name in reversed(_TRAIN_FIRST):
+        if name not in CATALOG:
+            continue
+        family = name.split("_")[0] + "_"
+        idx = next(
+            (i for i, (n, _) in enumerate(items) if n.startswith(family)),
+            len(items),
+        )
+        items.insert(idx, (name, CATALOG[name]))
     CATALOG.clear()
-    CATALOG.update(_items)
+    CATALOG.update(items)
+
+
+_reorder_train_first()
 
 
 def queries() -> dict[str, QueryFn]:

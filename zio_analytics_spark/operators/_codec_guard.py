@@ -32,13 +32,24 @@ __all__ = ["corrupt_guard"]
 def corrupt_guard(fn):
     """Decorator: re-raise struct.error/IndexError as the documented
     ``ValueError`` corrupt-payload signal (chained, so triage sees the
-    original frame)."""
+    original frame).
+
+    Narrowing (round-10 ADVICE): the reclassification only applies when
+    the call actually carried a bytes-like payload in its positional
+    args — the signature every guarded decoder shares. An IndexError
+    raised by a decoder invoked WITHOUT payload bytes (a genuine logic
+    bug in non-parse code) propagates loudly instead of being silently
+    routed to quarantine."""
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
         try:
             return fn(*args, **kwargs)
         except (struct.error, IndexError) as e:
+            if not any(
+                isinstance(a, (bytes, bytearray, memoryview)) for a in args
+            ):
+                raise
             raise ValueError(
                 f"corrupt payload ({fn.__name__}): {type(e).__name__}: {e}"
             ) from e

@@ -98,11 +98,18 @@ NAMED_ENTITIES: list[tuple[str, str]] = [
 ]
 
 
+#: intra-tag whitespace class — EXPLICIT, like _WS: Java regex \s includes
+#: U+000B but RE2's \s does not, so '</p\x0B>' would extract differently
+#: across engines if either side used \s (round-10 ADVICE). Both engines
+#: get this exact class; \x0B is kept (Java-\s-compatible, and RE2 accepts
+#: the explicit escape even though its \s omits it).
+_TAG_WS = r"[ \t\n\r\f\x0B]"
+
 #: block-structure END tags (and <br>) — what separates PARAGRAPHS in
 #: the paragraph-preserving chain; same regex subset in Java and RE2
 BLOCK_END_PATTERN = (
     r"(?is)</(p|div|h[1-6]|li|tr|td|table|ul|ol|blockquote|section|article)"
-    r"\s*>|<br\s*/?\s*>"
+    rf"{_TAG_WS}*>|<br{_TAG_WS}*/?{_TAG_WS}*>"
 )
 
 
@@ -229,10 +236,14 @@ def html_extract_links(
     Same scale shape as :func:`html_extract_text`: pure regexp Column
     expressions, map-only, fuses into the scan."""
     dq = F.regexp_extract_all(
-        F.col(html_col), F.lit(r'(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"'), 1
+        F.col(html_col),
+        F.lit(rf'(?is)<a\b[^>]*?href{_TAG_WS}*={_TAG_WS}*"([^"]*)"'),
+        1,
     )
     sq = F.regexp_extract_all(
-        F.col(html_col), F.lit(r"(?is)<a\b[^>]*?href\s*=\s*'([^']*)'"), 1
+        F.col(html_col),
+        F.lit(rf"(?is)<a\b[^>]*?href{_TAG_WS}*={_TAG_WS}*'([^']*)'"),
+        1,
     )
     links = F.transform(
         F.concat(dq, sq), lambda u: F.replace(u, F.lit("&amp;"), F.lit("&"))
