@@ -1,0 +1,179 @@
+"""WARC container ingest contract (operators/warc.py — round-10/11
+verdict ask #1).
+
+Crafted-fixture coverage the analytic catalog oracle can't plant without
+breaking its one-row-per-doc shape: multi-record gzip members, truncated
+member → quarantine + RESYNC at the next member, raw-stream (non-gzip)
+files, malformed header / truncated block / missing trailer corruption
+signatures, HTTP Content-Length trimming and truncation, non-HTML
+content-type routing, and the charset ladder inside the HTML lane.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from zio_analytics_spark.operators.warc import (
+    encode_warc,
+    encode_warc_record,
+    parse_http_response,
+    parse_warc_records,
+    warc_html_lane,
+    warc_records,
+)
+
+
+def _http(body: bytes, ctype: str = "text/html; charset=utf-8") -> bytes:
+    return (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii") + body
+
+
+def _response(uri: str, body: bytes, ctype: str = "text/html; charset=utf-8"):
+    return (
+        {
+            "WARC-Type": "response",
+            "WARC-Target-URI": uri,
+            "WARC-Date": "2026-01-01T00:00:00Z",
+            "Content-Type": "application/http; msgtype=response",
+        },
+        _http(body, ctype),
+    )
+
+
+_BASIC = [
+    ({"WARC-Type": "warcinfo", "Content-Type": "application/warc-fields"},
+     b"software: test\r\n"),
+    ({"WARC-Type": "request", "WARC-Target-URI": "https://ex.org/1",
+      "Content-Type": "application/http; msgtype=request"},
+     b"GET /1 HTTP/1.1\r\nHost: ex.org\r\n\r\n"),
+    _response("https://ex.org/1", b"<html><body>one</body></html>"),
+    ({"WARC-Type": "resource", "WARC-Target-URI": "https://ex.org/b.bin",
+      "Content-Type": "application/octet-stream"}, b"\x00\x01\x02"),
+]
+
+
+def test_roundtrip_gzip_and_raw():
+    for gz in (True, False):
+        out = parse_warc_records(encode_warc(_BASIC, gzip_members=gz))
+        assert [s for s, *_ in out] == ["ok"] * 4
+        types = [h["warc-type"] for _, h, _, _ in out]
+        assert types == ["warcinfo", "request", "response", "resource"]
+        # resource block passes through verbatim (no HTTP parse)
+        assert out[3][2] == b"\x00\x01\x02"
+
+
+def test_multi_record_member():
+    """A single gzip member holding several records (legal per ISO 28500
+    even though Common Crawl writes one per member) walks fully."""
+    raw = b"".join(encode_warc_record(h, b) for h, b in _BASIC)
+    payload = gzip.compress(raw, mtime=0)
+    out = parse_warc_records(payload)
+    assert [s for s, *_ in out] == ["ok"] * 4
+
+
+def test_truncated_member_quarantines_and_resyncs():
+    members = [gzip.compress(encode_warc_record(h, b), mtime=0) for h, b in _BASIC]
+    members[1] = members[1][:12]  # truncate the request member
+    out = parse_warc_records(b"".join(members))
+    assert [s for s, *_ in out] == ["ok", "err", "ok", "ok"]
+    assert "gzip" in out[1][3]
+    # the records AFTER the corrupt member still parsed
+    assert out[2][1]["warc-type"] == "response"
+
+
+def test_raw_corruption_signatures():
+    good = encode_warc(_BASIC, gzip_members=False)
+    # malformed version line: quarantine, tail unrecoverable in raw mode
+    out = parse_warc_records(good.replace(b"WARC/1.0", b"JUNK/1.0", 1))
+    assert out[0][0] == "err" and len(out) == 1
+    # truncated block
+    rec = encode_warc_record({"WARC-Type": "metadata"}, b"abcdef")
+    out = parse_warc_records(rec[:-9])
+    assert out[0][0] == "err" and "truncated" in out[0][3]
+    # missing Content-Length
+    bad = b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\nbody\r\n\r\n"
+    out = parse_warc_records(bad)
+    assert out[0][0] == "err" and "Content-Length" in out[0][3]
+    # header block never terminated
+    out = parse_warc_records(b"WARC/1.0\r\nWARC-Type: metadata\r\n")
+    assert out[0][0] == "err" and "not terminated" in out[0][3]
+
+
+def test_http_parse_contract():
+    st, hh, body = parse_http_response(_http(b"hello", "text/plain"))
+    assert (st, hh["content-type"], body) == (200, "text/plain", b"hello")
+    # Content-Length trims trailing junk
+    block = _http(b"hello") + b"JUNKJUNK"
+    assert parse_http_response(block)[2] == b"hello"
+    # Content-Length longer than the bytes present -> corrupt contract
+    with pytest.raises(ValueError, match="truncated"):
+        parse_http_response(_http(b"hello")[:-2])
+    with pytest.raises(ValueError, match="status line"):
+        parse_http_response(b"NOT HTTP\r\n\r\nx")
+    # 404 status + headerless body
+    assert parse_http_response(b"HTTP/1.1 404 Not Found\r\n\r\ngone")[0] == 404
+
+
+def test_warc_records_dataframe(spark):
+    members_ok = encode_warc(_BASIC, gzip_members=True)
+    broken = [gzip.compress(encode_warc_record(h, b), mtime=0) for h, b in _BASIC]
+    broken[2] = broken[2][:10]
+    df = spark.createDataFrame(
+        [(1, bytearray(members_ok)), (2, bytearray(b"".join(broken)))],
+        "file_id long, content binary",
+    )
+    rows = {(r["file_id"], r["rec_idx"]): r for r in warc_records(df).collect()}
+    assert len(rows) == 8
+    r = rows[(1, 2)]
+    assert r["ok"] and r["warc_type"] == "response" and r["http_status"] == 200
+    assert bytes(r["body"]) == b"<html><body>one</body></html>"
+    assert r["target_uri"] == "https://ex.org/1"
+    bad = rows[(2, 2)]
+    assert not bad["ok"] and "gzip" in bad["error"] and bad["body"] is None
+    # resource record after the corrupt member still present (resync)
+    assert rows[(2, 3)]["ok"] and rows[(2, 3)]["warc_type"] == "resource"
+
+
+def test_html_lane_charset_and_routing(spark):
+    """The composed head: response+text/html rows only, charset ladder
+    honored (declared Shift-JIS and lying ISO-8859-1 labels recover),
+    non-HTML and non-response records routed away."""
+    sj = "<html><body>日本語</body></html>".encode("shift_jis")
+    cp = "<html><body>café</body></html>".encode("cp1252")
+    recs = list(_BASIC) + [
+        _response("https://ex.org/jp", sj, "text/html; charset=Shift_JIS"),
+        _response("https://ex.org/fr", cp, "text/html; charset=ISO-8859-1"),
+        _response("https://ex.org/api", b'{"a": 1}', "application/json"),
+    ]
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_warc(recs)))], "file_id long, content binary"
+    )
+    out = {r["target_uri"]: r for r in warc_html_lane(df).collect()}
+    # 3 text/html responses; json, request, warcinfo, resource filtered
+    assert set(out) == {"https://ex.org/1", "https://ex.org/jp", "https://ex.org/fr"}
+    assert out["https://ex.org/jp"]["html"] == "<html><body>日本語</body></html>"
+    assert out["https://ex.org/jp"]["charset"] == "shift_jis"
+    assert out["https://ex.org/fr"]["html"] == "<html><body>café</body></html>"
+    assert out["https://ex.org/fr"]["charset"] == "cp1252"
+    assert all(r["ok"] for r in out.values())
+
+
+def test_html_lane_feeds_extraction(spark):
+    """End-to-end composition: WARC bytes → html lane → html_text_expr —
+    the llm_pipeline_v4 head on a crafted fixture."""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.html import html_text_expr
+
+    body = "<html><body><h1>Title</h1><p>caf&eacute; &amp; tea</p></body></html>"
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_warc([_response("https://ex.org/x", body.encode())])))],
+        "file_id long, content binary",
+    )
+    lane = warc_html_lane(df)
+    got = lane.select(html_text_expr(F.col("html")).alias("t")).collect()[0]["t"]
+    assert got == "Title café & tea"

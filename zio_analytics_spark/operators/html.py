@@ -61,9 +61,13 @@ _WS = r"[ \t\n\r\f\x0B\u00A0]+"
 #: literal text ``&lt;``, never ``<``; every other entry's output
 #: contains no '&', so their relative order is immaterial). The catalog
 #: oracle generates its replace chain from THIS list, so the two engines
-#: cannot drift. Latin-letter entities (``&eacute;`` …) stay out of
-#: scope — real corpora reach those codepoints via the numeric forms the
-#: decoder covers; the documented seam.
+#: cannot drift. Round-12 (verdict ask #5): the full HTML 4 Latin-1
+#: named set (``&eacute;`` …, codepoints 0xA1-0xFF — the same
+#: chr-range-agreement bound as the numeric decoder) joins the curated
+#: structural/punctuation set, so accented-entity text reaches dedup as
+#: characters, not literals. Out-of-Latin-1 names (``&alpha;``,
+#: ``&mdash;``-style Unicode already curated above) beyond the curated
+#: set still pass through — the documented seam.
 NAMED_ENTITIES: list[tuple[str, str]] = [
     ("lt", "<"),
     ("gt", ">"),
@@ -94,6 +98,89 @@ NAMED_ENTITIES: list[tuple[str, str]] = [
     ("pound", "£"),
     ("yen", "¥"),
     ("cent", "¢"),
+    # --- HTML 4 Latin-1 named set (0xA1-0xFF; generated from the public
+    # html.entities table, frozen here for review + cross-engine order) ---
+    ("iexcl", "¡"),
+    ("curren", "¤"),
+    ("brvbar", "¦"),
+    ("uml", "¨"),
+    ("ordf", "ª"),
+    ("not", "¬"),
+    ("shy", "­"),
+    ("macr", "¯"),
+    ("sup2", "²"),
+    ("sup3", "³"),
+    ("acute", "´"),
+    ("micro", "µ"),
+    ("cedil", "¸"),
+    ("sup1", "¹"),
+    ("ordm", "º"),
+    ("frac14", "¼"),
+    ("frac12", "½"),
+    ("frac34", "¾"),
+    ("iquest", "¿"),
+    ("Agrave", "À"),
+    ("Aacute", "Á"),
+    ("Acirc", "Â"),
+    ("Atilde", "Ã"),
+    ("Auml", "Ä"),
+    ("Aring", "Å"),
+    ("AElig", "Æ"),
+    ("Ccedil", "Ç"),
+    ("Egrave", "È"),
+    ("Eacute", "É"),
+    ("Ecirc", "Ê"),
+    ("Euml", "Ë"),
+    ("Igrave", "Ì"),
+    ("Iacute", "Í"),
+    ("Icirc", "Î"),
+    ("Iuml", "Ï"),
+    ("ETH", "Ð"),
+    ("Ntilde", "Ñ"),
+    ("Ograve", "Ò"),
+    ("Oacute", "Ó"),
+    ("Ocirc", "Ô"),
+    ("Otilde", "Õ"),
+    ("Ouml", "Ö"),
+    ("Oslash", "Ø"),
+    ("Ugrave", "Ù"),
+    ("Uacute", "Ú"),
+    ("Ucirc", "Û"),
+    ("Uuml", "Ü"),
+    ("Yacute", "Ý"),
+    ("THORN", "Þ"),
+    ("szlig", "ß"),
+    ("agrave", "à"),
+    ("aacute", "á"),
+    ("acirc", "â"),
+    ("atilde", "ã"),
+    ("auml", "ä"),
+    ("aring", "å"),
+    ("aelig", "æ"),
+    ("ccedil", "ç"),
+    ("egrave", "è"),
+    ("eacute", "é"),
+    ("ecirc", "ê"),
+    ("euml", "ë"),
+    ("igrave", "ì"),
+    ("iacute", "í"),
+    ("icirc", "î"),
+    ("iuml", "ï"),
+    ("eth", "ð"),
+    ("ntilde", "ñ"),
+    ("ograve", "ò"),
+    ("oacute", "ó"),
+    ("ocirc", "ô"),
+    ("otilde", "õ"),
+    ("ouml", "ö"),
+    ("oslash", "ø"),
+    ("ugrave", "ù"),
+    ("uacute", "ú"),
+    ("ucirc", "û"),
+    ("uuml", "ü"),
+    ("yacute", "ý"),
+    ("thorn", "þ"),
+    ("yuml", "ÿ"),
     ("amp", "&"),
 ]
 
