@@ -15045,6 +15045,61 @@ def q_llm_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "url_canonicalize",
+    oracle="""
+    SELECT doc_id,
+           list_sort([
+             'https://ex.org/' || lang || '/dir/next-' || doc_id || '.html',
+             'https://ex.org/' || lang || '/up.html',
+             'https://ex.org/' || lang || '/dir/here.html',
+             'https://ex.org/rooted?a=' || doc_id,
+             'https://cdn.ex.org/lib.js',
+             'http://other.com/p?q=' || doc_id,
+             'https://ex.org/q'
+           ]) AS frontier,
+           7::INT AS n_out
+    FROM documents
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for the crawl frontier (operators/url.py —
+    round-10 verdict ask #6): per document, ten raw hrefs covering every
+    resolution class (path-relative, dot-dot, dot, root-relative,
+    scheme-relative with a default port, absolute with uppercase
+    scheme/host + default port + utm param + fragment, utm-only query,
+    mailto, fragment-only, and a duplicate that only collides AFTER
+    canonicalization) resolve against an uppercase-host base and
+    normalize to the analytic expected set: 7 distinct canonical URLs,
+    the same-page/mailto rows gone. Pure Column regexps — map-only,
+    fuses into the link-extraction scan; the oracle is literal
+    (no regex mirroring — the spec is pinned by VALUES, the stronger
+    check)."""
+    from zio_analytics_spark.operators.url import canonicalize_frontier
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Ex.ORG/"), F.col("lang"), F.lit("/dir/page.html?s=1#top")
+        ).alias("base_url"),
+        F.array(
+            F.concat(F.lit("next-"), d, F.lit(".html")),
+            F.lit("../up.html"),
+            F.lit("./here.html"),
+            F.concat(F.lit("/rooted?a="), d),
+            F.concat(F.lit("/rooted?a="), d, F.lit("#x")),
+            F.lit("//CDN.Ex.org:443/lib.js"),
+            F.concat(F.lit("HTTP://Other.COM:80/p?utm_source=x&q="), d, F.lit("#f")),
+            F.concat(F.lit("https://ex.org/q?utm_campaign="), F.col("lang")),
+            F.lit("mailto:a@b.c"),
+            F.lit("#section"),
+        ).alias("links"),
+    )
+    return canonicalize_frontier(synth)
+
+
 # Sweep-order fix (round 10): the tokenizer families share one trained
 # model per session (_trained memo above), so whichever family entry runs
 # FIRST pays the model build. Registration order put the serving entries

@@ -1,0 +1,150 @@
+"""[EXT] URL canonicalization — the crawl-frontier normalizer.
+
+``html.html_extract_links`` emits raw ``href`` values; a crawler's
+frontier needs CANONICAL absolute URLs, or the same page is fetched once
+per spelling (``HTTP://Ex.org:80/p#top`` vs ``http://ex.org/p``) and the
+frontier-dedup step under-merges. This module is the deterministic
+normalizer between the two — round-10 verdict ask #6.
+
+Spec (documented, oracle-replayable; every step is a plain
+``regexp_replace``/``concat`` Column with identical semantics in Java
+regex and RE2, the html.py discipline):
+
+**Resolution** of an href against the page's base URL (RFC 3986 §5
+restated for the crawl cases):
+
+- absolute (``scheme:...``) → itself;
+- scheme-relative (``//host/...``) → base scheme + ``:`` + href;
+- root-relative (``/path``) → base scheme + ``://`` + base authority + href;
+- fragment-only (``#...``) or empty → NULL (same-page, not frontier);
+- path-relative → resolved against the base DIRECTORY (base path up to
+  its last ``/``).
+
+**Canonicalization** of the resolved URL:
+
+1. fragment stripped;
+2. scheme and authority lowercased (path/query case is significant —
+   left alone);
+3. default ports stripped (``:80`` for http, ``:443`` for https);
+4. dot-segments collapsed: ``/./`` runs, then ``/seg/../`` bounded to
+   :data:`DOTDOT_PASSES` left-to-right passes (4 — deeper nesting stays
+   un-collapsed IDENTICALLY on both engines; a fixed pass count is what
+   makes the reduction cross-engine deterministic), then a leading
+   ``/../`` clamps to ``/``;
+5. tracking params dropped: every ``utm_*`` query parameter, the ``?``
+   itself if the query empties;
+6. an empty path with an authority becomes ``/``;
+7. non-http(s) schemes (mailto, javascript, data, …) → NULL — not
+   fetchable frontier.
+
+Scale shape: pure Column expressions — map-only, whole-stage codegen,
+fuses into the link-extraction scan; the frontier dedup downstream is
+the exact-dedup shuffle it always was, just on keys that actually
+collide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["canonical_url_expr", "canonicalize_frontier", "DOTDOT_PASSES"]
+
+#: fixed number of ``/seg/../`` collapse passes (spec step 4)
+DOTDOT_PASSES = 4
+
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*):"
+#: scheme://authority capture (authority = up to first /?#)
+_AUTH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)"
+#: path after the authority (up to ?#)
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)"
+
+
+def _resolve(href: Column, base: Column) -> Column:
+    """Spec resolution rules → absolute URL string (or NULL)."""
+    scheme = F.lower(F.regexp_extract(base, _SCHEME_RE, 1))
+    auth = F.regexp_extract(base, _AUTH_RE, 1)
+    path = F.regexp_extract(base, _PATH_RE, 1)
+    base_dir = F.regexp_replace(
+        F.when(path == "", F.lit("/")).otherwise(path), r"[^/]*$", ""
+    )
+    origin = F.concat(scheme, F.lit("://"), auth)
+    return (
+        F.when((href == "") | href.startswith("#"), F.lit(None).cast("string"))
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.rlike(_SCHEME_RE), href)
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(origin, base_dir, href))
+    )
+
+
+def canonical_url_expr(href: Column, base: Column) -> Column:
+    """Resolve ``href`` against ``base`` and canonicalize (module
+    docstring spec). NULL for same-page and non-http(s) results."""
+    u = _resolve(href, base)
+    # 1. fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 2. lowercase scheme + authority, leave path/query alone
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*", "")
+    # 3. default ports
+    auth = F.when(
+        (scheme == "http") & auth.endswith(":80"),
+        F.regexp_replace(auth, r":80$", ""),
+    ).when(
+        (scheme == "https") & auth.endswith(":443"),
+        F.regexp_replace(auth, r":443$", ""),
+    ).otherwise(auth)
+    # 4. dot segments (path part only — stop at ? which cannot precede
+    # the path; bounded fixed passes keep both engines byte-identical)
+    rest = F.regexp_replace(rest, r"^([^?]*)/\./", r"$1/")
+    rest = F.regexp_replace(rest, r"^([^?]*)/\./", r"$1/")
+    for _ in range(DOTDOT_PASSES):
+        rest = F.regexp_replace(rest, r"^([^?]*?)/[^/?]+/\.\./", r"$1/")
+    rest = F.regexp_replace(rest, r"^/(\.\./)+", "/")
+    # 5. utm params: interior ones first, then a leading one (promoting
+    # the next param to '?'), then a lone trailing one with its '?'
+    rest = F.regexp_replace(rest, r"&utm_[^&#]*", "")
+    rest = F.regexp_replace(rest, r"\?utm_[^&#]*&", "?")
+    rest = F.regexp_replace(rest, r"\?utm_[^&#]*$", "")
+    # 6. empty path with authority -> '/'
+    rest = F.when(rest == "", F.lit("/")).when(
+        rest.startswith("?"), F.concat(F.lit("/"), rest)
+    ).otherwise(rest)
+    # 7. frontier is http(s) only
+    return F.when(
+        scheme.isin("http", "https"), F.concat(scheme, F.lit("://"), auth, rest)
+    )
+
+
+def canonicalize_frontier(
+    df: DataFrame,
+    links_col: str = "links",
+    base_col: str = "base_url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``html_extract_links`` output + the page URL → the canonical
+    frontier: per page, the DISTINCT canonical targets (NULLs — same-page
+    and unfetchable schemes — dropped, original order of first
+    occurrence NOT preserved: the frontier is a set, so the output array
+    is sorted for determinism).
+
+    Returns ``(id, frontier array<string>, n_out)``. Map-only; the
+    cross-page frontier dedup is ``explode → distinct`` downstream."""
+    canon = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.col(links_col),
+                    lambda h: canonical_url_expr(h, F.col(base_col)),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        canon.alias("frontier"),
+        F.size(canon).alias("n_out"),
+    )
