@@ -357,3 +357,122 @@ def test_bpe_train_batched_randomized_equivalence(spark):
                 for r in bpe_train_batched(df, n_merges=6, batch=batch).collect()
             ]
             assert got == _naive_batched_bpe(texts, 6, batch), (trial, batch)
+
+
+# ---------------------------------------------------------------------
+# byte-level BPE (round-10 verdict ask #3 — the GPT-2 lineage)
+# ---------------------------------------------------------------------
+
+def _naive_byte_bpe(texts, n_merges):
+    """Sequential reference: GPT-2-style pre-tokenize (the documented
+    no-lookahead variant), byte→unicode map, classic argmax merge loop."""
+    import collections
+    import re
+
+    from zio_analytics_spark.operators.bpe import byte_to_unicode
+
+    b2u = byte_to_unicode()
+    # Python-re equivalent of BYTE_PRETOKEN_PATTERN for latin test data
+    pat = re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+"
+        r"| ?[^ \t\n\r\f\x0b\w]+|[ \t\n\r\f\x0b]+"
+    )
+    def words(t):
+        return ["".join(b2u[b] for b in w.encode("utf-8")) for w in pat.findall(t)]
+
+    vocab = collections.Counter()
+    for t in texts:
+        vocab.update(words(t))
+    vocab = {w: (f, list(w)) for w, f in vocab.items()}
+    merges = []
+    for it in range(n_merges):
+        pairs = collections.Counter()
+        for _w, (f, syms) in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, (f, syms) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (f, out)
+        total = sum(f * len(s) for f, s in vocab.values())
+        merges.append((it, l, r, cnt, total))
+    return merges
+
+
+def test_byte_train_matches_naive(spark):
+    from zio_analytics_spark.operators.bpe import bpe_train_bytes
+
+    texts = [
+        "the cat sat on the mat",
+        "The theme of the thesis",
+        "cats don't chat, that's that",
+        "café society — the café crowd",   # multi-byte UTF-8 chars
+        "  double  spaced  text",           # whitespace-run pre-tokens
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_train_bytes(df, n_merges=6).collect()]
+    assert got == _naive_byte_bpe(texts, 6)
+
+
+def test_byte_to_unicode_bijection():
+    from zio_analytics_spark.operators.bpe import byte_to_unicode
+
+    m = byte_to_unicode()
+    assert len(m) == 256 and len(set(m.values())) == 256
+    assert m[ord("A")] == "A" and m[ord("~")] == "~" and m[0xFF] == "ÿ"
+    assert m[0x20] == "Ġ" and m[0x0A] == "Ċ"  # space / newline classics
+    # every mapped char is a single printable codepoint
+    assert all(len(u) == 1 and ord(u) >= 33 for u in m.values())
+
+
+def test_byte_tokenize_open_vocab_no_unk(spark):
+    """The property the byte alphabet buys: serving a corpus DISJOINT
+    from training drops nothing — unseen words segment to byte symbols,
+    and rejoining the tokens reproduces the byte-mapped input exactly."""
+    from zio_analytics_spark.operators.bpe import (
+        bpe_model_bytes,
+        bpe_tokenize_bytes,
+        byte_to_unicode,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the mat that")], "doc_id long, text string"
+    )
+    merges, _seg = bpe_model_bytes(train, n_merges=3)
+    serve_text = "zebra quixotic naïve — 日本語!"
+    serve = spark.createDataFrame([(9, serve_text)], "doc_id long, text string")
+    rows = bpe_tokenize_bytes(
+        serve, [{"lhs": l, "rhs": r} for _i, l, r, _c, _t in merges]
+    ).collect()
+    b2u = byte_to_unicode()
+    expect = "".join(b2u[b] for b in serve_text.encode("utf-8"))
+    assert "".join(rows[0]["tokens"]) == expect  # lossless, no [UNK]
+    assert rows[0]["n_tokens"] == len(rows[0]["tokens"])
+
+
+def test_byte_pretokenizer_shape(spark):
+    """Pre-tokens carry their leading space ('Ġhello'); contractions
+    split; case is preserved; the documented no-lookahead deviation on
+    double spaces holds (run lexes before the word)."""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.bpe import BYTE_PRETOKEN_PATTERN
+
+    df = spark.createDataFrame(
+        [("He isn't Here  now",)], "text string"
+    )
+    toks = df.select(
+        F.regexp_extract_all("text", F.lit(BYTE_PRETOKEN_PATTERN), 0).alias("t")
+    ).collect()[0]["t"]
+    assert toks == ["He", " isn", "'t", " Here", "  ", "now"]

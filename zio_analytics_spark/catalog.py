@@ -9872,24 +9872,79 @@ def q_dedup_exact_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_ctes(n_merges: int) -> list:
+#: the default (word-level) vocab head for the BPE replay CTEs
+_BPE_WORD_HEAD = [
+    """w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    )""",
+    """v0 AS (
+      SELECT word, count(*)::BIGINT AS freq, regexp_extract_all(word, '.') AS syms
+      FROM w GROUP BY word
+    )""",
+]
+
+
+def _bpe_byte_word_sql(hx: str) -> str:
+    """Hex-string column → byte-unicode word, GENERATED from the same
+    byte_to_unicode() table bpe.byte_word_expr uses (the NAMED_ENTITIES
+    one-table-two-engines discipline): identity bytes via chr()
+    arithmetic (the 1..255 range where Spark char and DuckDB chr agree),
+    the 68 non-identity bytes via explicit CASE arms."""
+    from zio_analytics_spark.operators.bpe import byte_to_unicode
+
+    arms = " ".join(
+        f"WHEN '{format(b, '02X')}' THEN '{u}'"
+        for b, u in byte_to_unicode().items()
+        if ord(u) != b
+    )
+    pair = "substring(hx, i * 2 + 1, 2)"
+    v = f"('0x' || {pair})::INT"
+    sym = (
+        f"CASE WHEN ({v} BETWEEN 33 AND 126) OR ({v} BETWEEN 161 AND 172)"
+        f" OR ({v} >= 174) THEN chr({v})"
+        f" ELSE CASE {pair} {arms} END END"
+    )
+    return (
+        f"list_aggregate(list_transform(range(0, length({hx}) // 2),"
+        f" i -> {sym}), 'string_agg', '')"
+    )
+
+
+def _bpe_byte_head() -> list:
+    """BYTE-LEVEL vocab head: GPT-2-style pre-tokenization (the shared
+    BYTE_PRETOKEN_PATTERN constant — identical Java/RE2 semantics by
+    construction, see bpe.py) and the byte-unicode word mapping."""
+    from zio_analytics_spark.operators.bpe import BYTE_PRETOKEN_PATTERN
+
+    pat = BYTE_PRETOKEN_PATTERN.replace("'", "''")
+    return [
+        f"""w AS (
+      SELECT hex(encode(unnest(regexp_extract_all(text, '{pat}')))) AS hx
+      FROM documents
+    )""",
+        f"""wm AS (
+      SELECT {_bpe_byte_word_sql('hx')} AS word FROM w
+    )""",
+        """v0 AS (
+      SELECT word, count(*)::BIGINT AS freq, regexp_extract_all(word, '.') AS syms
+      FROM wm GROUP BY word
+    )""",
+    ]
+
+
+def _bpe_oracle_ctes(n_merges: int, head: list | None = None) -> list:
     """Shared chained-CTE replay of BPE merge training (operators/bpe.py):
     per iteration, pair counts over the word-frequency vocab, argmax with
     (cnt DESC, lhs, rhs) tiebreak, then GREEDY merge application restated
     set-wise — overlapping merge sites only arise when lhs == rhs (site i
     overlaps site i+1 only if the shared middle symbol is both rhs and
     lhs), so greedy ≡ keeping sites at even offset within each run of
-    consecutive sites: window functions, no recursion."""
-    ctes = [
-        """w AS (
-      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-      FROM documents
-    )""",
-        """v0 AS (
-      SELECT word, count(*)::BIGINT AS freq, regexp_extract_all(word, '.') AS syms
-      FROM w GROUP BY word
-    )""",
-    ]
+    consecutive sites: window functions, no recursion. ``head`` swaps the
+    vocab source (default: word-level; _bpe_byte_head(): byte-level) —
+    everything downstream of v0 is alphabet-agnostic, exactly like the
+    trainer itself."""
+    ctes = list(head if head is not None else _BPE_WORD_HEAD)
     for k in range(n_merges):
         ctes.append(f"""p{k} AS (
       SELECT v.syms[t.pos] AS lhs, v.syms[t.pos + 1] AS rhs,
@@ -10008,6 +10063,96 @@ def q_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, seg = _bpe_model(spark, sf_dir)
     return bpe_tokenize(read_table(spark, sf_dir, "documents"), seg=seg)
+
+
+def _bpe_byte_oracle(n_merges: int = 4) -> str:
+    """Byte-level training replay: the SAME per-iteration argmax + greedy
+    application CTEs as _bpe_oracle, over the byte-level vocab head."""
+    ctes = _bpe_oracle_ctes(n_merges, head=_bpe_byte_head())
+    unions = "\n      UNION ALL\n      ".join(
+        f"""SELECT {k} AS iter, b{k}.lhs, b{k}.rhs, b{k}.cnt AS pair_count,
+             (SELECT sum(freq * len(syms))::BIGINT FROM v{k + 1}) AS total_syms
+      FROM b{k}"""
+        for k in range(n_merges)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM (\n      {unions}\n    ) ORDER BY iter"
+    )
+
+
+@register("bpe_byte_train", oracle=_bpe_byte_oracle())
+def q_bpe_byte_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-LEVEL BPE training (bpe.bpe_train_bytes — round-10 verdict
+    ask #3, the GPT-2 lineage): GPT-2-style pre-tokenization (case
+    preserved, leading spaces bind to words — the 'Ġhello' shape), words
+    decomposed to the 256-symbol byte-unicode alphabet
+    (bpe.byte_to_unicode — no [UNK] by construction), then the exact
+    alphabet-agnostic merge loop the word-level trainer runs. The oracle
+    replays every iteration — pre-tokenizer, byte mapping (generated
+    from the same Python table), pair argmax with tiebreak, greedy
+    application, post-merge corpus symbol total — so each of the 4
+    emitted merges is verified end to end."""
+    from zio_analytics_spark.operators.bpe import bpe_train_bytes
+
+    return bpe_train_bytes(read_table(spark, sf_dir, "documents"), n_merges=4)
+
+
+def _bpe_byte_tokenize_oracle(n_merges: int = 4) -> str:
+    """Byte-level serving replay: train via the byte head, then join each
+    document's position-indexed BYTE words to the final vocab and
+    concatenate subword lists in word order."""
+    from zio_analytics_spark.operators.bpe import BYTE_PRETOKEN_PATTERN
+
+    pat = BYTE_PRETOKEN_PATTERN.replace("'", "''")
+    ctes = _bpe_oracle_ctes(n_merges, head=_bpe_byte_head())
+    ctes.append(f"""dw AS (
+      SELECT doc_id, regexp_extract_all(text, '{pat}') AS ws
+      FROM documents
+    )""")
+    ctes.append("""dwh AS (
+      SELECT doc_id, t.pos, hex(encode(ws[t.pos])) AS hx
+      FROM dw, unnest(range(1, len(ws) + 1)) AS t(pos)
+    )""")
+    ctes.append(f"""dwp AS (
+      SELECT doc_id, pos, {_bpe_byte_word_sql('hx')} AS word FROM dwh
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT dwp.doc_id,
+           flatten(list(v.syms ORDER BY dwp.pos)) AS tokens,
+           CAST(sum(len(v.syms)) AS INTEGER) AS n_tokens
+    FROM dwp JOIN v{n_merges} v USING (word)
+    GROUP BY dwp.doc_id"""
+    )
+
+
+@register("bpe_byte_tokenize_docs", oracle=_bpe_byte_tokenize_oracle())
+def q_bpe_byte_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level serving surface (bpe.bpe_tokenize_bytes): apply the
+    trained merge table to the serving corpus's distinct byte-words —
+    OPEN vocabulary: the merges replay on any word's byte symbols, so
+    unseen words still segment (to raw bytes at worst) and nothing drops
+    to [UNK]; the disjoint-serving-corpus property is pinned in
+    test_bpe. Model artifacts come from the train-once memo
+    (bpe_model_bytes → materialized seg + driver-side merge rows); the
+    corpus pass is posexplode → broadcast join → ordered reassembly, the
+    bpe_tokenize shape. Oracle: full training replay + per-document
+    byte-word join, every token of every document compared."""
+    from zio_analytics_spark.operators.bpe import bpe_tokenize_bytes
+
+    merges, _seg = _trained(
+        spark,
+        ("bbpe", sf_dir, 4),
+        lambda: __import__(
+            "zio_analytics_spark.operators.bpe", fromlist=["bpe_model_bytes"]
+        ).bpe_model_bytes(read_table(spark, sf_dir, "documents"), n_merges=4),
+    )
+    return bpe_tokenize_bytes(
+        read_table(spark, sf_dir, "documents"),
+        [{"lhs": l, "rhs": r} for _it, l, r, _c, _t in merges],
+    )
 
 
 def _bpe_apply_chain(tag: str, src: str, pair: str, dst: str) -> list:

@@ -42,6 +42,12 @@ __all__ = [
     "bpe_segment",
     "bpe_tokenize",
     "WORD_PATTERN",
+    "BYTE_PRETOKEN_PATTERN",
+    "byte_to_unicode",
+    "byte_word_expr",
+    "bpe_train_bytes",
+    "bpe_model_bytes",
+    "bpe_tokenize_bytes",
 ]
 
 #: default pre-tokenizer: lowercase letter runs — identical in Java regex
@@ -49,6 +55,104 @@ __all__ = [
 #: itself accepts ANY ``word_pattern``/alphabet (symbols bind as literals,
 #: never as SQL text — apostrophes/quotes/unicode train fine).
 WORD_PATTERN = "[a-z]+"
+
+#: GPT-2-STYLE pre-tokenizer (round-10 verdict ask #3) — the production
+#: byte-level-BPE split: contractions, optionally-space-prefixed letter /
+#: digit / punctuation runs (case PRESERVED — the space binds to the
+#: following word, which is what gives GPT-lineage tokenizers their
+#: leading-space tokens like 'Ġhello'), then whitespace runs. TWO
+#: documented deviations from the verbatim GPT-2 pattern, both forced by
+#: cross-engine determinism (Java regex vs the oracle's RE2):
+#: (1) no ``\s+(?!\S)`` branch — RE2 has no lookahead — so a run of 2+
+#: spaces before a word lexes as [run][word] instead of GPT-2's
+#: [run-minus-1][space+word]; (2) ``\s`` written as the explicit class
+#: ``[ \t\n\r\f\x0B]`` (the html.py discipline — the engines disagree on
+#: U+000B). Both deviations are deterministic and identical on both
+#: engines; the TRAINER is pattern-agnostic either way.
+BYTE_PRETOKEN_PATTERN = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\x0B\\p{L}\\p{N}]+"
+    "|[ \\t\\n\\r\\f\\x0B]+"
+)
+
+
+def byte_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte↔unicode bijection (public: Radford et al. 2019
+    encoder.py ``bytes_to_unicode``): printable bytes (``!``-``~``,
+    ``¡``-``¬``, ``®``-``ÿ``) map to their own codepoint; the other 68
+    (controls, space, DEL, 0x7F-0xA0, 0xAD) map to 256+k in byte order.
+    Every byte gets a SINGLE printable character, so byte-level words are
+    ordinary strings and the whole word-grain trainer/serving machinery
+    applies unchanged — with a 256-symbol closed alphabet there is no
+    [UNK] by construction."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+def _b2u_nonident_map():
+    """Map literal for the 68 NON-identity bytes (hex pair → mapped
+    char); the identity range goes through ``F.char`` arithmetic instead,
+    keeping the per-byte lookup cost to a 68-entry scan on the cold path
+    and zero lookups on the hot ASCII path."""
+    items = []
+    for b, u in byte_to_unicode().items():
+        if ord(u) != b:
+            items.extend((F.lit(format(b, "02X")), F.lit(u)))
+    return F.create_map(*items)
+
+
+def byte_word_expr(tok):
+    """Pre-token string → its byte-level word: UTF-8 bytes through the
+    GPT-2 byte→unicode table, one printable char per byte. Pure Columns:
+    hex() the encoded bytes, then per-pair identity arithmetic
+    (``F.char`` — the 33..255 identity bytes, where Spark char and
+    DuckDB chr agree) with the 68-entry map for the rest."""
+    hx = F.hex(F.encode(tok, "UTF-8"))
+    nonident = _b2u_nonident_map()
+
+    def one(i):
+        pair = F.substr(hx, i * 2 + 1, F.lit(2))
+        v = F.conv(pair, 16, 10).cast("int")
+        ident = v.between(33, 126) | v.between(161, 172) | (v >= 174)
+        return F.when(ident, F.char(v)).otherwise(F.element_at(nonident, pair))
+
+    n = (F.length(hx) / F.lit(2)).cast("int")
+    return F.array_join(
+        F.transform(F.sequence(F.lit(0), n - 1), one), ""
+    )
+
+
+def _byte_words(text_col: str):
+    """Byte-level pre-tokenization as a Column: GPT-2-style split (case
+    preserved), each pre-token mapped to its byte-unicode word."""
+    toks = F.regexp_extract_all(
+        F.col(text_col), F.lit(BYTE_PRETOKEN_PATTERN), 0
+    )
+    return F.transform(toks, byte_word_expr)
+
+
+def _byte_word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """One corpus scan → the (word, freq, syms) table over BYTE-LEVEL
+    words. Same Zipf bound as the word-level vocab (pre-tokens are
+    words-with-a-leading-space), so training stays corpus-size-
+    independent after this scan."""
+    return (
+        df.select(F.explode(_byte_words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.regexp_extract_all(F.col("word"), F.lit("."), 0))
+    )
 
 
 def _merge_expr(left: str, right: str):
@@ -393,6 +497,101 @@ def bpe_tokenize(
     words = df.select(
         F.col(id_col),
         F.posexplode(_words(text_col, word_pattern)).alias("pos", "word"),
+    )
+    assembled = (
+        words.join(F.broadcast(dim), "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda s: s["syms"],
+                )
+            ).alias("tokens")
+        )
+    )
+    return assembled.select(id_col, "tokens", F.size("tokens").alias("n_tokens"))
+
+
+def bpe_train_bytes(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> DataFrame:
+    """Byte-level BPE training (the GPT-2 lineage — round-10 verdict ask
+    #3): GPT-2-style pre-tokenization (:data:`BYTE_PRETOKEN_PATTERN`,
+    case preserved, leading spaces bind to words), words decomposed to
+    the 256-symbol byte-unicode alphabet (:func:`byte_to_unicode`), then
+    the EXACT :func:`bpe_train` merge loop — pair counts over the
+    Zipf-bounded vocab, (cnt DESC, lhs, rhs) argmax, greedy merge
+    application as one codegen HOF. Same output schema as bpe_train.
+
+    No [UNK] by construction: the starting alphabet covers every byte,
+    so any text — any language, any binary-ish junk — segments."""
+    spark: SparkSession = df.sparkSession
+    vocab = _byte_word_vocab(df, text_col).select("freq", "syms")
+    results, cur = _train_loop(vocab, n_merges)
+    cur.unpersist()
+    return spark.createDataFrame(
+        results,
+        "iter int, lhs string, rhs string, pair_count bigint, total_syms bigint",
+    )
+
+
+def bpe_model_bytes(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> tuple[list, DataFrame]:
+    """Train-offline artifact pair for the byte-level tokenizer: the
+    per-merge row list (bounded driver state — this IS the merge table a
+    GPT-style tokenizer ships) plus the trained vocab segmentation as a
+    materialized parquet scan (the serving fast path for seen words)."""
+    from zio_analytics_spark.tmpdirs import materialize_table
+
+    vocab = _byte_word_vocab(df, text_col)
+    results, cur = _train_loop(vocab.select("word", "freq", "syms"), n_merges)
+    seg = materialize_table(cur.select("word", "syms"), prefix="zas_bbpe_seg_")
+    cur.unpersist()
+    return results, seg
+
+
+def bpe_tokenize_bytes(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """OPEN-VOCABULARY serving — the property that makes byte-level BPE
+    the production shape: segment every document of ``df`` (which need
+    NOT be the training corpus) by applying the learned ``merges`` (rows
+    from :func:`bpe_train_bytes` / :func:`bpe_model_bytes`, in training
+    order) to the byte-symbol decomposition of each distinct word. A
+    word never seen in training still tokenizes — worst case into raw
+    byte symbols — so there is no [UNK] and no dropped word, unlike the
+    closed-vocab join of :func:`bpe_tokenize` (asserted in test_bpe).
+
+    Scale shape: merges apply on the SERVING corpus's distinct-word
+    table (Zipf-bounded — n_merges chained codegen HOFs over it, zero
+    training jobs, zero Python), then the corpus pass is the same
+    posexplode → broadcast join → ordered reassembly as bpe_tokenize.
+
+    Returns ``(id, tokens array<string>, n_tokens)`` — token strings in
+    the byte-unicode alphabet ('Ġhello'-style), documents with no
+    pre-token excluded (empty text), matching the oracle's inner join.
+    """
+    dim = (
+        df.select(F.explode(_byte_words(text_col)).alias("word"))
+        .distinct()
+        .withColumn("syms", F.regexp_extract_all(F.col("word"), F.lit("."), 0))
+    )
+    for row in merges:
+        lhs = row["lhs"] if not isinstance(row, tuple) else row[1]
+        rhs = row["rhs"] if not isinstance(row, tuple) else row[2]
+        dim = dim.withColumn("syms", _merge_expr(lhs, rhs))
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(_byte_words(text_col)).alias("pos", "word"),
     )
     assembled = (
         words.join(F.broadcast(dim), "word")
