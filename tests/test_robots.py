@@ -1,0 +1,169 @@
+"""Robots Exclusion Protocol contract (operators/robots.py — RFC 9309):
+group assembly, agent selection (specific beats ``*``), longest-match /
+allow-tie decisions, wildcard + anchor patterns, regex-special escaping,
+and the frontier-composition the gate exists for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zio_analytics_spark.operators.robots import (
+    apply_robots,
+    robots_filter_frontier,
+    robots_rules,
+)
+
+_TXT = """\
+# politeness file
+User-Agent: ZAS-Bot
+User-agent: otherbot
+Disallow: /private/
+Allow: /private/ok*
+Crawl-delay: 10
+Sitemap: https://ex.org/sitemap.xml
+
+User-agent: *
+Disallow: /
+Allow: /pub
+
+User-agent: anchors
+Disallow: /pub$
+Disallow: /a*z$
+Disallow: /file.php
+Disallow:
+"""
+
+
+def _decide(spark, agent, urls, txt=_TXT, host="ex.org"):
+    robots = spark.createDataFrame([(host, txt)], "host string, robots_txt string")
+    fr = spark.createDataFrame([(host, u) for u in urls], "host string, url string")
+    rows = apply_robots(fr, robots_rules(robots, agent)).collect()
+    return {r["url"]: r["allowed"] for r in rows}
+
+
+def test_specific_group_beats_star(spark):
+    got = _decide(spark, "zas-bot", [
+        "https://ex.org/private/a",     # specific group disallow
+        "https://ex.org/private/okay",  # longer allow wildcard wins
+        "https://ex.org/pub",           # star group NOT consulted
+        "https://ex.org",               # no rule matches '/'
+    ])
+    assert got["https://ex.org/private/a"] is False
+    assert got["https://ex.org/private/okay"] is True
+    assert got["https://ex.org/pub"] is True
+    assert got["https://ex.org"] is True
+
+
+def test_star_fallback_longest_match(spark):
+    got = _decide(spark, "unknown-bot", [
+        "https://ex.org/x",     # Disallow:/ (len 1)
+        "https://ex.org/pub",   # Allow:/pub (len 4) outranks
+        "https://ex.org/pub2",  # prefix match still allows
+        "https://ex.org",       # '/' disallowed
+    ])
+    assert got["https://ex.org/x"] is False
+    assert got["https://ex.org/pub"] is True
+    assert got["https://ex.org/pub2"] is True
+    assert got["https://ex.org"] is False
+
+
+def test_anchor_wildcard_and_escaping(spark):
+    got = _decide(spark, "anchors", [
+        "https://ex.org/pub",        # $-anchored: exact end only
+        "https://ex.org/pub2",       # not anchored-match -> allowed
+        "https://ex.org/abcz",       # /a*z$ matches
+        "https://ex.org/abcza",      # anchored, trailing 'a' -> allowed
+        "https://ex.org/file.php",   # literal dot
+        "https://ex.org/fileXphp",   # dot escaped: no match
+    ])
+    assert got["https://ex.org/pub"] is False
+    assert got["https://ex.org/pub2"] is True
+    assert got["https://ex.org/abcz"] is False
+    assert got["https://ex.org/abcza"] is True
+    assert got["https://ex.org/file.php"] is False
+    assert got["https://ex.org/fileXphp"] is True
+
+
+def test_allow_wins_length_tie(spark):
+    txt = "User-agent: *\nDisallow: /dir/\nAllow: /dirx/\n"
+    # same-length patterns both matching is impossible for distinct
+    # literals; pin the tie with identical-length overlapping wildcards
+    txt2 = "User-agent: *\nDisallow: /p*\nAllow: /p*\n"
+    got = _decide(spark, "any", ["https://ex.org/p1"], txt=txt2)
+    assert got["https://ex.org/p1"] is True
+    got = _decide(spark, "any", ["https://ex.org/dir/a", "https://ex.org/dirx/a"], txt=txt)
+    assert got["https://ex.org/dir/a"] is False
+    assert got["https://ex.org/dirx/a"] is True
+
+
+def test_query_in_match_target(spark):
+    txt = "User-agent: *\nDisallow: /*?session=\n"
+    got = _decide(spark, "any", [
+        "https://ex.org/p?session=1",
+        "https://ex.org/p?id=2",
+        "https://ex.org?session=3",   # empty path -> '/?session=3'
+    ], txt=txt)
+    assert got["https://ex.org/p?session=1"] is False
+    assert got["https://ex.org/p?id=2"] is True
+    assert got["https://ex.org?session=3"] is False
+
+
+def test_empty_disallow_and_unknown_fields_ignored(spark):
+    txt = "User-agent: *\nDisallow:\nCrawl-delay: 5\nNoise here\n"
+    got = _decide(spark, "any", ["https://ex.org/x"], txt=txt)
+    assert got["https://ex.org/x"] is True
+
+
+def test_missing_host_and_empty_rules_allow(spark):
+    robots = spark.createDataFrame(
+        [("ex.org", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    fr = spark.createDataFrame(
+        [("ex.org", "https://ex.org/a"), ("other.org", "https://other.org/b")],
+        "host string, url string",
+    )
+    rows = apply_robots(fr, robots_rules(robots, "any")).collect()
+    got = {r["url"]: r["allowed"] for r in rows}
+    assert got["https://ex.org/a"] is False
+    assert got["https://other.org/b"] is True  # no robots row -> allowed
+
+
+def test_consecutive_ua_lines_share_group(spark):
+    got = _decide(spark, "otherbot", ["https://ex.org/private/a"])
+    assert got["https://ex.org/private/a"] is False
+
+
+def test_filter_frontier_composition(spark):
+    robots = spark.createDataFrame(
+        [("ex.org", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    fr = spark.createDataFrame(
+        [("ex.org", "https://ex.org/a"), ("ex.org", "https://ex.org/private/b")],
+        "host string, url string",
+    )
+    kept = robots_filter_frontier(fr, robots, "zas-bot")
+    assert [r["url"] for r in kept.collect()] == ["https://ex.org/a"]
+    assert "allowed" not in kept.columns
+
+
+def test_decision_is_single_broadcast_join_no_shuffle(spark):
+    """apply_robots over a MATERIALIZED rules dim (the production shape:
+    rules are a prepared per-host artifact) is one broadcast join + a
+    map — zero shuffle Exchanges anywhere in the plan."""
+    robots = spark.createDataFrame(
+        [("ex.org", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    built = robots_rules(robots, "zas-bot")
+    rules = spark.createDataFrame(built.collect(), built.schema)
+    fr = spark.range(100).select(
+        F.concat(F.lit("https://ex.org/p/"), F.col("id")).alias("url")
+    ).withColumn("host", F.regexp_extract("url", r"://([^/]*)", 1))
+    out = apply_robots(fr, F.broadcast(rules))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning" not in plan
+    assert out.where(~F.col("allowed")).count() == 0

@@ -15245,6 +15245,83 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_frontier(synth)
 
 
+#: synthesized robots.txt for robots_frontier_filter — one body per host,
+#: exercising group selection (specific zas-bot group present, so the
+#: Disallow-everything ``*`` group must NOT apply), longest-match with a
+#: wildcard Allow, a query-targeting wildcard rule, a ``$`` anchor, and
+#: ignored fields (Crawl-delay / comments / blank lines).
+_ROBOTS_TXT = (
+    "# synth politeness file\n"
+    "User-agent: zas-bot\n"
+    "Disallow: /private/\n"
+    "Allow: /private/pub*\n"
+    "Disallow: /*?session=\n"
+    "Disallow: /exact$\n"
+    "Crawl-delay: 7\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /\n"
+)
+
+
+@register(
+    "robots_frontier_filter",
+    oracle="""
+    SELECT doc_id,
+           list_sort([
+             'https://' || lang || '.ex.org/doc/' || doc_id,
+             'https://' || lang || '.ex.org/exactly/' || doc_id,
+             'https://' || lang || '.ex.org/private/pub-' || doc_id
+           ]) AS allowed_urls,
+           3::BIGINT AS n_blocked
+    FROM documents
+    """,
+)
+def q_robots_frontier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots Exclusion Protocol gate (operators/robots.py — RFC 9309,
+    round-12 crawl-loop closure): per document, six frontier URLs on the
+    doc's per-lang host decide against a synthesized robots.txt — the
+    specific zas-bot group overrides a Disallow-everything ``*`` group;
+    ``/private/`` blocks except where the LONGER wildcard Allow
+    ``/private/pub*`` wins; ``/*?session=`` blocks by query; ``/exact$``
+    anchors (``/exactly/…`` passes). Parse is a per-host dim job (two
+    small window scans), the decision is ONE equi-join + a map-only HOF
+    fold — the 100 TB frontier shape. The oracle is LITERAL: expected
+    allow/deny pinned by value, no regex dialect mirrored."""
+    from zio_analytics_spark.operators.robots import apply_robots, robots_rules
+
+    docs = read_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("lang"), F.lit(".ex.org"))
+    robots = (
+        docs.select(host.alias("host"))
+        .distinct()
+        .withColumn("robots_txt", F.lit(_ROBOTS_TXT))
+    )
+    d = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("https://"), host)
+    frontier = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.explode(
+            F.array(
+                F.concat(base, F.lit("/doc/"), d),          # no rule matches
+                F.concat(base, F.lit("/private/x-"), d),    # Disallow /private/
+                F.concat(base, F.lit("/private/pub-"), d),  # longer Allow wins
+                F.concat(base, F.lit("/p?session="), d),    # wildcard-query block
+                F.concat(base, F.lit("/exact")),            # $-anchored block
+                F.concat(base, F.lit("/exactly/"), d),      # past the anchor
+            )
+        ).alias("url"),
+    )
+    decided = apply_robots(frontier, robots_rules(robots, "zas-bot"))
+    return decided.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("allowed"), F.col("url")))
+        ).alias("allowed_urls"),
+        F.sum((~F.col("allowed")).cast("long")).alias("n_blocked"),
+    )
+
+
 # Sweep-order fix (round 10): the tokenizer families share one trained
 # model per session (_trained memo above), so whichever family entry runs
 # FIRST pays the model build. Registration order put the serving entries
