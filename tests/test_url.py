@@ -109,3 +109,91 @@ def test_frontier_is_map_only(spark):
     )
     plan = canonicalize_frontier(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------
+# SURT urlkey + politeness scheduling (round 12)
+# ---------------------------------------------------------------------
+
+def test_surt_key_cases(spark):
+    from zio_analytics_spark.operators.url import surt_key_expr
+
+    urls = [
+        "https://ex.org/a?b=2&a=1",       # query sorted
+        "https://ex.org/p/q.html",        # plain path
+        "https://sub.ex.org:8080",        # port kept, empty path -> /
+        "http://EX.org/Case?z=1",         # host lowered, path case kept
+        "https://ex.org/?x=1",            # root path with query
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select("u", surt_key_expr(F.col("u")).alias("s")).collect()
+    got = {r["u"]: r["s"] for r in rows}
+    assert got["https://ex.org/a?b=2&a=1"] == "org,ex)/a?a=1&b=2"
+    assert got["https://ex.org/p/q.html"] == "org,ex)/p/q.html"
+    assert got["https://sub.ex.org:8080"] == "org,ex,sub:8080)/"
+    assert got["http://EX.org/Case?z=1"] == "org,ex)/Case?z=1"
+    assert got["https://ex.org/?x=1"] == "org,ex)/?x=1"
+
+
+def test_surt_clusters_hosts(spark):
+    """The property the key exists for: one registrable domain's pages
+    sort contiguously across its subdomains."""
+    from zio_analytics_spark.operators.url import surt_key_expr
+
+    urls = [
+        "https://a.ex.org/1", "https://zoo.com/2", "https://b.ex.org/3",
+        "https://ex.org/4",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    keys = [
+        r["s"] for r in
+        df.select(surt_key_expr(F.col("u")).alias("s")).orderBy("s").collect()
+    ]
+    ex = [k for k in keys if k.startswith("org,ex")]
+    assert keys.index(ex[0]) + len(ex) == keys.index(ex[-1]) + 1  # contiguous
+
+
+def test_frontier_schedule_cap_waves_buckets(spark):
+    from zio_analytics_spark.operators.url import frontier_schedule
+
+    fr = spark.range(600).select(
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string"), F.lit(".org")).alias("host"),
+        F.concat(F.lit("https://h/p"), F.col("id")).alias("url"),
+        (F.col("id") % 41).cast("long").alias("priority"),
+    )
+    out = frontier_schedule(fr, per_host_cap=50, host_parallelism=8, n_buckets=4)
+    rows = out.collect()
+    import collections
+    per_host = collections.Counter(r["host"] for r in rows)
+    assert set(per_host.values()) == {50}                      # cap applied
+    by_host = collections.defaultdict(list)
+    for r in rows:
+        by_host[r["host"]].append(r)
+    for host, hr in by_host.items():
+        hr.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in hr] == list(range(1, 51))
+        # priorities non-increasing in rank order
+        pr = [r["priority"] for r in hr]
+        assert all(a >= b for a, b in zip(pr, pr[1:]))
+        # at most 8 fetches per wave, waves contiguous from 1
+        waves = collections.Counter(r["wave"] for r in hr)
+        assert max(waves.values()) <= 8 and min(waves) == 1
+        assert sorted(waves) == list(range(1, max(waves) + 1))
+        # one bucket per host, in range
+        assert len({r["bucket"] for r in hr}) == 1
+        assert 0 <= hr[0]["bucket"] < 4
+
+
+def test_frontier_schedule_deterministic(spark):
+    from zio_analytics_spark.operators.url import frontier_schedule
+
+    fr = spark.range(40).select(
+        F.lit("one.org").alias("host"),
+        F.concat(F.lit("https://one.org/"), F.col("id")).alias("url"),
+        F.lit(7).cast("long").alias("priority"),  # all ties -> url breaks them
+    )
+    a = frontier_schedule(fr, per_host_cap=10).collect()
+    b = frontier_schedule(fr, per_host_cap=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    urls = [r["url"] for r in sorted(a, key=lambda r: r["rank"])]
+    assert urls == sorted(urls)

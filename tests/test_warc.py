@@ -177,3 +177,86 @@ def test_html_lane_feeds_extraction(spark):
     lane = warc_html_lane(df)
     got = lane.select(html_text_expr(F.col("html")).alias("t")).collect()[0]["t"]
     assert got == "Title café & tea"
+
+
+# ---------------------------------------------------------------------
+# CDX index (round 12)
+# ---------------------------------------------------------------------
+
+def test_cdx_fields_and_range_replay_gzip():
+    """Every ok row's (offset, length) must slice the COMPRESSED member
+    back out of the file byte-exactly: gunzip the span and the record
+    replays — the contract a CDX range reader depends on."""
+    import hashlib
+    import zlib
+
+    from zio_analytics_spark.operators.warc import parse_warc_cdx
+
+    buf = encode_warc(_BASIC, gzip_members=True)
+    rows = parse_warc_cdx(buf)
+    assert [r["ok"] for r in rows] == [True] * 4
+    resp = rows[2]
+    assert resp["warc_type"] == "response"
+    assert resp["target_uri"] == "https://ex.org/1"
+    assert resp["ts"] == "20260101000000"
+    assert resp["mime"] == "text/html"
+    assert resp["http_status"] == 200
+    assert resp["digest"] == hashlib.md5(b"<html><body>one</body></html>").hexdigest()
+    # non-http records digest the raw block; mime is the WARC content-type
+    assert rows[0]["mime"] == "application/warc-fields"
+    assert rows[3]["digest"] == hashlib.md5(b"\x00\x01\x02").hexdigest()
+    # spans tile the file and each replays independently
+    assert rows[0]["offset"] == 0
+    assert sum(r["length"] for r in rows) == len(buf)
+    for r, (hdrs, block) in zip(rows, _BASIC):
+        span = buf[r["offset"] : r["offset"] + r["length"]]
+        replay = zlib.decompress(span, 47)
+        assert replay == encode_warc_record(hdrs, block)
+
+
+def test_cdx_raw_mode_spans():
+    from zio_analytics_spark.operators.warc import parse_warc_cdx
+
+    buf = encode_warc(_BASIC, gzip_members=False)
+    rows = parse_warc_cdx(buf)
+    assert [r["ok"] for r in rows] == [True] * 4
+    assert sum(r["length"] for r in rows) == len(buf)
+    for r, (hdrs, block) in zip(rows, _BASIC):
+        assert buf[r["offset"] : r["offset"] + r["length"]] == encode_warc_record(
+            hdrs, block
+        )
+
+
+def test_cdx_corrupt_member_row_carries_span():
+    from zio_analytics_spark.operators.warc import parse_warc_cdx
+
+    good = gzip.compress(encode_warc_record(*_BASIC[0]), mtime=0)
+    bad = bytearray(gzip.compress(encode_warc_record(*_BASIC[2]), mtime=0))
+    bad[12] ^= 0xFF  # corrupt the deflate stream, keep the magic
+    tail = gzip.compress(encode_warc_record(*_BASIC[3]), mtime=0)
+    buf = good + bytes(bad) + tail
+    rows = parse_warc_cdx(buf)
+    assert [r["ok"] for r in rows] == [True, False, True]
+    assert rows[1]["offset"] == len(good)
+    assert rows[0]["length"] == len(good) and rows[2]["length"] == len(tail)
+    assert "corrupt gzip member" in rows[1]["error"]
+
+
+def test_warc_cdx_dataframe(spark):
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.url import surt_key_expr
+    from zio_analytics_spark.operators.warc import warc_cdx
+
+    buf = encode_warc(_BASIC, gzip_members=True)
+    df = spark.createDataFrame([(1, bytearray(buf))], "file_id long, content binary")
+    rows = (
+        warc_cdx(df)
+        .withColumn("urlkey", surt_key_expr(F.col("target_uri")))
+        .orderBy("rec_idx")
+        .collect()
+    )
+    assert len(rows) == 4
+    assert rows[2]["urlkey"] == "org,ex)/1"
+    assert rows[2]["http_status"] == 200
+    assert rows[2]["offset"] > 0 and rows[2]["length"] > 0

@@ -15245,6 +15245,152 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_frontier(synth)
 
 
+@register(
+    "warc_cdx_index",
+    oracle=f"""
+    SELECT doc_id,
+           'org,ex)/' || lang || '/doc/' || doc_id AS urlkey,
+           '20260101000000' AS ts,
+           'text/html' AS mime,
+           200::INT AS status,
+           CASE WHEN doc_id % 3 = 0 THEN md5(
+             '<html><head><title>Doc ' || doc_id || '</title></head><body>'
+             || '<h1>Doc ' || doc_id || ' [' || lang || ']</h1><p>' || text
+             || '</p><footer>' || {_warc_cs_case('doc_id', 2)}
+             || ' &copy; 2026</footer></body></html>'
+           ) END AS body_md5
+    FROM documents
+    """,
+)
+def q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index over WARC files (warc.parse_warc_cdx +
+    url.surt_key_expr — round-12 crawl-loop closure): the lookup
+    artifact that makes a 100 TB WARC corpus random-accessible. The
+    record walk emits per-record (SURT urlkey, 14-digit timestamp,
+    sniffed-from-HTTP mime, status, payload md5, gzip-member
+    offset/length) WITHOUT the payload crossing the exchange — only
+    index fields leave the task. The oracle derives urlkey/ts/mime/
+    status analytically from the synthesis spec and pins the payload
+    digest byte-exactly for the utf-8 documents (DuckDB md5 hashes
+    UTF-8 string bytes, so cp1252/Shift-JIS bodies are not SQL-derivable
+    — those digests project to NULL here; the offset/length contract is
+    pinned in test_warc by slicing the member span back out of the file
+    and replaying the record)."""
+    from zio_analytics_spark.operators.url import surt_key_expr
+    from zio_analytics_spark.operators.warc import warc_cdx
+
+    files = _warc_synth_files(spark, sf_dir, with_doc_id=True)
+    resp = warc_cdx(files).where(F.col("ok") & (F.col("warc_type") == "response"))
+    doc_id = F.regexp_extract("target_uri", r"doc/([0-9]+)$", 1).cast("long")
+    return resp.select(
+        doc_id.alias("doc_id"),
+        surt_key_expr(F.col("target_uri")).alias("urlkey"),
+        "ts",
+        "mime",
+        F.col("http_status").alias("status"),
+        F.when(doc_id % 3 == 0, F.col("digest")).alias("body_md5"),
+    )
+
+
+@register(
+    "mime_sniff_route",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 8
+             WHEN 0 THEN 'image/png'
+             WHEN 1 THEN 'image/jpeg'
+             WHEN 2 THEN 'image/gif'
+             WHEN 3 THEN 'application/gzip'
+             WHEN 4 THEN 'application/pdf'
+             WHEN 5 THEN 'text/html'
+             WHEN 6 THEN 'text/plain'
+             ELSE 'application/octet-stream'
+           END AS mime
+    FROM documents
+    """,
+)
+def q_mime_sniff_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME routing (operators/mime.py): each document
+    synthesizes one payload of a doc_id-keyed class — real PNG/JPEG/GIF/
+    gzip/PDF signatures with a per-doc tail, an HTML head, plain text,
+    and a leading-NUL blob — and the sniffer must route every one to its
+    lane: signature table first, then the HTML-head check, then the
+    WHATWG binary-byte scan deciding text/plain vs octet-stream. ONE
+    fused Column expression over hex(substring(bin, 1, 512)) — no UDF,
+    map-only; at scale this is the router between warc_records resource
+    bodies and the typed codec lanes. Expected types pinned LITERALLY
+    (no hex-regex dialect mirrored into SQL)."""
+    from zio_analytics_spark.operators.mime import sniff_mime_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    tail = F.lpad(F.hex(F.col("doc_id")), 8, "0")
+    cls = F.col("doc_id") % 8
+    payload = (
+        F.when(cls == 0, F.unhex(F.concat(F.lit("89504E470D0A1A0A"), tail)))
+        .when(cls == 1, F.unhex(F.concat(F.lit("FFD8FFE0"), tail)))
+        .when(cls == 2, F.unhex(F.concat(F.lit("474946383961"), tail)))
+        .when(cls == 3, F.unhex(F.concat(F.lit("1F8B08"), tail)))
+        .when(cls == 4, F.unhex(F.concat(F.lit("255044462D312E34"), tail)))
+        .when(
+            cls == 5,
+            F.encode(
+                F.concat(F.lit("<!DOCTYPE html><p>doc "), F.col("doc_id"), F.lit("</p>")),
+                "utf-8",
+            ),
+        )
+        .when(
+            cls == 6,
+            F.encode(F.concat(F.lit("plain text "), F.col("doc_id")), "utf-8"),
+        )
+        .otherwise(F.unhex(F.concat(F.lit("0001FE"), tail)))
+    )
+    return docs.select(
+        "doc_id", sniff_mime_expr(payload).alias("mime")
+    )
+
+
+@register(
+    "frontier_politeness",
+    oracle="""
+    WITH fr AS (
+      SELECT lang || '.ex.org' AS host,
+             'https://' || lang || '.ex.org/doc/' || doc_id AS url,
+             (doc_id % 97)::BIGINT AS priority
+      FROM documents
+    ), r AS (
+      SELECT host, url, priority,
+             row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS rk
+      FROM fr
+    )
+    SELECT host, url, priority, rk::INT AS rank,
+           ((rk - 1) // 8 + 1)::INT AS wave,
+           (TRY_CAST('0x' || substring(md5('frontier' || host), 1, 8) AS BIGINT) % 16)::INT AS bucket
+    FROM r WHERE rk <= 100
+    """,
+)
+def q_frontier_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling (url.frontier_schedule): the step between
+    the robots-filtered frontier and the fetch fleet — per host keep the
+    top-100 URLs by priority, pack them into fetch waves of 8 (the
+    per-host rate cap), and pin every host to a deterministic worker
+    bucket via salted md5 (splits.py discipline) so one worker owns a
+    host's connections and robots cache. One row_number shuffle on host;
+    the cap bounds any skewed mega-host before downstream work. Full SQL
+    oracle — every window/bucket value recomputed in DuckDB."""
+    from zio_analytics_spark.operators.url import frontier_schedule
+
+    docs = read_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("lang"), F.lit(".ex.org"))
+    frontier = docs.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/doc/"), F.col("doc_id")).alias("url"),
+        (F.col("doc_id") % 97).cast("long").alias("priority"),
+    )
+    return frontier_schedule(
+        frontier, per_host_cap=100, host_parallelism=8, n_buckets=16
+    )
+
+
 #: synthesized robots.txt for robots_frontier_filter — one body per host,
 #: exercising group selection (specific zas-bot group present, so the
 #: Disallow-everything ``*`` group must NOT apply), longest-match with a

@@ -45,10 +45,16 @@ collide.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["canonical_url_expr", "canonicalize_frontier", "DOTDOT_PASSES"]
+__all__ = [
+    "canonical_url_expr",
+    "canonicalize_frontier",
+    "surt_key_expr",
+    "frontier_schedule",
+    "DOTDOT_PASSES",
+]
 
 #: fixed number of ``/seg/../`` collapse passes (spec step 4)
 DOTDOT_PASSES = 4
@@ -147,4 +153,79 @@ def canonicalize_frontier(
         F.col(id_col),
         canon.alias("frontier"),
         F.size(canon).alias("n_out"),
+    )
+
+
+def surt_key_expr(url: Column) -> Column:
+    """SURT urlkey of a CANONICAL http(s) URL — the sort-friendly key the
+    CDX index (warc.warc_cdx) and frontier stores order by, so one
+    host's pages are contiguous: ``https://ex.org/a?b=2&a=1`` →
+    ``org,ex)/a?a=1&b=2``.
+
+    Spec (restated from the public SURT convention for the canonical-
+    input case): scheme dropped; host lowercased and label-reversed with
+    commas; an explicit port kept after the reversed host; ``)``
+    separates authority from path; empty path → ``/``; query parameters
+    sorted bytewise and re-joined (the ``?`` dropped when no query).
+    Input is expected canonical (``canonical_url_expr``) — default ports
+    and fragments are already gone, userinfo never reaches the frontier.
+    Pure Columns, map-only."""
+    auth = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    host = F.regexp_replace(auth, r":\d+$", "")
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?(.*)$", 1)
+    qpart = F.when(
+        query == "", F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&")))
+    return F.concat(
+        rev,
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        F.lit(")"),
+        path,
+        qpart,
+    )
+
+
+def frontier_schedule(
+    df: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    priority_col: str = "priority",
+    per_host_cap: int = 100,
+    host_parallelism: int = 8,
+    n_buckets: int = 16,
+    salt: str = "frontier",
+) -> DataFrame:
+    """Politeness scheduling for the crawl frontier: per host, keep the
+    top ``per_host_cap`` URLs by priority, assign each a fetch ``wave``
+    (at most ``host_parallelism`` fetches of one host per wave — the
+    per-host rate cap), and a deterministic worker ``bucket`` (salted
+    md5 of the host, the splits.py discipline, so ONE worker owns a
+    host's connections and DNS/robots cache).
+
+    Output: ``(host, url, priority, rank, wave, bucket)``, kept rows
+    only. One row_number shuffle on host — the partition a crawler
+    needs anyway; the cap bounds any skewed mega-host to
+    ``per_host_cap`` rows before anything downstream sees it."""
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc(), F.col(url_col)
+    )
+    ranked = df.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= per_host_cap
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(host_col))), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    return ranked.select(
+        host_col,
+        url_col,
+        priority_col,
+        "rank",
+        (((F.col("rank") - 1) / host_parallelism).cast("int") + 1).alias("wave"),
+        bucket.cast("int").alias("bucket"),
     )

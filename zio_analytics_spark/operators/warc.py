@@ -62,6 +62,8 @@ __all__ = [
     "parse_http_response",
     "warc_records",
     "warc_html_lane",
+    "parse_warc_cdx",
+    "warc_cdx",
 ]
 
 _CRLF = b"\r\n"
@@ -145,9 +147,14 @@ def _walk_raw(buf: bytes) -> Iterator[tuple[str, dict | None, bytes | None, str 
             return
 
 
-def _iter_gzip_members(buf: bytes) -> Iterator[tuple[bytes | None, str | None]]:
+def _iter_gzip_members(
+    buf: bytes,
+) -> Iterator[tuple[bytes | None, str | None, int, int]]:
     """Decompress a multi-member gzip stream member by member, resyncing
-    on the next member's magic after a corrupt one."""
+    on the next member's magic after a corrupt one. Yields
+    ``(data, error, offset, length)`` — offset/length of the COMPRESSED
+    member span (the CDX index fields: a range reader fetches exactly
+    those bytes to replay one record)."""
     pos = 0
     while pos < len(buf):
         d = zlib.decompressobj(wbits=47)
@@ -156,12 +163,13 @@ def _iter_gzip_members(buf: bytes) -> Iterator[tuple[bytes | None, str | None]]:
             if not d.eof:
                 raise zlib.error("truncated gzip member")
             consumed = len(buf) - pos - len(d.unused_data)
+            yield data, None, pos, consumed
             pos += consumed
-            yield data, None
         except zlib.error as e:
             # resync: scan for the next member magic AFTER this point
             nxt = buf.find(b"\x1f\x8b\x08", pos + 1)
-            yield None, f"corrupt gzip member at offset {pos}: {e}"
+            end = nxt if nxt >= 0 else len(buf)
+            yield None, f"corrupt gzip member at offset {pos}: {e}", pos, end - pos
             if nxt < 0:
                 return
             pos = nxt
@@ -176,7 +184,7 @@ def parse_warc_records(
     ``'err'`` (quarantined member/tail; error carries the reason)."""
     out: list = []
     if payload[:2] == b"\x1f\x8b":
-        for data, err in _iter_gzip_members(bytes(payload)):
+        for data, err, _, _ in _iter_gzip_members(bytes(payload)):
             if err is not None:
                 out.append(("err", None, None, err))
             else:
@@ -262,7 +270,13 @@ def warc_records(
                         warc_date=headers.get("warc-date"),
                         content_type=ct,
                     )
-                    if ct.split(";")[0].strip() == "application/http":
+                    # only response records hold an HTTP *response*; a
+                    # request record's block (request line + headers) is
+                    # valid WARC content and stays raw, not quarantine
+                    if (
+                        ct.split(";")[0].strip() == "application/http"
+                        and headers.get("warc-type") == "response"
+                    ):
                         try:
                             status, hh, body = parse_http_response(block)
                             rec.update(
@@ -342,3 +356,122 @@ def warc_html_lane(
         id_col, "rec_idx", "target_uri", "http_status",
         "http_content_type", "body",
     ).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------
+# CDX index (the Common Crawl lookup artifact)
+# ---------------------------------------------------------------------
+
+def parse_warc_cdx(payload: bytes) -> list[dict]:
+    """One WARC file's bytes → CDX index rows, O(bytes) single pass.
+
+    A CDX(J) index is what makes a WARC corpus random-accessible: per
+    record it stores the capture identity (URI, 14-digit timestamp,
+    mime, HTTP status, payload digest) plus the byte span —
+    ``(offset, length)`` of the record's COMPRESSED gzip member in the
+    file — so a range request replays one page without touching the
+    other gigabyte. Raw (uncompressed) streams index the record's own
+    byte span instead. Digest here is md5 hex of the HTTP body
+    (response records) or the raw block (other records) — a documented
+    deviation from the classic sha1-base32 field so the same digest is
+    derivable by any SQL engine's md5.
+
+    Returns dicts with keys ``ok, error, warc_type, target_uri, ts,
+    mime, http_status, digest, offset, length`` (quarantine rows carry
+    ``ok=False`` + the member/record span that failed). A multi-record
+    member shares the member's span across its records (the range
+    fetch replays the member)."""
+    out: list[dict] = []
+
+    def row(st, headers, block, err, off, ln):
+        r = dict.fromkeys(
+            ("warc_type", "target_uri", "ts", "mime", "http_status", "digest")
+        )
+        r.update(ok=st == "ok", error=err, offset=off, length=ln)
+        if st != "ok":
+            out.append(r)
+            return
+        ct = headers.get("content-type", "")
+        r.update(
+            warc_type=headers.get("warc-type"),
+            target_uri=headers.get("warc-target-uri"),
+            ts="".join(c for c in headers.get("warc-date", "") if c.isdigit())[:14]
+            or None,
+            mime=ct.split(";")[0].strip() or None,
+        )
+        body = block
+        if (
+            ct.split(";")[0].strip() == "application/http"
+            and headers.get("warc-type") == "response"
+        ):
+            try:
+                status, hh, body = parse_http_response(block)
+                r.update(
+                    http_status=status,
+                    mime=(hh.get("content-type") or "").split(";")[0].strip() or None,
+                )
+            except ValueError as e:
+                r.update(ok=False, error=str(e))
+                out.append(r)
+                return
+        import hashlib
+
+        r["digest"] = hashlib.md5(body).hexdigest()
+        out.append(r)
+
+    buf = bytes(payload)
+    if buf[:2] == b"\x1f\x8b":
+        for data, err, off, ln in _iter_gzip_members(buf):
+            if err is not None:
+                row("err", None, None, err, off, ln)
+                continue
+            for st, headers, block, rerr in _walk_raw(data):
+                row(st, headers, block, rerr, off, ln)
+    else:
+        pos = 0
+        while pos < len(buf):
+            try:
+                headers, block, nxt = _parse_record(buf, pos)
+                row("ok", headers, block, None, pos, nxt - pos)
+                pos = nxt
+            except ValueError as e:
+                row("err", None, None, str(e), pos, len(buf) - pos)
+                break
+    return out
+
+
+def warc_cdx(
+    df: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "file_id",
+) -> DataFrame:
+    """WARC file bytes → the CDX index rows of :func:`parse_warc_cdx`,
+    one Arrow ``mapInPandas`` scan (record payloads never leave the
+    task — only the index fields come out, which is why building the
+    index over 100 TB of WARC is IO-bound, not shuffle-bound). Sort the
+    result by ``surt_key_expr(target_uri)`` downstream to get the
+    classic host-clustered CDX ordering."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = (
+            "id", "rec_idx", "ok", "warc_type", "target_uri", "ts", "mime",
+            "http_status", "digest", "offset", "length", "error",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in keys}
+            for i, p in zip(pdf[id_col], pdf[bin_col]):
+                for idx, r in enumerate(parse_warc_cdx(bytes(p))):
+                    out["id"].append(i)
+                    out["rec_idx"].append(idx)
+                    for k in keys[2:]:
+                        out[k].append(r.get(k))
+            yield pd.DataFrame(
+                {id_col if k == "id" else k: v for k, v in out.items()}
+            )
+
+    schema = (
+        f"{id_col} long, rec_idx int, ok boolean, warc_type string, "
+        "target_uri string, ts string, mime string, http_status int, "
+        "digest string, offset long, length long, error string"
+    )
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
