@@ -15246,6 +15246,64 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sitemap_ingest",
+    oracle="""
+    SELECT doc_id, 'urlset' AS kind,
+           'https://' || lang || '.ex.org/p?a=' || doc_id || '&b=2' AS loc,
+           '2026-01-0' || (doc_id % 9 + 1) AS lastmod,
+           0.8::DOUBLE AS priority
+    FROM documents WHERE doc_id % 4 <> 0
+    UNION ALL
+    SELECT doc_id, 'urlset',
+           'https://' || lang || '.ex.org/plain/' || doc_id, NULL, NULL
+    FROM documents WHERE doc_id % 4 <> 0
+    UNION ALL
+    SELECT doc_id, 'index',
+           'https://' || lang || '.ex.org/s-' || doc_id || '.xml.gz',
+           '2026-02-01T00:00:00Z', NULL
+    FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id, 'index',
+           'https://' || lang || '.ex.org/child2.xml', NULL, NULL
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+)
+def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (operators/sitemap.py): the declared-inventory
+    frontier source. Three of four documents synthesize a ``urlset``
+    (an entity-escaped ``&amp;`` loc that must decode, a lastmod and a
+    priority, a bare loc, a junk priority → NULL via try_cast, and a
+    loc-LESS block that must drop); every fourth synthesizes a
+    ``sitemapindex`` whose child-sitemap locs come out with
+    kind='index'. regexp_extract_all + transform HOF + one explode —
+    map-only, no UDF (plan-asserted in test_sitemap); oracle is the
+    literal expected frontier."""
+    from zio_analytics_spark.operators.sitemap import sitemap_entries
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    site = F.concat(F.col("lang"), F.lit(".ex.org"))
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?>\n<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n<url><loc> https://'),
+        site, F.lit("/p?a="), d, F.lit("&amp;b=2 </loc><lastmod>2026-01-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("</lastmod><priority>0.8</priority></url>\n<url><loc>https://"),
+        site, F.lit("/plain/"), d,
+        F.lit("</loc><priority>junk</priority></url>\n"
+              "<url><lastmod>2026-03-01</lastmod></url>\n</urlset>"),
+    )
+    index = F.concat(
+        F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n<sitemap><loc>https://'),
+        site, F.lit("/s-"), d,
+        F.lit(".xml.gz</loc><lastmod>2026-02-01T00:00:00Z</lastmod></sitemap>\n<sitemap><loc>https://"),
+        site,
+        F.lit("/child2.xml</loc></sitemap>\n</sitemapindex>"),
+    )
+    xml = F.when(F.col("doc_id") % 4 == 0, index).otherwise(urlset)
+    return sitemap_entries(docs.select("doc_id", xml.alias("xml")))
+
+
+@register(
     "warc_cdx_index",
     oracle=f"""
     SELECT doc_id,
