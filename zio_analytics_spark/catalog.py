@@ -15246,6 +15246,81 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "crawl_frontier_pipeline",
+    oracle="""
+    WITH fr AS (
+      SELECT lang || '.ex.org' AS host, u AS url, (doc_id % 41)::BIGINT AS priority
+      FROM documents,
+           UNNEST(['https://' || lang || '.ex.org/dir/a-' || doc_id || '.html',
+                   'https://' || lang || '.ex.org/up-' || doc_id]) AS t(u)
+    ), r AS (
+      SELECT host, url, priority,
+             row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS rk
+      FROM fr
+    )
+    SELECT host, url, priority, rk::INT AS rank,
+           ((rk - 1) // 8 + 1)::INT AS wave,
+           (TRY_CAST('0x' || substring(md5('frontier' || host), 1, 8) AS BIGINT) % 16)::INT AS bucket
+    FROM r WHERE rk <= 100
+    """,
+)
+def q_crawl_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FRONTIER capstone — the full next-hop loop of a crawler,
+    composed from the verified stages: raw page HTML (five anchors per
+    document) → html_extract_links → canonicalize_frontier (the
+    uppercase-host :443 duplicate collapses onto its clean twin, the
+    mailto drops) → robots_filter_frontier (the /private/ link dies at
+    the RFC 9309 gate) → frontier_schedule (per-host top-100 by
+    priority, waves of 8, salted worker bucket). Exactly two URLs per
+    document survive to scheduling, so the oracle recomputes the whole
+    window over the literal expected frontier — any stage letting one
+    extra URL through (or blocking one too many) shifts every
+    downstream rank and fails the gate."""
+    from zio_analytics_spark.operators.html import html_extract_links
+    from zio_analytics_spark.operators.robots import robots_filter_frontier
+    from zio_analytics_spark.operators.url import canonicalize_frontier, frontier_schedule
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    site = F.concat(F.col("lang"), F.lit(".ex.org"))
+    html = F.concat(
+        F.lit('<html><body><a href="a-'), d, F.lit('.html">one</a>'),
+        F.lit('<a href="/private/x-'), d, F.lit('">blocked</a>'),
+        F.lit('<a href="//'), F.upper(site), F.lit(":443/dir/a-"), d,
+        F.lit('.html#f">dup</a>'),
+        F.lit('<a href="../up-'), d, F.lit('">up</a>'),
+        F.lit('<a href="mailto:x@y.z">mail</a></body></html>'),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), site, F.lit("/dir/page.html")).alias("base_url"),
+        html.alias("html"),
+    )
+    links = html_extract_links(pages).join(
+        pages.select("doc_id", "base_url"), "doc_id"
+    )
+    frontier = (
+        canonicalize_frontier(links)
+        .select("doc_id", F.explode("frontier").alias("url"))
+        .withColumn("host", F.regexp_extract("url", r"://([^/]*)", 1))
+    )
+    robots = (
+        docs.select(site.alias("host"))
+        .distinct()
+        .withColumn("robots_txt", F.lit("User-agent: *\nDisallow: /private/\n"))
+    )
+    allowed = robots_filter_frontier(frontier, robots, "zas-bot")
+    return frontier_schedule(
+        allowed.select(
+            "host", "url", (F.col("doc_id") % 41).cast("long").alias("priority")
+        ),
+        per_host_cap=100,
+        host_parallelism=8,
+        n_buckets=16,
+    )
+
+
+@register(
     "sitemap_ingest",
     oracle="""
     SELECT doc_id, 'urlset' AS kind,
