@@ -167,3 +167,50 @@ def test_decision_is_single_broadcast_join_no_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning" not in plan
     assert out.where(~F.col("allowed")).count() == 0
+
+
+def test_hints_sitemaps_and_crawl_delay(spark):
+    from zio_analytics_spark.operators.robots import robots_hints
+
+    txt = (
+        "Sitemap: https://ex.org/s1.xml\n"
+        "User-agent: zas-bot\nCrawl-delay: 3\nDisallow: /a\n"
+        "Sitemap: https://ex.org/s0.xml\n"
+        "\n"
+        "User-agent: zas-bot\nCrawl-delay: 5\n"
+        "\n"
+        "User-agent: *\nCrawl-delay: 99\n"
+    )
+    robots = spark.createDataFrame(
+        [("ex.org", txt), ("bare.org", "User-agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string",
+    )
+    got = {r["host"]: r for r in robots_hints(robots, "zas-bot").collect()}
+    # sitemaps are group-independent and sorted; delay is the MIN over
+    # the selected (specific) groups -- the * group's 99 must not apply
+    assert got["ex.org"]["sitemaps"] == [
+        "https://ex.org/s0.xml", "https://ex.org/s1.xml",
+    ]
+    assert got["ex.org"]["crawl_delay"] == 3.0
+    assert got["bare.org"]["sitemaps"] == []
+    assert got["bare.org"]["crawl_delay"] is None
+    # star fallback agent sees the * group's delay
+    star = {r["host"]: r for r in robots_hints(robots, "nobody").collect()}
+    assert star["ex.org"]["crawl_delay"] == 99.0
+
+
+def test_hints_junk_delay_drops_and_ua_run_breaks(spark):
+    from zio_analytics_spark.operators.robots import robots_hints, robots_rules
+
+    txt = (
+        "User-agent: a\nCrawl-delay: fast\n"   # junk -> try_cast NULL
+        "User-agent: b\nDisallow: /b\n"        # delay line BREAKS the UA run:
+    )                                          # agent b must NOT inherit /b? no — b's own group has /b
+    robots = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    got = robots_hints(robots, "a").collect()[0]
+    assert got["crawl_delay"] is None
+    # the crawl-delay line between the two UA lines splits the groups:
+    # agent a's group has no rules, agent b's group disallows /b
+    ra = robots_rules(robots, "a").collect()[0]["rules"]
+    rb = robots_rules(robots, "b").collect()[0]["rules"]
+    assert ra == [] and len(rb) == 1 and rb[0]["allow"] is False

@@ -15246,6 +15246,42 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "robots_sitemap_hints",
+    oracle="""
+    SELECT DISTINCT lang || '.ex.org' AS host,
+           ['https://' || lang || '.ex.org/s1.xml',
+            'https://' || lang || '.ex.org/s2.xml'] AS sitemaps,
+           ((ascii(substring(lang, 1, 1)) % 7) + 1)::DOUBLE AS crawl_delay
+    FROM documents
+    """,
+)
+def q_robots_sitemap_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robots → sitemap discovery chain (robots.robots_hints): per
+    host, the group-independent ``Sitemap:`` URLs (one declared inside a
+    group region, one outside — both must surface, sorted) and the
+    agent's effective ``Crawl-delay`` — the MIN across two applicable
+    specific groups, with the ``*`` group's decoy 99 excluded by the
+    same specific-beats-star selection the rules use. The per-host
+    delay value is derived from the lang initial so the oracle
+    recomputes it arithmetically."""
+    from zio_analytics_spark.operators.robots import robots_hints
+
+    docs = read_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("lang"), F.lit(".ex.org"))
+    d1 = (F.ascii(F.substring(F.col("lang"), 1, 1)) % 7 + 1).cast("string")
+    txt = F.concat(
+        F.lit("Sitemap: https://"), host, F.lit("/s1.xml\n"),
+        F.lit("User-agent: zas-bot\nCrawl-delay: "), d1,
+        F.lit("\nDisallow: /a\nSitemap: https://"), host, F.lit("/s2.xml\n\n"),
+        F.lit("User-agent: zas-bot\nCrawl-delay: "),
+        (F.ascii(F.substring(F.col("lang"), 1, 1)) % 7 + 3).cast("string"),
+        F.lit("\n\nUser-agent: *\nCrawl-delay: 99\n"),
+    )
+    robots = docs.select(host.alias("host"), txt.alias("robots_txt")).distinct()
+    return robots_hints(robots, "zas-bot")
+
+
+@register(
     "crawl_frontier_pipeline",
     oracle="""
     WITH fr AS (

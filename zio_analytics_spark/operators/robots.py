@@ -64,7 +64,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["robots_rules", "apply_robots", "robots_filter_frontier"]
+__all__ = [
+    "robots_rules",
+    "robots_hints",
+    "apply_robots",
+    "robots_filter_frontier",
+]
 
 #: regex-special characters escaped when a rule pattern compiles to a
 #: Java regex — everything except ``*`` (wildcard) and the trailing
@@ -83,6 +88,64 @@ def _pattern_regex(pat: Column, anchored: Column) -> Column:
     return F.concat(F.lit("^"), body, F.when(anchored, F.lit("$")).otherwise(F.lit("")))
 
 
+#: fields that constitute a group's lines — a ``user-agent`` line starts
+#: a new group iff the previous line in THIS set is not a user-agent
+#: line. ``sitemap`` is deliberately absent: it is a standalone
+#: directive independent of groups (sitemaps.org), so it neither breaks
+#: a UA run nor belongs to any group.
+_GROUP_FIELDS = ("user-agent", "allow", "disallow", "crawl-delay")
+
+
+def _grouped_lines(df: DataFrame, host_col: str, txt_col: str) -> DataFrame:
+    """robots.txt bodies → ``(host, line_no, field, value, group_id)``
+    over the group-relevant lines (module docstring parse spec)."""
+    lines = (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(F.split(F.col(txt_col), "\n")).alias("line_no", "raw"),
+        )
+        .withColumn("line", F.trim(F.regexp_replace("raw", "#.*$", "")))
+        .withColumn("field", F.lower(F.regexp_extract("line", _FIELD_RE, 1)))
+        .withColumn("value", F.trim(F.regexp_extract("line", _VALUE_RE, 1)))
+        .where(F.col("field").isin(*_GROUP_FIELDS))
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    return lines.withColumn(
+        "group_id",
+        F.sum(
+            (
+                (F.col("field") == "user-agent")
+                & (F.coalesce(F.lag("field").over(w), F.lit("")) != "user-agent")
+            ).cast("int")
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+def _selected_groups(grouped: DataFrame, agent: str) -> DataFrame:
+    """``(host, group_id)`` of the groups that apply to ``agent`` —
+    specific beats ``*`` (RFC 9309 §2.2.1)."""
+    ua = grouped.where(F.col("field") == "user-agent").select(
+        "host",
+        "group_id",
+        (F.lower("value") == agent.lower()).alias("is_specific"),
+        (F.col("value") == "*").alias("is_star"),
+    )
+    gsel = ua.groupBy("host", "group_id").agg(
+        F.max("is_specific").alias("has_specific"),
+        F.max("is_star").alias("has_star"),
+    )
+    whost = Window.partitionBy("host")
+    return (
+        gsel.withColumn(
+            "selected",
+            F.col("has_specific")
+            | (F.col("has_star") & ~F.max("has_specific").over(whost)),
+        )
+        .where("selected")
+        .select("host", "group_id")
+    )
+
+
 def robots_rules(
     df: DataFrame,
     agent: str,
@@ -96,46 +159,10 @@ def robots_rules(
     regex string>>)`` — hosts whose robots.txt yields no applicable
     rules keep an empty array (join-friendly: a missing host row and an
     empty array both decide "allowed")."""
-    lines = (
-        df.select(
-            F.col(host_col).alias("host"),
-            F.posexplode(F.split(F.col(txt_col), "\n")).alias("line_no", "raw"),
-        )
-        .withColumn("line", F.trim(F.regexp_replace("raw", "#.*$", "")))
-        .withColumn("field", F.lower(F.regexp_extract("line", _FIELD_RE, 1)))
-        .withColumn("value", F.trim(F.regexp_extract("line", _VALUE_RE, 1)))
-        .where(F.col("field").isin("user-agent", "allow", "disallow"))
-    )
-    w = Window.partitionBy("host").orderBy("line_no")
-    grouped = lines.withColumn(
-        "group_id",
-        F.sum(
-            (
-                (F.col("field") == "user-agent")
-                & (F.coalesce(F.lag("field").over(w), F.lit("")) != "user-agent")
-            ).cast("int")
-        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
-    # which groups apply to this agent (specific beats *; RFC 9309 §2.2.1)
-    ua = grouped.where(F.col("field") == "user-agent").select(
-        "host",
-        "group_id",
-        (F.lower("value") == agent.lower()).alias("is_specific"),
-        (F.col("value") == "*").alias("is_star"),
-    )
-    gsel = ua.groupBy("host", "group_id").agg(
-        F.max("is_specific").alias("has_specific"),
-        F.max("is_star").alias("has_star"),
-    )
-    whost = Window.partitionBy("host")
-    gsel = gsel.withColumn(
-        "selected",
-        F.col("has_specific")
-        | (F.col("has_star") & ~F.max("has_specific").over(whost)),
-    )
+    grouped = _grouped_lines(df, host_col, txt_col)
     rules = (
         grouped.where(F.col("field").isin("allow", "disallow") & (F.col("value") != ""))
-        .join(gsel.where("selected").select("host", "group_id"), ["host", "group_id"])
+        .join(_selected_groups(grouped, agent), ["host", "group_id"])
         .select(
             "host",
             F.struct(
@@ -163,6 +190,60 @@ def robots_rules(
                 "rules",
                 F.array().cast("array<struct<pat_len:int,allow:boolean,regex:string>>"),
             ).alias("rules"),
+        )
+    )
+
+
+def robots_hints(
+    df: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """The non-rule directives a crawler consumes from robots.txt:
+
+    - ``sitemaps`` — every ``Sitemap:`` line's URL, sorted; these are
+      GROUP-INDEPENDENT (sitemaps.org) and feed
+      :func:`~zio_analytics_spark.operators.sitemap.sitemap_entries` —
+      the robots → sitemap discovery chain;
+    - ``crawl_delay`` — the MINIMUM ``Crawl-delay`` value (seconds,
+      ``try_cast`` double — junk values drop) across the groups that
+      apply to ``agent`` under the same specific-beats-``*`` selection
+      as the rules; NULL when no applicable group declares one. Feed it
+      into ``frontier_schedule``'s per-host pacing.
+
+    Output: ``(host, sitemaps array<string>, crawl_delay double)`` —
+    one row per input host, same dim-table shape as
+    :func:`robots_rules`."""
+    sm = (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.explode(F.split(F.col(txt_col), "\n")).alias("raw"),
+        )
+        .withColumn("line", F.trim(F.regexp_replace("raw", "#.*$", "")))
+        .where(F.lower(F.regexp_extract("line", _FIELD_RE, 1)) == "sitemap")
+        .select(
+            "host", F.trim(F.regexp_extract("line", _VALUE_RE, 1)).alias("url")
+        )
+        .where(F.col("url") != "")
+        .groupBy("host")
+        .agg(F.array_sort(F.collect_list("url")).alias("sitemaps"))
+    )
+    grouped = _grouped_lines(df, host_col, txt_col)
+    delay = (
+        grouped.where(F.col("field") == "crawl-delay")
+        .join(_selected_groups(grouped, agent), ["host", "group_id"])
+        .groupBy("host")
+        .agg(F.min(F.col("value").try_cast("double")).alias("crawl_delay"))
+    )
+    hosts = df.select(F.col(host_col).alias("host")).distinct()
+    return (
+        hosts.join(sm, "host", "left")
+        .join(delay, "host", "left")
+        .select(
+            "host",
+            F.coalesce("sitemaps", F.array().cast("array<string>")).alias("sitemaps"),
+            "crawl_delay",
         )
     )
 
