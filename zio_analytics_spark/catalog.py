@@ -15332,9 +15332,7 @@ def q_crawl_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("https://"), site, F.lit("/dir/page.html")).alias("base_url"),
         html.alias("html"),
     )
-    links = html_extract_links(pages).join(
-        pages.select("doc_id", "base_url"), "doc_id"
-    )
+    links = html_extract_links(pages, keep_cols=("base_url",))
     frontier = (
         canonicalize_frontier(links)
         .select("doc_id", F.explode("frontier").alias("url"))
@@ -15558,6 +15556,67 @@ def q_frontier_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier_schedule(
         frontier, per_host_cap=100, host_parallelism=8, n_buckets=16
     )
+
+
+@register(
+    "streaming_frontier_extract",
+    oracle="""
+    SELECT doc_id,
+           'https://' || lang || '.ex.org/dir/go-' || doc_id || '.html' AS url,
+           true AS allowed
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           'https://' || lang || '.ex.org/private/p-' || doc_id,
+           false
+    FROM documents
+    """,
+)
+def q_streaming_frontier_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier lane on the STREAMING runtime — a live crawl emits
+    next-hop URLs as pages arrive: stateless link extraction +
+    canonicalization (pure Column maps, no state store or watermark)
+    followed by a STREAM-STATIC broadcast join against the prepared
+    robots rule dim (the production shape: the rule table is a slowly-
+    refreshed artifact, the page stream is unbounded; a stream-static
+    equi-join is append-safe by construction). Three anchors per page:
+    a clean link, a /private/ link the robots dim must flag, a mailto
+    the canonicalizer must drop. Oracle is the literal batch replay —
+    a stateless map + static join over a bounded stream is batch-
+    equivalent by construction."""
+    from zio_analytics_spark.operators.html import html_extract_links
+    from zio_analytics_spark.operators.robots import apply_robots, robots_rules
+    from zio_analytics_spark.operators.url import canonicalize_frontier
+    from zio_analytics_spark.sources.streaming import stream_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    robots = (
+        docs.select(F.concat(F.col("lang"), F.lit(".ex.org")).alias("host"))
+        .distinct()
+        .withColumn("robots_txt", F.lit("User-agent: *\nDisallow: /private/\n"))
+    )
+    rules = robots_rules(robots, "zas-bot")
+
+    st = stream_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    site = F.concat(F.col("lang"), F.lit(".ex.org"))
+    pages = st.select(
+        "doc_id",
+        F.concat(F.lit("https://"), site, F.lit("/dir/page.html")).alias("base_url"),
+        F.concat(
+            F.lit('<html><body><a href="go-'), d, F.lit('.html">g</a>'),
+            F.lit('<a href="/private/p-'), d, F.lit('">p</a>'),
+            F.lit('<a href="mailto:x@y.z">m</a></body></html>'),
+        ).alias("html"),
+    )
+    links = html_extract_links(pages, keep_cols=("base_url",))
+    frontier = (
+        canonicalize_frontier(links)
+        .select("doc_id", F.explode("frontier").alias("url"))
+        .withColumn("host", F.regexp_extract("url", r"://([^/]*)", 1))
+    )
+    out = apply_robots(frontier, F.broadcast(rules)).select("doc_id", "url", "allowed")
+    return _run_append(out, "stream_frontier")
 
 
 #: synthesized robots.txt for robots_frontier_filter — one body per host,

@@ -301,6 +301,7 @@ def html_extract_links(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Crawl-frontier extraction → ``(id, title, links array<string>,
     n_links)`` — the OTHER consumer of raw HTML beside visible text: the
@@ -321,7 +322,10 @@ def html_extract_links(
       step 6).
 
     Same scale shape as :func:`html_extract_text`: pure regexp Column
-    expressions, map-only, fuses into the scan."""
+    expressions, map-only, fuses into the scan. ``keep_cols`` passes
+    extra input columns through the projection (e.g. the page's
+    ``base_url`` for canonicalization downstream) — a passthrough, not
+    a join, so the streaming lane stays stateless."""
     dq = F.regexp_extract_all(
         F.col(html_col),
         F.lit(rf'(?is)<a\b[^>]*?href{_TAG_WS}*={_TAG_WS}*"([^"]*)"'),
@@ -344,6 +348,7 @@ def html_extract_links(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         title.alias("title"),
         links.alias("links"),
         F.size(links).alias("n_links"),
