@@ -9755,7 +9755,10 @@ def q_llm_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zio_analytics_spark.operators.html import html_text_expr
     from zio_analytics_spark.operators.splits import hash_split
 
-    docs = read_table(spark, sf_dir, "documents")
+    # single-file parquet = ONE input partition (round-7 lesson); the
+    # extraction chain (incl. the round-12 111-entity layer) is the
+    # per-row hot path here, so fan out before it or it runs serial
+    docs = read_table(spark, sf_dir, "documents").repartition(32)
     synth = docs.select(
         "doc_id",
         "lang",
