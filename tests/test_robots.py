@@ -214,3 +214,65 @@ def test_hints_junk_delay_drops_and_ua_run_breaks(spark):
     ra = robots_rules(robots, "a").collect()[0]["rules"]
     rb = robots_rules(robots, "b").collect()[0]["rules"]
     assert ra == [] and len(rb) == 1 and rb[0]["allow"] is False
+
+
+def _py_decide(rules, target):
+    """Pure-Python reference of the documented decision spec: longest
+    pattern wins, allow wins ties, no match -> allowed. Wildcard match
+    done by regex translation INDEPENDENT of the Column code path."""
+    import re as _re
+
+    best = None  # (pat_len, allow)
+    for allow, pat in rules:
+        anchored = pat.endswith("$")
+        core = pat[:-1] if anchored else pat
+        rx = "^" + ".*".join(_re.escape(seg) for seg in core.split("*"))
+        if anchored:
+            rx += "$"
+        if _re.search(rx, target):
+            key = (len(pat), allow)
+            if best is None or key > best:
+                best = key
+    return True if best is None else best[1]
+
+
+def test_differential_random_patterns(spark):
+    """Seeded randomized differential: 150 (ruleset, path) cases decided
+    by ONE Spark job vs the independent Python reference."""
+    import random
+
+    rng = random.Random(1207)
+    segs = ["/a", "/b", "/ab", "/a.b", "/c/", "/(d)", "/e+f"]
+    cases = []
+    for i in range(150):
+        n_rules = rng.randint(1, 5)
+        rules = []
+        for _ in range(n_rules):
+            pat = "".join(rng.choice(segs) for _ in range(rng.randint(1, 3)))
+            if rng.random() < 0.4:
+                pat = pat.replace(rng.choice(segs), "*", 1) if rng.random() < 0.5 else pat + "*"
+            if rng.random() < 0.3:
+                pat += "$"
+            if not pat.startswith(("/", "*")):
+                pat = "/" + pat
+            rules.append((rng.random() < 0.5, pat))
+        target = "".join(rng.choice(segs) for _ in range(rng.randint(1, 4)))
+        cases.append((i, rules, target))
+
+    robots_rows, fr_rows = [], []
+    for i, rules, target in cases:
+        host = f"h{i}.org"
+        txt = "User-agent: *\n" + "".join(
+            f"{'Allow' if a else 'Disallow'}: {p}\n" for a, p in rules
+        )
+        robots_rows.append((host, txt))
+        fr_rows.append((host, f"https://{host}{target}"))
+    robots = spark.createDataFrame(robots_rows, "host string, robots_txt string")
+    fr = spark.createDataFrame(fr_rows, "host string, url string")
+    got = {
+        r["host"]: r["allowed"]
+        for r in apply_robots(fr, robots_rules(robots, "any")).collect()
+    }
+    for i, rules, target in cases:
+        expect = _py_decide(rules, target)
+        assert got[f"h{i}.org"] == expect, (i, rules, target, got[f"h{i}.org"], expect)
