@@ -197,3 +197,58 @@ def test_frontier_schedule_deterministic(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     urls = [r["url"] for r in sorted(a, key=lambda r: r["rank"])]
     assert urls == sorted(urls)
+
+
+def test_resolve_redirects_chains_loops_and_relative(spark):
+    from zio_analytics_spark.operators.url import resolve_redirects
+
+    rows = [
+        # two-hop chain, relative + absolute Locations
+        ("https://ex.org/a", 301, "/b"),
+        ("https://ex.org/b", 302, "https://ex.org/c"),
+        ("https://ex.org/c", 200, None),
+        # self-loop: never resolves
+        ("https://ex.org/loop", 301, "/loop"),
+        # 2-cycle: never resolves
+        ("https://ex.org/x", 301, "/y"),
+        ("https://ex.org/y", 302, "/x"),
+        # redirect to an unfetched target: resolves (target not a source)
+        ("https://ex.org/out", 307, "https://other.org/land"),
+        # 3xx with no Location: stays put, resolved
+        ("https://ex.org/weird", 304, None),
+    ]
+    df = spark.createDataFrame(rows, "url string, status int, location string")
+    got = {r["url"]: r for r in resolve_redirects(df).collect()}
+    a = got["https://ex.org/a"]
+    assert (a["final_url"], a["hops"], a["resolved"]) == ("https://ex.org/c", 2, True)
+    b = got["https://ex.org/b"]
+    assert (b["final_url"], b["hops"], b["resolved"]) == ("https://ex.org/c", 1, True)
+    c = got["https://ex.org/c"]
+    assert (c["final_url"], c["hops"], c["resolved"]) == ("https://ex.org/c", 0, True)
+    assert got["https://ex.org/loop"]["resolved"] is False
+    assert got["https://ex.org/x"]["resolved"] is False
+    assert got["https://ex.org/y"]["resolved"] is False
+    o = got["https://ex.org/out"]
+    assert (o["final_url"], o["hops"], o["resolved"]) == (
+        "https://other.org/land", 1, True,
+    )
+    w = got["https://ex.org/weird"]
+    assert (w["final_url"], w["hops"], w["resolved"]) == (
+        "https://ex.org/weird", 0, True,
+    )
+
+
+def test_resolve_redirects_hop_bound(spark):
+    from zio_analytics_spark.operators.url import resolve_redirects
+
+    rows = [(f"https://ex.org/{i}", 301, f"/{i+1}") for i in range(5)] + [
+        ("https://ex.org/5", 200, None)
+    ]
+    df = spark.createDataFrame(rows, "url string, status int, location string")
+    got = {r["url"]: r for r in resolve_redirects(df, max_hops=3).collect()}
+    # 5 hops needed from /0 -> bound at 3, still on a redirect source
+    assert got["https://ex.org/0"]["hops"] == 3
+    assert got["https://ex.org/0"]["resolved"] is False
+    # /3 needs exactly 2 -> fine
+    assert got["https://ex.org/3"]["final_url"] == "https://ex.org/5"
+    assert got["https://ex.org/3"]["resolved"] is True

@@ -15562,6 +15562,97 @@ def q_frontier_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warc_redirect_resolve",
+    oracle="""
+    SELECT doc_id, 'https://' || lang || '.ex.org/r1-' || doc_id AS url,
+           301::INT AS status,
+           'https://' || lang || '.ex.org/final-' || doc_id AS final_url,
+           2::INT AS hops, true AS resolved
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'https://' || lang || '.ex.org/r2-' || doc_id, 302,
+           'https://' || lang || '.ex.org/final-' || doc_id, 1, true
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'https://' || lang || '.ex.org/final-' || doc_id, 200,
+           'https://' || lang || '.ex.org/final-' || doc_id, 0, true
+    FROM documents
+    """,
+)
+def q_warc_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution over fetched WARC records
+    (url.resolve_redirects — round-12 crawl-loop closure): each document
+    synthesizes a 301 → 302 → 200 chain (the first Location RELATIVE,
+    the second absolute — RFC 9110 allows both) inside gzip-member WARC
+    files; the walk surfaces the Location headers (http_location /
+    the CDX redirect field) and the resolver follows every fetched URL
+    to its landing page — 2, 1 and 0 hops respectively, all resolved.
+    Each hop is one equi-join of the 3xx edge subset against the chain
+    heads; the bound makes it deterministic and loop-safe (loop/overflow
+    cases pinned in test_url). Oracle is the literal chain outcome."""
+    import pandas as pd  # noqa: F401 (applyInPandas body)
+
+    from zio_analytics_spark.operators.url import resolve_redirects
+    from zio_analytics_spark.operators.warc import warc_records
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def build(pdf):
+        import pandas as pd
+
+        from zio_analytics_spark.operators.warc import encode_warc
+
+        def resp(uri, status, location=None, body=b""):
+            head = [f"HTTP/1.1 {status} X"]
+            if location is not None:
+                head.append(f"Location: {location}")
+            head += [f"Content-Type: text/html; charset=utf-8",
+                     f"Content-Length: {len(body)}", "", ""]
+            return (
+                {"WARC-Type": "response", "WARC-Target-URI": uri,
+                 "WARC-Date": "2026-08-16T00:00:00Z",
+                 "Content-Type": "application/http; msgtype=response"},
+                "\r\n".join(head).encode("ascii") + body,
+            )
+
+        recs = []
+        for r in pdf.sort_values("doc_id").itertuples(index=False):
+            i, lang = int(r.doc_id), r.lang
+            base = f"https://{lang}.ex.org"
+            recs.append(resp(f"{base}/r1-{i}", 301, location=f"/r2-{i}"))
+            recs.append(resp(f"{base}/r2-{i}", 302, location=f"{base}/final-{i}"))
+            recs.append(resp(f"{base}/final-{i}", 200, body=b"<html>land</html>"))
+        return pd.DataFrame(
+            {"file_id": [int(pdf["file_id"].iloc[0])],
+             "content": [encode_warc(recs, gzip_members=True)]}
+        )
+
+    files = (
+        docs.withColumn("file_id", F.col("doc_id") % 37)
+        .groupBy("file_id")
+        .applyInPandas(build, "file_id long, content binary")
+    )
+    fetched = (
+        warc_records(files)
+        .where(F.col("ok") & (F.col("warc_type") == "response"))
+        .select(
+            F.col("target_uri").alias("url"),
+            F.col("http_status").alias("status"),
+            F.col("http_location").alias("location"),
+        )
+    )
+    res = resolve_redirects(fetched)
+    return res.select(
+        F.regexp_extract("url", r"-([0-9]+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        "status",
+        "final_url",
+        "hops",
+        "resolved",
+    )
+
+
+@register(
     "streaming_frontier_extract",
     oracle="""
     SELECT doc_id,

@@ -53,6 +53,7 @@ __all__ = [
     "canonicalize_frontier",
     "surt_key_expr",
     "frontier_schedule",
+    "resolve_redirects",
     "DOTDOT_PASSES",
 ]
 
@@ -228,4 +229,68 @@ def frontier_schedule(
         "rank",
         (((F.col("rank") - 1) / host_parallelism).cast("int") + 1).alias("wave"),
         bucket.cast("int").alias("bucket"),
+    )
+
+
+def resolve_redirects(
+    df: DataFrame,
+    url_col: str = "url",
+    status_col: str = "status",
+    location_col: str = "location",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Follow HTTP redirect chains to their landing URL — the frontier
+    maintenance a crawl round runs over its fetch results (~a fifth of
+    real-web responses are 3xx; leaving them unresolved double-counts
+    pages and mis-keys the CDX lookup).
+
+    Input: one row per fetched URL with its status and the raw
+    ``Location`` header (NULL for non-redirects). Location resolves
+    against the REDIRECTING url (RFC 9110 §10.2.2 — relative forms are
+    legal) through the same resolution + canonicalization as hrefs.
+
+    Output: the input columns plus ``final_url`` (the chain's landing
+    URL), ``hops`` (redirects followed), and ``resolved`` (false when
+    the chain is still on a redirect after ``max_hops`` — a loop or a
+    chain longer than the bound; a crawler drops those). Bounded at
+    ``max_hops`` self-joins of the 3xx EDGE SUBSET against the chain
+    head — the edge dim is the 3xx fraction of the round's fetches, so
+    each hop is one equi-join, no iteration over the full corpus; a
+    fixed bound is also what makes the reduction deterministic (the
+    dot-dot discipline above)."""
+    is_redirect = (F.col(status_col) >= 300) & (F.col(status_col) < 400)
+    edges = (
+        df.where(is_redirect & F.col(location_col).isNotNull())
+        .select(
+            F.col(url_col).alias("__src"),
+            canonical_url_expr(F.col(location_col), F.col(url_col)).alias("__dst"),
+        )
+        .where(F.col("__dst").isNotNull())
+        .dropDuplicates(["__src"])
+    )
+    # a chain follows while its head is a redirect SOURCE — the row's own
+    # 3xx status is subsumed (its url is an edge source by construction)
+    out = df.withColumn("final_url", F.col(url_col)).withColumn("hops", F.lit(0))
+    for _ in range(max_hops):
+        out = (
+            out.join(edges, out["final_url"] == edges["__src"], "left")
+            .withColumn(
+                "hops",
+                F.when(F.col("__dst").isNotNull(), F.col("hops") + 1).otherwise(
+                    F.col("hops")
+                ),
+            )
+            .withColumn("final_url", F.coalesce(F.col("__dst"), F.col("final_url")))
+            .drop("__src", "__dst")
+        )
+    # unresolved = the landing URL is STILL a redirect source (loop, or a
+    # chain longer than the bound) — a crawler drops those
+    return (
+        out.join(
+            edges.select(F.col("__src").alias("__open")),
+            out["final_url"] == F.col("__open"),
+            "left",
+        )
+        .withColumn("resolved", F.col("__open").isNull())
+        .drop("__open")
     )

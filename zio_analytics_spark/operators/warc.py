@@ -234,7 +234,8 @@ def warc_records(
     """WARC file bytes → one row per record (+ quarantine rows).
 
     Output: ``(id, rec_idx, ok, warc_type, target_uri, warc_date,
-    content_type, http_status, http_content_type, body, error)`` —
+    content_type, http_status, http_content_type, http_location,
+    body, error)`` —
     ``http_*``/trimmed ``body`` filled for ``application/http``
     response records, raw block otherwise; ``ok = false`` rows carry the
     corrupt-member/tail reason with everything else NULL. One Arrow
@@ -243,8 +244,8 @@ def warc_records(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         keys = (
             "id", "rec_idx", "ok", "warc_type", "target_uri", "warc_date",
-            "content_type", "http_status", "http_content_type", "body",
-            "error",
+            "content_type", "http_status", "http_content_type",
+            "http_location", "body", "error",
         )
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in keys}
@@ -282,6 +283,7 @@ def warc_records(
                             rec.update(
                                 http_status=status,
                                 http_content_type=hh.get("content-type"),
+                                http_location=hh.get("location"),
                                 body=body,
                             )
                         except ValueError as e:
@@ -297,7 +299,8 @@ def warc_records(
     schema = (
         f"{id_col} long, rec_idx int, ok boolean, warc_type string, "
         "target_uri string, warc_date string, content_type string, "
-        "http_status int, http_content_type string, body binary, error string"
+        "http_status int, http_content_type string, http_location string, "
+        "body binary, error string"
     )
     return df.select(id_col, bin_col).mapInPandas(run, schema)
 
@@ -377,7 +380,10 @@ def parse_warc_cdx(payload: bytes) -> list[dict]:
     derivable by any SQL engine's md5.
 
     Returns dicts with keys ``ok, error, warc_type, target_uri, ts,
-    mime, http_status, digest, offset, length`` (quarantine rows carry
+    mime, http_status, redirect, digest, offset, length`` —
+    ``redirect`` is the HTTP Location header of 3xx responses (the CDXJ
+    redirect field, what frontier maintenance follows) — (quarantine
+    rows carry
     ``ok=False`` + the member/record span that failed). A multi-record
     member shares the member's span across its records (the range
     fetch replays the member)."""
@@ -385,7 +391,8 @@ def parse_warc_cdx(payload: bytes) -> list[dict]:
 
     def row(st, headers, block, err, off, ln):
         r = dict.fromkeys(
-            ("warc_type", "target_uri", "ts", "mime", "http_status", "digest")
+            ("warc_type", "target_uri", "ts", "mime", "http_status",
+             "redirect", "digest")
         )
         r.update(ok=st == "ok", error=err, offset=off, length=ln)
         if st != "ok":
@@ -409,6 +416,7 @@ def parse_warc_cdx(payload: bytes) -> list[dict]:
                 r.update(
                     http_status=status,
                     mime=(hh.get("content-type") or "").split(";")[0].strip() or None,
+                    redirect=hh.get("location"),
                 )
             except ValueError as e:
                 r.update(ok=False, error=str(e))
@@ -455,7 +463,7 @@ def warc_cdx(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         keys = (
             "id", "rec_idx", "ok", "warc_type", "target_uri", "ts", "mime",
-            "http_status", "digest", "offset", "length", "error",
+            "http_status", "redirect", "digest", "offset", "length", "error",
         )
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in keys}
@@ -472,6 +480,7 @@ def warc_cdx(
     schema = (
         f"{id_col} long, rec_idx int, ok boolean, warc_type string, "
         "target_uri string, ts string, mime string, http_status int, "
-        "digest string, offset long, length long, error string"
+        "redirect string, digest string, offset long, length long, "
+        "error string"
     )
     return df.select(id_col, bin_col).mapInPandas(run, schema)
