@@ -10152,8 +10152,11 @@ def q_bpe_byte_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zio_analytics_spark.operators.bpe", fromlist=["bpe_model_bytes"]
         ).bpe_model_bytes(read_table(spark, sf_dir, "documents"), n_merges=4),
     )
+    # single-file parquet = one input partition (round-7 lesson); the
+    # per-CHARACTER byte→unicode mapping is the hot path of the corpus
+    # pass — fan out before it or it runs serial (4.7 s → 1.5 s at sf0.1)
     return bpe_tokenize_bytes(
-        read_table(spark, sf_dir, "documents"),
+        read_table(spark, sf_dir, "documents").repartition(32),
         [{"lhs": l, "rhs": r} for _it, l, r, _c, _t in merges],
     )
 
