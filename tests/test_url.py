@@ -252,3 +252,79 @@ def test_resolve_redirects_hop_bound(spark):
     # /3 needs exactly 2 -> fine
     assert got["https://ex.org/3"]["final_url"] == "https://ex.org/5"
     assert got["https://ex.org/3"]["resolved"] is True
+
+
+def test_resolve_redirects_random_differential(spark):
+    """Seeded random redirect graphs (chains, trees, loops, dead ends)
+    decided in one Spark job vs an independent Python walk."""
+    import random
+
+    rng = random.Random(88)
+    rows, ref_edges, statuses = [], {}, {}
+    n = 120
+    for i in range(n):
+        url = f"https://ex.org/p{i}"
+        if rng.random() < 0.5:
+            dst = f"/p{rng.randrange(n)}"
+            rows.append((url, rng.choice([301, 302, 307, 308]), dst))
+            ref_edges[url] = f"https://ex.org{dst}"
+        else:
+            rows.append((url, rng.choice([200, 404, 500]), None))
+        statuses[url] = rows[-1][1]
+
+    def walk(u, hops_left=3):
+        hops = 0
+        while u in ref_edges and hops < 3:
+            u = ref_edges[u]
+            hops += 1
+        return u, hops, u not in ref_edges
+
+    from zio_analytics_spark.operators.url import resolve_redirects
+
+    df = spark.createDataFrame(rows, "url string, status int, location string")
+    got = {r["url"]: r for r in resolve_redirects(df).collect()}
+    assert len(got) == n
+    for u in statuses:
+        fin, hops, resolved = walk(u)
+        g = got[u]
+        assert (g["final_url"], g["hops"], g["resolved"]) == (fin, hops, resolved), (
+            u, (g["final_url"], g["hops"], g["resolved"]), (fin, hops, resolved),
+        )
+
+
+def test_surt_random_differential(spark):
+    """Random canonical URLs: Column SURT vs an independent
+    urllib-based Python construction."""
+    import random
+    from urllib.parse import urlsplit
+
+    rng = random.Random(4096)
+    hosts = ["ex.org", "a.b.ex.org", "x.io", "deep.sub.domain.example.co.uk"]
+    urls = []
+    for _ in range(80):
+        host = rng.choice(hosts)
+        port = rng.choice(["", ":8080", ":81"])
+        path = "/" + "/".join(
+            rng.choice(["a", "B", "c-d", "e.f"]) for _ in range(rng.randrange(3))
+        ).rstrip("/")
+        params = [f"{rng.choice('zyx')}={rng.randrange(9)}" for _ in range(rng.randrange(3))]
+        q = "?" + "&".join(params) if params else ""
+        urls.append(f"https://{host}{port}{path}{q}")
+
+    def py_surt(u):
+        s = urlsplit(u)
+        host = s.hostname
+        key = ",".join(reversed(host.split(".")))
+        if s.port is not None:
+            key += f":{s.port}"
+        key += ")" + (s.path or "/")
+        if s.query:
+            key += "?" + "&".join(sorted(s.query.split("&")))
+        return key
+
+    from zio_analytics_spark.operators.url import surt_key_expr
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = {r["u"]: r["s"] for r in df.select("u", surt_key_expr(F.col("u")).alias("s")).collect()}
+    for u in urls:
+        assert got[u] == py_surt(u), (u, got[u], py_surt(u))
