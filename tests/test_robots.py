@@ -276,3 +276,31 @@ def test_differential_random_patterns(spark):
     for i, rules, target in cases:
         expect = _py_decide(rules, target)
         assert got[f"h{i}.org"] == expect, (i, rules, target, got[f"h{i}.org"], expect)
+
+
+def test_fetch_status_semantics(spark):
+    """RFC 9309 §2.3.1: 2xx parses, 4xx allows all, 5xx/unreachable
+    assumes complete disallow."""
+    rows = [
+        ("ok.org", "User-agent: *\nDisallow: /private/\n", 200),
+        ("gone.org", "", 404),
+        ("down.org", "", 503),
+        ("dead.org", "", None),
+    ]
+    robots = spark.createDataFrame(
+        rows, "host string, robots_txt string, status int"
+    )
+    fr = spark.createDataFrame(
+        [("ok.org", "https://ok.org/private/a"), ("ok.org", "https://ok.org/x"),
+         ("gone.org", "https://gone.org/anything"),
+         ("down.org", "https://down.org/anything"),
+         ("dead.org", "https://dead.org/anything")],
+        "host string, url string",
+    )
+    rules = robots_rules(robots, "zas-bot", status_col="status")
+    got = {r["url"]: r["allowed"] for r in apply_robots(fr, rules).collect()}
+    assert got["https://ok.org/private/a"] is False
+    assert got["https://ok.org/x"] is True
+    assert got["https://gone.org/anything"] is True     # 404 -> crawl all
+    assert got["https://down.org/anything"] is False    # 503 -> assume disallow
+    assert got["https://dead.org/anything"] is False    # unreachable -> disallow

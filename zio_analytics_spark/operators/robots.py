@@ -151,6 +151,7 @@ def robots_rules(
     agent: str,
     host_col: str = "host",
     txt_col: str = "robots_txt",
+    status_col: str | None = None,
 ) -> DataFrame:
     """Parse robots.txt bodies → one row per host with the rule array
     that applies to ``agent``.
@@ -158,7 +159,34 @@ def robots_rules(
     Output: ``(host, rules array<struct<pat_len int, allow boolean,
     regex string>>)`` — hosts whose robots.txt yields no applicable
     rules keep an empty array (join-friendly: a missing host row and an
-    empty array both decide "allowed")."""
+    empty array both decide "allowed").
+
+    ``status_col`` (optional) applies RFC 9309 §2.3.1 FETCH semantics to
+    the robots.txt request itself: 2xx parses the body; 4xx (including
+    404) means "no conditions" → empty rules, crawl everything; 5xx /
+    unreachable (status NULL or ≥500) means the crawler MUST assume
+    complete disallow → one catch-all deny rule. Without ``status_col``
+    every body is treated as fetched (the 2xx path)."""
+    if status_col is not None:
+        status = F.col(status_col)
+        fetched = df.where((status >= 200) & (status < 400))
+        deny_all = F.array(
+            F.struct(
+                F.lit(1).cast("int").alias("pat_len"),
+                F.lit(False).alias("allow"),
+                F.lit("^/").alias("regex"),
+            )
+        )
+        by_status = df.select(
+            F.col(host_col).alias("host"),
+            F.when(
+                status.isNull() | (status >= 500), deny_all
+            ).otherwise(
+                F.array().cast("array<struct<pat_len:int,allow:boolean,regex:string>>")
+            ).alias("rules"),
+        ).where(status.isNull() | (status >= 400))
+        parsed = robots_rules(fetched, agent, host_col=host_col, txt_col=txt_col)
+        return parsed.unionByName(by_status)
     grouped = _grouped_lines(df, host_col, txt_col)
     rules = (
         grouped.where(F.col("field").isin("allow", "disallow") & (F.col("value") != ""))
