@@ -232,6 +232,69 @@ def main() -> None:
         for n, t in {**(all_timings or timings), **stream_timings}.items()
         if budget > 0 and t > budget
     }
+
+    # --- self-adjudication (round-12 verdict #1b) ---------------------------
+    # A co-tenant burst landing on any single-shot sweep entry must not be
+    # able to set rc=1 on an entry whose true cost is seconds (r12: the
+    # driver sweep read bpe_byte_tokenize_docs at 18.1 s; isolated warm
+    # median 1.52 s). Every entry over the AT-RISK threshold (2/3 budget —
+    # the same line tests/test_bench_guard.py gates on) is immediately
+    # re-run ISOLATED, median-of-3, in this same process; the re-measured
+    # median is the adjudicated truth: rc is set by it, and the re-measures
+    # are persisted to BENCH_ATRISK.json in the bench_compare.py format so
+    # the guard test is green as-found without a manual adjudication pass.
+    at_risk_sec = budget * 2 / 3 if budget > 0 else 0.0
+    breach_remeasured: dict[str, dict] = {}
+    if budget > 0:
+        fns = dict(catalog.queries().items())
+        # the guard test gates on NORMALIZED times (raw × ref/probe); a
+        # fast-reading probe inflates normalized above raw, so adjudicate
+        # from a 0.8× raw margin — covers probe flips up to 20%, beyond the
+        # ±7% observed across r11/r12.
+        at_risk = {
+            n: t
+            for n, t in {**(all_timings or timings), **stream_timings}.items()
+            if t > at_risk_sec * 0.8 and n in fns
+        }
+        for name in sorted(at_risk):
+            spark.catalog.clearCache()
+            reps = []
+            for _ in range(3):
+                reps.append(run_timed([(name, fns[name])], isolate=True)[name])
+            med = round(statistics.median(reps), 3)
+            breach_remeasured[name] = {"median": med, "reps": reps}
+            print(
+                f"# at-risk remeasure {name}: sweep {at_risk[name]:.1f}s -> "
+                f"isolated median {med:.3f}s",
+                file=sys.stderr,
+            )
+        # only the full-catalog sweep owns the committed adjudication
+        # record — a headline-only dev run must not clobber it with a
+        # different-SF subset
+        if breach_remeasured and all_timings:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "BENCH_ATRISK.json"
+                ),
+                "w",
+            ) as f:
+                json.dump(
+                    {
+                        "source": "bench.py self-adjudication (in-run)",
+                        "threshold_sec": at_risk_sec,
+                        "sf_dir": sf_dir,
+                        "measured": breach_remeasured,
+                    },
+                    f,
+                    indent=1,
+                )
+        # rc is set by the ADJUDICATED value: a breach whose isolated warm
+        # median is back under budget was a burst, not a regression.
+        breaches = {
+            n: t
+            for n, t in breaches.items()
+            if breach_remeasured.get(n, {"median": t})["median"] > budget
+        }
     if all_timings:
         # one more probe sample AFTER the sweep: the full catalog runs much
         # longer than the headline window, so bracket it too
@@ -264,6 +327,7 @@ def main() -> None:
                     "host_slowdown": round(full_calib / CALIB_REF_SEC, 3),
                     "budget_sec": budget,
                     "budget_breaches": breaches,
+                    "breach_remeasured": breach_remeasured,
                     "sf": sf_val,
                 },
                 f,
@@ -287,14 +351,22 @@ def main() -> None:
                 "spread_sec": spread,
                 "value_normalized": value_normalized,
                 "calib": calib,
+                "breach_remeasured": breach_remeasured,
                 "sf": sf_val,
             }
         )
     )
     if breaches:
         print(
-            f"# BUDGET BREACH (> {budget:.0f}s/entry): "
-            + ", ".join(f"{n}={t:.1f}s" for n, t in sorted(breaches.items())),
+            f"# BUDGET BREACH (> {budget:.0f}s/entry, isolated-median "
+            "adjudicated): "
+            + ", ".join(
+                f"{n}={t:.1f}s"
+                f" (remeasured {breach_remeasured[n]['median']:.1f}s)"
+                if n in breach_remeasured
+                else f"{n}={t:.1f}s"
+                for n, t in sorted(breaches.items())
+            ),
             file=sys.stderr,
         )
         sys.exit(1)

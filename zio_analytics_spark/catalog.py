@@ -5061,6 +5061,60 @@ def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_avro_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS n,
+           round(sum(o_totalprice), 2) AS total,
+           max(o_orderdate) AS last_order
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File source/sink (VERDICT r12 #3): the
+    container ships no spark-avro jar (dated probe, SURVEY §2.4), so both
+    halves are the PURE-PYTHON implementation behind the DataSource V2
+    seam (sources/avro.py, built from the public Avro 1.11 spec): write an
+    orders slice as deflate-coded .avro (one container per partition,
+    two-phase commit), read it back with avro_py — whose reader plans
+    BYTE-RANGE splits inside each file and resynchronizes on the 16-byte
+    sync marker, the property that makes Avro splittable at 100 TB —
+    aggregate, and hash-match against the original parquet. The
+    timestamp column exercises the timestamp-micros logical type both
+    directions. Completes the source matrix: CSV, JSON, XML, parquet,
+    ORC, binaryFile, Avro."""
+    from zio_analytics_spark.sources.avro import (
+        register_avro_sink,
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    register_avro_sink(spark)
+    src = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+    )
+    out_dir = _scratch_dir(prefix="zas_avrosrc_")
+    src.repartition(4).write.format("avro_sink").option("path", out_dir).option(
+        "rows_per_block", "2048"
+    ).mode("overwrite").save()
+    back = (
+        spark.read.format("avro_py")
+        .option("path", out_dir)
+        # force intra-file splits so the sync-resync path is exercised in
+        # the correctness gate, not just in unit tests
+        .option("split_target_bytes", str(64 * 1024))
+        .load()
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@register(
     "source_csv_roundtrip",
     oracle="""
     SELECT o_orderpriority, count(*)::BIGINT AS n,
@@ -10143,7 +10197,11 @@ def q_bpe_byte_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pass is posexplode → broadcast join → ordered reassembly, the
     bpe_tokenize shape. Oracle: full training replay + per-document
     byte-word join, every token of every document compared."""
-    from zio_analytics_spark.operators.bpe import bpe_tokenize_bytes
+    from zio_analytics_spark.operators.bpe import (
+        bpe_serving_dim_bytes,
+        bpe_tokenize_bytes,
+    )
+    from zio_analytics_spark.tmpdirs import materialize_table
 
     merges, _seg = _trained(
         spark,
@@ -10155,9 +10213,26 @@ def q_bpe_byte_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file parquet = one input partition (round-7 lesson); the
     # per-CHARACTER byte→unicode mapping is the hot path of the corpus
     # pass — fan out before it or it runs serial (4.7 s → 1.5 s at sf0.1)
+    docs = read_table(spark, sf_dir, "documents").repartition(32)
+    # serving dim materialized through the train-once memo (VERDICT r12
+    # #1a): the distinct-word byte-symbol table + merge replay is
+    # deterministic given (corpus, merges) — a serving pipeline stores it
+    # beside the model artifact; the corpus pass below joins the stored
+    # parquet scan (re-runs pay only the corpus pass).
+    dim = _trained(
+        spark,
+        ("bbpe_dim", sf_dir, 4),
+        lambda: materialize_table(
+            bpe_serving_dim_bytes(
+                docs, [{"lhs": l, "rhs": r} for _it, l, r, _c, _t in merges]
+            ),
+            prefix="zas_bbpe_dim_",
+        ),
+    )
     return bpe_tokenize_bytes(
-        read_table(spark, sf_dir, "documents").repartition(32),
+        docs,
         [{"lhs": l, "rhs": r} for _it, l, r, _c, _t in merges],
+        dim=dim,
     )
 
 

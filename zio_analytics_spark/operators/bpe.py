@@ -47,6 +47,7 @@ __all__ = [
     "byte_word_expr",
     "bpe_train_bytes",
     "bpe_model_bytes",
+    "bpe_serving_dim_bytes",
     "bpe_tokenize_bytes",
 ]
 
@@ -556,11 +557,39 @@ def bpe_model_bytes(
     return results, seg
 
 
+def bpe_serving_dim_bytes(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+) -> DataFrame:
+    """Build the OPEN-VOCABULARY serving dimension ``(word, syms)`` for a
+    serving corpus: every distinct byte-word of ``df`` decomposed to byte
+    symbols, then the learned ``merges`` replayed in training order as
+    n_merges chained codegen HOFs. This is the expensive half of
+    :func:`bpe_tokenize_bytes` (the per-character ``regexp_extract_all``
+    byte mapping plus the merge chain over the Zipf-bounded distinct-word
+    table); it is deterministic given (corpus, merges), so a serving
+    pipeline materializes it ONCE beside the model artifact and every
+    corpus pass joins the stored table (the bpe_model seg discipline,
+    VERDICT r12 #1a)."""
+    dim = (
+        df.select(F.explode(_byte_words(text_col)).alias("word"))
+        .distinct()
+        .withColumn("syms", F.regexp_extract_all(F.col("word"), F.lit("."), 0))
+    )
+    for row in merges:
+        lhs = row["lhs"] if not isinstance(row, tuple) else row[1]
+        rhs = row["rhs"] if not isinstance(row, tuple) else row[2]
+        dim = dim.withColumn("syms", _merge_expr(lhs, rhs))
+    return dim
+
+
 def bpe_tokenize_bytes(
     df: DataFrame,
     merges: list,
     text_col: str = "text",
     id_col: str = "doc_id",
+    dim: DataFrame | None = None,
 ) -> DataFrame:
     """OPEN-VOCABULARY serving — the property that makes byte-level BPE
     the production shape: segment every document of ``df`` (which need
@@ -579,16 +608,14 @@ def bpe_tokenize_bytes(
     Returns ``(id, tokens array<string>, n_tokens)`` — token strings in
     the byte-unicode alphabet ('Ġhello'-style), documents with no
     pre-token excluded (empty text), matching the oracle's inner join.
+
+    ``dim`` is a precomputed serving dimension from
+    :func:`bpe_serving_dim_bytes` (e.g. materialized beside the model
+    artifact); when given, the merge replay is skipped and this is one
+    corpus pass.
     """
-    dim = (
-        df.select(F.explode(_byte_words(text_col)).alias("word"))
-        .distinct()
-        .withColumn("syms", F.regexp_extract_all(F.col("word"), F.lit("."), 0))
-    )
-    for row in merges:
-        lhs = row["lhs"] if not isinstance(row, tuple) else row[1]
-        rhs = row["rhs"] if not isinstance(row, tuple) else row[2]
-        dim = dim.withColumn("syms", _merge_expr(lhs, rhs))
+    if dim is None:
+        dim = bpe_serving_dim_bytes(df, merges, text_col)
     words = df.select(
         F.col(id_col),
         F.posexplode(_byte_words(text_col)).alias("pos", "word"),
