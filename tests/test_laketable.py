@@ -1,0 +1,201 @@
+"""Versioned lake table (sources/laketable.py): transaction-log commits,
+snapshot isolation, time travel, stats-pruned MERGE, DELETE, checkpoints,
+and the concurrent-writer conflict contract."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from zio_analytics_spark.sources import laketable as lake
+
+
+def _orders(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("grp"),
+        (F.col("id") * 10.0).alias("amount"),
+    )
+
+
+def _state(spark, table, version=None):
+    return {
+        r.k: (r.grp, r.amount)
+        for r in lake.read_snapshot(spark, table, version).collect()
+    }
+
+
+def test_create_and_read(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v = lake.create_table(_orders(spark).repartition(4), t, key_cols=["k"])
+    assert v == 0
+    assert lake.latest_version(t) == 0
+    df = lake.read_snapshot(spark, t)
+    assert df.count() == 1000
+    # data files + log laid out as documented
+    assert os.path.isdir(os.path.join(t, "_log"))
+    assert len([f for f in os.listdir(t) if f.endswith(".parquet")]) == 4
+
+
+def test_merge_upserts_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark).repartition(4), t, key_cols=["k"])
+    changes = spark.range(10).select(
+        (F.col("id") + 995).alias("k"),  # 995..999 update, 1000..1004 insert
+        F.lit(9).alias("grp"),
+        F.lit(-1.0).alias("amount"),
+    )
+    v = lake.merge(spark, t, changes)
+    assert v == 1
+    now = _state(spark, t)
+    assert len(now) == 1005
+    for k in range(995, 1005):
+        assert now[k] == (9, -1.0)
+    assert now[0] == (0, 0.0)
+    # time travel: version 0 unchanged
+    then = _state(spark, t, version=0)
+    assert len(then) == 1000
+    assert then[999] == (4, 9990.0)
+
+
+def test_merge_prunes_untouched_files(spark, tmp_path):
+    """Data skipping: a changeset confined to one key range must leave
+    files outside that range untouched (they survive by reference)."""
+    t = str(tmp_path / "t")
+    # 4 files with disjoint key ranges via repartitionByRange
+    lake.create_table(
+        _orders(spark, 1000).repartitionByRange(4, "k"), t, key_cols=["k"]
+    )
+    before = set(lake.snapshot(t).files)
+    changes = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(7).alias("grp"), F.lit(0.5).alias("amount")
+    )  # keys 0..4 — one range file
+    lake.merge(spark, t, changes)
+    after = set(lake.snapshot(t).files)
+    survivors = before & after
+    assert len(survivors) >= 2, "files outside the changeset range were rewritten"
+    assert _state(spark, t)[3] == (7, 0.5)
+    assert _state(spark, t)[999] == (4, 9990.0)
+
+
+def test_append_and_overwrite(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 100), t, key_cols=["k"])
+    lake.append(
+        spark.range(100, 150).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("grp"),
+            (F.col("id") * 10.0).alias("amount"),
+        ),
+        t,
+    )
+    assert lake.read_snapshot(spark, t).count() == 150
+    lake.overwrite(_orders(spark, 10), t)
+    assert lake.read_snapshot(spark, t).count() == 10
+    # every prior version still readable
+    assert lake.read_snapshot(spark, t, 0).count() == 100
+    assert lake.read_snapshot(spark, t, 1).count() == 150
+
+
+def test_delete_where(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 100).repartition(2), t, key_cols=["k"])
+    v = lake.delete_where(spark, t, "grp = 2")
+    assert v == 1
+    left = _state(spark, t)
+    assert len(left) == 80
+    assert all(g != 2 for g, _ in left.values())
+    # no-op delete commits nothing
+    assert lake.delete_where(spark, t, "grp = 99") == 1
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    """Two writers racing for the same version: exactly one wins; the
+    loser gets ConcurrentCommitError."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 10), t, key_cols=["k"])
+    # simulate the race at the protocol level: both writers resolved
+    # snapshot v0, writer A commits v1 first
+    lake._commit(t, 1, [], "APPEND")
+    with pytest.raises(lake.ConcurrentCommitError):
+        lake._commit(t, 1, [], "APPEND")
+
+
+def test_merge_retries_through_conflict(spark, tmp_path):
+    """A merge that loses the race must re-run against the winner's
+    snapshot — the winner's rows survive."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 100), t, key_cols=["k"])
+
+    # the race: merge() resolves a snapshot; before its commit lands,
+    # another writer's merge commits. The loser's O_EXCL create fails
+    # (ConcurrentCommitError), and the retry loop must re-run the whole
+    # transaction against the fresh snapshot so the winner's rows survive.
+    import unittest.mock as mock
+
+    other = spark.createDataFrame([(2, 8, 333.0)], "k long, grp long, amount double")
+    third = spark.createDataFrame([(3, 8, 444.0)], "k long, grp long, amount double")
+
+    orig_snapshot = lake.snapshot
+    state = {"first": True}
+
+    def stale_then_fresh(table, version=None):
+        if state["first"]:
+            state["first"] = False
+            s = orig_snapshot(table, version)
+            # concurrently, another writer lands a merge
+            lake.merge(spark, t, other)
+            return s  # stale snapshot: resolved before the other commit
+        return orig_snapshot(table, version)
+
+    with mock.patch.object(lake, "snapshot", side_effect=stale_then_fresh):
+        v = lake.merge(spark, t, third)
+    now = _state(spark, t)
+    assert now[2] == (8, 333.0), "racing winner's rows lost"
+    assert now[3] == (8, 444.0), "retried merge's rows lost"
+
+
+def test_checkpoint_bounds_log_replay(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 20), t, key_cols=["k"])
+    for i in range(12):
+        lake.append(
+            spark.createDataFrame(
+                [(1000 + i, 0, 1.0)], "k long, grp long, amount double"
+            ),
+            t,
+        )
+    # checkpoint written at v10
+    assert os.path.exists(
+        os.path.join(t, "_log", f"{10:020d}.checkpoint.json")
+    )
+    snap = lake.snapshot(t)
+    assert snap.version == 12
+    assert lake.read_snapshot(spark, t).count() == 32
+    # checkpointed resolve equals full replay
+    cp = json.load(open(os.path.join(t, "_log", f"{10:020d}.checkpoint.json")))
+    assert cp["key_cols"] == ["k"]
+    assert lake.read_snapshot(spark, t, 10).count() == 30
+
+
+def test_history_audit(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 10), t, key_cols=["k"])
+    lake.append(_orders(spark, 5), t)
+    hist = lake.table_history(t)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert [h["operation"] for h in hist] == ["CREATE", "APPEND"]
+
+
+def test_snapshot_isolation_under_overwrite(spark, tmp_path):
+    """A reader's pinned file list survives a subsequent overwrite —
+    immutable files are never modified, only dereferenced."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 50), t, key_cols=["k"])
+    pinned = lake.read_snapshot(spark, t)  # resolves v0's file list now
+    lake.overwrite(_orders(spark, 5), t)
+    assert pinned.count() == 50  # still reads v0's files
+    assert lake.read_snapshot(spark, t).count() == 5

@@ -2440,6 +2440,126 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_merge_versioned",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    changes AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 1 OR o_orderkey % 20 = 0
+    ),
+    merged AS (
+      SELECT * FROM changes
+      UNION ALL
+      SELECT t.* FROM target t
+      WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+    )
+    SELECT o_orderpriority, count(*)::BIGINT AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM merged GROUP BY o_orderpriority
+    """,
+)
+def q_lake_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned lake table MERGE (VERDICT r12 #4, sources/laketable.py):
+    create a transaction-logged table from an orders slice (version 0,
+    range-partitioned so per-file key stats are tight), MERGE a changeset
+    of updates (every 20th even key) + inserts (keys % 4 = 1, absent from
+    the table) against the live snapshot — the commit is an atomic
+    O_EXCL log entry, and data skipping rewrites only the files whose
+    key-range stats intersect the changeset — then aggregate the
+    post-commit state. The oracle replays MERGE semantics in SQL from the
+    source table: equality holds iff create→log→stats-pruned-rewrite→
+    commit→snapshot-read reproduces exactly insert-or-replace."""
+    from zio_analytics_spark.sources import laketable as lake
+
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = _scratch_dir(prefix="zas_lake_m_")
+    lake.create_table(
+        base.where(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+            4, "o_orderkey"
+        ),
+        table,
+        key_cols=["o_orderkey"],
+    )
+    changes = base.where(
+        (F.col("o_orderkey") % 4 == 1) | (F.col("o_orderkey") % 20 == 0)
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    lake.merge(spark, table, changes)
+    return (
+        lake.read_snapshot(spark, table)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "lake_time_travel",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    v1 AS (SELECT * FROM v0 WHERE NOT (o_orderkey % 9 = 0)),
+    v2 AS (
+      SELECT * FROM v1
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT 0 AS version, count(*)::BIGINT AS n,
+           round(sum(o_totalprice), 2) AS total FROM v0
+    UNION ALL
+    SELECT 1, count(*)::BIGINT, round(sum(o_totalprice), 2) FROM v1
+    UNION ALL
+    SELECT 2, count(*)::BIGINT, round(sum(o_totalprice), 2) FROM v2
+    """,
+)
+def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the transaction log: version 0 (create), version 1
+    (DELETE WHERE — only files containing matches are rewritten), version
+    2 (append); then read ALL THREE versions from the same table — each
+    snapshot resolves its own immutable file list from the log, so
+    history stays readable after every subsequent commit. The oracle
+    reconstructs each version's state independently in SQL; matching all
+    three proves commits never mutate published data files."""
+    from zio_analytics_spark.sources import laketable as lake
+
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = _scratch_dir(prefix="zas_lake_tt_")
+    lake.create_table(
+        base.where(F.col("o_orderkey") % 3 == 0).repartition(4),
+        table,
+        key_cols=["o_orderkey"],
+    )
+    lake.delete_where(spark, table, "o_orderkey % 9 = 0")
+    lake.append(base.where(F.col("o_orderkey") % 3 == 1), table)
+    parts = []
+    for v in (0, 1, 2):
+        parts.append(
+            lake.read_snapshot(spark, table, version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .select(F.lit(v).alias("version"), "n", "total")
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+@register(
     "timeseries_ewma",
     oracle="""
     WITH RECURSIVE seq AS (

@@ -1,0 +1,392 @@
+"""[EXT] Versioned lake table — a minimal ACID transaction-log protocol
+over plain parquet (VERDICT r12 #4).
+
+No Delta/Iceberg jar ships in this container, so this vendors the
+PROTOCOL (the shape both publish openly: an ordered log of add/remove
+file actions, optimistic concurrency via atomic log-entry creation,
+snapshot isolation from immutable data files) in pure Python + Spark:
+
+```
+table_dir/
+  _log/00000000000000000000.json      one commit per file, actions as JSON lines
+  _log/00000000000000000010.checkpoint.json   full state every N commits
+  part-<uuid>.parquet                 immutable data files
+```
+
+* **Commit atomicity / optimistic concurrency.** A commit is the creation
+  of ``_log/{version:020d}.json`` with ``O_CREAT|O_EXCL`` — exactly one
+  writer can create a given version; the loser gets
+  :class:`ConcurrentCommitError` and must re-read the snapshot and retry
+  (blind retry is safe for appends; merges re-run against the new
+  snapshot — test_laketable pins both). On a real object store the same
+  contract is an atomic put-if-absent.
+* **Snapshot isolation.** Readers resolve the live file set by replaying
+  the log up to a pinned version, then read only those immutable parquet
+  files — concurrent commits cannot change what a running query sees.
+* **Time travel.** Any historical version's file set is reconstructible
+  from the log; ``read_snapshot(version=K)`` reads the table as of K.
+* **MERGE with data skipping.** Every add action carries per-file
+  min/max stats for the table's key columns. ``merge()`` rewrites ONLY
+  the files whose key range intersects the changeset's key range (plus
+  stat-less files) — at 100 TB a 0.1% changeset touches a handful of
+  files, not the table; untouched files survive by reference. This is
+  the published Delta/Iceberg data-skipping MERGE shape.
+* **Bounded log replay.** Every ``checkpoint_interval`` commits the full
+  live-file list is checkpointed; snapshot resolution replays only the
+  tail after the latest checkpoint, so log cost is O(interval), not
+  O(commit history).
+
+Driver-side state is the FILE LIST only (paths + stats), never data:
+all row movement is Spark jobs over parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ConcurrentCommitError",
+    "LakeSnapshot",
+    "create_table",
+    "append",
+    "overwrite",
+    "merge",
+    "delete_where",
+    "read_snapshot",
+    "latest_version",
+    "table_history",
+]
+
+_LOG_DIR = "_log"
+_PAD = 20
+
+
+class ConcurrentCommitError(Exception):
+    """Another writer committed this version first — re-read the snapshot
+    and retry the transaction."""
+
+    def __init__(self, version: int) -> None:
+        super().__init__(
+            f"version {version} was committed concurrently; "
+            "re-read the snapshot and retry"
+        )
+        self.version = version
+
+
+@dataclass
+class LakeSnapshot:
+    version: int
+    files: dict = field(default_factory=dict)  # path -> add action dict
+    key_cols: list = field(default_factory=list)
+
+
+def _log_path(table: str, version: int, checkpoint: bool = False) -> str:
+    suffix = ".checkpoint.json" if checkpoint else ".json"
+    return os.path.join(table, _LOG_DIR, f"{version:0{_PAD}d}{suffix}")
+
+
+def _list_log(table: str) -> tuple[list[int], list[int]]:
+    """(commit versions asc, checkpoint versions asc)."""
+    log_dir = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a lake table (no {_LOG_DIR}/): {table}")
+    commits, checkpoints = [], []
+    for name in os.listdir(log_dir):
+        if name.endswith(".checkpoint.json"):
+            checkpoints.append(int(name[: -len(".checkpoint.json")]))
+        elif name.endswith(".json"):
+            commits.append(int(name[: -len(".json")]))
+    return sorted(commits), sorted(checkpoints)
+
+
+def latest_version(table: str) -> int:
+    commits, _ = _list_log(table)
+    if not commits:
+        raise FileNotFoundError(f"empty lake table log: {table}")
+    return commits[-1]
+
+
+def snapshot(table: str, version: int | None = None) -> LakeSnapshot:
+    """Resolve the live file set as of ``version`` (default: latest) by
+    replaying the log from the newest checkpoint at or below it."""
+    commits, checkpoints = _list_log(table)
+    if version is None:
+        if not commits:
+            raise FileNotFoundError(f"empty lake table log: {table}")
+        version = commits[-1]
+    if version not in commits:
+        raise ValueError(
+            f"version {version} does not exist in {table} "
+            f"(have {commits[0]}..{commits[-1]})"
+        )
+    snap = LakeSnapshot(version=version)
+    start = 0
+    usable = [c for c in checkpoints if c <= version]
+    if usable:
+        cp = usable[-1]
+        with open(_log_path(table, cp, checkpoint=True)) as f:
+            state = json.load(f)
+        snap.files = {a["path"]: a for a in state["files"]}
+        snap.key_cols = state.get("key_cols", [])
+        start = cp + 1
+    for v in commits:
+        if v < start or v > version:
+            continue
+        with open(_log_path(table, v)) as f:
+            for line in f:
+                action = json.loads(line)
+                if "meta" in action:
+                    snap.key_cols = action["meta"].get("key_cols", snap.key_cols)
+                elif "add" in action:
+                    snap.files[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    snap.files.pop(action["remove"]["path"], None)
+    return snap
+
+
+def table_history(table: str) -> list[dict]:
+    """The commitInfo line of every version — the audit log."""
+    commits, _ = _list_log(table)
+    out = []
+    for v in commits:
+        with open(_log_path(table, v)) as f:
+            first = json.loads(f.readline())
+        out.append(first.get("commitInfo", {"version": v}))
+    return out
+
+
+# --------------------------------------------------------------------- #
+# writing
+
+def _stage_files(
+    df: DataFrame, table: str, key_cols: Sequence[str]
+) -> list[dict]:
+    """Write ``df`` as immutable parquet parts in the table dir and return
+    their add actions (path, rows, per-file min/max stats for key_cols).
+    Stats come from ONE aggregate over the newly written files only —
+    never a table scan."""
+    spark = df.sparkSession
+    stage = os.path.join(table, f"_stage-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
+    moved: dict[str, str] = {}
+    for name in os.listdir(stage):
+        if name.startswith("part-") and name.endswith(".parquet"):
+            final = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(stage, name), os.path.join(table, final))
+            moved[os.path.join(table, final)] = final
+    shutil.rmtree(stage, ignore_errors=True)
+    if not moved:
+        return []
+    stat_cols = [c for c in key_cols if c in df.columns]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    per_file = (
+        spark.read.parquet(*moved.keys())
+        .groupBy(F.input_file_name().alias("__file"))
+        .agg(*aggs)
+        .collect()
+    )
+    by_suffix = {}
+    for r in per_file:
+        d = r.asDict()
+        fname = d["__file"].split("/")[-1]
+        by_suffix[fname] = d
+    adds = []
+    for full, fname in moved.items():
+        d = by_suffix.get(fname)
+        if d is None:  # empty file (no rows): still track it
+            adds.append({"path": fname, "rows": 0, "stats": {}})
+            continue
+        stats = {}
+        for c in stat_cols:
+            mn, mx = d[f"__min_{c}"], d[f"__max_{c}"]
+            if _json_safe(mn) and _json_safe(mx):
+                stats[c] = {"min": mn, "max": mx}
+        adds.append({"path": fname, "rows": d["__rows"], "stats": stats})
+    return adds
+
+
+def _json_safe(v) -> bool:
+    return isinstance(v, (int, float, str, bool))
+
+
+def _commit(
+    table: str,
+    version: int,
+    actions: list[dict],
+    operation: str,
+    checkpoint_interval: int = 10,
+) -> int:
+    """Atomically create the version's log entry (O_EXCL — optimistic
+    concurrency). Raises ConcurrentCommitError if a racing writer won."""
+    import time
+
+    os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
+    path = _log_path(table, version)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "version": version,
+                    "operation": operation,
+                    "timestamp": int(time.time() * 1000),
+                }
+            }
+        )
+    ] + [json.dumps(a) for a in actions]
+    payload = ("\n".join(lines) + "\n").encode("utf-8")
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentCommitError(version) from None
+    with os.fdopen(fd, "wb") as f:
+        f.write(payload)
+    if checkpoint_interval and version and version % checkpoint_interval == 0:
+        snap = snapshot(table, version)
+        with open(_log_path(table, version, checkpoint=True), "w") as f:
+            json.dump(
+                {"files": list(snap.files.values()), "key_cols": snap.key_cols},
+                f,
+            )
+    return version
+
+
+def create_table(
+    df: DataFrame, table: str, key_cols: Sequence[str] = ()
+) -> int:
+    """Version 0: write the initial data files and the table metadata
+    (key_cols drive per-file stats and MERGE pruning)."""
+    os.makedirs(table, exist_ok=True)
+    if os.path.isdir(os.path.join(table, _LOG_DIR)) and os.listdir(
+        os.path.join(table, _LOG_DIR)
+    ):
+        raise FileExistsError(f"lake table already exists: {table}")
+    adds = _stage_files(df, table, key_cols)
+    actions = [{"meta": {"key_cols": list(key_cols)}}]
+    actions += [{"add": a} for a in adds]
+    return _commit(table, 0, actions, "CREATE")
+
+
+def append(df: DataFrame, table: str) -> int:
+    """Blind append: new files only — retries safely on conflict."""
+    snap = snapshot(table)
+    adds = _stage_files(df, table, snap.key_cols)
+    version = snap.version + 1
+    while True:
+        try:
+            return _commit(table, version, [{"add": a} for a in adds], "APPEND")
+        except ConcurrentCommitError:
+            # an append conflicts with nothing: the staged files are
+            # already in place, only the log entry needs a new slot
+            version += 1
+
+
+def overwrite(df: DataFrame, table: str) -> int:
+    snap = snapshot(table)
+    adds = _stage_files(df, table, snap.key_cols)
+    actions = [{"remove": {"path": p}} for p in snap.files]
+    actions += [{"add": a} for a in adds]
+    return _commit(table, snap.version + 1, actions, "OVERWRITE")
+
+
+def _read_files(spark: SparkSession, table: str, snap: LakeSnapshot) -> DataFrame:
+    paths = [os.path.join(table, p) for p in snap.files]
+    if not paths:
+        raise ValueError(f"snapshot v{snap.version} of {table} has no files")
+    return spark.read.parquet(*paths)
+
+
+def read_snapshot(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot-isolated read: the file list is pinned at resolve time —
+    concurrent commits (which only add/remove immutable files) cannot
+    change what this DataFrame sees. ``version`` = time travel."""
+    return _read_files(spark, table, snapshot(table, version))
+
+
+def merge(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    max_retries: int = 3,
+) -> int:
+    """MERGE (upsert by the table's key_cols) against the LIVE snapshot
+    with file-level data skipping: only files whose key-range stats
+    intersect the changeset's key range are rewritten; every other file
+    survives by reference. On a commit race the transaction re-runs
+    against the new snapshot (the rewrite must see the winner's rows)."""
+    for _ in range(max_retries + 1):
+        snap = snapshot(table)
+        keys = snap.key_cols
+        if not keys:
+            raise ValueError(f"{table} has no key_cols; merge needs keys")
+        k0 = keys[0]
+        bounds = source.agg(
+            F.min(k0).alias("mn"), F.max(k0).alias("mx")
+        ).first()
+        src_mn, src_mx = bounds["mn"], bounds["mx"]
+        if src_mn is None:  # empty changeset: MERGE is a no-op
+            return snap.version
+        touched, kept = [], []
+        for p, a in snap.files.items():
+            st = a.get("stats", {}).get(k0)
+            if st is None or src_mn is None:
+                touched.append(p)  # no stats → must assume overlap
+            elif st["max"] >= src_mn and st["min"] <= src_mx:
+                touched.append(p)
+            else:
+                kept.append(p)
+        from zio_analytics_spark.operators.merge import merge_upsert
+
+        if touched:
+            target = spark.read.parquet(
+                *[os.path.join(table, p) for p in touched]
+            )
+            merged = merge_upsert(target, source.select(*target.columns), keys)
+        else:
+            merged = source
+        adds = _stage_files(merged, table, keys)
+        actions = [{"remove": {"path": p}} for p in touched]
+        actions += [{"add": a} for a in adds]
+        try:
+            return _commit(table, snap.version + 1, actions, "MERGE")
+        except ConcurrentCommitError:
+            # the winner may have rewritten files we read: orphan our
+            # staged files (unreferenced — vacuum-able) and re-run the
+            # whole transaction on the fresh snapshot
+            continue
+    raise ConcurrentCommitError(snapshot(table).version + 1)
+
+
+def delete_where(spark: SparkSession, table: str, predicate: str) -> int:
+    """DELETE: rewrite only the files that contain matching rows (found by
+    one filtered scan over the live set), drop fully-deleted files."""
+    snap = snapshot(table)
+    live = _read_files(spark, table, snap).withColumn(
+        "__file", F.input_file_name()
+    )
+    hit_files = [
+        r["__file"].split("/")[-1]
+        for r in live.where(predicate).select("__file").distinct().collect()
+    ]
+    if not hit_files:
+        return snap.version  # no-op: nothing matched
+    survivors = (
+        spark.read.parquet(*[os.path.join(table, p) for p in hit_files])
+        .where(f"NOT ({predicate})")
+    )
+    adds = _stage_files(survivors, table, snap.key_cols)
+    actions = [{"remove": {"path": p}} for p in hit_files]
+    actions += [{"add": a} for a in adds]
+    return _commit(table, snap.version + 1, actions, "DELETE")
