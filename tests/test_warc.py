@@ -260,3 +260,98 @@ def test_warc_cdx_dataframe(spark):
     assert rows[2]["urlkey"] == "org,ex)/1"
     assert rows[2]["http_status"] == 200
     assert rows[2]["offset"] > 0 and rows[2]["length"] > 0
+
+
+def _crawl(pages):
+    """pages: list of (uri, body_str) → one gzip-member WARC file's bytes."""
+    recs = []
+    for uri, body in pages:
+        b = body.encode("utf-8")
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            f"Content-Length: {len(b)}\r\n\r\n"
+        ).encode("ascii") + b
+        recs.append((
+            {"WARC-Type": "response", "WARC-Target-URI": uri,
+             "WARC-Date": "2026-02-01T00:00:00Z",
+             "Content-Type": "application/http; msgtype=response"},
+            http,
+        ))
+    return encode_warc(recs, gzip_members=True)
+
+
+def test_recrawl_delta_classification_and_cost(spark):
+    """Change detection + the O(delta) contract: unchanged pages never
+    reach the fetch/extract stage (span count == changed + new)."""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.url import surt_key_expr
+    from zio_analytics_spark.operators.warc import (
+        fetch_member_records,
+        recrawl_delta,
+        warc_cdx,
+    )
+
+    prior = _crawl([
+        ("https://ex.org/a", "<title>A</title>old"),
+        ("https://ex.org/b", "<title>B</title>same"),
+        ("https://ex.org/c", "<title>C</title>same"),
+    ])
+    new = _crawl([
+        ("https://ex.org/a", "<title>A2</title>NEW BODY"),   # changed
+        ("https://ex.org/b", "<title>B</title>same"),        # unchanged
+        ("https://ex.org/c", "<title>C</title>same"),        # unchanged
+        ("https://ex.org/d", "<title>D</title>brand new"),   # new
+    ])
+    mk = lambda b: spark.createDataFrame(  # noqa: E731
+        [(1, bytearray(b))], "file_id long, content binary"
+    )
+    key = lambda ix: ix.where(F.col("ok")).withColumn(  # noqa: E731
+        "urlkey", surt_key_expr(F.col("target_uri"))
+    )
+    new_files = mk(new)
+    delta = recrawl_delta(key(warc_cdx(new_files)), key(warc_cdx(mk(prior))))
+    verdicts = {r.urlkey.split("/")[-1]: r.change_status for r in delta.collect()}
+    assert verdicts == {"a": "changed", "b": "unchanged",
+                        "c": "unchanged", "d": "new"}
+
+    todo = delta.where(F.col("change_status") != "unchanged")
+    # THE cost contract: exactly the changed+new spans replay — never the
+    # unchanged ones, never a second full walk
+    assert todo.count() == 2
+    fetched = fetch_member_records(
+        new_files, todo.select("file_id", "offset", "length")
+    )
+    rows = fetched.collect()
+    assert len(rows) == 2
+    got = {r.target_uri.split("/")[-1]: bytes(r.body) for r in rows}
+    assert got["a"] == b"<title>A2</title>NEW BODY"
+    assert got["d"] == b"<title>D</title>brand new"
+    assert all(r.http_status == 200 for r in rows)
+
+
+def test_recrawl_delta_prior_dedup_latest_capture_wins(spark):
+    """A prior index with multiple captures of the same urlkey must
+    classify against the LATEST capture's digest."""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.url import surt_key_expr
+    from zio_analytics_spark.operators.warc import recrawl_delta, warc_cdx
+
+    old1 = _crawl([("https://ex.org/a", "v1")])
+    old2 = _crawl([("https://ex.org/a", "v2")])
+    new = _crawl([("https://ex.org/a", "v2")])  # matches the LATEST capture
+
+    key = lambda ix: ix.where(F.col("ok")).withColumn(  # noqa: E731
+        "urlkey", surt_key_expr(F.col("target_uri"))
+    )
+
+    def cdx(b, ts):
+        df = spark.createDataFrame(
+            [(1, bytearray(b))], "file_id long, content binary"
+        )
+        return key(warc_cdx(df)).withColumn("ts", F.lit(ts))
+
+    prior = cdx(old1, "20260101000000").unionByName(cdx(old2, "20260115000000"))
+    delta = recrawl_delta(cdx(new, "20260201000000"), prior)
+    assert [r.change_status for r in delta.collect()] == ["unchanged"]

@@ -15660,6 +15660,128 @@ def q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recrawl_synth_files(spark: SparkSession, sf_dir: str, crawl: int) -> DataFrame:
+    """Two deterministic crawls of the same site from the documents table
+    (utf-8 bodies — this fixture isolates CHANGE DETECTION; the charset
+    matrix is _warc_synth_files' job). Crawl 2 plants the three cases:
+    every 5th page's body changes (title gains ' v2', text gains
+    ' UPDATED'), every doc_id % 11 == 3 adds a brand-new /extra/ URL, and
+    everything else is byte-identical to crawl 1."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    def build(pdf):
+        import pandas as pd
+
+        from zio_analytics_spark.operators.warc import encode_warc
+
+        recs = []
+        for r in pdf.sort_values("doc_id").itertuples(index=False):
+            i, lang, text = int(r.doc_id), r.lang, r.text
+            changed = crawl == 2 and i % 5 == 0
+            title = f"Doc {i} v2" if changed else f"Doc {i} v1"
+            body_text = text + " UPDATED" if changed else text
+            pages = [(f"https://ex.org/{lang}/doc/{i}", title, body_text)]
+            if crawl == 2 and i % 11 == 3:
+                pages.append(
+                    (f"https://ex.org/{lang}/extra/{i}", f"Extra {i}", text)
+                )
+            for uri, t, bt in pages:
+                body = (
+                    f"<html><head><title>{t}</title></head>"
+                    f"<body><p>{bt}</p></body></html>"
+                ).encode("utf-8")
+                http = (
+                    f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+                    f"\r\nContent-Length: {len(body)}\r\n\r\n"
+                ).encode("ascii") + body
+                recs.append((
+                    {"WARC-Type": "response", "WARC-Target-URI": uri,
+                     "WARC-Date": f"2026-0{crawl}-01T00:00:00Z",
+                     "Content-Type": "application/http; msgtype=response"},
+                    http,
+                ))
+        return pd.DataFrame(
+            {"file_id": [int(pdf["file_id"].iloc[0])],
+             "content": [encode_warc(recs, gzip_members=True)]}
+        )
+
+    return (
+        docs.withColumn("file_id", F.col("doc_id") % 37)
+        .groupBy("file_id")
+        .applyInPandas(build, "file_id long, content binary")
+    )
+
+
+@register(
+    "crawl_recrawl_delta",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'changed' ELSE 'unchanged' END
+             AS change_status,
+           CASE WHEN doc_id % 5 = 0 THEN 'Doc ' || doc_id || ' v2' END
+             AS title
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'new' AS change_status, 'Extra ' || doc_id AS title
+    FROM documents WHERE doc_id % 11 = 3
+    """,
+)
+def q_crawl_recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental recrawl delta (VERDICT r12 #5) — the composition that
+    makes a STANDING crawl cheap: index the new crawl (warc_cdx — index
+    fields only, payloads never cross an exchange), join digests against
+    the prior crawl's CDX on SURT urlkey (recrawl_delta: new / changed /
+    unchanged), then replay ONLY the changed+new members by their CDX
+    (offset, length) spans (fetch_member_records — on an object store
+    each span is one range request) and run extraction on that delta.
+    Unchanged pages NEVER reach the fetch/extract stage — extraction
+    cost is O(delta), not O(corpus); the span-count contract is pinned
+    in tests/test_warc.py. The oracle derives every planted verdict and
+    the extracted titles analytically: every 5th page changed, every
+    doc_id % 11 == 3 page brand-new, everything else unchanged (title
+    NULL — never extracted)."""
+    from zio_analytics_spark.operators.url import surt_key_expr
+    from zio_analytics_spark.operators.warc import (
+        fetch_member_records,
+        recrawl_delta,
+        warc_cdx,
+    )
+
+    prior_files = _recrawl_synth_files(spark, sf_dir, crawl=1)
+    new_files = _recrawl_synth_files(spark, sf_dir, crawl=2)
+    keyed = lambda ix: ix.where(  # noqa: E731
+        F.col("ok") & (F.col("warc_type") == "response")
+    ).withColumn("urlkey", surt_key_expr(F.col("target_uri")))
+    prior_ix = keyed(warc_cdx(prior_files))
+    new_ix = keyed(warc_cdx(new_files))
+    delta = recrawl_delta(new_ix, prior_ix)
+    # only changed/new spans reach the fetch+extract stage
+    todo = delta.where(F.col("change_status") != "unchanged").select(
+        "file_id", "offset", "length", "change_status", "urlkey"
+    )
+    fetched = fetch_member_records(new_files, todo.select("file_id", "offset", "length"))
+    titles = fetched.select(
+        "file_id",
+        "offset",
+        F.regexp_extract(
+            F.decode(F.col("body"), "utf-8"), "<title>(.*?)</title>", 1
+        ).alias("title"),
+    )
+    doc_id = F.regexp_extract("target_uri", r"/(?:doc|extra)/([0-9]+)$", 1).cast(
+        "long"
+    )
+    return (
+        delta.join(titles, ["file_id", "offset"], "left")
+        .select(
+            doc_id.alias("doc_id"),
+            "change_status",
+            F.when(F.col("change_status") != "unchanged", F.col("title")).alias(
+                "title"
+            ),
+        )
+    )
+
+
 @register(
     "mime_sniff_route",
     oracle="""

@@ -51,6 +51,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from zio_analytics_spark.operators._codec_guard import corrupt_guard
 from zio_analytics_spark.operators.charset import decode_text
@@ -64,6 +65,8 @@ __all__ = [
     "warc_html_lane",
     "parse_warc_cdx",
     "warc_cdx",
+    "recrawl_delta",
+    "fetch_member_records",
 ]
 
 _CRLF = b"\r\n"
@@ -484,3 +487,119 @@ def warc_cdx(
         "error string"
     )
     return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def recrawl_delta(
+    new_index: DataFrame,
+    prior_index: DataFrame,
+    key_col: str = "urlkey",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Classify a new crawl's capture index against the prior crawl's —
+    the change-detection join that makes a STANDING crawl cheap (VERDICT
+    r12 #5): every new capture is ``unchanged`` (same content digest as
+    the prior capture of the same urlkey), ``changed`` (digest differs),
+    or ``new`` (urlkey never captured). Downstream extraction/dedup/
+    pipeline stages consume only ``changed``/``new`` rows; at a steady
+    recrawl cadence that is typically a few percent of the corpus, so
+    the expensive stages cost O(delta), not O(corpus).
+
+    Scale shape: one equi-join on urlkey between two index tables (index
+    rows are ~100 bytes — the payloads never entered either index; see
+    :func:`warc_cdx`), co-partitionable by urlkey across crawls. Prior
+    captures are deduplicated to the LATEST (max ts) digest per urlkey
+    first, so a multi-capture history still yields one verdict per URL.
+
+    Returns ``new_index``'s columns plus ``change_status``.
+    """
+    prior = prior_index.select(
+        F.col(key_col).alias("__pk"),
+        F.col(digest_col).alias("__pdigest"),
+        F.col("ts").alias("__pts"),
+    )
+    # latest capture wins: max by (ts, digest) struct per urlkey — one
+    # map-side-combinable aggregate, deterministic on ts ties
+    prior = (
+        prior.groupBy("__pk")
+        .agg(F.max(F.struct("__pts", "__pdigest")).alias("__p"))
+        .select("__pk", F.col("__p.__pdigest").alias("__pdigest"))
+    )
+    joined = new_index.join(
+        prior, new_index[key_col] == prior["__pk"], "left"
+    )
+    status = (
+        F.when(F.col("__pdigest").isNull(), F.lit("new"))
+        .when(F.col("__pdigest") == F.col(digest_col), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.withColumn("change_status", status).drop("__pk", "__pdigest")
+
+
+def fetch_member_records(
+    files: DataFrame,
+    spans: DataFrame,
+    bin_col: str = "content",
+    id_col: str = "file_id",
+) -> DataFrame:
+    """Targeted record replay: given WARC file bytes and a (small) set of
+    CDX spans ``(file_id, offset, length)``, slice each compressed gzip
+    member (or raw record span) back out of its file and re-parse ONLY
+    those records. This is the random-access half of the CDX contract —
+    on an object store each span is one HTTP range request; here the
+    span list per file broadcasts into an Arrow scan over the files, so
+    replay cost is O(delta bytes), never a second full-corpus walk.
+
+    Returns ``(file_id, offset, warc_type, target_uri, http_status,
+    body binary)`` — body is the HTTP payload for response records, the
+    raw block otherwise.
+    """
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("offset", "length")).alias("__spans")
+    )
+    todo = files.join(F.broadcast(span_lists), id_col, "inner")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip as _gzip
+
+        keys = ("id", "offset", "warc_type", "target_uri", "http_status", "body")
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in keys}
+            for fid, content, sp in zip(pdf[id_col], pdf[bin_col], pdf["__spans"]):
+                buf = bytes(content)
+                for span in sp:
+                    off, ln = int(span["offset"]), int(span["length"])
+                    member = buf[off : off + ln]
+                    data = (
+                        _gzip.decompress(member)
+                        if member[:2] == b"\x1f\x8b"
+                        else member
+                    )
+                    for st, headers, block, _err in _walk_raw(data):
+                        if st != "ok":
+                            continue
+                        body = block
+                        status = None
+                        ct = headers.get("content-type", "")
+                        if (
+                            ct.split(";")[0].strip() == "application/http"
+                            and headers.get("warc-type") == "response"
+                        ):
+                            try:
+                                status, _hh, body = parse_http_response(block)
+                            except ValueError:
+                                continue
+                        out["id"].append(fid)
+                        out["offset"].append(off)
+                        out["warc_type"].append(headers.get("warc-type"))
+                        out["target_uri"].append(headers.get("warc-target-uri"))
+                        out["http_status"].append(status)
+                        out["body"].append(body)
+            yield pd.DataFrame(
+                {id_col if k == "id" else k: v for k, v in out.items()}
+            )
+
+    schema = (
+        f"{id_col} long, offset long, warc_type string, "
+        "target_uri string, http_status int, body binary"
+    )
+    return todo.select(id_col, bin_col, "__spans").mapInPandas(run, schema)
