@@ -355,3 +355,24 @@ def test_recrawl_delta_prior_dedup_latest_capture_wins(spark):
     prior = cdx(old1, "20260101000000").unionByName(cdx(old2, "20260115000000"))
     delta = recrawl_delta(cdx(new, "20260201000000"), prior)
     assert [r.change_status for r in delta.collect()] == ["unchanged"]
+
+
+def test_cdx_raw_mode_resyncs_after_malformed_record():
+    """Raw (non-gzip) CDX indexing quarantines ONLY the malformed span and
+    resumes at the next 'WARC/' magic — the same granularity as the gzip
+    branch's member-by-member resync (round-12 ADVICE)."""
+    from zio_analytics_spark.operators.warc import parse_warc_cdx
+
+    good1 = encode_warc_record(
+        {"WARC-Type": "resource", "WARC-Target-URI": "https://ex.org/1"}, b"one"
+    )
+    garbage = b"this is not a record at all\r\n\r\n"
+    good2 = encode_warc_record(
+        {"WARC-Type": "resource", "WARC-Target-URI": "https://ex.org/2"}, b"two"
+    )
+    rows = parse_warc_cdx(good1 + garbage + good2)
+    assert [r["ok"] for r in rows] == [True, False, True]
+    assert rows[2]["target_uri"] == "https://ex.org/2"
+    # the quarantine span covers exactly the skipped garbage
+    assert rows[1]["offset"] == len(good1)
+    assert rows[1]["length"] == len(garbage)

@@ -162,14 +162,43 @@ def robots_rules(
     empty array both decide "allowed").
 
     ``status_col`` (optional) applies RFC 9309 §2.3.1 FETCH semantics to
-    the robots.txt request itself: 2xx parses the body; 4xx (including
-    404) means "no conditions" → empty rules, crawl everything; 5xx /
-    unreachable (status NULL or ≥500) means the crawler MUST assume
-    complete disallow → one catch-all deny rule. Without ``status_col``
-    every body is treated as fetched (the 2xx path)."""
+    the robots.txt request itself: 2xx parses the body; 3xx left
+    UNRESOLVED in the log (resolve redirect chains upstream — e.g.
+    url.resolve_redirects — before calling) is treated per §2.3.1.2 as
+    robots-not-found → empty rules, crawl everything, the same as 4xx
+    ("no conditions"); 5xx / unreachable (status NULL or ≥500) means the
+    crawler MUST assume complete disallow → one catch-all deny rule.
+    Without ``status_col`` every body is treated as fetched (the 2xx
+    path).
+
+    Input is deduplicated to ONE row per host first (a retried fetch
+    logged at both 503 and 200 must not fan out downstream joins): the
+    row with the lowest status wins (a definitive 2xx beats a redirect
+    beats an error; ties break on the body bytes), so exactly one rules
+    row per host comes out."""
     if status_col is not None:
         status = F.col(status_col)
-        fetched = df.where((status >= 200) & (status < 400))
+        # one row per host: min (status, body) struct — 200 < 301 < 404
+        # < 503 < unreachable(NULL→sentinel); deterministic on ties
+        df = (
+            df.groupBy(F.col(host_col).alias("host"))
+            .agg(
+                F.min(
+                    F.struct(
+                        F.coalesce(status, F.lit(999)).alias("__rank"),
+                        status.alias(status_col),
+                        F.col(txt_col).alias(txt_col),
+                    )
+                ).alias("__pick")
+            )
+            .select(
+                F.col("host").alias(host_col),
+                F.col(f"__pick.{status_col}").alias(status_col),
+                F.col(f"__pick.{txt_col}").alias(txt_col),
+            )
+        )
+        status = F.col(status_col)
+        fetched = df.where((status >= 200) & (status < 300))
         deny_all = F.array(
             F.struct(
                 F.lit(1).cast("int").alias("pat_len"),
@@ -184,9 +213,16 @@ def robots_rules(
             ).otherwise(
                 F.array().cast("array<struct<pat_len:int,allow:boolean,regex:string>>")
             ).alias("rules"),
-        ).where(status.isNull() | (status >= 400))
+        ).where(status.isNull() | (status >= 300))
         parsed = robots_rules(fetched, agent, host_col=host_col, txt_col=txt_col)
         return parsed.unionByName(by_status)
+    # one row per host here too (deterministic: min body wins) — multiple
+    # differing bodies for a host would otherwise blend their line groups
+    df = (
+        df.groupBy(F.col(host_col).alias("host"))
+        .agg(F.min(F.col(txt_col)).alias(txt_col))
+        .select(F.col("host").alias(host_col), txt_col)
+    )
     grouped = _grouped_lines(df, host_col, txt_col)
     rules = (
         grouped.where(F.col("field").isin("allow", "disallow") & (F.col("value") != ""))
@@ -298,22 +334,33 @@ def apply_robots(
     fold: filter the array to matching rules, take the max
     ``(pat_len, allow)`` struct — longest match wins, ties go to allow
     (struct ordering gives both for free) — and read its verdict;
-    no matching rule (or no rules row) → allowed."""
-    target = _match_target(F.col(url_col)).alias("__target")
-    joined = frontier.withColumn("__target", target).join(
-        rules.withColumnRenamed("host", host_col), host_col, "left"
+    no matching rule (or no rules row) → allowed.
+
+    Working columns use the reserved ``__robots_*`` prefix so a frontier
+    that already carries ``rules`` (or ``target``) columns passes
+    through untouched; only that prefix is reserved (ValueError if the
+    frontier claims it)."""
+    clash = {"__robots_target", "__robots_rules"} & set(frontier.columns)
+    if clash:
+        raise ValueError(f"frontier columns collide with reserved names: {clash}")
+    target = _match_target(F.col(url_col))
+    dim = rules.select(
+        F.col("host").alias(host_col), F.col("rules").alias("__robots_rules")
+    )
+    joined = frontier.withColumn("__robots_target", target).join(
+        dim, host_col, "left"
     )
     matched = F.filter(
         F.coalesce(
-            F.col("rules"),
+            F.col("__robots_rules"),
             F.array().cast("array<struct<pat_len:int,allow:boolean,regex:string>>"),
         ),
-        lambda r: F.regexp_like(F.col("__target"), r["regex"]),
+        lambda r: F.regexp_like(F.col("__robots_target"), r["regex"]),
     )
     best = F.array_max(matched)
     return joined.withColumn(
         out_col, F.when(F.size(matched) == 0, F.lit(True)).otherwise(best["allow"])
-    ).drop("__target", "rules")
+    ).drop("__robots_target", "__robots_rules")
 
 
 def robots_filter_frontier(

@@ -259,21 +259,37 @@ def resolve_redirects(
     fixed bound is also what makes the reduction deterministic (the
     dot-dot discipline above)."""
     is_redirect = (F.col(status_col) >= 300) & (F.col(status_col) < 400)
+    # Edge SOURCES are canonicalized with the same pipeline as the
+    # destinations: fetch logs routinely carry raw (un-normalized) URLs,
+    # and a chain hop lands on the CANONICAL form of the Location — a raw
+    # key would silently miss the next edge and mis-report resolved=true
+    # (round-12 ADVICE). Duplicate sources (the same URL fetched twice
+    # with different Locations) reduce deterministically to max(__dst).
+    src_key = canonical_url_expr(F.col(url_col), F.col(url_col))
     edges = (
         df.where(is_redirect & F.col(location_col).isNotNull())
         .select(
-            F.col(url_col).alias("__src"),
+            F.coalesce(src_key, F.col(url_col)).alias("__src"),
             canonical_url_expr(F.col(location_col), F.col(url_col)).alias("__dst"),
         )
         .where(F.col("__dst").isNotNull())
-        .dropDuplicates(["__src"])
+        .groupBy("__src")
+        .agg(F.max("__dst").alias("__dst"))
     )
     # a chain follows while its head is a redirect SOURCE — the row's own
-    # 3xx status is subsumed (its url is an edge source by construction)
+    # 3xx status is subsumed (its url is an edge source by construction).
+    # The join key is the head's canonical form (idempotent on already-
+    # canonical hops); the REPORTED final_url stays what the chain landed
+    # on (the input URL itself for non-redirects).
+    head_key = lambda c: F.coalesce(  # noqa: E731
+        canonical_url_expr(c, c), c
+    )
     out = df.withColumn("final_url", F.col(url_col)).withColumn("hops", F.lit(0))
     for _ in range(max_hops):
         out = (
-            out.join(edges, out["final_url"] == edges["__src"], "left")
+            out.join(
+                edges, head_key(out["final_url"]) == edges["__src"], "left"
+            )
             .withColumn(
                 "hops",
                 F.when(F.col("__dst").isNotNull(), F.col("hops") + 1).otherwise(
@@ -288,7 +304,7 @@ def resolve_redirects(
     return (
         out.join(
             edges.select(F.col("__src").alias("__open")),
-            out["final_url"] == F.col("__open"),
+            head_key(out["final_url"]) == F.col("__open"),
             "left",
         )
         .withColumn("resolved", F.col("__open").isNull())

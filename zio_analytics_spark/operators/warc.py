@@ -446,8 +446,16 @@ def parse_warc_cdx(payload: bytes) -> list[dict]:
                 row("ok", headers, block, None, pos, nxt - pos)
                 pos = nxt
             except ValueError as e:
-                row("err", None, None, str(e), pos, len(buf) - pos)
-                break
+                # resync at the next version-line magic so later valid
+                # records still index — the same quarantine granularity
+                # as the gzip branch (member-by-member); the quarantine
+                # row's span covers exactly the skipped bytes
+                nxt = buf.find(b"WARC/", pos + 1)
+                end = nxt if nxt >= 0 else len(buf)
+                row("err", None, None, str(e), pos, end - pos)
+                if nxt < 0:
+                    break
+                pos = nxt
     return out
 
 
