@@ -50,9 +50,26 @@ def normalized_entries(path: str) -> dict[str, float]:
     return {n: t / slow for n, t in d.get("all_queries", {}).items()}
 
 
+def raw_entries(path: str) -> dict[str, float]:
+    """RAW per-entry seconds — PRIMARY since round 13: the fixed-work CPU
+    probe mis-normalizes IO-side contention in both directions (r11 read
+    0.81x, r12 1.21x on unchanged code), so normalized values are
+    advisory context, never the comparison metric."""
+    with open(path) as f:
+        d = json.load(f)
+    return dict(d.get("all_queries", {}))
+
+
 def at_risk_entries(path: str, threshold: float) -> dict[str, float]:
+    """At-risk = over threshold on EITHER raw (primary) or normalized
+    (advisory) — the conservative superset; adjudication is always the
+    isolated raw re-measure."""
+    raw = raw_entries(path)
+    norm = normalized_entries(path)
     return {
-        n: t for n, t in normalized_entries(path).items() if t > threshold
+        n: max(raw.get(n, 0.0), norm.get(n, 0.0))
+        for n in set(raw) | set(norm)
+        if max(raw.get(n, 0.0), norm.get(n, 0.0)) > threshold
     }
 
 
@@ -134,34 +151,42 @@ def main() -> None:
         sys.exit(0)
     if args.old is None:
         ap.error("OLD and NEW are both required outside --at-risk mode")
-    old = normalized_entries(args.old)
-    new = normalized_entries(args.new)
+    # RAW is the primary comparison metric (round-13 verdict #7); the
+    # normalized ratio prints alongside as advisory context only.
+    old = raw_entries(args.old) or normalized_entries(args.old)
+    new = raw_entries(args.new) or normalized_entries(args.new)
+    old_n = normalized_entries(args.old)
+    new_n = normalized_entries(args.new)
     regressions, improvements = [], []
     for name in sorted(set(old) & set(new)):
         a, b = old[name], new[name]
         if max(a, b) < args.floor:
             continue
         r = b / a if a > 0 else float("inf")
+        rn = (new_n.get(name, 0) / old_n[name]) if old_n.get(name) else None
         if r > args.ratio:
-            regressions.append((r, name, a, b))
+            regressions.append((r, name, a, b, rn))
         elif r < 1.0 / args.ratio:
-            improvements.append((r, name, a, b))
+            improvements.append((r, name, a, b, rn))
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     print(f"# bench_compare {args.old} -> {args.new} "
-          f"(ratio>{args.ratio}, floor {args.floor}s)")
+          f"(RAW ratio>{args.ratio}, floor {args.floor}s; "
+          f"normalized advisory in parens)")
     print(f"# common {len(set(old) & set(new))}, "
           f"added {len(added)}, removed {len(removed)}")
     if regressions:
         print(f"REGRESSIONS ({len(regressions)}):")
-        for r, name, a, b in sorted(regressions, reverse=True):
-            print(f"  {name}: {a:.3f}s -> {b:.3f}s  ({r:.2f}x)")
+        for r, name, a, b, rn in sorted(regressions, reverse=True):
+            extra = f", norm {rn:.2f}x" if rn else ""
+            print(f"  {name}: {a:.3f}s -> {b:.3f}s  ({r:.2f}x raw{extra})")
     else:
         print("REGRESSIONS: none")
     if improvements:
         print(f"improvements ({len(improvements)}):")
-        for r, name, a, b in sorted(improvements):
-            print(f"  {name}: {a:.3f}s -> {b:.3f}s  ({r:.2f}x)")
+        for r, name, a, b, rn in sorted(improvements):
+            extra = f", norm {rn:.2f}x" if rn else ""
+            print(f"  {name}: {a:.3f}s -> {b:.3f}s  ({r:.2f}x raw{extra})")
     if added:
         print("added:", " ".join(added))
     if removed:

