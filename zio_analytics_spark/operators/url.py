@@ -278,18 +278,21 @@ def resolve_redirects(
     )
     # a chain follows while its head is a redirect SOURCE — the row's own
     # 3xx status is subsumed (its url is an edge source by construction).
-    # The join key is the head's canonical form (idempotent on already-
-    # canonical hops); the REPORTED final_url stays what the chain landed
-    # on (the input URL itself for non-redirects).
-    head_key = lambda c: F.coalesce(  # noqa: E731
-        canonical_url_expr(c, c), c
+    # The join key ``__key`` is canonicalized ONCE from the input URL and
+    # thereafter carried forward as the hop's __dst (already canonical —
+    # re-canonicalizing per hop would run the whole regex pipeline
+    # max_hops extra times for nothing); the REPORTED final_url stays
+    # what the chain landed on (the input URL itself for non-redirects).
+    out = (
+        df.withColumn("final_url", F.col(url_col))
+        .withColumn(
+            "__key", F.coalesce(src_key, F.col(url_col))
+        )
+        .withColumn("hops", F.lit(0))
     )
-    out = df.withColumn("final_url", F.col(url_col)).withColumn("hops", F.lit(0))
     for _ in range(max_hops):
         out = (
-            out.join(
-                edges, head_key(out["final_url"]) == edges["__src"], "left"
-            )
+            out.join(edges, out["__key"] == edges["__src"], "left")
             .withColumn(
                 "hops",
                 F.when(F.col("__dst").isNotNull(), F.col("hops") + 1).otherwise(
@@ -297,6 +300,7 @@ def resolve_redirects(
                 ),
             )
             .withColumn("final_url", F.coalesce(F.col("__dst"), F.col("final_url")))
+            .withColumn("__key", F.coalesce(F.col("__dst"), F.col("__key")))
             .drop("__src", "__dst")
         )
     # unresolved = the landing URL is STILL a redirect source (loop, or a
@@ -304,9 +308,9 @@ def resolve_redirects(
     return (
         out.join(
             edges.select(F.col("__src").alias("__open")),
-            head_key(out["final_url"]) == F.col("__open"),
+            out["__key"] == F.col("__open"),
             "left",
         )
         .withColumn("resolved", F.col("__open").isNull())
-        .drop("__open")
+        .drop("__open", "__key")
     )
