@@ -283,3 +283,80 @@ def test_stream_batch_foreachbatch_end_to_end(spark, tmp_path):
     ids = lake.committed_batch_ids(t)
     # every committed batch id is recorded exactly once
     assert len(ids) == len(set(ids))
+
+
+def test_compact_clusters_for_pruning(spark, tmp_path):
+    """Clustered compaction must restore MERGE pruning: interleaved
+    append files all overlap any changeset, but after compact(cluster_by
+    =keys) the files carry disjoint key ranges and a narrow merge
+    touches one."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        _orders(spark, 0).coalesce(1), t, key_cols=["k"]
+    )
+    # three appends with fully interleaved key ranges
+    for mod in range(3):
+        lake.append(
+            spark.range(900).where(F.col("id") % 3 == mod).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 5).alias("grp"),
+                (F.col("id") * 10.0).alias("amount"),
+            ).coalesce(1),  # one file per append batch, spanning 0..899
+            t,
+        )
+    # every appended file spans ~the whole key range: a narrow changeset
+    # overlaps all of them
+    snap = lake.snapshot(t)
+    data_files = [a for a in snap.files.values() if a["rows"] > 0]
+    overlapping = [
+        a for a in data_files
+        if a["stats"]["k"]["min"] <= 4 and a["stats"]["k"]["max"] >= 0
+    ]
+    assert len(overlapping) == len(data_files)
+    lake.compact(spark, t, target_files=4)  # cluster_by defaults to keys
+    snap2 = lake.snapshot(t)
+    files2 = [a for a in snap2.files.values() if a["rows"] > 0]
+    assert len(files2) == 4
+    hit = [
+        a for a in files2
+        if a["stats"]["k"]["max"] >= 0 and a["stats"]["k"]["min"] <= 4
+    ]
+    assert len(hit) == 1, "clustered files must have disjoint key ranges"
+    # rows unchanged
+    assert lake.read_snapshot(spark, t).count() == 900
+    # and the narrow merge now rewrites only the hit file
+    before = set(lake.snapshot(t).files)
+    lake.merge(spark, t, spark.createDataFrame(
+        [(2, 9, 0.1)], "k long, grp long, amount double"
+    ))
+    survivors = before & set(lake.snapshot(t).files)
+    assert len(survivors) == 3
+
+
+def test_table_changes_cdf(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 100).coalesce(1), t, key_cols=["k"])
+    lake.merge(spark, t, spark.createDataFrame(
+        [(0, 9, -1.0), (200, 9, -2.0)], "k long, grp long, amount double"
+    ))  # v1: update k=0, insert k=200
+    cdf = lake.table_changes(spark, t, from_version=0, to_version=1)
+    by_type = {
+        (r.k, r._change_type) for r in cdf.collect()
+    }
+    # the rewritten file's rows appear as delete+insert pairs; the net
+    # new row as insert only
+    assert (200, "insert") in by_type
+    assert (0, "insert") in by_type and (0, "delete") in by_type
+    # net view: group the pairs away
+    net = (
+        cdf.groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(-1)).alias(
+                "net"
+            )
+        )
+        .where("net != 0")
+    )
+    assert {r.k for r in net.collect()} == {200}
+    # empty range
+    assert lake.table_changes(spark, t, 1, 1).count() == 0

@@ -65,6 +65,7 @@ __all__ = [
     "table_history",
     "vacuum",
     "compact",
+    "table_changes",
     "committed_batch_ids",
     "append_stream_batch",
 ]
@@ -425,7 +426,10 @@ def vacuum(table: str, keep_versions: int = 1) -> list[str]:
 
 
 def compact(
-    spark: SparkSession, table: str, target_files: int = 4
+    spark: SparkSession,
+    table: str,
+    target_files: int = 4,
+    cluster_by: Sequence[str] | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the live snapshot into ``target_files`` files
     (small-file compaction — a standing ingest accumulates per-batch
@@ -433,15 +437,69 @@ def compact(
     layout change: the committed rows are bit-identical, asserted by the
     snapshot row count carried through the commit. Runs as one
     repartition job + one commit; readers pinned to older versions are
-    untouched (their files remain until vacuum)."""
+    untouched (their files remain until vacuum).
+
+    ``cluster_by`` (default: the table's key_cols) range-partitions +
+    sorts the rewrite on those columns, so post-compaction files carry
+    TIGHT, DISJOINT key-range stats — exactly what makes the stats-pruned
+    MERGE/DELETE skip files (a standing ingest's append files interleave
+    key ranges; every merge would otherwise touch every file)."""
     snap = snapshot(table)
     live = _read_files(spark, table, snap)
-    adds = _stage_files(
-        live.repartition(target_files), table, snap.key_cols
-    )
+    cluster = list(cluster_by) if cluster_by is not None else list(snap.key_cols)
+    cluster = [c for c in cluster if c in live.columns]
+    if cluster:
+        rewritten = live.repartitionByRange(
+            target_files, *cluster
+        ).sortWithinPartitions(*cluster)
+    else:
+        rewritten = live.repartition(target_files)
+    adds = _stage_files(rewritten, table, snap.key_cols)
     actions = [{"remove": {"path": p}} for p in snap.files]
     actions += [{"add": a} for a in adds]
     return _commit(table, snap.version + 1, actions, "COMPACT")
+
+
+def table_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED between two versions, derived purely from the
+    log: rows in files ADDED in (from_version, to_version] surface as
+    ``_change_type='insert'``, rows in files REMOVED as ``'delete'`` —
+    an update rewritten by MERGE/COMPACT appears as its delete+insert
+    pair (the published CDF decomposition). A downstream incremental
+    consumer (the recrawl-delta discipline) processes only these files
+    instead of diffing full snapshots: cost is O(changed files), not
+    O(table).
+
+    Note COMPACT commits add/remove file pairs with identical rows —
+    consumers that only want NET changes should aggregate the
+    delete+insert pairs away by key."""
+    snap_from = snapshot(table, from_version)
+    snap_to = snapshot(table, to_version)
+    added = sorted(set(snap_to.files) - set(snap_from.files))
+    removed = sorted(set(snap_from.files) - set(snap_to.files))
+    parts = []
+    if added:
+        parts.append(
+            spark.read.parquet(*[os.path.join(table, p) for p in added])
+            .withColumn("_change_type", F.lit("insert"))
+        )
+    if removed:
+        parts.append(
+            spark.read.parquet(*[os.path.join(table, p) for p in removed])
+            .withColumn("_change_type", F.lit("delete"))
+        )
+    if not parts:
+        base = _read_files(spark, table, snap_to)
+        return base.withColumn("_change_type", F.lit("insert")).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def committed_batch_ids(table: str) -> set:
