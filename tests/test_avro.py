@@ -152,3 +152,35 @@ def test_empty_dataframe_roundtrip(spark, tmp_path):
     path = str(tmp_path / "a")
     _write(spark, spark.range(0).selectExpr("id"), path)
     assert _read(spark, path).count() == 0
+
+
+def test_corrupt_block_quarantine_opt_in(spark, tmp_path):
+    """A corrupt middle block: default read fails the stage (Spark's own
+    ignoreCorruptFiles discipline); ignore_corrupt_blocks=true skips
+    exactly the bad block and keeps every other row."""
+    path = str(tmp_path / "a")
+    df = spark.range(3000).selectExpr("id", "cast(id as string) s").coalesce(1)
+    _write(spark, df, path, rows_per_block=1000, codec="deflate")
+    f = glob.glob(path + "/part-*.avro")[0]
+    schema, codec, sync, header_end = read_header(f)
+    buf = open(f, "rb").read()
+    # find the second block: first block starts at header_end; its span is
+    # varints + payload + sync — locate via the sync marker occurrences
+    first_sync_after_header = buf.find(sync, header_end)
+    second_block_at = first_sync_after_header + len(sync)
+    # smash bytes inside the second block's payload
+    smashed = bytearray(buf)
+    for i in range(second_block_at + 4, second_block_at + 24):
+        smashed[i] ^= 0xFF
+    open(f, "wb").write(bytes(smashed))
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        _read(spark, path).count()
+    back = _read(spark, path, ignore_corrupt_blocks="true")
+    n = back.count()
+    # exactly one 1000-row block lost
+    assert n == 2000
+    ids = {r.id for r in back.select("id").collect()}
+    assert 0 in ids and 2999 in ids  # first and last blocks survived

@@ -270,7 +270,7 @@ def test_stream_batch_foreachbatch_end_to_end(spark, tmp_path):
         spark.readStream.format("rate")
         .option("rowsPerSecond", "100")
         .load()
-        .selectExpr("value AS k", "value % 3 AS grp", "value * 1.0 AS amount")
+        .selectExpr("value AS k", "value % 3 AS grp", "CAST(value AS DOUBLE) AS amount")
     )
     q = src.writeStream.foreachBatch(
         lambda df, bid: lake.append_stream_batch(df, t, bid)
@@ -360,3 +360,36 @@ def test_table_changes_cdf(spark, tmp_path):
     assert {r.k for r in net.collect()} == {200}
     # empty range
     assert lake.table_changes(spark, t, 1, 1).count() == 0
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """Appending files with a NEW column surfaces NULL for old files —
+    additive evolution through mergeSchema reads."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 10), t, key_cols=["k"])
+    widened = spark.createDataFrame(
+        [(100, 1, 1.0, "new-col")], "k long, grp long, amount double, tag string"
+    )
+    lake.append(widened, t)
+    df = lake.read_snapshot(spark, t)
+    assert "tag" in df.columns
+    rows = {r.k: r.tag for r in df.collect()}
+    assert rows[100] == "new-col"
+    assert rows[0] is None  # pre-evolution file surfaces NULL
+
+
+def test_schema_on_write_rejects_type_conflict(spark, tmp_path):
+    """A column type change is rejected at write time — silently mixing
+    types across files would poison every later snapshot read."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 10), t, key_cols=["k"])
+    bad = spark.createDataFrame(
+        [(100, 1, "not-a-double")], "k long, grp long, amount string"
+    )
+    with pytest.raises(ValueError, match="amount"):
+        lake.append(bad, t)
+    with pytest.raises(ValueError, match="amount"):
+        lake.merge(spark, t, bad)
+    # the table is untouched
+    assert lake.latest_version(t) == 0
+    assert lake.read_snapshot(spark, t).count() == 10

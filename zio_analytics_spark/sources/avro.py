@@ -476,6 +476,15 @@ class _AvroReader(DataSourceReader):
         if not self.path:
             raise ValueError("avro_py requires .option('path', ...)")
         self.split_target = int(options.get("split_target_bytes", 32 * 1024 * 1024))
+        # quarantine-not-stage-death, opt-in (mirrors Spark's own
+        # spark.sql.files.ignoreCorruptFiles default=false): with
+        # ignore_corrupt_blocks=true a block that fails decompression or
+        # decode is SKIPPED by resyncing on the next sync marker — the
+        # container format exists to make exactly this possible — instead
+        # of killing the stage. Default stays fail-fast.
+        self.ignore_corrupt = str(
+            options.get("ignore_corrupt_blocks", "false")
+        ).lower() in ("true", "1", "yes")
 
     def partitions(self) -> Sequence[InputPartition]:
         """Byte-range splits per file — the header is read driver-side per
@@ -519,17 +528,40 @@ class _AvroReader(DataSourceReader):
                 f.seek(payload_at)
                 payload = f.read(n_bytes)
                 tail = f.read(SYNC_SIZE)
-                if tail != sync:
-                    raise ValueError(
-                        f"{split.path}: sync mismatch after block at {pos}"
-                    )
-                if codec == "deflate":
-                    payload = zlib.decompress(payload, wbits=-15)
-                br = _ByteReader(payload)
-                for _ in range(n_rows):
-                    row = decode(br)
+                try:
+                    if tail != sync:
+                        raise ValueError(
+                            f"{split.path}: sync mismatch after block at {pos}"
+                        )
+                    if codec == "deflate":
+                        payload = zlib.decompress(payload, wbits=-15)
+                    br = _ByteReader(payload)
+                    rows = [decode(br) for _ in range(n_rows)]
+                except (ValueError, EOFError, zlib.error, KeyError, IndexError):
+                    if not self.ignore_corrupt:
+                        raise
+                    nxt = self._resync(f, split, sync, pos)
+                    if nxt is None:
+                        return
+                    pos = nxt
+                    continue
+                for row in rows:
                     yield convert(row) if convert else row
                 pos = payload_at + n_bytes + SYNC_SIZE
+
+    @staticmethod
+    def _resync(f, split: _AvroSplit, sync: bytes, after: int):
+        """Next block start after a corrupt block: scan forward from just
+        past the failure point for the sync marker, bounded by the split
+        end (the next split owns anything beyond it)."""
+        scan_from = after + 1
+        f.seek(scan_from)
+        window = f.read((split.end - scan_from) + SYNC_SIZE)
+        ix = window.find(sync)
+        if ix == -1:
+            return None
+        p = scan_from + ix + SYNC_SIZE
+        return p if p < split.end else None
 
     @staticmethod
     def _first_block_at(f, split: _AvroSplit, sync: bytes, header_end: int):

@@ -91,6 +91,7 @@ class LakeSnapshot:
     version: int
     files: dict = field(default_factory=dict)  # path -> add action dict
     key_cols: list = field(default_factory=list)
+    schema: dict = field(default_factory=dict)  # col name -> simple type string
 
 
 def _log_path(table: str, version: int, checkpoint: bool = False) -> str:
@@ -141,6 +142,7 @@ def snapshot(table: str, version: int | None = None) -> LakeSnapshot:
             state = json.load(f)
         snap.files = {a["path"]: a for a in state["files"]}
         snap.key_cols = state.get("key_cols", [])
+        snap.schema = dict(state.get("schema", {}))
         start = cp + 1
     for v in commits:
         if v < start or v > version:
@@ -150,6 +152,7 @@ def snapshot(table: str, version: int | None = None) -> LakeSnapshot:
                 action = json.loads(line)
                 if "meta" in action:
                     snap.key_cols = action["meta"].get("key_cols", snap.key_cols)
+                    snap.schema.update(action["meta"].get("schema", {}))
                 elif "add" in action:
                     snap.files[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
@@ -225,6 +228,61 @@ def _json_safe(v) -> bool:
     return isinstance(v, (int, float, str, bool))
 
 
+def _schema_of(df: DataFrame) -> dict:
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
+#: lossless write-time widenings (incoming -> table), the implicit-cast
+#: set real lake engines accept on write
+_SAFE_CAST = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def _enforce_schema(
+    df: DataFrame, snap: LakeSnapshot, op: str
+) -> tuple[DataFrame, list[dict]]:
+    """Schema-on-write (the lake-table contract): a column present in both
+    the table and the incoming data must land as the TABLE's type —
+    silently mixing types across files would poison every later
+    mergeSchema read. Lossless widenings (int→bigint, float→double) are
+    CAST implicitly, the discipline real lake engines apply on write;
+    anything else raises. NEW columns are additive evolution (old files
+    surface NULL; the returned meta action records them); missing columns
+    are fine (parquet union fills NULL). Returns (possibly-cast df,
+    meta actions)."""
+    if not snap.schema:
+        return df, []  # pre-schema tables (or empty meta): nothing to check
+    incoming = _schema_of(df)
+    conflicts = {}
+    casts = {}
+    for c, t in incoming.items():
+        want = snap.schema.get(c)
+        if want is None or want == t:
+            continue
+        if (t, want) in _SAFE_CAST:
+            casts[c] = want
+        else:
+            conflicts[c] = (want, t)
+    if conflicts:
+        detail = ", ".join(
+            f"{c}: table={a!r} incoming={b!r}" for c, (a, b) in conflicts.items()
+        )
+        raise ValueError(
+            f"{op}: incoming schema conflicts with the table schema ({detail}); "
+            "cast the incoming columns to the table types"
+        )
+    for c, want in casts.items():
+        df = df.withColumn(c, F.col(c).cast(want))
+    new_cols = {c: t for c, t in incoming.items() if c not in snap.schema}
+    if new_cols:
+        return df, [{"meta": {"schema": {**snap.schema, **new_cols}}}]
+    return df, []
+
+
 def _commit(
     table: str,
     version: int,
@@ -260,7 +318,11 @@ def _commit(
         snap = snapshot(table, version)
         with open(_log_path(table, version, checkpoint=True), "w") as f:
             json.dump(
-                {"files": list(snap.files.values()), "key_cols": snap.key_cols},
+                {
+                    "files": list(snap.files.values()),
+                    "key_cols": snap.key_cols,
+                    "schema": snap.schema,
+                },
                 f,
             )
     return version
@@ -277,7 +339,9 @@ def create_table(
     ):
         raise FileExistsError(f"lake table already exists: {table}")
     adds = _stage_files(df, table, key_cols)
-    actions = [{"meta": {"key_cols": list(key_cols)}}]
+    actions = [
+        {"meta": {"key_cols": list(key_cols), "schema": _schema_of(df)}}
+    ]
     actions += [{"add": a} for a in adds]
     return _commit(table, 0, actions, "CREATE")
 
@@ -285,11 +349,14 @@ def create_table(
 def append(df: DataFrame, table: str) -> int:
     """Blind append: new files only — retries safely on conflict."""
     snap = snapshot(table)
+    df, meta = _enforce_schema(df, snap, "append")
     adds = _stage_files(df, table, snap.key_cols)
     version = snap.version + 1
     while True:
         try:
-            return _commit(table, version, [{"add": a} for a in adds], "APPEND")
+            return _commit(
+                table, version, meta + [{"add": a} for a in adds], "APPEND"
+            )
         except ConcurrentCommitError:
             # an append conflicts with nothing: the staged files are
             # already in place, only the log entry needs a new slot
@@ -298,8 +365,9 @@ def append(df: DataFrame, table: str) -> int:
 
 def overwrite(df: DataFrame, table: str) -> int:
     snap = snapshot(table)
+    df, meta = _enforce_schema(df, snap, "overwrite")
     adds = _stage_files(df, table, snap.key_cols)
-    actions = [{"remove": {"path": p}} for p in snap.files]
+    actions = meta + [{"remove": {"path": p}} for p in snap.files]
     actions += [{"add": a} for a in adds]
     return _commit(table, snap.version + 1, actions, "OVERWRITE")
 
@@ -308,7 +376,11 @@ def _read_files(spark: SparkSession, table: str, snap: LakeSnapshot) -> DataFram
     paths = [os.path.join(table, p) for p in snap.files]
     if not paths:
         raise ValueError(f"snapshot v{snap.version} of {table} has no files")
-    return spark.read.parquet(*paths)
+    # mergeSchema: additive schema evolution — files written before a
+    # column existed surface NULL for it (the lake-table contract; the
+    # per-snapshot file list is small, so the footer-merge cost is the
+    # snapshot's, not the table history's)
+    return spark.read.option("mergeSchema", True).parquet(*paths)
 
 
 def read_snapshot(
@@ -354,8 +426,9 @@ def merge(
                 kept.append(p)
         from zio_analytics_spark.operators.merge import merge_upsert
 
+        source, _ = _enforce_schema(source, snap, "merge")
         if touched:
-            target = spark.read.parquet(
+            target = spark.read.option("mergeSchema", True).parquet(
                 *[os.path.join(table, p) for p in touched]
             )
             merged = merge_upsert(target, source.select(*target.columns), keys)
@@ -528,9 +601,10 @@ def append_stream_batch(df: DataFrame, table: str, batch_id: int) -> int | None:
     if batch_id in committed_batch_ids(table):
         return None
     snap = snapshot(table)
+    df, meta = _enforce_schema(df, snap, "append_stream_batch")
     adds = _stage_files(df, table, snap.key_cols)
     version = snap.version + 1
-    actions = [{"add": a} for a in adds]
+    actions = meta + [{"add": a} for a in adds]
     while True:
         lines = [
             json.dumps(
