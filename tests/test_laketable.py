@@ -209,7 +209,7 @@ def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
     # both generations on disk until vacuum
     on_disk = {f for f in os.listdir(t) if f.endswith(".parquet")}
     assert v0_files <= on_disk
-    doomed = lake.vacuum(t, keep_versions=1)
+    doomed = lake.vacuum(t, keep_versions=1, min_age_seconds=0)
     assert set(doomed) == v0_files
     # live snapshot unaffected; vacuumed version no longer readable
     assert lake.read_snapshot(spark, t).count() == 10
@@ -221,7 +221,7 @@ def test_vacuum_retention_keeps_history(spark, tmp_path):
     t = str(tmp_path / "t")
     lake.create_table(_orders(spark, 50), t, key_cols=["k"])
     lake.overwrite(_orders(spark, 20), t)
-    assert lake.vacuum(t, keep_versions=2) == []  # both versions retained
+    assert lake.vacuum(t, keep_versions=2, min_age_seconds=0) == []  # both versions retained
     assert lake.read_snapshot(spark, t, 0).count() == 50
 
 
@@ -393,3 +393,14 @@ def test_schema_on_write_rejects_type_conflict(spark, tmp_path):
     # the table is untouched
     assert lake.latest_version(t) == 0
     assert lake.read_snapshot(spark, t).count() == 10
+
+
+def test_vacuum_age_guard_protects_inflight_writers(spark, tmp_path):
+    """Default vacuum must NOT reclaim freshly-written unreferenced files
+    — a concurrent writer stages parts before its commit lands."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 20), t, key_cols=["k"])
+    lake.overwrite(_orders(spark, 5), t)
+    # files are seconds old: the 1h default guard keeps everything
+    assert lake.vacuum(t, keep_versions=1) == []
+    assert lake.read_snapshot(spark, t, 0).count() == 20  # still readable

@@ -470,7 +470,9 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> int:
     return _commit(table, snap.version + 1, actions, "DELETE")
 
 
-def vacuum(table: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    table: str, keep_versions: int = 1, min_age_seconds: float = 3600.0
+) -> list[str]:
     """Remove data files unreferenced by the last ``keep_versions``
     snapshots (and by any checkpoint still on disk) — the retention
     janitor a mutable 100 TB corpus needs: MERGE/DELETE/overwrite
@@ -478,9 +480,18 @@ def vacuum(table: str, keep_versions: int = 1) -> list[str]:
     storage grows until vacuum reclaims the tail. Files referenced by
     NO retained snapshot are deleted; returns the deleted names.
 
+    ``min_age_seconds`` (default 1 h) protects IN-FLIGHT writers: a
+    concurrent transaction moves its part files into the table dir
+    BEFORE its commit lands, so a freshly-written unreferenced file may
+    be about to become referenced — only files older than the guard are
+    reclaimed (the same retention-window defense the production systems
+    document). Pass 0 only when no writer can be live.
+
     Time travel to vacuumed versions stops working — that is the
-    documented trade (same as the production systems'); keep_versions
-    pins how much history stays replayable."""
+    documented trade; keep_versions pins how much history stays
+    replayable."""
+    import time
+
     commits, _ = _list_log(table)
     if not commits:
         return []
@@ -488,9 +499,12 @@ def vacuum(table: str, keep_versions: int = 1) -> list[str]:
     keep: set[str] = set()
     for v in retained:
         keep.update(snapshot(table, v).files)
+    now = time.time()
     staged_or_live = set()
     for name in os.listdir(table):
         if name.startswith("part-") and name.endswith(".parquet"):
+            if now - os.path.getmtime(os.path.join(table, name)) < min_age_seconds:
+                continue  # too young: may belong to an uncommitted writer
             staged_or_live.add(name)
     doomed = sorted(staged_or_live - keep)
     for name in doomed:
