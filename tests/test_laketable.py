@@ -404,3 +404,58 @@ def test_vacuum_age_guard_protects_inflight_writers(spark, tmp_path):
     # files are seconds old: the 1h default guard keeps everything
     assert lake.vacuum(t, keep_versions=1) == []
     assert lake.read_snapshot(spark, t, 0).count() == 20  # still readable
+
+
+def test_protocol_model_differential(spark, tmp_path):
+    """Model-based differential: a seeded random op sequence applies to
+    the lake table AND to a plain dict model; after every commit the
+    snapshot must equal the model, and at the end EVERY recorded version
+    must still time-travel to its historical model state — the protocol's
+    whole contract in one test."""
+    import random
+
+    rng = random.Random(20260816)
+    t = str(tmp_path / "t")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(k, v) for k, v in rows], "k long, v double"
+        )
+
+    model: dict[int, float] = {i: float(i) for i in range(40)}
+    lake.create_table(
+        mk(model.items()).repartition(3), t, key_cols=["k"]
+    )
+    history = {0: dict(model)}
+
+    for _ in range(10):
+        op = rng.choice(["append", "merge", "delete", "compact", "overwrite"])
+        if op == "append":
+            base = rng.randrange(1000, 9000)
+            rows = [(base + i, rng.random()) for i in range(rng.randrange(1, 5))]
+            v = lake.append(mk(rows), t)
+            model.update(rows)
+        elif op == "merge":
+            keys = rng.sample(sorted(model), k=min(4, len(model)))
+            keys.append(max(model) + 1)  # one insert
+            rows = [(k, round(rng.random(), 6)) for k in keys]
+            v = lake.merge(spark, t, mk(rows))
+            model.update(rows)
+        elif op == "delete":
+            cut = rng.choice(sorted(model))
+            v = lake.delete_where(spark, t, f"k = {cut}")
+            model.pop(cut, None)
+        elif op == "compact":
+            v = lake.compact(spark, t, target_files=2)
+        else:
+            rows = [(i, rng.random()) for i in range(rng.randrange(5, 15))]
+            v = lake.overwrite(mk(rows), t)
+            model = dict(rows)
+        history[v] = dict(model)
+        got = {r.k: r.v for r in lake.read_snapshot(spark, t).collect()}
+        assert got == model, f"divergence after {op} at v{v}"
+
+    # every version still replays to its historical state
+    for v, state in history.items():
+        got = {r.k: r.v for r in lake.read_snapshot(spark, t, version=v).collect()}
+        assert got == state, f"time travel to v{v} diverged"
