@@ -459,3 +459,15 @@ def test_protocol_model_differential(spark, tmp_path):
     for v, state in history.items():
         got = {r.k: r.v for r in lake.read_snapshot(spark, t, version=v).collect()}
         assert got == state, f"time travel to v{v} diverged"
+
+
+def test_snapshot_read_keeps_pushdown_and_pruning(spark, tmp_path):
+    """The mergeSchema snapshot read must not cost Catalyst its parquet
+    optimizations: filters still push to the scan, projection still
+    prunes the read schema."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 500).repartition(2), t, key_cols=["k"])
+    df = lake.read_snapshot(spark, t).where("k > 100").select("k")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(k,100)" in plan  # PushedFilters reached the scan
+    assert "struct<k:bigint>" in plan    # ReadSchema pruned to one column
