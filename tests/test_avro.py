@@ -184,3 +184,22 @@ def test_corrupt_block_quarantine_opt_in(spark, tmp_path):
     assert n == 2000
     ids = {r.id for r in back.select("id").collect()}
     assert 0 in ids and 2999 in ids  # first and last blocks survived
+
+
+def test_truncated_container_fails_fast(spark, tmp_path):
+    """A container truncated mid-block-header must RAISE under the
+    fail-fast default (round-13 ADVICE: the tail was silently dropped);
+    quarantine mode keeps the intact prefix blocks."""
+    path = str(tmp_path / "a")
+    df = spark.range(3000).selectExpr("id", "cast(id as string) s").coalesce(1)
+    _write(spark, df, path, rows_per_block=1000, codec="null")
+    f = glob.glob(path + "/part-*.avro")[0]
+    _schema, _codec, sync, header_end = read_header(f)
+    buf = open(f, "rb").read()
+    second_block_at = buf.find(sync, header_end) + len(sync)
+    open(f, "wb").write(buf[: second_block_at + 1])  # 1 byte of varint
+
+    with pytest.raises(Exception, match="truncated|EOF"):
+        _read(spark, path).count()
+    back = _read(spark, path, ignore_corrupt_blocks="true")
+    assert back.count() == 1000  # exactly the intact prefix

@@ -471,3 +471,308 @@ def test_snapshot_read_keeps_pushdown_and_pruning(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThan(k,100)" in plan  # PushedFilters reached the scan
     assert "struct<k:bigint>" in plan    # ReadSchema pruned to one column
+
+
+# ------------------------------------------------------------------ #
+# round 14: schema-preserving rewrites, atomic log publishes, the
+# storage seam, and partition columns
+
+
+def test_delete_rewrite_preserves_evolved_schema(spark, tmp_path):
+    """DELETE whose hit files span a schema-evolution boundary must keep
+    the evolved column in the rewrite (round-13 ADVICE: the survivor
+    read needs mergeSchema + alignment to the table schema, else rows
+    silently lose columns)."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 10).coalesce(1), t, key_cols=["k"])
+    widened = spark.createDataFrame(
+        [(100, 1, 1.0, "keep-me"), (101, 1, 2.0, "drop-me")],
+        "k long, grp long, amount double, tag string",
+    )
+    lake.append(widened.coalesce(1), t)
+    # hits BOTH generations: k=3 lives in the pre-tag file, k=101 in the
+    # evolved one — both files get rewritten
+    lake.delete_where(spark, t, "k = 3 OR k = 101")
+    df = lake.read_snapshot(spark, t)
+    assert "tag" in df.columns
+    rows = {r.k: r.tag for r in df.collect()}
+    assert rows[100] == "keep-me", "rewrite dropped an evolved column"
+    assert rows[0] is None
+    assert 3 not in rows and 101 not in rows
+
+
+def test_merge_keeps_source_values_for_evolved_columns(spark, tmp_path):
+    """MERGE must align both sides to the FULL table schema: a source
+    value for a column the touched files don't carry used to be silently
+    selected away (round-13 ADVICE)."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 10).coalesce(1), t, key_cols=["k"])
+    lake.append(
+        spark.createDataFrame(
+            [(100, 1, 1.0, "appended")],
+            "k long, grp long, amount double, tag string",
+        ),
+        t,
+    )
+    # k=5 lives in the pre-tag file; its stats (0..9) exclude the
+    # appended file, so ONLY the pre-tag file is touched — the tag value
+    # must still land
+    lake.merge(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(5, 9, 9.9, "merged-tag")],
+            "k long, grp long, amount double, tag string",
+        ),
+    )
+    rows = {r.k: (r.grp, r.amount, r.tag) for r in lake.read_snapshot(spark, t).collect()}
+    assert rows[5] == (9, 9.9, "merged-tag")
+    assert rows[100] == (1, 1.0, "appended")  # untouched file survived
+    assert rows[0] == (0, 0.0, None)
+
+
+def test_merge_new_source_column_evolves_schema_with_meta(spark, tmp_path):
+    """A NEW column arriving via MERGE is additive evolution: recorded in
+    a meta action (visible to later snapshots), not silently dropped
+    (round-13 ADVICE: the meta actions were discarded)."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 10).coalesce(1), t, key_cols=["k"])
+    lake.merge(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(0, 9, -1.0, "via-merge")],
+            "k long, grp long, amount double, note string",
+        ),
+    )
+    snap = lake.snapshot(t)
+    assert snap.schema.get("note") == "string", "merge meta action lost"
+    rows = {r.k: r.note for r in lake.read_snapshot(spark, t).collect()}
+    assert rows[0] == "via-merge"
+    assert rows[1] is None
+
+
+def test_cdf_across_schema_evolution(spark, tmp_path):
+    """A CDF window spanning an additive-evolution commit must surface
+    NULLs for the new column, not throw (round-13 ADVICE: unionByName
+    without allowMissingColumns)."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 5).coalesce(1), t, key_cols=["k"])
+    lake.overwrite(
+        spark.createDataFrame(
+            [(50, 1, 1.0, "new")], "k long, grp long, amount double, tag string"
+        ),
+        t,
+    )
+    cdf = lake.table_changes(spark, t, 0, 1)
+    got = {(r.k, r._change_type, r.tag) for r in cdf.collect()}
+    assert (50, "insert", "new") in got
+    assert (0, "delete", None) in got
+    assert len(got) == 6  # 5 deletes + 1 insert
+
+
+def test_corrupt_checkpoint_falls_back_to_log_replay(spark, tmp_path):
+    """A checkpoint is an optimization, never truth: an unparseable one
+    (crashed writer / bit rot) is skipped and the snapshot replays the
+    full log (round-13 ADVICE: a corrupt checkpoint permanently broke
+    snapshot())."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 20), t, key_cols=["k"])
+    for i in range(11):
+        lake.append(
+            spark.createDataFrame(
+                [(1000 + i, 0, 1.0)], "k long, grp long, amount double"
+            ),
+            t,
+        )
+    cp = os.path.join(t, "_log", f"{10:020d}.checkpoint.json")
+    assert os.path.exists(cp)
+    with open(cp, "w") as f:
+        f.write('{"files": [')  # torn write
+    assert lake.read_snapshot(spark, t).count() == 31
+    assert lake.read_snapshot(spark, t, 10).count() == 30
+
+
+def test_put_if_absent_atomic_and_exclusive(tmp_path):
+    """The commit primitive: full content or nothing, loser sees False,
+    winner's bytes untouched, no temp residue."""
+    st = lake.LocalFSStorage()
+    p = str(tmp_path / "log" / "0.json")
+    assert st.put_if_absent(p, b"winner\n") is True
+    assert st.put_if_absent(p, b"loser\n") is False
+    assert open(p, "rb").read() == b"winner\n"
+    assert os.listdir(os.path.dirname(p)) == ["0.json"]  # no tmp files
+
+
+def test_commit_log_entries_never_empty(spark, tmp_path):
+    """Every published log entry is complete (commitInfo + actions) the
+    instant its name exists — the property the os.link publish buys."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 5), t, key_cols=["k"])
+    lake.append(_orders(spark, 3), t)
+    log = os.path.join(t, "_log")
+    for name in os.listdir(log):
+        raw = open(os.path.join(log, name), "rb").read()
+        assert raw, f"{name} is empty"
+        json.loads(raw.splitlines()[0])
+
+
+def test_storage_seam_routes_all_protocol_io(spark, tmp_path):
+    """Every protocol I/O primitive — log list/read/put-if-absent,
+    checkpoint put, data publish/delete/list — flows through the
+    LakeStorage interface (VERDICT r13 #3)."""
+    from collections import Counter
+
+    class Spy(lake.LocalFSStorage):
+        def __init__(self):
+            self.calls = Counter()
+
+        def list_names(self, dirpath):
+            self.calls["list_names"] += 1
+            return super().list_names(dirpath)
+
+        def read_bytes(self, path):
+            self.calls["read_bytes"] += 1
+            return super().read_bytes(path)
+
+        def put_if_absent(self, path, payload):
+            self.calls["put_if_absent"] += 1
+            return super().put_if_absent(path, payload)
+
+        def put_atomic(self, path, payload):
+            self.calls["put_atomic"] += 1
+            return super().put_atomic(path, payload)
+
+        def publish_file(self, src, dest):
+            self.calls["publish_file"] += 1
+            return super().publish_file(src, dest)
+
+        def delete_file(self, path):
+            self.calls["delete_file"] += 1
+            return super().delete_file(path)
+
+        def list_data_files(self, table):
+            self.calls["list_data_files"] += 1
+            return super().list_data_files(table)
+
+    spy = Spy()
+    prev = lake.set_storage(spy)
+    try:
+        t = str(tmp_path / "t")
+        lake.create_table(_orders(spark, 50).repartition(2), t, key_cols=["k"])
+        for i in range(10):  # crosses the checkpoint interval
+            lake.append(
+                spark.createDataFrame(
+                    [(1000 + i, 0, 1.0)], "k long, grp long, amount double"
+                ),
+                t,
+            )
+        lake.overwrite(_orders(spark, 5), t)
+        assert lake.vacuum(t, keep_versions=1, min_age_seconds=0)
+        assert lake.read_snapshot(spark, t).count() == 5
+    finally:
+        lake.set_storage(prev)
+    for op in (
+        "list_names",
+        "read_bytes",
+        "put_if_absent",
+        "put_atomic",
+        "publish_file",
+        "delete_file",
+        "list_data_files",
+    ):
+        assert spy.calls[op] > 0, f"{op} bypassed the storage seam"
+
+
+def _partitioned(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("bucket"),
+        (F.col("id") * 10.0).alias("amount"),
+    )
+
+
+def test_partitioned_layout_and_prune_plan(spark, tmp_path):
+    """partition_by lays out hive dirs, records partition values in the
+    add actions, and a predicate on the partition column reaches the
+    scan as PartitionFilters (directory pruning — VERDICT r13 #4)."""
+    import re
+
+    t = str(tmp_path / "t")
+    lake.create_table(
+        _partitioned(spark), t, key_cols=["k"], partition_by=["bucket"]
+    )
+    assert {f"bucket={i}" for i in range(4)} <= set(os.listdir(t))
+    snap = lake.snapshot(t)
+    assert snap.partition_by == ["bucket"]
+    for rel, a in snap.files.items():
+        assert a["partition"]["bucket"] == int(rel.split("=")[1].split("/")[0])
+    df = lake.read_snapshot(spark, t).where("bucket = 2").select("k", "bucket")
+    assert df.count() == 50
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*bucket", plan), plan[:3000]
+
+
+def test_partitioned_partition_key_stats_exact(spark, tmp_path):
+    """A key column that IS a partition column gets exact (min==max)
+    per-file stats from its directory value — merge pruning works off
+    the layout itself."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        _partitioned(spark), t, key_cols=["bucket", "k"], partition_by=["bucket"]
+    )
+    snap = lake.snapshot(t)
+    for a in snap.files.values():
+        st = a["stats"]["bucket"]
+        assert st["min"] == st["max"] == a["partition"]["bucket"]
+    before = set(snap.files)
+    # a changeset confined to bucket 1 must leave other buckets' files alone
+    lake.merge(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(9999, 1, -1.0)], "k long, bucket long, amount double"
+        ).select("bucket", "k", "amount"),
+    )
+    after = set(lake.snapshot(t).files)
+    untouched = {p for p in before & after if "bucket=1" not in p}
+    assert untouched == {p for p in before if "bucket=1" not in p}
+    rows = {r.k: r.amount for r in lake.read_snapshot(spark, t).collect()}
+    assert rows[9999] == -1.0 and rows[0] == 0.0
+
+
+def test_partitioned_delete_compact_vacuum_time_travel(spark, tmp_path):
+    """The full mutation surface preserves the hive layout: DELETE
+    rewrites stay in their directories, compact keeps the layout, vacuum
+    reclaims dereferenced files inside partition dirs, history replays."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        _partitioned(spark).repartition(2), t, key_cols=["k"], partition_by=["bucket"]
+    )
+    lake.delete_where(spark, t, "bucket = 3 AND k < 100")  # v1
+    assert lake.read_snapshot(spark, t).count() == 200 - 25
+    lake.compact(spark, t, target_files=1)  # v2
+    snap = lake.snapshot(t)
+    assert all("bucket=" in p for p in snap.files)
+    assert lake.read_snapshot(spark, t).count() == 175
+    # time travel across the partitioned mutations
+    assert lake.read_snapshot(spark, t, 0).count() == 200
+    assert lake.read_snapshot(spark, t, 1).count() == 175
+    doomed = lake.vacuum(t, keep_versions=1, min_age_seconds=0)
+    assert doomed and all("bucket=" in p for p in doomed)
+    assert lake.read_snapshot(spark, t).count() == 175
+
+
+def test_partitioned_cdf_and_stream_append(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake.create_table(
+        _partitioned(spark, 40), t, key_cols=["k"], partition_by=["bucket"]
+    )
+    batch = spark.createDataFrame(
+        [(100, 0, 5.0), (101, 1, 6.0)], "k long, bucket long, amount double"
+    )
+    assert lake.append_stream_batch(batch, t, batch_id=3) == 1
+    assert lake.append_stream_batch(batch, t, batch_id=3) is None
+    cdf = lake.table_changes(spark, t, 0, 1)
+    got = {(r.k, r.bucket, r._change_type) for r in cdf.collect()}
+    assert got == {(100, 0, "insert"), (101, 1, "insert")}

@@ -523,7 +523,15 @@ class _AvroReader(DataSourceReader):
                     n_rows = r.read_long()
                     n_bytes = r.read_long()
                 except EOFError:
-                    return
+                    # fewer bytes than two varints at a block start =
+                    # truncated container. Fail-fast mode must raise (a
+                    # clean EOF already returned via `if not head` above);
+                    # quarantine mode drops the tail like any corrupt block.
+                    if self.ignore_corrupt:
+                        return
+                    raise ValueError(
+                        f"{split.path}: truncated block header at {pos}"
+                    ) from None
                 payload_at = pos + r.pos
                 f.seek(payload_at)
                 payload = f.read(n_bytes)

@@ -1,5 +1,6 @@
 """[EXT] Versioned lake table — a minimal ACID transaction-log protocol
-over plain parquet (VERDICT r12 #4).
+over plain parquet (VERDICT r12 #4; storage seam + partition columns
+VERDICT r13 #3/#4).
 
 No Delta/Iceberg jar ships in this container, so this vendors the
 PROTOCOL (the shape both publish openly: an ordered log of add/remove
@@ -11,33 +12,72 @@ table_dir/
   _log/00000000000000000000.json      one commit per file, actions as JSON lines
   _log/00000000000000000010.checkpoint.json   full state every N commits
   part-<uuid>.parquet                 immutable data files
+  p=eu/part-<uuid>.parquet            (partitioned tables: hive-style dirs)
 ```
 
-* **Commit atomicity / optimistic concurrency.** A commit is the creation
-  of ``_log/{version:020d}.json`` with ``O_CREAT|O_EXCL`` — exactly one
-  writer can create a given version; the loser gets
+* **Commit atomicity / optimistic concurrency.** A commit is the
+  all-or-nothing publication of ``_log/{version:020d}.json`` — exactly
+  one writer can publish a given version; the loser gets
   :class:`ConcurrentCommitError` and must re-read the snapshot and retry
   (blind retry is safe for appends; merges re-run against the new
-  snapshot — test_laketable pins both). On a real object store the same
-  contract is an atomic put-if-absent.
+  snapshot — test_laketable pins both). The local-FS implementation
+  writes the FULL payload to a temp file and publishes it with
+  ``os.link`` (atomic name creation + content visibility in one step —
+  a bare ``O_EXCL`` create followed by a write would expose an empty
+  log entry to concurrent readers); on an object store the same
+  contract is a conditional PUT (if-none-match) of the complete body.
 * **Snapshot isolation.** Readers resolve the live file set by replaying
   the log up to a pinned version, then read only those immutable parquet
   files — concurrent commits cannot change what a running query sees.
 * **Time travel.** Any historical version's file set is reconstructible
   from the log; ``read_snapshot(version=K)`` reads the table as of K.
 * **MERGE with data skipping.** Every add action carries per-file
-  min/max stats for the table's key columns. ``merge()`` rewrites ONLY
-  the files whose key range intersects the changeset's key range (plus
-  stat-less files) — at 100 TB a 0.1% changeset touches a handful of
-  files, not the table; untouched files survive by reference. This is
-  the published Delta/Iceberg data-skipping MERGE shape.
+  min/max stats for the table's key columns (a key that is a PARTITION
+  column gets exact stats from its directory value). ``merge()``
+  rewrites ONLY the files whose key range intersects the changeset's
+  key range (plus stat-less files) — at 100 TB a 0.1% changeset touches
+  a handful of files, not the table; untouched files survive by
+  reference. This is the published Delta/Iceberg data-skipping MERGE
+  shape.
+* **Partition columns.** ``create_table(partition_by=[...])`` lays data
+  out in hive-style directories; add actions carry the partition
+  values; snapshot reads use ``basePath`` so Catalyst turns predicates
+  on partition columns into ``PartitionFilters`` (directory pruning at
+  the scan — zero data bytes read for pruned partitions), and
+  merge/delete/CDF/compact/vacuum all preserve the layout.
 * **Bounded log replay.** Every ``checkpoint_interval`` commits the full
   live-file list is checkpointed; snapshot resolution replays only the
   tail after the latest checkpoint, so log cost is O(interval), not
-  O(commit history).
+  O(commit history). Checkpoints are published atomically
+  (temp + rename) and are PURELY an optimization: a checkpoint that
+  fails to parse is skipped and the snapshot falls back to full log
+  replay.
 
 Driver-side state is the FILE LIST only (paths + stats), never data:
 all row movement is Spark jobs over parquet.
+
+Storage seam (VERDICT r13 #3)
+-----------------------------
+All protocol I/O — log listing, log-entry put-if-absent, checkpoint
+put, data-file publish/delete/list — routes through ONE small interface
+(:class:`LakeStorage`), local-FS by default (:class:`LocalFSStorage`).
+The object-store contract an alternative implementation must meet:
+
+* ``put_if_absent`` — an atomic full-content conditional create
+  (S3 ``If-None-Match: *`` / GCS ``ifGenerationMatch=0``). This is the
+  ONLY primitive the commit protocol's correctness rests on.
+* ``put_atomic`` — full-content overwrite that is never observable
+  half-written (any object PUT qualifies; local FS needs temp+rename).
+* Data files are **staged-then-referenced, never renamed**: Spark
+  writes parts to a scratch location, ``publish_file`` gives each an
+  immutable unique key inside the table prefix, and only the log entry
+  makes them visible. An object-store implementation may equally write
+  parts directly at their final unique keys and make ``publish_file``
+  a no-op — nothing in the protocol depends on rename semantics, only
+  on the log's conditional PUT.
+* Readers address data files by the path/URI Spark can open — the
+  storage implementation owns the mapping from an add action's
+  relative path to that URI.
 """
 
 from __future__ import annotations
@@ -45,6 +85,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import urllib.parse
 import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass, field
@@ -55,6 +96,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "ConcurrentCommitError",
     "LakeSnapshot",
+    "LakeStorage",
+    "LocalFSStorage",
+    "set_storage",
+    "get_storage",
     "create_table",
     "append",
     "overwrite",
@@ -86,12 +131,139 @@ class ConcurrentCommitError(Exception):
         self.version = version
 
 
+# --------------------------------------------------------------------- #
+# storage seam
+
+
+class LakeStorage:
+    """The protocol's complete storage contract (see module docstring for
+    the object-store mapping). Paths are plain strings the local Spark
+    can also open; an object-store implementation maps them to URIs."""
+
+    def list_names(self, dirpath: str) -> list[str]:
+        """Names (not paths) of entries directly under ``dirpath``;
+        raises FileNotFoundError if the directory does not exist."""
+        raise NotImplementedError
+
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        """Atomically publish ``payload`` at ``path`` iff nothing exists
+        there; the payload must become visible all-or-nothing (a reader
+        must never observe the name without the full content). Returns
+        False when the path already exists — the optimistic-concurrency
+        loss signal."""
+        raise NotImplementedError
+
+    def put_atomic(self, path: str, payload: bytes) -> None:
+        """Publish ``payload`` at ``path`` (overwrite allowed) such that
+        no reader ever observes a partial write."""
+        raise NotImplementedError
+
+    def publish_file(self, src: str, dest: str) -> None:
+        """Give a staged local data file its immutable final key. The
+        file is still INVISIBLE to the protocol until a log entry
+        references it, so this needs no atomicity — only that ``dest``
+        is complete once this returns."""
+        raise NotImplementedError
+
+    def delete_file(self, path: str) -> None:
+        raise NotImplementedError
+
+    def list_data_files(self, table: str) -> list[tuple[str, float]]:
+        """All ``part-*.parquet`` under the table prefix (recursing into
+        partition directories, excluding the log and staging dirs) as
+        (path relative to table, modification time) — the vacuum
+        candidate inventory."""
+        raise NotImplementedError
+
+
+class LocalFSStorage(LakeStorage):
+    """Default implementation over the local filesystem. put_if_absent is
+    temp-write + ``os.link`` — POSIX link(2) fails with EEXIST if the
+    name exists and otherwise makes the FULL content visible atomically,
+    so a concurrent ``snapshot()`` can never observe an empty or partial
+    log entry (round-13 ADVICE)."""
+
+    def list_names(self, dirpath: str) -> list[str]:
+        return os.listdir(dirpath)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def put_atomic(self, path: str, payload: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+
+    def publish_file(self, src: str, dest: str) -> None:
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.rename(src, dest)
+
+    def delete_file(self, path: str) -> None:
+        os.remove(path)
+
+    def list_data_files(self, table: str) -> list[tuple[str, float]]:
+        out = []
+        for dirpath, dirnames, names in os.walk(table):
+            dirnames[:] = [
+                d
+                for d in dirnames
+                if d != _LOG_DIR and not d.startswith("_stage-")
+            ]
+            for name in names:
+                if name.startswith("part-") and name.endswith(".parquet"):
+                    full = os.path.join(dirpath, name)
+                    out.append(
+                        (os.path.relpath(full, table), os.path.getmtime(full))
+                    )
+        return out
+
+
+_ACTIVE_STORAGE: LakeStorage = LocalFSStorage()
+
+
+def get_storage() -> LakeStorage:
+    return _ACTIVE_STORAGE
+
+
+def set_storage(storage: LakeStorage) -> LakeStorage:
+    """Swap the active storage implementation; returns the previous one
+    (so tests / embedding applications can restore it)."""
+    global _ACTIVE_STORAGE
+    prev = _ACTIVE_STORAGE
+    _ACTIVE_STORAGE = storage
+    return prev
+
+
 @dataclass
 class LakeSnapshot:
     version: int
-    files: dict = field(default_factory=dict)  # path -> add action dict
+    files: dict = field(default_factory=dict)  # rel path -> add action dict
     key_cols: list = field(default_factory=list)
     schema: dict = field(default_factory=dict)  # col name -> simple type string
+    partition_by: list = field(default_factory=list)
 
 
 def _log_path(table: str, version: int, checkpoint: bool = False) -> str:
@@ -102,10 +274,12 @@ def _log_path(table: str, version: int, checkpoint: bool = False) -> str:
 def _list_log(table: str) -> tuple[list[int], list[int]]:
     """(commit versions asc, checkpoint versions asc)."""
     log_dir = os.path.join(table, _LOG_DIR)
-    if not os.path.isdir(log_dir):
+    try:
+        names = get_storage().list_names(log_dir)
+    except FileNotFoundError:
         raise FileNotFoundError(f"not a lake table (no {_LOG_DIR}/): {table}")
     commits, checkpoints = [], []
-    for name in os.listdir(log_dir):
+    for name in names:
         if name.endswith(".checkpoint.json"):
             checkpoints.append(int(name[: -len(".checkpoint.json")]))
         elif name.endswith(".json"):
@@ -120,9 +294,22 @@ def latest_version(table: str) -> int:
     return commits[-1]
 
 
+def _load_checkpoint(table: str, version: int) -> dict | None:
+    """A checkpoint is an optimization, never a source of truth: if it
+    fails to read or parse (a pre-atomic writer crashed mid-write, or
+    bit rot), skip it — the caller falls back to an older checkpoint or
+    to full log replay (round-13 ADVICE)."""
+    try:
+        raw = get_storage().read_bytes(_log_path(table, version, checkpoint=True))
+        return json.loads(raw)
+    except (OSError, ValueError):
+        return None
+
+
 def snapshot(table: str, version: int | None = None) -> LakeSnapshot:
     """Resolve the live file set as of ``version`` (default: latest) by
-    replaying the log from the newest checkpoint at or below it."""
+    replaying the log from the newest readable checkpoint at or below
+    it."""
     commits, checkpoints = _list_log(table)
     if version is None:
         if not commits:
@@ -135,38 +322,45 @@ def snapshot(table: str, version: int | None = None) -> LakeSnapshot:
         )
     snap = LakeSnapshot(version=version)
     start = 0
-    usable = [c for c in checkpoints if c <= version]
-    if usable:
-        cp = usable[-1]
-        with open(_log_path(table, cp, checkpoint=True)) as f:
-            state = json.load(f)
+    for cp in reversed([c for c in checkpoints if c <= version]):
+        state = _load_checkpoint(table, cp)
+        if state is None:
+            continue  # corrupt/partial checkpoint: try an older one
         snap.files = {a["path"]: a for a in state["files"]}
         snap.key_cols = state.get("key_cols", [])
         snap.schema = dict(state.get("schema", {}))
+        snap.partition_by = list(state.get("partition_by", []))
         start = cp + 1
+        break
+    storage = get_storage()
     for v in commits:
         if v < start or v > version:
             continue
-        with open(_log_path(table, v)) as f:
-            for line in f:
-                action = json.loads(line)
-                if "meta" in action:
-                    snap.key_cols = action["meta"].get("key_cols", snap.key_cols)
-                    snap.schema.update(action["meta"].get("schema", {}))
-                elif "add" in action:
-                    snap.files[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    snap.files.pop(action["remove"]["path"], None)
+        for line in storage.read_bytes(_log_path(table, v)).splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "meta" in action:
+                snap.key_cols = action["meta"].get("key_cols", snap.key_cols)
+                snap.schema.update(action["meta"].get("schema", {}))
+                snap.partition_by = action["meta"].get(
+                    "partition_by", snap.partition_by
+                )
+            elif "add" in action:
+                snap.files[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                snap.files.pop(action["remove"]["path"], None)
     return snap
 
 
 def table_history(table: str) -> list[dict]:
     """The commitInfo line of every version — the audit log."""
     commits, _ = _list_log(table)
+    storage = get_storage()
     out = []
     for v in commits:
-        with open(_log_path(table, v)) as f:
-            first = json.loads(f.readline())
+        first_line = storage.read_bytes(_log_path(table, v)).splitlines()[0]
+        first = json.loads(first_line)
         out.append(first.get("commitInfo", {"version": v}))
     return out
 
@@ -174,26 +368,70 @@ def table_history(table: str) -> list[dict]:
 # --------------------------------------------------------------------- #
 # writing
 
+
+def _cast_partition_value(raw: str, simple_type: str | None):
+    """A hive directory value back to its column's Python value (the
+    value the file stats / pruning compare against)."""
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if simple_type in ("tinyint", "smallint", "int", "bigint"):
+        return int(raw)
+    if simple_type in ("float", "double"):
+        return float(raw)
+    if simple_type == "boolean":
+        return raw.lower() == "true"
+    return raw
+
+
+def _parse_partition(rel: str, schema: dict) -> dict:
+    """Partition values encoded in a relative path's hive directories."""
+    values: dict = {}
+    for seg in rel.split(os.sep)[:-1]:
+        k, _, raw = seg.partition("=")
+        values[k] = _cast_partition_value(
+            urllib.parse.unquote(raw), schema.get(k)
+        )
+    return values
+
+
 def _stage_files(
-    df: DataFrame, table: str, key_cols: Sequence[str]
+    df: DataFrame,
+    table: str,
+    key_cols: Sequence[str],
+    partition_by: Sequence[str] = (),
+    schema: dict | None = None,
 ) -> list[dict]:
-    """Write ``df`` as immutable parquet parts in the table dir and return
-    their add actions (path, rows, per-file min/max stats for key_cols).
-    Stats come from ONE aggregate over the newly written files only —
-    never a table scan."""
+    """Write ``df`` as immutable parquet parts (hive-partitioned when the
+    table is) staged under the table dir, publish each at a unique final
+    key, and return their add actions (path, partition values, rows,
+    per-file min/max stats for key_cols). Stats come from ONE aggregate
+    over the newly written files only — never a table scan; a key that
+    is a partition column gets exact stats from its directory value."""
     spark = df.sparkSession
+    storage = get_storage()
+    partition_by = [c for c in partition_by if c in df.columns]
     stage = os.path.join(table, f"_stage-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
-    moved: dict[str, str] = {}
-    for name in os.listdir(stage):
-        if name.startswith("part-") and name.endswith(".parquet"):
-            final = f"part-{uuid.uuid4().hex}.parquet"
-            os.rename(os.path.join(stage, name), os.path.join(table, final))
-            moved[os.path.join(table, final)] = final
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
+    moved: dict[str, str] = {}  # final full path -> rel path
+    for dirpath, _dirs, names in os.walk(stage):
+        rel_dir = os.path.relpath(dirpath, stage)
+        for name in names:
+            if name.startswith("part-") and name.endswith(".parquet"):
+                fname = f"part-{uuid.uuid4().hex}.parquet"
+                rel = fname if rel_dir == "." else os.path.join(rel_dir, fname)
+                dest = os.path.join(table, rel)
+                storage.publish_file(os.path.join(dirpath, name), dest)
+                moved[dest] = rel
     shutil.rmtree(stage, ignore_errors=True)
     if not moved:
         return []
-    stat_cols = [c for c in key_cols if c in df.columns]
+    # partition columns live in directory names, not file bytes
+    stat_cols = [
+        c for c in key_cols if c in df.columns and c not in partition_by
+    ]
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in stat_cols:
         aggs.append(F.min(c).alias(f"__min_{c}"))
@@ -204,23 +442,35 @@ def _stage_files(
         .agg(*aggs)
         .collect()
     )
-    by_suffix = {}
+    by_name = {}
     for r in per_file:
         d = r.asDict()
-        fname = d["__file"].split("/")[-1]
-        by_suffix[fname] = d
+        by_name[d["__file"].split("/")[-1]] = d
     adds = []
-    for full, fname in moved.items():
-        d = by_suffix.get(fname)
+    for _full, rel in moved.items():
+        part_values = (
+            _parse_partition(rel, schema or {}) if partition_by else {}
+        )
+        d = by_name.get(os.path.basename(rel))
         if d is None:  # empty file (no rows): still track it
-            adds.append({"path": fname, "rows": 0, "stats": {}})
+            adds.append(
+                {"path": rel, "rows": 0, "stats": {}, "partition": part_values}
+                if partition_by
+                else {"path": rel, "rows": 0, "stats": {}}
+            )
             continue
         stats = {}
         for c in stat_cols:
             mn, mx = d[f"__min_{c}"], d[f"__max_{c}"]
             if _json_safe(mn) and _json_safe(mx):
                 stats[c] = {"min": mn, "max": mx}
-        adds.append({"path": fname, "rows": d["__rows"], "stats": stats})
+        for c, v in part_values.items():
+            if c in key_cols and _json_safe(v):
+                stats[c] = {"min": v, "max": v}  # exact: one value per file
+        add = {"path": rel, "rows": d["__rows"], "stats": stats}
+        if partition_by:
+            add["partition"] = part_values
+        adds.append(add)
     return adds
 
 
@@ -244,7 +494,7 @@ _SAFE_CAST = {
 
 def _enforce_schema(
     df: DataFrame, snap: LakeSnapshot, op: str
-) -> tuple[DataFrame, list[dict]]:
+) -> tuple[DataFrame, list[dict], dict]:
     """Schema-on-write (the lake-table contract): a column present in both
     the table and the incoming data must land as the TABLE's type —
     silently mixing types across files would poison every later
@@ -253,9 +503,9 @@ def _enforce_schema(
     anything else raises. NEW columns are additive evolution (old files
     surface NULL; the returned meta action records them); missing columns
     are fine (parquet union fills NULL). Returns (possibly-cast df,
-    meta actions)."""
+    meta actions, the table schema AFTER this write)."""
     if not snap.schema:
-        return df, []  # pre-schema tables (or empty meta): nothing to check
+        return df, [], {}  # pre-schema tables (or empty meta): nothing to check
     incoming = _schema_of(df)
     conflicts = {}
     casts = {}
@@ -278,9 +528,26 @@ def _enforce_schema(
     for c, want in casts.items():
         df = df.withColumn(c, F.col(c).cast(want))
     new_cols = {c: t for c, t in incoming.items() if c not in snap.schema}
+    full = {**snap.schema, **new_cols}
     if new_cols:
-        return df, [{"meta": {"schema": {**snap.schema, **new_cols}}}]
-    return df, []
+        return df, [{"meta": {"schema": full}}], full
+    return df, [], full
+
+
+def _align_to_schema(df: DataFrame, schema: dict) -> DataFrame:
+    """Project ``df`` onto the full table schema: present columns pass
+    through, absent ones become typed NULLs. Every rewrite path (merge,
+    delete survivors) aligns here so a rewrite can never silently drop a
+    column another file carries (round-13 ADVICE)."""
+    if not schema:
+        return df
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(c) if c in have else F.lit(None).cast(t).alias(c)
+            for c, t in schema.items()
+        ]
+    )
 
 
 def _commit(
@@ -289,58 +556,70 @@ def _commit(
     actions: list[dict],
     operation: str,
     checkpoint_interval: int = 10,
+    extra_info: dict | None = None,
 ) -> int:
-    """Atomically create the version's log entry (O_EXCL — optimistic
-    concurrency). Raises ConcurrentCommitError if a racing writer won."""
+    """Atomically publish the version's complete log entry (storage
+    put_if_absent — optimistic concurrency; a concurrent reader either
+    sees the whole entry or no entry). Raises ConcurrentCommitError if a
+    racing writer won the slot."""
     import time
 
-    os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
     path = _log_path(table, version)
-    lines = [
-        json.dumps(
-            {
-                "commitInfo": {
-                    "version": version,
-                    "operation": operation,
-                    "timestamp": int(time.time() * 1000),
-                }
-            }
-        )
-    ] + [json.dumps(a) for a in actions]
+    info = {
+        "version": version,
+        "operation": operation,
+        "timestamp": int(time.time() * 1000),
+    }
+    if extra_info:
+        info.update(extra_info)
+    lines = [json.dumps({"commitInfo": info})] + [json.dumps(a) for a in actions]
     payload = ("\n".join(lines) + "\n").encode("utf-8")
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise ConcurrentCommitError(version) from None
-    with os.fdopen(fd, "wb") as f:
-        f.write(payload)
+    if not get_storage().put_if_absent(path, payload):
+        raise ConcurrentCommitError(version)
     if checkpoint_interval and version and version % checkpoint_interval == 0:
         snap = snapshot(table, version)
-        with open(_log_path(table, version, checkpoint=True), "w") as f:
-            json.dump(
+        get_storage().put_atomic(
+            _log_path(table, version, checkpoint=True),
+            json.dumps(
                 {
                     "files": list(snap.files.values()),
                     "key_cols": snap.key_cols,
                     "schema": snap.schema,
-                },
-                f,
-            )
+                    "partition_by": snap.partition_by,
+                }
+            ).encode("utf-8"),
+        )
     return version
 
 
 def create_table(
-    df: DataFrame, table: str, key_cols: Sequence[str] = ()
+    df: DataFrame,
+    table: str,
+    key_cols: Sequence[str] = (),
+    partition_by: Sequence[str] = (),
 ) -> int:
     """Version 0: write the initial data files and the table metadata
-    (key_cols drive per-file stats and MERGE pruning)."""
+    (key_cols drive per-file stats and MERGE pruning; partition_by lays
+    files out in hive-style directories and makes predicates on those
+    columns directory-pruned at every snapshot read)."""
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by columns not in data: {missing}")
     os.makedirs(table, exist_ok=True)
     if os.path.isdir(os.path.join(table, _LOG_DIR)) and os.listdir(
         os.path.join(table, _LOG_DIR)
     ):
         raise FileExistsError(f"lake table already exists: {table}")
-    adds = _stage_files(df, table, key_cols)
+    schema = _schema_of(df)
+    adds = _stage_files(df, table, key_cols, partition_by, schema)
     actions = [
-        {"meta": {"key_cols": list(key_cols), "schema": _schema_of(df)}}
+        {
+            "meta": {
+                "key_cols": list(key_cols),
+                "schema": schema,
+                "partition_by": list(partition_by),
+            }
+        }
     ]
     actions += [{"add": a} for a in adds]
     return _commit(table, 0, actions, "CREATE")
@@ -349,8 +628,10 @@ def create_table(
 def append(df: DataFrame, table: str) -> int:
     """Blind append: new files only — retries safely on conflict."""
     snap = snapshot(table)
-    df, meta = _enforce_schema(df, snap, "append")
-    adds = _stage_files(df, table, snap.key_cols)
+    df, meta, full_schema = _enforce_schema(df, snap, "append")
+    adds = _stage_files(
+        df, table, snap.key_cols, snap.partition_by, full_schema
+    )
     version = snap.version + 1
     while True:
         try:
@@ -365,22 +646,38 @@ def append(df: DataFrame, table: str) -> int:
 
 def overwrite(df: DataFrame, table: str) -> int:
     snap = snapshot(table)
-    df, meta = _enforce_schema(df, snap, "overwrite")
-    adds = _stage_files(df, table, snap.key_cols)
+    df, meta, full_schema = _enforce_schema(df, snap, "overwrite")
+    adds = _stage_files(
+        df, table, snap.key_cols, snap.partition_by, full_schema
+    )
     actions = meta + [{"remove": {"path": p}} for p in snap.files]
     actions += [{"add": a} for a in adds]
     return _commit(table, snap.version + 1, actions, "OVERWRITE")
 
 
-def _read_files(spark: SparkSession, table: str, snap: LakeSnapshot) -> DataFrame:
-    paths = [os.path.join(table, p) for p in snap.files]
-    if not paths:
+def _read_files(
+    spark: SparkSession,
+    table: str,
+    snap: LakeSnapshot,
+    paths: Sequence[str] | None = None,
+) -> DataFrame:
+    """Read a snapshot's files (or the ``paths`` subset of them).
+
+    * mergeSchema: additive schema evolution — files written before a
+      column existed surface NULL for it (the lake-table contract; the
+      per-snapshot file list is small, so the footer-merge cost is the
+      snapshot's, not the table history's).
+    * basePath: partition columns materialize from the hive directory
+      names, and predicates on them become PartitionFilters — directory
+      pruning at the scan (pinned by test_laketable)."""
+    rels = list(paths) if paths is not None else list(snap.files)
+    full = [os.path.join(table, p) for p in rels]
+    if not full:
         raise ValueError(f"snapshot v{snap.version} of {table} has no files")
-    # mergeSchema: additive schema evolution — files written before a
-    # column existed surface NULL for it (the lake-table contract; the
-    # per-snapshot file list is small, so the footer-merge cost is the
-    # snapshot's, not the table history's)
-    return spark.read.option("mergeSchema", True).parquet(*paths)
+    reader = spark.read.option("mergeSchema", True)
+    if snap.partition_by:
+        reader = reader.option("basePath", table)
+    return reader.parquet(*full)
 
 
 def read_snapshot(
@@ -401,8 +698,12 @@ def merge(
     """MERGE (upsert by the table's key_cols) against the LIVE snapshot
     with file-level data skipping: only files whose key-range stats
     intersect the changeset's key range are rewritten; every other file
-    survives by reference. On a commit race the transaction re-runs
-    against the new snapshot (the rewrite must see the winner's rows)."""
+    survives by reference. Both sides of the rewrite are aligned to the
+    FULL table schema (new source columns evolve it via a recorded meta
+    action; table columns absent from the source or the touched files
+    surface as typed NULLs) — a merge can never silently drop a column
+    (round-13 ADVICE). On a commit race the transaction re-runs against
+    the new snapshot (the rewrite must see the winner's rows)."""
     for _ in range(max_retries + 1):
         snap = snapshot(table)
         keys = snap.key_cols
@@ -418,7 +719,7 @@ def merge(
         touched, kept = [], []
         for p, a in snap.files.items():
             st = a.get("stats", {}).get(k0)
-            if st is None or src_mn is None:
+            if st is None:
                 touched.append(p)  # no stats → must assume overlap
             elif st["max"] >= src_mn and st["min"] <= src_mx:
                 touched.append(p)
@@ -426,16 +727,24 @@ def merge(
                 kept.append(p)
         from zio_analytics_spark.operators.merge import merge_upsert
 
-        source, _ = _enforce_schema(source, snap, "merge")
+        aligned_source, meta, full_schema = _enforce_schema(
+            source, snap, "merge"
+        )
+        if full_schema:
+            aligned_source = _align_to_schema(aligned_source, full_schema)
         if touched:
-            target = spark.read.option("mergeSchema", True).parquet(
-                *[os.path.join(table, p) for p in touched]
-            )
-            merged = merge_upsert(target, source.select(*target.columns), keys)
+            target = _read_files(spark, table, snap, paths=touched)
+            if full_schema:
+                target = _align_to_schema(target, full_schema)
+            else:
+                aligned_source = aligned_source.select(*target.columns)
+            merged = merge_upsert(target, aligned_source, keys)
         else:
-            merged = source
-        adds = _stage_files(merged, table, keys)
-        actions = [{"remove": {"path": p}} for p in touched]
+            merged = aligned_source
+        adds = _stage_files(
+            merged, table, keys, snap.partition_by, full_schema or None
+        )
+        actions = meta + [{"remove": {"path": p}} for p in touched]
         actions += [{"add": a} for a in adds]
         try:
             return _commit(table, snap.version + 1, actions, "MERGE")
@@ -449,22 +758,29 @@ def merge(
 
 def delete_where(spark: SparkSession, table: str, predicate: str) -> int:
     """DELETE: rewrite only the files that contain matching rows (found by
-    one filtered scan over the live set), drop fully-deleted files."""
+    one filtered scan over the live set — a predicate on a partition
+    column prunes directories before any data byte is read), drop
+    fully-deleted files. Survivors are read with mergeSchema and aligned
+    to the full table schema, so a rewrite preserves columns the hit
+    files don't all carry (round-13 ADVICE)."""
     snap = snapshot(table)
     live = _read_files(spark, table, snap).withColumn(
         "__file", F.input_file_name()
     )
+    by_name = {os.path.basename(p): p for p in snap.files}
     hit_files = [
-        r["__file"].split("/")[-1]
+        by_name[r["__file"].split("/")[-1]]
         for r in live.where(predicate).select("__file").distinct().collect()
     ]
     if not hit_files:
         return snap.version  # no-op: nothing matched
-    survivors = (
-        spark.read.parquet(*[os.path.join(table, p) for p in hit_files])
-        .where(f"NOT ({predicate})")
+    survivors = _read_files(spark, table, snap, paths=hit_files).where(
+        f"NOT ({predicate})"
     )
-    adds = _stage_files(survivors, table, snap.key_cols)
+    survivors = _align_to_schema(survivors, snap.schema)
+    adds = _stage_files(
+        survivors, table, snap.key_cols, snap.partition_by, snap.schema
+    )
     actions = [{"remove": {"path": p}} for p in hit_files]
     actions += [{"add": a} for a in adds]
     return _commit(table, snap.version + 1, actions, "DELETE")
@@ -481,7 +797,7 @@ def vacuum(
     NO retained snapshot are deleted; returns the deleted names.
 
     ``min_age_seconds`` (default 1 h) protects IN-FLIGHT writers: a
-    concurrent transaction moves its part files into the table dir
+    concurrent transaction publishes its part files into the table dir
     BEFORE its commit lands, so a freshly-written unreferenced file may
     be about to become referenced — only files older than the guard are
     reclaimed (the same retention-window defense the production systems
@@ -500,15 +816,16 @@ def vacuum(
     for v in retained:
         keep.update(snapshot(table, v).files)
     now = time.time()
-    staged_or_live = set()
-    for name in os.listdir(table):
-        if name.startswith("part-") and name.endswith(".parquet"):
-            if now - os.path.getmtime(os.path.join(table, name)) < min_age_seconds:
-                continue  # too young: may belong to an uncommitted writer
-            staged_or_live.add(name)
-    doomed = sorted(staged_or_live - keep)
-    for name in doomed:
-        os.remove(os.path.join(table, name))
+    storage = get_storage()
+    candidates = {
+        rel
+        for rel, mtime in storage.list_data_files(table)
+        # too young: may belong to an uncommitted writer
+        if now - mtime >= min_age_seconds
+    }
+    doomed = sorted(candidates - keep)
+    for rel in doomed:
+        storage.delete_file(os.path.join(table, rel))
     return doomed
 
 
@@ -524,7 +841,8 @@ def compact(
     layout change: the committed rows are bit-identical, asserted by the
     snapshot row count carried through the commit. Runs as one
     repartition job + one commit; readers pinned to older versions are
-    untouched (their files remain until vacuum).
+    untouched (their files remain until vacuum). Partitioned tables keep
+    their hive layout (the rewrite re-partitions within directories).
 
     ``cluster_by`` (default: the table's key_cols) range-partitions +
     sorts the rewrite on those columns, so post-compaction files carry
@@ -535,13 +853,18 @@ def compact(
     live = _read_files(spark, table, snap)
     cluster = list(cluster_by) if cluster_by is not None else list(snap.key_cols)
     cluster = [c for c in cluster if c in live.columns]
-    if cluster:
+    shuffle_cols = list(snap.partition_by) + [
+        c for c in cluster if c not in snap.partition_by
+    ]
+    if shuffle_cols:
         rewritten = live.repartitionByRange(
-            target_files, *cluster
-        ).sortWithinPartitions(*cluster)
+            target_files, *shuffle_cols
+        ).sortWithinPartitions(*shuffle_cols)
     else:
         rewritten = live.repartition(target_files)
-    adds = _stage_files(rewritten, table, snap.key_cols)
+    adds = _stage_files(
+        rewritten, table, snap.key_cols, snap.partition_by, snap.schema
+    )
     actions = [{"remove": {"path": p}} for p in snap.files]
     actions += [{"add": a} for a in adds]
     return _commit(table, snap.version + 1, actions, "COMPACT")
@@ -560,7 +883,10 @@ def table_changes(
     pair (the published CDF decomposition). A downstream incremental
     consumer (the recrawl-delta discipline) processes only these files
     instead of diffing full snapshots: cost is O(changed files), not
-    O(table).
+    O(table). Both sides read with mergeSchema and union with
+    allowMissingColumns, so a CDF window spanning an additive
+    schema-evolution commit surfaces NULLs for the new column instead of
+    throwing (round-13 ADVICE).
 
     Note COMPACT commits add/remove file pairs with identical rows —
     consumers that only want NET changes should aggregate the
@@ -572,20 +898,22 @@ def table_changes(
     parts = []
     if added:
         parts.append(
-            spark.read.parquet(*[os.path.join(table, p) for p in added])
-            .withColumn("_change_type", F.lit("insert"))
+            _read_files(spark, table, snap_to, paths=added).withColumn(
+                "_change_type", F.lit("insert")
+            )
         )
     if removed:
         parts.append(
-            spark.read.parquet(*[os.path.join(table, p) for p in removed])
-            .withColumn("_change_type", F.lit("delete"))
+            _read_files(spark, table, snap_from, paths=removed).withColumn(
+                "_change_type", F.lit("delete")
+            )
         )
     if not parts:
         base = _read_files(spark, table, snap_to)
         return base.withColumn("_change_type", F.lit("insert")).limit(0)
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 
@@ -593,10 +921,11 @@ def committed_batch_ids(table: str) -> set:
     """Batch ids recorded by :func:`append_stream_batch` commits — the
     idempotence ledger a streaming writer consults on restart."""
     commits, _ = _list_log(table)
+    storage = get_storage()
     out = set()
     for v in commits:
-        with open(_log_path(table, v)) as f:
-            info = json.loads(f.readline()).get("commitInfo", {})
+        first = storage.read_bytes(_log_path(table, v)).splitlines()[0]
+        info = json.loads(first).get("commitInfo", {})
         if "batch_id" in info:
             out.add(info["batch_id"])
     return out
@@ -610,39 +939,27 @@ def append_stream_batch(df: DataFrame, table: str, batch_id: int) -> int | None:
     skipped (returns None). This is the published transactional-sink
     discipline (txn app/version in the table log) on this module's
     commit protocol."""
-    import time
-
     if batch_id in committed_batch_ids(table):
         return None
     snap = snapshot(table)
-    df, meta = _enforce_schema(df, snap, "append_stream_batch")
-    adds = _stage_files(df, table, snap.key_cols)
+    df, meta, full_schema = _enforce_schema(df, snap, "append_stream_batch")
+    adds = _stage_files(
+        df, table, snap.key_cols, snap.partition_by, full_schema
+    )
     version = snap.version + 1
     actions = meta + [{"add": a} for a in adds]
     while True:
-        lines = [
-            json.dumps(
-                {
-                    "commitInfo": {
-                        "version": version,
-                        "operation": "STREAM_APPEND",
-                        "batch_id": batch_id,
-                        "timestamp": int(time.time() * 1000),
-                    }
-                }
-            )
-        ] + [json.dumps(a) for a in actions]
-        path = _log_path(table, version)
-        os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+            return _commit(
+                table,
+                version,
+                actions,
+                "STREAM_APPEND",
+                extra_info={"batch_id": batch_id},
+            )
+        except ConcurrentCommitError:
             # racing writer took the slot: if it was THIS batch replayed
             # concurrently, stop; else take the next slot
             if batch_id in committed_batch_ids(table):
                 return None
             version += 1
-            continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(("\n".join(lines) + "\n").encode("utf-8"))
-        return version
