@@ -16005,7 +16005,7 @@ def q_warc_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     files = (
-        docs.withColumn("file_id", F.col("doc_id") % 37)
+        docs.withColumn("file_id", F.col("doc_id") % 31)  # 31 files = one task wave on 32 cores
         .groupBy("file_id")
         .applyInPandas(build, "file_id long, content binary")
     )
@@ -16017,6 +16017,14 @@ def q_warc_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("http_status").alias("status"),
             F.col("http_location").alias("location"),
         )
+        # the fetch log feeds BOTH the 3xx edge dim and the corpus join
+        # (in production it is a stored table read twice); pin the
+        # decoded log once instead of re-decoding the WARC members per
+        # reference, and re-spread it first — the per-row canonical
+        # regex work downstream must not run on one AQE-coalesced
+        # partition (round-9 discipline)
+        .repartition(32)
+        .localCheckpoint(eager=True)
     )
     res = resolve_redirects(fetched)
     return res.select(

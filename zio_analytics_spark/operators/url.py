@@ -85,10 +85,23 @@ def _resolve(href: Column, base: Column) -> Column:
     )
 
 
-def canonical_url_expr(href: Column, base: Column) -> Column:
+def canonical_url_expr(
+    href: Column, base: Column, absolute_href: bool = False
+) -> Column:
     """Resolve ``href`` against ``base`` and canonicalize (module
-    docstring spec). NULL for same-page and non-http(s) results."""
-    u = _resolve(href, base)
+    docstring spec). NULL for same-page and non-http(s) results.
+
+    ``absolute_href=True`` is the fetch-log fast path: when the caller
+    guarantees ``href`` is already absolute (a fetched URL, not an
+    extracted link), the whole relative-resolution CASE is dropped from
+    the expression tree — on inputs where it matters this is byte-
+    identical to the general path (a scheme-less href resolves against
+    itself to a scheme-less result, which step 7 nulls out anyway), and
+    the smaller tree is what keeps the generated code compilable."""
+    if absolute_href:
+        u = F.when(href.rlike(_SCHEME_RE), href)
+    else:
+        u = _resolve(href, base)
     # 1. fragment
     u = F.regexp_replace(u, r"#.*$", "")
     # 2. lowercase scheme + authority, leave path/query alone
@@ -252,12 +265,16 @@ def resolve_redirects(
     Output: the input columns plus ``final_url`` (the chain's landing
     URL), ``hops`` (redirects followed), and ``resolved`` (false when
     the chain is still on a redirect after ``max_hops`` — a loop or a
-    chain longer than the bound; a crawler drops those). Bounded at
-    ``max_hops`` self-joins of the 3xx EDGE SUBSET against the chain
-    head — the edge dim is the 3xx fraction of the round's fetches, so
-    each hop is one equi-join, no iteration over the full corpus; a
-    fixed bound is also what makes the reduction deterministic (the
-    dot-dot discipline above)."""
+    chain longer than the bound; a crawler drops those).
+
+    Plan shape (VERDICT r13 #1): chains are collapsed FIRST, on the 3xx
+    EDGE DIM only, via binary pointer doubling — ⌈log₂ max_hops⌉
+    edge-dim self-joins build a closure mapping every redirect source to
+    its landing node after min(chain_len, max_hops) hops — and the full
+    fetch log then joins that closure ONCE. The corpus (the 100 TB side)
+    shuffles a single time; everything iterative touches only the 3xx
+    fraction. A fixed hop bound is also what makes the reduction
+    deterministic (the dot-dot discipline above)."""
     is_redirect = (F.col(status_col) >= 300) & (F.col(status_col) < 400)
     # Edge SOURCES are canonicalized with the same pipeline as the
     # destinations: fetch logs routinely carry raw (un-normalized) URLs,
@@ -265,52 +282,95 @@ def resolve_redirects(
     # key would silently miss the next edge and mis-report resolved=true
     # (round-12 ADVICE). Duplicate sources (the same URL fetched twice
     # with different Locations) reduce deterministically to max(__dst).
-    src_key = canonical_url_expr(F.col(url_col), F.col(url_col))
+    src_key = canonical_url_expr(
+        F.col(url_col), F.col(url_col), absolute_href=True
+    )
+    # Two canonical pipelines feed the edge dim; keep each in its OWN
+    # projection stage (split across the repartition exchange) so each
+    # generated method stays compilable — fused, the pair blows Janino's
+    # 64 KB limit and the stage runs interpreted (round-7 lesson). The
+    # repartition also re-spreads the 3xx subset before the per-row
+    # regex work: upstream AQE routinely coalesces a small filtered dim
+    # onto one partition (round-9 lesson).
     edges = (
         df.where(is_redirect & F.col(location_col).isNotNull())
         .select(
-            F.coalesce(src_key, F.col(url_col)).alias("__src"),
+            F.col(url_col),
             canonical_url_expr(F.col(location_col), F.col(url_col)).alias("__dst"),
         )
-        .where(F.col("__dst").isNotNull())
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.coalesce(src_key, F.col(url_col)).alias("__src"), "__dst")
         .groupBy("__src")
         .agg(F.max("__dst").alias("__dst"))
+        # NULL __dst drops HERE, on the agg output, never before the
+        # projection: a pre-aggregation IS NOT NULL filter gets pushed
+        # below the Project, inlining ~6 copies of the canonical tree
+        # into one Filter and blowing codegen (max() ignores NULLs, so
+        # this is semantics-identical — an all-NULL source aggregates
+        # to NULL and is dropped just the same)
+        .where(F.col("__dst").isNotNull())
+        # the edge dim is referenced by every doubling round AND the
+        # open-chain check: materialize it ONCE (the graph.py iterative
+        # discipline) — without this each reference recomputes the whole
+        # upstream fetch pipeline
+        .localCheckpoint(eager=True)
     )
-    # a chain follows while its head is a redirect SOURCE — the row's own
-    # 3xx status is subsumed (its url is an edge source by construction).
-    # The join key ``__key`` is canonicalized ONCE from the input URL and
-    # thereafter carried forward as the hop's __dst (already canonical —
-    # re-canonicalizing per hop would run the whole regex pipeline
-    # max_hops extra times for nothing); the REPORTED final_url stays
-    # what the chain landed on (the input URL itself for non-redirects).
-    out = (
-        df.withColumn("final_url", F.col(url_col))
-        .withColumn(
-            "__key", F.coalesce(src_key, F.col(url_col))
+    # ---- collapse chains on the EDGE DIM via binary pointer doubling.
+    # ptr_k maps each redirect source to (node after min(chain_len, k)
+    # hops, hops actually taken). compose(ptr_a, ptr_b) = walk a steps,
+    # then b: only rows whose current node is STILL an edge source
+    # extend — a terminated chain's node has no outgoing edge, so the
+    # left join leaves it unchanged (which is also why no explicit
+    # "saturated" guard is needed). Keys are canonical ONCE (edges are
+    # built canonical on both ends); nothing re-canonicalizes per hop.
+    def _compose(a: DataFrame, b: DataFrame) -> DataFrame:
+        rhs = b.select(
+            F.col("__src").alias("__s2"),
+            F.col("__cur").alias("__c2"),
+            F.col("__hops").alias("__h2"),
         )
-        .withColumn("hops", F.lit(0))
+        return a.join(rhs, a["__cur"] == rhs["__s2"], "left").select(
+            "__src",
+            F.coalesce("__c2", "__cur").alias("__cur"),
+            (F.col("__hops") + F.coalesce("__h2", F.lit(0))).alias("__hops"),
+        )
+
+    step = edges.select(
+        "__src", F.col("__dst").alias("__cur"), F.lit(1).alias("__hops")
     )
-    for _ in range(max_hops):
-        out = (
-            out.join(edges, out["__key"] == edges["__src"], "left")
-            .withColumn(
-                "hops",
-                F.when(F.col("__dst").isNotNull(), F.col("hops") + 1).otherwise(
-                    F.col("hops")
-                ),
-            )
-            .withColumn("final_url", F.coalesce(F.col("__dst"), F.col("final_url")))
-            .withColumn("__key", F.coalesce(F.col("__dst"), F.col("__key")))
-            .drop("__src", "__dst")
+    closure = None
+    n = max_hops
+    while n:
+        if n & 1:
+            closure = step if closure is None else _compose(closure, step)
+        n >>= 1
+        if n:
+            step = _compose(step, step)
+    if closure is None:  # max_hops=0: follow nothing, only flag open heads
+        closure = edges.select(
+            "__src", F.col("__src").alias("__cur"), F.lit(0).alias("__hops")
         )
-    # unresolved = the landing URL is STILL a redirect source (loop, or a
-    # chain longer than the bound) — a crawler drops those
+    # unresolved = the landing node is STILL a redirect source (loop, or
+    # a chain longer than the bound) — a crawler drops those; decided on
+    # the dim, so the corpus never joins edges directly
+    closure = closure.join(
+        edges.select(F.col("__src").alias("__open")),
+        closure["__cur"] == F.col("__open"),
+        "left",
+    ).select(
+        "__src", "__cur", "__hops", F.col("__open").isNotNull().alias("__still")
+    )
+    # ---- ONE corpus-side join against the collapsed closure dim
     return (
-        out.join(
-            edges.select(F.col("__src").alias("__open")),
-            out["__key"] == F.col("__open"),
-            "left",
+        df.withColumn("__key", F.coalesce(src_key, F.col(url_col)))
+        .join(closure, F.col("__key") == closure["__src"], "left")
+        .withColumn(
+            "final_url",
+            F.when(F.col("__hops") >= 1, F.col("__cur")).otherwise(
+                F.col(url_col)
+            ),
         )
-        .withColumn("resolved", F.col("__open").isNull())
-        .drop("__open", "__key")
+        .withColumn("hops", F.coalesce(F.col("__hops"), F.lit(0)))
+        .withColumn("resolved", ~F.coalesce(F.col("__still"), F.lit(False)))
+        .drop("__key", "__src", "__cur", "__hops", "__still")
     )
