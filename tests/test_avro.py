@@ -203,3 +203,69 @@ def test_truncated_container_fails_fast(spark, tmp_path):
         _read(spark, path).count()
     back = _read(spark, path, ignore_corrupt_blocks="true")
     assert back.count() == 1000  # exactly the intact prefix
+
+
+def test_reader_schema_resolves_generations(spark, tmp_path):
+    """One reader schema over a directory whose files span TWO writer
+    generations: renamed column (alias), widened types (int→long,
+    float→double), and a new column defaulted for old files."""
+    import shutil
+
+    gen1 = spark.range(50).selectExpr(
+        "cast(id as int) AS k", "cast(id * 1.5 as float) AS price"
+    )
+    gen2 = spark.range(50, 100).selectExpr(
+        "cast(id as long) AS k",
+        "cast(id * 1.5 as double) AS cost",
+        "concat('p', cast(id % 3 as string)) AS pri",
+    )
+    d1, d2, combined = (str(tmp_path / n) for n in ("g1", "g2", "all"))
+    _write(spark, gen1.coalesce(1), d1)
+    _write(spark, gen2.coalesce(1), d2)
+    os.makedirs(combined)
+    for i, d in enumerate((d1, d2)):
+        for n in os.listdir(d):
+            if n.endswith(".avro"):
+                shutil.copy(os.path.join(d, n), os.path.join(combined, f"g{i}-{n}"))
+    reader_schema = json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "k", "type": ["null", "long"]},
+                {
+                    "name": "cost",
+                    "aliases": ["price"],
+                    "type": ["null", "double"],
+                },
+                {"name": "pri", "type": ["string", "null"], "default": "NONE"},
+            ],
+        }
+    )
+    back = _read(spark, combined, reader_schema=reader_schema)
+    assert [f.simpleString() for f in back.schema.fields] == [
+        "k:bigint", "cost:double", "pri:string",
+    ]
+    rows = {r.k: (r.cost, r.pri) for r in back.collect()}
+    assert len(rows) == 100
+    assert rows[10] == (15.0, "NONE")       # gen1: promoted + defaulted
+    assert rows[60] == (90.0, "p0")         # gen2: aliased rename
+    # driver-side schema comes from the READER schema, not file headers
+    assert "cost" in back.columns and "price" not in back.columns
+
+
+def test_reader_schema_missing_default_fails(spark, tmp_path):
+    path = str(tmp_path / "a")
+    _write(spark, spark.range(5).selectExpr("id AS k").coalesce(1), path)
+    bad = json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "k", "type": ["null", "long"]},
+                {"name": "nope", "type": "string"},  # no default
+            ],
+        }
+    )
+    with pytest.raises(Exception, match="nope|default"):
+        _read(spark, path, reader_schema=bad).collect()

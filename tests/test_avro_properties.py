@@ -95,3 +95,93 @@ def test_string_array_roundtrip(v):
               "fields": [{"name": "xs",
                           "type": {"type": "array", "items": "string"}}]}
     assert _codec(schema)((v,))[0] == v
+
+
+# ------------------------------------------------------------------ #
+# schema resolution (round 14): writer-schema data decoded under a
+# reader schema — identity, rename-via-alias, skip, default, promotion
+
+from zio_analytics_spark.sources.avro import _make_resolver  # noqa: E402
+
+
+def _resolve_roundtrip(writer, reader, v):
+    enc = _make_encoder(writer, {})
+    dec = _make_resolver(writer, reader, {}, {})
+    buf = bytearray()
+    enc(buf, v)
+    r = _ByteReader(bytes(buf))
+    out = dec(r)
+    assert r.at_end(), "resolver under/over-consumed"
+    return out
+
+
+@given(row_values)
+@settings(max_examples=200, deadline=None)
+def test_resolution_identity_equals_plain_decode(v):
+    assert _resolve_roundtrip(ROW_SCHEMA, ROW_SCHEMA, v) == v
+
+
+READER_EVOLVED = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        # renamed: matches the writer's 'a' through aliases
+        {"name": "a2", "aliases": ["a"], "type": "long"},
+        {"name": "c", "type": "double"},
+        # new field, absent from the writer: default applies
+        {"name": "z", "type": "string", "default": "zz"},
+        # new nullable with null default (union default = first branch)
+        {"name": "w", "type": ["null", "long"], "default": None},
+    ],
+}
+
+
+@given(row_values)
+@settings(max_examples=200, deadline=None)
+def test_resolution_rename_skip_default(v):
+    # b, d, e, f, g are skipped (decoded + discarded, stream stays exact)
+    assert _resolve_roundtrip(ROW_SCHEMA, READER_EVOLVED, v) == (
+        v[0],
+        v[2],
+        "zz",
+        None,
+    )
+
+
+WRITER_NARROW = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "a", "type": "int"},
+        {"name": "b", "type": "float"},
+        {"name": "s", "type": "string"},
+        {"name": "x", "type": "bytes"},
+        {"name": "u", "type": ["null", "int"]},
+    ],
+}
+
+READER_WIDE = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "double"},
+        {"name": "s", "type": "bytes"},
+        {"name": "x", "type": "string"},
+        {"name": "u", "type": ["null", "double"]},
+    ],
+}
+
+
+@given(
+    st.integers(-(2**31), 2**31 - 1),
+    st.floats(width=32, allow_nan=False),
+    st.text(max_size=40),
+    st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+)
+@settings(max_examples=200, deadline=None)
+def test_resolution_promotions(a, b, s, u):
+    x = s.encode("utf-8")  # valid-utf8 bytes so bytes→string resolves
+    out = _resolve_roundtrip(WRITER_NARROW, READER_WIDE, (a, b, s, x, u))
+    assert out == (a, b, s.encode("utf-8"), s, float(u) if u is not None else None)
+    assert isinstance(out[1], float)

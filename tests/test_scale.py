@@ -638,3 +638,31 @@ def test_sliding_distinct_merges_at_day_bucket_grain(spark, sf_dir):
     # physical plans print top-down: the explode (later stage) appears
     # BEFORE the segment-construction aggregate it consumes
     assert gen < agg, (gen, agg)
+
+
+def test_lake_partition_prune_plan_shape(spark, tmp_path):
+    """The partitioned lake snapshot read must prune directories at the
+    scan: a predicate on the partition column becomes PartitionFilters,
+    and non-partition predicates still push down to the parquet scan."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.sources import laketable as lake
+
+    t = str(tmp_path / "t")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("pri"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    lake.create_table(df, t, key_cols=["k"], partition_by=["pri"])
+    q = (
+        lake.read_snapshot(spark, t)
+        .where(F.col("pri").isin("1", "2") & (F.col("k") > 10))
+        .select("k", "pri")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*pri#\d+ IN \(1,2\)", plan), plan[:3000]
+    assert "GreaterThan(k,10)" in plan  # data filter still pushed to the scan
+    assert q.count() == 194  # 97 each for k%4 in {1,2} with k>10

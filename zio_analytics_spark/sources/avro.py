@@ -248,6 +248,236 @@ def _logical_converter(schema, names: dict):
 
 
 # --------------------------------------------------------------------- #
+# schema resolution (Avro 1.11 spec §"Schema Resolution"): decode data
+# written under one (per-file) WRITER schema into the shape of a single
+# READER schema — field matching by name or reader-declared aliases,
+# defaults for reader fields the writer lacks, silent skip of writer
+# fields the reader dropped, and the spec's promotion lattice
+# (int→long/float/double, long→float/double, float→double,
+# string↔bytes). This is what lets ONE query read a directory whose
+# files span schema generations (VERDICT r13 #5).
+
+#: writer type → reader type promotions; value = post-decode converter
+_PROMOTIONS = {
+    ("int", "long"): None,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): None,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _kind(schema):
+    """The resolution kind of a schema node: primitive name, named-type
+    kind, 'array'/'map', or 'union'."""
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    t = schema["type"]
+    if isinstance(t, (dict, list)):
+        return _kind(t)
+    return t
+
+
+def _default_value(schema, default, names: dict):
+    """An Avro JSON default → the Python value the decoder would have
+    produced (bytes/fixed defaults are ISO-8859-1 strings per the spec;
+    a union's default matches its FIRST branch)."""
+    schema = _skip_to_named(schema, names)
+    k = _kind(schema)
+    if k == "union":
+        return _default_value(schema[0], default, names)
+    if k == "null":
+        return None
+    if k == "boolean":
+        return bool(default)
+    if k in ("int", "long"):
+        return int(default)
+    if k in ("float", "double"):
+        return float(default)
+    if k == "string" or k == "enum":
+        return default
+    if k in ("bytes", "fixed"):
+        return default.encode("latin-1")
+    if k == "array":
+        items = schema["items"]
+        return [_default_value(items, d, names) for d in default]
+    if k == "map":
+        vals = schema["values"]
+        return {mk: _default_value(vals, d, names) for mk, d in default.items()}
+    if k in ("record", "error"):
+        out = []
+        for f in schema["fields"]:
+            if f["name"] in default:
+                out.append(_default_value(f["type"], default[f["name"]], names))
+            elif "default" in f:
+                out.append(_default_value(f["type"], f["default"], names))
+            else:
+                raise ValueError(
+                    f"record default missing field {f['name']!r}"
+                )
+        return tuple(out)
+    raise ValueError(f"unsupported default for schema {schema!r}")
+
+
+def _make_resolver(writer, reader, wnames: dict, rnames: dict):
+    """Compile (writer schema, reader schema) into a ``reader -> value``
+    closure producing READER-shaped values. Raises ValueError when the
+    schemas cannot resolve."""
+    writer = _skip_to_named(writer, wnames)
+    reader = _skip_to_named(reader, rnames)
+    wk, rk = _kind(writer), _kind(reader)
+
+    if wk == "union":
+        # per spec: resolve the branch actually present in the data; a
+        # branch that cannot resolve errors only if encountered
+        branches = []
+        for b in writer:
+            try:
+                branches.append(_make_resolver(b, reader, wnames, rnames))
+            except ValueError as e:
+                msg = str(e)
+
+                def raiser(r, _m=msg):
+                    raise ValueError(_m)
+
+                branches.append(raiser)
+        return lambda r: branches[r.read_long()](r)
+    if rk == "union":
+        # writer non-union into reader union: first resolvable branch
+        for b in reader:
+            try:
+                return _make_resolver(writer, b, wnames, rnames)
+            except ValueError:
+                continue
+        raise ValueError(
+            f"writer {writer!r} matches no branch of reader union {reader!r}"
+        )
+    if wk == rk and wk not in (
+        "record", "error", "enum", "fixed", "array", "map"
+    ):
+        return _make_decoder(writer, wnames)
+    promote = _PROMOTIONS.get((wk, rk), False)
+    if promote is not False:
+        base = _make_decoder(writer, wnames)
+        if promote is None:
+            return base
+        return lambda r: promote(base(r))
+    if wk in ("record", "error") and rk in ("record", "error"):
+        if isinstance(writer, dict) and "name" in writer:
+            wnames[writer["name"]] = writer
+        if isinstance(reader, dict) and "name" in reader:
+            rnames[reader["name"]] = reader
+        by_name = {}
+        for idx, f in enumerate(reader["fields"]):
+            by_name[f["name"]] = (idx, f)
+            for alias in f.get("aliases", ()):
+                by_name.setdefault(alias, (idx, f))
+        steps = []  # (reader position | None, decoder)
+        matched = set()
+        for wf in writer["fields"]:
+            hit = by_name.get(wf["name"])
+            if hit is None:
+                # reader dropped this field: decode and discard
+                steps.append((None, _make_decoder(wf["type"], wnames)))
+            else:
+                idx, rf = hit
+                steps.append(
+                    (idx, _make_resolver(wf["type"], rf["type"], wnames, rnames))
+                )
+                matched.add(idx)
+        defaults = []
+        for idx, rf in enumerate(reader["fields"]):
+            if idx in matched:
+                continue
+            if "default" not in rf:
+                raise ValueError(
+                    f"reader field {rf['name']!r} is absent from the writer "
+                    "schema and declares no default"
+                )
+            defaults.append(
+                (idx, _default_value(rf["type"], rf["default"], rnames))
+            )
+        width = len(reader["fields"])
+
+        def read_record(r):
+            out = [None] * width
+            for idx, dec in steps:
+                v = dec(r)
+                if idx is not None:
+                    out[idx] = v
+            for idx, dv in defaults:
+                out[idx] = dv
+            return tuple(out)
+
+        return read_record
+    if wk == "enum" and rk == "enum":
+        if "name" in reader:
+            rnames[reader["name"]] = reader
+        if "name" in writer:
+            wnames[writer["name"]] = writer
+        rsyms = set(reader["symbols"])
+        fallback = reader.get("default")
+        table = [
+            s if s in rsyms else fallback for s in writer["symbols"]
+        ]
+
+        def read_enum(r):
+            v = table[r.read_long()]
+            if v is None:
+                raise ValueError("writer enum symbol unknown to the reader")
+            return v
+
+        return read_enum
+    if wk == "fixed" and rk == "fixed":
+        if writer["size"] != reader["size"]:
+            raise ValueError("fixed size mismatch between writer and reader")
+        return _make_decoder(writer, wnames)
+    if wk == "array" and rk == "array":
+        item = _make_resolver(
+            writer["items"], reader["items"], wnames, rnames
+        )
+
+        def read_array(r):
+            out = []
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    r.read_long()
+                for _ in range(n):
+                    out.append(item(r))
+
+        return read_array
+    if wk == "map" and rk == "map":
+        val = _make_resolver(
+            writer["values"], reader["values"], wnames, rnames
+        )
+
+        def read_map(r):
+            out = {}
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    r.read_long()
+                for _ in range(n):
+                    mk = r.read(r.read_long()).decode("utf-8")
+                    out[mk] = val(r)
+
+        return read_map
+    raise ValueError(f"cannot resolve writer {wk!r} into reader {rk!r}")
+
+
+# --------------------------------------------------------------------- #
 # binary encoding
 
 def _write_long(out: bytearray, v: int) -> None:
@@ -485,6 +715,9 @@ class _AvroReader(DataSourceReader):
         self.ignore_corrupt = str(
             options.get("ignore_corrupt_blocks", "false")
         ).lower() in ("true", "1", "yes")
+        # schema resolution: decode every file's (per-file) writer schema
+        # into this one reader schema — defaults, aliases, promotions
+        self.reader_schema = options.get("reader_schema")
 
     def partitions(self) -> Sequence[InputPartition]:
         """Byte-range splits per file — the header is read driver-side per
@@ -509,8 +742,14 @@ class _AvroReader(DataSourceReader):
             return
         schema, codec, sync, header_end = read_header(split.path)
         names: dict = {}
-        decode = _make_decoder(schema, names)
-        convert = _logical_converter(schema, dict(names))
+        if self.reader_schema:
+            rschema = json.loads(self.reader_schema)
+            rnames: dict = {}
+            decode = _make_resolver(schema, rschema, names, rnames)
+            convert = _logical_converter(rschema, dict(rnames))
+        else:
+            decode = _make_decoder(schema, names)
+            convert = _logical_converter(schema, dict(names))
         with open(split.path, "rb") as f:
             pos = self._first_block_at(f, split, sync, header_end)
             while pos is not None and pos < split.end:
@@ -603,6 +842,11 @@ class AvroDataSource(DataSource):
         return "avro_py"
 
     def schema(self) -> str:
+        reader_schema = self.options.get("reader_schema")
+        if reader_schema:
+            # the reader schema IS the table schema: per-file writer
+            # schemas (possibly spanning generations) resolve into it
+            return avro_schema_to_ddl(json.loads(reader_schema))
         path = self.options.get("path")
         if not path:
             raise ValueError("avro_py requires .option('path', ...)")
