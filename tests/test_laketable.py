@@ -776,3 +776,65 @@ def test_partitioned_cdf_and_stream_append(spark, tmp_path):
     cdf = lake.table_changes(spark, t, 0, 1)
     got = {(r.k, r.bucket, r._change_type) for r in cdf.collect()}
     assert got == {(100, 0, "insert"), (101, 1, "insert")}
+
+
+def test_streaming_cdf_source_exactly_once_restart(spark, tmp_path):
+    """The lake_cdf streaming source: offsets are table versions, each
+    micro-batch reads exactly the commit range's changed files, and a
+    checkpointed restart resumes from the committed version — rows across
+    both runs equal the batch CDF once each (exactly-once)."""
+    from zio_analytics_spark.sources.lakestream import register_lake_cdf
+
+    register_lake_cdf(spark)
+    t, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ck"))
+    lake.create_table(_orders(spark, 30).coalesce(1), t, key_cols=["k"])  # v0
+    lake.append(
+        spark.createDataFrame(
+            [(100 + i, 9, 1.0) for i in range(5)], "k long, grp long, amount double"
+        ).coalesce(1),
+        t,
+    )  # v1
+
+    def drain():
+        q = (
+            spark.readStream.format("lake_cdf")
+            .option("path", t)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    first = spark.read.parquet(sink)
+    # from_version=0: only the APPEND after v0 is emitted, tagged v1
+    assert {(r.k, r._change_type, r._commit_version) for r in first.collect()} == {
+        (100 + i, "insert", 1) for i in range(5)
+    }
+
+    lake.delete_where(spark, t, "k = 5")  # v2: rewrites the v0 file
+    lake.append(
+        spark.createDataFrame([(200, 8, 2.0)], "k long, grp long, amount double"),
+        t,
+    )  # v3
+    drain()  # restart from the checkpointed offset: emits (1, 3] only
+
+    got = {
+        (r.k, r._change_type, r._commit_version)
+        for r in spark.read.parquet(sink).collect()
+    }
+    expect = {(100 + i, "insert", 1) for i in range(5)}
+    expect |= {(k, "delete", 2) for k in range(30)}          # hit file's rows
+    expect |= {(k, "insert", 2) for k in range(30) if k != 5}  # survivors
+    expect |= {(200, "insert", 3)}
+    assert got == expect
+    # and the multiset (ignoring versions) equals the batch CDF
+    batch = {
+        (r.k, r._change_type)
+        for r in lake.table_changes(spark, t, 0, 3).collect()
+    }
+    assert {(k, c) for k, c, _ in got} == batch

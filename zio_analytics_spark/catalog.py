@@ -5670,6 +5670,91 @@ def q_streaming_lake_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_lake_cdf",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    ),
+    v0 AS (SELECT * FROM base WHERE o_orderkey % 3 = 0),
+    v1a AS (SELECT * FROM base WHERE o_orderkey % 3 = 1),
+    v3a AS (SELECT * FROM base WHERE o_orderkey % 3 = 2),
+    ins AS (
+      SELECT * FROM v1a
+      UNION ALL SELECT * FROM v0 WHERE o_orderkey % 9 <> 0
+      UNION ALL SELECT * FROM v3a
+    ),
+    del AS (SELECT * FROM v0)
+    SELECT 'insert' AS _change_type, o_orderpriority, count(*)::BIGINT AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM ins GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'delete', o_orderpriority, count(*)::BIGINT,
+           round(sum(o_totalprice), 2)
+    FROM del GROUP BY o_orderpriority
+    """,
+)
+def q_streaming_lake_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CHANGE DATA FEED over the lake table (VERDICT r13 #6,
+    sources/lakestream.py): the stream offset IS the table version, each
+    micro-batch's input partitions are exactly the commit range's
+    added/removed files (insert/delete rows, O(changed files) per
+    trigger, never O(table)), and immutable versions make replay after
+    restart byte-identical — exactly-once from the offset alone. The
+    entry proves it end to end ACROSS A CHECKPOINT RESTART: drain the
+    APPEND commit, stop, mutate the table (DELETE rewrites the create
+    file; a second APPEND lands), restart from the same checkpoint and
+    drain the rest; the accumulated feed must equal the batch CDF
+    replayed in SQL — nothing re-emitted, nothing missed. Mirrors the
+    published Delta CDF read semantics (delete+insert pairs for
+    rewrites)."""
+    from zio_analytics_spark.sources import laketable as lake
+    from zio_analytics_spark.sources.lakestream import register_lake_cdf
+
+    register_lake_cdf(spark)
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = _scratch_dir(prefix="zas_lakecdf_t_")
+    sink = _scratch_dir(prefix="zas_lakecdf_s_") + "/out"
+    ckpt = _scratch_dir(prefix="zas_lakecdf_c_")
+    # v0 as ONE file so the later DELETE deterministically hits it
+    lake.create_table(
+        base.where(F.col("o_orderkey") % 3 == 0).coalesce(1),
+        table,
+        key_cols=["o_orderkey"],
+    )
+    lake.append(base.where(F.col("o_orderkey") % 3 == 1), table)  # v1
+
+    def drain():
+        q = (
+            spark.readStream.format("lake_cdf")
+            .option("path", table)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()  # consumes (0, 1]: the appended slice only
+    # every multiple of 9 is %3==0, so ONLY the create file is rewritten
+    lake.delete_where(spark, table, "o_orderkey % 9 = 0")  # v2
+    lake.append(base.where(F.col("o_orderkey") % 3 == 2), table)  # v3
+    drain()  # restart from the checkpointed offset: consumes (1, 3]
+    return (
+        spark.read.parquet(sink)
+        .groupBy("_change_type", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
     "string_distance_functions",
     oracle="""
     SELECT doc_id,

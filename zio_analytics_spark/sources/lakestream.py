@@ -1,0 +1,155 @@
+"""[EXT] Streaming CHANGE DATA FEED source over the versioned lake table
+(VERDICT r13 #6) — ``spark.readStream.format("lake_cdf")`` behind the
+Spark 4 Python DataSource V2 streaming seam.
+
+The batch half (:func:`zio_analytics_spark.sources.laketable.table_changes`)
+answers "what changed between two versions"; this source turns the same
+log into an UNBOUNDED feed: the stream offset is simply the last
+processed table version, each micro-batch covers the commit range
+``(start_version, latest_version]``, and the batch's input partitions
+are exactly the data files those commits added/removed (one task per
+changed file — rows in added files emit ``_change_type='insert'``, rows
+in removed files ``'delete'``, each tagged with ``_commit_version``).
+
+Why this is exactly-once across restarts for free: versions and their
+file lists are IMMUTABLE once committed, so replaying a committed-but-
+unfinished offset range after a crash re-reads byte-identical data —
+the offset fully determines the batch, the property Structured
+Streaming's checkpoint protocol needs from a source. No state beyond
+the checkpointed offset exists anywhere.
+
+Scale shape: ``partitions()`` walks the log version by version (driver-
+side, file LISTS only — never data), so a file that is added and then
+removed inside one offset range still surfaces as its insert+delete
+pair (an endpoint-only diff would silently drop it); the parquet bytes
+are read task-side via Arrow, one changed file per task. Cost per
+trigger is O(changed files), never O(table).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from zio_analytics_spark.sources import laketable
+
+__all__ = ["LakeCDFDataSource", "register_lake_cdf"]
+
+
+class _CDFPart(InputPartition):
+    def __init__(
+        self,
+        path: str | None,
+        change_type: str,
+        commit_version: int,
+        partition_values: dict,
+    ) -> None:
+        self.path = path
+        self.change_type = change_type
+        self.commit_version = commit_version
+        self.partition_values = partition_values
+
+
+class _LakeCDFStreamReader(DataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.table = options.get("path")
+        if not self.table:
+            raise ValueError("lake_cdf requires .option('path', <table dir>)")
+        self.from_version = int(options.get("from_version", 0))
+        snap = laketable.snapshot(self.table)
+        if not snap.schema:
+            raise ValueError(
+                f"{self.table} has no recorded table schema; the CDF "
+                "stream needs the meta action create_table writes"
+            )
+        self.columns = list(snap.schema)
+
+    def initialOffset(self) -> dict:
+        return {"version": self.from_version}
+
+    def latestOffset(self) -> dict:
+        return {"version": laketable.latest_version(self.table)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        v0, v1 = int(start["version"]), int(end["version"])
+        commits, _ = laketable._list_log(self.table)
+        parts: list[_CDFPart] = []
+        prev = laketable.snapshot(self.table, v0)
+        for v in commits:
+            if v <= v0 or v > v1:
+                continue
+            cur = laketable.snapshot(self.table, v)
+            for rel in sorted(set(cur.files) - set(prev.files)):
+                parts.append(
+                    _CDFPart(
+                        os.path.join(self.table, rel),
+                        "insert",
+                        v,
+                        cur.files[rel].get("partition", {}),
+                    )
+                )
+            for rel in sorted(set(prev.files) - set(cur.files)):
+                parts.append(
+                    _CDFPart(
+                        os.path.join(self.table, rel),
+                        "delete",
+                        v,
+                        prev.files[rel].get("partition", {}),
+                    )
+                )
+            prev = cur
+        if not parts:  # meta-only commits in range: an empty batch
+            parts.append(_CDFPart(None, "insert", v1, {}))
+        return parts
+
+    def read(self, part: _CDFPart) -> Iterator[tuple]:
+        if part.path is None:
+            return
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(part.path)
+        present = set(tbl.column_names)
+        n = tbl.num_rows
+        cols = []
+        for c in self.columns:
+            if c in present:
+                cols.append(tbl.column(c).to_pylist())
+            elif c in part.partition_values:  # hive layout: value in the dir
+                cols.append([part.partition_values[c]] * n)
+            else:  # written before this column existed: NULL
+                cols.append([None] * n)
+        ct, cv = part.change_type, part.commit_version
+        for i in range(n):
+            yield tuple(col[i] for col in cols) + (ct, cv)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint; the log is immutable
+
+
+class LakeCDFDataSource(DataSource):
+    """``spark.readStream.format("lake_cdf").option("path", table)`` —
+    incremental change-data-feed over the lake table's transaction log.
+    ``from_version`` (default 0) = emit changes committed AFTER that
+    version, matching ``table_changes(from_version, ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake_cdf"
+
+    def schema(self) -> str:
+        snap = laketable.snapshot(self.options.get("path"))
+        cols = ", ".join(f"{c} {t}" for c, t in snap.schema.items())
+        return f"{cols}, _change_type string, _commit_version bigint"
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _LakeCDFStreamReader(self.options)
+
+
+def register_lake_cdf(spark) -> None:
+    spark.dataSource.register(LakeCDFDataSource)
