@@ -838,3 +838,175 @@ def test_streaming_cdf_source_exactly_once_restart(spark, tmp_path):
         for r in lake.table_changes(spark, t, 0, 3).collect()
     }
     assert {(k, c) for k, c, _ in got} == batch
+
+
+def test_streaming_cdf_partitioned_and_evolved(spark, tmp_path):
+    """CDF stream edges: partition-directory values materialize in rows,
+    pre-evolution files surface NULL for later columns, from_version
+    skips history, and a meta-only commit range yields an empty batch."""
+    from zio_analytics_spark.sources.lakestream import register_lake_cdf
+
+    register_lake_cdf(spark)
+    t, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ck"))
+    lake.create_table(
+        _partitioned(spark, 8), t, key_cols=["k"], partition_by=["bucket"]
+    )  # v0
+    lake.append(
+        spark.createDataFrame(
+            [(100, 1, 5.0, "tagged")],
+            "k long, bucket long, amount double, tag string",
+        ),
+        t,
+    )  # v1: adds the tag column (meta + add in one commit)
+    lake.append(
+        spark.createDataFrame(
+            [(101, 2, 6.0)], "k long, bucket long, amount double"
+        ),
+        t,
+    )  # v2: pre-evolution shape written post-evolution -> NULL tag
+
+    def drain():
+        q = (
+            spark.readStream.format("lake_cdf")
+            .option("path", t)
+            .option("from_version", 0)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    rows = {
+        r.k: (r.bucket, r.amount, r.tag, r._change_type, r._commit_version)
+        for r in spark.read.parquet(sink).collect()
+    }
+    # v0 skipped (from_version=0 = changes AFTER v0)
+    assert set(rows) == {100, 101}
+    # partition value came from the directory; evolved column round-trips
+    assert rows[100] == (1, 5.0, "tagged", "insert", 1)
+    # file written without the evolved column surfaces NULL
+    assert rows[101] == (2, 6.0, None, "insert", 2)
+
+
+class _ObjectStoreSim(lake.LakeStorage):
+    """Second LakeStorage implementation with OBJECT-STORE semantics —
+    proves the protocol never depends on filesystem rename/link:
+    * put_if_absent = conditional create (stand-in for S3 If-None-Match /
+      GCS ifGenerationMatch=0), serialized like the store's own atomic PUT
+    * put_atomic   = plain full-object PUT (overwrite)
+    * publish_file = copy to the final key + delete the staged source
+      (stores have no rename; copy-then-reference is the real pattern)
+    """
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+
+    def list_names(self, dirpath):
+        import os as _os
+
+        return _os.listdir(dirpath)
+
+    def read_bytes(self, path):
+        with open(path, "rb") as f:
+            return f.read()
+
+    def put_if_absent(self, path, payload):
+        import os as _os
+
+        with self._lock:
+            _os.makedirs(_os.path.dirname(path), exist_ok=True)
+            if _os.path.exists(path):
+                return False
+            with open(path, "wb") as f:
+                f.write(payload)
+            return True
+
+    def put_atomic(self, path, payload):
+        import os as _os
+
+        with self._lock:
+            _os.makedirs(_os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(payload)
+
+    def publish_file(self, src, dest):
+        import os as _os
+        import shutil as _shutil
+
+        _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+        _shutil.copyfile(src, dest)  # copy, never rename
+        _os.remove(src)
+
+    def delete_file(self, path):
+        import os as _os
+
+        _os.remove(path)
+
+    def list_data_files(self, table):
+        import os as _os
+
+        out = []
+        for dirpath, dirnames, names in _os.walk(table):
+            dirnames[:] = [
+                d for d in dirnames if d != "_log" and not d.startswith("_stage-")
+            ]
+            for name in names:
+                if name.startswith("part-") and name.endswith(".parquet"):
+                    full = _os.path.join(dirpath, name)
+                    out.append(
+                        (_os.path.relpath(full, table), _os.path.getmtime(full))
+                    )
+        return out
+
+
+def test_protocol_on_object_store_semantics(spark, tmp_path):
+    """The full mutation surface (create/append/merge/delete/compact/
+    vacuum/time-travel/CDF, on a PARTITIONED table) runs unchanged on a
+    storage with no rename anywhere — the object-store contract the seam
+    documents, exercised end to end against a second implementation."""
+    prev = lake.set_storage(_ObjectStoreSim())
+    try:
+        t = str(tmp_path / "t")
+        lake.create_table(
+            _partitioned(spark, 100), t, key_cols=["k"], partition_by=["bucket"]
+        )  # v0
+        lake.append(
+            spark.createDataFrame(
+                [(200, 1, 9.0)], "k long, bucket long, amount double"
+            ),
+            t,
+        )  # v1
+        lake.merge(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(0, 0, -1.0), (300, 3, 7.0)], "k long, bucket long, amount double"
+            ).select("k", "bucket", "amount"),
+        )  # v2: update k=0, insert k=300
+        lake.delete_where(spark, t, "bucket = 2")  # v3
+        lake.compact(spark, t, target_files=2)  # v4
+        state = {r.k: r.amount for r in lake.read_snapshot(spark, t).collect()}
+        assert len(state) == 100 + 2 - 25
+        assert state[0] == -1.0 and state[200] == 9.0 and state[300] == 7.0
+        assert 2 not in {r.bucket for r in lake.read_snapshot(spark, t).collect()}
+        # history replays across all of it
+        assert lake.read_snapshot(spark, t, 0).count() == 100
+        assert lake.read_snapshot(spark, t, 2).count() == 102
+        # CDF across the whole range works
+        assert lake.table_changes(spark, t, 0, 3).count() > 0
+        # vacuum reclaims dereferenced files through the seam
+        assert lake.vacuum(t, keep_versions=1, min_age_seconds=0)
+        assert lake.read_snapshot(spark, t).count() == 77
+        # conflict signal still works without O_EXCL
+        lake._commit(t, 5, [], "APPEND")
+        with pytest.raises(lake.ConcurrentCommitError):
+            lake._commit(t, 5, [], "APPEND")
+    finally:
+        lake.set_storage(prev)
