@@ -15655,7 +15655,12 @@ def q_llm_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zio_analytics_spark.operators.splits import hash_split
     from zio_analytics_spark.operators.warc import warc_html_lane
 
-    files = _warc_synth_files(spark, sf_dir, with_doc_id=False)
+    # the raw WARC bytes are the pipeline's INPUT — in production they
+    # sit on disk and re-reads are free; pin the synthesized fixture
+    # once instead of re-running the gzip encode per plan reference
+    files = _warc_synth_files(spark, sf_dir, with_doc_id=False).localCheckpoint(
+        eager=True
+    )
     lane = warc_html_lane(files, bin_col="content", id_col="file_id")
     ext = lane.select(
         F.regexp_extract("target_uri", r"doc/([0-9]+)$", 1)
@@ -15665,8 +15670,14 @@ def q_llm_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         html_text_expr(F.col("html")).alias("text"),
     )
     gate = ext.where(F.length("text") >= 40)
-    keepers = gate.groupBy("text").agg(F.min("doc_id").alias("__kid"))
-    kept = gate.join(keepers, "text").where(F.col("doc_id") == F.col("__kid"))
+    # min-id keeper as ONE map-side-combinable min(struct) pass (the
+    # dedup_survivors shape): the groupBy+self-join form read the whole
+    # decode lane twice and shuffled it twice
+    kept = (
+        gate.groupBy("text")
+        .agg(F.min(F.struct("doc_id", "lang")).alias("__keep"))
+        .select("text", F.col("__keep.doc_id"), F.col("__keep.lang"))
+    )
     split = hash_split(kept, {"train": 0.9, "val": 0.1}, on="text", salt="pipe-v4")
     return (
         split.select(
