@@ -10242,8 +10242,13 @@ def q_llm_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", html_text_expr(F.col("html")).alias("text")
     )
     gate = ext.where(F.length("text") >= 40)
-    keepers = gate.groupBy("text").agg(F.min("doc_id").alias("__kid"))
-    kept = gate.join(keepers, "text").where(F.col("doc_id") == F.col("__kid"))
+    # min-id keeper as ONE map-side-combinable min(struct) pass (the v4 /
+    # dedup_survivors shape — one scan + one shuffle of the extract lane)
+    kept = (
+        gate.groupBy("text")
+        .agg(F.min(F.struct("doc_id", "lang")).alias("__keep"))
+        .select("text", F.col("__keep.doc_id"), F.col("__keep.lang"))
+    )
     split = hash_split(kept, {"train": 0.9, "val": 0.1}, on="text", salt="pipe-v3")
     return (
         split.select(
