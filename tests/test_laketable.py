@@ -1010,3 +1010,57 @@ def test_protocol_on_object_store_semantics(spark, tmp_path):
             lake._commit(t, 5, [], "APPEND")
     finally:
         lake.set_storage(prev)
+
+
+def test_vacuum_sweeps_crash_residue(spark, tmp_path):
+    """Crashed writers leave temp log files and staging dirs; vacuum
+    reclaims both under the same age guard (fresh residue survives — it
+    may belong to a live writer)."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 10), t, key_cols=["k"])
+    # simulate a writer that died mid-publish
+    stale_tmp = os.path.join(t, "_log", f"{1:020d}.json.tmp-deadbeef")
+    with open(stale_tmp, "w") as f:
+        f.write("half a payload")
+    stale_stage = os.path.join(t, "_stage-deadbeef")
+    os.makedirs(stale_stage)
+    with open(os.path.join(stale_stage, "part-x.parquet"), "wb") as f:
+        f.write(b"junk")
+    # young residue is protected by the default guard
+    lake.vacuum(t, keep_versions=1)
+    assert os.path.exists(stale_tmp) and os.path.isdir(stale_stage)
+    # old residue is reclaimed
+    lake.vacuum(t, keep_versions=1, min_age_seconds=0)
+    assert not os.path.exists(stale_tmp)
+    assert not os.path.isdir(stale_stage)
+    # the table is untouched
+    assert lake.read_snapshot(spark, t).count() == 10
+
+
+def test_streaming_cdf_lagging_past_retention_fails_loudly(spark, tmp_path):
+    """A CDF stream lagging past vacuum retention must FAIL on the
+    reclaimed file, never emit a silently-empty batch — the documented
+    retention contract."""
+    from zio_analytics_spark.sources.lakestream import register_lake_cdf
+
+    register_lake_cdf(spark)
+    t, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ck"))
+    lake.create_table(_orders(spark, 10).coalesce(1), t, key_cols=["k"])  # v0
+    lake.overwrite(_orders(spark, 5), t)  # v1: dereferences the v0 file
+    lake.overwrite(_orders(spark, 3), t)  # v2
+    lake.vacuum(t, keep_versions=1, min_age_seconds=0)  # reclaims v0+v1 files
+
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("path", t)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(sink)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+        raise AssertionError("lagging stream read a vacuumed file silently")
+    q.stop()

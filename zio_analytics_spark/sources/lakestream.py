@@ -24,6 +24,14 @@ removed inside one offset range still surfaces as its insert+delete
 pair (an endpoint-only diff would silently drop it); the parquet bytes
 are read task-side via Arrow, one changed file per task. Cost per
 trigger is O(changed files), never O(table).
+
+Retention contract (the same one Delta documents for its CDF): a
+lagging stream reads HISTORICAL files, and ``vacuum`` reclaims files
+unreferenced by the retained snapshots — if retention is shorter than
+the stream's lag, the batch fails with the missing file (loudly, never
+silently empty; pinned in tests). Operate with
+``vacuum(keep_versions=...)`` / ``min_age_seconds`` wider than the
+maximum consumer lag.
 """
 
 from __future__ import annotations

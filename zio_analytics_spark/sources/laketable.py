@@ -826,6 +826,26 @@ def vacuum(
     doomed = sorted(candidates - keep)
     for rel in doomed:
         storage.delete_file(os.path.join(table, rel))
+    # crash residue, same age guard: temp log files a writer died holding
+    # (never visible to the protocol — the published names are temp-free)
+    # and staging directories whose Spark job never finished
+    log_dir = os.path.join(table, _LOG_DIR)
+    for name in list(storage.list_names(log_dir)):
+        if ".tmp-" in name:
+            p = os.path.join(log_dir, name)
+            try:
+                if now - os.path.getmtime(p) >= min_age_seconds:
+                    storage.delete_file(p)
+            except OSError:
+                pass  # another vacuum raced us
+    for name in os.listdir(table):
+        if name.startswith("_stage-"):
+            p = os.path.join(table, name)
+            try:
+                if now - os.path.getmtime(p) >= min_age_seconds:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
     return doomed
 
 
