@@ -1064,3 +1064,32 @@ def test_streaming_cdf_lagging_past_retention_fails_loudly(spark, tmp_path):
         q.processAllAvailable()
         raise AssertionError("lagging stream read a vacuumed file silently")
     q.stop()
+
+
+def test_merge_prunes_on_any_key_column(spark, tmp_path):
+    """Multi-key pruning: files overlapping the changeset on the FIRST
+    key but disjoint on the SECOND survive by reference — a row can only
+    match when ALL key columns are equal."""
+    t = str(tmp_path / "t")
+    df = spark.range(400).select(
+        (F.col("id") % 2).alias("region"),       # k0: only 2 values — useless alone
+        F.col("id").alias("k"),                  # k1: the discriminating key
+        (F.col("id") * 1.0).alias("v"),
+    )
+    lake.create_table(
+        df.repartitionByRange(4, "k"), t, key_cols=["region", "k"]
+    )
+    before = set(lake.snapshot(t).files)
+    # changeset: region values {0,1} overlap EVERY file's region range,
+    # but k is confined to 0..5 — only the lowest range file is touched
+    lake.merge(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(0, 2, -1.0), (1, 5, -2.0)], "region long, k long, v double"
+        ),
+    )
+    survivors = before & set(lake.snapshot(t).files)
+    assert len(survivors) >= 2, "second-key disjoint files were rewritten"
+    rows = {r.k: r.v for r in lake.read_snapshot(spark, t).collect()}
+    assert rows[2] == -1.0 and rows[5] == -2.0 and rows[399] == 399.0

@@ -709,22 +709,37 @@ def merge(
         keys = snap.key_cols
         if not keys:
             raise ValueError(f"{table} has no key_cols; merge needs keys")
-        k0 = keys[0]
-        bounds = source.agg(
-            F.min(k0).alias("mn"), F.max(k0).alias("mx")
-        ).first()
-        src_mn, src_mx = bounds["mn"], bounds["mx"]
-        if src_mn is None:  # empty changeset: MERGE is a no-op
-            return snap.version
+        # ONE aggregate over the changeset gives min/max for EVERY key
+        # column; a target row matches a source row only when ALL keys
+        # are equal, so a file is skippable as soon as ANY key column's
+        # range is disjoint from the changeset's — multi-key pruning
+        # strictly dominates first-key-only (round 14)
+        stat_keys = [k for k in keys if k in source.columns]
+        aggs = []
+        for k in stat_keys:
+            aggs.append(F.min(k).alias(f"__mn_{k}"))
+            aggs.append(F.max(k).alias(f"__mx_{k}"))
+        bounds = source.agg(*aggs).first() if aggs else None
+        src_range = {
+            k: (bounds[f"__mn_{k}"], bounds[f"__mx_{k}"]) for k in stat_keys
+        } if bounds is not None else {}
+        if not src_range or src_range[stat_keys[0]][0] is None:
+            return snap.version  # empty changeset: MERGE is a no-op
         touched, kept = [], []
         for p, a in snap.files.items():
-            st = a.get("stats", {}).get(k0)
-            if st is None:
-                touched.append(p)  # no stats → must assume overlap
-            elif st["max"] >= src_mn and st["min"] <= src_mx:
-                touched.append(p)
-            else:
+            stats = a.get("stats", {})
+            disjoint = False
+            for k, (mn, mx) in src_range.items():
+                st = stats.get(k)
+                if st is None or mn is None:
+                    continue  # no stats for this key → can't skip on it
+                if st["max"] < mn or st["min"] > mx:
+                    disjoint = True
+                    break
+            if disjoint:
                 kept.append(p)
+            else:
+                touched.append(p)
         from zio_analytics_spark.operators.merge import merge_upsert
 
         aligned_source, meta, full_schema = _enforce_schema(
