@@ -1093,3 +1093,45 @@ def test_merge_prunes_on_any_key_column(spark, tmp_path):
     assert len(survivors) >= 2, "second-key disjoint files were rewritten"
     rows = {r.k: r.v for r in lake.read_snapshot(spark, t).collect()}
     assert rows[2] == -1.0 and rows[5] == -2.0 and rows[399] == 399.0
+
+
+def test_overwrite_partitions_dynamic(spark, tmp_path):
+    """Dynamic partition overwrite replaces exactly the partitions in the
+    incoming data; others survive by reference, history stays readable."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        _partitioned(spark, 160), t, key_cols=["k"], partition_by=["bucket"]
+    )  # buckets 0..3, 40 rows each
+    before = set(lake.snapshot(t).files)
+    v = lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(1000, 1, -1.0), (1001, 2, -2.0)],
+            "k long, bucket long, amount double",
+        ),
+        t,
+    )
+    assert v == 1
+    snap = lake.snapshot(t)
+    untouched = {p for p in before if "bucket=0" in p or "bucket=3" in p}
+    assert untouched <= set(snap.files), "untouched partitions were rewritten"
+    assert not any(
+        p in snap.files for p in before if "bucket=1" in p or "bucket=2" in p
+    ), "replaced partitions still reference old files"
+    rows = {r.k for r in lake.read_snapshot(spark, t).collect()}
+    assert rows == set(range(0, 160, 4)) | set(range(3, 160, 4)) | {1000, 1001}
+    # time travel to the pre-overwrite state
+    assert lake.read_snapshot(spark, t, 0).count() == 160
+    # unpartitioned tables reject the op loudly
+    t2 = str(tmp_path / "t2")
+    lake.create_table(_orders(spark, 10), t2, key_cols=["k"])
+    with pytest.raises(ValueError, match="not partitioned"):
+        lake.overwrite_partitions(_orders(spark, 5), t2)
+
+
+def test_merge_missing_key_column_fails_loudly(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 10), t, key_cols=["k"])
+    bad = spark.createDataFrame([(1, 1.0)], "grp long, amount double")
+    with pytest.raises(ValueError, match="missing key columns"):
+        lake.merge(spark, t, bad)
+    assert lake.latest_version(t) == 0

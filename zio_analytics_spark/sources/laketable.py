@@ -103,6 +103,7 @@ __all__ = [
     "create_table",
     "append",
     "overwrite",
+    "overwrite_partitions",
     "merge",
     "delete_where",
     "read_snapshot",
@@ -655,6 +656,36 @@ def overwrite(df: DataFrame, table: str) -> int:
     return _commit(table, snap.version + 1, actions, "OVERWRITE")
 
 
+def overwrite_partitions(df: DataFrame, table: str) -> int:
+    """Dynamic partition overwrite (``INSERT OVERWRITE ... PARTITION`` with
+    dynamic mode): atomically replace EXACTLY the partitions present in
+    ``df`` — every other partition survives by reference. The standing-
+    ingest refresh shape: recompute one day/region and swap it in one
+    commit, O(replaced partitions), never O(table). Readers pinned to
+    older versions still see the previous partition contents (immutable
+    files + snapshot isolation, like every other commit)."""
+    snap = snapshot(table)
+    if not snap.partition_by:
+        raise ValueError(
+            f"{table} is not partitioned; use overwrite() for full replace"
+        )
+    df, meta, full_schema = _enforce_schema(df, snap, "overwrite_partitions")
+    adds = _stage_files(
+        df, table, snap.key_cols, snap.partition_by, full_schema
+    )
+    replaced = {
+        tuple(sorted(a.get("partition", {}).items())) for a in adds
+    }
+    removes = [
+        p
+        for p, a in snap.files.items()
+        if tuple(sorted(a.get("partition", {}).items())) in replaced
+    ]
+    actions = meta + [{"remove": {"path": p}} for p in removes]
+    actions += [{"add": a} for a in adds]
+    return _commit(table, snap.version + 1, actions, "OVERWRITE_PARTITIONS")
+
+
 def _read_files(
     spark: SparkSession,
     table: str,
@@ -709,12 +740,18 @@ def merge(
         keys = snap.key_cols
         if not keys:
             raise ValueError(f"{table} has no key_cols; merge needs keys")
+        missing = [k for k in keys if k not in source.columns]
+        if missing:
+            raise ValueError(
+                f"merge source is missing key columns {missing}; "
+                f"{table} upserts by {keys}"
+            )
         # ONE aggregate over the changeset gives min/max for EVERY key
         # column; a target row matches a source row only when ALL keys
         # are equal, so a file is skippable as soon as ANY key column's
         # range is disjoint from the changeset's — multi-key pruning
         # strictly dominates first-key-only (round 14)
-        stat_keys = [k for k in keys if k in source.columns]
+        stat_keys = keys
         aggs = []
         for k in stat_keys:
             aggs.append(F.min(k).alias(f"__mn_{k}"))
