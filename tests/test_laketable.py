@@ -949,6 +949,16 @@ class _ObjectStoreSim(lake.LakeStorage):
 
         _os.remove(path)
 
+    def delete_dir(self, path):
+        import shutil as _shutil
+
+        _shutil.rmtree(path, ignore_errors=True)
+
+    def mtime(self, path):
+        import os as _os
+
+        return _os.path.getmtime(path)
+
     def list_data_files(self, table):
         import os as _os
 
@@ -1135,3 +1145,126 @@ def test_merge_missing_key_column_fails_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="missing key columns"):
         lake.merge(spark, t, bad)
     assert lake.latest_version(t) == 0
+
+
+def test_merge_preserves_unmentioned_columns(spark, tmp_path):
+    """A partial-column merge (source lacks a non-key table column) must
+    PRESERVE the target's current values for that column on matched rows
+    (updateAll-by-name), never NULL them out (round-14 review)."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        spark.createDataFrame(
+            [(i, float(i), f"tag{i}") for i in range(10)],
+            "k long, amount double, tag string",
+        ).coalesce(1),
+        t,
+        key_cols=["k"],
+    )
+    lake.merge(
+        spark,
+        t,
+        spark.createDataFrame([(3, -1.0), (100, 5.0)], "k long, amount double"),
+    )
+    rows = {r.k: (r.amount, r.tag) for r in lake.read_snapshot(spark, t).collect()}
+    assert rows[3] == (-1.0, "tag3"), "matched row's unmentioned column erased"
+    assert rows[100] == (5.0, None)  # insert: no prior value to preserve
+    assert rows[0] == (0.0, "tag0")
+
+
+def test_partitioned_append_missing_partition_col_fails(spark, tmp_path):
+    """Writes into a partitioned table must carry the partition columns —
+    silently writing root-level files corrupts partition discovery."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        _partitioned(spark, 40), t, key_cols=["k"], partition_by=["bucket"]
+    )
+    bad = spark.createDataFrame([(100, 1.0)], "k long, amount double")
+    with pytest.raises(ValueError, match="partition columns"):
+        lake.append(bad, t)
+    with pytest.raises(ValueError, match="partition columns"):
+        lake.append_stream_batch(bad, t, batch_id=1)
+    assert lake.latest_version(t) == 0
+    assert lake.read_snapshot(spark, t).count() == 40
+
+
+def test_date_partitioned_stats_and_merge_pruning(spark, tmp_path):
+    """DATE partition values survive the JSON log as ISO strings and
+    still drive pruning (ISO order == chronological order); merge with
+    datetime.date bounds must not crash comparing against them."""
+    import datetime as dt
+
+    t = str(tmp_path / "t")
+    df = spark.range(90).selectExpr(
+        "id AS k",
+        "date_add(date'2026-01-01', cast(id % 3 AS INT)) AS day",
+        "cast(id AS DOUBLE) AS v",
+    )
+    lake.create_table(df, t, key_cols=["day", "k"], partition_by=["day"])
+    snap = lake.snapshot(t)
+    for a in snap.files.values():
+        st = a["stats"]["day"]
+        assert isinstance(st["min"], str) and st["min"].startswith("2026-01-")
+    before = set(snap.files)
+    # changeset confined to one day: the other two days' files survive
+    lake.merge(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(dt.date(2026, 1, 2), 1, -1.0)], "day date, k long, v double"
+        ),
+    )
+    after = set(lake.snapshot(t).files)
+    untouched = {p for p in before if "day=2026-01-02" not in p}
+    assert untouched <= after, "date-disjoint partitions were rewritten"
+    rows = {r.k: r.v for r in lake.read_snapshot(spark, t).collect()}
+    assert rows[1] == -1.0 and rows[0] == 0.0
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE keeps rows whose predicate evaluates to NULL."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        spark.createDataFrame(
+            [(1, "x"), (2, None), (3, "y")], "k long, tag string"
+        ).coalesce(1),
+        t,
+        key_cols=["k"],
+    )
+    lake.delete_where(spark, t, "tag = 'x'")
+    rows = {r.k: r.tag for r in lake.read_snapshot(spark, t).collect()}
+    assert rows == {2: None, 3: "y"}, "NULL-predicate row was deleted"
+
+
+def test_streaming_cdf_date_partition_typed(spark, tmp_path):
+    """Date partition values reach the CDF stream as real DATEs, not the
+    ISO strings the JSON log stores."""
+    import datetime as dt
+
+    from zio_analytics_spark.sources.lakestream import register_lake_cdf
+
+    register_lake_cdf(spark)
+    t, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ck"))
+    df0 = spark.range(4).selectExpr(
+        "id AS k", "date'2026-01-01' AS day", "cast(id AS DOUBLE) AS v"
+    )
+    lake.create_table(df0, t, key_cols=["k"], partition_by=["day"])
+    lake.append(
+        spark.range(4, 6).selectExpr(
+            "id AS k", "date'2026-02-03' AS day", "cast(id AS DOUBLE) AS v"
+        ),
+        t,
+    )
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("path", t)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(sink)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.k, r.day) for r in spark.read.parquet(sink).collect()}
+    assert got == {(4, dt.date(2026, 2, 3)), (5, dt.date(2026, 2, 3))}

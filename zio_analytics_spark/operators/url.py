@@ -346,6 +346,14 @@ def resolve_redirects(
         n >>= 1
         if n:
             step = _compose(step, step)
+            if n > 1:
+                # a squared step that will be referenced again (by the
+                # next squaring and/or a compose) must MATERIALIZE, or
+                # each reference re-expands its whole lazy join tree and
+                # the executed join count degrades from O(log max_hops)
+                # back to O(max_hops) — for the default max_hops=3 this
+                # never fires (the single squared step is consumed once)
+                step = step.localCheckpoint(eager=True)
     if closure is None:  # max_hops=0: follow nothing, only flag open heads
         closure = edges.select(
             "__src", F.col("__src").alias("__cur"), F.lit(0).alias("__hops")

@@ -50,6 +50,19 @@ from zio_analytics_spark.sources import laketable
 __all__ = ["LakeCDFDataSource", "register_lake_cdf"]
 
 
+def _typed_value(v, simple_type: str | None):
+    """A JSON-logged partition value back to the declared Spark type."""
+    import datetime as dt
+
+    if v is None or not isinstance(v, str):
+        return v
+    if simple_type == "date":
+        return dt.date.fromisoformat(v)
+    if simple_type and simple_type.startswith("timestamp"):
+        return dt.datetime.fromisoformat(v)
+    return v
+
+
 class _CDFPart(InputPartition):
     def __init__(
         self,
@@ -77,6 +90,7 @@ class _LakeCDFStreamReader(DataSourceStreamReader):
                 "stream needs the meta action create_table writes"
             )
         self.columns = list(snap.schema)
+        self.types = dict(snap.schema)
 
     def initialOffset(self) -> dict:
         return {"version": self.from_version}
@@ -85,33 +99,57 @@ class _LakeCDFStreamReader(DataSourceStreamReader):
         return {"version": laketable.latest_version(self.table)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        import json
+
         v0, v1 = int(start["version"]), int(end["version"])
         commits, _ = laketable._list_log(self.table)
+        storage = laketable.get_storage()
+        # ONE snapshot resolve at the range start, then each commit file
+        # in the range is read ONCE and its actions applied incrementally
+        # — a per-version snapshot() here would replay the log from the
+        # last checkpoint O(range) times on the streaming hot path
+        live = dict(laketable.snapshot(self.table, v0).files)
         parts: list[_CDFPart] = []
-        prev = laketable.snapshot(self.table, v0)
         for v in commits:
             if v <= v0 or v > v1:
                 continue
-            cur = laketable.snapshot(self.table, v)
-            for rel in sorted(set(cur.files) - set(prev.files)):
+            added: dict = {}
+            removed: dict = {}
+            raw = storage.read_bytes(laketable._log_path(self.table, v))
+            for line in raw.splitlines():
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    a = action["add"]
+                    added[a["path"]] = a
+                elif "remove" in action:
+                    p = action["remove"]["path"]
+                    if p in added:  # transient within one commit
+                        added.pop(p)
+                    elif p in live:
+                        removed[p] = live[p]
+            for rel in sorted(added):
                 parts.append(
                     _CDFPart(
                         os.path.join(self.table, rel),
                         "insert",
                         v,
-                        cur.files[rel].get("partition", {}),
+                        added[rel].get("partition", {}),
                     )
                 )
-            for rel in sorted(set(prev.files) - set(cur.files)):
+            for rel in sorted(removed):
                 parts.append(
                     _CDFPart(
                         os.path.join(self.table, rel),
                         "delete",
                         v,
-                        prev.files[rel].get("partition", {}),
+                        removed[rel].get("partition", {}),
                     )
                 )
-            prev = cur
+            live.update(added)
+            for p in removed:
+                live.pop(p, None)
         if not parts:  # meta-only commits in range: an empty batch
             parts.append(_CDFPart(None, "insert", v1, {}))
         return parts
@@ -129,7 +167,10 @@ class _LakeCDFStreamReader(DataSourceStreamReader):
             if c in present:
                 cols.append(tbl.column(c).to_pylist())
             elif c in part.partition_values:  # hive layout: value in the dir
-                cols.append([part.partition_values[c]] * n)
+                # add actions store date/timestamp partition values as
+                # ISO strings (JSON log); materialize the declared type
+                v = _typed_value(part.partition_values[c], self.types.get(c))
+                cols.append([v] * n)
             else:  # written before this column existed: NULL
                 cols.append([None] * n)
         ct, cv = part.change_type, part.commit_version

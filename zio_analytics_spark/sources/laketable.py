@@ -172,6 +172,15 @@ class LakeStorage:
     def delete_file(self, path: str) -> None:
         raise NotImplementedError
 
+    def delete_dir(self, path: str) -> None:
+        """Recursively remove a directory tree (staging residue)."""
+        raise NotImplementedError
+
+    def mtime(self, path: str) -> float:
+        """Modification time of an entry — the vacuum age guard's clock
+        (an object store uses the object's Last-Modified)."""
+        raise NotImplementedError
+
     def list_data_files(self, table: str) -> list[tuple[str, float]]:
         """All ``part-*.parquet`` under the table prefix (recursing into
         partition directories, excluding the log and staging dirs) as
@@ -224,6 +233,12 @@ class LocalFSStorage(LakeStorage):
 
     def delete_file(self, path: str) -> None:
         os.remove(path)
+
+    def delete_dir(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
 
     def list_data_files(self, table: str) -> list[tuple[str, float]]:
         out = []
@@ -372,7 +387,11 @@ def table_history(table: str) -> list[dict]:
 
 def _cast_partition_value(raw: str, simple_type: str | None):
     """A hive directory value back to its column's Python value (the
-    value the file stats / pruning compare against)."""
+    value the file stats / pruning compare against). DATE/TIMESTAMP
+    values stay ISO STRINGS here — they must survive the JSON log, and
+    ISO strings order exactly like the values they encode (pruning
+    normalizes the live side with :func:`_stat_value`); consumers that
+    need typed values (the CDF stream) convert at materialization."""
     if raw == "__HIVE_DEFAULT_PARTITION__":
         return None
     if simple_type in ("tinyint", "smallint", "int", "bigint"):
@@ -382,6 +401,33 @@ def _cast_partition_value(raw: str, simple_type: str | None):
     if simple_type == "boolean":
         return raw.lower() == "true"
     return raw
+
+
+def _stat_value(v):
+    """A Spark min/max value in JSON-safe, ORDER-PRESERVING form: dates
+    and timestamps become ISO strings (lexicographic == chronological
+    for a fixed format); everything else passes through."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    return v
+
+
+def _stats_disjoint(st: dict, mn, mx) -> bool:
+    """True when the file's [min, max] cannot intersect the changeset's
+    [mn, mx]. Stats live in JSON (dates as ISO strings), live bounds are
+    Spark values — normalize the live side the same way, and report
+    OVERLAP on any residual type mismatch (never skip on uncertainty)."""
+    a, b = st["min"], st["max"]
+    if isinstance(a, str) or isinstance(b, str):
+        mn, mx = _stat_value(mn), _stat_value(mx)
+    try:
+        return b < mn or a > mx
+    except TypeError:
+        return False
 
 
 def _parse_partition(rel: str, schema: dict) -> dict:
@@ -410,7 +456,15 @@ def _stage_files(
     is a partition column gets exact stats from its directory value."""
     spark = df.sparkSession
     storage = get_storage()
-    partition_by = [c for c in partition_by if c in df.columns]
+    missing_parts = [c for c in partition_by if c not in df.columns]
+    if missing_parts:
+        # silently writing root-level files into a hive layout corrupts
+        # partition discovery for every later read — refuse loudly
+        raise ValueError(
+            f"incoming data is missing partition columns {missing_parts}; "
+            "a partitioned table's writes must carry them"
+        )
+    partition_by = list(partition_by)
     stage = os.path.join(table, f"_stage-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -462,7 +516,7 @@ def _stage_files(
             continue
         stats = {}
         for c in stat_cols:
-            mn, mx = d[f"__min_{c}"], d[f"__max_{c}"]
+            mn, mx = _stat_value(d[f"__min_{c}"]), _stat_value(d[f"__max_{c}"])
             if _json_safe(mn) and _json_safe(mx):
                 stats[c] = {"min": mn, "max": mx}
         for c, v in part_values.items():
@@ -606,11 +660,14 @@ def create_table(
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
         raise ValueError(f"partition_by columns not in data: {missing}")
-    os.makedirs(table, exist_ok=True)
-    if os.path.isdir(os.path.join(table, _LOG_DIR)) and os.listdir(
-        os.path.join(table, _LOG_DIR)
-    ):
-        raise FileExistsError(f"lake table already exists: {table}")
+    os.makedirs(table, exist_ok=True)  # local staging root for Spark writes
+    try:
+        # existence is a PROTOCOL question: ask the storage seam, not the
+        # local filesystem (an object-store table has no local _log dir)
+        if get_storage().list_names(os.path.join(table, _LOG_DIR)):
+            raise FileExistsError(f"lake table already exists: {table}")
+    except FileNotFoundError:
+        pass
     schema = _schema_of(df)
     adds = _stage_files(df, table, key_cols, partition_by, schema)
     actions = [
@@ -770,7 +827,7 @@ def merge(
                 st = stats.get(k)
                 if st is None or mn is None:
                     continue  # no stats for this key → can't skip on it
-                if st["max"] < mn or st["min"] > mx:
+                if _stats_disjoint(st, mn, mx):
                     disjoint = True
                     break
             if disjoint:
@@ -779,6 +836,7 @@ def merge(
                 touched.append(p)
         from zio_analytics_spark.operators.merge import merge_upsert
 
+        src_cols = set(source.columns)
         aligned_source, meta, full_schema = _enforce_schema(
             source, snap, "merge"
         )
@@ -788,6 +846,22 @@ def merge(
             target = _read_files(spark, table, snap, paths=touched)
             if full_schema:
                 target = _align_to_schema(target, full_schema)
+                # table columns the source does NOT carry: matched rows
+                # PRESERVE the target's current values (updateAll-by-name
+                # semantics) — blanket NULL alignment would silently erase
+                # them on every partial-column upsert (round-14 review)
+                preserve = [
+                    c
+                    for c in full_schema
+                    if c not in src_cols and c not in keys
+                ]
+                if preserve:
+                    current = target.select(*keys, *preserve)
+                    aligned_source = (
+                        aligned_source.drop(*preserve)
+                        .join(current, list(keys), "left")
+                        .select(*full_schema)
+                    )
             else:
                 aligned_source = aligned_source.select(*target.columns)
             merged = merge_upsert(target, aligned_source, keys)
@@ -826,8 +900,12 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> int:
     ]
     if not hit_files:
         return snap.version  # no-op: nothing matched
+    # SQL DELETE semantics: a row whose predicate evaluates to NULL is
+    # NOT deleted — survivors are "did not match", not "matched false"
+    # (plain NOT(p) filters NULL-predicate rows out of the rewrite and
+    # silently deletes them; round-14 review)
     survivors = _read_files(spark, table, snap, paths=hit_files).where(
-        f"NOT ({predicate})"
+        f"NOT ({predicate}) OR (({predicate}) IS NULL)"
     )
     survivors = _align_to_schema(survivors, snap.schema)
     adds = _stage_files(
@@ -880,22 +958,23 @@ def vacuum(
         storage.delete_file(os.path.join(table, rel))
     # crash residue, same age guard: temp log files a writer died holding
     # (never visible to the protocol — the published names are temp-free)
-    # and staging directories whose Spark job never finished
+    # and staging directories whose Spark job never finished. All through
+    # the storage seam — residue lives wherever the table lives.
     log_dir = os.path.join(table, _LOG_DIR)
     for name in list(storage.list_names(log_dir)):
         if ".tmp-" in name:
             p = os.path.join(log_dir, name)
             try:
-                if now - os.path.getmtime(p) >= min_age_seconds:
+                if now - storage.mtime(p) >= min_age_seconds:
                     storage.delete_file(p)
             except OSError:
                 pass  # another vacuum raced us
-    for name in os.listdir(table):
+    for name in storage.list_names(table):
         if name.startswith("_stage-"):
             p = os.path.join(table, name)
             try:
-                if now - os.path.getmtime(p) >= min_age_seconds:
-                    shutil.rmtree(p, ignore_errors=True)
+                if now - storage.mtime(p) >= min_age_seconds:
+                    storage.delete_dir(p)
             except OSError:
                 pass
     return doomed
