@@ -1268,3 +1268,107 @@ def test_streaming_cdf_date_partition_typed(spark, tmp_path):
     q.stop()
     got = {(r.k, r.day) for r in spark.read.parquet(sink).collect()}
     assert got == {(4, dt.date(2026, 2, 3)), (5, dt.date(2026, 2, 3))}
+
+
+# --------------------------------------------------------------------- #
+# round-15 ADVICE regressions
+
+
+def test_partition_value_type_fidelity(spark, tmp_path):
+    """A STRING partition value that parses as a number ('00123') must
+    round-trip as the recorded string — snapshot reads carry the table's
+    recorded schema, so Spark's directory-value inference (which would
+    read it back as int 123, silently changing type AND value) never
+    runs; and rewrite paths re-staging through the read keep the hive
+    layout on the original value (round-14 ADVICE, medium)."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("00123", 1, 1.0), ("7", 2, 2.0)], "code string, k long, amount double"
+    )
+    lake.create_table(df, t, key_cols=["k"], partition_by=["code"])
+    snap = lake.read_snapshot(spark, t)
+    assert dict(snap.dtypes)["code"] == "string"
+    assert {r.k: r.code for r in snap.collect()} == {1: "00123", 2: "7"}
+    # a rewrite path (MERGE) re-stages through the same read: the hive
+    # layout must stay on the written string, not an int-drifted '123'
+    lake.merge(
+        spark,
+        t,
+        spark.createDataFrame([("00123", 1, 9.0)], "code string, k long, amount double"),
+    )
+    rows = {(r.code, r.k, r.amount) for r in lake.read_snapshot(spark, t).collect()}
+    assert rows == {("00123", 1, 9.0), ("7", 2, 2.0)}
+    assert os.path.isdir(os.path.join(t, "code=00123"))
+    assert not os.path.isdir(os.path.join(t, "code=123"))
+
+
+def test_merge_preserve_no_fanout_on_duplicate_keys(spark, tmp_path):
+    """Partial-column MERGE against a target whose touched files carry a
+    DUPLICATE key (possible via blind append): the preserve-columns join
+    must not fan the source row out — the upsert contract emits exactly
+    one row per matched key (round-14 ADVICE)."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        spark.createDataFrame(
+            [(1, 10.0, "x"), (2, 20.0, "y")], "k long, a double, b string"
+        ),
+        t,
+        key_cols=["k"],
+    )
+    lake.append(
+        spark.createDataFrame([(1, 11.0, "x2")], "k long, a double, b string"), t
+    )  # blind append: duplicate key 1
+    lake.merge(spark, t, spark.createDataFrame([(1, 99.0)], "k long, a double"))
+    rows = lake.read_snapshot(spark, t).where("k = 1").collect()
+    assert len(rows) == 1
+    assert rows[0].a == 99.0
+    assert rows[0].b in ("x", "x2")  # preserved from the current target
+
+
+def test_vacuum_spares_live_staging_tree(spark, tmp_path):
+    """Vacuum ages a staging dir by the NEWEST mtime anywhere in its
+    tree: a partitioned Spark job touches the top dir at start but keeps
+    writing nested files — an old top-level mtime alone must not reclaim
+    a live writer's tree (round-14 ADVICE)."""
+    import time as _time
+
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 10), t, key_cols=["k"])
+    stage = os.path.join(t, "_stage-live")
+    os.makedirs(os.path.join(stage, "p=1"))
+    fresh = os.path.join(stage, "p=1", "part-x.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"x")
+    old = _time.time() - 7200
+    os.utime(stage, (old, old))  # job started long ago; writes continue
+    lake.vacuum(t, min_age_seconds=3600)
+    assert os.path.isdir(stage), "live staging tree was reclaimed mid-job"
+    for p in (fresh, os.path.join(stage, "p=1"), stage):
+        os.utime(p, (old, old))
+    lake.vacuum(t, min_age_seconds=3600)
+    assert not os.path.exists(stage)
+
+
+def test_reads_route_through_storage_seam(spark, tmp_path):
+    """Every snapshot-read path resolves data-file URIs via
+    LakeStorage.resolve_read_path — the storage owns the rel-path →
+    reader-URI mapping (round-14 ADVICE)."""
+
+    class _Counting(lake.LocalFSStorage):
+        def __init__(self):
+            self.calls = 0
+
+        def resolve_read_path(self, table, rel):
+            self.calls += 1
+            return super().resolve_read_path(table, rel)
+
+    st = _Counting()
+    prev = lake.set_storage(st)
+    try:
+        t = str(tmp_path / "t")
+        lake.create_table(_orders(spark, 10).repartition(2), t, key_cols=["k"])
+        st.calls = 0
+        assert lake.read_snapshot(spark, t).count() == 10
+        assert st.calls >= 2  # one per data file
+    finally:
+        lake.set_storage(prev)

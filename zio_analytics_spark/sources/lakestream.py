@@ -36,7 +36,6 @@ maximum consumer lag.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -104,6 +103,11 @@ class _LakeCDFStreamReader(DataSourceStreamReader):
         v0, v1 = int(start["version"]), int(end["version"])
         commits, _ = laketable._list_log(self.table)
         storage = laketable.get_storage()
+        # data-file URIs resolve through the storage seam (round-14
+        # ADVICE): the storage owns the rel-path → readable-URI mapping,
+        # and resolution happens HERE (driver, partition planning) so the
+        # task-side read needs no storage object at all
+        resolve = storage.resolve_read_path
         # ONE snapshot resolve at the range start, then each commit file
         # in the range is read ONCE and its actions applied incrementally
         # — a per-version snapshot() here would replay the log from the
@@ -132,7 +136,7 @@ class _LakeCDFStreamReader(DataSourceStreamReader):
             for rel in sorted(added):
                 parts.append(
                     _CDFPart(
-                        os.path.join(self.table, rel),
+                        resolve(self.table, rel),
                         "insert",
                         v,
                         added[rel].get("partition", {}),
@@ -141,7 +145,7 @@ class _LakeCDFStreamReader(DataSourceStreamReader):
             for rel in sorted(removed):
                 parts.append(
                     _CDFPart(
-                        os.path.join(self.table, rel),
+                        resolve(self.table, rel),
                         "delete",
                         v,
                         removed[rel].get("partition", {}),

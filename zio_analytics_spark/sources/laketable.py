@@ -181,6 +181,28 @@ class LakeStorage:
         (an object store uses the object's Last-Modified)."""
         raise NotImplementedError
 
+    def newest_mtime(self, path: str) -> float:
+        """The NEWEST modification time observable anywhere within
+        ``path`` (the entry itself for flat storage; the whole tree for a
+        directory). Vacuum's in-flight-writer age guard uses this for
+        staging directories: a partitioned Spark write touches the TOP
+        directory at job start and then writes into nested part dirs for
+        the rest of the job, so the top-level mtime alone would let a
+        long-running writer's tree be reclaimed mid-job (round-14
+        ADVICE). Defaults to :meth:`mtime` — correct for object stores,
+        whose staging keys are flat objects."""
+        return self.mtime(path)
+
+    def resolve_read_path(self, table: str, rel: str) -> str:
+        """The path/URI a reader (Spark, pyarrow) opens for an add
+        action's table-relative path — the storage implementation owns
+        this mapping (round-14 ADVICE: every read route goes through the
+        seam, never a bare ``os.path.join``). ``rel == ''`` resolves the
+        table ROOT (the ``basePath`` partitioned reads hand Spark). The
+        default suits any storage whose table paths are already
+        reader-openable URIs with ``/`` separators."""
+        return os.path.join(table, rel) if rel else table
+
     def list_data_files(self, table: str) -> list[tuple[str, float]]:
         """All ``part-*.parquet`` under the table prefix (recursing into
         partition directories, excluding the log and staging dirs) as
@@ -203,6 +225,19 @@ class LocalFSStorage(LakeStorage):
         with open(path, "rb") as f:
             return f.read()
 
+    @staticmethod
+    def _fsync_dir(dirpath: str) -> None:
+        """Durably record a just-created directory entry: link/rename make
+        the NAME visible but only an fsync of the parent directory makes
+        it survive power loss — without it a commit reported successful
+        can vanish and a later writer can reuse the version slot with
+        different content (round-14 ADVICE)."""
+        fd = os.open(dirpath, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
     def put_if_absent(self, path: str, payload: bytes) -> bool:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
@@ -212,11 +247,12 @@ class LocalFSStorage(LakeStorage):
             os.fsync(f.fileno())
         try:
             os.link(tmp, path)
-            return True
         except FileExistsError:
             return False
         finally:
             os.unlink(tmp)
+        self._fsync_dir(os.path.dirname(path))
+        return True
 
     def put_atomic(self, path: str, payload: bytes) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -226,6 +262,7 @@ class LocalFSStorage(LakeStorage):
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, path)
+        self._fsync_dir(os.path.dirname(path))
 
     def publish_file(self, src: str, dest: str) -> None:
         os.makedirs(os.path.dirname(dest), exist_ok=True)
@@ -239,6 +276,18 @@ class LocalFSStorage(LakeStorage):
 
     def mtime(self, path: str) -> float:
         return os.path.getmtime(path)
+
+    def newest_mtime(self, path: str) -> float:
+        newest = os.path.getmtime(path)
+        for dirpath, dirs, names in os.walk(path):
+            for entry in [*dirs, *names]:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, entry))
+                    )
+                except OSError:
+                    pass  # the writer is live and moving files — young
+        return newest
 
     def list_data_files(self, table: str) -> list[tuple[str, float]]:
         out = []
@@ -751,20 +800,34 @@ def _read_files(
 ) -> DataFrame:
     """Read a snapshot's files (or the ``paths`` subset of them).
 
-    * mergeSchema: additive schema evolution — files written before a
-      column existed surface NULL for it (the lake-table contract; the
-      per-snapshot file list is small, so the footer-merge cost is the
-      snapshot's, not the table history's).
+    * The read carries the snapshot's RECORDED schema explicitly, so
+      schema-on-read is schema-on-write: partition-column values parse
+      as their DECLARED types instead of Spark's directory-value
+      inference (which silently reads a string partition value '00123'
+      back as int 123, drifting both type and value — and every rewrite
+      path re-staging through this read would then re-partition on the
+      drifted value, diverging the hive layout; round-14 ADVICE), files
+      written before a column existed surface typed NULLs, and no
+      footer-merge pass runs at all. Pre-schema tables (no recorded
+      meta) fall back to mergeSchema inference.
     * basePath: partition columns materialize from the hive directory
       names, and predicates on them become PartitionFilters — directory
-      pruning at the scan (pinned by test_laketable)."""
+      pruning at the scan (pinned by test_laketable).
+    * All paths resolve through the storage seam
+      (:meth:`LakeStorage.resolve_read_path`), never a bare join —
+      the storage owns the rel-path → reader-URI mapping."""
+    storage = get_storage()
     rels = list(paths) if paths is not None else list(snap.files)
-    full = [os.path.join(table, p) for p in rels]
+    full = [storage.resolve_read_path(table, p) for p in rels]
     if not full:
         raise ValueError(f"snapshot v{snap.version} of {table} has no files")
-    reader = spark.read.option("mergeSchema", True)
+    if snap.schema:
+        ddl = ", ".join(f"`{c}` {t}" for c, t in snap.schema.items())
+        reader = spark.read.schema(ddl)
+    else:
+        reader = spark.read.option("mergeSchema", True)
     if snap.partition_by:
-        reader = reader.option("basePath", table)
+        reader = reader.option("basePath", storage.resolve_read_path(table, ""))
     return reader.parquet(*full)
 
 
@@ -856,7 +919,14 @@ def merge(
                     if c not in src_cols and c not in keys
                 ]
                 if preserve:
-                    current = target.select(*keys, *preserve)
+                    # one row per key: touched files can carry duplicate
+                    # keys (blind append is unchecked), and a left join
+                    # against them would fan the source rows out — the
+                    # rewrite would emit duplicates where the upsert
+                    # contract emits exactly one (round-14 ADVICE)
+                    current = target.select(*keys, *preserve).dropDuplicates(
+                        list(keys)
+                    )
                     aligned_source = (
                         aligned_source.drop(*preserve)
                         .join(current, list(keys), "left")
@@ -973,7 +1043,12 @@ def vacuum(
         if name.startswith("_stage-"):
             p = os.path.join(table, name)
             try:
-                if now - storage.mtime(p) >= min_age_seconds:
+                # age by the NEWEST mtime anywhere in the staging tree: a
+                # partitioned Spark write touches the top dir at job start
+                # but keeps writing into nested dirs — the top-level mtime
+                # alone would reclaim a long-running writer's tree mid-job
+                # (round-14 ADVICE)
+                if now - storage.newest_mtime(p) >= min_age_seconds:
                     storage.delete_dir(p)
             except OSError:
                 pass
