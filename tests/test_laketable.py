@@ -1372,3 +1372,128 @@ def test_reads_route_through_storage_seam(spark, tmp_path):
         assert st.calls >= 2  # one per data file
     finally:
         lake.set_storage(prev)
+
+
+def test_lake_cdf_stream_timestamp_column(spark, tmp_path):
+    """A TIMESTAMP column flows through the CDF stream's Arrow-batch
+    path intact (stored parquet micros, tz-aware in Arrow, UTC session):
+    the one type whose naive-vs-UTC handoff could silently shift
+    values."""
+    import datetime as dt
+
+    from zio_analytics_spark.sources.lakestream import register_lake_cdf
+
+    register_lake_cdf(spark)
+    t = str(tmp_path / "t")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    lake.create_table(
+        spark.createDataFrame(
+            [(0, dt.datetime(2026, 1, 1, 12, 0, 0))], "k long, ts timestamp"
+        ),
+        t,
+        key_cols=["k"],
+    )
+    lake.append(
+        spark.createDataFrame(
+            [(1, dt.datetime(2026, 3, 4, 5, 6, 7))], "k long, ts timestamp"
+        ),
+        t,
+    )
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("path", t)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(sink)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.k, r.ts, r._change_type) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, dt.datetime(2026, 3, 4, 5, 6, 7), "insert")}
+
+
+def test_cdf_arrow_and_row_paths_agree(spark, tmp_path):
+    """The Arrow-batch fast path and the per-row fallback emit identical
+    rows — on a table exercising every synthesis case at once: stored
+    columns, a hive partition value, and an evolved-schema NULL."""
+    import pyarrow.parquet as pq
+
+    from zio_analytics_spark.sources.lakestream import _LakeCDFStreamReader
+
+    t = str(tmp_path / "t")
+    lake.create_table(
+        spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 2.0)], "k long, bucket long, amount double"
+        ),
+        t,
+        key_cols=["k"],
+        partition_by=["bucket"],
+    )
+    lake.append(
+        spark.createDataFrame(
+            [(2, 1, 3.0, "tagged")], "k long, bucket long, amount double, tag string"
+        ),
+        t,
+    )  # evolves schema
+    lake.append(
+        spark.createDataFrame([(3, 2, 4.0)], "k long, bucket long, amount double"), t
+    )  # pre-evolution shape post-evolution -> NULL tag
+    reader = _LakeCDFStreamReader({"path": t, "from_version": 0})
+    parts = reader.partitions({"version": 0}, {"version": lake.latest_version(t)})
+    via_arrow, via_rows = set(), set()
+    for p in parts:
+        if p.path is None:
+            continue
+        for out in reader.read(p):
+            assert hasattr(out, "num_rows"), "fast path did not emit RecordBatch"
+            for row in out.to_pylist():
+                via_arrow.add(tuple(row.values()))
+        tbl = pq.read_table(
+            p.path, columns=[c for c in reader.columns if c in reader._file_cols(p)]
+        )
+        via_rows.update(reader._read_rows(tbl, p))
+    assert via_arrow == via_rows
+    assert len(via_arrow) == 2  # k=2 (v1), k=3 (v2)
+
+
+def test_cdf_arrow_batch_throughput(spark, tmp_path):
+    """Round-14 verdict pin: on a wide table the Arrow-batch emission is
+    >=5x the per-row tuple path — the RecordBatch is yielded columnar,
+    never re-tupled through Python row by row."""
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from zio_analytics_spark.sources.lakestream import _LakeCDFStreamReader
+
+    t = str(tmp_path / "t")
+    wide = spark.range(40_000).selectExpr(
+        "id AS k", *[f"cast(id * {i} AS DOUBLE) AS c{i}" for i in range(30)]
+    )
+    lake.create_table(wide.limit(1).coalesce(1), t, key_cols=["k"])
+    lake.append(wide.coalesce(1), t)  # v1: the timed changed file
+    reader = _LakeCDFStreamReader({"path": t, "from_version": 0})
+    parts = [
+        p
+        for p in reader.partitions({"version": 0}, {"version": 1})
+        if p.path is not None
+    ]
+    assert len(parts) == 1
+    part = parts[0]
+    t0 = _time.perf_counter()
+    n_arrow = sum(b.num_rows for b in reader.read(part))
+    arrow_sec = _time.perf_counter() - t0
+    tbl = pq.read_table(
+        part.path, columns=[c for c in reader.columns if c in reader._file_cols(part)]
+    )
+    t0 = _time.perf_counter()
+    n_rows = sum(1 for _ in reader._read_rows(tbl, part))
+    rows_sec = _time.perf_counter() - t0
+    assert n_arrow == n_rows == 40_000
+    # arrow time includes its own parquet read; the row path was handed
+    # the table pre-read — the margin is conservative
+    assert rows_sec / arrow_sec >= 5, (rows_sec, arrow_sec)

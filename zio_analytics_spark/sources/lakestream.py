@@ -62,6 +62,30 @@ def _typed_value(v, simple_type: str | None):
     return v
 
 
+def _arrow_type(simple_type: str | None):
+    """The pyarrow type a SYNTHESIZED column (partition value, evolved-
+    schema NULL, change metadata) must carry so the RecordBatch matches
+    the declared stream schema. Returns None for types this map doesn't
+    cover — the reader then falls back to per-row tuple emission for
+    that file (correct, slower), never guesses."""
+    import pyarrow as pa
+
+    return {
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "boolean": pa.bool_(),
+        "string": pa.string(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }.get(simple_type)
+
+
 class _CDFPart(InputPartition):
     def __init__(
         self,
@@ -158,12 +182,72 @@ class _LakeCDFStreamReader(DataSourceStreamReader):
             parts.append(_CDFPart(None, "insert", v1, {}))
         return parts
 
-    def read(self, part: _CDFPart) -> Iterator[tuple]:
+    def read(self, part: _CDFPart) -> Iterator:
+        """Task-side read of one changed file. The fast path yields
+        ``pyarrow.RecordBatch`` directly (Spark 4's Python DataSource
+        accepts Arrow batches from ``read()``) — the parquet bytes are
+        already columnar in hand, and per-row tuple emission was the one
+        per-row-Python data path in the repo, a 10-50× throughput tax on
+        wide tables (round-14 verdict; ≥5× pinned in test_scale). Files
+        whose declared types fall outside the Arrow map, or whose stored
+        types refuse the cast, fall back to per-row tuples — identical
+        rows, never a wrong answer."""
         if part.path is None:
             return
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(part.path)
+        tbl = pq.read_table(
+            part.path, columns=[c for c in self.columns if c in self._file_cols(part)]
+        )
+        out = self._assemble_arrow(tbl, part)
+        if out is not None:
+            yield from out.to_batches()
+            return
+        yield from self._read_rows(tbl, part)
+
+    @staticmethod
+    def _file_cols(part: _CDFPart) -> set:
+        import pyarrow.parquet as pq
+
+        return set(pq.ParquetFile(part.path).schema_arrow.names)
+
+    def _assemble_arrow(self, tbl, part: _CDFPart):
+        """The output table for one changed file, fully columnar: stored
+        columns pass through (cast to the declared type when an older
+        file predates a widening), partition values and evolved-schema
+        NULLs materialize as constant/null arrays, change metadata as
+        repeated scalars. Returns None when any declared type is outside
+        the Arrow map — the caller falls back to rows."""
+        import pyarrow as pa
+
+        present = set(tbl.column_names)
+        n = tbl.num_rows
+        arrays, names = [], []
+        try:
+            for c in self.columns:
+                want = _arrow_type(self.types.get(c))
+                if want is None:
+                    return None
+                if c in present:
+                    col = tbl.column(c)
+                    arrays.append(col if col.type == want else col.cast(want))
+                elif c in part.partition_values:  # hive layout: dir value
+                    v = _typed_value(part.partition_values[c], self.types.get(c))
+                    arrays.append(pa.repeat(pa.scalar(v, type=want), n))
+                else:  # written before this column existed: NULL
+                    arrays.append(pa.nulls(n, type=want))
+                names.append(c)
+            arrays.append(pa.repeat(pa.scalar(part.change_type, pa.string()), n))
+            names.append("_change_type")
+            arrays.append(pa.repeat(pa.scalar(part.commit_version, pa.int64()), n))
+            names.append("_commit_version")
+            return pa.table(arrays, names=names)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            return None
+
+    def _read_rows(self, tbl, part: _CDFPart) -> Iterator[tuple]:
+        """Row-at-a-time fallback (the pre-round-15 path), kept for types
+        the Arrow assembly can't express."""
         present = set(tbl.column_names)
         n = tbl.num_rows
         cols = []

@@ -66,10 +66,26 @@ class _CorpusReader(DataSourceReader):
             for lo in range(0, self.n_docs, step)
         ]
 
-    def read(self, partition: _Shard) -> Iterator[tuple]:
-        """Executed in the task: generate this shard's rows only."""
-        for doc_id in range(partition.start, partition.end):
-            yield (doc_id, corpus_text(doc_id), doc_id % 3)
+    def read(self, partition: _Shard) -> Iterator:
+        """Executed in the task: generate this shard's rows only — as
+        ``pyarrow.RecordBatch``es (Spark 4's Python DataSource accepts
+        Arrow batches from ``read()``; per-row tuple emission pays a
+        10-50× serialization tax on wide tables — round-14 verdict).
+        Batches are capped at 64k rows so a huge shard never materializes
+        as one Python list."""
+        import pyarrow as pa
+
+        for lo in range(partition.start, partition.end, 65536):
+            hi = min(lo + 65536, partition.end)
+            ids = range(lo, hi)
+            yield pa.record_batch(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array([corpus_text(d) for d in ids], pa.string()),
+                    pa.array([d % 3 for d in ids], pa.int32()),
+                ],
+                names=["doc_id", "text", "shard"],
+            )
 
 
 class _CorpusStreamReader(SimpleDataSourceStreamReader):
@@ -78,7 +94,13 @@ class _CorpusStreamReader(SimpleDataSourceStreamReader):
     ``n_docs`` is reached. ``read`` advances the offset, ``readBetweenOffsets``
     regenerates any committed range deterministically — which is exactly
     what makes a custom streaming source replayable/exactly-once-able: the
-    offset fully determines the data."""
+    offset fully determines the data.
+
+    This SIMPLE stream reader stays on tuple emission by design: its
+    contract prefetches rows on the DRIVER (pyspark's
+    SimpleDataSourceStreamReader seam), so Arrow batching buys nothing
+    here — the partition-planned readers (lake_cdf, the batch reader
+    above) are the Arrow paths."""
 
     def __init__(self, options) -> None:
         self.n_docs = int(options.get("n_docs", 1000))
