@@ -1453,7 +1453,7 @@ def test_cdf_arrow_and_row_paths_agree(spark, tmp_path):
             for row in out.to_pylist():
                 via_arrow.add(tuple(row.values()))
         tbl = pq.read_table(
-            p.path, columns=[c for c in reader.columns if c in reader._file_cols(p)]
+            p.path, columns=[c for c in reader.columns if c in reader._file_cols(p.path)]
         )
         via_rows.update(reader._read_rows(tbl, p))
     assert via_arrow == via_rows
@@ -1488,7 +1488,7 @@ def test_cdf_arrow_batch_throughput(spark, tmp_path):
     n_arrow = sum(b.num_rows for b in reader.read(part))
     arrow_sec = _time.perf_counter() - t0
     tbl = pq.read_table(
-        part.path, columns=[c for c in reader.columns if c in reader._file_cols(part)]
+        part.path, columns=[c for c in reader.columns if c in reader._file_cols(part.path)]
     )
     t0 = _time.perf_counter()
     n_rows = sum(1 for _ in reader._read_rows(tbl, part))
@@ -1497,3 +1497,91 @@ def test_cdf_arrow_batch_throughput(spark, tmp_path):
     # arrow time includes its own parquet read; the row path was handed
     # the table pre-read — the margin is conservative
     assert rows_sec / arrow_sec >= 5, (rows_sec, arrow_sec)
+
+
+def test_table_changes_net(spark, tmp_path):
+    """net=True row-grain CDF: rewritten-but-unchanged rows VANISH, real
+    updates surface as update_preimage/update_postimage pairs, deletes
+    and inserts keep their types, and a COMPACT commit nets to ZERO."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 100).repartition(2), t, key_cols=["k"])
+    src = spark.createDataFrame(
+        [(0, 9, -1.0), (50, 9, -2.0), (99, 9, -3.0), (200, 9, 1.0), (201, 9, 2.0)],
+        "k long, grp long, amount double",
+    )
+    lake.merge(spark, t, src)  # v1: 3 updates + 2 inserts, ~100 rows rewritten
+    lake.delete_where(spark, t, "grp = 3")  # v2: 20 deletes, survivors rewritten
+    lake.compact(spark, t, target_files=2)  # v3: pure layout change
+    by: dict = {}
+    for r in lake.table_changes(spark, t, 0, net=True).collect():
+        by.setdefault((r._commit_version, r._change_type), set()).add(
+            (r.k, r.grp, r.amount)
+        )
+    assert by[(1, "insert")] == {(200, 9, 1.0), (201, 9, 2.0)}
+    assert by[(1, "update_preimage")] == {(0, 0, 0.0), (50, 0, 500.0), (99, 4, 990.0)}
+    assert by[(1, "update_postimage")] == {(0, 9, -1.0), (50, 9, -2.0), (99, 9, -3.0)}
+    assert (1, "delete") not in by  # ~97 rewritten-but-unchanged rows vanished
+    assert by[(2, "delete")] == {
+        (k, 3, k * 10.0) for k in range(100) if k % 5 == 3
+    }
+    assert all(ct == "delete" for cv, ct in by if cv == 2)
+    assert not any(cv == 3 for cv, _ct in by), "COMPACT must net to zero"
+
+
+def test_table_changes_net_requires_keys(spark, tmp_path):
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 10), t)  # no key_cols
+    with pytest.raises(ValueError, match="key_cols"):
+        lake.table_changes(spark, t, 0, net=True)
+
+
+def test_lake_cdf_stream_net(spark, tmp_path):
+    """The lake_cdf stream's net option matches table_changes(net=True):
+    one partitioned table, a MERGE (update+insert) and a COMPACT — the
+    stream emits exactly the row-level net changes, nothing from the
+    compact, partition values materialized from the hive dirs."""
+    from zio_analytics_spark.sources.lakestream import register_lake_cdf
+
+    register_lake_cdf(spark)
+    t = str(tmp_path / "t")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    lake.create_table(
+        spark.createDataFrame(
+            [(k, k % 3, float(k)) for k in range(30)],
+            "k long, bucket long, amount double",
+        ),
+        t,
+        key_cols=["k"],
+        partition_by=["bucket"],
+    )
+    lake.merge(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(7, 1, -7.0), (100, 2, 100.0)], "k long, bucket long, amount double"
+        ),
+    )  # v1: update k=7, insert k=100
+    lake.compact(spark, t, target_files=1)  # v2: nets to zero
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("path", t)
+        .option("net", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(sink)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.k, r.bucket, r.amount, r._change_type, r._commit_version)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {
+        (100, 2, 100.0, "insert", 1),
+        (7, 1, 7.0, "update_preimage", 1),
+        (7, 1, -7.0, "update_postimage", 1),
+    }

@@ -100,12 +100,25 @@ class _CDFPart(InputPartition):
         self.partition_values = partition_values
 
 
+class _NetCDFPart(InputPartition):
+    """NET mode plans ONE partition per commit (file-grain mode plans one
+    per file): the task must see the commit's whole added AND removed
+    sides to anti-join them. ``added``/``removed`` are lists of
+    (resolved path, partition values)."""
+
+    def __init__(self, version: int, added: list, removed: list) -> None:
+        self.version = version
+        self.added = added
+        self.removed = removed
+
+
 class _LakeCDFStreamReader(DataSourceStreamReader):
     def __init__(self, options) -> None:
         self.table = options.get("path")
         if not self.table:
             raise ValueError("lake_cdf requires .option('path', <table dir>)")
         self.from_version = int(options.get("from_version", 0))
+        self.net = str(options.get("net", "false")).lower() == "true"
         snap = laketable.snapshot(self.table)
         if not snap.schema:
             raise ValueError(
@@ -114,6 +127,21 @@ class _LakeCDFStreamReader(DataSourceStreamReader):
             )
         self.columns = list(snap.schema)
         self.types = dict(snap.schema)
+        self.keys = list(snap.key_cols)
+        if self.net:
+            if not self.keys:
+                raise ValueError(
+                    f"{self.table} has no key_cols; net CDF joins added vs "
+                    "removed rows by key — drop .option('net') for the "
+                    "file-grain feed"
+                )
+            bad = [c for c in self.columns if _arrow_type(self.types[c]) is None]
+            if bad:
+                raise ValueError(
+                    f"net CDF needs Arrow-expressible column types; {bad} "
+                    "fall outside the map (file-grain mode supports them "
+                    "via the row fallback)"
+                )
 
     def initialOffset(self) -> dict:
         return {"version": self.from_version}
@@ -122,41 +150,34 @@ class _LakeCDFStreamReader(DataSourceStreamReader):
         return {"version": laketable.latest_version(self.table)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        import json
-
+        # per-commit file deltas come from laketable's shared walker: ONE
+        # snapshot resolve at the range start, each commit file read once
+        # (never O(range) log replays on the streaming hot path). Data-
+        # file URIs resolve through the storage seam (round-14 ADVICE) —
+        # resolution happens HERE (driver, partition planning) so the
+        # task-side read needs no storage object at all.
         v0, v1 = int(start["version"]), int(end["version"])
-        commits, _ = laketable._list_log(self.table)
-        storage = laketable.get_storage()
-        # data-file URIs resolve through the storage seam (round-14
-        # ADVICE): the storage owns the rel-path → readable-URI mapping,
-        # and resolution happens HERE (driver, partition planning) so the
-        # task-side read needs no storage object at all
-        resolve = storage.resolve_read_path
-        # ONE snapshot resolve at the range start, then each commit file
-        # in the range is read ONCE and its actions applied incrementally
-        # — a per-version snapshot() here would replay the log from the
-        # last checkpoint O(range) times on the streaming hot path
-        live = dict(laketable.snapshot(self.table, v0).files)
-        parts: list[_CDFPart] = []
-        for v in commits:
-            if v <= v0 or v > v1:
+        resolve = laketable.get_storage().resolve_read_path
+        parts: list[InputPartition] = []
+        for v, added, removed, _schema in laketable._commit_file_deltas(
+            self.table, v0, v1
+        ):
+            if self.net:
+                if added or removed:
+                    parts.append(
+                        _NetCDFPart(
+                            v,
+                            [
+                                (resolve(self.table, rel), a.get("partition", {}))
+                                for rel, a in sorted(added.items())
+                            ],
+                            [
+                                (resolve(self.table, rel), a.get("partition", {}))
+                                for rel, a in sorted(removed.items())
+                            ],
+                        )
+                    )
                 continue
-            added: dict = {}
-            removed: dict = {}
-            raw = storage.read_bytes(laketable._log_path(self.table, v))
-            for line in raw.splitlines():
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "add" in action:
-                    a = action["add"]
-                    added[a["path"]] = a
-                elif "remove" in action:
-                    p = action["remove"]["path"]
-                    if p in added:  # transient within one commit
-                        added.pop(p)
-                    elif p in live:
-                        removed[p] = live[p]
             for rel in sorted(added):
                 parts.append(
                     _CDFPart(
@@ -175,9 +196,6 @@ class _LakeCDFStreamReader(DataSourceStreamReader):
                         removed[rel].get("partition", {}),
                     )
                 )
-            live.update(added)
-            for p in removed:
-                live.pop(p, None)
         if not parts:  # meta-only commits in range: an empty batch
             parts.append(_CDFPart(None, "insert", v1, {}))
         return parts
@@ -192,37 +210,47 @@ class _LakeCDFStreamReader(DataSourceStreamReader):
         whose declared types fall outside the Arrow map, or whose stored
         types refuse the cast, fall back to per-row tuples — identical
         rows, never a wrong answer."""
+        if isinstance(part, _NetCDFPart):
+            yield from self._read_net(part)
+            return
         if part.path is None:
+            return
+        aligned = self._aligned_table(part.path, part.partition_values)
+        if aligned is not None:
+            yield from self._with_meta(
+                aligned, part.change_type, part.commit_version
+            )
             return
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(
-            part.path, columns=[c for c in self.columns if c in self._file_cols(part)]
+            part.path,
+            columns=[c for c in self.columns if c in self._file_cols(part.path)],
         )
-        out = self._assemble_arrow(tbl, part)
-        if out is not None:
-            yield from out.to_batches()
-            return
         yield from self._read_rows(tbl, part)
 
     @staticmethod
-    def _file_cols(part: _CDFPart) -> set:
+    def _file_cols(path: str) -> set:
         import pyarrow.parquet as pq
 
-        return set(pq.ParquetFile(part.path).schema_arrow.names)
+        return set(pq.ParquetFile(path).schema_arrow.names)
 
-    def _assemble_arrow(self, tbl, part: _CDFPart):
-        """The output table for one changed file, fully columnar: stored
-        columns pass through (cast to the declared type when an older
-        file predates a widening), partition values and evolved-schema
-        NULLs materialize as constant/null arrays, change metadata as
-        repeated scalars. Returns None when any declared type is outside
-        the Arrow map — the caller falls back to rows."""
+    def _aligned_table(self, path: str, partition_values: dict):
+        """One data file as a pa.Table of EXACTLY the declared columns:
+        stored columns pass through (cast to the declared type when an
+        older file predates a widening), partition values and evolved-
+        schema NULLs materialize as repeated-scalar/null arrays. Returns
+        None when any declared type is outside the Arrow map — the
+        caller falls back to rows."""
         import pyarrow as pa
+        import pyarrow.parquet as pq
 
-        present = set(tbl.column_names)
+        present = self._file_cols(path)
+        tbl = pq.read_table(
+            path, columns=[c for c in self.columns if c in present]
+        )
         n = tbl.num_rows
-        arrays, names = [], []
+        arrays = []
         try:
             for c in self.columns:
                 want = _arrow_type(self.types.get(c))
@@ -231,19 +259,108 @@ class _LakeCDFStreamReader(DataSourceStreamReader):
                 if c in present:
                     col = tbl.column(c)
                     arrays.append(col if col.type == want else col.cast(want))
-                elif c in part.partition_values:  # hive layout: dir value
-                    v = _typed_value(part.partition_values[c], self.types.get(c))
+                elif c in partition_values:  # hive layout: dir value
+                    v = _typed_value(partition_values[c], self.types.get(c))
                     arrays.append(pa.repeat(pa.scalar(v, type=want), n))
                 else:  # written before this column existed: NULL
                     arrays.append(pa.nulls(n, type=want))
-                names.append(c)
-            arrays.append(pa.repeat(pa.scalar(part.change_type, pa.string()), n))
-            names.append("_change_type")
-            arrays.append(pa.repeat(pa.scalar(part.commit_version, pa.int64()), n))
-            names.append("_commit_version")
-            return pa.table(arrays, names=names)
+            return pa.table(arrays, names=list(self.columns))
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
             return None
+
+    def _with_meta(self, tbl, change_type: str, version: int):
+        import pyarrow as pa
+
+        n = tbl.num_rows
+        out = tbl.append_column(
+            "_change_type", pa.repeat(pa.scalar(change_type, pa.string()), n)
+        ).append_column(
+            "_commit_version", pa.repeat(pa.scalar(version, pa.int64()), n)
+        )
+        yield from out.to_batches()
+
+    def _read_net(self, part: _NetCDFPart):
+        """NET row-level changes of one commit, computed task-side in
+        Arrow (Acero hash joins — no Python row loop anywhere): the
+        added side anti-joined to the removed side on key_cols gives
+        inserts/deletes; matched keys with value changes surface as
+        update_preimage/update_postimage pairs; rewritten-but-unchanged
+        rows (the bulk of a MERGE rewrite, ALL of a COMPACT) vanish.
+        Memory is one commit's changed files per task (file-grain mode
+        is one file per task) — the documented trade for net semantics.
+        Keys are assumed unique per side within a commit, the same
+        contract MERGE upserts under. NaN values compare as changed
+        unless BOTH sides are NaN."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def side(files):
+            tables = []
+            for path, pvals in files:
+                t = self._aligned_table(path, pvals)
+                if t is None:  # init() pre-checks types; a cast refused
+                    raise ValueError(
+                        f"net CDF could not align {path} to the declared "
+                        f"schema {self.types}"
+                    )
+                tables.append(t)
+            if not tables:
+                return None
+            return pa.concat_tables(tables).combine_chunks()
+
+        added, removed = side(part.added), side(part.removed)
+        v = part.version
+        if removed is None and added is not None:
+            yield from self._with_meta(added, "insert", v)
+            return
+        if added is None and removed is not None:
+            yield from self._with_meta(removed, "delete", v)
+            return
+        if added is None and removed is None:
+            return
+        keys = self.keys
+        ka = pa.table(
+            {**{k: added[k] for k in keys},
+             "__ia": pa.array(np.arange(added.num_rows, dtype=np.int64))}
+        )
+        kr = pa.table(
+            {**{k: removed[k] for k in keys},
+             "__ir": pa.array(np.arange(removed.num_rows, dtype=np.int64))}
+        )
+        ins_idx = ka.join(kr, keys=keys, join_type="left anti")["__ia"]
+        del_idx = kr.join(ka, keys=keys, join_type="left anti")["__ir"]
+        matched = ka.join(kr, keys=keys, join_type="inner")
+        if len(ins_idx):
+            yield from self._with_meta(added.take(ins_idx), "insert", v)
+        if len(del_idx):
+            yield from self._with_meta(removed.take(del_idx), "delete", v)
+        if not matched.num_rows:
+            return
+        post = added.take(matched["__ia"]).combine_chunks()
+        pre = removed.take(matched["__ir"]).combine_chunks()
+        changed = None
+        for c in self.columns:
+            if c in keys:
+                continue
+            x, y = post[c], pre[c]
+            eq = pc.or_(
+                pc.fill_null(pc.equal(x, y), False),
+                pc.and_(pc.is_null(x), pc.is_null(y)),
+            )
+            if pa.types.is_floating(x.type):
+                eq = pc.or_(
+                    eq,
+                    pc.and_(
+                        pc.fill_null(pc.is_nan(x), False),
+                        pc.fill_null(pc.is_nan(y), False),
+                    ),
+                )
+            diff = pc.invert(eq)
+            changed = diff if changed is None else pc.or_(changed, diff)
+        if changed is not None and pc.any(changed).as_py():
+            yield from self._with_meta(pre.filter(changed), "update_preimage", v)
+            yield from self._with_meta(post.filter(changed), "update_postimage", v)
 
     def _read_rows(self, tbl, part: _CDFPart) -> Iterator[tuple]:
         """Row-at-a-time fallback (the pre-round-15 path), kept for types
@@ -273,7 +390,12 @@ class LakeCDFDataSource(DataSource):
     """``spark.readStream.format("lake_cdf").option("path", table)`` —
     incremental change-data-feed over the lake table's transaction log.
     ``from_version`` (default 0) = emit changes committed AFTER that
-    version, matching ``table_changes(from_version, ...)``."""
+    version, matching ``table_changes(from_version, ...)``.
+    ``.option("net", "true")`` lifts the feed from file grain to ROW
+    grain (matching ``table_changes(..., net=True)``): rewritten-but-
+    unchanged rows vanish, real updates surface as update_preimage/
+    update_postimage pairs, a COMPACT commit nets to zero — requires
+    the table to have key_cols."""
 
     @classmethod
     def name(cls) -> str:

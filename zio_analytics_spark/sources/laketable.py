@@ -87,7 +87,7 @@ import os
 import shutil
 import urllib.parse
 import uuid
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1096,11 +1096,125 @@ def compact(
     return _commit(table, snap.version + 1, actions, "COMPACT")
 
 
+def _commit_file_deltas(
+    table: str, from_version: int, to_version: int
+) -> Iterator[tuple[int, dict, dict, dict]]:
+    """Per-commit (version, added_actions, removed_actions, schema_asof)
+    for every commit in ``(from_version, to_version]`` — ONE snapshot
+    resolve at the range start, then each commit file is read once and
+    applied incrementally (never O(range) log replays). A file added and
+    removed within the range still surfaces in both commits; a file
+    added and removed inside ONE commit is transient and skipped."""
+    commits, _ = _list_log(table)
+    storage = get_storage()
+    snap0 = snapshot(table, from_version)
+    live = dict(snap0.files)
+    schema = dict(snap0.schema)
+    for v in commits:
+        if v <= from_version or v > to_version:
+            continue
+        added: dict = {}
+        removed: dict = {}
+        for line in storage.read_bytes(_log_path(table, v)).splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "meta" in action:
+                schema.update(action["meta"].get("schema", {}))
+            elif "add" in action:
+                added[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                p = action["remove"]["path"]
+                if p in added:  # transient within one commit
+                    added.pop(p)
+                elif p in live:
+                    removed[p] = live[p]
+        yield v, added, removed, dict(schema)
+        live.update(added)
+        for p in removed:
+            live.pop(p, None)
+
+
+def _net_commit_changes(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    added: dict,
+    removed: dict,
+    schema: dict,
+    keys: Sequence[str],
+    partition_by: Sequence[str],
+) -> DataFrame | None:
+    """NET row-level changes of one commit: the added side full-outer-
+    joined to the removed side on key_cols — a key only in the added
+    side is ``insert``, only in the removed side ``delete``, present in
+    both with identical values VANISHES (the rewritten-but-unchanged
+    bulk of a MERGE/COMPACT rewrite), and a real change surfaces as its
+    ``update_preimage``/``update_postimage`` pair (the published row-
+    level CDF decomposition). Still O(this commit's changed files)."""
+    snap = LakeSnapshot(
+        version=version, schema=schema, partition_by=list(partition_by)
+    )
+    cols = list(schema)
+    value_cols = [c for c in cols if c not in keys]
+    out_cols = [
+        *cols,
+        F.col("__ct").alias("_change_type"),
+        F.lit(version).cast("bigint").alias("_commit_version"),
+    ]
+    if not added and not removed:
+        return None
+    if not removed:
+        return _read_files(spark, table, snap, paths=list(added)).select(
+            *cols, F.lit("insert").alias("__ct")
+        ).select(*out_cols)
+    if not added:
+        return _read_files(spark, table, snap, paths=list(removed)).select(
+            *cols, F.lit("delete").alias("__ct")
+        ).select(*out_cols)
+    payload = value_cols or cols  # keys-only table: presence IS the value
+    a = _read_files(spark, table, snap, paths=list(added)).select(
+        *keys, F.struct(*payload).alias("__a"), F.lit(True).alias("__pa")
+    )
+    r = _read_files(spark, table, snap, paths=list(removed)).select(
+        *keys, F.struct(*payload).alias("__r"), F.lit(True).alias("__pr")
+    )
+    j = a.join(r, list(keys), "full_outer")
+    # one pass, one explode: unchanged pairs emit a sentinel filtered
+    # below (typing an EMPTY array literal is messier than filtering)
+    pair = lambda ct, v: F.struct(  # noqa: E731
+        F.lit(ct).alias("ct"), F.col(v).alias("v")
+    )
+    arr = (
+        F.when(F.col("__pr").isNull(), F.array(pair("insert", "__a")))
+        .when(F.col("__pa").isNull(), F.array(pair("delete", "__r")))
+        .when(
+            F.col("__a").eqNullSafe(F.col("__r")), F.array(pair("none", "__a"))
+        )
+        .otherwise(
+            F.array(
+                pair("update_preimage", "__r"), pair("update_postimage", "__a")
+            )
+        )
+    )
+    exploded = (
+        j.select(*keys, F.explode(arr).alias("__c"))
+        .where(F.col("__c.ct") != "none")
+        .select(
+            *keys,
+            *[F.col(f"__c.v.{c}").alias(c) for c in value_cols],
+            F.col("__c.ct").alias("__ct"),
+        )
+    )
+    return exploded.select(*out_cols)
+
+
 def table_changes(
     spark: SparkSession,
     table: str,
     from_version: int,
     to_version: int | None = None,
+    net: bool = False,
 ) -> DataFrame:
     """CHANGE DATA FEED between two versions, derived purely from the
     log: rows in files ADDED in (from_version, to_version] surface as
@@ -1114,9 +1228,48 @@ def table_changes(
     schema-evolution commit surfaces NULLs for the new column instead of
     throwing (round-13 ADVICE).
 
-    Note COMPACT commits add/remove file pairs with identical rows —
-    consumers that only want NET changes should aggregate the
-    delete+insert pairs away by key."""
+    ``net=True`` (round-14 verdict #3) lifts the feed from file grain to
+    ROW grain: within each commit the added side is anti/full-outer
+    joined to the removed side on the table's key_cols, so rewritten-
+    but-unchanged rows VANISH, a COMPACT commit nets to ZERO changes,
+    and a real update surfaces as its ``update_preimage`` /
+    ``update_postimage`` pair with ``_commit_version`` attached — Delta's
+    published row-level CDF shape. Cost stays O(changed files) per
+    commit (the join's inputs are exactly the commit's rewritten files);
+    requires key_cols, and assumes keys are unique per side within a
+    commit (the same contract MERGE upserts under). NaN payload values
+    compare as CHANGED (IEEE semantics) — rewrites copy bit-identical
+    doubles, so only a genuine NaN-producing update surfaces."""
+    if net:
+        snap0 = snapshot(table, from_version)
+        keys = snap0.key_cols
+        if not keys:
+            raise ValueError(
+                f"{table} has no key_cols; net CDF joins added vs removed "
+                "rows by key — use net=False for the file-grain feed"
+            )
+        if to_version is None:
+            to_version = latest_version(table)
+        parts = []
+        for v, added, removed, schema in _commit_file_deltas(
+            table, from_version, to_version
+        ):
+            df = _net_commit_changes(
+                spark, table, v, added, removed, schema, keys, snap0.partition_by
+            )
+            if df is not None:
+                parts.append(df)
+        if not parts:
+            base = _read_files(spark, table, snapshot(table, to_version))
+            return (
+                base.withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(0).cast("bigint"))
+                .limit(0)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
     snap_from = snapshot(table, from_version)
     snap_to = snapshot(table, to_version)
     added = sorted(set(snap_to.files) - set(snap_from.files))
