@@ -142,14 +142,14 @@ def test_merge_retries_through_conflict(spark, tmp_path):
     orig_snapshot = lake.snapshot
     state = {"first": True}
 
-    def stale_then_fresh(table, version=None):
+    def stale_then_fresh(table, version=None, **kw):
         if state["first"]:
             state["first"] = False
-            s = orig_snapshot(table, version)
+            s = orig_snapshot(table, version, **kw)
             # concurrently, another writer lands a merge
             lake.merge(spark, t, other)
             return s  # stale snapshot: resolved before the other commit
-        return orig_snapshot(table, version)
+        return orig_snapshot(table, version, **kw)
 
     with mock.patch.object(lake, "snapshot", side_effect=stale_then_fresh):
         v = lake.merge(spark, t, third)
@@ -168,17 +168,58 @@ def test_checkpoint_bounds_log_replay(spark, tmp_path):
             ),
             t,
         )
-    # checkpoint written at v10
-    assert os.path.exists(
-        os.path.join(t, "_log", f"{10:020d}.checkpoint.json")
-    )
+    # checkpoint written at v10 — PARQUET format (round-15), Spark/
+    # pyarrow-readable, meta in the key-value metadata
+    cp_path = os.path.join(t, "_log", f"{10:020d}.checkpoint.parquet")
+    assert os.path.exists(cp_path)
     snap = lake.snapshot(t)
     assert snap.version == 12
     assert lake.read_snapshot(spark, t).count() == 32
     # checkpointed resolve equals full replay
-    cp = json.load(open(os.path.join(t, "_log", f"{10:020d}.checkpoint.json")))
-    assert cp["key_cols"] == ["k"]
+    state = lake._load_checkpoint(t, 10)
+    assert state["key_cols"] == ["k"]
+    assert len(state["files"]) == len(lake.snapshot(t, 10).files)
     assert lake.read_snapshot(spark, t, 10).count() == 30
+    # meta-only load never parses the file rows
+    meta_only = lake._load_checkpoint(t, 10, with_files=False)
+    assert meta_only["key_cols"] == ["k"] and meta_only["files"] == []
+
+
+def test_json_checkpoint_format_still_resolves(spark, tmp_path):
+    """Pre-round-15 tables carry JSON checkpoints — both formats resolve,
+    and a corrupt parquet checkpoint falls back to the JSON twin, then to
+    full log replay (checkpoints are an optimization, never truth)."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 20), t, key_cols=["k"])
+    for i in range(12):
+        lake.append(
+            spark.createDataFrame(
+                [(1000 + i, 0, 1.0)], "k long, grp long, amount double"
+            ),
+            t,
+        )
+    pq_cp = os.path.join(t, "_log", f"{10:020d}.checkpoint.parquet")
+    json_cp = os.path.join(t, "_log", f"{10:020d}.checkpoint.json")
+    # write the legacy-format twin from the same state, drop the parquet
+    snap10 = lake.snapshot(t, 10)
+    with open(json_cp, "w") as f:
+        json.dump(
+            {
+                "files": list(snap10.files.values()),
+                "key_cols": snap10.key_cols,
+                "schema": snap10.schema,
+                "partition_by": snap10.partition_by,
+            },
+            f,
+        )
+    os.remove(pq_cp)
+    assert lake.snapshot(t).version == 12
+    assert lake.read_snapshot(spark, t).count() == 32
+    assert lake.snapshot(t, with_files=False).key_cols == ["k"]
+    # corrupt JSON too -> full replay still resolves identically
+    with open(json_cp, "w") as f:
+        f.write("{ truncated")
+    assert lake.read_snapshot(spark, t).count() == 32
 
 
 def test_history_audit(spark, tmp_path):
@@ -585,10 +626,10 @@ def test_corrupt_checkpoint_falls_back_to_log_replay(spark, tmp_path):
             ),
             t,
         )
-    cp = os.path.join(t, "_log", f"{10:020d}.checkpoint.json")
+    cp = os.path.join(t, "_log", f"{10:020d}.checkpoint.parquet")
     assert os.path.exists(cp)
-    with open(cp, "w") as f:
-        f.write('{"files": [')  # torn write
+    with open(cp, "wb") as f:
+        f.write(b"PAR1 torn")  # torn write
     assert lake.read_snapshot(spark, t).count() == 31
     assert lake.read_snapshot(spark, t, 10).count() == 30
 
@@ -1585,3 +1626,120 @@ def test_lake_cdf_stream_net(spark, tmp_path):
         (7, 1, 7.0, "update_preimage", 1),
         (7, 1, -7.0, "update_postimage", 1),
     }
+
+
+def test_prune_files_distributed_matches_driver(spark, tmp_path):
+    """prune_files over a parquet checkpoint (Spark-side stats predicate
+    + driver tail replay) returns exactly the full driver-replay answer,
+    with tail adds and removes applied on top of the checkpoint."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        _orders(spark, 1000).repartitionByRange(8, "k"), t, key_cols=["k"]
+    )
+    for i in range(12):  # crosses the v10 checkpoint
+        lake.append(
+            spark.createDataFrame(
+                [(2000 + i, 0, 1.0)], "k long, grp long, amount double"
+            ),
+            t,
+        )
+    assert os.path.exists(os.path.join(t, "_log", f"{10:020d}.checkpoint.parquet"))
+    ranges = {"k": (100, 260)}
+    got = lake.prune_files(spark, t, ranges)
+    snap = lake.snapshot(t)
+    want = {
+        p
+        for p, a in snap.files.items()
+        if not (
+            a.get("stats", {}).get("k")
+            and lake._stats_disjoint(a["stats"]["k"], 100, 260)
+        )
+    }
+    assert set(got) == want
+    assert 0 < len(got) < len(snap.files)  # it actually pruned something
+
+
+def test_merge_bounded_driver_past_checkpoint(spark, tmp_path):
+    """MERGE on a checkpointed table: meta-only snapshot + distributed
+    prune — correct result, untouched range files survive by
+    reference."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        _orders(spark, 1000).repartitionByRange(8, "k"), t, key_cols=["k"]
+    )
+    for i in range(10):
+        lake.append(
+            spark.createDataFrame(
+                [(3000 + i, 0, 1.0)], "k long, grp long, amount double"
+            ),
+            t,
+        )
+    before = set(lake.snapshot(t).files)
+    changes = spark.createDataFrame(
+        [(3, 7, 0.5), (4, 7, 0.5)], "k long, grp long, amount double"
+    )
+    lake.merge(spark, t, changes)
+    after = set(lake.snapshot(t).files)
+    assert len(before & after) >= 6, "files outside the changeset were rewritten"
+    st = _state(spark, t)
+    assert st[3] == (7, 0.5) and st[4] == (7, 0.5) and st[999] == (4, 9990.0)
+    assert len(st) == 1010
+
+
+def test_prune_files_50k_file_model(spark, tmp_path):
+    """Round-14 verdict #4 model test: a synthetic 50k-file parquet
+    checkpoint prunes IN SPARK — the driver materializes only the
+    touched list (two paths here), never 50k add actions; a meta-only
+    snapshot resolves without parsing the file rows at all; and the
+    post-checkpoint tail's adds/removes land on top."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    os.makedirs(os.path.join(t, "_log"))
+    schema = {"k": "bigint", "v": "double"}
+    meta = {"key_cols": ["k"], "schema": schema, "partition_by": []}
+    with open(os.path.join(t, "_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"version": 0, "operation": "CREATE"}}) + "\n")
+        f.write(json.dumps({"meta": meta}) + "\n")
+    n = 50_000
+    paths = [f"part-{i:05d}.parquet" for i in range(n)]
+    adds = [
+        json.dumps(
+            {
+                "path": p,
+                "rows": 100,
+                "stats": {"k": {"min": 100 * i, "max": 100 * i + 99}},
+            }
+        )
+        for i, p in enumerate(paths)
+    ]
+    tbl = pa.table(
+        [pa.array(paths, pa.string()), pa.array(adds, pa.string())],
+        names=["path", "add_json"],
+    ).replace_schema_metadata(
+        {b"lake.checkpoint.meta": json.dumps(meta).encode("utf-8")}
+    )
+    pq.write_table(tbl, os.path.join(t, "_log", f"{0:020d}.checkpoint.parquet"))
+    with open(os.path.join(t, "_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"version": 1, "operation": "MERGE"}}) + "\n")
+        f.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "part-extra.parquet",
+                        "rows": 5,
+                        "stats": {"k": {"min": 150, "max": 160}},
+                    }
+                }
+            )
+            + "\n"
+        )
+        f.write(json.dumps({"remove": {"path": "part-00001.parquet"}}) + "\n")
+    # meta-only snapshot: no file parsing, loud None for files
+    snap = lake.snapshot(t, with_files=False)
+    assert snap.files is None and snap.schema == schema
+    got = lake.prune_files(spark, t, {"k": (150, 260)})
+    # touched: file 1 (100..199, removed in the tail), file 2 (200..299),
+    # and the tail add (150..160); 49,997 files pruned Spark-side
+    assert got == ["part-00002.parquet", "part-extra.parquet"]

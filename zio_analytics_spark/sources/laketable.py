@@ -107,6 +107,7 @@ __all__ = [
     "merge",
     "delete_where",
     "read_snapshot",
+    "prune_files",
     "latest_version",
     "table_history",
     "vacuum",
@@ -336,17 +337,27 @@ def _log_path(table: str, version: int, checkpoint: bool = False) -> str:
     return os.path.join(table, _LOG_DIR, f"{version:0{_PAD}d}{suffix}")
 
 
+def _checkpoint_parquet_path(table: str, version: int) -> str:
+    return os.path.join(
+        table, _LOG_DIR, f"{version:0{_PAD}d}.checkpoint.parquet"
+    )
+
+
 def _list_log(table: str) -> tuple[list[int], list[int]]:
-    """(commit versions asc, checkpoint versions asc)."""
+    """(commit versions asc, checkpoint versions asc). Both checkpoint
+    formats count — parquet (current writer) and JSON (pre-round-15
+    tables stay readable)."""
     log_dir = os.path.join(table, _LOG_DIR)
     try:
         names = get_storage().list_names(log_dir)
     except FileNotFoundError:
         raise FileNotFoundError(f"not a lake table (no {_LOG_DIR}/): {table}")
-    commits, checkpoints = [], []
+    commits, checkpoints = [], set()
     for name in names:
         if name.endswith(".checkpoint.json"):
-            checkpoints.append(int(name[: -len(".checkpoint.json")]))
+            checkpoints.add(int(name[: -len(".checkpoint.json")]))
+        elif name.endswith(".checkpoint.parquet"):
+            checkpoints.add(int(name[: -len(".checkpoint.parquet")]))
         elif name.endswith(".json"):
             commits.append(int(name[: -len(".json")]))
     return sorted(commits), sorted(checkpoints)
@@ -359,22 +370,96 @@ def latest_version(table: str) -> int:
     return commits[-1]
 
 
-def _load_checkpoint(table: str, version: int) -> dict | None:
+#: parquet key-value metadata key carrying the table meta in a
+#: parquet-format checkpoint
+_CP_META_KEY = b"lake.checkpoint.meta"
+
+
+def _write_checkpoint_parquet(table: str, version: int, snap: LakeSnapshot) -> None:
+    """Checkpoint as PARQUET (round-14 verdict #4): one row per live file
+    (``path``, ``add_json`` — the verbatim add action, roundtrip-exact),
+    table meta in the file's key-value metadata. Spark can read this
+    DISTRIBUTED, which is what keeps MERGE/DELETE pruning off the driver
+    at large file counts (:func:`prune_files`); the driver-side
+    :func:`snapshot` reads the same bytes via pyarrow. Published
+    atomically through the storage seam like every log artifact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    paths, adds = [], []
+    for p, a in snap.files.items():
+        paths.append(p)
+        adds.append(json.dumps(a))
+    meta = {
+        "key_cols": snap.key_cols,
+        "schema": snap.schema,
+        "partition_by": snap.partition_by,
+    }
+    tbl = pa.table(
+        [pa.array(paths, pa.string()), pa.array(adds, pa.string())],
+        names=["path", "add_json"],
+    ).replace_schema_metadata({_CP_META_KEY: json.dumps(meta).encode("utf-8")})
+    buf = pa.BufferOutputStream()
+    pq.write_table(tbl, buf)
+    get_storage().put_atomic(
+        _checkpoint_parquet_path(table, version), buf.getvalue().to_pybytes()
+    )
+
+
+def _load_checkpoint(
+    table: str, version: int, with_files: bool = True
+) -> dict | None:
     """A checkpoint is an optimization, never a source of truth: if it
     fails to read or parse (a pre-atomic writer crashed mid-write, or
     bit rot), skip it — the caller falls back to an older checkpoint or
-    to full log replay (round-13 ADVICE)."""
+    to full log replay (round-13 ADVICE). Parquet format is preferred;
+    JSON (pre-round-15 writer) stays readable. ``with_files=False``
+    returns the meta only — for parquet that skips parsing the file
+    rows entirely (the bounded-driver path)."""
+    storage = get_storage()
     try:
-        raw = get_storage().read_bytes(_log_path(table, version, checkpoint=True))
-        return json.loads(raw)
+        raw = storage.read_bytes(_checkpoint_parquet_path(table, version))
+    except OSError:
+        raw = None
+    if raw is not None:
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            if with_files:
+                tbl = pq.read_table(pa.BufferReader(raw))
+                kv = tbl.schema.metadata or {}
+                meta = json.loads(kv[_CP_META_KEY].decode("utf-8"))
+                files = [json.loads(s) for s in tbl.column("add_json").to_pylist()]
+                return {**meta, "files": files}
+            kv = pq.read_schema(pa.BufferReader(raw)).metadata or {}
+            meta = json.loads(kv[_CP_META_KEY].decode("utf-8"))
+            return {**meta, "files": []}
+        except (OSError, ValueError, KeyError):
+            pass  # corrupt parquet checkpoint: try the JSON twin / older
+    try:
+        raw = storage.read_bytes(_log_path(table, version, checkpoint=True))
+        state = json.loads(raw)
+        if not with_files:
+            state = {**state, "files": []}
+        return state
     except (OSError, ValueError):
         return None
 
 
-def snapshot(table: str, version: int | None = None) -> LakeSnapshot:
+def snapshot(
+    table: str, version: int | None = None, with_files: bool = True
+) -> LakeSnapshot:
     """Resolve the live file set as of ``version`` (default: latest) by
     replaying the log from the newest readable checkpoint at or below
-    it."""
+    it.
+
+    ``with_files=False`` resolves METADATA ONLY (version, key_cols,
+    schema, partition_by) with ``files=None`` — the driver never
+    materializes the file list (a parquet checkpoint's rows are not even
+    parsed). This is the bounded-driver mode MERGE uses together with
+    :func:`prune_files`; any accidental ``snap.files`` use fails loudly
+    on the None."""
     commits, checkpoints = _list_log(table)
     if version is None:
         if not commits:
@@ -388,7 +473,7 @@ def snapshot(table: str, version: int | None = None) -> LakeSnapshot:
     snap = LakeSnapshot(version=version)
     start = 0
     for cp in reversed([c for c in checkpoints if c <= version]):
-        state = _load_checkpoint(table, cp)
+        state = _load_checkpoint(table, cp, with_files=with_files)
         if state is None:
             continue  # corrupt/partial checkpoint: try an older one
         snap.files = {a["path"]: a for a in state["files"]}
@@ -411,10 +496,12 @@ def snapshot(table: str, version: int | None = None) -> LakeSnapshot:
                 snap.partition_by = action["meta"].get(
                     "partition_by", snap.partition_by
                 )
-            elif "add" in action:
+            elif with_files and "add" in action:
                 snap.files[action["add"]["path"]] = action["add"]
-            elif "remove" in action:
+            elif with_files and "remove" in action:
                 snap.files.pop(action["remove"]["path"], None)
+    if not with_files:
+        snap.files = None  # loud on misuse, never silently empty
     return snap
 
 
@@ -681,18 +768,7 @@ def _commit(
     if not get_storage().put_if_absent(path, payload):
         raise ConcurrentCommitError(version)
     if checkpoint_interval and version and version % checkpoint_interval == 0:
-        snap = snapshot(table, version)
-        get_storage().put_atomic(
-            _log_path(table, version, checkpoint=True),
-            json.dumps(
-                {
-                    "files": list(snap.files.values()),
-                    "key_cols": snap.key_cols,
-                    "schema": snap.schema,
-                    "partition_by": snap.partition_by,
-                }
-            ).encode("utf-8"),
-        )
+        _write_checkpoint_parquet(table, version, snapshot(table, version))
     return version
 
 
@@ -840,6 +916,105 @@ def read_snapshot(
     return _read_files(spark, table, snapshot(table, version))
 
 
+def prune_files(
+    spark: SparkSession,
+    table: str,
+    key_ranges: dict,
+    version: int | None = None,
+    schema: dict | None = None,
+) -> list[str]:
+    """The TOUCHED file list for a changeset whose per-key [min, max]
+    ranges are ``key_ranges`` — every live file whose stats do NOT prove
+    disjointness from the changeset on at least one key (the files a
+    MERGE must rewrite; everything else survives by reference).
+
+    Driver memory is BOUNDED (round-14 verdict #4): when a parquet
+    checkpoint backs the snapshot, the stats predicate is resolved BY
+    SPARK over the checkpoint rows (``get_json_object`` on the verbatim
+    add actions, cast to each key's recorded type so '9' < '10' compares
+    numerically, NULL stats never skip) and only the SURVIVING paths are
+    collected; the post-checkpoint tail is replayed driver-side but is
+    O(checkpoint_interval) commits by construction. A 10⁷-file table
+    prunes without ever materializing 10⁷ add actions in Python. Tables
+    with no readable parquet checkpoint fall back to the driver replay
+    (snapshot + per-file loop) — identical answer, pinned by tests.
+
+    ``schema`` (col → simple type) types the stat casts; defaults to the
+    meta-only snapshot's recorded schema. Key columns containing ``.``
+    or quotes would break the JSON path and are rejected loudly."""
+    commits, checkpoints = _list_log(table)
+    if version is None:
+        if not commits:
+            raise FileNotFoundError(f"empty lake table log: {table}")
+        version = commits[-1]
+    cp_version = None
+    for cp in reversed([c for c in checkpoints if c <= version]):
+        try:
+            get_storage().read_bytes(_checkpoint_parquet_path(table, cp))
+        except OSError:
+            continue
+        cp_version = cp
+        break
+    keys = [k for k, (mn, _mx) in key_ranges.items() if mn is not None]
+    if cp_version is None:
+        # no distributed base: driver replay, same loop MERGE always ran
+        snap = snapshot(table, version)
+        touched = []
+        for p, a in snap.files.items():
+            stats = a.get("stats", {})
+            if not any(
+                k in stats and _stats_disjoint(stats[k], *key_ranges[k])
+                for k in keys
+            ):
+                touched.append(p)
+        return touched
+    if schema is None:
+        schema = snapshot(table, version, with_files=False).schema
+    bad = [k for k in keys if "." in k or "'" in k or '"' in k]
+    if bad:
+        raise ValueError(f"key columns unsupported in JSON-path pruning: {bad}")
+    cp_df = spark.read.schema("path string, add_json string").parquet(
+        get_storage().resolve_read_path(
+            table, os.path.join(_LOG_DIR, f"{cp_version:0{_PAD}d}.checkpoint.parquet")
+        )
+    )
+    disjoint = F.lit(False)
+    for k in keys:
+        mn, mx = (_stat_value(v) for v in key_ranges[k])
+        t = schema.get(k, "string")
+        lo = F.get_json_object("add_json", f"$.stats.{k}.min").cast(t)
+        hi = F.get_json_object("add_json", f"$.stats.{k}.max").cast(t)
+        # NULL stats (or a failed cast) compare NULL -> coalesce keeps
+        # the file touched: never skip on uncertainty
+        disjoint = disjoint | F.coalesce(
+            (hi < F.lit(mn)) | (lo > F.lit(mx)), F.lit(False)
+        )
+    touched = {
+        r.path for r in cp_df.where(~disjoint).select("path").collect()
+    }
+    storage = get_storage()
+    for v in commits:
+        if v <= cp_version or v > version:
+            continue
+        for line in storage.read_bytes(_log_path(table, v)).splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "add" in action:
+                a = action["add"]
+                stats = a.get("stats", {})
+                if not any(
+                    k in stats and _stats_disjoint(stats[k], *key_ranges[k])
+                    for k in keys
+                ):
+                    touched.add(a["path"])
+                else:
+                    touched.discard(a["path"])
+            elif "remove" in action:
+                touched.discard(action["remove"]["path"])
+    return sorted(touched)
+
+
 def merge(
     spark: SparkSession,
     table: str,
@@ -856,7 +1031,10 @@ def merge(
     (round-13 ADVICE). On a commit race the transaction re-runs against
     the new snapshot (the rewrite must see the winner's rows)."""
     for _ in range(max_retries + 1):
-        snap = snapshot(table)
+        # meta-only snapshot: MERGE never materializes the table's file
+        # list on the driver — prune_files resolves the touched set
+        # (distributed over the parquet checkpoint when one exists)
+        snap = snapshot(table, with_files=False)
         keys = snap.key_cols
         if not keys:
             raise ValueError(f"{table} has no key_cols; merge needs keys")
@@ -882,21 +1060,9 @@ def merge(
         } if bounds is not None else {}
         if not src_range or src_range[stat_keys[0]][0] is None:
             return snap.version  # empty changeset: MERGE is a no-op
-        touched, kept = [], []
-        for p, a in snap.files.items():
-            stats = a.get("stats", {})
-            disjoint = False
-            for k, (mn, mx) in src_range.items():
-                st = stats.get(k)
-                if st is None or mn is None:
-                    continue  # no stats for this key → can't skip on it
-                if _stats_disjoint(st, mn, mx):
-                    disjoint = True
-                    break
-            if disjoint:
-                kept.append(p)
-            else:
-                touched.append(p)
+        touched = prune_files(
+            spark, table, src_range, version=snap.version, schema=snap.schema
+        )
         from zio_analytics_spark.operators.merge import merge_upsert
 
         src_cols = set(source.columns)
