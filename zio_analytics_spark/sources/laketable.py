@@ -10,7 +10,7 @@ snapshot isolation from immutable data files) in pure Python + Spark:
 ```
 table_dir/
   _log/00000000000000000000.json      one commit per file, actions as JSON lines
-  _log/00000000000000000010.checkpoint.json   full state every N commits
+  _log/00000000000000000010.checkpoint.parquet   full state every N commits
   part-<uuid>.parquet                 immutable data files
   p=eu/part-<uuid>.parquet            (partitioned tables: hive-style dirs)
 ```
@@ -48,10 +48,16 @@ table_dir/
 * **Bounded log replay.** Every ``checkpoint_interval`` commits the full
   live-file list is checkpointed; snapshot resolution replays only the
   tail after the latest checkpoint, so log cost is O(interval), not
-  O(commit history). Checkpoints are published atomically
-  (temp + rename) and are PURELY an optimization: a checkpoint that
-  fails to parse is skipped and the snapshot falls back to full log
-  replay.
+  O(commit history). Checkpoints are PARQUET (round-15): one row per
+  live file carrying the verbatim add action, table meta in the file's
+  key-value metadata — Spark reads them DISTRIBUTED
+  (:func:`prune_files` resolves MERGE's touched set without
+  materializing the file list on the driver; ``snapshot(...,
+  with_files=False)`` resolves meta without parsing the rows). JSON
+  checkpoints from older tables still resolve. Checkpoints are
+  published atomically and are PURELY an optimization: one that fails
+  to parse is skipped and the snapshot falls back to an older one or
+  full log replay.
 
 Driver-side state is the FILE LIST only (paths + stats), never data:
 all row movement is Spark jobs over parquet.
@@ -606,20 +612,23 @@ def _stage_files(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(stage)
-    moved: dict[str, str] = {}  # final full path -> rel path
+    staged: dict[str, str] = {}  # staged full path -> final rel path
     for dirpath, _dirs, names in os.walk(stage):
         rel_dir = os.path.relpath(dirpath, stage)
         for name in names:
             if name.startswith("part-") and name.endswith(".parquet"):
                 fname = f"part-{uuid.uuid4().hex}.parquet"
                 rel = fname if rel_dir == "." else os.path.join(rel_dir, fname)
-                dest = os.path.join(table, rel)
-                storage.publish_file(os.path.join(dirpath, name), dest)
-                moved[dest] = rel
-    shutil.rmtree(stage, ignore_errors=True)
-    if not moved:
+                staged[os.path.join(dirpath, name)] = rel
+    if not staged:
+        shutil.rmtree(stage, ignore_errors=True)
         return []
-    # partition columns live in directory names, not file bytes
+    # per-file stats are computed from the STAGED local files BEFORE
+    # publication (round-15): publish_file may UPLOAD the bytes to an
+    # object store and discard the local copy, so nothing after it may
+    # read the local path. One aggregate over the new files only — never
+    # a table scan. Partition columns live in directory names, not file
+    # bytes.
     stat_cols = [
         c for c in key_cols if c in df.columns and c not in partition_by
     ]
@@ -628,21 +637,26 @@ def _stage_files(
         aggs.append(F.min(c).alias(f"__min_{c}"))
         aggs.append(F.max(c).alias(f"__max_{c}"))
     per_file = (
-        spark.read.parquet(*moved.keys())
+        spark.read.parquet(*staged.keys())
         .groupBy(F.input_file_name().alias("__file"))
         .agg(*aggs)
         .collect()
     )
-    by_name = {}
+    # key stats by FULL staged path: a partitioned Spark write reuses
+    # the SAME part basename across partition directories, so basenames
+    # collide (stats would land on the wrong files — wrong pruning)
+    by_path = {}
     for r in per_file:
         d = r.asDict()
-        by_name[d["__file"].split("/")[-1]] = d
+        parsed = urllib.parse.urlparse(d["__file"])
+        by_path[os.path.realpath(urllib.parse.unquote(parsed.path))] = d
     adds = []
-    for _full, rel in moved.items():
+    for src, rel in staged.items():
+        storage.publish_file(src, os.path.join(table, rel))
         part_values = (
             _parse_partition(rel, schema or {}) if partition_by else {}
         )
-        d = by_name.get(os.path.basename(rel))
+        d = by_path.get(os.path.realpath(src))
         if d is None:  # empty file (no rows): still track it
             adds.append(
                 {"path": rel, "rows": 0, "stats": {}, "partition": part_values}
@@ -662,6 +676,7 @@ def _stage_files(
         if partition_by:
             add["partition"] = part_values
         adds.append(add)
+    shutil.rmtree(stage, ignore_errors=True)
     return adds
 
 
