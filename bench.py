@@ -9,7 +9,13 @@
 round-over-round comparison metric) as per-query MEDIANS over
 ``$SPARK_GRAFT_HEADLINE_RUNS`` (default 3) executions, with per-query
 minima and the summed max−min band alongside — single-shot wall time on a
-shared host is contention-bound (round-5 lesson). A fixed-work pure-CPU
+shared host is contention-bound (round-5 lesson). When the headline total
+drifts >10% over the last committed round's record (``BENCH_r{N}.json``,
+same SF), the whole headline set re-measures ISOLATED median-of-3 and the
+adjudicated total ships beside the sweep value (``value_adjudicated`` —
+round-14 verdict #1: a broad co-tenant smear must adjudicate itself
+in-run, not wait for a judge; ``SPARK_GRAFT_HEADLINE_REF`` overrides the
+reference for dev runs). A fixed-work pure-CPU
 calibration probe interleaved with the headline reps yields ``calib``
 (host speed during THIS run vs the pinned reference) and
 ``value_normalized`` (the contention-corrected total) — raw numbers stay
@@ -295,6 +301,69 @@ def main() -> None:
             for n, t in breaches.items()
             if breach_remeasured.get(n, {"median": t})["median"] > budget
         }
+    # --- headline self-adjudication (round-14 verdict #1) -------------------
+    # r14 shipped a +17% headline regression spread uniformly across
+    # untouched queries — environmental by every side signal, but the >10 s
+    # per-entry adjudication never fired because no single entry breached.
+    # Now the HEADLINE SET adjudicates itself: when the headline total
+    # exceeds the last committed round's record (BENCH_r{N}.json beside
+    # this file) by >10%, every headline query is re-measured ISOLATED,
+    # median-of-3 (the same protocol as the per-entry re-measures), and the
+    # adjudicated total is written beside the sweep value — raw stays
+    # primary, the adjudicated number is the round-over-round truth.
+    def _last_committed_headline() -> tuple[int | None, float | None]:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        best: tuple[int, str] | None = None
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+            m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+            if m and (best is None or int(m.group(1)) > best[0]):
+                best = (int(m.group(1)), p)
+        if best is None:
+            return None, None
+        try:
+            with open(best[1]) as f:
+                rec = json.load(f)
+            if rec.get("sf") != sf_val:
+                return best[0], None  # a different-SF dev run never compares
+            return best[0], float(rec["value"])
+        except (OSError, ValueError, KeyError):
+            return None, None
+
+    headline_ref_round, headline_ref_value = _last_committed_headline()
+    env_ref = os.environ.get("SPARK_GRAFT_HEADLINE_REF")
+    if env_ref:  # test/dev hook: force a reference value
+        headline_ref_value = float(env_ref)
+    headline_adjudicated: dict[str, dict] = {}
+    value_adjudicated = None
+    if headline_ref_value and total > headline_ref_value * 1.10:
+        print(
+            f"# headline {total:.2f}s > 1.10 x r{headline_ref_round} record "
+            f"{headline_ref_value:.2f}s -> adjudicating isolated",
+            file=sys.stderr,
+        )
+        head_fns = catalog.bench_queries()
+        calib_samples.append(round(calib_probe(), 3))
+        for name, fn in head_fns.items():
+            spark.catalog.clearCache()
+            reps = [run_timed([(name, fn)], isolate=True)[name] for _ in range(3)]
+            headline_adjudicated[name] = {
+                "median": round(statistics.median(reps), 3),
+                "reps": reps,
+            }
+        calib_samples.append(round(calib_probe(), 3))
+        value_adjudicated = round(
+            sum(v["median"] for v in headline_adjudicated.values()), 3
+        )
+        print(
+            f"# adjudicated headline: {value_adjudicated:.2f}s "
+            f"(sweep {total:.2f}s, r{headline_ref_round} record "
+            f"{headline_ref_value:.2f}s)",
+            file=sys.stderr,
+        )
+
     if all_timings:
         # one more probe sample AFTER the sweep: the full catalog runs much
         # longer than the headline window, so bracket it too
@@ -328,6 +397,12 @@ def main() -> None:
                     "budget_sec": budget,
                     "budget_breaches": breaches,
                     "breach_remeasured": breach_remeasured,
+                    "headline_ref": {
+                        "round": headline_ref_round,
+                        "value": headline_ref_value,
+                    },
+                    "headline_adjudicated": headline_adjudicated,
+                    "value_adjudicated": value_adjudicated,
                     "sf": sf_val,
                 },
                 f,
@@ -352,6 +427,14 @@ def main() -> None:
                 "value_normalized": value_normalized,
                 "calib": calib,
                 "breach_remeasured": breach_remeasured,
+                "headline_ref": {
+                    "round": headline_ref_round,
+                    "value": headline_ref_value,
+                },
+                "value_adjudicated": value_adjudicated,
+                "queries_adjudicated": {
+                    n: v["median"] for n, v in headline_adjudicated.items()
+                },
                 "sf": sf_val,
             }
         )
