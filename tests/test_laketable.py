@@ -1743,3 +1743,48 @@ def test_prune_files_50k_file_model(spark, tmp_path):
     # touched: file 1 (100..199, removed in the tail), file 2 (200..299),
     # and the tail add (150..160); 49,997 files pruned Spark-side
     assert got == ["part-00002.parquet", "part-extra.parquet"]
+
+
+def test_prune_files_distributed_with_date_keys(spark, tmp_path):
+    """The DISTRIBUTED prune path (parquet checkpoint + Spark predicate)
+    with a DATE key: JSON-logged ISO stat strings cast to date compare
+    against typed date literals — chronological, never lexicographic-
+    numeric drift."""
+    import datetime as dt
+
+    t = str(tmp_path / "t")
+    df = spark.range(300).selectExpr(
+        "id AS k",
+        "date_add(date'2026-01-01', cast(id % 30 AS INT)) AS day",
+        "cast(id AS DOUBLE) AS v",
+    )
+    lake.create_table(
+        df.repartitionByRange(6, "day"), t, key_cols=["day"]
+    )
+    for i in range(11):  # cross the v10 checkpoint
+        lake.append(
+            spark.createDataFrame(
+                [(1000 + i, dt.date(2026, 3, 1), 0.0)],
+                "k long, day date, v double",
+            ),
+            t,
+        )
+    assert os.path.exists(os.path.join(t, "_log", f"{10:020d}.checkpoint.parquet"))
+    got = set(
+        lake.prune_files(
+            spark, t, {"day": (dt.date(2026, 1, 5), dt.date(2026, 1, 9))}
+        )
+    )
+    snap = lake.snapshot(t)
+    want = {
+        p
+        for p, a in snap.files.items()
+        if not (
+            a.get("stats", {}).get("day")
+            and lake._stats_disjoint(
+                a["stats"]["day"], dt.date(2026, 1, 5), dt.date(2026, 1, 9)
+            )
+        )
+    }
+    assert got == want
+    assert 0 < len(got) < len(snap.files)

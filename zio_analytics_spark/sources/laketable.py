@@ -995,7 +995,7 @@ def prune_files(
     )
     disjoint = F.lit(False)
     for k in keys:
-        mn, mx = (_stat_value(v) for v in key_ranges[k])
+        mn, mx = key_ranges[k]  # raw Spark values: F.lit types them exactly
         t = schema.get(k, "string")
         lo = F.get_json_object("add_json", f"$.stats.{k}.min").cast(t)
         hi = F.get_json_object("add_json", f"$.stats.{k}.max").cast(t)
