@@ -5838,6 +5838,105 @@ def q_streaming_lake_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_lake_cdf_net",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    ),
+    v0 AS (SELECT * FROM base WHERE o_orderkey % 3 = 0),
+    upd AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice + 1000 AS o_totalprice
+      FROM base WHERE o_orderkey % 9 = 0
+    ),
+    ins AS (SELECT * FROM base WHERE o_orderkey % 3 = 1),
+    v1 AS (
+      SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+      UNION ALL SELECT * FROM v0 WHERE o_orderkey % 9 <> 0
+    ),
+    del AS (SELECT * FROM v1 WHERE o_orderkey % 6 = 3),
+    changes AS (
+      SELECT 'insert' AS _change_type, o_orderpriority, o_totalprice FROM ins
+      UNION ALL
+      SELECT 'update_preimage', o_orderpriority, o_totalprice
+      FROM v0 WHERE o_orderkey % 9 = 0
+      UNION ALL
+      SELECT 'update_postimage', o_orderpriority, o_totalprice FROM upd
+      UNION ALL
+      SELECT 'delete', o_orderpriority, o_totalprice FROM del
+    )
+    SELECT _change_type, o_orderpriority, count(*)::BIGINT AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM changes GROUP BY _change_type, o_orderpriority
+    """,
+)
+def q_streaming_lake_cdf_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NET row-level CDF on the STREAMING runtime (VERDICT r14 #3 —
+    ``.option('net', 'true')`` on the lake_cdf source): one partition
+    per commit, the task anti-joins the commit's added vs removed sides
+    in Arrow (Acero hash joins, no Python row loop), so the MERGE's
+    rewritten-but-unchanged bulk VANISHES from the feed, real updates
+    arrive as update_preimage/update_postimage pairs, the DELETE emits
+    exactly its rows, and the COMPACT commit contributes NOTHING —
+    across a checkpoint restart mid-history, same as the file-grain
+    twin. The oracle replays pure row-level semantics from the source
+    table; equality proves the stream's net algebra end to end."""
+    from zio_analytics_spark.sources import laketable as lake
+    from zio_analytics_spark.sources.lakestream import register_lake_cdf
+
+    register_lake_cdf(spark)
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = _scratch_dir(prefix="zas_lakecdfn_t_")
+    sink = _scratch_dir(prefix="zas_lakecdfn_s_") + "/out"
+    ckpt = _scratch_dir(prefix="zas_lakecdfn_c_")
+    lake.create_table(
+        base.where(F.col("o_orderkey") % 3 == 0).coalesce(1),
+        table,
+        key_cols=["o_orderkey"],
+    )
+    changes = base.where(
+        (F.col("o_orderkey") % 9 == 0) | (F.col("o_orderkey") % 3 == 1)
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 9 == 0, F.col("o_totalprice") + 1000
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    lake.merge(spark, table, changes)  # v1: updates %9==0, inserts %3==1
+
+    def drain():
+        q = (
+            spark.readStream.format("lake_cdf")
+            .option("path", table)
+            .option("net", "true")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()  # consumes (0, 1]: the merge's net changes only
+    lake.delete_where(spark, table, "o_orderkey % 6 = 3")  # v2
+    lake.compact(spark, table, target_files=2)  # v3: nets to zero
+    drain()  # restart from the checkpointed offset: consumes (1, 3]
+    return (
+        spark.read.parquet(sink)
+        .groupBy("_change_type", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
     "string_distance_functions",
     oracle="""
     SELECT doc_id,
