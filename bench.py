@@ -326,10 +326,14 @@ def main() -> None:
         try:
             with open(best[1]) as f:
                 rec = json.load(f)
+            # the driver wraps the stdout record: {n, rc, sf, tail,
+            # parsed: {metric, value, ...}} — unwrap when present
+            if "parsed" in rec and isinstance(rec["parsed"], dict):
+                rec = rec["parsed"]
             if rec.get("sf") != sf_val:
                 return best[0], None  # a different-SF dev run never compares
             return best[0], float(rec["value"])
-        except (OSError, ValueError, KeyError):
+        except (OSError, ValueError, KeyError, TypeError):
             return None, None
 
     headline_ref_round, headline_ref_value = _last_committed_headline()
