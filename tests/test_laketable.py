@@ -1788,3 +1788,32 @@ def test_prune_files_distributed_with_date_keys(spark, tmp_path):
     }
     assert got == want
     assert 0 < len(got) < len(snap.files)
+
+
+def test_read_snapshot_stats_skip(spark, tmp_path):
+    """read-path data skipping: a key-range read drops files whose
+    recorded stats prove disjointness — same rows as the full scan +
+    predicate, measurably fewer files in the plan."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        _orders(spark, 1000).repartitionByRange(8, "k"), t, key_cols=["k"]
+    )
+    pruned = lake.read_snapshot(spark, t, key_ranges={"k": (100, 260)})
+    want = {
+        r.k: (r.grp, r.amount)
+        for r in lake.read_snapshot(spark, t)
+        .where("k BETWEEN 100 AND 260")
+        .collect()
+    }
+    got = {
+        r.k: (r.grp, r.amount)
+        for r in pruned.where("k BETWEEN 100 AND 260").collect()
+    }
+    assert got == want and len(got) == 161
+    # the skip dropped whole files from the scan
+    n_scanned = pruned.select(F.input_file_name()).distinct().count()
+    assert 0 < n_scanned < len(lake.snapshot(t).files)
+    # disjoint range: empty frame, schema intact
+    empty = lake.read_snapshot(spark, t, key_ranges={"k": (10_000, 20_000)})
+    assert empty.count() == 0
+    assert empty.columns == ["k", "grp", "amount"]

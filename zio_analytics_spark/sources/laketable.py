@@ -923,12 +923,36 @@ def _read_files(
 
 
 def read_snapshot(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    key_ranges: dict | None = None,
 ) -> DataFrame:
     """Snapshot-isolated read: the file list is pinned at resolve time —
     concurrent commits (which only add/remove immutable files) cannot
-    change what this DataFrame sees. ``version`` = time travel."""
-    return _read_files(spark, table, snapshot(table, version))
+    change what this DataFrame sees. ``version`` = time travel.
+
+    ``key_ranges`` ({key_col: (lo, hi)}) applies per-file STATS-based
+    data skipping to the READ path (the same skip MERGE uses, the
+    published Delta read shape): files whose recorded key range cannot
+    intersect get dropped from the scan before Spark ever lists them —
+    on a 100 TB table a key-range query reads the intersecting files,
+    not the table. Distributed over the parquet checkpoint when one
+    backs the snapshot. The skip is CONSERVATIVE (stat-less files stay
+    in), and it only drops whole files — the caller still applies its
+    own row predicate; an empty surviving set returns an empty frame
+    with the table schema."""
+    snap = snapshot(table, version)
+    if not key_ranges:
+        return _read_files(spark, table, snap)
+    touched = set(
+        prune_files(spark, table, key_ranges, version=snap.version,
+                    schema=snap.schema)
+    )
+    keep = [p for p in snap.files if p in touched]
+    if not keep:
+        return _read_files(spark, table, snap).limit(0)
+    return _read_files(spark, table, snap, paths=keep)
 
 
 def prune_files(
