@@ -1817,3 +1817,53 @@ def test_read_snapshot_stats_skip(spark, tmp_path):
     empty = lake.read_snapshot(spark, t, key_ranges={"k": (10_000, 20_000)})
     assert empty.count() == 0
     assert empty.columns == ["k", "grp", "amount"]
+
+
+def test_overwrite_partitions_distributed_past_checkpoint(spark, tmp_path):
+    """Dynamic partition overwrite on a CHECKPOINTED table: the replaced
+    partitions' remove set resolves IN SPARK over the checkpoint rows
+    (meta-only snapshot on the driver), tail commits included; other
+    partitions survive by reference."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, ["eu", "us", "ap"][k % 3], float(k)) for k in range(90)],
+        "k long, region string, v double",
+    )
+    lake.create_table(df, t, key_cols=["k"], partition_by=["region"])
+    for i in range(10):  # cross the v10 checkpoint
+        lake.append(
+            spark.createDataFrame(
+                [(1000 + i, "eu", 1.0)], "k long, region string, v double"
+            ),
+            t,
+        )
+    # tail commit AFTER the checkpoint adds another eu file
+    lake.append(
+        spark.createDataFrame(
+            [(2000, "eu", 2.0)], "k long, region string, v double"
+        ),
+        t,
+    )
+    before = dict(lake.snapshot(t).files)
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(9000, "eu", -1.0)], "k long, region string, v double"
+        ),
+        t,
+    )
+    snap = lake.snapshot(t)
+    # every eu file (checkpoint-era AND tail-era) was replaced
+    eu_now = {
+        p for p, a in snap.files.items() if a["partition"]["region"] == "eu"
+    }
+    assert len(eu_now) >= 1
+    assert not (eu_now & set(before)), "stale eu files survived the overwrite"
+    # us/ap survive by reference
+    others_before = {
+        p for p, a in before.items() if a["partition"]["region"] != "eu"
+    }
+    assert others_before <= set(snap.files)
+    rows = {(r.region, r.k) for r in lake.read_snapshot(spark, t).collect()}
+    assert ("eu", 9000) in rows
+    assert not any(reg == "eu" and k != 9000 for reg, k in rows)
+    assert sum(1 for reg, _ in rows if reg == "us") == 30

@@ -824,8 +824,10 @@ def create_table(
 
 
 def append(df: DataFrame, table: str) -> int:
-    """Blind append: new files only — retries safely on conflict."""
-    snap = snapshot(table)
+    """Blind append: new files only — retries safely on conflict. Meta-
+    only snapshot: an append never consults the file list, so a standing
+    ingest stays O(1) driver memory however many files the table has."""
+    snap = snapshot(table, with_files=False)
     df, meta, full_schema = _enforce_schema(df, snap, "append")
     adds = _stage_files(
         df, table, snap.key_cols, snap.partition_by, full_schema
@@ -853,6 +855,99 @@ def overwrite(df: DataFrame, table: str) -> int:
     return _commit(table, snap.version + 1, actions, "OVERWRITE")
 
 
+def _partition_key(values: dict, partition_by: Sequence[str]) -> str:
+    """Canonical string for a file's partition tuple, chosen to be
+    reproducible from the JSON log on BOTH sides of the match: Spark's
+    ``get_json_object`` renders scalars exactly as compact JSON with
+    string quotes stripped, so ``json.dumps`` minus quotes mirrors it."""
+    parts = []
+    for c in partition_by:
+        v = values.get(c)
+        if v is None:
+            parts.append("\x00NULL")
+        elif isinstance(v, str):
+            parts.append(v)  # get_json_object returns the UNESCAPED value
+        else:
+            parts.append(json.dumps(v))
+    return "\x01".join(parts)
+
+
+def _partition_matched_files(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    partition_by: Sequence[str],
+    replaced_keys: set,
+) -> list[str]:
+    """Live files whose partition tuple is in ``replaced_keys`` — the
+    remove set of a dynamic partition overwrite. Same bounded-driver
+    shape as :func:`prune_files`: when a parquet checkpoint backs the
+    snapshot, the equality match runs IN SPARK over the checkpoint rows
+    (the replaced set is a small literal list) and only matches are
+    collected; the post-checkpoint tail replays driver-side,
+    O(checkpoint_interval). Falls back to the driver replay otherwise."""
+    commits, checkpoints = _list_log(table)
+    cp_version = None
+    # dotted/quoted partition names would break the JSON path — the
+    # driver replay handles any name, so just skip the distributed leg
+    if not any("." in c or "'" in c or '"' in c for c in partition_by):
+        for cp in reversed([c for c in checkpoints if c <= version]):
+            try:
+                get_storage().read_bytes(_checkpoint_parquet_path(table, cp))
+            except OSError:
+                continue
+            cp_version = cp
+            break
+    if cp_version is None:
+        snap = snapshot(table, version)
+        return [
+            p
+            for p, a in snap.files.items()
+            if _partition_key(a.get("partition", {}), partition_by)
+            in replaced_keys
+        ]
+    cp_df = spark.read.schema("path string, add_json string").parquet(
+        get_storage().resolve_read_path(
+            table,
+            os.path.join(_LOG_DIR, f"{cp_version:0{_PAD}d}.checkpoint.parquet"),
+        )
+    )
+    key = F.concat_ws(
+        "\x01",
+        *[
+            F.coalesce(
+                F.get_json_object("add_json", f"$.partition.{c}"),
+                F.lit("\x00NULL"),
+            )
+            for c in partition_by
+        ],
+    )
+    matched = {
+        r.path
+        for r in cp_df.where(key.isin(*replaced_keys)).select("path").collect()
+    }
+    storage = get_storage()
+    for v in commits:
+        if v <= cp_version or v > version:
+            continue
+        for line in storage.read_bytes(_log_path(table, v)).splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "add" in action:
+                a = action["add"]
+                if (
+                    _partition_key(a.get("partition", {}), partition_by)
+                    in replaced_keys
+                ):
+                    matched.add(a["path"])
+                else:
+                    matched.discard(a["path"])
+            elif "remove" in action:
+                matched.discard(action["remove"]["path"])
+    return sorted(matched)
+
+
 def overwrite_partitions(df: DataFrame, table: str) -> int:
     """Dynamic partition overwrite (``INSERT OVERWRITE ... PARTITION`` with
     dynamic mode): atomically replace EXACTLY the partitions present in
@@ -860,8 +955,10 @@ def overwrite_partitions(df: DataFrame, table: str) -> int:
     ingest refresh shape: recompute one day/region and swap it in one
     commit, O(replaced partitions), never O(table). Readers pinned to
     older versions still see the previous partition contents (immutable
-    files + snapshot isolation, like every other commit)."""
-    snap = snapshot(table)
+    files + snapshot isolation, like every other commit). Meta-only
+    snapshot + checkpoint-distributed partition matching keep the driver
+    off the file list (round 15)."""
+    snap = snapshot(table, with_files=False)
     if not snap.partition_by:
         raise ValueError(
             f"{table} is not partitioned; use overwrite() for full replace"
@@ -871,13 +968,11 @@ def overwrite_partitions(df: DataFrame, table: str) -> int:
         df, table, snap.key_cols, snap.partition_by, full_schema
     )
     replaced = {
-        tuple(sorted(a.get("partition", {}).items())) for a in adds
+        _partition_key(a.get("partition", {}), snap.partition_by) for a in adds
     }
-    removes = [
-        p
-        for p, a in snap.files.items()
-        if tuple(sorted(a.get("partition", {}).items())) in replaced
-    ]
+    removes = _partition_matched_files(
+        df.sparkSession, table, snap.version, snap.partition_by, replaced
+    ) if replaced else []
     actions = meta + [{"remove": {"path": p}} for p in removes]
     actions += [{"add": a} for a in adds]
     return _commit(table, snap.version + 1, actions, "OVERWRITE_PARTITIONS")
@@ -1525,7 +1620,7 @@ def append_stream_batch(df: DataFrame, table: str, batch_id: int) -> int | None:
     commit protocol."""
     if batch_id in committed_batch_ids(table):
         return None
-    snap = snapshot(table)
+    snap = snapshot(table, with_files=False)  # appends never need the file list
     df, meta, full_schema = _enforce_schema(df, snap, "append_stream_batch")
     adds = _stage_files(
         df, table, snap.key_cols, snap.partition_by, full_schema
