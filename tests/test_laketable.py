@@ -1867,3 +1867,52 @@ def test_overwrite_partitions_distributed_past_checkpoint(spark, tmp_path):
     assert ("eu", 9000) in rows
     assert not any(reg == "eu" and k != 9000 for reg, k in rows)
     assert sum(1 for reg, _ in rows if reg == "us") == 30
+
+
+def test_rolled_checkpoint_equals_snapshot_state(spark, tmp_path):
+    """The v20 checkpoint is ROLLED from v10's (streamed batches + tail
+    actions, never a materialized file list) across a remove-heavy tail
+    (merge rewrite + delete + schema evolution) — its state must be
+    byte-equivalent to the replayed snapshot, and later resolution must
+    start from it."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        _orders(spark, 200).repartitionByRange(4, "k"), t, key_cols=["k"]
+    )
+    for i in range(12):  # v1..v12 (checkpoint at 10: snapshot-based)
+        lake.append(
+            spark.createDataFrame(
+                [(1000 + i, 0, 1.0)], "k long, grp long, amount double"
+            ),
+            t,
+        )
+    lake.merge(  # v13: rewrites low-range files (removes + adds)
+        spark,
+        t,
+        spark.createDataFrame([(3, 9, -3.0)], "k long, grp long, amount double"),
+    )
+    lake.delete_where(spark, t, "grp = 2")  # v14: removes + survivor adds
+    lake.append(  # v15: additive schema evolution in the tail
+        spark.createDataFrame(
+            [(5000, 0, 1.0, "x")], "k long, grp long, amount double, tag string"
+        ),
+        t,
+    )
+    for i in range(5):  # v16..v20 (checkpoint at 20: ROLLED from v10)
+        lake.append(
+            spark.createDataFrame(
+                [(2000 + i, 0, 1.0)], "k long, grp long, amount double"
+            ),
+            t,
+        )
+    assert os.path.exists(os.path.join(t, "_log", f"{20:020d}.checkpoint.parquet"))
+    state = lake._load_checkpoint(t, 20)
+    snap20 = lake.snapshot(t, 20)
+    assert {a["path"]: a for a in state["files"]} == snap20.files
+    assert state["schema"] == snap20.schema  # evolution rode the roll
+    assert state["key_cols"] == ["k"]
+    # resolution from the rolled checkpoint: delete v10's so v20 is the base
+    os.remove(os.path.join(t, "_log", f"{10:020d}.checkpoint.parquet"))
+    assert lake.snapshot(t).files == lake.snapshot(t, 20).files
+    rows = {r.k for r in lake.read_snapshot(spark, t).collect()}
+    assert 5000 in rows and 3 in rows

@@ -412,6 +412,111 @@ def _write_checkpoint_parquet(table: str, version: int, snap: LakeSnapshot) -> N
     )
 
 
+def _roll_checkpoint_parquet(table: str, version: int) -> bool:
+    """Write the ``version`` checkpoint by ROLLING the previous parquet
+    checkpoint forward instead of materializing the snapshot: the prior
+    checkpoint's rows stream through in record batches (pyarrow
+    iter_batches — driver memory is one batch, not the file list),
+    rows whose paths the tail removed or re-added are filtered out
+    vectorized, and the tail's add actions append at the end. Driver
+    state is the TAIL's actions (O(checkpoint_interval) commits) plus
+    one batch — a 10⁷-file table checkpoints without ever holding 10⁷
+    add actions as Python objects. Returns False when no previous
+    parquet checkpoint exists (caller falls back to the snapshot-based
+    writer)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    commits, checkpoints = _list_log(table)
+    storage = get_storage()
+    prev = None
+    for cp in reversed([c for c in checkpoints if c < version]):
+        try:
+            raw = storage.read_bytes(_checkpoint_parquet_path(table, cp))
+        except OSError:
+            continue
+        try:
+            kv = pq.read_schema(pa.BufferReader(raw)).metadata or {}
+            meta = json.loads(kv[_CP_META_KEY].decode("utf-8"))
+        except (OSError, ValueError, KeyError):
+            continue  # unreadable prev checkpoint: not a rolling base
+        prev = (cp, raw, meta)
+        break
+    if prev is None:
+        return False
+    cp_from, raw, meta = prev
+    tail_added: dict[str, dict] = {}
+    tail_removed: set[str] = set()
+    for v in commits:
+        if v <= cp_from or v > version:
+            continue
+        for line in storage.read_bytes(_log_path(table, v)).splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "meta" in action:
+                m = action["meta"]
+                meta["key_cols"] = m.get("key_cols", meta.get("key_cols", []))
+                meta.setdefault("schema", {}).update(m.get("schema", {}))
+                meta["partition_by"] = m.get(
+                    "partition_by", meta.get("partition_by", [])
+                )
+            elif "add" in action:
+                a = action["add"]
+                tail_added[a["path"]] = a
+                tail_removed.discard(a["path"])
+            elif "remove" in action:
+                p = action["remove"]["path"]
+                tail_added.pop(p, None)
+                tail_removed.add(p)
+    drop = tail_removed | set(tail_added)  # re-adds replace their old row
+    buf = pa.BufferOutputStream()
+    schema = pa.schema(
+        [("path", pa.string()), ("add_json", pa.string())],
+        metadata={_CP_META_KEY: json.dumps(meta).encode("utf-8")},
+    )
+    writer = pq.ParquetWriter(buf, schema)
+    try:
+        pf = pq.ParquetFile(pa.BufferReader(raw))
+        for batch in pf.iter_batches(columns=["path", "add_json"]):
+            if drop:
+                keep = pc.invert(
+                    pc.is_in(
+                        batch.column("path"),
+                        value_set=pa.array(sorted(drop), pa.string()),
+                    )
+                )
+                batch = batch.filter(keep)
+            if batch.num_rows:
+                writer.write_batch(
+                    pa.record_batch(
+                        [batch.column("path"), batch.column("add_json")],
+                        schema=schema,
+                    )
+                )
+        if tail_added:
+            paths = sorted(tail_added)
+            writer.write_batch(
+                pa.record_batch(
+                    [
+                        pa.array(paths, pa.string()),
+                        pa.array(
+                            [json.dumps(tail_added[p]) for p in paths],
+                            pa.string(),
+                        ),
+                    ],
+                    schema=schema,
+                )
+            )
+    finally:
+        writer.close()
+    storage.put_atomic(
+        _checkpoint_parquet_path(table, version), buf.getvalue().to_pybytes()
+    )
+    return True
+
+
 def _load_checkpoint(
     table: str, version: int, with_files: bool = True
 ) -> dict | None:
@@ -783,7 +888,11 @@ def _commit(
     if not get_storage().put_if_absent(path, payload):
         raise ConcurrentCommitError(version)
     if checkpoint_interval and version and version % checkpoint_interval == 0:
-        _write_checkpoint_parquet(table, version, snapshot(table, version))
+        # roll the previous parquet checkpoint forward (streamed batches,
+        # never the full file list on the driver); first checkpoint of a
+        # table falls back to the snapshot-based writer
+        if not _roll_checkpoint_parquet(table, version):
+            _write_checkpoint_parquet(table, version, snapshot(table, version))
     return version
 
 
