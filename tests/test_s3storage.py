@@ -172,3 +172,44 @@ def test_delete_dir_and_json_roundtrip(s3store):
     payload = json.dumps({"k": 1}).encode()
     s3store.put_atomic("/d/j.json", payload)
     assert json.loads(s3store.read_bytes("/d/j.json")) == {"k": 1}
+
+
+def test_put_if_absent_retries_conditional_request_conflict(s3store):
+    """Round-15 ADVICE: real S3's documented error code for a concurrent
+    If-None-Match PUT conflict is ConditionalRequestConflict (moto uses
+    other 409 codes) — a transient conflict must RETRY, not raise out of
+    the commit path."""
+    from botocore.exceptions import ClientError
+
+    calls = {"conflicts": 0}
+    orig = s3store.client.put_object
+
+    def flaky(**kw):
+        if "IfNoneMatch" in kw and calls["conflicts"] == 0:
+            calls["conflicts"] += 1
+            raise ClientError(
+                {
+                    "Error": {
+                        "Code": "ConditionalRequestConflict",
+                        "Message": "A conflicting conditional operation "
+                        "is currently in progress against this resource.",
+                    }
+                },
+                "PutObject",
+            )
+        return orig(**kw)
+
+    s3store.client.put_object = flaky
+    p = "/tables/t/_log/00000000000000000000.json"
+    assert s3store.put_if_absent(p, b"winner") is True
+    assert calls["conflicts"] == 1
+    assert s3store.read_bytes(p) == b"winner"
+    # a non-retryable code still raises out
+    def hard_fail(**kw):
+        raise ClientError(
+            {"Error": {"Code": "AccessDenied", "Message": "no"}}, "PutObject"
+        )
+
+    s3store.client.put_object = hard_fail
+    with pytest.raises(ClientError):
+        s3store.put_if_absent("/tables/t/_log/other.json", b"x")

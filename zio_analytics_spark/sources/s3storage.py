@@ -123,11 +123,19 @@ class S3Storage(LakeStorage):
                 if code in ("PreconditionFailed", "412"):
                     return False
                 # concurrent conditional writes against the same key can
-                # surface 409 ConflictError while the winner is in flight
-                # — the key may STILL be absent afterwards, so 409 must
-                # retry, not report a loss (AWS documents this distinct
-                # from 412); bounded so a persistent 409 surfaces
-                if code not in ("OperationAborted", "ConflictError", "409"):
+                # surface 409 while the winner is in flight — the key may
+                # STILL be absent afterwards, so 409 must retry, not
+                # report a loss (AWS documents this distinct from 412).
+                # Real S3's documented code for a concurrent If-None-Match
+                # conflict is ConditionalRequestConflict (round-15
+                # ADVICE); moto and older stacks surface OperationAborted
+                # / ConflictError. Bounded so a persistent 409 surfaces.
+                if code not in (
+                    "ConditionalRequestConflict",
+                    "OperationAborted",
+                    "ConflictError",
+                    "409",
+                ):
                     raise
         raise TimeoutError(
             f"put_if_absent({path}): persistent 409 conflict — another "
