@@ -1916,3 +1916,862 @@ def test_rolled_checkpoint_equals_snapshot_state(spark, tmp_path):
     assert lake.snapshot(t).files == lake.snapshot(t, 20).files
     rows = {r.k for r in lake.read_snapshot(spark, t).collect()}
     assert 5000 in rows and 3 in rows
+
+
+def test_overwrite_partitions_double_partition_values(spark, tmp_path):
+    """Round-15 ADVICE: a float/double partition value >= 1e7 renders
+    '12345678.5' via Python json.dumps but '1.23456785E7' via Spark's
+    get_json_object (Jackson), so the checkpoint-distributed partition
+    match could never hit and stale files would silently survive —
+    float/double partition columns must route to the driver replay,
+    which uses _partition_key on both sides."""
+    t = str(tmp_path / "t")
+    big = 12345678.5  # >= 1e7: the Jackson scientific-notation regime
+    df = spark.createDataFrame(
+        [(k, big if k % 2 else 2.5, float(k)) for k in range(40)],
+        "k long, b double, v double",
+    )
+    lake.create_table(df, t, key_cols=["k"], partition_by=["b"])
+    for i in range(10):  # cross the v10 checkpoint: distributed leg eligible
+        lake.append(
+            spark.createDataFrame(
+                [(1000 + i, big, 1.0)], "k long, b double, v double"
+            ),
+            t,
+        )
+    before = dict(lake.snapshot(t).files)
+    lake.overwrite_partitions(
+        spark.createDataFrame([(9000, big, -1.0)], "k long, b double, v double"),
+        t,
+    )
+    snap = lake.snapshot(t)
+    stale = {p for p, a in before.items() if a["partition"]["b"] == big}
+    assert stale, "test setup: expected live files in the big-double partition"
+    assert not (stale & set(snap.files)), (
+        "stale double-partition files survived the overwrite"
+    )
+    rows = {(r.b, r.k) for r in lake.read_snapshot(spark, t).collect()}
+    assert (big, 9000) in rows
+    assert not any(b == big and k != 9000 for b, k in rows)
+    assert sum(1 for b, _ in rows if b == 2.5) == 20
+
+
+def test_prune_files_corrupt_checkpoint_falls_back(spark, tmp_path):
+    """Round-15 ADVICE: a checkpoint whose bytes no longer parse must be
+    SKIPPED by the distributed pruning legs (checkpoints are purely an
+    optimization) — prune_files degrades to the driver replay and MERGE
+    still lands."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        _orders(spark, 200).repartitionByRange(4, "k"), t, key_cols=["k"]
+    )
+    for i in range(10):
+        lake.append(
+            spark.createDataFrame(
+                [(1000 + i, 0, 1.0)], "k long, grp long, amount double"
+            ),
+            t,
+        )
+    cp = os.path.join(t, "_log", f"{10:020d}.checkpoint.parquet")
+    assert os.path.exists(cp)
+    good = sorted(lake.prune_files(spark, t, {"k": (0, 49)}))
+    with open(cp, "wb") as f:  # bit rot: footer no longer parses
+        f.write(b"\x00" * 256)
+    assert sorted(lake.prune_files(spark, t, {"k": (0, 49)})) == good
+    lake.merge(
+        spark,
+        t,
+        spark.createDataFrame([(3, 9, -3.0)], "k long, grp long, amount double"),
+    )
+    assert [
+        r.amount
+        for r in lake.read_snapshot(spark, t).where("k = 3").collect()
+    ] == [-3.0]
+
+
+def test_distributed_leg_failure_falls_back_to_driver(spark, tmp_path, monkeypatch):
+    """A checkpoint that VALIDATES (footer + meta key) can still fail
+    mid-scan (corrupt row pages, transient storage error): the
+    distributed legs of prune_files and _partition_matched_files must
+    degrade to the driver replay, not crash the operation."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, ["eu", "us"][k % 2], float(k)) for k in range(60)],
+        "k long, region string, v double",
+    )
+    lake.create_table(df, t, key_cols=["k"], partition_by=["region"])
+    for i in range(10):
+        lake.append(
+            spark.createDataFrame(
+                [(1000 + i, "eu", 1.0)], "k long, region string, v double"
+            ),
+            t,
+        )
+    expected_prune = sorted(lake.prune_files(spark, t, {"k": (0, 10)}))
+    storage = lake.get_storage()
+    orig = storage.resolve_read_path
+
+    def boom(table_, rel=""):
+        if "checkpoint.parquet" in rel:
+            raise RuntimeError("simulated checkpoint read failure")
+        return orig(table_, rel)
+
+    monkeypatch.setattr(storage, "resolve_read_path", boom)
+    assert sorted(lake.prune_files(spark, t, {"k": (0, 10)})) == expected_prune
+    before = dict(lake.snapshot(t).files)
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(9000, "eu", -1.0)], "k long, region string, v double"
+        ),
+        t,
+    )
+    snap = lake.snapshot(t)
+    stale = {p for p, a in before.items() if a["partition"]["region"] == "eu"}
+    assert not (stale & set(snap.files))
+
+
+def test_commit_checkpoint_failure_never_fails_commit(spark, tmp_path, monkeypatch):
+    """Round-15 ADVICE: the checkpoint write runs AFTER put_if_absent
+    durably publishes the commit, so a checkpoint failure propagating
+    would make the caller re-submit a commit that SUCCEEDED. Both
+    writers failing must yield a warning, a successful commit, and a
+    snapshot that resolves by log replay."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 50), t, key_cols=["k"])
+    for i in range(1, 10):  # v1..v9
+        lake.append(
+            spark.createDataFrame(
+                [(1000 + i, 0, 1.0)], "k long, grp long, amount double"
+            ),
+            t,
+        )
+
+    def raise_roll(*a, **k):
+        raise RuntimeError("simulated roll failure")
+
+    def raise_write(*a, **k):
+        raise RuntimeError("simulated checkpoint-write failure")
+
+    monkeypatch.setattr(lake, "_roll_checkpoint_parquet", raise_roll)
+    monkeypatch.setattr(lake, "_write_checkpoint_parquet", raise_write)
+    with pytest.warns(UserWarning, match="checkpoint write failed"):
+        v = lake.append(
+            spark.createDataFrame(
+                [(2000, 0, 1.0)], "k long, grp long, amount double"
+            ),
+            t,
+        )
+    assert v == 10
+    assert not os.path.exists(
+        os.path.join(t, "_log", f"{10:020d}.checkpoint.parquet")
+    )
+    assert lake.read_snapshot(spark, t).count() == 60
+    # roll failure ALONE falls back to the snapshot-based writer: undo
+    # the write patch, advance to the next checkpoint version
+    monkeypatch.undo()
+    monkeypatch.setattr(lake, "_roll_checkpoint_parquet", raise_roll)
+    for i in range(10):  # v11..v20
+        lake.append(
+            spark.createDataFrame(
+                [(3000 + i, 0, 1.0)], "k long, grp long, amount double"
+            ),
+            t,
+        )
+    assert os.path.exists(
+        os.path.join(t, "_log", f"{20:020d}.checkpoint.parquet")
+    ), "roll failure did not fall back to the snapshot-based writer"
+    assert lake.read_snapshot(spark, t).count() == 70
+
+
+def test_table_changes_empty_after_full_delete(spark, tmp_path):
+    """Round-15 ADVICE: a CDF window over a table with ZERO live files
+    (every row deleted) must return a typed EMPTY frame built from the
+    recorded schema — both net and file-grain — not throw 'has no
+    files'."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 20), t, key_cols=["k"])
+    lake.delete_where(spark, t, "k >= 0")  # v1: everything gone
+    v = lake.latest_version(t)
+    net = lake.table_changes(spark, t, from_version=v, to_version=v, net=True)
+    assert net.columns == ["k", "grp", "amount", "_change_type", "_commit_version"]
+    assert net.count() == 0
+    plain = lake.table_changes(spark, t, from_version=v, to_version=v)
+    assert plain.columns == ["k", "grp", "amount", "_change_type"]
+    assert plain.count() == 0
+
+
+def test_lake_cdf_stream_net_bucketed(spark, tmp_path):
+    """Round-15 verdict #1: a net commit larger than net_rows_per_bucket
+    plans MULTIPLE key-hash bucket partitions — no single-task funnel for
+    a full-table MERGE — and the union of the bucket tasks' output is
+    identical to table_changes(net=True), both at the reader grain and
+    through a real streaming query."""
+    from zio_analytics_spark.sources.lakestream import (
+        _LakeCDFStreamReader,
+        _NetCDFPart,
+        register_lake_cdf,
+    )
+
+    register_lake_cdf(spark)
+    t = str(tmp_path / "t")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    lake.create_table(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(200)], "k long, amount double"
+        ).repartition(4),
+        t,
+        key_cols=["k"],
+    )
+    lake.merge(  # v1: a wide rewrite — updates half the keys + inserts
+        spark,
+        t,
+        spark.createDataFrame(
+            [(k, -float(k)) for k in range(0, 200, 2)]
+            + [(1000 + i, 1.0) for i in range(5)],
+            "k long, amount double",
+        ),
+    )
+    reader = _LakeCDFStreamReader(
+        {"path": t, "net": "true", "net_rows_per_bucket": "50"}
+    )
+    parts = reader.partitions({"version": 0}, {"version": 1})
+    net_parts = [p for p in parts if isinstance(p, _NetCDFPart)]
+    assert len(net_parts) > 1, "large net commit still plans ONE task"
+    assert {p.bucket for p in net_parts} == set(range(len(net_parts)))
+    assert all(p.n_buckets == len(net_parts) for p in net_parts)
+    rows = []
+    for p in parts:
+        for batch in reader.read(p):
+            rows.extend(batch.to_pylist())
+    got = {
+        (r["k"], r["amount"], r["_change_type"], r["_commit_version"])
+        for r in rows
+    }
+    expect = {
+        (r.k, r.amount, r._change_type, r._commit_version)
+        for r in lake.table_changes(spark, t, 0, 1, net=True).collect()
+    }
+    assert got == expect
+    assert len(rows) == len(got), "bucket tasks emitted overlapping rows"
+    # end-to-end through a real streaming query with bucketing forced on
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("path", t)
+        .option("net", "true")
+        .option("net_rows_per_bucket", "50")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(sink)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got2 = {
+        (r.k, r.amount, r._change_type, r._commit_version)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got2 == expect
+
+
+def test_lake_cdf_stream_admission_control(spark, tmp_path):
+    """Round-15 verdict #2: max_commits_per_trigger bounds every micro-
+    batch during a deep-backlog catch-up; the consumer_id ledger keeps
+    the bound from the FIRST trigger and across a mid-backlog restart;
+    the fully drained feed equals the batch CDF (exactly-once at the
+    (row, change, version) grain)."""
+    import time
+
+    from zio_analytics_spark.sources.lakestream import (
+        _LakeCDFStreamReader,
+        register_lake_cdf,
+    )
+
+    register_lake_cdf(spark)
+    t, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ck"))
+    lake.create_table(_orders(spark, 10).coalesce(1), t, key_cols=["k"])  # v0
+    for i in range(12):  # deep backlog: v1..v12 before any consumer runs
+        lake.append(
+            spark.createDataFrame(
+                [(100 + i, 0, 1.0)], "k long, grp long, amount double"
+            ).coalesce(1),
+            t,
+        )
+    # unit grain: fresh reader with a consumer_id and no ledger bounds
+    # from from_version at the VERY FIRST latestOffset; unbounded without
+    r = _LakeCDFStreamReader(
+        {"path": t, "max_commits_per_trigger": "3", "consumer_id": "unit"}
+    )
+    assert r.latestOffset() == {"version": 3}
+    assert _LakeCDFStreamReader({"path": t}).latestOffset() == {"version": 12}
+    # max_files_per_trigger: each backlog commit adds 1 file
+    rf = _LakeCDFStreamReader(
+        {"path": t, "max_files_per_trigger": "4", "consumer_id": "unit2"}
+    )
+    assert rf.latestOffset() == {"version": 4}
+
+    batch_spans = []
+
+    def fb(df, bid):
+        rows = df.collect()
+        if rows:
+            batch_spans.append({r._commit_version for r in rows})
+            df.write.mode("append").parquet(sink)
+
+    def start():
+        return (
+            spark.readStream.format("lake_cdf")
+            .option("path", t)
+            .option("max_commits_per_trigger", "3")
+            .option("consumer_id", "drain1")
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and len(batch_spans) < 2:
+        time.sleep(0.2)
+    q.stop()  # mid-backlog restart
+    assert len(batch_spans) >= 2, "no progress before the mid-backlog stop"
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert all(len(s) <= 3 for s in batch_spans), (
+        f"a micro-batch exceeded max_commits_per_trigger: {batch_spans}"
+    )
+    assert len(batch_spans) >= 4, "backlog was not spread over triggers"
+    got = {
+        (r.k, r._change_type, r._commit_version)
+        for r in spark.read.parquet(sink).collect()
+    }
+    # the backlog is 12 single-row appends: v(i+1) inserts k=100+i
+    assert got == {(100 + i, "insert", i + 1) for i in range(12)}
+    # and ignoring versions it matches the batch file-grain CDF
+    assert {(k, c) for k, c, _ in got} == {
+        (r.k, r._change_type)
+        for r in lake.table_changes(spark, t, 0, 12).collect()
+    }
+    assert os.path.exists(os.path.join(t, "_consumers", "drain1.json"))
+
+
+def test_rename_column_preserves_history(spark, tmp_path):
+    """Round-15 verdict #3: rename is a metadata-only commit (physical
+    column mapping) — zero files rewrite, old files' data surfaces under
+    the NEW name, time travel to pre-rename versions shows the OLD name,
+    and later writes under the new name land in the same physical
+    column."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 40).coalesce(2), t, key_cols=["k"])  # v0
+    files_before = set(lake.snapshot(t).files)
+    v = lake.rename_column(t, "amount", "value")  # v1: metadata only
+    assert v == 1
+    assert set(lake.snapshot(t).files) == files_before, "rename rewrote files"
+    snap = lake.snapshot(t, with_files=False)
+    assert list(snap.schema) == ["k", "grp", "value"]
+    assert snap.physical == {"value": "amount"}
+    df = lake.read_snapshot(spark, t)
+    assert df.columns == ["k", "grp", "value"]
+    assert {r.value for r in df.where("k < 3").collect()} == {0.0, 10.0, 20.0}
+    # time travel: the pre-rename version reads with the OLD name
+    old = lake.read_snapshot(spark, t, version=0)
+    assert old.columns == ["k", "grp", "amount"]
+    # writes under the new name join old data in the same physical col
+    lake.append(
+        spark.createDataFrame([(500, 9, -5.0)], "k long, grp long, value double"),
+        t,
+    )  # v2
+    now = {r.k: r.value for r in lake.read_snapshot(spark, t).collect()}
+    assert now[500] == -5.0 and now[7] == 70.0
+    # and MERGE still prunes + upserts with the renamed schema
+    lake.merge(
+        spark,
+        t,
+        spark.createDataFrame([(7, 0, -7.0)], "k long, grp long, value double"),
+    )
+    assert [
+        r.value for r in lake.read_snapshot(spark, t).where("k = 7").collect()
+    ] == [-7.0]
+
+
+def test_rename_then_readd_old_name(spark, tmp_path):
+    """Renaming a→b frees the logical name 'a'; re-adding a column named
+    'a' must create a FRESH physical column — old 'a' data stays under
+    'b' and never resurfaces under the new 'a'."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 10).coalesce(1), t, key_cols=["k"])
+    lake.rename_column(t, "amount", "value")
+    lake.append(
+        spark.createDataFrame(
+            [(100, 1, 1.0, 42.0)],
+            "k long, grp long, value double, amount double",
+        ),
+        t,
+    )  # re-adds logical 'amount' as a NEW column
+    snap = lake.snapshot(t, with_files=False)
+    assert snap.physical["value"] == "amount"
+    assert snap.physical["amount"].startswith("amount_"), snap.physical
+    rows = {r.k: (r.value, r.amount) for r in lake.read_snapshot(spark, t).collect()}
+    assert rows[100] == (1.0, 42.0)
+    assert rows[5] == (50.0, None), "old data resurfaced under the new column"
+
+
+def test_drop_column_tombstones(spark, tmp_path):
+    """Drop is metadata-only: the column vanishes from reads, time
+    travel still sees it, re-adding the name yields NULLs for old rows
+    (fresh physical name), and key/partition columns refuse to drop."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        spark.createDataFrame(
+            [(k, k % 2, float(k), f"x{k}") for k in range(20)],
+            "k long, p long, v double, tag string",
+        ).coalesce(1),
+        t,
+        key_cols=["k"],
+        partition_by=["p"],
+    )
+    v = lake.drop_column(t, "tag")
+    assert v == 1
+    df = lake.read_snapshot(spark, t)
+    assert df.columns == ["k", "p", "v"]
+    assert lake.read_snapshot(spark, t, version=0).columns == [
+        "k", "p", "v", "tag",
+    ]
+    with pytest.raises(ValueError, match="key column"):
+        lake.drop_column(t, "k")
+    with pytest.raises(ValueError, match="partition column"):
+        lake.drop_column(t, "p")
+    # re-add 'tag': fresh physical name, old values never resurface
+    lake.append(
+        spark.createDataFrame(
+            [(100, 0, 1.0, "new")], "k long, p long, v double, tag string"
+        ),
+        t,
+    )
+    snap = lake.snapshot(t, with_files=False)
+    assert snap.physical["tag"].startswith("tag_")
+    assert snap.retired == ["tag"]
+    rows = {r.k: r.tag for r in lake.read_snapshot(spark, t).collect()}
+    assert rows[100] == "new"
+    assert rows[3] is None, "dropped data resurfaced"
+
+
+def test_rename_partition_column(spark, tmp_path):
+    """Renaming a partition column keeps the hive layout (physical dir
+    names never change), pruning on the new name, and dynamic partition
+    overwrite in renamed terms."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        spark.createDataFrame(
+            [(k, ["eu", "us"][k % 2], float(k)) for k in range(40)],
+            "k long, region string, v double",
+        ),
+        t,
+        key_cols=["k"],
+        partition_by=["region"],
+    )
+    lake.rename_column(t, "region", "geo")
+    snap = lake.snapshot(t, with_files=False)
+    assert snap.partition_by == ["geo"]
+    df = lake.read_snapshot(spark, t)
+    assert {r.geo for r in df.collect()} == {"eu", "us"}
+    # predicates on the renamed partition column still prune directories
+    plan = df.where("geo = 'eu'")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "eu" in plan
+    assert df.where("geo = 'eu'").count() == 20
+    before = dict(lake.snapshot(t).files)
+    lake.overwrite_partitions(
+        spark.createDataFrame([(900, "eu", -1.0)], "k long, geo string, v double"),
+        t,
+    )
+    snap2 = lake.snapshot(t)
+    stale = {p for p, a in before.items() if a["partition"]["region"] == "eu"}
+    assert not (stale & set(snap2.files)), "stale files under renamed partition"
+    rows = {(r.geo, r.k) for r in lake.read_snapshot(spark, t).collect()}
+    assert ("eu", 900) in rows
+    assert not any(g == "eu" and k != 900 for g, k in rows)
+
+
+def test_cdf_across_rename(spark, tmp_path):
+    """CDF windows spanning a rename surface ONE coherent schema — the
+    end version's logical names — for both file-grain and net mode, and
+    the streaming CDF reader resolves old files through the mapping."""
+    from zio_analytics_spark.sources.lakestream import register_lake_cdf
+
+    register_lake_cdf(spark)
+    t, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ck"))
+    lake.create_table(_orders(spark, 10).coalesce(1), t, key_cols=["k"])  # v0
+    lake.append(
+        spark.createDataFrame([(100, 1, 1.0)], "k long, grp long, amount double"),
+        t,
+    )  # v1
+    lake.rename_column(t, "amount", "value")  # v2
+    lake.merge(
+        spark,
+        t,
+        spark.createDataFrame([(100, 1, -1.0)], "k long, grp long, value double"),
+    )  # v3: update under the new name (rewrites v1's file)
+    # file-grain is an ENDPOINT diff: use (1, 3] so v1's file (added
+    # then removed inside a (0,3] window) sits at the window start
+    plain = lake.table_changes(spark, t, 1, 3)
+    assert "value" in plain.columns and "amount" not in plain.columns
+    got = {(r.k, r.value, r._change_type) for r in plain.collect()}
+    assert (100, 1.0, "delete") in got and (100, -1.0, "insert") in got
+    net = lake.table_changes(spark, t, 0, 3, net=True)
+    ngot = {(r.k, r.value, r._change_type, r._commit_version) for r in net.collect()}
+    assert ngot == {
+        (100, 1.0, "insert", 1),
+        (100, 1.0, "update_preimage", 3),
+        (100, -1.0, "update_postimage", 3),
+    }
+    # streaming reader: schema is the renamed one, old files resolve
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("path", t)
+        .option("net", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(sink)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    sgot = {
+        (r.k, r.value, r._change_type, r._commit_version)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert sgot == ngot
+
+
+def test_evolution_sequence_model(spark, tmp_path):
+    """Property-style model test over an evolve sequence: appends,
+    renames, drops, re-adds, a merge and a compact interleaved — the
+    table must always equal a driver-side dict model, including across
+    the checkpoint boundary."""
+    import random
+
+    rng = random.Random(1604)
+    t = str(tmp_path / "t")
+    lake.create_table(
+        spark.createDataFrame(
+            [(k, float(k), str(k)) for k in range(20)],
+            "k long, a double, b string",
+        ).coalesce(1),
+        t,
+        key_cols=["k"],
+    )
+    # model: {k: {logical_col: value}}; cols: current logical names
+    model = {k: {"a": float(k), "b": str(k)} for k in range(20)}
+    cols = ["a", "b"]
+    next_k = 100
+    renames = 0
+    for step in range(14):  # crosses the v10 checkpoint
+        op = rng.choice(["append", "rename", "drop", "merge"])
+        if op == "append":
+            row = {c: (float(next_k) if c.startswith("a") else str(next_k)) for c in cols}
+            df = spark.createDataFrame(
+                [(next_k, *[row[c] for c in cols])],
+                ", ".join(["k long"] + [
+                    f"{c} {'double' if c.startswith('a') else 'string'}"
+                    for c in cols
+                ]),
+            )
+            lake.append(df, t)
+            model[next_k] = dict(row)
+            next_k += 1
+        elif op == "rename" and cols:
+            old = rng.choice(cols)
+            new = f"{old}_r{renames}"
+            renames += 1
+            lake.rename_column(t, old, new)
+            cols[cols.index(old)] = new
+            for r in model.values():
+                r[new] = r.pop(old)
+        elif op == "drop" and len(cols) > 1:
+            victim = rng.choice(cols)
+            lake.drop_column(t, victim)
+            cols.remove(victim)
+            for r in model.values():
+                r.pop(victim, None)
+        elif op == "merge" and cols:
+            k = rng.choice(list(model))
+            row = {c: (-1.0 if c.startswith("a") else "M") for c in cols}
+            df = spark.createDataFrame(
+                [(k, *[row[c] for c in cols])],
+                ", ".join(["k long"] + [
+                    f"{c} {'double' if c.startswith('a') else 'string'}"
+                    for c in cols
+                ]),
+            )
+            lake.merge(spark, t, df)
+            model[k].update(row)
+        # verify after every step: table == model
+        got = {
+            r["k"]: {c: r[c] for c in cols}
+            for r in (x.asDict() for x in lake.read_snapshot(spark, t).collect())
+        }
+        want = {
+            k: {c: v.get(c) for c in cols} for k, v in model.items()
+        }
+        assert got == want, f"diverged at step {step} ({op})"
+    lake.compact(spark, t, target_files=2)
+    got = {
+        r["k"]: {c: r[c] for c in cols}
+        for r in (x.asDict() for x in lake.read_snapshot(spark, t).collect())
+    }
+    assert got == {k: {c: v.get(c) for c in cols} for k, v in model.items()}
+
+
+def test_deletion_vectors_core(spark, tmp_path):
+    """Round-15 verdict #4 (deletion vectors): DELETE/MERGE with
+    deletion_vectors=True never rewrite touched files — rows are marked
+    in a sidecar vector and anti-joined out at read. Vector growth,
+    upsert + preserve-columns, full-file death, compact materialization
+    and vacuum reclamation all hold."""
+    t = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    lake.create_table(df.repartitionByRange(4, "k"), t, key_cols=["k"])
+    files0 = set(lake.snapshot(t).files)
+    lake.delete_where(spark, t, "k % 10 = 3", deletion_vectors=True)
+    snap = lake.snapshot(t)
+    assert set(snap.files) == files0, "DV delete rewrote data files"
+    assert sum(1 for a in snap.files.values() if a.get("dv")) == 4
+    got = sorted(r.k for r in lake.read_snapshot(spark, t).collect())
+    assert len(got) == 90 and all(k % 10 != 3 for k in got)
+    assert lake.read_snapshot(spark, t, 0).count() == 100  # time travel
+    # vector GROWS on a second delete
+    lake.delete_where(spark, t, "k % 10 = 7", deletion_vectors=True)
+    got = sorted(r.k for r in lake.read_snapshot(spark, t).collect())
+    assert len(got) == 80 and all(k % 10 not in (3, 7) for k in got)
+    # DV merge: update + insert; files still not rewritten
+    files1 = set(lake.snapshot(t).files)
+    lake.merge(
+        spark, t,
+        spark.createDataFrame(
+            [(0, 9, -1.0), (1, 9, -2.0), (1000, 9, 5.0)],
+            "k long, g long, v double",
+        ),
+        deletion_vectors=True,
+    )
+    snap = lake.snapshot(t)
+    assert files1 <= set(snap.files), "DV merge removed old files"
+    m = {r.k: (r.g, r.v) for r in lake.read_snapshot(spark, t).collect()}
+    assert m[0] == (9, -1.0) and m[1] == (9, -2.0) and m[1000] == (9, 5.0)
+    assert len(m) == 81
+    # preserve-columns through DV merge (source lacks v)
+    lake.merge(
+        spark, t, spark.createDataFrame([(2, 8)], "k long, g long"),
+        deletion_vectors=True,
+    )
+    m = {r.k: (r.g, r.v) for r in lake.read_snapshot(spark, t).collect()}
+    assert m[2] == (8, 2.0)
+    # rewrite-mode merge on a DV table must NOT resurrect deleted rows
+    lake.merge(
+        spark, t, spark.createDataFrame([(4, 7, -4.0)], "k long, g long, v double")
+    )
+    got = sorted(r.k for r in lake.read_snapshot(spark, t).collect())
+    assert all(k % 10 not in (3, 7) or k == 1000 for k in got), (
+        "rewrite merge resurrected DV-deleted rows"
+    )
+    # fully-deleted file becomes a plain remove
+    lake.delete_where(spark, t, "k >= 75 and k < 1000", deletion_vectors=True)
+    assert lake.read_snapshot(spark, t).count() == 61
+    # compact materializes: vectors gone, same rows
+    lake.compact(spark, t, target_files=2)
+    snap = lake.snapshot(t)
+    assert not any(a.get("dv") for a in snap.files.values())
+    assert lake.read_snapshot(spark, t).count() == 61
+    doomed = lake.vacuum(t, keep_versions=1, min_age_seconds=0)
+    assert any(d.startswith("dv-") for d in doomed), "orphan sidecars kept"
+    assert lake.read_snapshot(spark, t).count() == 61
+
+
+def test_deletion_vectors_write_amplification(spark, tmp_path):
+    """The point of DVs: a 1-row delete in a large file writes a few KB
+    of sidecar instead of rewriting the file. Measured bytes pinned."""
+    t = str(tmp_path / "t")
+    df = spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"),
+        F.md5(F.col("id").cast("string")).alias("pad"),
+    )
+    lake.create_table(df.coalesce(1), t, key_cols=["k"])
+    data_bytes = sum(
+        os.path.getsize(os.path.join(t, p)) for p in lake.snapshot(t).files
+    )
+    before = {
+        os.path.join(dp, n)
+        for dp, _d, ns in os.walk(t) for n in ns
+    }
+    lake.delete_where(spark, t, "k = 12345", deletion_vectors=True)
+    new_files = [
+        os.path.join(dp, n)
+        for dp, _d, ns in os.walk(t) for n in ns
+        if os.path.join(dp, n) not in before
+    ]
+    written = sum(os.path.getsize(p) for p in new_files if "/_log/" not in p)
+    assert written < data_bytes / 50, (
+        f"DV delete wrote {written} bytes vs {data_bytes} data bytes"
+    )
+    assert lake.read_snapshot(spark, t).count() == 199_999
+
+
+def test_deletion_vectors_cdf(spark, tmp_path):
+    """CDF over DV commits: file-grain windows emit the vector DELTA as
+    deletes (the path set never changed), net mode pairs a DV-merge's
+    sidecar deletes with its new-file adds into update pre/post images,
+    and the STREAMING reader does the same through its position-filtered
+    parts."""
+    from zio_analytics_spark.sources.lakestream import register_lake_cdf
+
+    register_lake_cdf(spark)
+    t, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ck"))
+    lake.create_table(
+        spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ).coalesce(1),
+        t,
+        key_cols=["k"],
+    )  # v0
+    lake.delete_where(spark, t, "k in (3, 5)", deletion_vectors=True)  # v1
+    lake.merge(
+        spark, t,
+        spark.createDataFrame([(7, -7.0), (100, 1.0)], "k long, v double"),
+        deletion_vectors=True,
+    )  # v2: dv-delete of old k=7 + new file (update+insert)
+    lake.delete_where(spark, t, "k = 9", deletion_vectors=True)  # v3: growth
+    # file-grain: deltas surface as deletes
+    plain = {
+        (r.k, r.v, r._change_type)
+        for r in lake.table_changes(spark, t, 0, 3).collect()
+    }
+    assert plain == {
+        (3, 3.0, "delete"), (5, 5.0, "delete"), (7, 7.0, "delete"),
+        (9, 9.0, "delete"), (7, -7.0, "insert"), (100, 1.0, "insert"),
+    }
+    # net: the DV merge forms an update pair; deletes stay deletes
+    net = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in lake.table_changes(spark, t, 0, net=True).collect()
+    }
+    expect_net = {
+        (3, 3.0, "delete", 1), (5, 5.0, "delete", 1),
+        (7, 7.0, "update_preimage", 2), (7, -7.0, "update_postimage", 2),
+        (100, 1.0, "insert", 2), (9, 9.0, "delete", 3),
+    }
+    assert net == expect_net
+    # streaming, net mode: identical
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("path", t)
+        .option("net", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(sink)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    sgot = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert sgot == expect_net
+    # streaming, file-grain mode
+    sink2, ckpt2 = str(tmp_path / "sink2"), str(tmp_path / "ck2")
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("path", t)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(sink2)
+        )
+        .option("checkpointLocation", ckpt2)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    fgot = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.read.parquet(sink2).collect()
+    }
+    assert fgot == {
+        (3, 3.0, "delete", 1), (5, 5.0, "delete", 1),
+        (7, 7.0, "delete", 2), (7, -7.0, "insert", 2),
+        (100, 1.0, "insert", 2), (9, 9.0, "delete", 3),
+    }
+
+
+def test_update_where_rewrite_and_dv(spark, tmp_path):
+    """UPDATE ... SET ... WHERE in both modes: rewrite touches only the
+    files containing matches; DV mode never rewrites (vector + one new
+    file); NULL-predicate rows are untouched; assignments cast to the
+    declared types; partition-moving updates land in the right dir."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        spark.createDataFrame(
+            [(k, ["eu", "us"][k % 2], float(k)) for k in range(40)],
+            "k long, region string, v double",
+        ),
+        t,
+        key_cols=["k"],
+        partition_by=["region"],
+    )
+    before = dict(lake.snapshot(t).files)
+    v = lake.update_where(spark, t, "k % 4 = 0", {"v": "v + 100"})
+    assert v == 1
+    m = {r.k: (r.region, r.v) for r in lake.read_snapshot(spark, t).collect()}
+    assert m[0] == ("eu", 100.0) and m[4] == ("eu", 104.0)
+    assert m[1] == ("us", 1.0) and m[2] == ("eu", 2.0)
+    # only eu files rewrote (all k%4==0 are eu); us files survive by ref
+    snap = lake.snapshot(t)
+    us_before = {p for p, a in before.items() if a["partition"]["region"] == "us"}
+    assert us_before <= set(snap.files)
+    # DV mode: unmatched files never rewrite (matches are all us-region;
+    # a tiny file whose EVERY row matched correctly becomes a remove)
+    files1 = dict(lake.snapshot(t).files)
+    lake.update_where(
+        spark, t, "k % 4 = 1", {"v": "-v"}, deletion_vectors=True
+    )
+    snap = lake.snapshot(t)
+    eu_files = {
+        p for p, a in files1.items() if a["partition"]["region"] == "eu"
+    }
+    assert eu_files <= set(snap.files), "untouched partition rewrote"
+    m = {r.k: r.v for r in lake.read_snapshot(spark, t).collect()}
+    assert m[1] == -1.0 and m[5] == -5.0 and m[3] == 3.0
+    assert len(m) == 40
+    # partition-moving update: the row re-stages into its new hive dir
+    lake.update_where(
+        spark, t, "k = 2", {"region": "'ap'"}, deletion_vectors=True
+    )
+    rows = {(r.k, r.region) for r in lake.read_snapshot(spark, t).collect()}
+    assert (2, "ap") in rows and not any(k == 2 and g != "ap" for k, g in rows)
+    # int assignment into a double column casts (schema-on-write)
+    lake.update_where(spark, t, "k = 3", {"v": "7"})
+    assert [
+        r.v for r in lake.read_snapshot(spark, t).where("k = 3").collect()
+    ] == [7.0]
+    # unknown column fails loudly; no-op predicate returns current version
+    with pytest.raises(ValueError, match="unknown columns"):
+        lake.update_where(spark, t, "k = 0", {"nope": "1"})
+    cur = lake.latest_version(t)
+    assert lake.update_where(spark, t, "k = 99999", {"v": "0"}) == cur
+    # net CDF pairs a DV update into pre/post images
+    net = {
+        (r.k, r.v, r._change_type)
+        for r in lake.table_changes(spark, t, 1, 2, net=True).collect()
+    }
+    assert net == {
+        (k, float(k), "update_preimage") for k in range(1, 40, 4)
+    } | {(k, -float(k), "update_postimage") for k in range(1, 40, 4)}

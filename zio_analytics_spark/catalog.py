@@ -2691,6 +2691,231 @@ def q_lake_cdf_net(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_deletion_vector",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    after_delete AS (
+      SELECT * FROM v0 WHERE NOT (o_orderkey % 10 = 4)
+    ),
+    changes AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 1 OR o_orderkey % 20 = 6
+    ),
+    merged AS (
+      SELECT * FROM changes
+      UNION ALL
+      SELECT t.* FROM after_delete t
+      WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+    )
+    SELECT o_orderpriority, count(*)::BIGINT AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM merged GROUP BY o_orderpriority
+    """,
+)
+def q_lake_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTORS (round-16, the published Delta DV shape —
+    sources/laketable.py): version 0 creates the table from even order
+    keys; v1 DELETEs keys % 10 = 4 with ``deletion_vectors=True`` — the
+    matching rows' (file, position) pairs land in a sidecar vector and
+    the touched files RE-ADD with a ``dv`` descriptor, zero data bytes
+    rewritten; v2 MERGEs updates (keys % 20 = 6) + inserts (keys % 4 =
+    1) in DV mode — matched target rows join the vector, the commit's
+    only new data file is the changeset. Reads anti-join the vector out
+    ((basename, _metadata.row_index) against the sidecar — AQE
+    broadcasts the small vector). The oracle replays pure row semantics
+    — equality proves the vectors delete EXACTLY the right rows and
+    resurrect none. Write amplification measured in SCALE.md: a 1-row
+    delete writes KBs, not the file."""
+    from zio_analytics_spark.sources import laketable as lake
+
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = _scratch_dir(prefix="zas_lake_dv_")
+    lake.create_table(
+        base.where(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+            4, "o_orderkey"
+        ),
+        table,
+        key_cols=["o_orderkey"],
+    )
+    lake.delete_where(
+        spark, table, "o_orderkey % 10 = 4", deletion_vectors=True
+    )
+    lake.merge(
+        spark,
+        table,
+        base.where(
+            (F.col("o_orderkey") % 4 == 1) | (F.col("o_orderkey") % 20 == 6)
+        ).select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        ),
+        deletion_vectors=True,
+    )
+    return (
+        lake.read_snapshot(spark, table)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "lake_update_where",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v1 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM v0
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 8 THEN 'X-DONE'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             o_totalprice
+      FROM v1
+    )
+    SELECT o_orderpriority, count(*)::BIGINT AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM v2 GROUP BY o_orderpriority
+    """,
+)
+def q_lake_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE — the third DML verb beside DELETE and
+    MERGE (round-16, sources/laketable.py update_where): v1 updates
+    urgent orders' totalprice (+10%, rounded) in REWRITE mode — only
+    files containing matches rewrite, CASE keeps the rest byte-equal;
+    v2 re-labels keys % 10 = 8 in DELETION-VECTOR mode — matched rows
+    join the vector and one new file carries the mutated rows, zero
+    rewrites. The oracle replays both updates as CASE projections —
+    equality proves match semantics (NULL predicate rows untouched),
+    assignment evaluation against the pre-update row, and that the two
+    write modes compose on one table."""
+    from zio_analytics_spark.sources import laketable as lake
+
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = _scratch_dir(prefix="zas_lake_upd_")
+    lake.create_table(
+        base.where(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+            4, "o_orderkey"
+        ),
+        table,
+        key_cols=["o_orderkey"],
+    )
+    lake.update_where(
+        spark,
+        table,
+        "o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "round(o_totalprice * 1.1, 2)"},
+    )
+    lake.update_where(
+        spark,
+        table,
+        "o_orderkey % 10 = 8",
+        {"o_orderpriority": "'X-DONE'"},
+        deletion_vectors=True,
+    )
+    return (
+        lake.read_snapshot(spark, table)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "lake_rename_evolution",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    appended AS (
+      SELECT o_orderkey, o_totalprice + 500 AS price
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    allr AS (SELECT * FROM v0 UNION ALL SELECT * FROM appended),
+    merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 30 = 0 THEN -1.0 ELSE price END AS price
+      FROM allr
+    )
+    SELECT (o_orderkey % 5)::BIGINT AS bucket, count(*)::BIGINT AS n,
+           round(sum(price), 2) AS total
+    FROM merged GROUP BY bucket
+    """,
+)
+def q_lake_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column rename/drop schema evolution (round-16, the published
+    Delta column-mapping shape — sources/laketable.py rename_column /
+    drop_column): version 0 creates the table (o_orderkey,
+    o_orderpriority, o_totalprice) from keys % 3 = 0; v1 RENAMES
+    o_totalprice→price and v2 DROPS o_orderpriority — both METADATA-ONLY
+    commits (zero file rewrites; physical in-file names never change);
+    v3 appends keys % 3 = 1 under the renamed schema; v4 MERGEs price=-1
+    for keys % 30 = 0 — an upsert that stats-prunes and rewrites
+    PRE-RENAME files resolved through the mapping. The final read
+    aggregates pre-rename and post-rename files under one logical
+    schema. The oracle replays the same row semantics in SQL with the
+    renamed column throughout — equality proves old files' data
+    surfaces under the new name, the dropped column leaves no residue,
+    and MERGE works across the mapping."""
+    from zio_analytics_spark.sources import laketable as lake
+
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = _scratch_dir(prefix="zas_lake_ren_")
+    lake.create_table(
+        base.where(F.col("o_orderkey") % 3 == 0).repartitionByRange(
+            4, "o_orderkey"
+        ),
+        table,
+        key_cols=["o_orderkey"],
+    )
+    lake.rename_column(table, "o_totalprice", "price")
+    lake.drop_column(table, "o_orderpriority")
+    lake.append(
+        base.where(F.col("o_orderkey") % 3 == 1).select(
+            "o_orderkey", (F.col("o_totalprice") + 500).alias("price")
+        ),
+        table,
+    )
+    lake.merge(
+        spark,
+        table,
+        base.where(F.col("o_orderkey") % 30 == 0).select(
+            "o_orderkey", F.lit(-1.0).alias("price")
+        ),
+    )
+    return (
+        lake.read_snapshot(spark, table)
+        .groupBy((F.col("o_orderkey") % 5).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).alias("total"),
+        )
+    )
+
+
+@register(
     "timeseries_ewma",
     oracle="""
     WITH RECURSIVE seq AS (

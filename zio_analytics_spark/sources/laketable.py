@@ -93,6 +93,7 @@ import os
 import shutil
 import urllib.parse
 import uuid
+import warnings
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass, field
 
@@ -110,8 +111,11 @@ __all__ = [
     "append",
     "overwrite",
     "overwrite_partitions",
+    "rename_column",
+    "drop_column",
     "merge",
     "delete_where",
+    "update_where",
     "read_snapshot",
     "prune_files",
     "latest_version",
@@ -336,6 +340,22 @@ class LakeSnapshot:
     key_cols: list = field(default_factory=list)
     schema: dict = field(default_factory=dict)  # col name -> simple type string
     partition_by: list = field(default_factory=list)
+    #: logical column name -> PHYSICAL name (the name stored in data
+    #: files, add-action stats/partition keys, and hive dirs). Identity
+    #: entries are omitted — an empty dict means no column was ever
+    #: renamed. Physical names are immutable once assigned (the
+    #: published Delta column-mapping / Iceberg field-ID model), which
+    #: is what makes rename a METADATA-ONLY commit that preserves
+    #: history: old files resolve through the mapping, no rewrite.
+    physical: dict = field(default_factory=dict)
+    #: physical names of DROPPED columns — a re-added logical name gets
+    #: a FRESH physical name so dropped data never resurfaces
+    retired: list = field(default_factory=list)
+
+
+def _phys(mapping: dict | None, col: str) -> str:
+    """The physical (in-file) name of logical column ``col``."""
+    return (mapping or {}).get(col, col)
 
 
 def _log_path(table: str, version: int, checkpoint: bool = False) -> str:
@@ -400,6 +420,8 @@ def _write_checkpoint_parquet(table: str, version: int, snap: LakeSnapshot) -> N
         "key_cols": snap.key_cols,
         "schema": snap.schema,
         "partition_by": snap.partition_by,
+        "physical": snap.physical,
+        "retired": snap.retired,
     }
     tbl = pa.table(
         [pa.array(paths, pa.string()), pa.array(adds, pa.string())],
@@ -458,7 +480,14 @@ def _roll_checkpoint_parquet(table: str, version: int) -> bool:
             if "meta" in action:
                 m = action["meta"]
                 meta["key_cols"] = m.get("key_cols", meta.get("key_cols", []))
-                meta.setdefault("schema", {}).update(m.get("schema", {}))
+                # replace semantics — mirrors snapshot() replay (a drop/
+                # rename can only be expressed by replacement)
+                if "schema" in m:
+                    meta["schema"] = dict(m["schema"])
+                if "physical" in m:
+                    meta["physical"] = dict(m["physical"])
+                if "retired" in m:
+                    meta["retired"] = list(m["retired"])
                 meta["partition_by"] = m.get(
                     "partition_by", meta.get("partition_by", [])
                 )
@@ -558,6 +587,29 @@ def _load_checkpoint(
         return None
 
 
+def _usable_checkpoint(table: str, version: int) -> int | None:
+    """Newest parquet-checkpoint version at or before ``version`` that
+    VALIDATES — the bytes parse as parquet and carry the meta key — so
+    the distributed legs of :func:`prune_files` and
+    :func:`_partition_matched_files` never hand Spark a corrupt file
+    (bit rot must degrade to the driver replay, not crash a MERGE:
+    checkpoints are purely an optimization; round-15 ADVICE)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _, checkpoints = _list_log(table)
+    storage = get_storage()
+    for cp in reversed([c for c in checkpoints if c <= version]):
+        try:
+            raw = storage.read_bytes(_checkpoint_parquet_path(table, cp))
+            kv = pq.read_schema(pa.BufferReader(raw)).metadata or {}
+            json.loads(kv[_CP_META_KEY].decode("utf-8"))
+        except (OSError, ValueError, KeyError):
+            continue
+        return cp
+    return None
+
+
 def snapshot(
     table: str, version: int | None = None, with_files: bool = True
 ) -> LakeSnapshot:
@@ -591,6 +643,8 @@ def snapshot(
         snap.key_cols = state.get("key_cols", [])
         snap.schema = dict(state.get("schema", {}))
         snap.partition_by = list(state.get("partition_by", []))
+        snap.physical = dict(state.get("physical", {}))
+        snap.retired = list(state.get("retired", []))
         start = cp + 1
         break
     storage = get_storage()
@@ -602,11 +656,19 @@ def snapshot(
                 continue
             action = json.loads(line)
             if "meta" in action:
-                snap.key_cols = action["meta"].get("key_cols", snap.key_cols)
-                snap.schema.update(action["meta"].get("schema", {}))
-                snap.partition_by = action["meta"].get(
-                    "partition_by", snap.partition_by
-                )
+                m = action["meta"]
+                snap.key_cols = m.get("key_cols", snap.key_cols)
+                # REPLACE, not update: every writer records the FULL
+                # schema, and only replacement can express a column
+                # drop/rename (round-16); pre-evolution logs carried the
+                # full schema too, so replay is unchanged for them
+                if "schema" in m:
+                    snap.schema = dict(m["schema"])
+                if "physical" in m:
+                    snap.physical = dict(m["physical"])
+                if "retired" in m:
+                    snap.retired = list(m["retired"])
+                snap.partition_by = m.get("partition_by", snap.partition_by)
             elif with_files and "add" in action:
                 snap.files[action["add"]["path"]] = action["add"]
             elif with_files and "remove" in action:
@@ -694,13 +756,28 @@ def _stage_files(
     key_cols: Sequence[str],
     partition_by: Sequence[str] = (),
     schema: dict | None = None,
+    physical: dict | None = None,
 ) -> list[dict]:
     """Write ``df`` as immutable parquet parts (hive-partitioned when the
     table is) staged under the table dir, publish each at a unique final
     key, and return their add actions (path, partition values, rows,
     per-file min/max stats for key_cols). Stats come from ONE aggregate
     over the newly written files only — never a table scan; a key that
-    is a partition column gets exact stats from its directory value."""
+    is a partition column gets exact stats from its directory value.
+
+    ``physical`` (logical→physical, round-16 column mapping): everything
+    that lands in FILES or ADD ACTIONS — column names, hive dirs, stats
+    keys, partition-value keys — uses PHYSICAL names; the caller's
+    ``df``/``key_cols``/``partition_by``/``schema`` stay logical and are
+    translated here, at the single write seam."""
+    if physical:
+        df = df.select(
+            *[F.col(c).alias(_phys(physical, c)) for c in df.columns]
+        )
+        key_cols = [_phys(physical, c) for c in key_cols]
+        partition_by = [_phys(physical, c) for c in partition_by]
+        if schema:
+            schema = {_phys(physical, c): t for c, t in schema.items()}
     spark = df.sparkSession
     storage = get_storage()
     missing_parts = [c for c in partition_by if c not in df.columns]
@@ -805,7 +882,7 @@ _SAFE_CAST = {
 
 def _enforce_schema(
     df: DataFrame, snap: LakeSnapshot, op: str
-) -> tuple[DataFrame, list[dict], dict]:
+) -> tuple[DataFrame, list[dict], dict, dict]:
     """Schema-on-write (the lake-table contract): a column present in both
     the table and the incoming data must land as the TABLE's type —
     silently mixing types across files would poison every later
@@ -813,10 +890,15 @@ def _enforce_schema(
     CAST implicitly, the discipline real lake engines apply on write;
     anything else raises. NEW columns are additive evolution (old files
     surface NULL; the returned meta action records them); missing columns
-    are fine (parquet union fills NULL). Returns (possibly-cast df,
-    meta actions, the table schema AFTER this write)."""
+    are fine (parquet union fills NULL). A new column whose name was
+    EVER a physical name before (a dropped column, or a name freed by a
+    rename) gets a FRESH generated physical name so old files' data can
+    never resurface under it (round-16 rename/drop evolution). Returns
+    (possibly-cast df, meta actions, the table schema AFTER this write,
+    the logical→physical mapping AFTER this write)."""
     if not snap.schema:
-        return df, [], {}  # pre-schema tables (or empty meta): nothing to check
+        # pre-schema tables (or empty meta): nothing to check
+        return df, [], {}, dict(snap.physical)
     incoming = _schema_of(df)
     conflicts = {}
     casts = {}
@@ -840,16 +922,29 @@ def _enforce_schema(
         df = df.withColumn(c, F.col(c).cast(want))
     new_cols = {c: t for c, t in incoming.items() if c not in snap.schema}
     full = {**snap.schema, **new_cols}
+    mapping = dict(snap.physical)
     if new_cols:
-        return df, [{"meta": {"schema": full}}], full
-    return df, [], full
+        used = {_phys(mapping, c) for c in snap.schema} | set(snap.retired)
+        for c in new_cols:
+            if c in used:
+                mapping[c] = f"{c}_{uuid.uuid4().hex[:8]}"
+        meta_action = {"meta": {"schema": full}}
+        if mapping or snap.retired:
+            meta_action["meta"]["physical"] = mapping
+            meta_action["meta"]["retired"] = list(snap.retired)
+        return df, [meta_action], full, mapping
+    return df, [], full, mapping
 
 
-def _align_to_schema(df: DataFrame, schema: dict) -> DataFrame:
+def _align_to_schema(
+    df: DataFrame, schema: dict, keep: Sequence[str] = ()
+) -> DataFrame:
     """Project ``df`` onto the full table schema: present columns pass
     through, absent ones become typed NULLs. Every rewrite path (merge,
     delete survivors) aligns here so a rewrite can never silently drop a
-    column another file carries (round-13 ADVICE)."""
+    column another file carries (round-13 ADVICE). ``keep`` carries
+    extra non-schema columns (the deletion-vector position handles)
+    through the projection."""
     if not schema:
         return df
     have = set(df.columns)
@@ -857,7 +952,8 @@ def _align_to_schema(df: DataFrame, schema: dict) -> DataFrame:
         *[
             F.col(c) if c in have else F.lit(None).cast(t).alias(c)
             for c, t in schema.items()
-        ]
+        ],
+        *[F.col(c) for c in keep if c in have],
     )
 
 
@@ -890,9 +986,28 @@ def _commit(
     if checkpoint_interval and version and version % checkpoint_interval == 0:
         # roll the previous parquet checkpoint forward (streamed batches,
         # never the full file list on the driver); first checkpoint of a
-        # table falls back to the snapshot-based writer
-        if not _roll_checkpoint_parquet(table, version):
-            _write_checkpoint_parquet(table, version, snapshot(table, version))
+        # table falls back to the snapshot-based writer. The commit is
+        # ALREADY durably published at this point, so a checkpoint
+        # failure must never propagate — the caller would see a failure
+        # for a commit that succeeded and wrongly re-submit (round-15
+        # ADVICE). Roll failure falls back to the snapshot writer; any
+        # checkpoint-write failure is swallowed with a warning
+        # (checkpoints are purely an optimization).
+        try:
+            rolled = _roll_checkpoint_parquet(table, version)
+        except Exception:
+            rolled = False
+        if not rolled:
+            try:
+                _write_checkpoint_parquet(
+                    table, version, snapshot(table, version)
+                )
+            except Exception as e:
+                warnings.warn(
+                    f"lake checkpoint write failed for {table}@{version}: "
+                    f"{e!r} — the commit itself succeeded; snapshots fall "
+                    "back to an older checkpoint or log replay"
+                )
     return version
 
 
@@ -937,9 +1052,9 @@ def append(df: DataFrame, table: str) -> int:
     only snapshot: an append never consults the file list, so a standing
     ingest stays O(1) driver memory however many files the table has."""
     snap = snapshot(table, with_files=False)
-    df, meta, full_schema = _enforce_schema(df, snap, "append")
+    df, meta, full_schema, physical = _enforce_schema(df, snap, "append")
     adds = _stage_files(
-        df, table, snap.key_cols, snap.partition_by, full_schema
+        df, table, snap.key_cols, snap.partition_by, full_schema, physical
     )
     version = snap.version + 1
     while True:
@@ -955,13 +1070,98 @@ def append(df: DataFrame, table: str) -> int:
 
 def overwrite(df: DataFrame, table: str) -> int:
     snap = snapshot(table)
-    df, meta, full_schema = _enforce_schema(df, snap, "overwrite")
+    df, meta, full_schema, physical = _enforce_schema(df, snap, "overwrite")
     adds = _stage_files(
-        df, table, snap.key_cols, snap.partition_by, full_schema
+        df, table, snap.key_cols, snap.partition_by, full_schema, physical
     )
     actions = meta + [{"remove": {"path": p}} for p in snap.files]
     actions += [{"add": a} for a in adds]
     return _commit(table, snap.version + 1, actions, "OVERWRITE")
+
+
+def rename_column(table: str, old: str, new: str) -> int:
+    """Rename a column as a METADATA-ONLY commit (round-16 schema
+    evolution, the published Delta column-mapping shape): the logical
+    name changes, the PHYSICAL name — what data files, hive dirs, and
+    add-action stats carry — stays fixed, so zero files rewrite and
+    history stays readable. Old snapshots time-travel with the OLD
+    name (each version pins its own mapping); reads at or after this
+    commit resolve every historical file through the mapping. key_cols
+    and partition_by follow the rename. The freed logical name may be
+    re-added later — it gets a FRESH physical name, so this column's
+    data never resurfaces under it."""
+    snap = snapshot(table, with_files=False)
+    if not snap.schema:
+        raise ValueError(
+            f"{table} has no recorded schema; rename needs the meta "
+            "action create_table writes"
+        )
+    if old not in snap.schema:
+        raise ValueError(f"rename_column: no such column {old!r}")
+    if new in snap.schema:
+        raise ValueError(f"rename_column: column {new!r} already exists")
+    if not new or "." in new or "'" in new or '"' in new or "`" in new:
+        raise ValueError(f"rename_column: invalid column name {new!r}")
+    schema = {new if c == old else c: t for c, t in snap.schema.items()}
+    mapping = dict(snap.physical)
+    mapping[new] = mapping.pop(old, old)
+    if mapping[new] == new:  # rename back to the physical name: identity
+        mapping.pop(new)
+    meta = {
+        "schema": schema,
+        "physical": mapping,
+        "retired": list(snap.retired),
+        "key_cols": [new if c == old else c for c in snap.key_cols],
+        "partition_by": [new if c == old else c for c in snap.partition_by],
+    }
+    version = snap.version + 1
+    while True:
+        try:
+            return _commit(table, version, [{"meta": meta}], "RENAME_COLUMN")
+        except ConcurrentCommitError:
+            # re-validate against the winner's schema before retrying
+            return rename_column(table, old, new)
+
+
+def drop_column(table: str, name: str) -> int:
+    """Drop a column as a METADATA-ONLY commit: the physical column is
+    TOMBSTONED (recorded in ``retired``) — no file rewrites; readers at
+    or after this commit simply stop projecting it, and time travel to
+    earlier versions still sees it. Re-adding the same logical name
+    later creates a brand-new column (fresh physical name, NULL for all
+    existing rows) — the dropped data never resurfaces. Key and
+    partition columns refuse to drop (MERGE needs its keys; the hive
+    layout needs its directories)."""
+    snap = snapshot(table, with_files=False)
+    if not snap.schema:
+        raise ValueError(
+            f"{table} has no recorded schema; drop needs the meta "
+            "action create_table writes"
+        )
+    if name not in snap.schema:
+        raise ValueError(f"drop_column: no such column {name!r}")
+    if name in snap.key_cols:
+        raise ValueError(f"drop_column: {name!r} is a key column")
+    if name in snap.partition_by:
+        raise ValueError(f"drop_column: {name!r} is a partition column")
+    if len(snap.schema) == 1:
+        raise ValueError("drop_column: cannot drop the only column")
+    schema = {c: t for c, t in snap.schema.items() if c != name}
+    mapping = dict(snap.physical)
+    retired = list(snap.retired) + [mapping.pop(name, name)]
+    meta = {
+        "schema": schema,
+        "physical": mapping,
+        "retired": retired,
+        "key_cols": list(snap.key_cols),
+        "partition_by": list(snap.partition_by),
+    }
+    version = snap.version + 1
+    while True:
+        try:
+            return _commit(table, version, [{"meta": meta}], "DROP_COLUMN")
+        except ConcurrentCommitError:
+            return drop_column(table, name)
 
 
 def _partition_key(values: dict, partition_by: Sequence[str]) -> str:
@@ -987,27 +1187,21 @@ def _partition_matched_files(
     version: int,
     partition_by: Sequence[str],
     replaced_keys: set,
+    schema: dict | None = None,
 ) -> list[str]:
     """Live files whose partition tuple is in ``replaced_keys`` — the
     remove set of a dynamic partition overwrite. Same bounded-driver
-    shape as :func:`prune_files`: when a parquet checkpoint backs the
-    snapshot, the equality match runs IN SPARK over the checkpoint rows
-    (the replaced set is a small literal list) and only matches are
-    collected; the post-checkpoint tail replays driver-side,
-    O(checkpoint_interval). Falls back to the driver replay otherwise."""
-    commits, checkpoints = _list_log(table)
-    cp_version = None
-    # dotted/quoted partition names would break the JSON path — the
-    # driver replay handles any name, so just skip the distributed leg
-    if not any("." in c or "'" in c or '"' in c for c in partition_by):
-        for cp in reversed([c for c in checkpoints if c <= version]):
-            try:
-                get_storage().read_bytes(_checkpoint_parquet_path(table, cp))
-            except OSError:
-                continue
-            cp_version = cp
-            break
-    if cp_version is None:
+    shape as :func:`prune_files`: when a VALIDATED parquet checkpoint
+    backs the snapshot, the equality match runs IN SPARK over the
+    checkpoint rows (the replaced set is a small literal list) and only
+    matches are collected; the post-checkpoint tail replays driver-side,
+    O(checkpoint_interval). Falls back to the driver replay otherwise —
+    including when the distributed leg FAILS mid-flight (a checkpoint
+    that validated but has corrupt row pages; round-15 ADVICE).
+    ``partition_by``/``schema`` are in ADD-ACTION terms — PHYSICAL
+    column names (round-16 column mapping); the caller translates."""
+
+    def _driver_replay() -> list[str]:
         snap = snapshot(table, version)
         return [
             p
@@ -1015,26 +1209,54 @@ def _partition_matched_files(
             if _partition_key(a.get("partition", {}), partition_by)
             in replaced_keys
         ]
-    cp_df = spark.read.schema("path string, add_json string").parquet(
-        get_storage().resolve_read_path(
-            table,
-            os.path.join(_LOG_DIR, f"{cp_version:0{_PAD}d}.checkpoint.parquet"),
-        )
-    )
-    key = F.concat_ws(
-        "\x01",
-        *[
-            F.coalesce(
-                F.get_json_object("add_json", f"$.partition.{c}"),
-                F.lit("\x00NULL"),
+
+    # dotted/quoted partition names would break the JSON path, and
+    # float/double partition values render differently in Python
+    # (json.dumps: '12345678.5') vs Spark's get_json_object (Jackson:
+    # '1.23456785E7') so the key strings would NEVER match and stale
+    # partitions would silently survive (round-15 ADVICE) — the driver
+    # replay uses _partition_key on both sides, so route those there
+    if any("." in c or "'" in c or '"' in c for c in partition_by):
+        return _driver_replay()
+    if schema is None:
+        ms = snapshot(table, version, with_files=False)
+        schema = {_phys(ms.physical, c): t for c, t in ms.schema.items()}
+    if any(
+        (schema or {}).get(c, "").lower() in ("float", "double")
+        for c in partition_by
+    ):
+        return _driver_replay()
+    cp_version = _usable_checkpoint(table, version)
+    if cp_version is None:
+        return _driver_replay()
+    commits, _ = _list_log(table)
+    try:
+        cp_df = spark.read.schema("path string, add_json string").parquet(
+            get_storage().resolve_read_path(
+                table,
+                os.path.join(
+                    _LOG_DIR, f"{cp_version:0{_PAD}d}.checkpoint.parquet"
+                ),
             )
-            for c in partition_by
-        ],
-    )
-    matched = {
-        r.path
-        for r in cp_df.where(key.isin(*replaced_keys)).select("path").collect()
-    }
+        )
+        key = F.concat_ws(
+            "\x01",
+            *[
+                F.coalesce(
+                    F.get_json_object("add_json", f"$.partition.{c}"),
+                    F.lit("\x00NULL"),
+                )
+                for c in partition_by
+            ],
+        )
+        matched = {
+            r.path
+            for r in cp_df.where(key.isin(*replaced_keys))
+            .select("path")
+            .collect()
+        }
+    except Exception:
+        return _driver_replay()
     storage = get_storage()
     for v in commits:
         if v <= cp_version or v > version:
@@ -1072,19 +1294,65 @@ def overwrite_partitions(df: DataFrame, table: str) -> int:
         raise ValueError(
             f"{table} is not partitioned; use overwrite() for full replace"
         )
-    df, meta, full_schema = _enforce_schema(df, snap, "overwrite_partitions")
-    adds = _stage_files(
-        df, table, snap.key_cols, snap.partition_by, full_schema
+    df, meta, full_schema, physical = _enforce_schema(
+        df, snap, "overwrite_partitions"
     )
+    adds = _stage_files(
+        df, table, snap.key_cols, snap.partition_by, full_schema, physical
+    )
+    # add-action partition dicts are PHYSICAL-keyed (round-16 column
+    # mapping) — match and remove in physical terms on both sides
+    phys_pb = [_phys(physical, c) for c in snap.partition_by]
+    phys_schema = {_phys(physical, c): t for c, t in full_schema.items()}
     replaced = {
-        _partition_key(a.get("partition", {}), snap.partition_by) for a in adds
+        _partition_key(a.get("partition", {}), phys_pb) for a in adds
     }
     removes = _partition_matched_files(
-        df.sparkSession, table, snap.version, snap.partition_by, replaced
+        df.sparkSession,
+        table,
+        snap.version,
+        phys_pb,
+        replaced,
+        schema=phys_schema,
     ) if replaced else []
     actions = meta + [{"remove": {"path": p}} for p in removes]
     actions += [{"add": a} for a in adds]
     return _commit(table, snap.version + 1, actions, "OVERWRITE_PARTITIONS")
+
+
+def _apply_dv(
+    spark: SparkSession, table: str, scan: DataFrame, dv_of: dict
+) -> DataFrame:
+    """Anti-join DELETION-VECTOR positions out of a parquet scan
+    (round-16, the published Delta deletion-vector shape): ``dv_of``
+    maps data-file rel paths to their dv descriptors; each referenced
+    sidecar holds (file BASENAME, row position) rows. The join key is
+    (basename, ``_metadata.row_index``): PUBLISHED data-file basenames
+    are uuid-unique across the whole table (publish_file names every
+    part ``part-<uuid4>.parquet`` — unlike Spark's staged output names,
+    which repeat across partition dirs), so the basename is a safe file
+    identity that sidesteps URI-scheme normalization of
+    ``_metadata.file_path``. Sidecars are commit-grain and a file's
+    vector only GROWS between rewrites, so unioning every referenced
+    sidecar can only repeat current positions, never resurrect or
+    over-delete. AQE broadcasts the dv side when it is small (the
+    common case); a huge vector degrades to a shuffle anti-join, never
+    a wrong answer."""
+    storage = get_storage()
+    dv_dirs = sorted({d["path"] for d in dv_of.values()})
+    dv_df = (
+        spark.read.schema("file string, pos bigint")
+        .parquet(*[storage.resolve_read_path(table, p) for p in dv_dirs])
+        .select(
+            F.col("file").alias("__dv_base"),
+            F.col("pos").alias("__dv_pos"),
+        )
+    )
+    scan = scan.withColumn(
+        "__dv_base",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+    return scan.join(dv_df, ["__dv_base", "__dv_pos"], "left_anti")
 
 
 def _read_files(
@@ -1092,6 +1360,8 @@ def _read_files(
     table: str,
     snap: LakeSnapshot,
     paths: Sequence[str] | None = None,
+    actions: dict | None = None,
+    with_pos: bool = False,
 ) -> DataFrame:
     """Read a snapshot's files (or the ``paths`` subset of them).
 
@@ -1110,20 +1380,211 @@ def _read_files(
       pruning at the scan (pinned by test_laketable).
     * All paths resolve through the storage seam
       (:meth:`LakeStorage.resolve_read_path`), never a bare join —
-      the storage owns the rel-path → reader-URI mapping."""
+      the storage owns the rel-path → reader-URI mapping.
+    * DELETION VECTORS (round-16): rows whose (file, position) a live
+      add action's ``dv`` descriptor marks deleted are anti-joined out
+      before the logical projection. The descriptors come from
+      ``actions`` (an explicit rel-path → add-action dict — the
+      bounded-driver MERGE path, whose snapshot has ``files=None``) or
+      from ``snap.files``. ``with_pos=True`` keeps ``__dv_base``/
+      ``__dv_pos`` (file basename, in-file row position) in the output
+      — the handles DV writers need."""
     storage = get_storage()
     rels = list(paths) if paths is not None else list(snap.files)
     full = [storage.resolve_read_path(table, p) for p in rels]
     if not full:
         raise ValueError(f"snapshot v{snap.version} of {table} has no files")
+    lookup = actions if actions is not None else (snap.files or {})
+    dv_of = {
+        p: lookup[p]["dv"]
+        for p in rels
+        if p in lookup and lookup[p].get("dv")
+    }
     if snap.schema:
-        ddl = ", ".join(f"`{c}` {t}" for c, t in snap.schema.items())
+        # files store PHYSICAL names (identical to logical unless a
+        # rename happened); read physically, alias back to logical —
+        # Catalyst pushes predicates straight through the aliases, so
+        # partition pruning and pushdown are unaffected (round-16)
+        pm = snap.physical
+        ddl = ", ".join(
+            f"`{_phys(pm, c)}` {t}" for c, t in snap.schema.items()
+        )
         reader = spark.read.schema(ddl)
     else:
+        pm = {}
         reader = spark.read.option("mergeSchema", True)
     if snap.partition_by:
         reader = reader.option("basePath", storage.resolve_read_path(table, ""))
-    return reader.parquet(*full)
+    out = reader.parquet(*full)
+    if dv_of or with_pos:
+        if dv_of:
+            out = _apply_dv(spark, table, out, dv_of)
+        else:
+            out = out.withColumn(
+                "__dv_base",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+    extra = ["__dv_base", "__dv_pos"] if with_pos else []
+    if snap.schema:
+        # project to the RECORDED schema order under logical names —
+        # the parquet source appends partition columns last and files
+        # store physical names; this single Project (collapsed by
+        # Catalyst, pushdown passes through) makes column order and
+        # naming a stable contract of the snapshot
+        out = out.select(
+            *[F.col(_phys(pm, c)).alias(c) for c in snap.schema], *extra
+        )
+    elif dv_of and not with_pos:
+        out = out.drop("__dv_base", "__dv_pos")
+    return out
+
+
+def _write_dv_sidecar(
+    positions: DataFrame, table: str
+) -> tuple[str, dict[str, int]]:
+    """Publish one commit-grain DELETION-VECTOR sidecar: ``positions``
+    has columns (file basename, pos) holding the COMPLETE new vector
+    (prior positions ∪ newly deleted) for every touched file. Written
+    BY SPARK (a billion-position delete never lands on the driver) into
+    a staged dir, parts published under ``dv-<uuid>/part-<uuid>.parquet``
+    (the ``part-*.parquet`` name keeps them in vacuum's inventory), and
+    only per-file COUNTS come back to the driver — bounded by touched
+    file count. Returns (sidecar rel dir, {basename: total deleted})."""
+    spark = positions.sparkSession
+    storage = get_storage()
+    counts = {
+        r["file"]: r["n"]
+        for r in positions.groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    stage = os.path.join(table, f"_stage-{uuid.uuid4().hex}")
+    positions.select("file", "pos").write.mode("overwrite").parquet(stage)
+    dv_rel = f"dv-{uuid.uuid4().hex}"
+    published = False
+    for dirpath, _dirs, names in os.walk(stage):
+        for name in names:
+            if name.startswith("part-") and name.endswith(".parquet"):
+                storage.publish_file(
+                    os.path.join(dirpath, name),
+                    os.path.join(
+                        table, dv_rel, f"part-{uuid.uuid4().hex}.parquet"
+                    ),
+                )
+                published = True
+    shutil.rmtree(stage, ignore_errors=True)
+    if not published:
+        raise ValueError("deletion-vector sidecar wrote no parts")
+    return dv_rel, counts
+
+
+def prune_file_actions(
+    spark: SparkSession,
+    table: str,
+    key_ranges: dict,
+    version: int | None = None,
+    schema: dict | None = None,
+    physical: dict | None = None,
+) -> dict[str, dict]:
+    """:func:`prune_files`, but returning the surviving files' FULL add
+    actions (rel path → action dict) — what a deletion-vector MERGE
+    needs (each touched file's current ``dv``/``stats``/``partition``)
+    while the driver stays bounded by the SURVIVOR count, exactly like
+    the path list."""
+    touched = prune_files(
+        spark, table, key_ranges, version=version, schema=schema,
+        physical=physical,
+    )
+    if not touched:
+        return {}
+    out: dict[str, dict] = {}
+    commits, _ = _list_log(table)
+    v = version if version is not None else (commits[-1] if commits else 0)
+    cp_version = _usable_checkpoint(table, v)
+    want = set(touched)
+    if cp_version is not None:
+        try:
+            cp_df = spark.read.schema("path string, add_json string").parquet(
+                get_storage().resolve_read_path(
+                    table,
+                    os.path.join(
+                        _LOG_DIR, f"{cp_version:0{_PAD}d}.checkpoint.parquet"
+                    ),
+                )
+            )
+            for r in (
+                cp_df.where(F.col("path").isin(*sorted(want)))
+                .select("path", "add_json")
+                .collect()
+            ):
+                out[r.path] = json.loads(r.add_json)
+            storage = get_storage()
+            for cv in commits:
+                if cv <= cp_version or cv > v:
+                    continue
+                for line in storage.read_bytes(
+                    _log_path(table, cv)
+                ).splitlines():
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "add" in action and action["add"]["path"] in want:
+                        out[action["add"]["path"]] = action["add"]
+            if want <= set(out):
+                return {p: out[p] for p in touched}
+            # a survivor the checkpoint scan missed: driver replay below
+        except Exception:
+            pass  # fall through to the driver replay
+    snap = snapshot(table, v)
+    return {p: snap.files[p] for p in touched if p in snap.files}
+
+
+def _dv_mark_deleted(
+    spark: SparkSession, table: str, hits: DataFrame, file_actions: dict
+) -> list[dict]:
+    """Turn NEWLY deleted live rows into deletion-vector commit actions.
+    ``hits`` has columns (file basename, pos); ``file_actions`` maps the
+    candidate rel paths to their CURRENT add actions. Each touched
+    file's prior vector (its rows are live-filtered, so hits are always
+    new positions) is unioned with the hits into one commit-grain
+    sidecar; the file re-adds with the grown ``dv`` — or, when every
+    row is now deleted, turns into a plain remove (a dead file needs no
+    vector). Driver state: basenames + per-file counts, never
+    positions."""
+    touched_bases = {r["file"] for r in hits.select("file").distinct().collect()}
+    if not touched_bases:
+        return []
+    by_base = {os.path.basename(p): p for p in file_actions}
+    old_dirs = sorted(
+        {
+            file_actions[by_base[b]]["dv"]["path"]
+            for b in touched_bases
+            if file_actions[by_base[b]].get("dv")
+        }
+    )
+    positions = hits.select("file", "pos")
+    if old_dirs:
+        storage = get_storage()
+        positions = positions.unionByName(
+            spark.read.schema("file string, pos bigint")
+            .parquet(
+                *[storage.resolve_read_path(table, p) for p in old_dirs]
+            )
+            .where(F.col("file").isin(*sorted(touched_bases)))
+        )
+    dv_rel, counts = _write_dv_sidecar(positions, table)
+    actions: list[dict] = []
+    for b in sorted(touched_bases):
+        rel = by_base[b]
+        a = dict(file_actions[rel])
+        total = counts.get(b, 0)
+        rows = a.get("rows")
+        if rows is not None and total >= rows:
+            actions.append({"remove": {"path": rel}})
+        else:
+            a["dv"] = {"path": dv_rel, "deleted": total}
+            actions.append({"add": a})
+    return actions
 
 
 def read_snapshot(
@@ -1151,7 +1612,7 @@ def read_snapshot(
         return _read_files(spark, table, snap)
     touched = set(
         prune_files(spark, table, key_ranges, version=snap.version,
-                    schema=snap.schema)
+                    schema=snap.schema, physical=snap.physical)
     )
     keep = [p for p in snap.files if p in touched]
     if not keep:
@@ -1165,6 +1626,7 @@ def prune_files(
     key_ranges: dict,
     version: int | None = None,
     schema: dict | None = None,
+    physical: dict | None = None,
 ) -> list[str]:
     """The TOUCHED file list for a changeset whose per-key [min, max]
     ranges are ``key_ranges`` — every live file whose stats do NOT prove
@@ -1190,51 +1652,69 @@ def prune_files(
         if not commits:
             raise FileNotFoundError(f"empty lake table log: {table}")
         version = commits[-1]
-    cp_version = None
-    for cp in reversed([c for c in checkpoints if c <= version]):
-        try:
-            get_storage().read_bytes(_checkpoint_parquet_path(table, cp))
-        except OSError:
-            continue
-        cp_version = cp
-        break
     keys = [k for k, (mn, _mx) in key_ranges.items() if mn is not None]
-    if cp_version is None:
+    if physical is None or schema is None:
+        meta_snap = snapshot(table, version, with_files=False)
+        if physical is None:
+            physical = meta_snap.physical
+        if schema is None:
+            schema = meta_snap.schema
+    # add-action stats are keyed by PHYSICAL names (round-16 column
+    # mapping); key_ranges/schema arrive logical
+    pk = {k: _phys(physical, k) for k in keys}
+
+    def _driver_replay() -> list[str]:
         # no distributed base: driver replay, same loop MERGE always ran
         snap = snapshot(table, version)
         touched = []
         for p, a in snap.files.items():
             stats = a.get("stats", {})
             if not any(
-                k in stats and _stats_disjoint(stats[k], *key_ranges[k])
+                pk[k] in stats
+                and _stats_disjoint(stats[pk[k]], *key_ranges[k])
                 for k in keys
             ):
                 touched.append(p)
         return touched
-    if schema is None:
-        schema = snapshot(table, version, with_files=False).schema
-    bad = [k for k in keys if "." in k or "'" in k or '"' in k]
+
+    cp_version = _usable_checkpoint(table, version)
+    if cp_version is None:
+        return _driver_replay()
+    bad = [k for k in keys if "." in pk[k] or "'" in pk[k] or '"' in pk[k]]
     if bad:
         raise ValueError(f"key columns unsupported in JSON-path pruning: {bad}")
-    cp_df = spark.read.schema("path string, add_json string").parquet(
-        get_storage().resolve_read_path(
-            table, os.path.join(_LOG_DIR, f"{cp_version:0{_PAD}d}.checkpoint.parquet")
+    try:
+        cp_df = spark.read.schema("path string, add_json string").parquet(
+            get_storage().resolve_read_path(
+                table,
+                os.path.join(
+                    _LOG_DIR, f"{cp_version:0{_PAD}d}.checkpoint.parquet"
+                ),
+            )
         )
-    )
-    disjoint = F.lit(False)
-    for k in keys:
-        mn, mx = key_ranges[k]  # raw Spark values: F.lit types them exactly
-        t = schema.get(k, "string")
-        lo = F.get_json_object("add_json", f"$.stats.{k}.min").cast(t)
-        hi = F.get_json_object("add_json", f"$.stats.{k}.max").cast(t)
-        # NULL stats (or a failed cast) compare NULL -> coalesce keeps
-        # the file touched: never skip on uncertainty
-        disjoint = disjoint | F.coalesce(
-            (hi < F.lit(mn)) | (lo > F.lit(mx)), F.lit(False)
-        )
-    touched = {
-        r.path for r in cp_df.where(~disjoint).select("path").collect()
-    }
+        disjoint = F.lit(False)
+        for k in keys:
+            mn, mx = key_ranges[k]  # raw Spark values: F.lit types them
+            t = schema.get(k, "string")
+            lo = F.get_json_object(
+                "add_json", f"$.stats.{pk[k]}.min"
+            ).cast(t)
+            hi = F.get_json_object(
+                "add_json", f"$.stats.{pk[k]}.max"
+            ).cast(t)
+            # NULL stats (or a failed cast) compare NULL -> coalesce keeps
+            # the file touched: never skip on uncertainty
+            disjoint = disjoint | F.coalesce(
+                (hi < F.lit(mn)) | (lo > F.lit(mx)), F.lit(False)
+            )
+        touched = {
+            r.path for r in cp_df.where(~disjoint).select("path").collect()
+        }
+    except Exception:
+        # a checkpoint that VALIDATED (footer + meta key) can still have
+        # corrupt row pages — the distributed leg degrades to the driver
+        # replay instead of crashing the MERGE (round-15 ADVICE)
+        return _driver_replay()
     storage = get_storage()
     for v in commits:
         if v <= cp_version or v > version:
@@ -1247,7 +1727,8 @@ def prune_files(
                 a = action["add"]
                 stats = a.get("stats", {})
                 if not any(
-                    k in stats and _stats_disjoint(stats[k], *key_ranges[k])
+                    pk[k] in stats
+                    and _stats_disjoint(stats[pk[k]], *key_ranges[k])
                     for k in keys
                 ):
                     touched.add(a["path"])
@@ -1263,6 +1744,7 @@ def merge(
     table: str,
     source: DataFrame,
     max_retries: int = 3,
+    deletion_vectors: bool = False,
 ) -> int:
     """MERGE (upsert by the table's key_cols) against the LIVE snapshot
     with file-level data skipping: only files whose key-range stats
@@ -1272,7 +1754,14 @@ def merge(
     action; table columns absent from the source or the touched files
     surface as typed NULLs) — a merge can never silently drop a column
     (round-13 ADVICE). On a commit race the transaction re-runs against
-    the new snapshot (the rewrite must see the winner's rows)."""
+    the new snapshot (the rewrite must see the winner's rows).
+
+    ``deletion_vectors=True`` (round-16): matched target rows are marked
+    in a sidecar vector instead of rewriting their files — the commit is
+    ONE new file (the upserted rows) plus per-file dv re-adds, so a
+    narrow update to wide files writes O(changeset), not O(touched
+    files) (measured in SCALE.md). Unmatched rows in touched files
+    survive IN PLACE."""
     for _ in range(max_retries + 1):
         # meta-only snapshot: MERGE never materializes the table's file
         # list on the driver — prune_files resolves the touched set
@@ -1303,21 +1792,34 @@ def merge(
         } if bounds is not None else {}
         if not src_range or src_range[stat_keys[0]][0] is None:
             return snap.version  # empty changeset: MERGE is a no-op
-        touched = prune_files(
-            spark, table, src_range, version=snap.version, schema=snap.schema
+        # actions (not just paths): the bounded-driver read needs each
+        # touched file's dv descriptor — a merge reading rows a vector
+        # already deleted would resurrect them in the rewrite
+        touched_actions = prune_file_actions(
+            spark, table, src_range, version=snap.version,
+            schema=snap.schema, physical=snap.physical,
         )
+        touched = sorted(touched_actions)
         from zio_analytics_spark.operators.merge import merge_upsert
 
         src_cols = set(source.columns)
-        aligned_source, meta, full_schema = _enforce_schema(
+        aligned_source, meta, full_schema, physical = _enforce_schema(
             source, snap, "merge"
         )
         if full_schema:
             aligned_source = _align_to_schema(aligned_source, full_schema)
+        dv_actions: list[dict] = []
         if touched:
-            target = _read_files(spark, table, snap, paths=touched)
+            target = _read_files(
+                spark, table, snap, paths=touched, actions=touched_actions,
+                with_pos=deletion_vectors,
+            )
             if full_schema:
-                target = _align_to_schema(target, full_schema)
+                target = _align_to_schema(
+                    target,
+                    full_schema,
+                    keep=("__dv_base", "__dv_pos") if deletion_vectors else (),
+                )
                 # table columns the source does NOT carry: matched rows
                 # PRESERVE the target's current values (updateAll-by-name
                 # semantics) — blanket NULL alignment would silently erase
@@ -1342,17 +1844,43 @@ def merge(
                         .select(*full_schema)
                     )
             else:
-                aligned_source = aligned_source.select(*target.columns)
-            merged = merge_upsert(target, aligned_source, keys)
+                aligned_source = aligned_source.select(
+                    *[c for c in target.columns if not c.startswith("__dv_")]
+                )
+            if deletion_vectors:
+                # matched target rows -> vector positions; unmatched
+                # rows survive in place; the new file is the upserted
+                # changeset only
+                src_keys = aligned_source.select(*keys).dropDuplicates(
+                    list(keys)
+                )
+                hits = target.join(src_keys, list(keys), "left_semi").select(
+                    F.col("__dv_base").alias("file"),
+                    F.col("__dv_pos").alias("pos"),
+                )
+                dv_actions = _dv_mark_deleted(
+                    spark, table, hits, touched_actions
+                )
+                merged = aligned_source
+            else:
+                merged = merge_upsert(target, aligned_source, keys)
         else:
             merged = aligned_source
         adds = _stage_files(
-            merged, table, keys, snap.partition_by, full_schema or None
+            merged, table, keys, snap.partition_by, full_schema or None,
+            physical,
         )
-        actions = meta + [{"remove": {"path": p}} for p in touched]
-        actions += [{"add": a} for a in adds]
+        if deletion_vectors:
+            actions = meta + dv_actions + [{"add": a} for a in adds]
+            extra = {"mode": "dv"}
+        else:
+            actions = meta + [{"remove": {"path": p}} for p in touched]
+            actions += [{"add": a} for a in adds]
+            extra = None
         try:
-            return _commit(table, snap.version + 1, actions, "MERGE")
+            return _commit(
+                table, snap.version + 1, actions, "MERGE", extra_info=extra
+            )
         except ConcurrentCommitError:
             # the winner may have rewritten files we read: orphan our
             # staged files (unreferenced — vacuum-able) and re-run the
@@ -1361,13 +1889,40 @@ def merge(
     raise ConcurrentCommitError(snapshot(table).version + 1)
 
 
-def delete_where(spark: SparkSession, table: str, predicate: str) -> int:
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    deletion_vectors: bool = False,
+) -> int:
     """DELETE: rewrite only the files that contain matching rows (found by
     one filtered scan over the live set — a predicate on a partition
     column prunes directories before any data byte is read), drop
     fully-deleted files. Survivors are read with mergeSchema and aligned
     to the full table schema, so a rewrite preserves columns the hit
-    files don't all carry (round-13 ADVICE)."""
+    files don't all carry (round-13 ADVICE).
+
+    ``deletion_vectors=True`` (round-16): instead of REWRITING touched
+    files, mark the matching rows' positions in a sidecar vector and
+    re-add the files with the grown ``dv`` — a 1-row delete in a 1 GB
+    file writes a few KB instead of 1 GB (the published Delta DV
+    write-amplification fix; measured in SCALE.md). Reads anti-join the
+    vector out; COMPACT materializes (rewrites clean files, drops
+    vectors); a file whose every row is deleted becomes a plain remove
+    either way."""
+    if deletion_vectors:
+        snap = snapshot(table)
+        live = _read_files(spark, table, snap, with_pos=True)
+        hits = live.where(predicate).select(
+            F.col("__dv_base").alias("file"), F.col("__dv_pos").alias("pos")
+        )
+        actions = _dv_mark_deleted(spark, table, hits, snap.files)
+        if not actions:
+            return snap.version  # no-op: nothing matched
+        return _commit(
+            table, snap.version + 1, actions, "DELETE",
+            extra_info={"mode": "dv"},
+        )
     snap = snapshot(table)
     live = _read_files(spark, table, snap).withColumn(
         "__file", F.input_file_name()
@@ -1388,11 +1943,103 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> int:
     )
     survivors = _align_to_schema(survivors, snap.schema)
     adds = _stage_files(
-        survivors, table, snap.key_cols, snap.partition_by, snap.schema
+        survivors, table, snap.key_cols, snap.partition_by, snap.schema,
+        snap.physical,
     )
     actions = [{"remove": {"path": p}} for p in hit_files]
     actions += [{"add": a} for a in adds]
     return _commit(table, snap.version + 1, actions, "DELETE")
+
+
+def update_where(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    assignments: dict,
+    deletion_vectors: bool = False,
+) -> int:
+    """UPDATE ... SET ... WHERE: rows where ``predicate`` is TRUE get
+    ``assignments`` (column → SQL expression string, evaluated against
+    the current row) applied; NULL-predicate rows are untouched (SQL
+    UPDATE semantics, same contract as :func:`delete_where`). Completes
+    the DML triad beside DELETE and MERGE (round-16).
+
+    Rewrite mode: only files CONTAINING matches rewrite — updated rows
+    via CASE, others copied; assignments cast to the declared column
+    types (schema-on-write). ``deletion_vectors=True``: matched rows'
+    positions join the vector and ONE new file carries the mutated
+    rows — O(changed rows) written, not O(touched files); an update
+    that moves a row's partition value lands it in the right hive dir
+    either way (rows re-stage through the normal partitioned write)."""
+    snap = snapshot(table)
+    if snap.schema:
+        bad = [c for c in assignments if c not in snap.schema]
+        if bad:
+            raise ValueError(f"update_where: unknown columns {bad}")
+
+    def mutate(df: DataFrame, unconditional: bool) -> DataFrame:
+        cond = F.expr(predicate)
+        cols = []
+        for c in (list(snap.schema) or df.columns):
+            if c in assignments:
+                new = F.expr(assignments[c])
+                if snap.schema.get(c):
+                    new = new.cast(snap.schema[c])
+                cols.append(
+                    new.alias(c)
+                    if unconditional
+                    else F.when(cond, new).otherwise(F.col(c)).alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        return df.select(*cols)
+
+    if deletion_vectors:
+        live = _read_files(spark, table, snap, with_pos=True)
+        hits = live.where(predicate)
+        dv_actions = _dv_mark_deleted(
+            spark,
+            table,
+            hits.select(
+                F.col("__dv_base").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            ),
+            snap.files,
+        )
+        if not dv_actions:
+            return snap.version  # no-op: nothing matched
+        mutated = mutate(hits.drop("__dv_base", "__dv_pos"), True)
+        adds = _stage_files(
+            mutated, table, snap.key_cols, snap.partition_by, snap.schema,
+            snap.physical,
+        )
+        return _commit(
+            table,
+            snap.version + 1,
+            dv_actions + [{"add": a} for a in adds],
+            "UPDATE",
+            extra_info={"mode": "dv"},
+        )
+    live = _read_files(spark, table, snap).withColumn(
+        "__file", F.input_file_name()
+    )
+    by_name = {os.path.basename(p): p for p in snap.files}
+    hit_files = [
+        by_name[r["__file"].split("/")[-1]]
+        for r in live.where(predicate).select("__file").distinct().collect()
+    ]
+    if not hit_files:
+        return snap.version  # no-op: nothing matched
+    rewritten = mutate(
+        _read_files(spark, table, snap, paths=hit_files), False
+    )
+    adds = _stage_files(
+        rewritten, table, snap.key_cols, snap.partition_by, snap.schema,
+        snap.physical,
+    )
+    actions = [{"remove": {"path": p}} for p in hit_files]
+    actions += [{"add": a} for a in adds]
+    return _commit(table, snap.version + 1, actions, "UPDATE")
 
 
 def vacuum(
@@ -1422,8 +2069,17 @@ def vacuum(
         return []
     retained = commits[-max(keep_versions, 1):]
     keep: set[str] = set()
+    dv_prefixes: set[str] = set()
     for v in retained:
-        keep.update(snapshot(table, v).files)
+        snapv = snapshot(table, v)
+        keep.update(snapv.files)
+        for a in snapv.files.values():
+            if a.get("dv"):
+                # deletion-vector sidecars live as part files under a
+                # dv-<uuid>/ dir — everything under a REFERENCED dir
+                # survives (round-16); unreferenced sidecars (orphaned
+                # attempts, aged-out history) reclaim like data files
+                dv_prefixes.add(a["dv"]["path"].rstrip("/") + os.sep)
     now = time.time()
     storage = get_storage()
     candidates = {
@@ -1432,7 +2088,12 @@ def vacuum(
         # too young: may belong to an uncommitted writer
         if now - mtime >= min_age_seconds
     }
-    doomed = sorted(candidates - keep)
+    doomed = sorted(
+        rel
+        for rel in candidates
+        if rel not in keep
+        and not any(rel.startswith(px) for px in dv_prefixes)
+    )
     for rel in doomed:
         storage.delete_file(os.path.join(table, rel))
     # crash residue, same age guard: temp log files a writer died holding
@@ -1498,7 +2159,8 @@ def compact(
     else:
         rewritten = live.repartition(target_files)
     adds = _stage_files(
-        rewritten, table, snap.key_cols, snap.partition_by, snap.schema
+        rewritten, table, snap.key_cols, snap.partition_by, snap.schema,
+        snap.physical,
     )
     actions = [{"remove": {"path": p}} for p in snap.files]
     actions += [{"add": a} for a in adds]
@@ -1507,13 +2169,17 @@ def compact(
 
 def _commit_file_deltas(
     table: str, from_version: int, to_version: int
-) -> Iterator[tuple[int, dict, dict, dict]]:
-    """Per-commit (version, added_actions, removed_actions, schema_asof)
-    for every commit in ``(from_version, to_version]`` — ONE snapshot
-    resolve at the range start, then each commit file is read once and
-    applied incrementally (never O(range) log replays). A file added and
-    removed within the range still surfaces in both commits; a file
-    added and removed inside ONE commit is transient and skipped."""
+) -> Iterator[tuple[int, dict, dict, dict, dict]]:
+    """Per-commit (version, added_actions, removed_actions, schema_asof,
+    dv_changed) for every commit in ``(from_version, to_version]`` — ONE
+    snapshot resolve at the range start, then each commit file is read
+    once and applied incrementally (never O(range) log replays). A file
+    added and removed within the range still surfaces in both commits; a
+    file added and removed inside ONE commit is transient and skipped.
+    An add for an ALREADY-LIVE path is a deletion-vector change
+    (round-16): it lands in ``dv_changed`` as path → (old_action,
+    new_action) — consumers emit the vector DELTA rows as deletes, never
+    the whole file as an insert."""
     commits, _ = _list_log(table)
     storage = get_storage()
     snap0 = snapshot(table, from_version)
@@ -1524,6 +2190,7 @@ def _commit_file_deltas(
             continue
         added: dict = {}
         removed: dict = {}
+        dv_changed: dict = {}
         for line in storage.read_bytes(_log_path(table, v)).splitlines():
             if not line.strip():
                 continue
@@ -1531,15 +2198,22 @@ def _commit_file_deltas(
             if "meta" in action:
                 schema.update(action["meta"].get("schema", {}))
             elif "add" in action:
-                added[action["add"]["path"]] = action["add"]
+                a = action["add"]
+                if a["path"] in live:
+                    dv_changed[a["path"]] = (live[a["path"]], a)
+                else:
+                    added[a["path"]] = a
             elif "remove" in action:
                 p = action["remove"]["path"]
                 if p in added:  # transient within one commit
                     added.pop(p)
                 elif p in live:
                     removed[p] = live[p]
-        yield v, added, removed, dict(schema)
+                    dv_changed.pop(p, None)
+        yield v, added, removed, dict(schema), dv_changed
         live.update(added)
+        for p, (_old, new) in dv_changed.items():
+            live[p] = new
         for p in removed:
             live.pop(p, None)
 
@@ -1553,6 +2227,8 @@ def _net_commit_changes(
     schema: dict,
     keys: Sequence[str],
     partition_by: Sequence[str],
+    physical: dict | None = None,
+    dv_changed: dict | None = None,
 ) -> DataFrame | None:
     """NET row-level changes of one commit: the added side full-outer-
     joined to the removed side on key_cols — a key only in the added
@@ -1562,7 +2238,10 @@ def _net_commit_changes(
     ``update_preimage``/``update_postimage`` pair (the published row-
     level CDF decomposition). Still O(this commit's changed files)."""
     snap = LakeSnapshot(
-        version=version, schema=schema, partition_by=list(partition_by)
+        version=version,
+        schema=schema,
+        partition_by=list(partition_by),
+        physical=dict(physical or {}),
     )
     cols = list(schema)
     value_cols = [c for c in cols if c not in keys]
@@ -1571,21 +2250,48 @@ def _net_commit_changes(
         F.col("__ct").alias("_change_type"),
         F.lit(version).cast("bigint").alias("_commit_version"),
     ]
-    if not added and not removed:
+    added_df = (
+        _read_files(
+            spark, table, snap, paths=list(added), actions=added
+        ).select(*cols)
+        if added
+        else None
+    )
+    removed_df = (
+        # actions=removed: a removed file's dv marks rows that were
+        # ALREADY dead before this commit — they must not re-surface
+        # as deletes (round-16)
+        _read_files(
+            spark, table, snap, paths=list(removed), actions=removed
+        ).select(*cols)
+        if removed
+        else None
+    )
+    if dv_changed:
+        deltas = [
+            (p, o.get("dv"), n.get("dv")) for p, (o, n) in dv_changed.items()
+        ]
+        ddf = _dv_delta_rows(spark, table, snap, deltas)
+        if ddf is not None:
+            ddf = ddf.select(*cols)
+            removed_df = (
+                ddf if removed_df is None else removed_df.unionByName(ddf)
+            )
+    if added_df is None and removed_df is None:
         return None
-    if not removed:
-        return _read_files(spark, table, snap, paths=list(added)).select(
+    if removed_df is None:
+        return added_df.select(
             *cols, F.lit("insert").alias("__ct")
         ).select(*out_cols)
-    if not added:
-        return _read_files(spark, table, snap, paths=list(removed)).select(
+    if added_df is None:
+        return removed_df.select(
             *cols, F.lit("delete").alias("__ct")
         ).select(*out_cols)
     payload = value_cols or cols  # keys-only table: presence IS the value
-    a = _read_files(spark, table, snap, paths=list(added)).select(
+    a = added_df.select(
         *keys, F.struct(*payload).alias("__a"), F.lit(True).alias("__pa")
     )
-    r = _read_files(spark, table, snap, paths=list(removed)).select(
+    r = removed_df.select(
         *keys, F.struct(*payload).alias("__r"), F.lit(True).alias("__pr")
     )
     j = a.join(r, list(keys), "full_outer")
@@ -1616,6 +2322,71 @@ def _net_commit_changes(
         )
     )
     return exploded.select(*out_cols)
+
+
+def _dv_delta_rows(
+    spark: SparkSession, table: str, snap_ref: LakeSnapshot, deltas: list
+) -> DataFrame:
+    """Rows NEWLY marked deleted between two deletion-vector states:
+    for each (path, dv_old, dv_new) the rows of ``path`` at positions in
+    new-minus-old — the delete side a CDF window must emit for a DV
+    commit (the file itself never moved). Vectors only GROW between
+    rewrites, so union-reading the referenced sidecars and anti-joining
+    old out of new is exact per (basename, pos). ``snap_ref`` supplies
+    schema/mapping for the read (end-version semantics)."""
+    storage = get_storage()
+    paths = [p for p, _o, n in deltas if n]
+    if not paths:
+        return None
+    bases = sorted({os.path.basename(p) for p in paths})
+    scan = _read_files(
+        spark, table, snap_ref, paths=paths, actions={}, with_pos=True
+    )
+
+    def read_dirs(dirs):
+        return (
+            spark.read.schema("file string, pos bigint")
+            .parquet(*[storage.resolve_read_path(table, d) for d in dirs])
+            .where(F.col("file").isin(*bases))
+        )
+
+    new_df = read_dirs(sorted({n["path"] for _p, _o, n in deltas if n}))
+    old_dirs = sorted({o["path"] for _p, o, _n in deltas if o})
+    delta = new_df
+    if old_dirs:
+        delta = new_df.join(read_dirs(old_dirs), ["file", "pos"], "left_anti")
+    delta = delta.select(
+        F.col("file").alias("__dv_base"), F.col("pos").alias("__dv_pos")
+    )
+    return scan.join(
+        delta, ["__dv_base", "__dv_pos"], "left_semi"
+    ).drop("__dv_base", "__dv_pos")
+
+
+def _empty_changes_frame(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    with_commit_version: bool,
+) -> DataFrame:
+    """Typed EMPTY change feed built from the RECORDED schema: a window
+    with zero changes — including a table whose every row was deleted
+    before the window, leaving zero live files — must return an empty
+    frame, not throw because there are no files to infer a schema from
+    (round-15 ADVICE). Pre-schema tables (no recorded meta) fall back to
+    inferring from the snapshot's files, the old behavior."""
+    snap = snapshot(table, version, with_files=False)
+    if snap.schema:
+        ddl = ", ".join(f"`{c}` {t}" for c, t in snap.schema.items())
+        ddl += ", `_change_type` string"
+        if with_commit_version:
+            ddl += ", `_commit_version` bigint"
+        return spark.createDataFrame([], ddl)
+    base = _read_files(spark, table, snapshot(table, version))
+    base = base.withColumn("_change_type", F.lit("insert"))
+    if with_commit_version:
+        base = base.withColumn("_commit_version", F.lit(0).cast("bigint"))
+    return base.limit(0)
 
 
 def table_changes(
@@ -1650,30 +2421,41 @@ def table_changes(
     compare as CHANGED (IEEE semantics) — rewrites copy bit-identical
     doubles, so only a genuine NaN-producing update surfaces."""
     if net:
-        snap0 = snapshot(table, from_version)
-        keys = snap0.key_cols
+        if to_version is None:
+            to_version = latest_version(table)
+        # END-version metadata governs the whole window (round-16 column
+        # mapping): a rename inside the window surfaces under the NEW
+        # name for every commit (old files resolve through the physical
+        # mapping), a dropped column's values vanish from the feed, and
+        # an added column backfills NULL — one coherent output schema
+        snap_end = snapshot(table, to_version, with_files=False)
+        keys = snap_end.key_cols
         if not keys:
             raise ValueError(
                 f"{table} has no key_cols; net CDF joins added vs removed "
                 "rows by key — use net=False for the file-grain feed"
             )
-        if to_version is None:
-            to_version = latest_version(table)
         parts = []
-        for v, added, removed, schema in _commit_file_deltas(
+        for v, added, removed, _schema, dv_changed in _commit_file_deltas(
             table, from_version, to_version
         ):
             df = _net_commit_changes(
-                spark, table, v, added, removed, schema, keys, snap0.partition_by
+                spark,
+                table,
+                v,
+                added,
+                removed,
+                snap_end.schema,
+                keys,
+                snap_end.partition_by,
+                snap_end.physical,
+                dv_changed,
             )
             if df is not None:
                 parts.append(df)
         if not parts:
-            base = _read_files(spark, table, snapshot(table, to_version))
-            return (
-                base.withColumn("_change_type", F.lit("insert"))
-                .withColumn("_commit_version", F.lit(0).cast("bigint"))
-                .limit(0)
+            return _empty_changes_frame(
+                spark, table, to_version, with_commit_version=True
             )
         out = parts[0]
         for p in parts[1:]:
@@ -1683,6 +2465,15 @@ def table_changes(
     snap_to = snapshot(table, to_version)
     added = sorted(set(snap_to.files) - set(snap_from.files))
     removed = sorted(set(snap_from.files) - set(snap_to.files))
+    # a path live at BOTH endpoints whose deletion vector grew: its
+    # newly-deleted rows are the window's deletes for that file
+    # (round-16 DVs — the file itself never moved, so the path diff
+    # alone would silently drop them)
+    dv_delta = [
+        (p, snap_from.files[p].get("dv"), snap_to.files[p].get("dv"))
+        for p in set(snap_from.files) & set(snap_to.files)
+        if snap_from.files[p].get("dv") != snap_to.files[p].get("dv")
+    ]
     parts = []
     if added:
         parts.append(
@@ -1691,14 +2482,27 @@ def table_changes(
             )
         )
     if removed:
+        # read the removed side through the END version's schema and
+        # mapping too (round-16): physical names never change, so the
+        # old files resolve; a window spanning a rename unifies both
+        # sides under the new logical name. dv descriptors come from
+        # the FROM side (those were the file's live rows when removed)
         parts.append(
-            _read_files(spark, table, snap_from, paths=removed).withColumn(
-                "_change_type", F.lit("delete")
-            )
+            _read_files(
+                spark, table, snap_to, paths=removed,
+                actions=snap_from.files,
+            ).withColumn("_change_type", F.lit("delete"))
         )
+    if dv_delta:
+        delta_df = _dv_delta_rows(spark, table, snap_to, dv_delta)
+        if delta_df is not None:
+            parts.append(
+                delta_df.withColumn("_change_type", F.lit("delete"))
+            )
     if not parts:
-        base = _read_files(spark, table, snap_to)
-        return base.withColumn("_change_type", F.lit("insert")).limit(0)
+        return _empty_changes_frame(
+            spark, table, snap_to.version, with_commit_version=False
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
@@ -1730,9 +2534,11 @@ def append_stream_batch(df: DataFrame, table: str, batch_id: int) -> int | None:
     if batch_id in committed_batch_ids(table):
         return None
     snap = snapshot(table, with_files=False)  # appends never need the file list
-    df, meta, full_schema = _enforce_schema(df, snap, "append_stream_batch")
+    df, meta, full_schema, physical = _enforce_schema(
+        df, snap, "append_stream_batch"
+    )
     adds = _stage_files(
-        df, table, snap.key_cols, snap.partition_by, full_schema
+        df, table, snap.key_cols, snap.partition_by, full_schema, physical
     )
     version = snap.version + 1
     actions = meta + [{"add": a} for a in adds]
