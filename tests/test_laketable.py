@@ -2775,3 +2775,45 @@ def test_update_where_rewrite_and_dv(spark, tmp_path):
     assert net == {
         (k, float(k), "update_preimage") for k in range(1, 40, 4)
     } | {(k, -float(k), "update_postimage") for k in range(1, 40, 4)}
+
+
+def test_compact_zorder_multi_column_prune(spark, tmp_path):
+    """OPTIMIZE ZORDER (round-16): linear (a,b) clustering gives tight
+    stats only for the LEADING column — a predicate on b touches every
+    file; the quantized-Morton layout gives every file a small
+    rectangle, so BOTH dimensions prune. Measured file counts pin the
+    trade; rows are bit-identical under either layout."""
+    t = str(tmp_path / "t")
+    n = 10_000
+    df = spark.range(n).select(
+        (F.col("id") % 100).alias("a"),
+        (F.col("id") / 100).cast("long").alias("b"),
+        F.col("id").alias("v"),
+    )
+    lake.create_table(df.repartition(8), t, key_cols=["a", "b"])
+    lake.compact(spark, t, target_files=16, layout="linear")
+    lin_a = len(lake.prune_files(spark, t, {"a": (10, 15)}))
+    lin_b = len(lake.prune_files(spark, t, {"b": (10, 15)}))
+    lake.compact(spark, t, target_files=16, layout="zorder")
+    zo_a = len(lake.prune_files(spark, t, {"a": (10, 15)}))
+    zo_b = len(lake.prune_files(spark, t, {"b": (10, 15)}))
+    assert lin_a < 16, "linear leading-column stats did not prune"
+    assert lin_b == len(lake.snapshot(t).files) or lin_b >= 14, (
+        "test premise: linear layout should NOT prune the second column"
+    )
+    assert zo_a < 16 and zo_b < 16, (
+        f"zorder failed to prune both dims: a={zo_a}, b={zo_b}"
+    )
+    assert zo_b < lin_b, f"zorder b-prune ({zo_b}) not better than linear ({lin_b})"
+    assert lake.read_snapshot(spark, t).count() == n
+    got = {
+        (r.a, r.b)
+        for r in lake.read_snapshot(spark, t)
+        .where("b between 10 and 15")
+        .collect()
+    }
+    assert got == {
+        (i % 100, i // 100) for i in range(n) if 10 <= i // 100 <= 15
+    }
+    with pytest.raises(ValueError, match="unknown compact layout"):
+        lake.compact(spark, t, layout="hilbert")

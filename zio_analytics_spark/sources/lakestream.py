@@ -346,9 +346,17 @@ class _LakeCDFStreamReader(DataSourceStreamReader):
         ):
             if self.net:
                 if added or removed or dv_chg:
-                    total_rows = sum(
-                        a.get("rows") or 0 for a in added.values()
-                    ) + sum(a.get("rows") or 0 for a in removed.values())
+                    # dv-change entries read their file's rows too (the
+                    # delta filter runs after the read), so they count
+                    # toward the bucket sizing like any other side
+                    total_rows = (
+                        sum(a.get("rows") or 0 for a in added.values())
+                        + sum(a.get("rows") or 0 for a in removed.values())
+                        + sum(
+                            n.get("rows") or 0
+                            for _o, n in dv_chg.values()
+                        )
+                    )
                     n_buckets = 1
                     if total_rows and self.net_rows_per_bucket > 0:
                         n_buckets = min(

@@ -2125,11 +2125,64 @@ def vacuum(
     return doomed
 
 
+def _zorder_compact_key(df: DataFrame, cluster: Sequence[str]) -> F.col:
+    """Quantized Morton key over the cluster columns for a Z-ordered
+    compaction: ONE aggregate gives each column's [min, max], values
+    scale into [0, 2^bits) (bits sized so d·bits ≤ 63), and
+    ``zorder_value`` bit-interleaves them — pure codegen. Numeric,
+    date, and timestamp cluster columns supported; anything else must
+    use the linear layout (rejected loudly)."""
+    from zio_analytics_spark.operators.layout import zorder_value
+
+    types = dict(df.dtypes)
+    exprs = {}
+    for c in cluster:
+        t = types[c]
+        if t == "date":
+            exprs[c] = F.unix_date(F.col(c)).cast("double")
+        elif t.startswith("timestamp"):
+            exprs[c] = F.col(c).cast("double")
+        elif t in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        ) or t.startswith("decimal"):
+            exprs[c] = F.col(c).cast("double")
+        else:
+            raise ValueError(
+                f"zorder layout needs numeric/date/timestamp cluster "
+                f"columns; {c} is {t} — use layout='linear'"
+            )
+    bounds = df.agg(
+        *[
+            a
+            for c in cluster
+            for a in (
+                F.min(exprs[c]).alias(f"__mn_{c}"),
+                F.max(exprs[c]).alias(f"__mx_{c}"),
+            )
+        ]
+    ).first()
+    bits = min(16, 63 // len(cluster))
+    cap = (1 << bits) - 1
+    qcols = []
+    for c in cluster:
+        mn, mx = bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            qcols.append(F.lit(0).cast("long"))
+        else:
+            qcols.append(
+                F.floor(
+                    (exprs[c] - F.lit(mn)) / F.lit(mx - mn) * F.lit(cap)
+                ).cast("long")
+            )
+    return zorder_value(qcols, bits)
+
+
 def compact(
     spark: SparkSession,
     table: str,
     target_files: int = 4,
     cluster_by: Sequence[str] | None = None,
+    layout: str = "linear",
 ) -> int:
     """OPTIMIZE: rewrite the live snapshot into ``target_files`` files
     (small-file compaction — a standing ingest accumulates per-batch
@@ -2144,15 +2197,33 @@ def compact(
     sorts the rewrite on those columns, so post-compaction files carry
     TIGHT, DISJOINT key-range stats — exactly what makes the stats-pruned
     MERGE/DELETE skip files (a standing ingest's append files interleave
-    key ranges; every merge would otherwise touch every file)."""
+    key ranges; every merge would otherwise touch every file).
+
+    ``layout="zorder"`` (round-16, ≥2 cluster columns) clusters on the
+    QUANTIZED MORTON interleave of the cluster columns instead of their
+    lexicographic order: every file covers a small RECTANGLE of the key
+    space, so per-file min/max stats prune on predicates over ANY of
+    the clustered dimensions — linear order makes only the leading
+    column's stats tight (the published Delta/Iceberg OPTIMIZE ZORDER
+    trade, pinned by a measured prune-count test)."""
+    if layout not in ("linear", "zorder"):
+        raise ValueError(f"unknown compact layout {layout!r}")
     snap = snapshot(table)
     live = _read_files(spark, table, snap)
     cluster = list(cluster_by) if cluster_by is not None else list(snap.key_cols)
     cluster = [c for c in cluster if c in live.columns]
-    shuffle_cols = list(snap.partition_by) + [
-        c for c in cluster if c not in snap.partition_by
-    ]
-    if shuffle_cols:
+    nonpart_cluster = [c for c in cluster if c not in snap.partition_by]
+    shuffle_cols = list(snap.partition_by) + nonpart_cluster
+    if layout == "zorder" and len(nonpart_cluster) >= 2:
+        z = _zorder_compact_key(live, nonpart_cluster)
+        keys = list(snap.partition_by) + ["__z"]
+        rewritten = (
+            live.withColumn("__z", z)
+            .repartitionByRange(target_files, *keys)
+            .sortWithinPartitions(*keys)
+            .drop("__z")
+        )
+    elif shuffle_cols:
         rewritten = live.repartitionByRange(
             target_files, *shuffle_cols
         ).sortWithinPartitions(*shuffle_cols)
