@@ -96,7 +96,28 @@ def main() -> None:
     print("stream batch 42 REPLAY ->",
           lake.append_stream_batch(batch, table, batch_id=42), "(skipped)")
 
-    # 5. COMPACT (clustered) + VACUUM (retention janitor)
+    # 4b. Round-16 surface: UPDATE, deletion vectors, rename/drop
+    files_before = set(lake.snapshot(table).files)
+    lake.update_where(  # DV mode: zero rewrites — vector + one new file
+        spark, table, "o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "round(o_totalprice * 1.01, 2)"},
+        deletion_vectors=True,
+    )
+    print("DV UPDATE rewrote",
+          len(files_before - set(lake.snapshot(table).files)), "files "
+          "(deletion vectors: matched rows masked, not rewritten)")
+    lake.delete_where(spark, table, "o_orderkey % 97 = 0",
+                      deletion_vectors=True)
+    print("DV DELETE live rows:", lake.read_snapshot(spark, table).count())
+    lake.rename_column(table, "o_totalprice", "price")  # metadata-only
+    lake.drop_column(table, "o_orderpriority")          # tombstoned
+    print("after rename/drop:", lake.read_snapshot(spark, table).columns,
+          "| v0 still:",
+          lake.read_snapshot(spark, table, version=0).columns)
+
+    # 5. COMPACT (clustered; layout='zorder' for multi-key tables) +
+    #    VACUUM (retention janitor). Compact also MATERIALIZES the
+    #    deletion vectors back into clean files.
     lake.compact(spark, table, target_files=4)
     print(f"after compact: {len(lake.snapshot(table).files)} files")
     reclaimed = lake.vacuum(table, keep_versions=1, min_age_seconds=0)
