@@ -2777,7 +2777,7 @@ def q_lake_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 AS (
       SELECT o_orderkey, o_orderpriority,
              CASE WHEN o_orderpriority = '1-URGENT'
-                  THEN round(o_totalprice * 1.1, 2)
+                  THEN o_totalprice + 1000.0
                   ELSE o_totalprice END AS o_totalprice
       FROM v0
     ),
@@ -2821,7 +2821,9 @@ def q_lake_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         table,
         "o_orderpriority = '1-URGENT'",
-        {"o_totalprice": "round(o_totalprice * 1.1, 2)"},
+        # pure double add: bit-identical across engines (a per-row
+        # round() here trips Spark-vs-DuckDB HALF_UP boundary cases)
+        {"o_totalprice": "o_totalprice + 1000.0"},
     )
     lake.update_where(
         spark,
