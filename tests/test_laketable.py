@@ -2817,3 +2817,55 @@ def test_compact_zorder_multi_column_prune(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="unknown compact layout"):
         lake.compact(spark, t, layout="hilbert")
+
+
+def test_evolving_append_conflict_reruns_on_fresh_snapshot(spark, tmp_path, monkeypatch):
+    """Round-16 review: a SCHEMA-EVOLVING append that loses a commit race
+    must re-run against the winner's snapshot, not replay its stale
+    full-schema meta — under replace semantics the stale meta would
+    clobber a concurrent drop (resurrecting tombstoned data) or a
+    concurrent evolution (vanishing its column)."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 10).coalesce(1), t, key_cols=["k"])
+    real_commit = lake._commit
+    state = {"raced": False}
+
+    def racing_commit(table, version, actions, op, **kw):
+        if (
+            not state["raced"]
+            and op == "APPEND"
+            and any("meta" in a for a in actions)
+        ):
+            state["raced"] = True
+            # a concurrent writer wins the slot with a DROP first
+            lake.drop_column(table, "grp")
+        return real_commit(table, version, actions, op, **kw)
+
+    monkeypatch.setattr(lake, "_commit", racing_commit)
+    lake.append(
+        spark.createDataFrame(
+            [(100, 1, 1.0, "x")], "k long, grp long, amount double, tag string"
+        ),
+        t,
+    )
+    monkeypatch.undo()
+    snap = lake.snapshot(t, with_files=False)
+    assert "tag" in snap.schema and "grp" in snap.schema
+    # grp was dropped by the racing writer, then RE-ADDED by the rerun —
+    # it must be a fresh physical column, not the tombstoned one
+    assert snap.physical.get("grp", "grp").startswith("grp_"), snap.physical
+    rows = {r.k: (r.grp, r.tag) for r in lake.read_snapshot(spark, t).collect()}
+    assert rows[100] == (1, "x")
+    assert rows[0] == (None, None), (
+        "dropped column data resurfaced after a conflicted evolving append"
+    )
+
+
+def test_compact_zorder_rejects_single_dimension(spark, tmp_path):
+    """Round-16 review: asking for zorder with <2 usable non-partition
+    cluster columns raises instead of silently running the linear
+    layout."""
+    t = str(tmp_path / "t")
+    lake.create_table(_orders(spark, 20).coalesce(1), t, key_cols=["k"])
+    with pytest.raises(ValueError, match="non-partition cluster"):
+        lake.compact(spark, t, layout="zorder", cluster_by=["k"])

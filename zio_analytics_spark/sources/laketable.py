@@ -1050,22 +1050,36 @@ def create_table(
 def append(df: DataFrame, table: str) -> int:
     """Blind append: new files only — retries safely on conflict. Meta-
     only snapshot: an append never consults the file list, so a standing
-    ingest stays O(1) driver memory however many files the table has."""
-    snap = snapshot(table, with_files=False)
-    df, meta, full_schema, physical = _enforce_schema(df, snap, "append")
-    adds = _stage_files(
-        df, table, snap.key_cols, snap.partition_by, full_schema, physical
-    )
-    version = snap.version + 1
-    while True:
-        try:
-            return _commit(
-                table, version, meta + [{"add": a} for a in adds], "APPEND"
-            )
-        except ConcurrentCommitError:
-            # an append conflicts with nothing: the staged files are
-            # already in place, only the log entry needs a new slot
-            version += 1
+    ingest stays O(1) driver memory however many files the table has.
+
+    Conflict semantics (round-16 review): a DATA-ONLY append conflicts
+    with nothing — the staged files are already in place and only the
+    log entry needs a new slot (cheap version bump). A SCHEMA-EVOLVING
+    append (its meta carries the full replaced schema) must instead
+    RE-RUN the whole transaction against the winner's snapshot —
+    replaying a stale full-schema meta under replace semantics would
+    clobber a concurrent evolution commit (vanish its new column, or
+    resurrect a concurrently dropped one); the abandoned attempt's
+    staged files orphan and vacuum reclaims them, the MERGE discipline."""
+    for _ in range(8):
+        snap = snapshot(table, with_files=False)
+        out, meta, full_schema, physical = _enforce_schema(df, snap, "append")
+        adds = _stage_files(
+            out, table, snap.key_cols, snap.partition_by, full_schema,
+            physical,
+        )
+        version = snap.version + 1
+        while True:
+            try:
+                return _commit(
+                    table, version, meta + [{"add": a} for a in adds],
+                    "APPEND",
+                )
+            except ConcurrentCommitError:
+                if meta:
+                    break  # evolving append: re-run on the fresh snapshot
+                version += 1
+    raise ConcurrentCommitError(snapshot(table, with_files=False).version + 1)
 
 
 def overwrite(df: DataFrame, table: str) -> int:
@@ -1090,37 +1104,40 @@ def rename_column(table: str, old: str, new: str) -> int:
     and partition_by follow the rename. The freed logical name may be
     re-added later — it gets a FRESH physical name, so this column's
     data never resurfaces under it."""
-    snap = snapshot(table, with_files=False)
-    if not snap.schema:
-        raise ValueError(
-            f"{table} has no recorded schema; rename needs the meta "
-            "action create_table writes"
-        )
-    if old not in snap.schema:
-        raise ValueError(f"rename_column: no such column {old!r}")
-    if new in snap.schema:
-        raise ValueError(f"rename_column: column {new!r} already exists")
-    if not new or "." in new or "'" in new or '"' in new or "`" in new:
-        raise ValueError(f"rename_column: invalid column name {new!r}")
-    schema = {new if c == old else c: t for c, t in snap.schema.items()}
-    mapping = dict(snap.physical)
-    mapping[new] = mapping.pop(old, old)
-    if mapping[new] == new:  # rename back to the physical name: identity
-        mapping.pop(new)
-    meta = {
-        "schema": schema,
-        "physical": mapping,
-        "retired": list(snap.retired),
-        "key_cols": [new if c == old else c for c in snap.key_cols],
-        "partition_by": [new if c == old else c for c in snap.partition_by],
-    }
-    version = snap.version + 1
-    while True:
+    for _ in range(16):  # re-validate against each winner's schema
+        snap = snapshot(table, with_files=False)
+        if not snap.schema:
+            raise ValueError(
+                f"{table} has no recorded schema; rename needs the meta "
+                "action create_table writes"
+            )
+        if old not in snap.schema:
+            raise ValueError(f"rename_column: no such column {old!r}")
+        if new in snap.schema:
+            raise ValueError(f"rename_column: column {new!r} already exists")
+        if not new or "." in new or "'" in new or '"' in new or "`" in new:
+            raise ValueError(f"rename_column: invalid column name {new!r}")
+        schema = {new if c == old else c: t for c, t in snap.schema.items()}
+        mapping = dict(snap.physical)
+        mapping[new] = mapping.pop(old, old)
+        if mapping[new] == new:  # rename back to the physical name
+            mapping.pop(new)
+        meta = {
+            "schema": schema,
+            "physical": mapping,
+            "retired": list(snap.retired),
+            "key_cols": [new if c == old else c for c in snap.key_cols],
+            "partition_by": [
+                new if c == old else c for c in snap.partition_by
+            ],
+        }
         try:
-            return _commit(table, version, [{"meta": meta}], "RENAME_COLUMN")
+            return _commit(
+                table, snap.version + 1, [{"meta": meta}], "RENAME_COLUMN"
+            )
         except ConcurrentCommitError:
-            # re-validate against the winner's schema before retrying
-            return rename_column(table, old, new)
+            continue
+    raise ConcurrentCommitError(snapshot(table, with_files=False).version + 1)
 
 
 def drop_column(table: str, name: str) -> int:
@@ -1132,36 +1149,38 @@ def drop_column(table: str, name: str) -> int:
     existing rows) — the dropped data never resurfaces. Key and
     partition columns refuse to drop (MERGE needs its keys; the hive
     layout needs its directories)."""
-    snap = snapshot(table, with_files=False)
-    if not snap.schema:
-        raise ValueError(
-            f"{table} has no recorded schema; drop needs the meta "
-            "action create_table writes"
-        )
-    if name not in snap.schema:
-        raise ValueError(f"drop_column: no such column {name!r}")
-    if name in snap.key_cols:
-        raise ValueError(f"drop_column: {name!r} is a key column")
-    if name in snap.partition_by:
-        raise ValueError(f"drop_column: {name!r} is a partition column")
-    if len(snap.schema) == 1:
-        raise ValueError("drop_column: cannot drop the only column")
-    schema = {c: t for c, t in snap.schema.items() if c != name}
-    mapping = dict(snap.physical)
-    retired = list(snap.retired) + [mapping.pop(name, name)]
-    meta = {
-        "schema": schema,
-        "physical": mapping,
-        "retired": retired,
-        "key_cols": list(snap.key_cols),
-        "partition_by": list(snap.partition_by),
-    }
-    version = snap.version + 1
-    while True:
+    for _ in range(16):  # re-validate against each winner's schema
+        snap = snapshot(table, with_files=False)
+        if not snap.schema:
+            raise ValueError(
+                f"{table} has no recorded schema; drop needs the meta "
+                "action create_table writes"
+            )
+        if name not in snap.schema:
+            raise ValueError(f"drop_column: no such column {name!r}")
+        if name in snap.key_cols:
+            raise ValueError(f"drop_column: {name!r} is a key column")
+        if name in snap.partition_by:
+            raise ValueError(f"drop_column: {name!r} is a partition column")
+        if len(snap.schema) == 1:
+            raise ValueError("drop_column: cannot drop the only column")
+        schema = {c: t for c, t in snap.schema.items() if c != name}
+        mapping = dict(snap.physical)
+        retired = list(snap.retired) + [mapping.pop(name, name)]
+        meta = {
+            "schema": schema,
+            "physical": mapping,
+            "retired": retired,
+            "key_cols": list(snap.key_cols),
+            "partition_by": list(snap.partition_by),
+        }
         try:
-            return _commit(table, version, [{"meta": meta}], "DROP_COLUMN")
+            return _commit(
+                table, snap.version + 1, [{"meta": meta}], "DROP_COLUMN"
+            )
         except ConcurrentCommitError:
-            return drop_column(table, name)
+            continue
+    raise ConcurrentCommitError(snapshot(table, with_files=False).version + 1)
 
 
 def _partition_key(values: dict, partition_by: Sequence[str]) -> str:
@@ -1439,28 +1458,16 @@ def _read_files(
     return out
 
 
-def _write_dv_sidecar(
-    positions: DataFrame, table: str
-) -> tuple[str, dict[str, int]]:
-    """Publish one commit-grain DELETION-VECTOR sidecar: ``positions``
-    has columns (file basename, pos) holding the COMPLETE new vector
-    (prior positions ∪ newly deleted) for every touched file. Written
-    BY SPARK (a billion-position delete never lands on the driver) into
-    a staged dir, parts published under ``dv-<uuid>/part-<uuid>.parquet``
-    (the ``part-*.parquet`` name keeps them in vacuum's inventory), and
-    only per-file COUNTS come back to the driver — bounded by touched
-    file count. Returns (sidecar rel dir, {basename: total deleted})."""
-    spark = positions.sparkSession
+def _publish_dv_parts(positions: DataFrame, table: str, dv_rel: str) -> bool:
+    """Stage ``positions`` (file basename, pos) with Spark and publish
+    the parts under ``<table>/<dv_rel>/part-<uuid>.parquet`` (the
+    ``part-*.parquet`` name keeps them in vacuum's inventory). A sidecar
+    dir is the UNION of its parts, so a second call appends more
+    positions to the same vector. Returns False when the write produced
+    no parts (empty input)."""
     storage = get_storage()
-    counts = {
-        r["file"]: r["n"]
-        for r in positions.groupBy("file")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
     stage = os.path.join(table, f"_stage-{uuid.uuid4().hex}")
     positions.select("file", "pos").write.mode("overwrite").parquet(stage)
-    dv_rel = f"dv-{uuid.uuid4().hex}"
     published = False
     for dirpath, _dirs, names in os.walk(stage):
         for name in names:
@@ -1473,9 +1480,7 @@ def _write_dv_sidecar(
                 )
                 published = True
     shutil.rmtree(stage, ignore_errors=True)
-    if not published:
-        raise ValueError("deletion-vector sidecar wrote no parts")
-    return dv_rel, counts
+    return published
 
 
 def prune_file_actions(
@@ -1491,52 +1496,10 @@ def prune_file_actions(
     needs (each touched file's current ``dv``/``stats``/``partition``)
     while the driver stays bounded by the SURVIVOR count, exactly like
     the path list."""
-    touched = prune_files(
-        spark, table, key_ranges, version=version, schema=schema,
-        physical=physical,
+    return _prune_touched(
+        spark, table, key_ranges, version, schema, physical,
+        with_actions=True,
     )
-    if not touched:
-        return {}
-    out: dict[str, dict] = {}
-    commits, _ = _list_log(table)
-    v = version if version is not None else (commits[-1] if commits else 0)
-    cp_version = _usable_checkpoint(table, v)
-    want = set(touched)
-    if cp_version is not None:
-        try:
-            cp_df = spark.read.schema("path string, add_json string").parquet(
-                get_storage().resolve_read_path(
-                    table,
-                    os.path.join(
-                        _LOG_DIR, f"{cp_version:0{_PAD}d}.checkpoint.parquet"
-                    ),
-                )
-            )
-            for r in (
-                cp_df.where(F.col("path").isin(*sorted(want)))
-                .select("path", "add_json")
-                .collect()
-            ):
-                out[r.path] = json.loads(r.add_json)
-            storage = get_storage()
-            for cv in commits:
-                if cv <= cp_version or cv > v:
-                    continue
-                for line in storage.read_bytes(
-                    _log_path(table, cv)
-                ).splitlines():
-                    if not line.strip():
-                        continue
-                    action = json.loads(line)
-                    if "add" in action and action["add"]["path"] in want:
-                        out[action["add"]["path"]] = action["add"]
-            if want <= set(out):
-                return {p: out[p] for p in touched}
-            # a survivor the checkpoint scan missed: driver replay below
-        except Exception:
-            pass  # fall through to the driver replay
-    snap = snapshot(table, v)
-    return {p: snap.files[p] for p in touched if p in snap.files}
 
 
 def _dv_mark_deleted(
@@ -1549,11 +1512,32 @@ def _dv_mark_deleted(
     new positions) is unioned with the hits into one commit-grain
     sidecar; the file re-adds with the grown ``dv`` — or, when every
     row is now deleted, turns into a plain remove (a dead file needs no
-    vector). Driver state: basenames + per-file counts, never
-    positions."""
-    touched_bases = {r["file"] for r in hits.select("file").distinct().collect()}
-    if not touched_bases:
+    vector). Driver state: basenames + per-file counts, never positions.
+
+    Scan discipline (round-16 review): the hits lineage — usually a full
+    predicate scan — evaluates exactly ONCE, as the write that publishes
+    the new positions into the sidecar; touched files and counts then
+    come from reading the published parts back (sidecar-sized IO, not a
+    table scan), and the prior vectors carry over as EXTRA parts in the
+    same dir, deduplicated on (file, pos) first — an older shared
+    sidecar can repeat a subset of a file's current vector, and a
+    duplicate-inflated count could falsely mark a file fully deleted."""
+    storage = get_storage()
+    dv_rel = f"dv-{uuid.uuid4().hex}"
+    if not _publish_dv_parts(hits.select("file", "pos"), table, dv_rel):
         return []
+    sidecar_uri = storage.resolve_read_path(table, dv_rel)
+    new_counts = {
+        r["file"]: r["n"]
+        for r in spark.read.schema("file string, pos bigint")
+        .parquet(sidecar_uri)
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not new_counts:
+        return []  # the write landed only an empty part: no matches
+    touched_bases = set(new_counts)
     by_base = {os.path.basename(p): p for p in file_actions}
     old_dirs = sorted(
         {
@@ -1562,22 +1546,28 @@ def _dv_mark_deleted(
             if file_actions[by_base[b]].get("dv")
         }
     )
-    positions = hits.select("file", "pos")
+    old_counts: dict = {}
     if old_dirs:
-        storage = get_storage()
-        positions = positions.unionByName(
+        old_df = (
             spark.read.schema("file string, pos bigint")
             .parquet(
                 *[storage.resolve_read_path(table, p) for p in old_dirs]
             )
             .where(F.col("file").isin(*sorted(touched_bases)))
+            .dropDuplicates(["file", "pos"])
         )
-    dv_rel, counts = _write_dv_sidecar(positions, table)
+        _publish_dv_parts(old_df, table, dv_rel)
+        old_counts = {
+            r["file"]: r["n"]
+            for r in old_df.groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     actions: list[dict] = []
     for b in sorted(touched_bases):
         rel = by_base[b]
         a = dict(file_actions[rel])
-        total = counts.get(b, 0)
+        total = new_counts.get(b, 0) + old_counts.get(b, 0)
         rows = a.get("rows")
         if rows is not None and total >= rows:
             actions.append({"remove": {"path": rel}})
@@ -1647,6 +1637,28 @@ def prune_files(
     ``schema`` (col → simple type) types the stat casts; defaults to the
     meta-only snapshot's recorded schema. Key columns containing ``.``
     or quotes would break the JSON path and are rejected loudly."""
+    return sorted(
+        _prune_touched(
+            spark, table, key_ranges, version, schema, physical,
+            with_actions=False,
+        )
+    )
+
+
+def _prune_touched(
+    spark: SparkSession,
+    table: str,
+    key_ranges: dict,
+    version: int | None,
+    schema: dict | None,
+    physical: dict | None,
+    with_actions: bool,
+) -> dict:
+    """Shared engine behind :func:`prune_files` and
+    :func:`prune_file_actions` (round-16 review: ONE checkpoint
+    validation, ONE Spark scan, ONE tail replay for both shapes).
+    Returns rel path → add action; when ``with_actions`` is False the
+    distributed leg skips collecting add_json and values may be None."""
     commits, checkpoints = _list_log(table)
     if version is None:
         if not commits:
@@ -1663,19 +1675,17 @@ def prune_files(
     # mapping); key_ranges/schema arrive logical
     pk = {k: _phys(physical, k) for k in keys}
 
-    def _driver_replay() -> list[str]:
+    def hit(a: dict) -> bool:
+        stats = a.get("stats", {})
+        return not any(
+            pk[k] in stats and _stats_disjoint(stats[pk[k]], *key_ranges[k])
+            for k in keys
+        )
+
+    def _driver_replay() -> dict:
         # no distributed base: driver replay, same loop MERGE always ran
         snap = snapshot(table, version)
-        touched = []
-        for p, a in snap.files.items():
-            stats = a.get("stats", {})
-            if not any(
-                pk[k] in stats
-                and _stats_disjoint(stats[pk[k]], *key_ranges[k])
-                for k in keys
-            ):
-                touched.append(p)
-        return touched
+        return {p: a for p, a in snap.files.items() if hit(a)}
 
     cp_version = _usable_checkpoint(table, version)
     if cp_version is None:
@@ -1707,9 +1717,16 @@ def prune_files(
             disjoint = disjoint | F.coalesce(
                 (hi < F.lit(mn)) | (lo > F.lit(mx)), F.lit(False)
             )
-        touched = {
-            r.path for r in cp_df.where(~disjoint).select("path").collect()
-        }
+        surv = cp_df.where(~disjoint)
+        if with_actions:
+            touched = {
+                r.path: json.loads(r.add_json)
+                for r in surv.select("path", "add_json").collect()
+            }
+        else:
+            touched = {
+                r.path: None for r in surv.select("path").collect()
+            }
     except Exception:
         # a checkpoint that VALIDATED (footer + meta key) can still have
         # corrupt row pages — the distributed leg degrades to the driver
@@ -1725,18 +1742,13 @@ def prune_files(
             action = json.loads(line)
             if "add" in action:
                 a = action["add"]
-                stats = a.get("stats", {})
-                if not any(
-                    pk[k] in stats
-                    and _stats_disjoint(stats[pk[k]], *key_ranges[k])
-                    for k in keys
-                ):
-                    touched.add(a["path"])
+                if hit(a):
+                    touched[a["path"]] = a
                 else:
-                    touched.discard(a["path"])
+                    touched.pop(a["path"], None)
             elif "remove" in action:
-                touched.discard(action["remove"]["path"])
-    return sorted(touched)
+                touched.pop(action["remove"]["path"], None)
+    return touched
 
 
 def merge(
@@ -1996,23 +2008,29 @@ def update_where(
 
     if deletion_vectors:
         live = _read_files(spark, table, snap, with_pos=True)
-        hits = live.where(predicate)
-        dv_actions = _dv_mark_deleted(
-            spark,
-            table,
-            hits.select(
-                F.col("__dv_base").alias("file"),
-                F.col("__dv_pos").alias("pos"),
-            ),
-            snap.files,
-        )
-        if not dv_actions:
-            return snap.version  # no-op: nothing matched
-        mutated = mutate(hits.drop("__dv_base", "__dv_pos"), True)
-        adds = _stage_files(
-            mutated, table, snap.key_cols, snap.partition_by, snap.schema,
-            snap.physical,
-        )
+        # the matched set feeds BOTH the vector write and the mutated-row
+        # staging: persist so the predicate scan runs once (round-16
+        # review); matched rows are changeset-sized, not table-sized
+        hits = live.where(predicate).persist()
+        try:
+            dv_actions = _dv_mark_deleted(
+                spark,
+                table,
+                hits.select(
+                    F.col("__dv_base").alias("file"),
+                    F.col("__dv_pos").alias("pos"),
+                ),
+                snap.files,
+            )
+            if not dv_actions:
+                return snap.version  # no-op: nothing matched
+            mutated = mutate(hits.drop("__dv_base", "__dv_pos"), True)
+            adds = _stage_files(
+                mutated, table, snap.key_cols, snap.partition_by,
+                snap.schema, snap.physical,
+            )
+        finally:
+            hits.unpersist()
         return _commit(
             table,
             snap.version + 1,
@@ -2214,7 +2232,15 @@ def compact(
     cluster = [c for c in cluster if c in live.columns]
     nonpart_cluster = [c for c in cluster if c not in snap.partition_by]
     shuffle_cols = list(snap.partition_by) + nonpart_cluster
-    if layout == "zorder" and len(nonpart_cluster) >= 2:
+    if layout == "zorder" and len(nonpart_cluster) < 2:
+        # a 1-D Morton order IS the linear order — silently degrading
+        # would let the caller believe a multi-dim optimize ran
+        # (round-16 review); they should ask for what they get
+        raise ValueError(
+            "zorder layout needs >= 2 non-partition cluster columns "
+            f"(got {nonpart_cluster}); use layout='linear'"
+        )
+    if layout == "zorder":
         z = _zorder_compact_key(live, nonpart_cluster)
         keys = list(snap.partition_by) + ["__z"]
         rewritten = (
@@ -2267,7 +2293,11 @@ def _commit_file_deltas(
                 continue
             action = json.loads(line)
             if "meta" in action:
-                schema.update(action["meta"].get("schema", {}))
+                # replace semantics — mirrors snapshot() replay (a drop/
+                # rename can only be expressed by replacement; round-16
+                # review)
+                if "schema" in action["meta"]:
+                    schema = dict(action["meta"]["schema"])
             elif "add" in action:
                 a = action["add"]
                 if a["path"] in live:
@@ -2453,7 +2483,24 @@ def _empty_changes_frame(
         if with_commit_version:
             ddl += ", `_commit_version` bigint"
         return spark.createDataFrame([], ddl)
-    base = _read_files(spark, table, snapshot(table, version))
+    try:
+        base = _read_files(spark, table, snapshot(table, version))
+    except ValueError:
+        # pre-schema table with ZERO live files (round-16 review): no
+        # recorded schema to build from — infer from the newest earlier
+        # version that still has files
+        commits, _ = _list_log(table)
+        base = None
+        for v in reversed([c for c in commits if c <= version]):
+            snapv = snapshot(table, v)
+            if snapv.files:
+                base = _read_files(spark, table, snapv)
+                break
+        if base is None:
+            raise ValueError(
+                f"{table} has no recorded schema and no historical files "
+                "to type an empty change feed from"
+            )
     base = base.withColumn("_change_type", F.lit("insert"))
     if with_commit_version:
         base = base.withColumn("_commit_version", F.lit(0).cast("bigint"))
@@ -2604,27 +2651,35 @@ def append_stream_batch(df: DataFrame, table: str, batch_id: int) -> int | None:
     commit protocol."""
     if batch_id in committed_batch_ids(table):
         return None
-    snap = snapshot(table, with_files=False)  # appends never need the file list
-    df, meta, full_schema, physical = _enforce_schema(
-        df, snap, "append_stream_batch"
-    )
-    adds = _stage_files(
-        df, table, snap.key_cols, snap.partition_by, full_schema, physical
-    )
-    version = snap.version + 1
-    actions = meta + [{"add": a} for a in adds]
-    while True:
-        try:
-            return _commit(
-                table,
-                version,
-                actions,
-                "STREAM_APPEND",
-                extra_info={"batch_id": batch_id},
-            )
-        except ConcurrentCommitError:
-            # racing writer took the slot: if it was THIS batch replayed
-            # concurrently, stop; else take the next slot
-            if batch_id in committed_batch_ids(table):
-                return None
-            version += 1
+    for _ in range(8):
+        snap = snapshot(table, with_files=False)  # appends never need files
+        out, meta, full_schema, physical = _enforce_schema(
+            df, snap, "append_stream_batch"
+        )
+        adds = _stage_files(
+            out, table, snap.key_cols, snap.partition_by, full_schema,
+            physical,
+        )
+        version = snap.version + 1
+        actions = meta + [{"add": a} for a in adds]
+        while True:
+            try:
+                return _commit(
+                    table,
+                    version,
+                    actions,
+                    "STREAM_APPEND",
+                    extra_info={"batch_id": batch_id},
+                )
+            except ConcurrentCommitError:
+                # racing writer took the slot: if it was THIS batch
+                # replayed concurrently, stop; else retry — a slot bump
+                # for data-only batches, a full re-run for evolving ones
+                # (stale full-schema meta would clobber concurrent
+                # evolution under replace semantics; round-16 review)
+                if batch_id in committed_batch_ids(table):
+                    return None
+                if meta:
+                    break
+                version += 1
+    raise ConcurrentCommitError(snapshot(table, with_files=False).version + 1)
