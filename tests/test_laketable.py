@@ -2869,3 +2869,57 @@ def test_compact_zorder_rejects_single_dimension(spark, tmp_path):
     lake.create_table(_orders(spark, 20).coalesce(1), t, key_cols=["k"])
     with pytest.raises(ValueError, match="non-partition cluster"):
         lake.compact(spark, t, layout="zorder", cluster_by=["k"])
+
+
+def test_compact_small_incremental(spark, tmp_path):
+    """Incremental OPTIMIZE (round-16): only files under the size
+    threshold (plus any DV'd file, which materializes) rewrite; large
+    clean files survive by reference — the O(small files) janitor a
+    standing ingest runs where full compact() would be O(table)."""
+    t = str(tmp_path / "t")
+    lake.create_table(
+        spark.range(50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        ).coalesce(1),
+        t,
+        key_cols=["k"],
+    )
+    big = set(lake.snapshot(t).files)
+    assert len(big) == 1
+    for i in range(6):  # tiny per-trigger appends
+        lake.append(
+            spark.createDataFrame(
+                [(100_000 + i, 1.0, "x")], "k long, v double, pad string"
+            ).coalesce(1),
+            t,
+        )
+    # one DV delete on the big file: compact_small must materialize it
+    lake.delete_where(spark, t, "k = 7", deletion_vectors=True)
+    snap = lake.snapshot(t)
+    assert sum(1 for a in snap.files.values() if a.get("dv")) == 1
+    small_threshold = 1 << 20  # 1 MiB: catches the tiny appends only
+    big_bytes = next(iter(snap.files.values()))
+    v = lake.compact_small(spark, t, small_bytes=small_threshold)
+    snap2 = lake.snapshot(t)
+    # the big file was eligible ONLY because of its vector; after
+    # materialization nothing carries a dv
+    assert not any(a.get("dv") for a in snap2.files.values())
+    assert not (big & set(snap2.files)), "DV'd big file not materialized"
+    # rows preserved exactly (minus the DV-deleted one)
+    assert lake.read_snapshot(spark, t).count() == 50_000 - 1 + 6
+    # the tiny files were merged away: fewer live files than before
+    assert len(snap2.files) < len(snap.files)
+    # all new files carry recorded bytes
+    assert all(a.get("bytes") is not None for a in snap2.files.values())
+    # second run with nothing to do is a no-op version-wise
+    v2 = lake.compact_small(spark, t, small_bytes=1)
+    assert v2 == v
+    # a big CLEAN file (no dv) under a small threshold never rewrites
+    files_now = set(lake.snapshot(t).files)
+    lake.append(
+        spark.createDataFrame([(1, 1.0, "y")], "k long, v double, pad string"
+        ).coalesce(1), t,
+    )
+    lake.compact_small(spark, t, small_bytes=1)  # nothing qualifies
+    assert files_now <= set(lake.snapshot(t).files)

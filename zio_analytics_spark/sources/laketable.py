@@ -123,6 +123,7 @@ __all__ = [
     "vacuum",
     "compact",
     "table_changes",
+    "compact_small",
     "committed_batch_ids",
     "append_stream_batch",
 ]
@@ -834,17 +835,25 @@ def _stage_files(
         by_path[os.path.realpath(urllib.parse.unquote(parsed.path))] = d
     adds = []
     for src, rel in staged.items():
+        # size BEFORE publication — publish_file moves/uploads and may
+        # discard the local copy; bytes drive compaction planning
+        # (round-16)
+        try:
+            size = os.path.getsize(src)
+        except OSError:
+            size = None
         storage.publish_file(src, os.path.join(table, rel))
         part_values = (
             _parse_partition(rel, schema or {}) if partition_by else {}
         )
         d = by_path.get(os.path.realpath(src))
         if d is None:  # empty file (no rows): still track it
-            adds.append(
-                {"path": rel, "rows": 0, "stats": {}, "partition": part_values}
-                if partition_by
-                else {"path": rel, "rows": 0, "stats": {}}
-            )
+            a0 = {"path": rel, "rows": 0, "stats": {}}
+            if size is not None:
+                a0["bytes"] = size
+            if partition_by:
+                a0["partition"] = part_values
+            adds.append(a0)
             continue
         stats = {}
         for c in stat_cols:
@@ -855,6 +864,8 @@ def _stage_files(
             if c in key_cols and _json_safe(v):
                 stats[c] = {"min": v, "max": v}  # exact: one value per file
         add = {"path": rel, "rows": d["__rows"], "stats": stats}
+        if size is not None:
+            add["bytes"] = size
         if partition_by:
             add["partition"] = part_values
         adds.append(add)
@@ -2262,6 +2273,60 @@ def compact(
     actions = [{"remove": {"path": p}} for p in snap.files]
     actions += [{"add": a} for a in adds]
     return _commit(table, snap.version + 1, actions, "COMPACT")
+
+
+def compact_small(
+    spark: SparkSession,
+    table: str,
+    small_bytes: int = 64 << 20,
+    target_file_bytes: int = 256 << 20,
+    cluster_by: Sequence[str] | None = None,
+) -> int:
+    """Incremental OPTIMIZE (round-16): rewrite ONLY the live files
+    smaller than ``small_bytes`` — plus any file carrying a deletion
+    vector, which this MATERIALIZES — into ~``target_file_bytes``
+    bin-packed clustered files; every large clean file survives by
+    reference. This is the janitor a standing ingest actually runs:
+    per-trigger appends accumulate tiny files, and :func:`compact` is
+    O(table) (it rewrites everything) while this is O(small files) — at
+    100 TB the difference between a nightly job and an impossible one.
+    File sizes come from the add actions' recorded ``bytes`` (written
+    since round-16); files without a recorded size are left alone —
+    run one full :func:`compact` to modernize a legacy table. Returns
+    the current version unchanged when there is nothing worth rewriting
+    (fewer than two eligible files and no vector to materialize)."""
+    snap = snapshot(table)
+    eligible = {
+        p: a
+        for p, a in snap.files.items()
+        if (a.get("bytes") is not None and a["bytes"] < small_bytes)
+        or a.get("dv")
+    }
+    if len(eligible) < 2 and not any(
+        a.get("dv") for a in eligible.values()
+    ):
+        return snap.version  # nothing to gain
+    total = sum(a.get("bytes") or 0 for a in eligible.values())
+    n = max(1, -(-total // target_file_bytes)) if total else 1
+    live = _read_files(spark, table, snap, paths=sorted(eligible))
+    cluster = list(cluster_by) if cluster_by is not None else list(snap.key_cols)
+    cluster = [c for c in cluster if c in live.columns]
+    shuffle_cols = list(snap.partition_by) + [
+        c for c in cluster if c not in snap.partition_by
+    ]
+    if shuffle_cols:
+        rewritten = live.repartitionByRange(
+            n, *shuffle_cols
+        ).sortWithinPartitions(*shuffle_cols)
+    else:
+        rewritten = live.repartition(n)
+    adds = _stage_files(
+        rewritten, table, snap.key_cols, snap.partition_by, snap.schema,
+        snap.physical,
+    )
+    actions = [{"remove": {"path": p}} for p in sorted(eligible)]
+    actions += [{"add": a} for a in adds]
+    return _commit(table, snap.version + 1, actions, "COMPACT_SMALL")
 
 
 def _commit_file_deltas(
