@@ -185,7 +185,10 @@ class _LakeCDFStreamReader(DataSourceStreamReader):
         self._last_end: int | None = None
         if self.consumer_id:
             self._last_end = self._read_ledger()
-        snap = laketable.snapshot(self.table)
+        # meta-only: the reader needs schema/keys/mapping, never the
+        # file list — a 10^7-file table must not materialize it on the
+        # driver just to open a stream (round-16)
+        snap = laketable.snapshot(self.table, with_files=False)
         if not snap.schema:
             raise ValueError(
                 f"{self.table} has no recorded table schema; the CDF "
@@ -734,7 +737,9 @@ class LakeCDFDataSource(DataSource):
         return "lake_cdf"
 
     def schema(self) -> str:
-        snap = laketable.snapshot(self.options.get("path"))
+        snap = laketable.snapshot(
+            self.options.get("path"), with_files=False
+        )
         cols = ", ".join(f"{c} {t}" for c, t in snap.schema.items())
         return f"{cols}, _change_type string, _commit_version bigint"
 
