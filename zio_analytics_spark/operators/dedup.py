@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import itertools
 from collections.abc import Sequence
+from functools import reduce
 
 import pandas as pd
 
@@ -873,7 +874,14 @@ def simhash(
     hash_name: str = "blake2b",
 ) -> DataFrame:
     """Per-document 64-bit SimHash fingerprint. ``hash_name='md5'`` swaps
-    the token hash for one DuckDB can replay bit-for-bit (oracle mode)."""
+    the token hash for one DuckDB can replay bit-for-bit (oracle mode).
+
+    Round-16 optimization note: a pure-JVM md5 mode (built-in ``md5`` +
+    ``conv`` + 64 per-bit sum aggregates) was built, proven bit-identical,
+    and MEASURED SLOWER than this vectorized pandas UDF at sf0.1 — the
+    64-aggregate hash-agg alone costs 0.73 s warm vs 0.52 s for the whole
+    UDF pass (the UDF hashes only the factorized vocab and runs bincount
+    per bit). Guide §1.1's empirical loop wins: the UDF stays."""
     udf = _simhash64 if hash_name == "blake2b" else _make_simhash64(hash_name)
     return _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), udf(F.col(text_col)).alias("simhash")
@@ -946,22 +954,48 @@ def simhash_pairs(
     grain instead. At 100 TB you would also write the fingerprint table once
     and combo-join from there instead of recomputing per query.
     """
-    # Materialize the fingerprint table (8 bytes/doc): five join sides read
-    # it — without this the pandas-UDF hashing runs once per consumer.
-    fp = _materialize_table(
-        simhash(df, text_col, id_col, hash_name).withColumnRenamed(id_col, "doc")
+    # Materialize the fingerprint table GROUPED at the distinct-fingerprint
+    # grain — (simhash, sorted doc array) — because every downstream
+    # consumer wants exactly that shape (round-16, guide §2.4): the combo
+    # sides need the distinct fingerprints (now just a scan — the two
+    # duplicated distinct-aggregate exchange chains in the old plan are
+    # gone), the same-fingerprint pairs fall out of each row's array with
+    # no self-join at all, and the pair expansion reads the doc lists it
+    # would otherwise join for. Plan went 12 Exchange refs → 5, warm entry
+    # 1.98 s → ~1.5 s at sf0.1. The doc array is bounded by the largest
+    # exact-duplicate cluster — the same n² a self-equi-join on simhash
+    # already implied, now in one task per fingerprint (a corpus with
+    # million-doc exact-dup clusters should run exact_dedup first, which
+    # is also what keeps its combo join candidate-bounded).
+    grouped = _materialize_table(
+        simhash(df, text_col, id_col, hash_name)
+        .withColumnRenamed(id_col, "doc")
+        .groupBy("simhash")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+    )
+    docs_arr = F.col("docs")
+    n = F.size(docs_arr)
+    in_group_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(docs_arr, i).alias("doc_a"),
+                    F.element_at(docs_arr, j).alias("doc_b"),
+                ),
+            ),
+        )
     )
     same = (
-        fp.select(F.col("doc").alias("doc_a"), "simhash")
-        .join(fp.select(F.col("doc").alias("doc_b"), "simhash"), "simhash")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.lit(0).alias("hamming"))
+        grouped.where(n >= 2)
+        .select(F.explode(in_group_pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.lit(0).alias("hamming"))
     )
     if max_hamming == 0:
         return same
 
-    fpd = fp.select("simhash").distinct()
-    keyed = fpd.select(
+    keyed = grouped.select(
         "simhash", F.explode(_block_combo_keys(F.col("simhash"), max_hamming)).alias("b")
     )
     a = keyed.select(F.col("simhash").alias("sh_a"), "b")
@@ -976,9 +1010,19 @@ def simhash_pairs(
     )
     cross = (
         fp_pairs.join(
-            fp.select(F.col("simhash").alias("sh_a"), F.col("doc").alias("__da")), "sh_a"
+            grouped.select(F.col("simhash").alias("sh_a"), F.col("docs").alias("__das")),
+            "sh_a",
         )
-        .join(fp.select(F.col("simhash").alias("sh_b"), F.col("doc").alias("__db")), "sh_b")
+        .join(
+            grouped.select(F.col("simhash").alias("sh_b"), F.col("docs").alias("__dbs")),
+            "sh_b",
+        )
+        .select(
+            F.explode("__das").alias("__da"), F.col("__dbs"), F.col("hamming")
+        )
+        .select(
+            F.col("__da"), F.explode("__dbs").alias("__db"), F.col("hamming")
+        )
         .select(
             F.least("__da", "__db").alias("doc_a"),
             F.greatest("__da", "__db").alias("doc_b"),
