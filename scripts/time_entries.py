@@ -6,8 +6,6 @@ Usage: python scripts/time_entries.py q1 q2 ...  [--reps N] [--json PATH]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
 """
 
-from __future__ import annotations
-
 import json
 import os
 import statistics

@@ -214,11 +214,12 @@ def bfs_distances(
         frontier = reached.localCheckpoint(eager=True)
         if frontier.isEmpty():
             break
+        # Union of already-checkpointed levels: every leg is materialized,
+        # so the plan stays flat (depth = max_hops, bounded) and the next
+        # hop's anti-join re-reads cached blocks — re-checkpointing the
+        # union each hop (round-16 measurement) only re-copied bytes it
+        # already had, one whole job per hop for nothing.
         visited = visited.unionByName(frontier)
-        if hop < max_hops:
-            # truncate lineage only while further anti-joins will read it;
-            # the final union returns lazily (one fewer materialization)
-            visited = visited.localCheckpoint(eager=True)
     return visited
 
 
