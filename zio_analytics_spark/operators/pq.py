@@ -46,16 +46,22 @@ literal-count-linear. Every entry point therefore takes ``engine``:
   expanded ‖x‖²−2x·Cᵀ+‖c‖² BLAS form. O(1) plan nodes at ANY k/m/d;
   the 100 TB path for production parameters.
 - ``"auto"`` (default) — ``"arrow"`` when the inlined-literal count would
-  exceed :data:`_CODEGEN_MAX_LITERALS` (2048 ≈ <5 s build), else
-  ``"codegen"`` — so the shipped catalog entries keep the codegen plan
-  and its bit-exact oracle replay.
+  exceed :data:`_CODEGEN_MAX_LITERALS`, else ``"codegen"``.
 
 Engine equivalence is tested at k=16 (test_pq): identical codes/results.
 The one documented caveat: the arrow path's BLAS summation order differs
 from the codegen path's sequential left-fold, so two centroids whose
 distances agree to <1 ulp could in principle argmin differently —
-unobservable on continuous data, and the auto threshold keeps every
-oracle-checked entry on the codegen path anyway.
+unobservable on continuous data (centroid updates are rounded to 6 dp
+and real embeddings have distance gaps many orders above 1 ulp).
+
+The threshold was 2048 through round 15 (sized against the ~5 s plan-
+BUILD wall only, keeping every oracle-checked entry on codegen); round-16
+measurement showed Janino codegen COMPILE dominates well below that —
+similarity_ivfpq warm total 3.7 s on codegen vs 2.9 s on arrow at 512-
+to-1536 literals — so auto now flips at 384. Every affected catalog
+entry (kmeans family, PQ/IVF-PQ ladder, SemDeDup) re-verified against
+its oracle at sf0.001/sf0.01/sf0.1 after the flip.
 """
 
 from __future__ import annotations
@@ -77,7 +83,7 @@ __all__ = [
 
 #: codegen is preferred up to this many inlined codebook literals (~5 s of
 #: driver-side Column building); beyond it, auto switches to the arrow path.
-_CODEGEN_MAX_LITERALS = 2048
+_CODEGEN_MAX_LITERALS = 384
 
 
 def _pick_engine(engine: str, n_literals: int) -> str:
