@@ -147,11 +147,21 @@ def _byte_word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     """One corpus scan → the (word, freq, syms) table over BYTE-LEVEL
     words. Same Zipf bound as the word-level vocab (pre-tokens are
     words-with-a-leading-space), so training stays corpus-size-
-    independent after this scan."""
+    independent after this scan.
+
+    The per-character byte→unicode mapping (``byte_word_expr`` — hex +
+    per-pair conv/char, the corpus pass's hot path) runs AFTER the
+    group-by, on the Zipf-bounded DISTINCT pre-tokens only: the mapping
+    is injective per byte sequence, so grouping on the raw token is the
+    same partition of the corpus (round-16, guide §2.3 "aggregate before
+    the expensive work" — the byte-train vocab pass measured 3.7 s →
+    ~1 s warm at sf0.1)."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BYTE_PRETOKEN_PATTERN), 0)
     return (
-        df.select(F.explode(_byte_words(text_col)).alias("word"))
-        .groupBy("word")
+        df.select(F.explode(toks).alias("__tok"))
+        .groupBy("__tok")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .select(byte_word_expr(F.col("__tok")).alias("word"), "freq")
         .withColumn("syms", F.regexp_extract_all(F.col("word"), F.lit("."), 0))
     )
 
@@ -207,12 +217,24 @@ def _train_loop(vocab: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
     persisted, caller unpersists). Driver state per iteration: one
     (lhs, rhs, count) row + one scalar."""
     # the vocab is re-scanned 2x per iteration — keep it materialized, and
-    # re-materialize after each merge so iteration lineage doesn't stack
+    # re-materialize after each merge so iteration lineage doesn't stack.
+    # Round-16: the post-merge corpus symbol total rides the NEXT
+    # iteration's pair-count job as an Observation over the same cached
+    # scan (same sum(freq·|syms|) expression, same rows) instead of its
+    # own collect — one Spark job per iteration instead of two; only the
+    # last iteration still pays a dedicated total pass (which doubles as
+    # the action that materializes the final vocab's cache for callers).
+    from pyspark.sql import Observation
+
+    total_expr = F.sum(F.col("freq") * F.size("syms")).alias("t")
     cur = vocab.persist()
     results = []
+    pending = None  # previous iteration's (it, lhs, rhs, cnt) awaiting total
     for it in range(n_merges):
+        obs = Observation() if pending is not None else None
+        base = cur.observe(obs, total_expr) if obs is not None else cur
         pairs = (
-            cur.select(
+            base.select(
                 "freq",
                 F.explode(
                     F.expr(
@@ -226,18 +248,21 @@ def _train_loop(vocab: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
             .agg(F.sum("freq").alias("cnt"))
         )
         top = pairs.orderBy(F.desc("cnt"), "lhs", "rhs").limit(1).collect()
+        if obs is not None:
+            results.append((*pending, int(obs.get["t"])))
+            pending = None
         if not top:  # vocabulary of single-symbol words: nothing to merge
             break
         best = top[0]
         nxt = cur.withColumn(
             "syms", _merge_expr(best["lhs"], best["rhs"])
         ).persist()
-        total = nxt.agg(
-            F.sum(F.col("freq") * F.size("syms")).alias("t")
-        ).collect()[0]["t"]
-        results.append((it, best["lhs"], best["rhs"], int(best["cnt"]), int(total)))
+        pending = (it, best["lhs"], best["rhs"], int(best["cnt"]))
         cur.unpersist()
         cur = nxt
+    if pending is not None:
+        total = cur.agg(total_expr).collect()[0]["t"]
+        results.append((*pending, int(total)))
     return results, cur
 
 
@@ -572,9 +597,15 @@ def bpe_serving_dim_bytes(
     pipeline materializes it ONCE beside the model artifact and every
     corpus pass joins the stored table (the bpe_model seg discipline,
     VERDICT r12 #1a)."""
+    # Distinct RAW pre-tokens first; the injective per-character byte
+    # mapping then runs once per distinct token, and the dimension keeps
+    # the raw token as a join key so the corpus pass never pays the
+    # mapping per occurrence (round-16 — see _byte_word_vocab).
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BYTE_PRETOKEN_PATTERN), 0)
     dim = (
-        df.select(F.explode(_byte_words(text_col)).alias("word"))
+        df.select(F.explode(toks).alias("tok"))
         .distinct()
+        .withColumn("word", byte_word_expr(F.col("tok")))
         .withColumn("syms", F.regexp_extract_all(F.col("word"), F.lit("."), 0))
     )
     for row in merges:
@@ -616,12 +647,25 @@ def bpe_tokenize_bytes(
     """
     if dim is None:
         dim = bpe_serving_dim_bytes(df, merges, text_col)
-    words = df.select(
-        F.col(id_col),
-        F.posexplode(_byte_words(text_col)).alias("pos", "word"),
-    )
+    if "tok" in dim.columns:
+        # Round-16 dim shape: join on the RAW pre-token — the corpus pass
+        # pays only pre-tokenization, never the per-character byte mapping
+        # (it lives in the dim build, once per distinct token).
+        raw = F.regexp_extract_all(
+            F.col(text_col), F.lit(BYTE_PRETOKEN_PATTERN), 0
+        )
+        words = df.select(
+            F.col(id_col), F.posexplode(raw).alias("pos", "tok")
+        )
+        join_key = "tok"
+    else:  # stored pre-round-16 dims keyed by byte-word only
+        words = df.select(
+            F.col(id_col),
+            F.posexplode(_byte_words(text_col)).alias("pos", "word"),
+        )
+        join_key = "word"
     assembled = (
-        words.join(F.broadcast(dim), "word")
+        words.join(F.broadcast(dim), join_key)
         .groupBy(id_col)
         .agg(
             F.flatten(
