@@ -31,7 +31,83 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from zio_analytics_spark.tmpdirs import materialize_table
+
 __all__ = ["association_rules", "frequent_pairs", "frequent_triples"]
+
+def _basket_arrays(
+    baskets: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    """ONE shuffle over the raw (basket, item) rows -> the per-basket
+    sorted distinct item array, materialized to scratch parquet (round-16
+    restructure, guide §2.3/§2.4). ``collect_set`` dedups within the
+    aggregate (map-side partial), so the separate ``distinct()`` shuffle
+    the miners used to run first — plus the second groupBy-basket shuffle
+    per lattice level — collapse into this single pass. Every later step
+    (basket count, item supports, level prunes, pair/triple expansion)
+    derives from this table without touching the raw rows again."""
+    return materialize_table(
+        baskets.groupBy(basket_col)
+        .agg(F.array_sort(F.collect_set(item_col)).alias("__items"))
+        .select("__items"),
+        prefix="zas_basket_arr_",
+    )
+
+
+def _filter_items(arr: DataFrame, keep: list) -> DataFrame:
+    """Prune array elements to ``keep`` (a driver-side list bounded by
+    avg_basket_width / min_support items — corpus-size-INDEPENDENT, the
+    same order of driver state as the frequent-pair table the miners
+    already broadcast). ``array_intersect`` preserves the first
+    argument's (sorted) order."""
+    elem = arr.schema["__items"].dataType.elementType
+    lit = (
+        F.lit(keep)
+        if keep
+        else F.array().cast(f"array<{elem.simpleString()}>")
+    )
+    return arr.select(F.array_intersect("__items", lit).alias("__items"))
+
+
+def _pair_counts(arr: DataFrame) -> DataFrame:
+    """All i<j pairs of each basket's sorted item array (nested
+    transform/slice HOFs — cost Σ width², never a cross-basket product),
+    hash-aggregated to ``(item_a, item_b, pair_count)``."""
+    items = F.col("__items")
+    pairs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    return (
+        arr.select(F.explode(pairs).alias("__p"))
+        .select("__p.item_a", "__p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+
+
+def _item_supports(arr: DataFrame, item_col: str) -> DataFrame:
+    """Per-item basket counts from the array table (identical to counting
+    the deduplicated (basket, item) rows — the arrays ARE those rows)."""
+    return (
+        arr.select(F.explode("__items").alias(item_col))
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("__supp"))
+    )
+
+
+def _frequent_items(arr: DataFrame, item_col: str, bar: float) -> list:
+    return sorted(
+        r[item_col]
+        for r in _item_supports(arr, item_col)
+        .where(F.col("__supp") >= bar)
+        .collect()
+    )
 
 
 def frequent_pairs(
@@ -47,49 +123,11 @@ def frequent_pairs(
     """
     if not 0 < min_support <= 1:
         raise ValueError("min_support must be in (0, 1]")
-    distinct = baskets.select(basket_col, item_col).distinct()
-    n_baskets = distinct.select(basket_col).distinct().count()
-    return _frequent_pairs(
-        distinct, basket_col, item_col, min_support * n_baskets
-    )
-
-
-def _frequent_pairs(
-    distinct: DataFrame, basket_col: str, item_col: str, bar: float
-) -> DataFrame:
-    """Core pair mining over an already-deduplicated (basket, item) table
-    with an absolute count threshold — shared so :func:`association_rules`
-    pays the basket-count job only once."""
-    item_supp = (
-        distinct.groupBy(item_col).agg(F.count(F.lit(1)).alias("__supp"))
-    )
-    frequent = item_supp.where(F.col("__supp") >= bar).select(item_col)
-    pruned = distinct.join(F.broadcast(frequent), item_col, "left_semi")
-    arr = (
-        pruned.groupBy(basket_col)
-        .agg(F.array_sort(F.collect_set(item_col)).alias("__items"))
-        .select("__items")
-    )
-    items = F.col("__items")
-    # All i<j pairs of the sorted per-basket array: for each element x at
-    # 0-based index i, pair it with every later element. Codegen HOFs —
-    # no UDF, no per-basket Python.
-    pairs = F.flatten(
-        F.transform(
-            items,
-            lambda x, i: F.transform(
-                F.slice(items, i + F.lit(2), F.size(items)),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
-    )
-    return (
-        arr.select(F.explode(pairs).alias("__p"))
-        .select("__p.item_a", "__p.item_b")
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("pair_count"))
-        .where(F.col("pair_count") >= bar)
-    )
+    arr = _basket_arrays(baskets, basket_col, item_col)
+    n_baskets = arr.count()
+    bar = min_support * n_baskets
+    pruned = _filter_items(arr, _frequent_items(arr, item_col, bar))
+    return _pair_counts(pruned).where(F.col("pair_count") >= bar)
 
 
 def association_rules(
@@ -109,10 +147,13 @@ def association_rules(
     """
     if not 0 < min_support <= 1:
         raise ValueError("min_support must be in (0, 1]")
-    distinct = baskets.select(basket_col, item_col).distinct()
-    n_baskets = distinct.select(basket_col).distinct().count()
-    pairs = _frequent_pairs(
-        distinct, basket_col, item_col, min_support * n_baskets
+    arr = _basket_arrays(baskets, basket_col, item_col)
+    n_baskets = arr.count()
+    bar = min_support * n_baskets
+    supp = _item_supports(arr, item_col)
+    freq = _frequent_items(arr, item_col, bar)
+    pairs = _pair_counts(_filter_items(arr, freq)).where(
+        F.col("pair_count") >= bar
     )
     both = pairs.unionByName(
         pairs.select(
@@ -125,7 +166,6 @@ def association_rules(
         F.col("item_b").alias("consequent"),
         "pair_count",
     )
-    supp = distinct.groupBy(item_col).agg(F.count(F.lit(1)).alias("__supp"))
     a_supp = F.broadcast(
         supp.select(F.col(item_col).alias("antecedent"), F.col("__supp").alias("__sa"))
     )
@@ -160,31 +200,38 @@ def frequent_triples(
     triple_count)``, items sorted ascending.
 
     The faithful level-wise prune, all broadcast-sized: (1) frequent PAIRS
-    are mined first (level 2); (2) only items appearing in some frequent
-    pair enter the per-basket arrays (tighter than the frequent-item
-    prune); (3) candidate triples from the Σ width³ within-basket HOF
-    expansion are semi-joined against the frequent-pair set on ALL THREE
-    sub-pairs before counting — the Apriori property (every sub-pair of a
-    frequent triple is frequent) makes the pruned count set identical to
-    the naive 3-way self-join, which is what the oracle checks.
+    are mined first (level 2) and materialized once (three semi-join sides
+    read them); (2) only items appearing in some frequent pair enter the
+    per-basket arrays (tighter than the frequent-item prune — applied as
+    an array intersect on the shared array table, no re-shuffle); (3)
+    candidate triples from the Σ width³ within-basket HOF expansion are
+    semi-joined against the frequent-pair set on ALL THREE sub-pairs
+    before counting — the Apriori property (every sub-pair of a frequent
+    triple is frequent) makes the pruned count set identical to the naive
+    3-way self-join, which is what the oracle checks.
     """
     if not 0 < min_support <= 1:
         raise ValueError("min_support must be in (0, 1]")
-    distinct = baskets.select(basket_col, item_col).distinct()
-    n_baskets = distinct.select(basket_col).distinct().count()
+    arr = _basket_arrays(baskets, basket_col, item_col)
+    n_baskets = arr.count()
     bar = min_support * n_baskets
-    pairs = _frequent_pairs(distinct, basket_col, item_col, bar)
-    pair_items = (
-        pairs.select(F.col("item_a").alias(item_col))
-        .unionByName(pairs.select(F.col("item_b").alias(item_col)))
-        .distinct()
+    # The frequent-pair set is bounded driver state (≤ avg_width²/
+    # min_support rows — the same table the old plan broadcast three
+    # times, each build re-running the pair aggregation): collect it ONCE;
+    # the pair-item prune list then costs zero extra jobs, and the three
+    # Apriori sub-pair semi-joins broadcast a createDataFrame of the
+    # collected rows instead of re-running the pair aggregation per build.
+    # (A struct-membership isin() filter was tried instead of the joins
+    # and measured SLOWER — a 300-way In over structs does not fold to a
+    # hash set — so the semi-joins stay.)
+    pair_rows = (
+        _pair_counts(_filter_items(arr, _frequent_items(arr, item_col, bar)))
+        .where(F.col("pair_count") >= bar)
+        .collect()
     )
-    pruned = distinct.join(F.broadcast(pair_items), item_col, "left_semi")
-    arr = (
-        pruned.groupBy(basket_col)
-        .agg(F.array_sort(F.collect_set(item_col)).alias("__items"))
-        .select("__items")
-    )
+    pair_set = sorted((r["item_a"], r["item_b"]) for r in pair_rows)
+    pair_items = sorted({a for a, _ in pair_set} | {b for _, b in pair_set})
+    pruned = _filter_items(arr, pair_items)
     items = F.col("__items")
     # all i<j<k index triples of the sorted array (0-based HOF indices;
     # slice() positions are 1-based: y = absolute index i+1+j, so elements
@@ -205,10 +252,14 @@ def frequent_triples(
             ),
         )
     )
-    cand = arr.select(F.explode(triples).alias("__t")).select(
+    cand = pruned.select(F.explode(triples).alias("__t")).select(
         "__t.item_a", "__t.item_b", "__t.item_c"
     )
-    pp = F.broadcast(pairs.select("item_a", "item_b"))
+    pp = F.broadcast(
+        cand.sparkSession.createDataFrame(
+            pair_set, schema=cand.select("item_a", "item_b").schema
+        )
+    )
     cand = (
         cand.join(pp, ["item_a", "item_b"], "left_semi")
         .join(
