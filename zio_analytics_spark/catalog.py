@@ -53,6 +53,16 @@ def register(name: str, oracle: str | None, bench: bool = False):
     return deco
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin fan-out of a (usually single-split) local input before
+    expensive per-row work, sized to the session's ACTUAL parallelism
+    instead of a constant: the driver also benches at lower core counts,
+    and on a real cluster ``defaultParallelism`` tracks the executor
+    fleet (round-16 — replaces the literal ``repartition(32)`` the
+    payload-synthesis entries carried from the round-7/round-9 lessons)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _ds(spark: SparkSession, sf_dir: str, table: str) -> DataStream:
     return DataStream(read_table(spark, sf_dir, table))
 
@@ -3371,7 +3381,7 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     return docs.mapInPandas(
         run,
         "doc_id long, width int, height int, sum_r long, sum_g long, "
@@ -3448,7 +3458,7 @@ def q_multimodal_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     return docs.mapInPandas(
         run,
         "doc_id long, width int, height int, sum_r long, wsum_r long, "
@@ -3537,7 +3547,7 @@ def q_multimodal_gif_composited(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     return docs.mapInPandas(
         run,
         "doc_id long, n_frames int, width int, height int, s0 long, "
@@ -3616,7 +3626,7 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     return docs.mapInPandas(
         run,
         "doc_id long, frame int, width int, height int, delay_cs int, "
@@ -3689,7 +3699,7 @@ def q_multimodal_gif_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     gifs = docs.mapInPandas(enc, "doc_id long, payload binary")
     return gif_scene_cuts(gifs, threshold=1000)
 
@@ -3745,7 +3755,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
     return decode_pixel_stats(payloads)
 
@@ -3813,7 +3823,7 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
     return decode_pixel_stats(payloads)
 
@@ -3880,7 +3890,7 @@ def q_multimodal_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
     return decode_pixel_stats(payloads)
 
@@ -3941,7 +3951,7 @@ def q_multimodal_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
     return decode_pixel_stats(payloads)
 
@@ -4039,7 +4049,7 @@ def q_multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
     return decode_audio_stats(payloads)
 
@@ -4104,7 +4114,7 @@ def q_multimodal_png_subbyte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
     return decode_pixel_stats(payloads)
 
@@ -4174,7 +4184,7 @@ def q_multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
     return decode_pixel_stats(payloads)
 
@@ -8730,7 +8740,7 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
     return decode_audio_stats(payloads)
 
@@ -8794,7 +8804,7 @@ def q_multimodal_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
     return decode_audio_stats(payloads)
 
@@ -8887,7 +8897,7 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
     return sample_frame_stats(payloads, every_k=2)
 
@@ -10644,7 +10654,7 @@ def q_llm_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file parquet = ONE input partition (round-7 lesson); the
     # extraction chain (incl. the round-12 111-entity layer) is the
     # per-row hot path here, so fan out before it or it runs serial
-    docs = read_table(spark, sf_dir, "documents").repartition(32)
+    docs = read_table(spark, sf_dir, "documents").transform(_fan_out)
     synth = docs.select(
         "doc_id",
         "lang",
@@ -11050,7 +11060,7 @@ def q_bpe_byte_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file parquet = one input partition (round-7 lesson); the
     # per-CHARACTER byte→unicode mapping is the hot path of the corpus
     # pass — fan out before it or it runs serial (4.7 s → 1.5 s at sf0.1)
-    docs = read_table(spark, sf_dir, "documents").repartition(32)
+    docs = read_table(spark, sf_dir, "documents").transform(_fan_out)
     # serving dim materialized through the train-once memo (VERDICT r12
     # #1a): the distinct-word byte-symbol table + merge replay is
     # deterministic given (corpus, merges) — a serving pipeline stores it
@@ -12688,7 +12698,7 @@ def q_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
     return perceptual_ahash(payloads)
 
@@ -12772,7 +12782,7 @@ def q_dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     hashed = perceptual_ahash(docs.mapInPandas(encode, "doc_id long, payload binary"))
     groups = hashed.groupBy("ahash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_doc")
@@ -12955,7 +12965,7 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
     return audio_frame_features(payloads, frame_len=64)
 
@@ -13045,7 +13055,7 @@ def q_multimodal_dtmf_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
     return dtmf_detect(payloads)
 
@@ -13201,7 +13211,7 @@ def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
     return scene_cuts(payloads, threshold=1000)
 
@@ -13280,7 +13290,7 @@ def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     payloads = docs.mapInPandas(encode, "doc_id long, payload binary")
     return decode_pixel_stats(image_resize_box(payloads, factor=2))
 
@@ -14752,7 +14762,7 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     return docs.mapInPandas(
         run,
         "doc_id long, width int, height int, sum_px long, min_px int, "
@@ -14844,7 +14854,7 @@ def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     return docs.mapInPandas(
         run, "doc_id long, sum_r long, sum_g long, sum_b long, first_r int"
     )
@@ -14906,7 +14916,7 @@ def q_multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     return docs.mapInPandas(
         run,
         "doc_id long, bitrate_kbps int, sample_rate int, n_frames int, "
@@ -14986,7 +14996,7 @@ def q_multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     return docs.mapInPandas(
         run,
         "doc_id long, width int, height int, sum_r long, sum_g long, "
@@ -15065,7 +15075,7 @@ def q_multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     return docs.mapInPandas(
         run,
         "doc_id long, width int, height int, n_components int, "
@@ -15145,7 +15155,7 @@ def q_multimodal_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     return docs.mapInPandas(
         run,
         "doc_id long, orientation int, exif_datetime string, "
@@ -15220,7 +15230,7 @@ def q_multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     payloads = docs.mapInPandas(build, "doc_id long, payload binary")
     out = decode_quarantine(payloads)
     return out.select("doc_id", "ok", "width", "height", "mean_byte")
@@ -15380,7 +15390,7 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
             yield pd.DataFrame(out)
 
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     return docs.mapInPandas(
         run, "doc_id long, sum_r long, sum_g long, sum_b long, first_r int"
     )
@@ -15457,7 +15467,7 @@ def q_multimodal_jpeg_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec work out across cores before the Arrow stage (round-7
     # lesson; on a cluster this is the decode fan-out over executors)
     docs = (read_table(spark, sf_dir, "documents")
-            .select("doc_id").repartition(32))
+            .select("doc_id").transform(_fan_out))
     return docs.mapInPandas(
         run, "doc_id long, sum_px long, min_px int, max_px int"
     )
@@ -16022,7 +16032,7 @@ def q_text_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["content_type"].append(f"text/plain; charset={label}")
             yield pd.DataFrame(out)
 
-    payloads = docs.repartition(32).mapInPandas(
+    payloads = docs.transform(_fan_out).mapInPandas(
         synth, "doc_id long, payload binary, content_type string"
     )
     out = transcode(payloads, content_type_col="content_type")
@@ -16694,7 +16704,7 @@ def q_warc_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         # reference, and re-spread it first — the per-row canonical
         # regex work downstream must not run on one AQE-coalesced
         # partition (round-9 discipline)
-        .repartition(32)
+        .transform(_fan_out)
         .localCheckpoint(eager=True)
     )
     res = resolve_redirects(fetched)

@@ -408,7 +408,9 @@ def wordpiece_apply(
             yield pd.DataFrame({"word": out_w, "syms": out_p})
 
     dim = materialize_table(
-        words.repartition(32).mapInPandas(munch, "word string, syms array<string>"),
+        words.repartition(
+            words.sparkSession.sparkContext.defaultParallelism
+        ).mapInPandas(munch, "word string, syms array<string>"),
         prefix="zas_wp_mm_",
     )
     toks = target.select(
