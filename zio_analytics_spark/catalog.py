@@ -10674,12 +10674,20 @@ def q_llm_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = synth.select(
         "doc_id", "lang", html_text_expr(F.col("html")).alias("text")
     )
-    gate = ext.where(F.length("text") >= 40)
     # min-id keeper as ONE map-side-combinable min(struct) pass (the v4 /
-    # dedup_survivors shape — one scan + one shuffle of the extract lane)
+    # dedup_survivors shape — one scan + one shuffle of the extract lane).
+    # The length gate rides the SAME aggregate as a max(length) column
+    # filtered AFTER the shuffle: length is a function of the group key,
+    # so gating groups is equivalent to gating rows — and a pre-agg
+    # where(length(text)) pushes below the projection, re-evaluating the
+    # whole extraction chain in the Filter (see llm_pipeline_v4).
     kept = (
-        gate.groupBy("text")
-        .agg(F.min(F.struct("doc_id", "lang")).alias("__keep"))
+        ext.groupBy("text")
+        .agg(
+            F.min(F.struct("doc_id", "lang")).alias("__keep"),
+            F.max(F.length("text")).alias("__len"),
+        )
+        .where(F.col("__len") >= 40)
         .select("text", F.col("__keep.doc_id"), F.col("__keep.lang"))
     )
     split = hash_split(kept, {"train": 0.9, "val": 0.1}, on="text", salt="pipe-v3")
@@ -16107,13 +16115,21 @@ def q_llm_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("target_uri", r"ex\.org/([a-z]+)/doc/", 1).alias("lang"),
         html_text_expr(F.col("html")).alias("text"),
     )
-    gate = ext.where(F.length("text") >= 40)
     # min-id keeper as ONE map-side-combinable min(struct) pass (the
     # dedup_survivors shape): the groupBy+self-join form read the whole
-    # decode lane twice and shuffled it twice
+    # decode lane twice and shuffled it twice. The length gate rides the
+    # SAME aggregate as a max(length) column filtered AFTER the shuffle:
+    # length is a function of the group key, so gating groups is
+    # equivalent to gating rows — and a pre-agg where(length(text))
+    # pushes below the projection, re-evaluating the whole 14-regexp
+    # extraction chain in the Filter (measured: 4.10 → 2.87 s).
     kept = (
-        gate.groupBy("text")
-        .agg(F.min(F.struct("doc_id", "lang")).alias("__keep"))
+        ext.groupBy("text")
+        .agg(
+            F.min(F.struct("doc_id", "lang")).alias("__keep"),
+            F.max(F.length("text")).alias("__len"),
+        )
+        .where(F.col("__len") >= 40)
         .select("text", F.col("__keep.doc_id"), F.col("__keep.lang"))
     )
     split = hash_split(kept, {"train": 0.9, "val": 0.1}, on="text", salt="pipe-v4")
