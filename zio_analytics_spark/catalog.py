@@ -16288,9 +16288,18 @@ def q_crawl_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         html.alias("html"),
     )
     links = html_extract_links(pages, keep_cols=("base_url",))
+    # explode_OUTER + explicit null drop, not a plain explode: Catalyst's
+    # InferFiltersFromGenerate only fires on non-outer generates, and the
+    # inferred size()>0/isnotnull filters substitute the whole synth →
+    # extract → canonicalize chain below the Generate, re-evaluating it
+    # 8× per row in a Filter. The null rows an outer explode adds (docs
+    # whose frontier is empty — the in-array NULLs were already dropped
+    # by canonicalize_frontier) die on a cheap filter over the
+    # materialized exploded column. Measured 3.9 → 2.1 s; identical rows.
     frontier = (
         canonicalize_frontier(links)
-        .select("doc_id", F.explode("frontier").alias("url"))
+        .select("doc_id", F.explode_outer("frontier").alias("url"))
+        .where(F.col("url").isNotNull())
         .withColumn("host", F.regexp_extract("url", r"://([^/]*)", 1))
     )
     robots = (
@@ -16786,9 +16795,13 @@ def q_streaming_frontier_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     links = html_extract_links(pages, keep_cols=("base_url",))
+    # explode_outer + null drop (not plain explode) — same stateless maps,
+    # but InferFiltersFromGenerate cannot duplicate the extraction chain
+    # below the Generate (see crawl_frontier_pipeline)
     frontier = (
         canonicalize_frontier(links)
-        .select("doc_id", F.explode("frontier").alias("url"))
+        .select("doc_id", F.explode_outer("frontier").alias("url"))
+        .where(F.col("url").isNotNull())
         .withColumn("host", F.regexp_extract("url", r"://([^/]*)", 1))
     )
     out = apply_robots(frontier, F.broadcast(rules)).select("doc_id", "url", "allowed")
