@@ -78,6 +78,30 @@ def test_dot_segments_bounded(spark):
     assert got["https://a.b/1/2/3/4/5/../../../../../e"] == "https://a.b/1/../e"
 
 
+def test_single_reference_rewrite_cases(spark):
+    """Pins the round-16 single-reference rewrite of canonical_url_expr
+    (each step references its input once, so the interpreted HOF path
+    evaluates the chain once per element): the prefix-grain port strip
+    and empty-path insert behave exactly like the old scheme/auth/rest
+    CASEs on every well-formed shape, and the degenerate scheme-colon-
+    without-authority form now canonicalizes to NULL (spec step 7 — not
+    fetchable) instead of the old garbage 'http://http:foo'."""
+    got = _canon(spark, [
+        "http://user:80@Host.COM:8080/x",   # port-like userinfo kept
+        "http://user:80@Host.COM:80/x",     # real default port stripped
+        "https://a.b:443:443/x",            # only the trailing :443
+        "https://a.b:80/x",                 # https keeps :80
+        "http:opaque", "https:opaque", "http:",  # degenerate -> NULL
+    ])
+    assert got["http://user:80@Host.COM:8080/x"] == "http://user:80@host.com:8080/x"
+    assert got["http://user:80@Host.COM:80/x"] == "http://user:80@host.com/x"
+    assert got["https://a.b:443:443/x"] == "https://a.b:443/x"
+    assert got["https://a.b:80/x"] == "https://a.b:80/x"
+    assert got["http:opaque"] is None
+    assert got["https:opaque"] is None
+    assert got["http:"] is None
+
+
 def test_frontier_dedup_composition(spark):
     """Why the operator exists: three spellings of one target collide
     canonically — within a page (array_distinct) and across pages

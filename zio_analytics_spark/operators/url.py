@@ -104,18 +104,27 @@ def canonical_url_expr(
         u = _resolve(href, base)
     # 1. fragment
     u = F.regexp_replace(u, r"#.*$", "")
-    # 2. lowercase scheme + authority, leave path/query alone
-    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
-    auth = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
+    # Every step below references its input COLUMN exactly once: inside a
+    # higher-order-function lambda (canonicalize_frontier's transform)
+    # the tree is evaluated INTERPRETED with no common-subexpression
+    # elimination, so each extra reference re-runs its whole upstream
+    # regex chain per array element. The previous split into
+    # scheme/auth/rest with multi-branch CASEs re-evaluated the resolve
+    # chain ~10x per element (measured 2x entry cost on
+    # crawl_frontier_pipeline).
+    # 2. scheme://authority lowercased as ONE prefix (path/query case is
+    # significant — left alone); no match (no authority, e.g. mailto:)
+    # -> '' and step 7 yields NULL. Degenerate scheme-colon-without-//
+    # forms ('http:foo') now canonicalize to NULL (spec step 7: not a
+    # fetchable frontier URL) instead of the old 'http://http:foo'.
+    prefix = F.lower(
+        F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)", 1)
+    )
+    # 3. default ports (prefix is exactly scheme://authority, so the
+    # port anchors at $; scheme-conditional via the literal prefix)
+    prefix = F.regexp_replace(prefix, r"^(http://[^/?#]*):80$", r"$1")
+    prefix = F.regexp_replace(prefix, r"^(https://[^/?#]*):443$", r"$1")
     rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*", "")
-    # 3. default ports
-    auth = F.when(
-        (scheme == "http") & auth.endswith(":80"),
-        F.regexp_replace(auth, r":80$", ""),
-    ).when(
-        (scheme == "https") & auth.endswith(":443"),
-        F.regexp_replace(auth, r":443$", ""),
-    ).otherwise(auth)
     # 4. dot segments (path part only — stop at ? which cannot precede
     # the path; bounded fixed passes keep both engines byte-identical)
     rest = F.regexp_replace(rest, r"^([^?]*)/\./", r"$1/")
@@ -128,14 +137,11 @@ def canonical_url_expr(
     rest = F.regexp_replace(rest, r"&utm_[^&#]*", "")
     rest = F.regexp_replace(rest, r"\?utm_[^&#]*&", "?")
     rest = F.regexp_replace(rest, r"\?utm_[^&#]*$", "")
-    # 6. empty path with authority -> '/'
-    rest = F.when(rest == "", F.lit("/")).when(
-        rest.startswith("?"), F.concat(F.lit("/"), rest)
-    ).otherwise(rest)
+    # 6. empty path with authority -> '/' (single-reference form: insert
+    # '/' at the start when rest is empty or begins with the query)
+    rest = F.regexp_replace(rest, r"^(?=\?)|^$", "/")
     # 7. frontier is http(s) only
-    return F.when(
-        scheme.isin("http", "https"), F.concat(scheme, F.lit("://"), auth, rest)
-    )
+    return F.when(prefix.rlike(r"^https?://"), F.concat(prefix, rest))
 
 
 def canonicalize_frontier(
