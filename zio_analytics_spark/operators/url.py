@@ -189,24 +189,27 @@ def surt_key_expr(url: Column) -> Column:
     sorted bytewise and re-joined (the ``?`` dropped when no query).
     Input is expected canonical (``canonical_url_expr``) — default ports
     and fragments are already gone, userinfo never reaches the frontier.
-    Pure Columns, map-only."""
+    Pure Columns, map-only.
+
+    Single-reference discipline (the canonical_url_expr lesson): the key
+    is a join column, so constraint propagation clones the WHOLE
+    expression into inferred ``isnotnull`` filters — every CASE that
+    referenced ``auth``/``path``/``query`` twice doubled that filter's
+    per-row regex work. Each step below references its input once: the
+    port keeps its ``:`` in the capture (no re-attach CASE), the empty
+    path fix is an ``^$`` replace, and the ``?`` prefix is attached
+    unconditionally then stripped when the query is empty."""
     auth = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
-    host = F.regexp_replace(auth, r":\d+$", "")
-    port = F.regexp_extract(auth, r":(\d+)$", 1)
-    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    path = F.regexp_extract(url, _PATH_RE, 1)
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url, r"\?(.*)$", 1)
-    qpart = F.when(
-        query == "", F.lit("")
-    ).otherwise(F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&")))
-    return F.concat(
-        rev,
-        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
-        F.lit(")"),
-        path,
-        qpart,
+    rev = F.array_join(
+        F.reverse(F.split(F.regexp_replace(auth, r":\d+$", ""), r"\.")), ","
     )
+    portpart = F.regexp_extract(auth, r"(:\d+)$", 1)
+    path = F.regexp_replace(F.regexp_extract(url, _PATH_RE, 1), r"^$", "/")
+    qsorted = F.array_join(
+        F.array_sort(F.split(F.regexp_extract(url, r"\?(.*)$", 1), "&")), "&"
+    )
+    qpart = F.regexp_replace(F.concat(F.lit("?"), qsorted), r"^\?$", "")
+    return F.concat(rev, portpart, F.lit(")"), path, qpart)
 
 
 def frontier_schedule(
