@@ -137,6 +137,57 @@ def test_plan_is_map_only(spark):
     assert "Python" not in plan
 
 
+def test_chain_evaluates_once_per_row(spark):
+    """Round-16 expression-shape pin: the extraction chain contains a
+    CodegenFallback HOF (aggregate), which Catalyst excludes from
+    subexpression elimination — so every plan REFERENCE is a per-row
+    re-evaluation. The single-reference _decode_entities rewrite plus the
+    two-step select must leave exactly ONE copy of the strip chain in the
+    optimized plan (the old shape had 6: parts referenced 3x inside the
+    decode, times the text+length double projection)."""
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+    plan = (
+        html_extract_text(df)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("(?s)<!--.*?-->") == 1
+
+
+def test_decode_entities_edge_fragments(spark):
+    """Differential-corpus pins for the round-16 single-reference
+    _decode_entities rewrite (first-element flag instead of
+    element_at + slice): leading/trailing '&#', empty string, NULL,
+    capital-X hex, zero and >255 pass-through, 1-digit hex."""
+    df = spark.createDataFrame(
+        [
+            (1, "&#65;start"),
+            (2, "tail&#"),
+            (3, "&#"),
+            (4, ""),
+            (5, None),
+            (6, "&#x41;&#X41;&#x4; &#xZZ;"),
+            (7, "a&#12;b&#1234;c"),
+            (8, "&#x0;zero &#0; &#255; &#xFF; &#xff;"),
+            (9, "no amp hash here & # split"),
+        ],
+        "doc_id long, html string",
+    )
+    rows = {r["doc_id"]: r["text"] for r in html_extract_text(df).collect()}
+    assert rows[1] == "Astart"
+    assert rows[2] == "tail&#"
+    assert rows[3] == "&#"
+    assert rows[4] == ""
+    assert rows[5] is None
+    assert rows[6] == "AA\x04 &#xZZ;"
+    # char(12) is form feed — step 6's whitespace collapse turns it into
+    # a single space
+    assert rows[7] == "a b&#1234;c"
+    assert rows[8] == "&#x0;zero &#0; ÿ ÿ ÿ"
+    assert rows[9] == "no amp hash here & # split"
+
+
 def test_extract_links_and_title(spark):
     """Crawl-frontier extraction: anchor hrefs in both quote styles
     (double-quoted pass first, then single-quoted), &amp; decoding inside

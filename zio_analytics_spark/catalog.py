@@ -10594,10 +10594,16 @@ def q_streaming_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("</p><footer>&copy; &alpha; corp &amp;amp; co&nbsp;2026</footer></body></html>"),
         ).alias("html"),
     )
+    # two-step select (round-16): the extraction chain is CodegenFallback
+    # (HOF) and so exempt from subexpression elimination — referencing it
+    # twice (md5 + length) evaluated it twice; the CollapseProject guard
+    # keeps the two-step form evaluating it once.
     out = synth.select(
+        "doc_id", html_text_expr(F.col("html")).alias("text")
+    ).select(
         "doc_id",
-        F.md5(html_text_expr(F.col("html"))).alias("text_md5"),
-        F.length(html_text_expr(F.col("html"))).cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"),
     )
     return _run_append(out, "stream_html_extract")
 
@@ -15989,14 +15995,21 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     files = _warc_synth_files(spark, sf_dir, with_doc_id=True)
     lane = warc_html_lane(files, bin_col="content", id_col="file_id")
-    out = html_text_expr(F.col("html"))
+    # two-step select (round-16): the extraction chain is CodegenFallback
+    # (HOF) and so exempt from subexpression elimination — referencing it
+    # twice (md5 + length) evaluated it twice; the CollapseProject guard
+    # keeps the two-step form evaluating it once.
     return lane.select(
         F.regexp_extract("target_uri", r"doc/([0-9]+)$", 1)
         .cast("long")
         .alias("doc_id"),
         "charset",
-        F.md5(out).alias("text_md5"),
-        F.length(out).cast("long").alias("n_chars"),
+        html_text_expr(F.col("html")).alias("text"),
+    ).select(
+        "doc_id",
+        "charset",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"),
     )
 
 

@@ -249,8 +249,22 @@ def html_paragraphs_expr(col: Column) -> Column:
 
 def _decode_entities(s: Column) -> Column:
     """Steps 4-5: numeric (decimal + hex, 1..255) then the curated named
-    set, amp strictly last."""
-    parts = F.split(s, r"&#")
+    set, amp strictly last.
+
+    Expression-shape contract (round-16, guide §4-adjacent): higher-order
+    functions are CodegenFallback, and Catalyst's subexpression
+    elimination skips any tree containing lambda variables — so every
+    extra Column reference in here re-evaluates its WHOLE upstream input
+    (the 14-regexp strip chain) per row, interpreted. The split is
+    therefore referenced exactly ONCE: a transform() tags each fragment
+    with its decoded numeric value (binding ``_val(p)`` once per element
+    instead of twice), and a single aggregate() walks the tagged array
+    carrying a first-element flag — replacing the old
+    ``concat(element_at(parts, 1), aggregate(slice(parts, 2, …)))``
+    shape, which referenced the split (and its strip-chain input) three
+    times. Semantics are bit-identical (differential corpus in
+    test_html); only the reference count changed."""
+    _strip = r"^([0-9]{1,3}|[xX][0-9a-fA-F]{1,2});"
 
     def _val(p: Column) -> Column:
         # try_cast: a fragment with no leading entity extracts '' (ANSI
@@ -261,19 +275,30 @@ def _decode_entities(s: Column) -> Column:
             dec, F.when(hxs != "", F.conv(hxs, 16, 10).cast("int"))
         )
 
-    _strip = r"^([0-9]{1,3}|[xX][0-9a-fA-F]{1,2});"
-    decoded_tail = F.aggregate(
-        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
-        F.lit("").cast("string"),
-        lambda acc, p: F.concat(
-            acc,
-            F.when(
-                _val(p).between(1, 255),
-                F.concat(F.char(_val(p)), F.regexp_replace(p, _strip, "")),
-            ).otherwise(F.concat(F.lit("&#"), p)),
-        ),
+    tagged = F.transform(
+        F.split(s, r"&#"),
+        lambda p: F.struct(p.alias("p"), _val(p).alias("v")),
     )
-    s = F.concat(F.element_at(parts, 1), decoded_tail)
+    s = F.aggregate(
+        tagged,
+        F.struct(F.lit("").cast("string").alias("s"), F.lit(True).alias("f")),
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["s"],
+                F.when(acc["f"], x["p"]).otherwise(
+                    F.when(
+                        x["v"].between(1, 255),
+                        F.concat(
+                            F.char(x["v"]),
+                            F.regexp_replace(x["p"], _strip, ""),
+                        ),
+                    ).otherwise(F.concat(F.lit("&#"), x["p"]))
+                ),
+            ).alias("s"),
+            F.lit(False).alias("f"),
+        ),
+        lambda acc: acc["s"],
+    )
     for name, ch in NAMED_ENTITIES:
         s = F.replace(s, F.lit(f"&{name};"), F.lit(ch))
     return s
@@ -289,11 +314,17 @@ def html_extract_text(
     One narrow projection — no shuffle, no UDF; at 100 TB this is a
     map-only stage fused into the scan, feeding the cleaning → dedup →
     quality chain that previously had to assume pre-extracted text."""
+    # two-step select (round-16): the chain contains a CodegenFallback
+    # HOF, so it is excluded from subexpression elimination — projecting
+    # it twice (text + length) evaluated it twice per row. CollapseProject
+    # refuses to merge a Project whose non-cheap alias the consumer
+    # references more than once, so the chain stays in its own Project
+    # and evaluates ONCE.
     out = html_text_expr(F.col(html_col))
-    return df.select(
+    return df.select(F.col(id_col), out.alias("text")).select(
         F.col(id_col),
-        out.alias("text"),
-        F.length(out).alias("n_chars"),
+        F.col("text"),
+        F.length("text").alias("n_chars"),
     )
 
 
@@ -346,12 +377,21 @@ def html_extract_links(
             " ",
         )
     )
-    return df.select(
+    # two-step select (round-16): links contains a transform() lambda —
+    # excluded from subexpression elimination — and was referenced twice
+    # (links + size); the CollapseProject guard keeps it evaluated once.
+    step = df.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         title.alias("title"),
         links.alias("links"),
-        F.size(links).alias("n_links"),
+    )
+    return step.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.col("title"),
+        F.col("links"),
+        F.size("links").alias("n_links"),
     )
 
 
@@ -364,12 +404,16 @@ def html_extract_paragraphs(
     with ``\n``-separated paragraphs (:func:`html_paragraphs_expr`) —
     the shape ``dedup_paragraphs(sep='\n')`` and line-level boilerplate
     removal consume directly. Map-only, like the text lane."""
+    # two-step select (round-16): same CollapseProject guard as
+    # html_extract_text — the old single Project referenced the chain
+    # THREE times (text, the ''-check, the split for n_paragraphs).
     out = html_paragraphs_expr(F.col(html_col))
-    n = F.when(out == "", F.lit(0)).otherwise(
-        F.size(F.split(out, r"\n"))
+    step = df.select(F.col(id_col), out.alias("text"))
+    n = F.when(F.col("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("text"), r"\n"))
     )
-    return df.select(
+    return step.select(
         F.col(id_col),
-        out.alias("text"),
+        F.col("text"),
         n.cast("int").alias("n_paragraphs"),
     )
