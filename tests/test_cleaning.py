@@ -267,6 +267,24 @@ def test_fix_encoding_plan_is_map_only(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+def test_fix_encoding_chain_evaluates_once_per_row(spark):
+    """Round-16 expression-shape pin: the repair chain is CodegenFallback
+    HOFs (aggregate), which Catalyst excludes from subexpression
+    elimination — so every plan REFERENCE is a per-row re-evaluation. The
+    single-reference _repair_class rewrite (first-element-flag aggregate
+    instead of element_at + slice + size, which referenced the split 3x
+    PER CLASS, compounding across the 3 chained classes) plus the
+    two-step select in fix_encoding must leave exactly ONE copy of the
+    chain in the optimized plan. The euro-shortcut literal is unique to
+    the chain's innermost expression, so its count IS the number of
+    chain evaluations per row."""
+    from zio_analytics_spark.operators.cleaning import fix_encoding
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = fix_encoding(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("â‚¬") == 1
+
+
 def test_fix_encoding_double_encoded_needs_two_passes(spark):
     """DOUBLE-encoded 2-byte mojibake ('ÃƒÂ©' — Latin-1 text mis-decoded
     twice) unpeels one layer per pass; extra passes on clean or

@@ -278,37 +278,50 @@ _TO_E280 = "".join(chr(0x2000 + k) for k in range(64))
 
 
 def _repair_class(col: Column, marker: str, prefix: str, to_table: str) -> Column:
-    """One repair class as a split/aggregate HOF (the entity-decode shape
-    from operators/html.py): split on ``marker``; each later fragment
-    whose text starts with ``prefix`` + a table char is rewritten through
-    ``translate``; anything else gets its marker restored verbatim."""
-    parts = F.split(col, marker)
+    """One repair class as ONE aggregate() HOF walking the split fragments
+    with a first-element flag (the single-reference entity-decode shape
+    from operators/html.py): split on ``marker``; the first fragment
+    passes through; each later fragment whose text starts with ``prefix``
+    + a table char is rewritten through ``translate``; anything else gets
+    its marker restored verbatim.
+
+    Expression-shape contract (round-16, guide §4-adjacent): HOFs are
+    CodegenFallback and excluded from subexpression elimination, so every
+    extra Column reference re-evaluates its WHOLE upstream input per row,
+    interpreted. The old ``concat(element_at(parts, 1), aggregate(slice(
+    parts, 2, …)))`` shape referenced the split — and therefore the
+    upstream repair chain — three times PER CLASS, compounding to 3^k
+    re-evaluations across the k chained classes. The split is now
+    referenced exactly once; semantics are bit-identical (planted corpus
+    in test_cleaning)."""
     plen = len(prefix)
     probe = lambda p: F.substring(p, plen + 1, 1)  # noqa: E731
 
-    def step(acc: Column, p: Column) -> Column:
+    def fragment(p: Column) -> Column:
         ok = (F.length(p) >= plen + 1) & (
             F.instr(F.lit(SLOPPY_CP1252_HIGH), probe(p)) > 0
         )
         if plen:
             ok = ok & (F.substring(p, 1, plen) == prefix)
-        return F.concat(
-            acc,
-            F.when(
-                ok,
-                F.concat(
-                    F.translate(probe(p), SLOPPY_CP1252_HIGH, to_table),
-                    F.substring(p, plen + 2, 0x7FFFFFFF),
-                ),
-            ).otherwise(F.concat(F.lit(marker), p)),
-        )
+        return F.when(
+            ok,
+            F.concat(
+                F.translate(probe(p), SLOPPY_CP1252_HIGH, to_table),
+                F.substring(p, plen + 2, 0x7FFFFFFF),
+            ),
+        ).otherwise(F.concat(F.lit(marker), p))
 
-    tail = F.aggregate(
-        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
-        F.lit("").cast("string"),
-        step,
+    return F.aggregate(
+        F.split(col, marker),
+        F.struct(F.lit("").cast("string").alias("s"), F.lit(True).alias("f")),
+        lambda acc, p: F.struct(
+            F.concat(
+                acc["s"], F.when(acc["f"], p).otherwise(fragment(p))
+            ).alias("s"),
+            F.lit(False).alias("f"),
+        ),
+        lambda acc: acc["s"],
     )
-    return F.concat(F.element_at(parts, 1), tail)
 
 
 def fix_mojibake_expr(col: Column, passes: int = 1) -> Column:
@@ -347,12 +360,22 @@ def fix_encoding(
     ``n_repaired`` counts repaired characters (each fix shrinks the text
     by the sequence length minus one, so it is the length delta). One
     narrow projection — map-only, fuses into the scan at 100 TB, sits
-    between HTML extraction and normalization in the cleaning chain."""
+    between HTML extraction and normalization in the cleaning chain.
+
+    Two-step select (round-16): the repair chain is CodegenFallback HOFs
+    excluded from subexpression elimination — projecting it twice (text +
+    the length delta) evaluated it twice per row. The chain now lands in
+    its own Project (CollapseProject keeps a multiply-referenced non-cheap
+    alias), and ``n_repaired`` references the materialized column."""
     fixed = fix_mojibake_expr(F.col(text_col), passes=passes)
     return df.select(
         F.col(id_col),
+        F.length(F.col(text_col)).alias("__orig_len"),
         fixed.alias("text"),
-        (F.length(F.col(text_col)) - F.length(fixed)).cast("long").alias("n_repaired"),
+    ).select(
+        F.col(id_col),
+        F.col("text"),
+        (F.col("__orig_len") - F.length("text")).cast("long").alias("n_repaired"),
     )
 
 
