@@ -448,6 +448,20 @@ def test_substring_span_short_docs_and_validation(spark):
         dedup.substring_span_pairs(df, gram_len=25, min_len=10)
 
 
+def test_substring_span_plan_shape(spark):
+    """Round-16 shape pin: the gaps-and-islands step is a per-pair sorted
+    fold, not a row_number window (one exchange fewer, no sort of the
+    match table), and the gram hash runs in a plain projection above the
+    explode, not inside a transform() lambda (interpreted CodegenFallback)
+    — xxhash64 must not appear under a LambdaFunction."""
+    df = _span_docs(spark, [(0, _DISTINCT[:60]), (1, _DISTINCT[:60])])
+    out = dedup.substring_span_pairs(df, gram_len=25, min_len=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "lambdafunction(xxhash64" not in optimized
+
+
 def test_substring_span_hot_gram_blocklist(spark):
     import pytest
 
