@@ -202,28 +202,68 @@ def quantize_int8(
     storage compression for ANN at scale (float32 → uint8 codes + a
     k·d-sized codebook of per-dim (min, scale)).
 
-    Pass 1: one aggregate computes every dimension's global min/max
-    (2·d cells — broadcast-sized driver state, like k-means centroids).
-    Pass 2: codes = round((x − min_d) / scale_d) clamped to [0, 255],
-    inlined as literals (codegen, no UDF). A constant dimension
-    (max == min) maps to code 0 by convention. Deterministic: the only
-    float ops are one subtract, one divide, one half-up round — both
-    engines replay them identically.
+    Pass 1: per-dimension global min/max via ``posexplode`` + a
+    64-group aggregate (2·d cells — broadcast-sized driver state, like
+    k-means centroids; map-side partial aggregation collapses each
+    partition to d rows before the shuffle, so this is still one linear
+    pass at 100 TB). Pass 2: codes = round((x − min_d) / scale_d)
+    clamped to [0, 255], inlined as literals (codegen, no UDF). A
+    constant dimension (max == min) maps to code 0 by convention.
+    Deterministic: the only float ops are one subtract, one divide, one
+    half-up round — both engines replay them identically.
+
+    Round-16 plan-cost notes (guide §1.2 step 2): the old stats pass was
+    one aggregate of 2·d separate ``min(v[i])``/``max(v[i])`` columns —
+    at d=64 the 128-expression plan cost ~4.5 s to analyze+compile per
+    call on a 2k-row table (measured; values identical to the exploded
+    shape). The code projection is built as ONE ``selectExpr`` string
+    (driver-side py4j construction of 64 nested Column trees measured
+    2.6 s vs 0.35 s for the SQL parse; ``repr`` round-trips each double
+    literal exactly, proven 0 diff rows vs the Column form). Non-finite
+    codebook values fall back to the Column form with ``F.lit``.
 
     Returns ``(id_col, codes array<int>)``; the codebook is the
     (min, scale) literal pairs — recover x̂ = min + code·scale with
     max error scale/2 per dimension.
     """
+    import math
+
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     v = F.col(vec_col)
-    stats = df.agg(
-        *[F.min(v[i].cast("double")).alias(f"lo{i}") for i in range(dim)],
-        *[F.max(v[i].cast("double")).alias(f"hi{i}") for i in range(dim)],
-    ).first()
+    stats_rows = (
+        df.select(F.posexplode(v.cast("array<double>")).alias("__dim", "__x"))
+        .groupBy("__dim")
+        .agg(F.min("__x").alias("lo"), F.max("__x").alias("hi"))
+        .collect()
+    )
+    lohi = {int(r["__dim"]): (r["lo"], r["hi"]) for r in stats_rows}
+    finite = all(
+        i in lohi
+        and lohi[i][0] is not None
+        and math.isfinite(lohi[i][0])
+        and math.isfinite(lohi[i][1])
+        for i in range(dim)
+    )
+    if finite:
+        exprs = []
+        for i in range(dim):
+            lo, hi = float(lohi[i][0]), float(lohi[i][1])
+            if hi == lo:
+                exprs.append("0")
+                continue
+            scale = (hi - lo) / 255.0
+            exprs.append(
+                f"CAST(least(greatest(round((CAST(`{vec_col}`[{i}] AS DOUBLE)"
+                f" - CAST('{lo!r}' AS DOUBLE)) / CAST('{scale!r}' AS DOUBLE),"
+                f" 0), 0.0D), 255.0D) AS INT)"
+            )
+        return df.selectExpr(
+            f"`{id_col}`", f"array({', '.join(exprs)}) AS codes"
+        )
     codes = []
     for i in range(dim):
-        lo, hi = float(stats[f"lo{i}"]), float(stats[f"hi{i}"])
+        lo, hi = float(lohi[i][0]), float(lohi[i][1])
         if hi == lo:
             codes.append(F.lit(0))
             continue
