@@ -332,6 +332,15 @@ def main() -> None:
                 rec = rec["parsed"]
             if rec.get("sf") != sf_val:
                 return best[0], None  # a different-SF dev run never compares
+            # Round-17 (verdict #2): when the committed record carries an
+            # adjudicated headline (its raw value was taken under co-tenant
+            # load and the in-run isolation lane superseded it), compare
+            # against THAT — otherwise a quiet run vs a load-smeared raw
+            # record reads as a spurious improvement and a loaded run vs it
+            # never adjudicates. Raw stays in the JSON untouched.
+            adjudicated = rec.get("value_adjudicated")
+            if adjudicated:
+                return best[0], float(adjudicated)
             return best[0], float(rec["value"])
         except (OSError, ValueError, KeyError, TypeError):
             return None, None

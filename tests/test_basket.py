@@ -153,3 +153,18 @@ def test_frequent_triples_hand_case(spark):
         for r in frequent_triples(_baskets(spark, rows), "bk", "item", 0.5).collect()
     }
     assert got == {("a", "b", "c"): 3, ("a", "b", "d"): 2}
+
+
+def test_integer_items_keep_their_type(spark):
+    """Round-17 ADVICE fix: the keep-list literal is cast to the array's
+    element type, so integer item columns mine int item_a/item_b (the
+    un-cast F.lit would widen them to bigint via array_intersect)."""
+    from zio_analytics_spark.operators.basket import frequent_pairs
+
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20)]
+    df = spark.createDataFrame(rows, "basket_id int, item int")
+    out = frequent_pairs(df, "basket_id", "item", min_support=0.5)
+    types = dict(out.dtypes)
+    assert types["item_a"] == "int" and types["item_b"] == "int"
+    got = {(r["item_a"], r["item_b"]) for r in out.collect()}
+    assert (10, 20) in got

@@ -224,3 +224,21 @@ def test_mmr_step1_is_relevance_argmax(spark):
     top1 = brute_force_topk(df, q, k=1).collect()[0]["vec_id"]
     first = mmr_select(df, q, k=4, pool=10).orderBy("step").collect()[0]
     assert first["vec_id"] == top1 and first["step"] == 1
+
+
+def test_quantize_int8_backticked_names(spark):
+    """Round-17 ADVICE fix: identifier metacharacters in column names must
+    survive the selectExpr fast path (backticks are escaped)."""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.similarity import quantize_int8
+
+    rows = [(i, [float(i), 7.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").select(
+        F.col("vec_id").alias("the`id"), F.col("embedding").alias("ve`c")
+    )
+    out = {
+        r["the`id"]: r.codes
+        for r in quantize_int8(df, vec_col="ve`c", id_col="the`id", dim=2).collect()
+    }
+    assert out[0][0] == 0 and out[4][0] == 255 and out[2][1] == 0

@@ -462,3 +462,23 @@ def test_bootstrap_validates(spark):
     df = spark.createDataFrame([(1, 1.0)], "id long, v double")
     with pytest.raises(ValueError):
         bootstrap_mean_ci(df, "v", "id", n_resamples=2)
+
+
+def test_bootstrap_empty_and_null_semantics(spark):
+    """Round-17 ADVICE fixes: an empty input yields one row with n = 0
+    (not NULL), and NULL values do not dilute the headline mean — the
+    b = -1 lane reproduces avg()'s NULL-skipping denominator."""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.stats import bootstrap_mean_ci
+
+    empty = spark.createDataFrame([], "id long, v double")
+    r = bootstrap_mean_ci(empty, "v", "id").collect()
+    assert len(r) == 1 and r[0]["n"] == 0 and r[0]["mean"] is None
+
+    withnull = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 30.0)], "id long, v double"
+    )
+    r = bootstrap_mean_ci(withnull, "v", "id").collect()[0]
+    assert r["n"] == 4  # n counts rows, like the oracle's count(*)
+    assert r["mean"] == 20.0  # avg skips the NULL: (10+20+30)/3, not /4

@@ -187,6 +187,58 @@ def test_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+@pytest.mark.parametrize("seed", [5, 23])
+def test_engines_equivalent(spark, seed):
+    """Round-17: the arrow (mapInPandas) Viterbi engine must reproduce the
+    sql (Column-HOF) engine EXACTLY — final piece table (counts and
+    ilogp), and the full per-word segmentation including tie-breaks and
+    token order (the test_pq cross-engine pin, for the tokenizer)."""
+    from zio_analytics_spark.operators.unigram import unigram_model
+
+    rng = random.Random(seed)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 9)))
+            for _ in range(rng.randint(2, 12))
+        )
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    p_sql, s_sql = unigram_model(df, n_iters=2, max_piece_len=3, top_k=12,
+                                 engine="sql")
+    p_ar, s_ar = unigram_model(df, n_iters=2, max_piece_len=3, top_k=12,
+                               engine="arrow")
+    tbl_sql = {r["piece"]: (r["cnt"], r["ilogp"]) for r in p_sql.collect()}
+    tbl_ar = {r["piece"]: (r["cnt"], r["ilogp"]) for r in p_ar.collect()}
+    assert tbl_ar == tbl_sql
+    seg_sql = {r["word"]: list(r["toks"]) for r in s_sql.collect()}
+    seg_ar = {r["word"]: list(r["toks"]) for r in s_ar.collect()}
+    assert seg_ar == seg_sql  # token-for-token, backtrace order included
+
+
+def test_arrow_is_default_and_in_plan(spark):
+    """The default engine is arrow and the training recount actually runs
+    through MapInPandas (guide §4: the HOF DP was the first-shot cost)."""
+    from zio_analytics_spark.operators import unigram as U
+
+    assert U.VITERBI_ENGINE == "arrow"
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    from zio_analytics_spark.tmpdirs import materialize_table
+
+    vocab = materialize_table(
+        U._word_freqs(df, "text", "[a-z]+"), prefix="zas_unigram_voc_"
+    )
+    plan = (
+        U._viterbi_recount_arrow(vocab, {"t": -1, "h": -1, "e": -1}, 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan
+
+
 def test_tokenize_matches_naive(spark):
     from zio_analytics_spark.operators.unigram import unigram_tokenize
 

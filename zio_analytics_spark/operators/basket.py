@@ -61,10 +61,12 @@ def _filter_items(arr: DataFrame, keep: list) -> DataFrame:
     already broadcast). ``array_intersect`` preserves the first
     argument's (sorted) order."""
     elem = arr.schema["__items"].dataType.elementType
-    lit = (
-        F.lit(keep)
-        if keep
-        else F.array().cast(f"array<{elem.simpleString()}>")
+    # always cast the keep-list literal to the array's ELEMENT type: for
+    # integer item columns F.lit([...Python ints...]) would be
+    # array<bigint> and array_intersect would silently widen __items —
+    # and thus the mined item types — to bigint (round-17 ADVICE fix)
+    lit = (F.lit(keep) if keep else F.array()).cast(
+        f"array<{elem.simpleString()}>"
     )
     return arr.select(F.array_intersect("__items", lit).alias("__items"))
 

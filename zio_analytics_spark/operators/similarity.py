@@ -228,9 +228,15 @@ def quantize_int8(
     """
     import math
 
+    # column references are built as fully-quoted identifiers (backticks
+    # doubled) — a bare F.col()/df[...] PARSES the name and rejects
+    # identifier metacharacters like a stray backtick (round-17 ADVICE fix)
+    def _qcol(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    v = F.col(vec_col)
+        dim = len(df.select(_qcol(vec_col)).first()[0])
+    v = _qcol(vec_col)
     stats_rows = (
         df.select(F.posexplode(v.cast("array<double>")).alias("__dim", "__x"))
         .groupBy("__dim")
@@ -246,6 +252,11 @@ def quantize_int8(
         for i in range(dim)
     )
     if finite:
+        # escape backticks in the interpolated identifiers — a column name
+        # containing ` would otherwise break the parse or inject expression
+        # text where the Column form handled any name (round-17 ADVICE fix)
+        vq = vec_col.replace("`", "``")
+        iq = id_col.replace("`", "``")
         exprs = []
         for i in range(dim):
             lo, hi = float(lohi[i][0]), float(lohi[i][1])
@@ -254,12 +265,12 @@ def quantize_int8(
                 continue
             scale = (hi - lo) / 255.0
             exprs.append(
-                f"CAST(least(greatest(round((CAST(`{vec_col}`[{i}] AS DOUBLE)"
+                f"CAST(least(greatest(round((CAST(`{vq}`[{i}] AS DOUBLE)"
                 f" - CAST('{lo!r}' AS DOUBLE)) / CAST('{scale!r}' AS DOUBLE),"
                 f" 0), 0.0D), 255.0D) AS INT)"
             )
         return df.selectExpr(
-            f"`{id_col}`", f"array({', '.join(exprs)}) AS codes"
+            f"`{iq}`", f"array({', '.join(exprs)}) AS codes"
         )
     codes = []
     for i in range(dim):
@@ -272,7 +283,7 @@ def quantize_int8(
         codes.append(
             F.least(F.greatest(q, F.lit(0.0)), F.lit(255.0)).cast("int")
         )
-    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+    return df.select(_qcol(id_col).alias(id_col), F.array(*codes).alias("codes"))
 
 
 def rp_signs(dim: int, k: int, seed: str = "rp") -> list[list[int]]:

@@ -662,9 +662,13 @@ def bootstrap_mean_ci(
     exploded = seeded.select(
         "__x", "__s", F.explode(F.lit(list(range(-1, n_resamples)))).alias("__b")
     )
-    w = F.when(F.col("__b") == -1, F.lit(1.0)).otherwise(
-        _lehmer_weight(F.col("__s"), F.col("__b")).cast("double")
-    )
+    # b = -1 lane weight is isnotnull(x), not 1.0, so its sum(w·x)/sum(w)
+    # reproduces avg()'s NULL-skipping denominator exactly (round-17 ADVICE
+    # fix; the resample lanes keep the raw Poisson weight — their diluted
+    # NULL semantics match the oracle's sum(w·value)/sum(w) replay).
+    w = F.when(
+        F.col("__b") == -1, F.col("__x").isNotNull().cast("double")
+    ).otherwise(_lehmer_weight(F.col("__s"), F.col("__b")).cast("double"))
     per_b = (
         exploded.select(
             "__b", (w * F.col("__x")).alias("__wx"), w.alias("__w")
@@ -681,10 +685,18 @@ def bootstrap_mean_ci(
         F.collect_list(F.when(F.col("__b") >= 0, mean_b))
     )
     return per_b.agg(
-        F.max(F.when(F.col("__b") == -1, F.col("__cnt"))).alias("n"),
+        # coalesce: an EMPTY input produces zero (row, b) groups, and the
+        # bare max would return n = NULL where the one-aggregate form (and
+        # the oracle's count(*)) returns 0 (round-17 ADVICE fix)
+        F.coalesce(
+            F.max(F.when(F.col("__b") == -1, F.col("__cnt"))), F.lit(0).cast("long")
+        ).alias("n"),
         F.round(F.max(F.when(F.col("__b") == -1, mean_b)), round_dp).alias("mean"),
-        F.round(F.element_at(resample_means, 2), round_dp).alias("ci_lo"),
+        # try_element_at: on an EMPTY input the collected array has zero
+        # elements and ANSI element_at would throw; every non-empty input
+        # has exactly n_resamples elements, where try_ is identical
+        F.round(F.try_element_at(resample_means, F.lit(2)), round_dp).alias("ci_lo"),
         F.round(
-            F.element_at(resample_means, n_resamples - 1), round_dp
+            F.try_element_at(resample_means, F.lit(n_resamples - 1)), round_dp
         ).alias("ci_hi"),
     )

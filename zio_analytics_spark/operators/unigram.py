@@ -55,6 +55,20 @@ from zio_analytics_spark.operators.bpe import WORD_PATTERN
 
 __all__ = ["unigram_train", "unigram_model", "unigram_segment", "unigram_tokenize"]
 
+#: Default Viterbi engine (round-17, guide §4). "arrow" runs the per-word DP
+#: as ONE mapInPandas over the Zipf-bounded vocab — the piece model is a
+#: bounded Python dict closure, scores are the same int64 fixed-point values
+#: (exact in any engine), and the recount leaves each task as pre-aggregated
+#: (piece, cnt) partials. "sql" keeps the original pure-Column-HOF pipeline;
+#: it is the cross-engine reference test_unigram pins the arrow path against.
+#: Why: the HOF DP is CodegenFallback and its plan is rebuilt per EM round —
+#: Catalyst re-analysis + Janino compile dominated unigram_train's first shot
+#: (~10.4 s measured r16; data work is milliseconds at any SF). ilogp is
+#: STILL computed by the same Spark expression (_with_ilogp, one tiny job on
+#: the bounded piece table) so the only float op keeps bit-identical
+#: JVM semantics in both engines.
+VITERBI_ENGINE = "arrow"
+
 
 def _word_freqs(df: DataFrame, text_col: str, word_pattern: str) -> DataFrame:
     """One corpus scan → the Zipf-bounded ``(word, freq)`` table."""
@@ -94,6 +108,155 @@ def _with_ilogp(pieces: DataFrame) -> DataFrame:
             ).cast("long"),
         )
         .drop("__tot")
+    )
+
+
+def _ilogp_rows(spark: SparkSession, pairs: list) -> list:
+    """``[(piece, cnt, ilogp)]`` for a bounded driver-side piece list, via
+    ONE tiny JVM projection job. The expression is _with_ilogp's exactly —
+    ``round((ln(cnt) − ln(tot))·10⁶)`` with both operands cast long→double
+    in the JVM — but the total enters as a literal (it is an exact integer
+    sum the driver already holds), so no aggregate and no broadcast
+    exchange: the r16 shape cost ~1-3 s PER ROUND in plan/exchange
+    overhead on an 88-row local table (measured r17)."""
+    import pandas as pd
+
+    tot = sum(c for _, c in pairs)
+    # pandas input rides the Arrow createDataFrame path: ~0.07 s vs ~0.5-2 s
+    # for the pickled-list path on an 88-row table (measured r17)
+    df = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["piece", "cnt"]).astype({"cnt": "int64"}),
+        schema="piece string, cnt long",
+    )
+    scored = df.withColumn(
+        "ilogp",
+        F.round(
+            (F.log(F.col("cnt").cast("double")) - F.log(F.lit(tot).cast("double")))
+            * F.lit(1000000.0)
+        ).cast("long"),
+    )
+    return [(r["piece"], r["cnt"], r["ilogp"]) for r in scored.collect()]
+
+
+def _pieces_df(spark: SparkSession, scored: list) -> DataFrame:
+    """The BOUNDED ``(piece, cnt, ilogp)`` model table as an Arrow-backed
+    local DataFrame — the values are final driver-side data, so a parquet
+    round-trip (~1.4-2.7 s of committer overhead measured r17) buys
+    nothing: a local frame recomputes nothing and survives clearCache()."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(scored, columns=["piece", "cnt", "ilogp"]).astype(
+        {"cnt": "int64", "ilogp": "int64"}
+    )
+    return spark.createDataFrame(pdf, schema="piece string, cnt long, ilogp long")
+
+
+def _viterbi_toks_py(word: str, lp: dict, L: int) -> list:
+    """Pure-Python mirror of the Column-HOF Viterbi (same DP, same
+    smallest-start tie-break, tokens LAST-PIECE-FIRST). All scores are the
+    int64 fixed-point ``ilogp`` values — integer sums and compares, so the
+    result is exact and engine-independent (pinned vs the sql engine in
+    test_unigram::test_engines_equivalent). Raises on a word the piece set
+    cannot cover — impossible in training, where every single character of
+    the vocab is a floored piece (the coverage guarantee)."""
+    n = len(word)
+    best = [0] * (n + 1)
+    for e in range(1, n + 1):
+        m = None
+        lo = e - L if e > L else 0
+        for s in range(lo, e):
+            v = lp.get(word[s:e])
+            if v is not None and best[s] is not None:
+                c = best[s] + v
+                if m is None or c > m:
+                    m = c
+        if m is None:
+            raise ValueError(f"piece set cannot cover word: {word!r}")
+        best[e] = m
+    toks = []
+    pos = n
+    while pos > 0:
+        lo = pos - L if pos > L else 0
+        for s in range(lo, pos):  # ascending = smallest-start tie-break
+            v = lp.get(word[s:pos])
+            if v is not None and best[s] + v == best[pos]:
+                toks.append(word[s:pos])
+                pos = s
+                break
+    return toks
+
+
+#: words per Python task below which extra fan-out loses: one mapInPandas
+#: task costs ~20-40 ms of dispatch vs ~1 ms of DP per 64 words (measured
+#: r17: fanning a 31-word vocab to 32 tasks cost 1.2-1.7 s/call; 1 task
+#: 0.42 s). Above it, tasks saturate the session's cores.
+_WORDS_PER_TASK = 4096
+
+
+def _vocab_parts(vocab_rows: int, spark: SparkSession) -> int:
+    """Scale-adaptive Python-stage fan-out: ≥1 task per _WORDS_PER_TASK
+    words, capped at defaultParallelism (cluster-tracking, never a
+    literal). A tiny vocab runs one task; a 10M-word vocab fills the
+    fleet."""
+    dp = spark.sparkContext.defaultParallelism
+    need = -(-int(vocab_rows) // _WORDS_PER_TASK)  # ceil
+    return max(1, min(dp, need))
+
+
+def _fan_out(df: DataFrame, n_parts: int) -> DataFrame:
+    """Spread the vocab over ``n_parts`` tasks before per-row Python work."""
+    return df.repartition(int(n_parts))
+
+
+def _viterbi_paths_arrow(
+    words: DataFrame, lp: dict, max_piece_len: int, n_parts: int = 1
+) -> DataFrame:
+    """Arrow engine for :func:`_viterbi_paths`: ``(word, freq, toks)`` via one
+    mapInPandas — the bounded piece→ilogp dict rides the task closure."""
+    import pandas as pd
+
+    L = int(max_piece_len)
+
+    def seg(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "freq": pdf["freq"],
+                    "toks": [_viterbi_toks_py(w, lp, L) for w in pdf["word"]],
+                }
+            )
+
+    return _fan_out(words.select("word", "freq"), n_parts).mapInPandas(
+        seg, "word string, freq long, toks array<string>"
+    )
+
+
+def _viterbi_recount_arrow(
+    words: DataFrame, lp: dict, max_piece_len: int, n_parts: int = 1
+) -> DataFrame:
+    """Arrow engine for the EM recount: Viterbi + piece recount in the SAME
+    pass, leaving each task as pre-aggregated ``(piece, cnt)`` partials
+    (map-side combine in Python — guide §2.3: aggregate before you shuffle;
+    rows out per task ≈ |pieces|, not |vocab|·|toks|)."""
+    import pandas as pd
+
+    L = int(max_piece_len)
+
+    def recount(batches):
+        from collections import Counter
+
+        c: Counter = Counter()
+        for pdf in batches:
+            for w, f in zip(pdf["word"], pdf["freq"]):
+                f = int(f)
+                for t in _viterbi_toks_py(w, lp, L):
+                    c[t] += f
+        if c:
+            yield pd.DataFrame({"piece": list(c.keys()), "cnt": list(c.values())})
+
+    return _fan_out(words.select("word", "freq"), n_parts).mapInPandas(
+        recount, "piece string, cnt long"
     )
 
 
@@ -187,20 +350,61 @@ def _viterbi_paths(
     return bt.select("word", "freq", toks.alias("toks"))
 
 
+def _seed_cand_arrow(
+    vocab: DataFrame, max_piece_len: int, n_parts: int = 1
+) -> DataFrame:
+    """Arrow engine for the seed candidate count: substring enumeration +
+    per-task Counter partials in one mapInPandas (same partial-aggregate
+    discipline as the recount — the groupBy sum downstream is exact)."""
+    import pandas as pd
+
+    L = int(max_piece_len)
+
+    def cand(batches):
+        from collections import Counter
+
+        c: Counter = Counter()
+        for pdf in batches:
+            for w, f in zip(pdf["word"], pdf["freq"]):
+                f = int(f)
+                n = len(w)
+                for s in range(n):
+                    top = L if L < n - s else n - s
+                    for ln in range(1, top + 1):
+                        c[w[s : s + ln]] += f
+        if c:
+            yield pd.DataFrame({"piece": list(c.keys()), "cnt": list(c.values())})
+
+    return _fan_out(vocab.select("word", "freq"), n_parts).mapInPandas(
+        cand, "piece string, cnt long"
+    )
+
+
 def _seed_pieces(
-    vocab: DataFrame, max_piece_len: int, top_k: int
+    vocab: DataFrame,
+    max_piece_len: int,
+    top_k: int,
+    engine: str | None = None,
+    n_parts: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Seed candidate set: every substring of length ≤ max_piece_len,
     counted with multiplicity × word frequency. Keeps ALL single characters
     (the coverage floor) plus the ``top_k`` multi-char candidates by
     (count DESC, piece ASC) — a TakeOrdered, never a global window rank.
     Returns (pieces0, alphabet)."""
-    cand = (
-        vocab.select("freq", F.explode(_substr_structs(max_piece_len)).alias("m"))
-        .select("freq", F.col("m.piece").alias("piece"))
-        .groupBy("piece")
-        .agg(F.sum("freq").alias("cnt"))
-    )
+    if (engine or VITERBI_ENGINE) == "arrow":
+        cand = (
+            _seed_cand_arrow(vocab, max_piece_len, n_parts)
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        cand = (
+            vocab.select("freq", F.explode(_substr_structs(max_piece_len)).alias("m"))
+            .select("freq", F.col("m.piece").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+        )
     singles = cand.where(F.length("piece") == 1)
     multi = (
         cand.where(F.length("piece") > 1)
@@ -216,6 +420,8 @@ def _em_driver(
     n_iters: int,
     max_piece_len: int,
     top_k: int,
+    engine: str | None = None,
+    n_parts: int | None = None,
 ) -> list[tuple[str, int]]:
     """Run ``n_iters`` hard-EM rounds with BOUNDED driver state; returns the
     FINAL ``[(piece, cnt), …]`` list.
@@ -228,22 +434,46 @@ def _em_driver(
     byte-identical to the DataFrame formulation the catalog oracle replays:
     multi-char pieces keep their recount, alphabet singles floor at 1 (the
     coverage guarantee), counts are exact BIGINT sums. ``vocab`` should be
-    materialized/persisted by the caller — every round re-scans it."""
-    pieces0, _alpha_df = _seed_pieces(vocab, max_piece_len, top_k)
+    materialized/persisted by the caller — every round re-scans it.
+
+    Engine (round-17): on the default "arrow" path each round runs the
+    bounded ilogp job (same Spark expression as before — the one float op
+    keeps JVM semantics) plus ONE mapInPandas recount job whose plan is
+    two nodes; the "sql" path keeps the per-round Column-HOF Viterbi plan
+    (re-analyzed + Janino-compiled every round — the r16-measured 10.4 s
+    first-shot)."""
+    eng = engine or VITERBI_ENGINE
+    # one cheap count on the checkpointed vocab sizes EVERY Python stage of
+    # the run (seed, per-round recounts, the caller's seg pass)
+    if n_parts is None:
+        n_parts = _vocab_parts(vocab.count(), spark) if eng == "arrow" else 1
+    pieces0, _alpha_df = _seed_pieces(
+        vocab, max_piece_len, top_k, engine=eng, n_parts=n_parts
+    )
     rows = pieces0.collect()  # bounded: all singles + top_k multis
     cur: list[tuple[str, int]] = sorted((r["piece"], int(r["cnt"])) for r in rows)
     # WORD_PATTERN-extracted words are plain codepoint strings on both
     # sides, so Python len() and Spark length() agree on "single char"
     alphabet = sorted(p for p, _ in cur if len(p) == 1)
     for _ in range(n_iters):
-        cur_df = spark.createDataFrame(cur, "piece string, cnt long")
-        counts = (
-            _viterbi_paths(vocab, _with_ilogp(cur_df), max_piece_len)
-            .select("freq", F.explode("toks").alias("piece"))
-            .groupBy("piece")
-            .agg(F.sum("freq").alias("cnt"))
-            .collect()
-        )
+        if eng == "arrow":
+            # bounded: |pieces| rows through the SAME ilogp expression
+            lp = {p: int(il) for p, _c, il in _ilogp_rows(spark, cur)}
+            counts = (
+                _viterbi_recount_arrow(vocab, lp, max_piece_len, n_parts)
+                .groupBy("piece")
+                .agg(F.sum("cnt").alias("cnt"))
+                .collect()
+            )
+        else:
+            cur_df = spark.createDataFrame(cur, "piece string, cnt long")
+            counts = (
+                _viterbi_paths(vocab, _with_ilogp(cur_df), max_piece_len)
+                .select("freq", F.explode("toks").alias("piece"))
+                .groupBy("piece")
+                .agg(F.sum("freq").alias("cnt"))
+                .collect()
+            )
         cmap = {r["piece"]: int(r["cnt"]) for r in counts}
         cur = sorted(
             [(p, c) for p, c in cmap.items() if len(p) > 1]
@@ -259,13 +489,16 @@ def unigram_train(
     max_piece_len: int = 3,
     top_k: int = 64,
     word_pattern: str = WORD_PATTERN,
+    engine: str | None = None,
 ) -> DataFrame:
     """Train a unigram-LM tokenizer vocabulary (hard-EM, fixed rounds).
 
     Returns the final piece table ``(piece, cnt, ilogp)``: surviving
     pieces with their last-round Viterbi counts and fixed-point unigram
     log-probs. Deterministic end to end (see module docstring), so the
-    catalog oracle replays every EM round in SQL.
+    catalog oracle replays every EM round in SQL. ``engine`` selects the
+    Viterbi implementation ("arrow" default / "sql" reference — identical
+    results, pinned in test_unigram).
     """
     from zio_analytics_spark.tmpdirs import materialize_table
 
@@ -274,10 +507,18 @@ def unigram_train(
     if max_piece_len < 1:
         raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
     spark = df.sparkSession
-    vocab = materialize_table(
-        _word_freqs(df, text_col, word_pattern), prefix="zas_unigram_voc_"
-    )
-    final = _em_driver(spark, vocab, n_iters, max_piece_len, top_k)
+    # localCheckpoint, not a parquet materialize: the vocab is a training-
+    # internal intermediate re-scanned by every EM round (the same class
+    # cluster_duplicates / linkage checkpoint — §5); the parquet committer
+    # alone cost 1.4-2.7 s per write on this host (measured r17)
+    vocab = _word_freqs(df, text_col, word_pattern).localCheckpoint()
+    eng = engine or VITERBI_ENGINE
+    final = _em_driver(spark, vocab, n_iters, max_piece_len, top_k, engine=eng)
+    if eng == "arrow":
+        # same values as _with_ilogp (the JVM expression ran in
+        # _ilogp_rows); the BOUNDED final table ships as an Arrow local
+        # frame — nothing to recompute, nothing clearCache() can evict
+        return _pieces_df(spark, _ilogp_rows(spark, final))
     return materialize_table(
         _with_ilogp(spark.createDataFrame(final, "piece string, cnt long")),
         prefix="zas_unigram_",
@@ -291,6 +532,7 @@ def unigram_model(
     max_piece_len: int = 3,
     top_k: int = 64,
     word_pattern: str = WORD_PATTERN,
+    engine: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """TRAIN-OFFLINE artifact pair — the deployment split the round-9
     bench breach asked for (VERDICT r9 #1; the quality_logreg_train/score
@@ -316,18 +558,26 @@ def unigram_model(
     if max_piece_len < 1:
         raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
     spark = df.sparkSession
-    vocab = materialize_table(
-        _word_freqs(df, text_col, word_pattern), prefix="zas_unigram_voc_"
+    vocab = _word_freqs(df, text_col, word_pattern).localCheckpoint()
+    eng = engine or VITERBI_ENGINE
+    n_parts = _vocab_parts(vocab.count(), spark) if eng == "arrow" else None
+    final = _em_driver(
+        spark, vocab, n_iters, max_piece_len, top_k, engine=eng, n_parts=n_parts
     )
-    final = _em_driver(spark, vocab, n_iters, max_piece_len, top_k)
-    pieces = materialize_table(
-        _with_ilogp(spark.createDataFrame(final, "piece string, cnt long")),
-        prefix="zas_unigram_",
-    )
-    seg = materialize_table(
-        _viterbi_paths(vocab, pieces, max_piece_len).select("word", "toks"),
-        prefix="zas_unigram_seg_",
-    )
+    if eng == "arrow":
+        scored = _ilogp_rows(spark, final)  # same JVM expression, one job
+        pieces = _pieces_df(spark, scored)
+        lp = {p: int(il) for p, _c, il in scored}
+        seg_df = _viterbi_paths_arrow(
+            vocab, lp, max_piece_len, n_parts
+        ).select("word", "toks")
+    else:
+        pieces = materialize_table(
+            _with_ilogp(spark.createDataFrame(final, "piece string, cnt long")),
+            prefix="zas_unigram_",
+        )
+        seg_df = _viterbi_paths(vocab, pieces, max_piece_len).select("word", "toks")
+    seg = materialize_table(seg_df, prefix="zas_unigram_seg_")
     return pieces, seg
 
 
