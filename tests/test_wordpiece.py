@@ -216,3 +216,25 @@ def test_wordpiece_apply_can_diverge_from_merge_replay(spark):
         def respell(toks):
             return "".join(t[2:] if t.startswith("##") else t for t in toks)
         assert respell(munch[i]) == respell(replay[i])
+
+
+def test_engines_equivalent(spark):
+    """Round-17: the arrow training engine (Python counting/merging, SQL
+    scoring) must reproduce the sql (Column-HOF) engine EXACTLY — every
+    per-round row and the final merged segmentation."""
+    from zio_analytics_spark.operators.wordpiece import wordpiece_model
+
+    texts = [
+        "hugs hugging hugged bug bugs pugs pug",
+        "the hug hug hug of bugs and pugs",
+        "aaaa aaa aa a",  # lhs == rhs run-resolution case
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    res_sql, seg_sql = wordpiece_model(df, n_merges=5, engine="sql")
+    res_ar, seg_ar = wordpiece_model(df, n_merges=5, engine="arrow")
+    assert res_ar == res_sql
+    d_sql = {r["word"]: list(r["syms"]) for r in seg_sql.collect()}
+    d_ar = {r["word"]: list(r["syms"]) for r in seg_ar.collect()}
+    assert d_ar == d_sql

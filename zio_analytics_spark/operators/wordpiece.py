@@ -46,6 +46,24 @@ __all__ = ["wordpiece_train", "wordpiece_model", "wordpiece_segment",
            "wordpiece_tokenize", "wordpiece_vocab_pieces", "wordpiece_apply",
            "wordpiece_results_df"]
 
+#: Default training engine (round-17, guide §4). "arrow": pair/symbol
+#: counting runs as ONE mapInPandas with per-task Counter partials, merges
+#: apply in Python inside the NEXT round's count job (the base vocab is
+#: localCheckpoint'd once; re-apply depth is bounded by
+#: _WP_CHECKPOINT_EVERY), and the post-merge symbol total rides the next
+#: round's job as an Observation (bpe's pattern) — one small constant-shape
+#: job per round. Scoring, the argmax and its (score DESC, lhs, rhs)
+#: tie-break stay in Spark SQL with the same expressions, so every number
+#: the oracle pins is produced by the same engine as before. "sql" keeps
+#: the r16 Column-HOF loop — the cross-engine reference test_wordpiece
+#: pins the arrow path against.
+WP_ENGINE = "arrow"
+
+#: bound the Python re-apply depth: every this-many merges the vocab is
+#: re-checkpointed so round k never replays more than this many merges
+#: (n_merges in the thousands stays O(k·V), not O(k²·V))
+_WP_CHECKPOINT_EVERY = 8
+
 #: schema of the per-round training rows (wordpiece_train's output)
 _RESULTS_SCHEMA = (
     "iter int, lhs string, rhs string, pair_count bigint, "
@@ -100,9 +118,158 @@ def _merge_expr_wp(lhs: str, rhs: str):
     return F.aggregate(F.col("syms"), empty, step)
 
 
-def _wp_train_loop(vocab: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
-    """The merge-learning loop; returns (rows, FINAL persisted vocab —
-    caller unpersists). Driver state per round: one 5-number row."""
+def _apply_merges_py(syms, merges) -> list:
+    """Exact Python mirror of :func:`_merge_expr_wp`'s stack fold, applied
+    for each learned merge in order: greedy-leftmost, a just-merged top
+    never re-matches as lhs except in the lhs == rhs run case, which the
+    linear scan resolves identically (even offsets within a run merge)."""
+    out = list(syms)
+    for lhs, rhs, merged in merges:
+        nxt: list = []
+        for x in out:
+            if nxt and nxt[-1] == lhs and x == rhs:
+                nxt[-1] = merged
+            else:
+                nxt.append(x)
+        out = nxt
+    return out
+
+
+def _merged_vocab_arrow(base: DataFrame, merges: tuple) -> DataFrame:
+    """``base`` with every merge in ``merges`` applied to ``syms`` — one
+    mapInPandas carrying all other columns through unchanged."""
+    if not merges:
+        return base
+    import pandas as pd
+
+    schema = base.schema
+    cols = [f.name for f in schema.fields]
+
+    def apply(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["syms"] = [_apply_merges_py(s, merges) for s in pdf["syms"]]
+            yield pdf[cols]
+
+    return base.mapInPandas(apply, schema)
+
+
+def _wp_count_arrow(cur: DataFrame) -> DataFrame:
+    """Adjacent-pair AND symbol unigram counts in ONE pass: per-task
+    Counter partials (guide §2.3 — aggregate before you shuffle), tagged
+    ``kind`` 'P'/'S', summed exactly by the downstream groupBy."""
+    import pandas as pd
+
+    def counter(batches):
+        from collections import Counter
+
+        cp: Counter = Counter()
+        cs: Counter = Counter()
+        for pdf in batches:
+            for f, syms in zip(pdf["freq"], pdf["syms"]):
+                f = int(f)
+                prev = None
+                for s in syms:
+                    cs[s] += f
+                    if prev is not None:
+                        cp[(prev, s)] += f
+                    prev = s
+        rows = [("P", a, b, c) for (a, b), c in cp.items()] + [
+            ("S", s, "", c) for s, c in cs.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["kind", "a", "b", "cnt"])
+
+    return cur.select("freq", "syms").mapInPandas(
+        counter, "kind string, a string, b string, cnt long"
+    )
+
+
+def _wp_train_loop_arrow(vocab: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
+    """Arrow engine for the merge loop (see ``WP_ENGINE``). Exactness: the
+    counts are integer sums (order-free), the score division/argmax/
+    tie-break run in Spark SQL with the r16 expressions, the merge fold is
+    mirrored exactly, and the post-merge total is the same exact integer
+    sum observed on the next round's scan."""
+    from pyspark.sql import Observation
+
+    base = vocab.localCheckpoint()
+    merges: list = []  # (lhs, rhs, merged) applied in Python since base
+    results = []
+    pending = None  # last round's row, waiting for its post-merge total
+    for it in range(n_merges):
+        if len(merges) >= _WP_CHECKPOINT_EVERY:
+            base = _merged_vocab_arrow(base, tuple(merges)).localCheckpoint()
+            merges = []
+        obs = Observation()
+        cur = _merged_vocab_arrow(base, tuple(merges)).observe(
+            obs, F.sum(F.col("freq") * F.size("syms")).alias("t")
+        )
+        agg = (
+            _wp_count_arrow(cur)
+            .groupBy("kind", "a", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        pairs = agg.where(F.col("kind") == "P").select(
+            F.col("a").alias("lhs"), F.col("b").alias("rhs"), "cnt"
+        )
+        sym_counts = agg.where(F.col("kind") == "S").select(
+            F.col("a").alias("sym"), F.col("cnt").alias("scnt")
+        )
+        scored = (
+            pairs.join(
+                sym_counts.select(
+                    F.col("sym").alias("lhs"), F.col("scnt").alias("lhs_cnt")
+                ),
+                "lhs",
+            )
+            .join(
+                sym_counts.select(
+                    F.col("sym").alias("rhs"), F.col("scnt").alias("rhs_cnt")
+                ),
+                "rhs",
+            )
+            .withColumn(
+                "score",
+                F.col("cnt").cast("double") / (F.col("lhs_cnt") * F.col("rhs_cnt")),
+            )
+        )
+        top = scored.orderBy(F.desc("score"), "lhs", "rhs").limit(1).collect()
+        if pending is not None:
+            # the observation on THIS round's scan is Σ freq·|syms| of the
+            # vocab AFTER the pending round's merge — bpe's one-job-per-
+            # iteration trick
+            results.append((*pending, int(obs.get["t"])))
+            pending = None
+        if not top:  # all-single-symbol vocabulary
+            break
+        best = top[0]
+        merges.append((best["lhs"], best["rhs"], best["lhs"] + _strip_cont(best["rhs"])))
+        pending = (
+            it,
+            best["lhs"],
+            best["rhs"],
+            int(best["cnt"]),
+            int(best["lhs_cnt"]),
+            int(best["rhs_cnt"]),
+        )
+    final = _merged_vocab_arrow(base, tuple(merges))
+    if pending is not None:
+        total = final.agg(
+            F.sum(F.col("freq") * F.size("syms")).alias("t")
+        ).collect()[0]["t"]
+        results.append((*pending, int(total)))
+    return results, final
+
+
+def _wp_train_loop(
+    vocab: DataFrame, n_merges: int, engine: str | None = None
+) -> tuple[list, DataFrame]:
+    """The merge-learning loop; returns (rows, FINAL vocab). Driver state
+    per round: one 5-number row (plus the bounded merge list on the arrow
+    engine)."""
+    if (engine or WP_ENGINE) == "arrow":
+        return _wp_train_loop_arrow(vocab, n_merges)
     cur = vocab.persist()
     results = []
     for it in range(n_merges):
@@ -170,6 +337,7 @@ def wordpiece_train(
     text_col: str = "text",
     n_merges: int = 4,
     word_pattern: str = WORD_PATTERN,
+    engine: str | None = None,
 ) -> DataFrame:
     """Learn the first ``n_merges`` WordPiece merges from a text column.
 
@@ -184,7 +352,7 @@ def wordpiece_train(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     vocab = _wp_vocab(df, text_col, word_pattern).select("freq", "syms")
-    results, cur = _wp_train_loop(vocab, n_merges)
+    results, cur = _wp_train_loop(vocab, n_merges, engine=engine)
     cur.unpersist()
     return wordpiece_results_df(spark, results)
 
@@ -199,6 +367,7 @@ def wordpiece_model(
     text_col: str = "text",
     n_merges: int = 4,
     word_pattern: str = WORD_PATTERN,
+    engine: str | None = None,
 ) -> tuple[list, DataFrame]:
     """TRAIN-OFFLINE artifact pair for WordPiece — the deployment split the
     round-9 bench breach asked for (VERDICT r9 #1; same shape as
@@ -217,7 +386,7 @@ def wordpiece_model(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     vocab = _wp_vocab(df, text_col, word_pattern)
-    results, cur = _wp_train_loop(vocab, n_merges)
+    results, cur = _wp_train_loop(vocab, n_merges, engine=engine)
     seg = materialize_table(cur.select("word", "syms"), prefix="zas_wp_seg_")
     cur.unpersist()
     return results, seg
