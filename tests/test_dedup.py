@@ -652,3 +652,57 @@ def test_dedup_paragraphs_whitespace_class_paragraphs_removed(spark):
     assert out[3]["text"] == "echo\n\nfoxtrot" and out[3]["n_dropped"] == 0
     # empty-document contract still explicit
     assert out[4]["text"] == "" and out[4]["n_kept"] == 0
+
+
+def test_char_shingle_arrow_matches_expressions(spark):
+    """Round-17: the Arrow char-shingle lane must agree with the old
+    expression form on everything downstream can observe — which docs
+    survive, each doc's distinct-gram COUNT, and the final jaccard_pairs
+    output (shingle ids are internal; intersections are id-blind)."""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators.text import char_shingles
+
+    texts = [
+        (0, "en", "abcdefgh abcdefgh"),
+        (1, "en", "abcdefgh abcdefXh"),
+        (2, "en", "tiny"),          # shorter than k=5: dropped
+        (3, "en", None),             # NULL: dropped
+        (4, "zh", "漢字漢字漢字漢字漢字"),  # code-point windows, not bytes
+        (5, "zh", "漢字漢字漢字漢字漢字"),
+        (6, "zh", "𝄞音𝄞音𝄞音𝄞音𝄞音"),  # astral-plane code points
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: r["__sz"]
+        for r in dedup._shingle_table(df, "text", "doc_id", ["lang"], 5, "char").collect()
+    }
+    legacy = df.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(char_shingles("text", 5, distinct=False), lambda s: F.xxhash64(s))
+        ).alias("__sh"),
+    ).where(F.size("__sh") > 0)
+    want = {r["doc_id"]: len(r["__sh"]) for r in legacy.collect()}
+    assert got == want
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(
+            df, block_cols=["lang"], n=5, threshold=0.1,
+            shingle_mode="char", strategy="dense",
+        ).collect()
+    }
+    # brute-force reference on the raw strings
+    import itertools
+    sets = {i: {t[j:j+5] for j in range(len(t)-4)} for i, _l, t in texts if t and len(t) >= 5}
+    langs = {i: l for i, l, _t in texts}
+    want_pairs = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        if langs[a] != langs[b]:
+            continue
+        inter = len(sets[a] & sets[b])
+        jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if jac >= 0.1:
+            want_pairs[(a, b)] = jac
+    assert pairs == want_pairs

@@ -137,6 +137,70 @@ def _ensure_parallelism(df: DataFrame, key_col: str | None = None) -> DataFrame:
     return df
 
 
+def _char_shingle_arrow(
+    base: DataFrame, text_col: str, id_col: str, block_cols: Sequence[str], n: int
+) -> DataFrame:
+    """Char k-gram shingle rows via one mapInPandas (see the char branch of
+    :func:`_shingle_table` for why). Semantics mirror the expression form
+    exactly: code-point windows (Python str slicing == Spark substr on code
+    points), first-occurrence-distinct, docs shorter than ``n`` (or NULL)
+    dropped; only the 64-bit shingle-id function differs (blake2b-64 vs
+    xxhash64 — internal ids, equal collision class)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    k = int(n)
+    cols = [*block_cols, id_col]
+    in_schema = base.schema
+    out_schema = StructType(
+        [in_schema[c] for c in cols]
+        + [
+            StructField("__sh", ArrayType(LongType())),
+            StructField("__sz", IntegerType()),
+        ]
+    )
+
+    def shingle(batches):
+        from hashlib import blake2b
+
+        memo: dict = {}
+
+        def h(g: str) -> int:
+            v = memo.get(g)
+            if v is None:
+                v = int.from_bytes(
+                    blake2b(g.encode("utf-8"), digest_size=8).digest(),
+                    "big",
+                    signed=True,
+                )
+                memo[g] = v
+            return v
+
+        for pdf in batches:
+            keep, out_sh, out_sz = [], [], []
+            for i, t in enumerate(pdf[text_col]):
+                if t is None or len(t) < k:
+                    continue
+                grams = dict.fromkeys(t[j : j + k] for j in range(len(t) - k + 1))
+                out_sh.append([h(g) for g in grams])
+                out_sz.append(len(grams))
+                keep.append(i)
+            if not keep:
+                continue  # an all-dropped batch would emit float64 columns
+            res = pdf.iloc[keep][cols].copy()
+            res["__sh"] = pd.Series(out_sh, index=res.index, dtype="object")
+            res["__sz"] = pd.Series(out_sz, index=res.index, dtype="int32")
+            yield res
+
+    return base.mapInPandas(shingle, out_schema)
+
+
 def _shingle_table(
     df: DataFrame,
     text_col: str,
@@ -153,9 +217,20 @@ def _shingle_table(
     elif shingle_mode == "char":
         # character k-grams: the unit for text without whitespace
         # segmentation (CJK, URLs, code) — same join machinery downstream.
-        from zio_analytics_spark.operators.text import char_shingles
-
-        grams = char_shingles(text_col, n, distinct=False)
+        # Round-17 (guide §4): built in the Arrow lane, not expressions —
+        # the nested transform() lambdas (substr per position, then a hash
+        # per gram) are CodegenFallback and evaluate INTERPRETED per
+        # character position; one mapInPandas slices/dedups/hashes each
+        # text with a per-task gram→hash memo (the dense regime's tiny
+        # vocabulary makes hashing ~free). Shingle ids switch from
+        # xxhash64(gram) to blake2b-64(gram) — both deterministic 64-bit
+        # with the same 2^-64 collision acceptance; no declared output
+        # depends on the id VALUES (intersections/unions are id-blind),
+        # pinned by test_char_shingle_arrow_matches_expressions.
+        base = _ensure_parallelism(
+            df.select(*block_cols, F.col(id_col), F.col(text_col)), id_col
+        )
+        return _char_shingle_arrow(base, text_col, id_col, block_cols, n)
     else:
         raise ValueError(f"shingle_mode must be 'word' or 'char', got {shingle_mode!r}")
     base = _ensure_parallelism(df.select(*block_cols, F.col(id_col), F.col(text_col)), id_col)
