@@ -9886,38 +9886,25 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     every pending outer row. Result ≡ the batch LEFT JOIN (oracle); the
     matched subset doubles as streaming_interval_join's inner result.
 
-    Remaining ~3.5 s wall time is the floor of this design: ~0.7 s source
-    materialization + two stateful micro-batches committing 4×2 state
-    stores + the no-data finalization batch + ~1 s query start/stop —
-    all fixed lifecycle costs; the round-6 single-sentinel trim removed
-    the only redundant stateful batch (5.7 → 4.2 s) and the round-7
-    state-partition re-size (8 → 4) shaved the commit overhead
-    (4.1 → 3.6 s interleaved medians)."""
-    import os as _os
-    import time as _time
-
+    Wall-time design (round-17, guide §2/streaming trigger policy): the
+    real events AND the sentinel rows all arrive in ONE micro-batch — the
+    watermark still starts at epoch for that batch (nothing is late, all
+    state is kept), updates from the observed max event time AFTER it,
+    and the engine's no-data finalization batch then flushes every
+    pending outer row. One stateful micro-batch instead of the r6-r16
+    two-batch sequencing (real events, then sentinel): measured
+    interleaved pairs 4.78 → 3.71 s with the two variants' output row
+    sets identical at sf0.1, and oracle-equal at all three SFs. History:
+    round-6 single-sentinel trim 5.7 → 4.2 s, round-7 state partitions
+    8 → 4 (4.1 → 3.6 s); the remaining floor is query start/stop, one
+    stateful batch committing 4×2 state stores, and the no-data batch."""
     from zio_analytics_spark.streaming.joins import interval_join
 
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
     src = _scratch_dir(prefix="zas_outer_src_")
-
-    # The file source orders batches by file MOD TIME — instead of
-    # sleeping >1 s between writes (2.1 s of dead wall time per bench
-    # run), stamp each write's files with an explicit, strictly
-    # increasing mtime via os.utime: same ordering, zero sleep.
-    _seen: set[str] = set()
-
-    def _stamp_new(when: float) -> None:
-        for name in _os.listdir(src):
-            if name not in _seen:
-                _os.utime(_os.path.join(src, name), (when, when))
-                _seen.add(name)
-
-    _t_base = _time.time()
     ev.repartition(1).write.mode("append").parquet(src)
-    _stamp_new(_t_base - 20)
     # one sentinel PER SIDE: each side's watermark derives from the event
     # times that side actually observes AFTER its filter, so a purchase-only
     # sentinel advances only the purchase watermark and the click side's
@@ -9935,25 +9922,20 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
             "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
         )
 
-    # ONE sentinel batch (all four rows BEYOND the real event times — a
-    # sentinel older than the watermark is itself dropped as late and
-    # advances nothing): its event times raise the watermark after the
-    # batch, and the engine's NO-DATA micro-batch (fired because the
-    # watermark moved) applies it to state and flushes the pending outer
-    # rows. Round 5 shipped a second sentinel batch for that finalization
-    # step; re-measured this round, the no-data batch handles it at every
-    # SF (3×3 runs, exact row counts) and dropping the extra stateful
-    # batch saves ~1 s/run (5.3 → 4.2 s at sf0.1).
+    # The sentinel rows sit BEYOND every real event time; landing in the
+    # same micro-batch as the real rows they join nothing (user −1),
+    # raise the post-batch watermark past every real purchase, and the
+    # NO-DATA micro-batch flushes the pending outer rows — the r6 "second
+    # sentinel batch" and the r6-r16 separate-batch sequencing (file
+    # mtime stamping, maxFilesPerTrigger=1) are both unnecessary for
+    # correctness and each cost one extra stateful micro-batch.
     sentinel_at(2030, -1).union(sentinel_at(2031, -3)).repartition(1).write.mode(
         "append"
     ).parquet(src)
-    _stamp_new(_t_base)
 
-    stream = (
-        spark.readStream.schema("event_id long, user_id long, event_type string, ts timestamp")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, ts timestamp"
+    ).parquet(src)
     p = stream.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
     )

@@ -815,55 +815,40 @@ def _stage_files(
     stat_cols = [
         c for c in key_cols if c in df.columns and c not in partition_by
     ]
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in stat_cols:
-        aggs.append(F.min(c).alias(f"__min_{c}"))
-        aggs.append(F.max(c).alias(f"__max_{c}"))
-    per_file = (
-        spark.read.parquet(*staged.keys())
-        .groupBy(F.input_file_name().alias("__file"))
-        .agg(*aggs)
-        .collect()
-    )
-    # key stats by FULL staged path: a partitioned Spark write reuses
-    # the SAME part basename across partition directories, so basenames
-    # collide (stats would land on the wrong files — wrong pruning)
-    by_path = {}
-    for r in per_file:
-        d = r.asDict()
-        parsed = urllib.parse.urlparse(d["__file"])
-        by_path[os.path.realpath(urllib.parse.unquote(parsed.path))] = d
+    # Round-17 (guide §1.2/§5): row counts and per-file key min/max come
+    # from the PARQUET FOOTERS of the just-staged local files — the writer
+    # already computed them — instead of a second Spark job reading every
+    # new file back (measured 0.3-0.5 s of job+scan overhead per commit,
+    # paid by every create/append/merge/stream batch). Bounds semantics
+    # are unchanged: a footer min/max always CONTAINS the file's values
+    # (pruning-safe); columns whose footer carries no exact min/max (all
+    # NULL, over-long binary, inexact truncation) simply omit stats, which
+    # downstream treats as always-overlapping — never a wrong skip.
     adds = []
     for src, rel in staged.items():
-        # size BEFORE publication — publish_file moves/uploads and may
-        # discard the local copy; bytes drive compaction planning
+        # size + footer BEFORE publication — publish_file moves/uploads
+        # and may discard the local copy; bytes drive compaction planning
         # (round-16)
         try:
             size = os.path.getsize(src)
         except OSError:
             size = None
+        rows, fstats = _footer_stats(src, stat_cols)
         storage.publish_file(src, os.path.join(table, rel))
         part_values = (
             _parse_partition(rel, schema or {}) if partition_by else {}
         )
-        d = by_path.get(os.path.realpath(src))
-        if d is None:  # empty file (no rows): still track it
-            a0 = {"path": rel, "rows": 0, "stats": {}}
-            if size is not None:
-                a0["bytes"] = size
-            if partition_by:
-                a0["partition"] = part_values
-            adds.append(a0)
-            continue
         stats = {}
         for c in stat_cols:
-            mn, mx = _stat_value(d[f"__min_{c}"]), _stat_value(d[f"__max_{c}"])
+            if c not in fstats:
+                continue
+            mn, mx = _stat_value(fstats[c][0]), _stat_value(fstats[c][1])
             if _json_safe(mn) and _json_safe(mx):
                 stats[c] = {"min": mn, "max": mx}
         for c, v in part_values.items():
             if c in key_cols and _json_safe(v):
                 stats[c] = {"min": v, "max": v}  # exact: one value per file
-        add = {"path": rel, "rows": d["__rows"], "stats": stats}
+        add = {"path": rel, "rows": rows, "stats": stats}
         if size is not None:
             add["bytes"] = size
         if partition_by:
@@ -871,6 +856,50 @@ def _stage_files(
         adds.append(add)
     shutil.rmtree(stage, ignore_errors=True)
     return adds
+
+
+def _footer_stats(path: str, stat_cols: Sequence[str]) -> tuple[int, dict]:
+    """(row_count, {col: (min, max)}) from a local parquet file's footer.
+    Only columns with exact min/max across EVERY row group are returned;
+    tz-aware timestamp stats are normalized to the naive-UTC form Spark's
+    collect() used to produce (the JSON rendering must stay identical)."""
+    import pyarrow.parquet as _pq
+
+    md = _pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    out: dict = {}
+    for c in stat_cols:
+        i = names.get(c)
+        if i is None:
+            continue
+        mn = mx = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if (
+                st is None
+                or not st.has_min_max
+                or not getattr(st, "is_min_value_exact", True)
+                or not getattr(st, "is_max_value_exact", True)
+            ):
+                ok = False
+                break
+            lo, hi = st.min, st.max
+            if mn is None or lo < mn:
+                mn = lo
+            if mx is None or hi > mx:
+                mx = hi
+        if ok and mn is not None:
+            out[c] = (_naive_utc(mn), _naive_utc(mx))
+    return md.num_rows, out
+
+
+def _naive_utc(v):
+    import datetime as dt
+
+    if isinstance(v, dt.datetime) and v.tzinfo is not None:
+        return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return v
 
 
 def _json_safe(v) -> bool:
