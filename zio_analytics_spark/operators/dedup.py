@@ -1288,22 +1288,25 @@ def substring_span_pairs(
     (boilerplate) are the documented skew risk (AQE skew-join; rarest-first
     prefix filtering does NOT apply here since every position matters, so
     the escape hatch for pathological corpora is a df-capped gram blocklist,
-    which can only LOSE spans whose every gram is hot). The per-pair match
-    lists the fold walks are tiny by construction — bounded by the shorter
-    document's gram count (the same bound the previous per-(pair, diagonal)
-    window partitions had).
+    which can only LOSE spans whose every gram is hot). The island folds
+    walk one DIAGONAL's sorted position list at a time — bounded by the
+    shorter document's gram count, the same bound the pre-r16 per-(pair,
+    diagonal) window partitions had.
 
-    Round-16 shape notes (guide §2.4/§4): (a) gram hashes are computed in
-    a plain projection AFTER exploding the position array — inside the old
-    ``transform`` lambda the substr+xxhash64 ran INTERPRETED per gram
+    Round-16/17 shape notes (guide §2.4/§4): (a) gram hashes are computed
+    in a plain projection AFTER exploding the position array — inside the
+    old ``transform`` lambda the substr+xxhash64 ran INTERPRETED per gram
     (HOFs are CodegenFallback); exploding first keeps the hash in
     whole-stage codegen (measured 2.0 → 1.6 s for the gram pass at sf0.1,
-    bit-identical output). (b) The gaps-and-islands step is ONE aggregate
-    per pair folding the sorted (diag, ia) list instead of a row_number
-    window over (pair, diag) + a (pair, diag, grp) aggregate + a (pair)
-    aggregate — one exchange instead of two and no sort of the match
-    table (measured 2.8 → 2.0 s; proven row-identical on the sf0.1
-    corpus, 0 diff rows).
+    bit-identical output). (b) The gaps-and-islands step is an
+    ``aggregate()`` fold over each (pair, diagonal)'s sorted ia list — no
+    row_number window, no sort of the match table — followed by a plain
+    map-side-combinable max/sum roll-up to the pair grain. (The r16
+    variant folded ONE per-pair list of (diag, ia) structs: one exchange
+    fewer, but the collect_list buffer was O(matches-per-pair) =
+    O(n_a·n_b) on repetitive text and cannot spill mid-array — the r17
+    two-level fold restores the window formulation's memory bound at a
+    measured-equal runtime, 0 diff rows.)
 
     Requires ``min_len >= gram_len`` (a span shorter than one gram is
     invisible to the index). Output: ``doc_a, doc_b (doc_a < doc_b),
@@ -1372,59 +1375,53 @@ def substring_span_pairs(
     matches = a.join(b, cond).select(
         "doc_a", "doc_b", "__ia", (F.col("__ia") - F.col("__ib")).alias("__diag")
     )
-    # Islands over each match diagonal, folded per pair (docstring note b):
-    # collect the pair's (diag, ia) matches — (diag, ia) is unique per pair
-    # since ib = ia - diag is determined — sort once, and walk the list
-    # with ONE aggregate() carrying (prev diag, prev ia, current run,
-    # max run, island count). A row extends the run iff it continues the
-    # previous row's diagonal at ia-1; otherwise it starts a new island.
-    # Same run lengths, span arithmetic and min_len gate as the old
-    # row_number-window formulation.
-    sorted_matches = F.sort_array(
-        F.collect_list(
-            F.struct(
-                F.col("__diag").cast("long").alias("d"),
-                F.col("__ia").cast("long").alias("i"),
-            )
-        )
-    )
-
-    def _is_run(acc: Column, x: Column) -> Column:
-        return (acc["pd"] == x["d"]) & (acc["pi"] == x["i"] - 1)
-
+    # Islands over each match diagonal, folded at the (pair, DIAGONAL)
+    # grain (round-17 ADVICE fix): a run never crosses diagonals, so the
+    # island walk needs only one diagonal's sorted ia list — whose length
+    # IS bounded by the shorter document's gram count (each ia appears at
+    # most once per diagonal). The r16 per-PAIR collect_list buffered ALL
+    # of a pair's matches in one un-spillable array: a gram repeated p
+    # times in doc_a and q times in doc_b contributes p·q rows, so the
+    # per-pair buffer was O(n_a·n_b) on repetitive corpora — the exact
+    # blowup the hot-gram blocklist documents. The per-pair roll-up of
+    # (mx, n) is a plain max/sum aggregate: map-side combinable, constant
+    # per-group state, no buffer at all.
     one = F.lit(1).cast("long")
-    fold = F.aggregate(
-        sorted_matches,
+    diag_fold = F.aggregate(
+        F.sort_array(F.collect_list(F.col("__ia").cast("long"))),
         F.struct(
-            F.lit(None).cast("long").alias("pd"),
             F.lit(None).cast("long").alias("pi"),
             F.lit(0).cast("long").alias("run"),
             F.lit(0).cast("long").alias("mx"),
             F.lit(0).cast("long").alias("n"),
         ),
-        lambda acc, x: F.struct(
-            x["d"].alias("pd"),
-            x["i"].alias("pi"),
-            F.when(_is_run(acc, x), acc["run"] + one).otherwise(one).alias("run"),
+        lambda acc, i: F.struct(
+            i.alias("pi"),
+            F.when(acc["pi"] == i - 1, acc["run"] + one).otherwise(one).alias("run"),
             F.greatest(
                 acc["mx"],
-                F.when(_is_run(acc, x), acc["run"] + one).otherwise(one),
+                F.when(acc["pi"] == i - 1, acc["run"] + one).otherwise(one),
             ).alias("mx"),
             (
                 acc["n"]
-                + F.when(_is_run(acc, x), F.lit(0).cast("long")).otherwise(one)
+                + F.when(acc["pi"] == i - 1, F.lit(0).cast("long")).otherwise(one)
             ).alias("n"),
         ),
         lambda acc: F.struct(acc["mx"].alias("mx"), acc["n"].alias("n")),
     )
+    per_diag = (
+        matches.groupBy("doc_a", "doc_b", "__diag")
+        .agg(diag_fold.alias("__r"))
+        .select("doc_a", "doc_b", F.col("__r.mx").alias("__mx"), F.col("__r.n").alias("__n"))
+    )
     return (
-        matches.groupBy("doc_a", "doc_b")
-        .agg(fold.alias("__r"))
+        per_diag.groupBy("doc_a", "doc_b")
+        .agg(F.max("__mx").alias("__mx"), F.sum("__n").alias("__n"))
         .select(
             "doc_a",
             "doc_b",
-            (F.col("__r.mx") + (L - 1)).cast("long").alias("max_span"),
-            F.col("__r.n").cast("long").alias("n_spans"),
+            (F.col("__mx") + (L - 1)).cast("long").alias("max_span"),
+            F.col("__n").cast("long").alias("n_spans"),
         )
         .where(F.col("max_span") >= int(min_len))
     )
