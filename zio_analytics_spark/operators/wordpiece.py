@@ -358,8 +358,21 @@ def wordpiece_train(
 
 
 def wordpiece_results_df(spark: SparkSession, results: list) -> DataFrame:
-    """Per-round training rows as a DataFrame (wordpiece_train's schema)."""
-    return spark.createDataFrame(results, _RESULTS_SCHEMA)
+    """Per-round training rows as a DataFrame (wordpiece_train's schema).
+    pandas input rides the Arrow createDataFrame path — the pickled-list
+    path costs ~0.5-2 s of py4j/Python-runner overhead even for a handful
+    of rows (measured r17); empty results keep the explicit schema."""
+    if not results:
+        return spark.createDataFrame([], _RESULTS_SCHEMA)
+    import pandas as pd
+
+    cols = ["iter", "lhs", "rhs", "pair_count", "lhs_count", "rhs_count",
+            "total_syms"]
+    pdf = pd.DataFrame(results, columns=cols).astype(
+        {"iter": "int32", "pair_count": "int64", "lhs_count": "int64",
+         "rhs_count": "int64", "total_syms": "int64"}
+    )
+    return spark.createDataFrame(pdf, schema=_RESULTS_SCHEMA)
 
 
 def wordpiece_model(
